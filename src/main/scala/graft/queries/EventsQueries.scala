@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Event-stream analytics over the `events` table, batch side. These are the
+  * batch equivalents of the Structured Streaming pipelines in
+  * [[graft.streaming.EventsStream]] (same plan shape: tumbling windows,
+  * sessionization) so the semantics get a DuckDB oracle here while the
+  * streaming module exercises watermarks/state in its spec.
+  *
+  * Cross-engine notes: epoch millis (exact int64) are used for all time
+  * arithmetic — interval types and ns→µs truncation differ across engines,
+  * integer milliseconds do not. */
+object EventsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON extraction from the props column (SURVEY §2.8 scalar surface)
+    "q31_json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // tumbling 1-hour window aggregation (batch twin of the streaming agg)
+    "q32_events_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type")
+    }),
+
+    // sessionization: 30-min inactivity gap, per-user session stats
+    "q33_events_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_session",
+          when(col("ms") - lag("ms", 1).over(byUser) > 1800000L, 1)
+            .when(lag("ms", 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy("user_id")
+        .agg(max("session_id").cast("long").as("n_sessions"),
+          sum("session_events").cast("long").as("n_events"),
+          max("session_events").cast("long").as("max_session_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q31_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q32_events_window" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q33_events_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         flagged AS (
+           SELECT user_id, ms, event_id,
+             CASE WHEN ms - lag(ms) OVER w > 1800000 THEN 1
+                  WHEN lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sessions AS (
+           SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per_session AS (
+           SELECT user_id, session_id, count(*) AS session_events
+           FROM sessions GROUP BY 1, 2)
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(sum(session_events) AS BIGINT) AS n_events,
+           CAST(max(session_events) AS BIGINT) AS max_session_events
+         FROM per_session GROUP BY 1 ORDER BY 1"""
+  )
+}
