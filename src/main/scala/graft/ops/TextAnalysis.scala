@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality metrics, language-ID heuristics, fingerprints.
+  *
+  * Everything is built-in expression composition (array lambdas, no UDFs) so
+  * it stays inside whole-stage codegen — at 100 TB these run as a single
+  * fused map stage over the scan, no shuffle until the final aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `sep` defaults to single-space (the corpus
+    * convention); use `"\\s+"` for general text. */
+  def tokens(c: Column, sep: String = " "): Column = split(c, sep)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Type-token ratio: vocabulary richness, low values = repetitive text. */
+  def typeTokenRatio(c: Column): Column =
+    size(distinctTokens(c)).cast("double") / size(tokens(c))
+
+  /** Mean token length in characters. */
+  def avgWordLen(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      size(tokens(c))
+
+  /** Fraction of tokens found in `words`. */
+  def wordSetRatio(c: Column, words: Seq[String]): Column =
+    countInSet(c, words).cast("double") / size(tokens(c))
+
+  /** Number of tokens found in `words`. */
+  def countInSet(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(x => x: Any): _*)))
+
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language markers for the n-gram/stopword language-ID heuristic. Order is
+    * the deterministic tie-break (first wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "des"))
+
+  /** Heuristic language-ID: argmax of marker-word hit counts, `und` when no
+    * marker hits. Deterministic tie-break by [[LangMarkers]] order. */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> countInSet(c, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && score > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[langId]] (oracle construction). */
+  def langIdSql(col: String): String = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(str_split($col, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val defs = TextAnalysis.LangMarkers.map { case (l, ws) => l -> score(ws) }
+    val best = s"greatest(${defs.map(_._2).mkString(", ")})"
+    defs.foldRight("'und'") { case ((lang, s), acc) =>
+      s"CASE WHEN $s = $best AND $s > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  /** Normalized-content fingerprint (exact-dup key): md5 of lowercased,
+    * trimmed text. */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+
+  /** Character-order-sensitive rolling-hash fingerprint. */
+  def rollingFingerprint(c: Column): Column = PortableHash.rollingHash(c)
+
+  /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
+  def qualityClass(c: Column): Column =
+    when(tokenCount(c) < 30, "short")
+      .when(typeTokenRatio(c) < 0.35, "repetitive")
+      .otherwise("ok")
+
+  def qualityClassSql(col: String): String =
+    s"""CASE WHEN len(str_split($col, ' ')) < 30 THEN 'short'
+       | WHEN len(list_distinct(str_split($col, ' ')))::DOUBLE / len(str_split($col, ' ')) < 0.35 THEN 'repetitive'
+       | ELSE 'ok' END""".stripMargin
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.ops.{Dedup, TextAnalysis => TA}
+import QueryUtil._
+
+/** Training-data text operators over the `documents` table: exact/fuzzy
+  * dedup, fingerprints, token statistics, quality scoring, language-ID.
+  * Each runs through the graft.ops library and is pinned by a DuckDB oracle
+  * built from the ops' documented SQL twins. */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q40_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("text")).as("n_distinct_text"),
+          countDistinct(TA.fingerprint(col("text"))).as("n_distinct_fp"))
+        .orderBy("source")
+    }),
+
+    "q41_fingerprint" -> ((s, d) => {
+      // rolling hash is order-sensitive: sum over docs pins every value
+      t(s, d, "documents")
+        .select(col("source"), TA.fingerprint(col("text")).as("fp"),
+          TA.rollingFingerprint(col("text")).as("rh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("rh").cast("long").as("sum_rh"),
+          min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("source")
+    }),
+
+    "q42_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), TA.tokenCount(col("text")).as("ntok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").cast("long").as("sum_tokens"),
+          avg("ntok").as("avg_tokens"),
+          min("ntok").cast("int").as("min_tokens"),
+          max("ntok").cast("int").as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    "q43_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), TA.qualityClass(col("text")).as("qclass"),
+          TA.typeTokenRatio(col("text")).as("ttr"),
+          TA.avgWordLen(col("text")).as("awl"))
+        .groupBy("source", "qclass")
+        .agg(count(lit(1)).as("n"), round(avg("ttr"), 6).as("avg_ttr"),
+          round(avg("awl"), 6).as("avg_awl"))
+        .orderBy("source", "qclass")
+    }),
+
+    "q44_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), TA.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "q45_shingle_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, minJaccard = 0.8)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("i"), col("j"))
+    }),
+
+    "q46_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, k = 16, bands = 4, minJaccard = 0.9)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
+    }),
+
+    "q47_simhash" -> ((s, d) => {
+      Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"), bits = 16)
+        .select(col("doc").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- oracle SQL, built from the ops' documented DuckDB twins ----
+
+  private val sh3 = Dedup.shinglesSql("text", 3)
+
+  private def jaccardCte: String =
+    s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+       |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+       |sizes AS (SELECT doc_id AS doc, len(s) n FROM sh),
+       |inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
+       |  JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
+       |pairs AS (SELECT i, j, ninter * 1.0 / (sa.n + sb.n - ninter) jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc = i JOIN sizes sb ON sb.doc = j)""".stripMargin
+
+  private val minhashSig: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${PortableHash.md5LongSql("sg", j)}) s$j").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val key = (b * 4 until b * 4 + 4).map(j => s"s$j").mkString(" || ',' || ")
+      s"SELECT doc, $b band, $key bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc, $mins FROM e GROUP BY doc),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc i, b.doc j FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val votes = (0 until 16)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) v$b")
+      .mkString(", ")
+    val assemble = (0 until 16)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id AS doc, unnest(list_distinct(str_split(text, ' '))) tok
+       |  FROM documents),
+       |h AS (SELECT doc, ${PortableHash.md5LongSql("tok", 0)} h FROM tk),
+       |v AS (SELECT doc, $votes FROM h GROUP BY doc)
+       |SELECT doc AS doc_id, CAST($assemble AS BIGINT) AS simhash FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q40_dedup_exact" ->
+      """SELECT source, count(*) AS n, count(DISTINCT text) AS n_distinct_text,
+         count(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q41_fingerprint" ->
+      s"""SELECT source, count(*) AS n,
+         CAST(sum(${PortableHash.rollingHashSql("text")}) AS BIGINT) AS sum_rh,
+         min(md5(lower(trim(text)))) AS min_fp,
+         max(md5(lower(trim(text)))) AS max_fp
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q42_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         avg(len(str_split(text, ' '))) AS avg_tokens,
+         CAST(min(len(str_split(text, ' '))) AS INT) AS min_tokens,
+         CAST(max(len(str_split(text, ' '))) AS INT) AS max_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q43_quality" ->
+      s"""WITH m AS (SELECT source, ${TA.qualityClassSql("text")} qclass,
+         len(list_distinct(str_split(text, ' ')))::DOUBLE / len(str_split(text, ' ')) ttr,
+         list_sum(list_transform(str_split(text, ' '), w -> length(w)))::DOUBLE
+           / len(str_split(text, ' ')) awl
+         FROM documents)
+         SELECT source, qclass, count(*) AS n, round(avg(ttr), 6) AS avg_ttr,
+         round(avg(awl), 6) AS avg_awl
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q44_langid" ->
+      s"""SELECT lang, ${TA.langIdSql("text")} AS predicted, count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q45_shingle_jaccard" ->
+      s"""$jaccardCte
+         SELECT i, j, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.8
+         ORDER BY round(jaccard, 6) DESC, i, j""",
+
+    "q46_minhash_lsh" ->
+      s"""$jaccardCte,
+         $minhashSig
+         SELECT c.i, c.j, round(p.jaccard, 6) AS jaccard FROM cand c
+         JOIN pairs p ON p.i = c.i AND p.j = c.j
+         WHERE p.jaccard >= 0.9 ORDER BY c.i, c.j""",
+
+    "q47_simhash" -> simhashSql
+  )
+}

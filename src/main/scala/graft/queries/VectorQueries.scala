@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity => Sim}
+import QueryUtil._
+
+/** Embedding similarity search + multimodal-column plumbing over the
+  * `embeddings` and `documents` tables. */
+object VectorQueries {
+
+  private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  private def queryVec(s: SparkSession, d: String) =
+    emb(s, d).filter(col("vec_id") === 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-k — the ANN correctness baseline
+    "q48_ann_brute" -> ((s, d) => {
+      Sim.bruteForceTopK(
+          emb(s, d).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          queryVec(s, d), col("embedding"), k = 10)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // sign-LSH bucketed top-k — the scale path (bucket prunes candidates)
+    "q49_ann_lsh" -> ((s, d) => {
+      Sim.lshTopK(
+          emb(s, d).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          queryVec(s, d), col("embedding"), bits = 4, k = 10)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // multimodal plumbing: binary payload column + metadata aggregation
+    // (payloads are UTF-8 bytes here — testdata ships no media fixtures;
+    // the binary pipeline is payload-agnostic, see graft.ops.Multimodal)
+    "q50_multimodal_binary" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("source"), col("text").cast("binary").as("payload"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("payload"))).cast("long").as("sum_bytes"),
+          countDistinct(md5(col("payload"))).as("n_distinct_payload"),
+          min("first_byte").as("min_first_byte"))
+        .orderBy("source")
+    }),
+
+    // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
+    "q51_embed_block_pairs" -> ((s, d) => {
+      Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)
+        .orderBy(col("cos").desc, col("i"), col("j")).limit(10)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("i"), col("j"))
+    })
+  )
+
+  private val cosQ = Sim.cosineSql("embedding", "qe")
+  private val bucket8 = Sim.signBucketSql("embedding", 8)
+  private val bucket4 = Sim.signBucketSql("embedding", 4)
+
+  val oracleSql: Map[String, String] = Map(
+
+    // top-k selection on RAW cosine (bit-identical cross-engine), final
+    // presentation order on the rounded value — mirrors the Spark plan
+    "q48_ann_brute" ->
+      s"""WITH qv AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+         top AS (SELECT vec_id, $cosQ AS cos FROM embeddings, qv
+                 WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(cos, 6) AS cos FROM top
+         ORDER BY round(cos, 6) DESC, vec_id""",
+
+    "q49_ann_lsh" ->
+      s"""WITH qv AS (SELECT embedding qe, $bucket4 qbucket
+           FROM embeddings WHERE vec_id = 0),
+         top AS (SELECT vec_id, $cosQ AS cos FROM embeddings, qv
+                 WHERE vec_id <> 0 AND $bucket4 = qbucket
+                 ORDER BY cos DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(cos, 6) AS cos FROM top
+         ORDER BY round(cos, 6) DESC, vec_id""",
+
+    "q50_multimodal_binary" ->
+      """SELECT source, count(*) AS n,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+         count(DISTINCT md5(text)) AS n_distinct_payload,
+         CAST(min(ord(substr(text, 1, 1))) AS INT) AS min_first_byte
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q51_embed_block_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         top AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           ORDER BY cos DESC, i, j LIMIT 10)
+         SELECT i, j, round(cos, 6) AS cos FROM top
+         ORDER BY round(cos, 6) DESC, i, j"""
+  )
+}

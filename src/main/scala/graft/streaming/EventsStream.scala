@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: file-source streaming,
+  * watermarked tumbling-window aggregation, and stateful sessionization.
+  *
+  * The reference has no streaming at all (SURVEY.md §2.10 — its only
+  * incremental behavior is a 20 s directory poll, worker.py:163-168); this is
+  * the Spark-native upgrade of that pattern: `readStream` over a directory is
+  * exactly "notice new files", with exactly-once processing and bounded state
+  * via watermarks.
+  *
+  * Batch twins of these pipelines are oracle-checked as q32/q33
+  * ([[graft.queries.EventsQueries]]); the specs here drive the streaming
+  * execution itself (memory sink, processAllAvailable).
+  */
+object EventsStream {
+
+  /** Events schema as stored (ts = raw nanos int64; see QueryUtil.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type — late data beyond
+    * `watermark` is dropped and window state is reclaimed (bounded state at
+    * any scale). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, tsMs: Long)
+  final case class UserSessionState(nEvents: Long, nSessions: Long, lastMs: Long)
+  final case class UserSessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful sessionization with mapGroupsWithState: per-user session
+    * counter with a 30-minute inactivity gap, state kept per key only. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[UserSessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tsMs"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          val prev = state.getOption.getOrElse(UserSessionState(0L, 0L, Long.MinValue))
+          // events within a micro-batch arrive unordered: sort by (ts, id)
+          val sorted = rows.toSeq.sortBy(e => (e.tsMs, e.event_id))
+          var (n, sessions, last) = (prev.nEvents, prev.nSessions, prev.lastMs)
+          sorted.foreach { e =>
+            if (last == Long.MinValue || e.tsMs - last > gapMs) sessions += 1
+            n += 1
+            last = e.tsMs
+          }
+          state.update(UserSessionState(n, sessions, last))
+          UserSessionUpdate(user, n, sessions)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the available input and
+    * return the materialized result (memory sink). */
+  def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

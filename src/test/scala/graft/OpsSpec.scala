@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Specs for the LLM-data-pipeline operators (dedup, similarity, text,
+  * multimodal) on sf0.001. */
+class OpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("shingles produce n-grams in order") {
+    import spark.implicits._
+    val got = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+    assert(got === Seq("a b c", "b c d"))
+  }
+
+  test("jaccard pairs are symmetric-free (i<j), bounded in [0,1]") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.0)
+      .limit(1000).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("minhash LSH candidates superset high-jaccard pairs") {
+    val truth = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cands), s"missing: ${truth -- cands}")
+  }
+
+  test("simhash hamming distance separates near-dups from random pairs") {
+    val nearDups = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh = Dedup.simhash(docs, col("doc_id"), col("text"), 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size === docs.count())
+    def ham(p: (Long, Long)) = java.lang.Long.bitCount(sh(p._1) ^ sh(p._2))
+    val dupAvg = nearDups.map(ham).sum.toDouble / math.max(nearDups.length, 1)
+    val ids = sh.keys.toArray.sorted
+    val randomPairs = ids.take(60).flatMap(i => ids.takeRight(60).map(j => (i, j)))
+      .filter(p => p._1 < p._2)
+    val rndAvg = randomPairs.map(ham).sum.toDouble / randomPairs.length
+    // near-dups cluster tightly in hamming space; random pairs sit near bits/2
+    assert(nearDups.isEmpty || dupAvg <= 3.0, s"dupAvg=$dupAvg")
+    assert(dupAvg < rndAvg / 2, s"dupAvg=$dupAvg rndAvg=$rndAvg")
+  }
+
+  test("dedupExact keeps exactly one row per key, deterministically") {
+    val deduped = Dedup.dedupExact(docs, TextAnalysis.fingerprint(col("text")),
+      col("doc_id"))
+    assert(deduped.count() ===
+      docs.select(TextAnalysis.fingerprint(col("text"))).distinct().count())
+  }
+
+  test("cosine is 1 for identical vectors, symmetric bound") {
+    val self = embs.select(
+      Similarity.cosine(Similarity.asDouble(col("embedding")),
+        Similarity.asDouble(col("embedding"))).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns k descending rows") {
+    val q = embs.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, col("embedding"), 5).collect()
+    assert(top.length === 5)
+    val cs = top.map(_.getDouble(1))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("lsh top-k is a subset of brute-force ordering within the bucket") {
+    val q = embs.filter(col("vec_id") === 0)
+    val lsh = Similarity.lshTopK(embs.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, col("embedding"), 4, 10).collect()
+    assert(lsh.nonEmpty)
+    val cs = lsh.map(_.getDouble(1))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("language id returns a known label") {
+    val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("multimodal feature extraction preserves rows and emits fixed dims") {
+    val media = Multimodal.fromText(docs.limit(20), "doc_id", "text", "source")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(f.n_bytes > 0 && f.checksum.length === 32)
+    }
+  }
+}
