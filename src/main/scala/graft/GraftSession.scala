@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession tuned for the graft engine.
+  *
+  * One Spark application replaces the reference's entire
+  * controller/worker/downloader topology (SURVEY.md §7.1): driver = planner,
+  * executors = per-split workers, shuffle = the gather, S3A/HDFS = the
+  * download subsystem.
+  *
+  * Tuning stance for 100 TB (values here are the local-mode projection):
+  *  - `shuffle.partitions` sized to cores (cluster: ~2-3× total cores, or
+  *    AQE coalesce from a high ceiling);
+  *  - AQE on: runtime skew-join splitting + partition coalescing;
+  *  - 128 MB scan splits (`files.maxPartitionBytes`, the default) balance
+  *    task overhead vs memory; decode-heavy binary pipelines should lower it.
+  */
+object GraftSession {
+
+  def create(
+      appName: String = "graft",
+      cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

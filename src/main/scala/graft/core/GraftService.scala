@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Error taxonomy mirroring the reference's exceptions module
+  * (reference parqueryd/exceptions.py: RPCError hierarchy + retry/timeout
+  * classes). The 2 GB `FileTooBigError` worker-suicide cap
+  * (exceptions.py:4,20-21) is deliberately NOT reproduced — Spark's
+  * UnifiedMemoryManager spills instead of killing workers. */
+sealed abstract class GraftException(msg: String) extends RuntimeException(msg)
+final class UnknownVerbException(verb: String)
+  extends GraftException(s"Sorry, I don't understand you: '$verb'") // controller.py:495 wording
+final class BadCallException(msg: String) extends GraftException(msg)
+
+/** Service facade: the reference's generic RPC verb dispatch
+  * (rpc.py:96-190 `__getattr__` → controller.py:493-549 `handle_rpc`),
+  * re-expressed as a typed verb router over the engine.
+  *
+  * Deliberate deviations (SURVEY.md §7.4): no `execute_code` / `readfile`
+  * (arbitrary remote code/file access — the reference itself calls them a
+  * security risk, README.md:121); `download`/`movebcolz` subsumed by
+  * [[Ingest]] since executors read object storage directly.
+  */
+object GraftService {
+
+  final case class GroupByCall(
+      filenames: Seq[String],
+      groupby: Seq[String],
+      aggs: Seq[AggSpec],
+      where: Seq[FilterTerm] = Nil,
+      aggregate: Boolean = true,
+      combine: CombineMode = CombineMode.Merged)
+
+  /** The analytical verb: scatter/gather collapses into one Spark plan.
+    * Arity/spec validation mirrors controller.py:611-615. */
+  def groupby(spark: SparkSession, call: GroupByCall): Option[DataFrame] = {
+    if (call.filenames.isEmpty)
+      throw new BadCallException("groupby: filenames must be non-empty")
+    if (call.aggregate && call.aggs.isEmpty)
+      throw new BadCallException("groupby: agg_list must be non-empty")
+    call.aggs.find(a => !AggSpec.SupportedOps(a.op)).foreach(a =>
+      throw new BadCallException(s"groupby: unsupported agg op '${a.op}'"))
+    call.where.find(t => !FilterTerm.SupportedOps(t.op)).foreach(t =>
+      throw new BadCallException(s"groupby: unsupported filter op '${t.op}'"))
+    GroupByEngine.groupby(spark, call.filenames, call.groupby, call.aggs,
+      call.where, call.aggregate, call.combine)
+  }
+
+  /** Ops verbs (reference controller.py:493-549 dispatch table). */
+  def call(spark: SparkSession, verb: String, args: Map[String, String] = Map.empty): String =
+    verb match {
+      case "ping"     => OpsApi.ping(spark)
+      case "info"     => OpsApi.info(spark).toString
+      case "loglevel" => OpsApi.logLevel(spark, args.getOrElse("level", "info")); "ok"
+      case "sleep"    => Thread.sleep(args.getOrElse("seconds", "0").toDouble.toLong * 1000); "done"
+      case "kill" | "killall" => OpsApi.shutdown(spark); "stopped"
+      case other      => throw new UnknownVerbException(other)
+    }
+}

@@ -1,0 +1,76 @@
+package graft.core
+
+import java.util.UUID
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion + data distribution, replacing the reference's
+  * downloader/moveparquet subsystem (SURVEY.md §3.2).
+  *
+  * The reference's one genuinely interesting invariant is the all-nodes
+  * barrier: staged files flip into the data dir only when every node is DONE,
+  * so readers never see a half-updated shard set (worker.py:689-779,
+  * README.md:145). On shared storage that barrier collapses to an atomic
+  * MANIFEST pointer swap: writers stage a complete new file set, then one
+  * rename publishes it; readers resolve the manifest first.
+  */
+object Ingest {
+
+  /** CSV → Parquet with timestamp parsing — the reference's documented
+    * getting-started workflow (README.md:25-28: pandas read_csv with
+    * parse_dates, then df_to_parquet). */
+  def csvToParquet(spark: SparkSession, in: String, out: String,
+      timestampCols: Seq[String] = Nil, header: Boolean = true): Unit = {
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "true")
+      .csv(in)
+    val withTs = timestampCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, to_timestamp(col(c))))
+    withTs.write.mode("overwrite").parquet(out)
+  }
+
+  /** The reference's `distribute(filenames, bucket)` verb — documented but
+    * unimplemented there (README.md:129-141 vs controller.py:495 fall-through;
+    * SURVEY.md §2.11). Here: write a table to a target prefix, optionally
+    * hive-partitioned (cluster-wide distribution is the filesystem's job). */
+  def distribute(df: DataFrame, target: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(target)
+  }
+
+  private val ManifestName = "_MANIFEST"
+
+  /** Atomically publish a new version of `tableDir`: stage a complete new
+    * file set under `data/<uuid>/`, then swap the manifest pointer with one
+    * rename. Readers via [[readPublished]] always see exactly one complete
+    * version — the moveparquet barrier semantics without any coordination
+    * service. */
+  def atomicPublish(df: DataFrame, tableDir: String): String = {
+    val spark = df.sparkSession
+    val version = UUID.randomUUID().toString.take(8)
+    val dataDir = s"$tableDir/data/$version"
+    df.write.parquet(dataDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val tmp = new Path(tableDir, s".$ManifestName.$version.tmp")
+    val out = fs.create(tmp, true)
+    out.write(dataDir.getBytes("UTF-8"))
+    out.close()
+    // overwrite-rename is the commit point: atomic on HDFS/posix; on S3 use
+    // a conditional-put manifest or a catalog (Delta/Iceberg) instead
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(new Path(tableDir).toUri, conf)
+    fc.rename(tmp, new Path(tableDir, ManifestName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    version
+  }
+
+  /** Read the currently-published version (resolve manifest, then scan). */
+  def readPublished(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(tableDir, ManifestName))
+    val dataDir = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    spark.read.parquet(dataDir)
+  }
+}

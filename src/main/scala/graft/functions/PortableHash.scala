@@ -39,4 +39,25 @@ object PortableHash {
   /** DuckDB SQL twin of [[md5Long]]. */
   def md5LongSql(col: String, seed: Int): String =
     s"('0x' || substr(md5($col || '#$seed'), 1, 15))::BIGINT"
+
+  /** Derived hash family for MinHash: ONE md5 per value, then k affine
+    * transforms `(a_j * h + b_j) mod P` in a 30-bit space — md5 is the
+    * expensive step, so k hash functions cost 1 digest + k multiplies
+    * instead of k digests. P prime < 2^30 keeps every product < 2^60
+    * (overflow-safe in strict-int64 engines). */
+  val MinhashP: Long = 1073741789L
+
+  def baseHash(c: Column): Column = pmod(md5Long(c, 0), lit(MinhashP))
+
+  def derivedA(j: Int): Long = (((j + 1) * 0x9E3779B1L) % MinhashP + MinhashP) % MinhashP | 1L
+  def derivedB(j: Int): Long = (((j + 1) * 0x85EBCA6BL) % MinhashP + MinhashP) % MinhashP
+
+  def derivedHash(h: Column, j: Int): Column =
+    pmod(h * derivedA(j) + derivedB(j), lit(MinhashP))
+
+  def baseHashSql(col: String): String =
+    s"(${md5LongSql(col, 0)}) % $MinhashP"
+
+  def derivedHashSql(h: String, j: Int): String =
+    s"(($h) * ${derivedA(j)} + ${derivedB(j)}) % $MinhashP"
 }

@@ -75,13 +75,15 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signature: k md5-seeded min-hashes over `n`-shingles, computed
-    * as k conditional aggregates in one pass. Output: `doc`, `s0..s{k-1}`. */
+  /** MinHash signature: k min-hashes over `n`-shingles in ONE aggregation
+    * pass — one md5 per shingle, k affine-derived hash functions
+    * ([[PortableHash.derivedHash]]). Output: `doc`, `s0..s{k-1}`. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int,
       k: Int): DataFrame = {
     val sets = shingleSets(df, id, text, n)
+      .withColumn("h", PortableHash.baseHash(col("shingle")))
     val hashes = (0 until k).map(j =>
-      min(PortableHash.md5Long(col("shingle"), j)).as(s"s$j"))
+      min(PortableHash.derivedHash(col("h"), j)).as(s"s$j"))
     sets.groupBy("doc").agg(hashes.head, hashes.tail: _*)
   }
 
@@ -108,15 +110,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline: band candidates, then verify true
-    * shingle-Jaccard ≥ `minJaccard`. */
+  /** Full MinHash-LSH near-dup pipeline: band candidates, then true
+    * shingle-Jaccard computed ONLY for candidate pairs — the quadratic term
+    * is bounded by band-bucket sizes, never by the corpus. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int, k: Int,
       bands: Int, minJaccard: Double): DataFrame = {
+    val sets = shingleSets(df, id, text, n).cache()
+    val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
     val cands = lshCandidates(minhashSignatures(df, id, text, n, k), k, bands)
-    val verified = jaccardPairs(df, id, text, n, minJaccard)
-    // verify = semi-join of exact pairs against candidates: at scale, compute
-    // jaccard only for candidate pairs; exact set reuse keeps this testable
-    cands.join(verified, Seq("i", "j"))
+    val inter = cands
+      .join(sets.as("sa"), col("i") === col("sa.doc"))
+      .join(sets.as("sb"),
+        col("j") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("i") === col("na.doc"))
+      .join(sizes.as("nb"), col("j") === col("nb.doc"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in

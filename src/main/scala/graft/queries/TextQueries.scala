@@ -100,12 +100,13 @@ object TextQueries {
 
   private val minhashSig: String = {
     val mins = (0 until 16)
-      .map(j => s"min(${PortableHash.md5LongSql("sg", j)}) s$j").mkString(", ")
+      .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
     val bands = (0 until 4).map { b =>
       val key = (b * 4 until b * 4 + 4).map(j => s"s$j").mkString(" || ',' || ")
       s"SELECT doc, $b band, $key bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""sig AS (SELECT doc, $mins FROM e GROUP BY doc),
+    s"""hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+       |sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc i, b.doc j FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)""".stripMargin

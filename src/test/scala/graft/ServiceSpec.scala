@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ops.Similarity
+
+/** Specs for the service facade, ingest/publish, and the native cosine
+  * expression. */
+class ServiceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("service groupby verb answers the reference's taxi-style call") {
+    val out = GraftService.groupby(spark, GraftService.GroupByCall(
+      filenames = Seq(s"$sf/lineitem.parquet"),
+      groupby = Seq("l_returnflag"),
+      aggs = Seq(AggSpec("l_quantity", "sum", "sum_qty"))))
+    assert(out.isDefined && out.get.count() === 3)
+  }
+
+  test("service rejects bad specs and unknown verbs with reference wording") {
+    intercept[BadCallException] {
+      GraftService.groupby(spark, GraftService.GroupByCall(
+        Seq(s"$sf/lineitem.parquet"), Seq("l_returnflag"),
+        Seq(AggSpec("l_quantity", "median", "m"))))
+    }
+    val e = intercept[UnknownVerbException] { GraftService.call(spark, "distribute") }
+    assert(e.getMessage.contains("Sorry, I don't understand you"))
+    assert(GraftService.call(spark, "ping") === "pong")
+  }
+
+  test("csv ingest parses timestamps, atomic publish flips versions") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val csv = s"$dir/in.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "id,ts,v\n1,2024-01-01 00:00:00,1.5\n2,2024-01-02 12:30:00,2.5\n")
+    Ingest.csvToParquet(spark, csv, s"$dir/out", timestampCols = Seq("ts"))
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 2)
+    assert(got.schema("ts").dataType.typeName === "timestamp")
+
+    val table = s"$dir/table"
+    Ingest.atomicPublish(got, table)
+    assert(Ingest.readPublished(spark, table).count() === 2)
+    // publish v2: readers atomically see the new complete version
+    Ingest.atomicPublish(got.limit(1), table)
+    assert(Ingest.readPublished(spark, table).count() === 1)
+  }
+
+  test("native cosine expression is bit-identical to the composable form") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") === 0)
+    val native = Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+      q, col("embedding"), 50, native = true).collect()
+    val composed = Similarity.bruteForceTopK(embs, col("vec_id"), col("embedding"),
+      q, col("embedding"), 50, native = false).collect()
+    assert(native.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      composed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("cosine_sim is callable from SQL once registered") {
+    GraftExtensions.ensureRegistered(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+    val ok = spark.sql(
+      """SELECT count(*) FROM emb a JOIN emb b ON a.vec_id = b.vec_id
+         WHERE cosine_sim(a.embedding, b.embedding) > 0.999999""").head.getLong(0)
+    assert(ok === spark.read.parquet(s"$sf/embeddings.parquet").count())
+  }
+}
