@@ -27,9 +27,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++ EventsQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventsQueries.oracleSql ++
-      TextQueries.oracleSql ++ VectorQueries.oracleSql
+      TextQueries.oracleSql ++ VectorQueries.oracleSql ++ MiscQueries.oracleSql
 }

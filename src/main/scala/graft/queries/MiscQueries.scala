@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Second wave of relational surface: SQL entry point (temp views +
+  * spark.sql), subqueries, percentile, pivot, grouping sets, pattern
+  * matching, date arithmetic, deterministic sampling, sketch aggregates. */
+object MiscQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // approx_count_distinct: the 100 TB-scalable sketch variant. No oracle —
+    // HLL estimates are engine-specific (driver records rows-only check);
+    // exact twins are pinned by q06.
+    "q34_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // the SQL entry point: temp views + spark.sql with a correlated EXISTS
+    "q35_sql_exists" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n FROM v_customer
+           WHERE EXISTS (SELECT 1 FROM v_orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    "q36_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q37_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q38_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+           FROM v_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                   (l_returnflag, l_linestatus))
+           ORDER BY flag, status""")
+    }),
+
+    "q39_string_match" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_type").like("%ECO%") ||
+          col("p_name").rlike("^(red|blue) [a-z]+$"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p_name").startsWith("small"), 1).otherwise(0))
+            .cast("long").as("n_small"))
+        .orderBy("p_type")
+    }),
+
+    "q52_date_arith" -> ((s, d) => {
+      // order→ship latency: exact day arithmetic via date_trunc + datediff
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n"), avg("lag_days").as("avg_lag_days"),
+          max("lag_days").as("max_lag_days"))
+        .orderBy("month")
+    }),
+
+    "q53_array_agg" -> ((s, d) => {
+      // array aggregation exercised, scalar-projected for stable compare
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linenumber"))).as("linenums"))
+        .select(col("l_returnflag"), size(col("linenums")).as("n_linenums"),
+          element_at(col("linenums"), 1).as("first_linenum"),
+          element_at(col("linenums"), -1).as("last_linenum"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q54_mod_sample" -> ((s, d) => {
+      // deterministic 5% sample: key-mod predicate (portable, reproducible;
+      // TABLESAMPLE is engine-random and cannot be oracle-checked)
+      t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    "q55_tpch_q6" -> ((s, d) => {
+      // TPC-H Q6 forecast-revenue: tight scan-filter-agg, exact cents math
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
+    }),
+
+    "q56_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders2")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+           FROM v_orders2
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders2)
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q35_sql_exists" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q36_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q38_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         coalesce(l_linestatus, 'ALL') AS status,
+         count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY flag, status""",
+
+    "q39_string_match" ->
+      """SELECT p_type, count(*) AS n,
+         CAST(sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+         FROM part
+         WHERE p_type LIKE '%ECO%' OR regexp_full_match(p_name, '(red|blue) [a-z]+')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q52_date_arith" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n,
+         avg(date_diff('day', o_orderdate, l_shipdate)) AS avg_lag_days,
+         CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_lag_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q53_array_agg" ->
+      """WITH a AS (SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linenumber)) AS linenums
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(len(linenums) AS INT) AS n_linenums,
+           linenums[1] AS first_linenum, linenums[-1] AS last_linenum
+         FROM a ORDER BY l_returnflag""",
+
+    "q54_mod_sample" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderkey % 20 = 0""",
+
+    "q55_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q56_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}
