@@ -91,6 +91,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: partition vectors into `nCentroids` inverted lists by
+    * nearest centroid; a query probes only the `nProbe` nearest lists.
+    *
+    * Centroids here are a deterministic id-stride sample (swap in k-means
+    * centroids in production — the pipeline shape is identical). With
+    * `nProbe == nCentroids` this degrades to exact brute force (spec-pinned).
+    *
+    * Scale shape: assignment is one broadcast-centroids map stage (n×C fused
+    * cosines, no shuffle); at query time the probed lists are the only rows
+    * scored — with the table written partitioned by `cluster`, partition
+    * pruning skips the rest entirely. */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
+      queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val stride = math.max(df.count() / nCentroids, 1L)
+    val centroids = broadcast(
+      df.select(id.as("cid"), vec.as("cvec"))
+        .filter(pmod(col("cid"), lit(stride)) === 0)
+        .limit(nCentroids))
+    // inverted-list assignment: one broadcast map stage, no shuffle of vectors
+    val assigned = df.select(id.as("vid"), vec.as("v"))
+      .crossJoin(centroids)
+      .withColumn("ccos", cosineNative(df, col("v"), col("cvec")))
+      .groupBy("vid")
+      .agg(expr("max_by(cid, ccos)").as("cluster"), first("v").as("v"))
+    // probe the nProbe centroids nearest to the query
+    val probed = broadcast(
+      centroids.crossJoin(broadcast(query.select(queryVec.as("qv"))))
+        .select(col("cid"), col("qv"),
+          cosineNative(df, col("cvec"), col("qv")).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid"))
+        .limit(nProbe))
+    assigned.join(probed, col("cluster") === col("cid"))
+      .select(col("vid").as("id"), cosineNative(df, col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Blocked all-pairs similarity: cosine only within sign-LSH buckets —
     * the scalable skeleton for embedding near-dup mining (bucket sizes bound
     * the quadratic term). */

@@ -49,6 +49,17 @@ object VectorQueries {
         .orderBy("source")
     }),
 
+    // IVF ANN: inverted-list probe search. No oracle (the nearest-centroid
+    // argmax tie-break isn't worth pinning in SQL; exactness is pinned by
+    // the spec's full-probe ≡ brute-force identity) — rows-only check.
+    "q57_ann_ivf" -> ((s, d) => {
+      Sim.ivfTopK(
+          emb(s, d).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+          queryVec(s, d), col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
     // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
     "q51_embed_block_pairs" -> ((s, d) => {
       Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)

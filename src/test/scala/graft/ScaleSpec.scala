@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ops.{Similarity, Skew}
+
+/** Scale-path specs: salted aggregation/join equivalence, true multi-shard
+  * tables, bucketed co-located joins, IVF ANN degradation to exact. */
+class ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("salted aggregate equals direct groupBy exactly") {
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"),
+        min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      .orderBy("l_returnflag").collect()
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"),
+        Seq(("l_quantity", "sum", "s"), ("l_orderkey", "count", "c"),
+          ("l_extendedprice", "min", "mn"), ("l_extendedprice", "max", "mx")),
+        saltBuckets = 16)
+      .orderBy("l_returnflag").collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("salted join equals direct join exactly") {
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val direct = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect()
+    val salted = Skew.saltedJoin(
+        ord.withColumnRenamed("o_custkey", "k"),
+        cust.withColumnRenamed("c_custkey", "k"), "k", saltBuckets = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("multi-shard table: merged groupby equals single-file; concat keeps per-shard rows") {
+    val dir = Files.createTempDirectory("graft-shards").toString
+    li.repartition(4).write.mode("overwrite").parquet(dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(shards.length === 4)
+    val merged = GroupByEngine.groupby(spark, shards, Seq("l_returnflag"),
+      Seq(AggSpec("l_quantity", "sum", "s"), AggSpec("l_orderkey", "count", "c"))).get
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count("l_orderkey").as("c"))
+    assert(merged.orderBy("l_returnflag").collect().toSeq ===
+      direct.orderBy("l_returnflag").collect().toSeq)
+    // concat fidelity: per-shard aggregates survive, re-merge equals direct
+    val concat = GroupByEngine.groupby(spark, shards, Seq("l_returnflag"),
+      Seq(AggSpec("l_quantity", "sum", "s")), combine = CombineMode.Concat).get
+    val nGroups = direct.count()
+    assert(concat.count() > nGroups && concat.count() <= nGroups * 4)
+    val remerged = concat.groupBy("l_returnflag").agg(sum("s").as("s"))
+    assert(remerged.orderBy("l_returnflag").collect().map(_.getDouble(1)).toSeq ===
+      direct.orderBy("l_returnflag").collect().map(_.getDouble(1)).toSeq)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.read.parquet(s"$sf/orders.parquet")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("b_orders")
+      spark.read.parquet(s"$sf/customer.parquet")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === spark.read.parquet(s"$sf/orders.parquet").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
+  test("ivf with full probe equals brute force; partial probe has sane recall") {
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), 10).collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), nCentroids = 8, nProbe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === brute) // exhaustive probe ≡ exact search
+    val partial = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.nonEmpty && partial.subsetOf(
+      Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
+        q, col("embedding"), 500).collect().map(_.getLong(0)).toSet))
+  }
+}
