@@ -27,9 +27,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++ EventsQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ MiscQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ MiscQueries.queries ++
+      TpchQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventsQueries.oracleSql ++
-      TextQueries.oracleSql ++ VectorQueries.oracleSql ++ MiscQueries.oracleSql
+      TextQueries.oracleSql ++ VectorQueries.oracleSql ++ MiscQueries.oracleSql ++
+      TpchQueries.oracleSql
 }

@@ -56,10 +56,14 @@ object Dedup {
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
 
   /** All pairs with shingle-Jaccard ≥ `minJaccard`, via shared-shingle join
-    * (no all-pairs blowup: only docs sharing at least one shingle meet). */
+    * (no all-pairs blowup: only docs sharing at least one shingle meet).
+    * The join key is `xxhash64(shingle)` — an 8-byte shuffle key instead of
+    * the shingle string; a 2^-64 collision could merge two shingles, which
+    * is noise at any corpus size. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minJaccard: Double): DataFrame = {
-    val sets = shingleSets(df, id, text, n).cache()
+    val sets = shingleSets(df, id, text, n)
+      .select(col("doc"), xxhash64(col("shingle")).as("shingle")).cache()
     val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
       .join(sets.as("b"),
