@@ -119,9 +119,14 @@ object Dedup {
     * is bounded by band-bucket sizes, never by the corpus. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int, k: Int,
       bands: Int, minJaccard: Double): DataFrame = {
+    // one shingle explosion shared by signatures, sizes, and verify
     val sets = shingleSets(df, id, text, n).cache()
     val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
-    val cands = lshCandidates(minhashSignatures(df, id, text, n, k), k, bands)
+    val hashed = sets.withColumn("h", PortableHash.baseHash(col("shingle")))
+    val sigAggs = (0 until k).map(j =>
+      min(PortableHash.derivedHash(col("h"), j)).as(s"s$j"))
+    val sig = hashed.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
+    val cands = lshCandidates(sig, k, bands)
     val inter = cands
       .join(sets.as("sa"), col("i") === col("sa.doc"))
       .join(sets.as("sb"),

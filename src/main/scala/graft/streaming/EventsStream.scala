@@ -78,6 +78,13 @@ object EventsStream {
       }
   }
 
+  /** Stream-static join: enrich the event stream against a static dimension
+    * (re-read per micro-batch, broadcast by Catalyst when small) — the
+    * streaming twin of the fact⋈dim star join. */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(dim, col(eventKey) === col(dimKey))
+
   /** Run a streaming DataFrame to completion against the available input and
     * return the materialized result (memory sink). */
   def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+class StreamStaticSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("stream-static join enriches events against a dimension") {
+    val dir = Files.createTempDirectory("graft-ss")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static dim: per-user tier derived from user_id
+    val dim = graft.queries.QueryUtil.events(spark, sf)
+      .select(col("user_id").as("dim_user")).distinct()
+      .withColumn("tier", when(pmod(col("dim_user"), lit(2)) === 0, "even").otherwise("odd"))
+    val stream = EventsStream.readEvents(spark, dir.toString)
+    val agg = EventsStream.enriched(stream, dim, "user_id", "dim_user")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val got = EventsStream.runToCompletion(agg, "ss_join", OutputMode.Complete())
+      .orderBy("tier").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = graft.queries.QueryUtil.events(spark, sf)
+      .join(dim, col("user_id") === col("dim_user"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .orderBy("tier").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq && got.map(_._2).sum > 0)
+  }
+}
