@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Property-style tests (seeded random sampling — the offline cache has no
+  * scalatest↔scalacheck bridge): the filter-triplet translator agrees with
+  * an in-memory reference predicate on arbitrary terms; concat∘re-aggregate
+  * ≡ direct groupBy for arbitrary shard counts. */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val rows: Seq[(Double, String)] = {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_quantity", "l_returnflag").limit(500).collect()
+    li.map(r => (r.getDouble(0), r.getString(1))).toSeq
+  }
+  private lazy val df = {
+    import spark.implicits._
+    rows.toDF("qty", "flag").cache()
+  }
+
+  private val cmpOps = IndexedSeq("==", "!=", ">", ">=", "<", "<=")
+
+  private def eval(op: String, v: Double, x: Double): Boolean = op match {
+    case "==" => x == v
+    case "!=" => x != v
+    case ">"  => x > v
+    case ">=" => x >= v
+    case "<"  => x < v
+    case "<=" => x <= v
+  }
+
+  test("filter translator agrees with in-memory predicate on 40 random term lists") {
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val terms = Seq.fill(1 + rnd.nextInt(3))(
+        FilterTerm("qty", cmpOps(rnd.nextInt(cmpOps.size)), rnd.nextInt(61).toDouble))
+      val got = df.filter(Translator.filterColumn(terms).get).count()
+      val want = rows.count { case (q, _) =>
+        terms.forall(t => eval(t.op, t.value.asInstanceOf[Double], q))
+      }
+      assert(got === want.toLong, s"terms=$terms")
+    }
+  }
+
+  test("in / not in translate to exact set membership on random sets") {
+    val rnd = new scala.util.Random(7)
+    val universe = IndexedSeq("A", "N", "R", "X")
+    (1 to 20).foreach { _ =>
+      val vs = Seq.fill(1 + rnd.nextInt(4))(universe(rnd.nextInt(universe.size))).distinct
+      val in = df.filter(Translator.filterColumn(
+        Seq(FilterTerm("flag", "in", vs))).get).count()
+      val notIn = df.filter(Translator.filterColumn(
+        Seq(FilterTerm("flag", "not in", vs))).get).count()
+      val want = rows.count { case (_, f) => vs.contains(f) }
+      assert(in === want.toLong, s"vs=$vs")
+      assert(notIn === (rows.size - want).toLong, s"vs=$vs")
+    }
+  }
+
+  test("concat-combine re-aggregates to direct groupBy for shard counts 1..12") {
+    val direct = df.groupBy("flag")
+      .agg(sum("qty").as("s"), count(lit(1)).as("c"))
+      .orderBy("flag").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    (1 to 12).foreach { nShards =>
+      val concat = GroupByEngine.groupbyDfSharded(df,
+        pmod(col("qty").cast("long"), lit(nShards)),
+        Seq("flag"), Seq(AggSpec("qty", "sum", "s"), AggSpec("qty", "count", "c")))
+      val remerged = concat.groupBy("flag")
+        .agg(sum("s").as("s"), sum("c").cast("long").as("c"))
+        .orderBy("flag").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(remerged.toSeq === direct.toSeq, s"nShards=$nShards")
+    }
+  }
+}
