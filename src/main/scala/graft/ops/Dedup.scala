@@ -141,6 +141,24 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Embedding-cosine near-dup removal: mine within-LSH-bucket pairs with
+    * cosine ≥ `minCosine` ([[Similarity.bucketedPairs]]), then keep the
+    * lowest id of each near-dup pair. One greedy pass (drop any row that is
+    * the higher id of some pair) — the standard first-cut for training-data
+    * dedup; transitive-closure clustering is a follow-up iteration of the
+    * same join if needed. */
+  def embeddingNearDupes(df: DataFrame, id: Column, vec: Column, bits: Int,
+      minCosine: Double): DataFrame =
+    Similarity.bucketedPairs(df, id, vec, bits)
+      .filter(col("cos") >= minCosine)
+
+  def dedupByEmbedding(df: DataFrame, id: Column, vec: Column, bits: Int,
+      minCosine: Double): DataFrame = {
+    val losers = embeddingNearDupes(df, id, vec, bits, minCosine)
+      .select(col("j").as("__loser")).distinct()
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in
     * one aggregation pass, then bits assembled. */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {

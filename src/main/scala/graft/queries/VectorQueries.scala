@@ -60,6 +60,16 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // embedding-cosine near-dup removal: keep the lowest id of each
+    // within-bucket pair above threshold, report survivors per label
+    "q65_embed_dedup" -> ((s, d) => {
+      import graft.ops.Dedup
+      Dedup.dedupByEmbedding(emb(s, d), col("vec_id"), col("embedding"),
+          bits = 4, minCosine = 0.25)
+        .groupBy("label").agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
+
     // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
     "q51_embed_block_pairs" -> ((s, d) => {
       Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)
@@ -99,6 +109,15 @@ object VectorQueries {
          count(DISTINCT md5(text)) AS n_distinct_payload,
          CAST(min(ord(substr(text, 1, 1))) AS INT) AS min_first_byte
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q65_embed_dedup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket4 bucket FROM embeddings),
+         losers AS (SELECT DISTINCT c.vec_id AS l
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE ${Sim.cosineSql("a.embedding", "c.embedding")} >= 0.25)
+         SELECT label, count(*) AS n_kept FROM embeddings
+         WHERE vec_id NOT IN (SELECT l FROM losers)
+         GROUP BY 1 ORDER BY 1""",
 
     "q51_embed_block_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),

@@ -96,6 +96,19 @@ class OpsSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("embedding dedup removes exactly the higher-id side of near-dup pairs") {
+    // no true near-dups in the corpus: low threshold manufactures pairs
+    val pairs = Dedup.embeddingNearDupes(embs, col("vec_id"), col("embedding"),
+      bits = 4, minCosine = 0.25).collect()
+    val losers = pairs.map(_.getLong(1)).toSet
+    val kept = Dedup.dedupByEmbedding(embs, col("vec_id"), col("embedding"),
+      bits = 4, minCosine = 0.25)
+    assert(pairs.nonEmpty)
+    assert(kept.count() === embs.count() - losers.size)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(losers.forall(l => !keptIds.contains(l)))
+  }
+
   test("multimodal feature extraction preserves rows and emits fixed dims") {
     val media = Multimodal.fromText(docs.limit(20), "doc_id", "text", "source")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
