@@ -78,6 +78,14 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-delivered events by key, with state
+    * bounded by the watermark (the streaming twin of
+    * [[graft.ops.Dedup.dedupExact]] — at-least-once sources become
+    * effectively-once downstream). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static join: enrich the event stream against a static dimension
     * (re-read per micro-batch, broadcast by Catalyst when small) — the
     * streaming twin of the fact⋈dim star join. */

@@ -90,6 +90,15 @@ class CoreEngineSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("bare-column agg shorthand defaults to sum with same output name") {
+    // reference README.md:105 shorthand: groupby(files, keys, ['fare_amount'])
+    val short = GroupByEngine.groupbyDf(li, Seq("l_returnflag"),
+      Seq(AggSpec("l_quantity"))).orderBy("l_returnflag").collect()
+    val full = GroupByEngine.groupbyDf(li, Seq("l_returnflag"),
+      Seq(AggSpec("l_quantity", "sum", "l_quantity"))).orderBy("l_returnflag").collect()
+    assert(short.toSeq === full.toSeq)
+  }
+
   test("ops api answers ping and info") {
     assert(OpsApi.ping(spark) === "pong")
     val info = OpsApi.info(spark)

@@ -28,4 +28,17 @@ class StreamStaticSpec extends AnyFunSuite {
       .orderBy("tier").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === want.toSeq && got.map(_._2).sum > 0)
   }
+
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // simulate at-least-once delivery: the same file twice in the source dir
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val stream = EventsStream.readEvents(spark, dir.toString)
+    val got = EventsStream.runToCompletion(
+      EventsStream.dedupEvents(stream).groupBy().count().toDF("n"),
+      "dedup_stream", OutputMode.Complete()).head.getLong(0)
+    val total = graft.queries.QueryUtil.events(spark, sf).count()
+    assert(got === total) // duplicates collapsed to the original count
+  }
 }
