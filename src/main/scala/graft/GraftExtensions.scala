@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, MinHashSketch}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -13,20 +13,39 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
+    e.injectFunction(GraftExtensions.minhashSketch)
+  }
 }
 
 object GraftExtensions {
+
+  private def sketchBuilder(exprs: Seq[Expression]): Expression = {
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_sketch k must be an integer literal, got $other")
+    }
+    MinHashSketch(exprs(0), k).toAggregateExpression()
+  }
 
   private val cosineSim = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
 
+  private val minhashSketch = (
+    FunctionIdentifier("minhash_sketch"),
+    new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+    (exprs: Seq[Expression]) => sketchBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
-  def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sketch", sketchBuilder, "built-in")
+  }
 }

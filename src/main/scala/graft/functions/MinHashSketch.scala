@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature as a single-buffer typed imperative aggregate: one pass
+  * over the group's values maintains all k minima in one `Array[Long]`
+  * buffer (vs k separate min-aggregate buffers), with partial-merge support —
+  * the sketch-aggregate shape for 100 TB dedup (SURVEY.md §7.3).
+  *
+  * Hash family is identical to [[PortableHash]] (md5-prefix base hash + k
+  * affine transforms mod P), so signatures are bit-equal to both the
+  * conditional-min formulation and the DuckDB oracle twin.
+  */
+case class MinHashSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sketch expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+  private val P = PortableHash.MinhashP
+  private val as = (0 until k).map(PortableHash.derivedA).toArray
+  private val bs = (0 until k).map(PortableHash.derivedB).toArray
+
+  /** Same value as PortableHash.baseHash: first 15 hex chars of
+    * md5(s + "#0") as int64, mod P. */
+  private def baseHash(s: UTF8String): Long = {
+    digest.reset()
+    digest.update(s.getBytes)
+    digest.update("#0".getBytes("UTF-8"))
+    val d = digest.digest()
+    // 15 hex chars = 60 bits = first 7.5 bytes, big-endian as in the hex string
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    h % P
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = baseHash(v.asInstanceOf[UTF8String])
+      var j = 0
+      while (j < k) {
+        val hj = (h * as(j) + bs(j)) % P
+        if (hj < buf(j)) buf(j) = hj
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) { if (other(j) < buf(j)) buf(j) = other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSketch =
+    copy(child = newChild)
+}

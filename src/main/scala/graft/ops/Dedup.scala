@@ -91,6 +91,20 @@ object Dedup {
     sets.groupBy("doc").agg(hashes.head, hashes.tail: _*)
   }
 
+  /** MinHash signature via the single-buffer [[graft.functions.MinHashSketch]]
+    * typed imperative aggregate (one k-long buffer per group with partial
+    * merge, instead of k separate min aggregates). Bit-equal output to
+    * [[minhashSignatures]]. */
+  def minhashSignaturesSketch(df: DataFrame, id: Column, text: Column, n: Int,
+      k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    shingleSets(df, id, text, n)
+      .groupBy("doc")
+      .agg(call_function("minhash_sketch", col("shingle"), lit(k)).as("sig"))
+      .select(col("doc") +: (0 until k).map(j =>
+        element_at(col("sig"), j + 1).as(s"s$j")): _*)
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

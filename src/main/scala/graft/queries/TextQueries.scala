@@ -78,6 +78,15 @@ object TextQueries {
         .orderBy("i", "j")
     }),
 
+    // the TypedImperativeAggregate sketch path: full 16-hash signature
+    // matrix, pinned value-by-value against the oracle's affine-min CTE
+    "q66_minhash_sketch" -> ((s, d) => {
+      Dedup.minhashSignaturesSketch(t(s, d, "documents"), col("doc_id"),
+          col("text"), n = 3, k = 16)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q47_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"), bits = 16)
         .select(col("doc").as("doc_id"), col("simhash"))
@@ -174,6 +183,15 @@ object TextQueries {
          JOIN pairs p ON p.i = c.i AND p.j = c.j
          WHERE p.jaccard >= 0.9 ORDER BY c.i, c.j""",
 
-    "q47_simhash" -> simhashSql
+    "q47_simhash" -> simhashSql,
+
+    "q66_minhash_sketch" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+         e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e)
+         SELECT doc AS doc_id, $mins FROM hashed GROUP BY doc ORDER BY doc"""
+    }
   )
 }

@@ -30,6 +30,14 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash sketch aggregate is bit-equal to conditional-min signatures") {
+    val viaMins = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+      .orderBy("doc").collect()
+    val viaSketch = Dedup.minhashSignaturesSketch(docs, col("doc_id"), col("text"), 3, 16)
+      .orderBy("doc").collect()
+    assert(viaSketch.map(_.toSeq).toSeq === viaMins.map(_.toSeq).toSeq)
+  }
+
   test("minhash LSH candidates superset high-jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
