@@ -38,6 +38,21 @@ object EventsQueries {
         .orderBy("wstart", "event_type")
     }),
 
+    // backward as-of join: each event enriched with its user's most recent
+    // signup time (graft.ops.AsOf — union + running struct-max, one shuffle)
+    "q67_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("us"), col("us").as("sus"))
+      graft.ops.AsOf.asOfJoin(ev, signups, "user_id", col("us"), col("us"), "sus")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("asof_sus")).as("n_with_signup"),
+          round(avg((col("us") - col("asof_sus")) / 1000000.0), 4).as("avg_secs_since"))
+        .orderBy("event_type")
+    }),
+
     // sessionization: 30-min inactivity gap, per-user session stats
     "q33_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -70,6 +85,17 @@ object EventsQueries {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q67_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events),
+         w AS (SELECT event_type, us,
+           max(CASE WHEN event_type = 'signup' THEN us END)
+             OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sus
+           FROM e)
+         SELECT event_type, count(*) AS n, count(sus) AS n_with_signup,
+           round(avg((us - sus) / 1000000.0), 4) AS avg_secs_since
+         FROM w GROUP BY 1 ORDER BY 1""",
 
     "q33_events_sessions" ->
       """WITH e AS (

@@ -86,6 +86,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join matches brute-force temporal lookup") {
+    import graft.ops.AsOf
+    val ev = graft.queries.QueryUtil.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("us"), col("us").as("sus"))
+    val got = AsOf.asOfJoin(ev, signups, "user_id", col("us"), col("us"), "sus")
+      .select("event_id", "asof_sus").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val all = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = all.groupBy(_._2)
+    all.foreach { case (id, user, _, us) =>
+      val want = byUser(user).filter(e => e._3 == "signup" && e._4 <= us)
+        .map(_._4).maxOption
+      assert(got(id) === want, s"event $id")
+    }
+  }
+
   test("ivf with full probe equals brute force; partial probe has sane recall") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
