@@ -105,6 +105,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("order_year", year(col("o_orderdate")))
+    Ingest.distribute(ord, dir, partitionBy = Seq("order_year"))
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("order_year"),
+      s"expected partition pruning in:\n$plan")
+    assert(pruned.count() === ord.filter(col("order_year") === 1997).count())
+  }
+
   test("ivf with full probe equals brute force; partial probe has sane recall") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
