@@ -52,7 +52,7 @@ object GraftService {
       case "ping"     => OpsApi.ping(spark)
       case "info"     => OpsApi.info(spark).toString
       case "loglevel" => OpsApi.logLevel(spark, args.getOrElse("level", "info")); "ok"
-      case "sleep"    => Thread.sleep(args.getOrElse("seconds", "0").toDouble.toLong * 1000); "done"
+      case "sleep"    => Thread.sleep((args.getOrElse("seconds", "0").toDouble * 1000).toLong); "done"
       case "kill" | "killall" => OpsApi.shutdown(spark); "stopped"
       case other      => throw new UnknownVerbException(other)
     }

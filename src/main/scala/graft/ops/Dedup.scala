@@ -108,6 +108,9 @@ object Dedup {
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands must divide k evenly (got k=$k, bands=$bands): otherwise band " +
+        "keys drop signature components or degenerate to empty strings")
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val key = concat_ws(",",

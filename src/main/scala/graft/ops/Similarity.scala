@@ -105,9 +105,13 @@ object Similarity {
   def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
       queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val stride = math.max(df.count() / nCentroids, 1L)
+    // orderBy before limit: the stride filter can match more than nCentroids
+    // ids, and an unordered limit would make the centroid set (and therefore
+    // every result) partition-order dependent
     val centroids = broadcast(
       df.select(id.as("cid"), vec.as("cvec"))
         .filter(pmod(col("cid"), lit(stride)) === 0)
+        .orderBy("cid")
         .limit(nCentroids))
     // inverted-list assignment: one broadcast map stage, no shuffle of vectors
     val assigned = df.select(id.as("vid"), vec.as("v"))

@@ -53,6 +53,9 @@ object Skew {
     * salted key finds its match. Exactly an inner/left equi-join result. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin is only sound for fact-preserving join types, got '$joinType' " +
+        "(right/full would emit unmatched dim rows once per salt replica)")
     val saltedFact = fact.withColumn(SaltCol,
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val replicatedDim = dim.withColumn(SaltCol,

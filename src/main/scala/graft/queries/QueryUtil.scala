@@ -21,10 +21,14 @@ object QueryUtil {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  def ts(v: String): java.sql.Timestamp =
-    java.sql.Timestamp.valueOf(v + " 00:00:00")
+  /** Timestamp literal parsed in the SESSION timezone (UTC), not the JVM
+    * default — `Timestamp.valueOf` would shift the boundary on non-UTC
+    * hosts and diverge from the oracle. */
+  def tsLit(v: String): Column = lit(v + " 00:00:00").cast("timestamp")
 
-  def tsLit(v: String): Column = lit(ts(v))
+  /** Filter-term value for timestamp columns: a literal string, which Spark
+    * casts to timestamp in the session timezone at comparison time. */
+  def ts(v: String): String = v + " 00:00:00"
 
   /** Exact cents: 2-decimal money double → exact long. The testdata money
     * columns sit on a 2-decimal grid, so this is lossless; downstream sums

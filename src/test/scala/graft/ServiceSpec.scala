@@ -59,6 +59,19 @@ class ServiceSpec extends AnyFunSuite {
       composed.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("native cosine yields null on null elements, like the composable form") {
+    GraftExtensions.ensureRegistered(spark)
+    val df = spark.sql(
+      """SELECT cast(array(1.0, null) as array<float>) a,
+                cast(array(1.0, 2.0) as array<float>) b""")
+    val native = df.selectExpr("cosine_sim(a, b)").head
+    assert(native.isNullAt(0))
+    val composed = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")),
+        Similarity.asDouble(col("b")))).head
+    assert(composed.isNullAt(0))
+  }
+
   test("cosine_sim is callable from SQL once registered") {
     GraftExtensions.ensureRegistered(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")

@@ -18,10 +18,18 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def sort_cell(v):
+    # floats sort on a 9-sig-digit key so tolerance-range cross-engine noise
+    # cannot order the two sides differently and misalign the pairwise zip
+    if isinstance(v, float):
+        return (v is None, "float", f"{v:.9g}")
+    return (v is None, str(type(v)), str(v))
+
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((v is None, str(type(v)), str(v)) for v in r))
+    out.sort(key=lambda r: tuple(sort_cell(v) for v in r))
     return [cols[i] for i in order], out
 
 
