@@ -176,6 +176,42 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** Transitive near-dup clusters from a pair list: connected components by
+    * iterative min-label propagation (a join + min-agg per round, converges
+    * in O(diameter) rounds — dup clusters are shallow in practice, and
+    * `maxIter` bounds the worst case). Output: (node, cluster) where cluster
+    * is the component's minimum id — the canonical representative each
+    * duplicate collapses to.
+    *
+    * Scale note: each round is one shuffle on node id over the edge list —
+    * the standard large-graph CC shape; for 100 TB pair lists checkpoint
+    * every few rounds to truncate lineage. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min("cluster").as("nbr_min"))
+      val next = labels.join(propagated, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in
     * one aggregation pass, then bits assembled. */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {

@@ -78,6 +78,15 @@ object TextQueries {
         .orderBy("i", "j")
     }),
 
+    // transitive dup clusters: pairwise near-dups → connected components
+    // (iterative min-label propagation vs the oracle's recursive CTE)
+    "q74_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"),
+        col("text"), n = 3, minJaccard = 0.9)
+      Dedup.dupClusters(pairs)
+        .orderBy("node")
+    }),
+
     // the TypedImperativeAggregate sketch path: full 16-hash signature
     // matrix, pinned value-by-value against the oracle's affine-min CTE
     "q66_minhash_sketch" -> ((s, d) => {
@@ -184,6 +193,17 @@ object TextQueries {
          WHERE p.jaccard >= 0.9 ORDER BY c.i, c.j""",
 
     "q47_simhash" -> simhashSql,
+
+    "q74_dup_clusters" ->
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS node, least(a, min(b)) AS cluster
+         FROM reach GROUP BY a ORDER BY node""",
 
     "q66_minhash_sketch" -> {
       val mins = (0 until 16)

@@ -47,6 +47,27 @@ class OpsSpec extends AnyFunSuite {
     assert(truth.subsetOf(cands), s"missing: ${truth -- cands}")
   }
 
+  test("dup clusters equal union-find components of the pair graph") {
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: plain union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.dupClusters(
+        Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("simhash hamming distance separates near-dups from random pairs") {
     val nearDups = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.95)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
