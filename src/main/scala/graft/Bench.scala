@@ -17,8 +17,10 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    spark.catalog.clearCache() // drop warmup-built caches: timed runs pay
-    val results = names.map { name => // their own cache build, like a cold user
+    val results = names.map { name =>
+      // each timed query starts cache-cold: it pays its own cache build,
+      // and op-internal caches (shingle explosions) don't accumulate
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }

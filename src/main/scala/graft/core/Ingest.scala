@@ -66,6 +66,26 @@ object Ingest {
     version
   }
 
+  /** Compact a table directory: rewrite into ~`targetFileMB`-sized files and
+    * atomically re-publish. Small-file proliferation is the dominant
+    * metadata/scan-overhead tax at 100 TB (every file costs a listing entry,
+    * a footer read, and a task); periodic compaction keeps scans at
+    * full-split efficiency. Returns the new version id. */
+  def compact(spark: SparkSession, tableDir: String, targetFileMB: Int = 128): String = {
+    val df = readPublished(spark, tableDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / (targetFileMB.toLong << 20)).toInt)
+    atomicPublish(df.repartition(nFiles), tableDir)
+  }
+
+  /** Publish each streaming micro-batch as a new complete table version —
+    * `foreachBatch` bridge from Structured Streaming into the atomic
+    * manifest protocol (readers always see exactly one full snapshot). */
+  def publishStream(df: DataFrame, tableDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      atomicPublish(batch, tableDir); ()
+    }.start()
+
   /** Read the currently-published version (resolve manifest, then scan). */
   def readPublished(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -187,11 +187,14 @@ object Dedup {
     * the standard large-graph CC shape; for 100 TB pair lists checkpoint
     * every few rounds to truncate lineage. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint per step: truncates lineage (lazy chaining would
+    // reference the previous round twice and grow the plan exponentially)
+    // and makes the convergence count a near-free scan of materialized blocks
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+      .withColumn("cluster", col("node")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -201,14 +204,13 @@ object Dedup {
       val next = labels.join(propagated, col("node") === col("a"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.cluster") =!= col("o.cluster")).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -48,6 +48,28 @@ class ServiceSpec extends AnyFunSuite {
     assert(Ingest.readPublished(spark, table).count() === 1)
   }
 
+  test("compaction rewrites files and preserves content through re-publish") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    Ingest.atomicPublish(li.repartition(16), dir) // simulate small-file buildup
+    Ingest.compact(spark, dir, targetFileMB = 128)
+    val compacted = Ingest.readPublished(spark, dir)
+    assert(compacted.count() === li.count())
+    assert(compacted.rdd.getNumPartitions < 16)
+  }
+
+  test("streaming micro-batches publish atomically via foreachBatch") {
+    val srcDir = Files.createTempDirectory("graft-pubsrc")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val tableDir = Files.createTempDirectory("graft-pubtable").toString
+    val stream = graft.streaming.EventsStream.readEvents(spark, srcDir.toString)
+    val q = Ingest.publishStream(stream, tableDir)
+    try q.processAllAvailable() finally q.stop()
+    assert(Ingest.readPublished(spark, tableDir).count() ===
+      graft.queries.QueryUtil.events(spark, sf).count())
+  }
+
   test("native cosine expression is bit-identical to the composable form") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = embs.filter(col("vec_id") === 0)
