@@ -55,29 +55,79 @@ object Dedup {
   def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
 
-  /** All pairs with shingle-Jaccard ≥ `minJaccard`, via shared-shingle join
-    * (no all-pairs blowup: only docs sharing at least one shingle meet).
-    * The join key is `xxhash64(shingle)` — an 8-byte shuffle key instead of
-    * the shingle string; a 2^-64 collision could merge two shingles, which
-    * is noise at any corpus size. */
+  /** All pairs with shingle-Jaccard ≥ `minJaccard` — exact, via a
+    * prefix-filtered set-similarity join (the AllPairs/PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    *
+    * Under one global rarest-first shingle ordering, two sets with
+    * J ≥ t MUST share a shingle among their first |S| − ⌈t·|S|⌉ + 1
+    * shingles (prefix-filtering lemma), so only those prefixes enter the
+    * candidate join. At t=0.8 that is ~1/5 of each set, shrinking the
+    * quadratic term ~25×; hot stop-shingles sort to the END of the rarest-
+    * first order and stay out of the join entirely unless a document is
+    * made of nothing else. Verification then computes exact Jaccard from
+    * one sorted hash array per document (`array_intersect`), so candidates
+    * cost one tiny join each instead of re-shuffling the exploded shingle
+    * table. Join/array keys are `xxhash64(shingle)` — an 8-byte key; a
+    * 2^-64 collision could merge two shingles, noise at any corpus size.
+    *
+    * `maxDf` (default: no cap) additionally drops shingles with document
+    * frequency > maxDf from candidate generation — the skew valve for
+    * adversarial corpora (a boilerplate line shared by millions of docs
+    * would otherwise be a quadratic join key at 100 TB). Output is
+    * unchanged whenever maxDf ≥ the corpus's true max prefix-shingle df
+    * (property-tested in OpsSpec); below that it trades recall for a hard
+    * bound on per-key join fan-out. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(df, id, text, n)
-      .select(col("doc"), xxhash64(col("shingle")).as("shingle")).cache()
-    val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = sets.as("a")
-      .join(sets.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("i") === col("sa.doc"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h"))
+    // df via window (not groupBy + join back: one shuffle side instead of
+    // two); the doc-partitioned window then feeds BOTH the prefix ranking
+    // and the per-doc array aggregation without re-shuffling — groupBy(doc)
+    // reuses the window's partitioning
+    val byH = Window.partitionBy("h")
+    val byDoc = Window.partitionBy("doc")
+    val ranked = sets
+      .withColumn("df", count(lit(1)).over(byH))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .cache()
+    val docsets = ranked.groupBy("doc")
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    // α = ⌈t·|S|⌉ is the minimum overlap J ≥ t implies; the 1e-9 guards FP
+    // ceil overshoot (a longer prefix is always safe, a shorter one can
+    // miss pairs)
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
+      .filter(col("df") <= maxDf)
+      .select("doc", "h")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    verifyPairs(cands, docsets, minJaccard)
+  }
+
+  /** Exact Jaccard for candidate (i, j) pairs against a one-row-per-doc
+    * table of sorted shingle-hash arrays: two slim joins on doc id +
+    * `array_intersect`, never touching the exploded shingle table. */
+  private def verifyPairs(cands: DataFrame, docsets: DataFrame,
+      minJaccard: Double): DataFrame =
+    cands
+      .join(docsets.as("da"), col("i") === col("da.doc"))
+      .join(docsets.as("db"), col("j") === col("db.doc"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
+        col("da.n").as("na"), col("db.n").as("nb"))
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** MinHash signature: k min-hashes over `n`-shingles in ONE aggregation
     * pass — one md5 per shingle, k affine-derived hash functions
@@ -133,29 +183,26 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: band candidates, then true
     * shingle-Jaccard computed ONLY for candidate pairs — the quadratic term
-    * is bounded by band-bucket sizes, never by the corpus. */
+    * is bounded by band-bucket sizes, never by the corpus.
+    *
+    * One shingle explosion feeds ONE groupBy that emits, per document: the
+    * k-long MinHash signature (banding input), the set size, and the sorted
+    * shingle-hash array (exact-verify input). Everything downstream —
+    * banding, the candidate self-join, verification — works from that
+    * one-row-per-doc table; the exploded shingle set is aggregated once and
+    * never shuffled again. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column, n: Int, k: Int,
       bands: Int, minJaccard: Double): DataFrame = {
-    // one shingle explosion shared by signatures, sizes, and verify
-    val sets = shingleSets(df, id, text, n).cache()
-    val sizes = sets.groupBy("doc").agg(count(lit(1)).as("n"))
-    val hashed = sets.withColumn("h", PortableHash.baseHash(col("shingle")))
-    val sigAggs = (0 until k).map(j =>
-      min(PortableHash.derivedHash(col("h"), j)).as(s"s$j"))
-    val sig = hashed.groupBy("doc").agg(sigAggs.head, sigAggs.tail: _*)
-    val cands = lshCandidates(sig, k, bands)
-    val inter = cands
-      .join(sets.as("sa"), col("i") === col("sa.doc"))
-      .join(sets.as("sb"),
-        col("j") === col("sb.doc") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("i") === col("na.doc"))
-      .join(sizes.as("nb"), col("j") === col("nb.doc"))
-      .select(col("i"), col("j"),
-        (col("inter").cast("double") /
-          (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    val sets = shingleSets(df, id, text, n)
+      .select(col("doc"), xxhash64(col("shingle")).as("xh"),
+        PortableHash.baseHash(col("shingle")).as("h"))
+    val aggs = Seq(
+      sort_array(collect_list(col("xh"))).as("hs"),
+      count(lit(1)).as("n")) ++
+      (0 until k).map(j => min(PortableHash.derivedHash(col("h"), j)).as(s"s$j"))
+    val docsigs = sets.groupBy("doc").agg(aggs.head, aggs.tail: _*).cache()
+    val cands = lshCandidates(docsigs, k, bands)
+    verifyPairs(cands, docsigs.select("doc", "hs", "n"), minJaccard)
   }
 
   /** Embedding-cosine near-dup removal: mine within-LSH-bucket pairs with
@@ -176,20 +223,39 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** Release the persisted blocks behind a `localCheckpoint`ed frame (or a
+    * projection of one). `Dataset.unpersist` only covers `cache()`; the
+    * checkpoint's blocks belong to the materialized RDD inside the plan's
+    * [[org.apache.spark.sql.execution.LogicalRDD]] — without this, every
+    * round of an iterative operator leaks its blocks for the life of the
+    * session (the round-1 bench killer). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Transitive near-dup clusters from a pair list: connected components by
-    * iterative min-label propagation (a join + min-agg per round, converges
-    * in O(diameter) rounds — dup clusters are shallow in practice, and
-    * `maxIter` bounds the worst case). Output: (node, cluster) where cluster
-    * is the component's minimum id — the canonical representative each
-    * duplicate collapses to.
+    * min-label propagation with pointer halving — each round takes the min
+    * over neighbours' labels, then jumps to the label's own label
+    * (path-halving), so convergence is O(log diameter) rounds instead of
+    * O(diameter). Output: (node, cluster) where cluster is the component's
+    * minimum id — the canonical representative each duplicate collapses to.
     *
-    * Scale note: each round is one shuffle on node id over the edge list —
-    * the standard large-graph CC shape; for 100 TB pair lists checkpoint
-    * every few rounds to truncate lineage. */
+    * Iteration hygiene (the round-1 lessons, each load-bearing):
+    *  - the pair list is materialized ONCE up front (`localCheckpoint`);
+    *    every round joins the materialized edges, recomputing nothing;
+    *  - each round's labels are eagerly checkpointed — lazy chaining would
+    *    reference the previous round twice and grow the plan exponentially;
+    *  - the PREVIOUS round's blocks are released as soon as the next round
+    *    materializes, so a full run holds at most two rounds of labels —
+    *    round 1 held every round of every pass and died of block-manager
+    *    bloat, not compute;
+    *  - convergence is a `changed`-flag scan of the just-materialized
+    *    blocks (limit-1 probe), not an extra join.
+    *
+    * The result itself is checkpointed; at 100 TB each round is one shuffle
+    * of the label table on node id — the standard large-graph CC shape. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // eager localCheckpoint per step: truncates lineage (lazy chaining would
-    // reference the previous round twice and grow the plan exponentially)
-    // and makes the convergence count a near-free scan of materialized blocks
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct().localCheckpoint(true)
@@ -198,19 +264,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val propagated = edges
-        .join(labels, col("b") === col("node"))
+      val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min("cluster").as("nbr_min"))
-      val next = labels.join(propagated, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      val once = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"), col("cluster").as("prev"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("mid"))
+      val next = once.as("l")
+        .join(once.select(col("node").as("rnode"), col("mid").as("rmid")).as("r"),
+          col("mid") === col("rnode"), "left")
+        .select(col("node"), col("prev"),
+          least(col("mid"), coalesce(col("rmid"), col("mid"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      releaseCheckpoint(labels)
+      labels = next.select("node", "cluster")
       iter += 1
     }
+    releaseCheckpoint(edges)
     labels
   }
 

@@ -94,40 +94,47 @@ object Similarity {
   /** IVF-style ANN: partition vectors into `nCentroids` inverted lists by
     * nearest centroid; a query probes only the `nProbe` nearest lists.
     *
-    * Centroids here are a deterministic id-stride sample (swap in k-means
+    * Centroids are a deterministic hash-ordered sample (swap in k-means
     * centroids in production — the pipeline shape is identical). With
     * `nProbe == nCentroids` this degrades to exact brute force (spec-pinned).
     *
-    * Scale shape: assignment is one broadcast-centroids map stage (n×C fused
-    * cosines, no shuffle); at query time the probed lists are the only rows
-    * scored — with the table written partitioned by `cluster`, partition
-    * pruning skips the rest entirely. */
+    * Scale shape: the centroid table is driver-sized BY DESIGN (even at
+    * 100 TB, nCentroids ~ √n is thousands of rows), so it is collected once
+    * at plan-build time and folded into the plan as literals. Assignment is
+    * then a single projection — an argmax over nCentroids fused codegen'd
+    * cosines — and probing is a `cluster IN (probe set)` filter computed on
+    * the driver: ZERO joins, zero shuffles, and the table's vectors never
+    * leave their scan partitions. With the table written partitioned by
+    * `cluster`, the probe filter partition-prunes the scan itself. (Round 1
+    * ran a `count()` in the query path and shuffled all n×C vector-carrying
+    * rows through a groupBy — both gone.) */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
       queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    val stride = math.max(df.count() / nCentroids, 1L)
-    // orderBy before limit: the stride filter can match more than nCentroids
-    // ids, and an unordered limit would make the centroid set (and therefore
-    // every result) partition-order dependent
-    val centroids = broadcast(
-      df.select(id.as("cid"), vec.as("cvec"))
-        .filter(pmod(col("cid"), lit(stride)) === 0)
-        .orderBy("cid")
-        .limit(nCentroids))
-    // inverted-list assignment: one broadcast map stage, no shuffle of vectors
-    val assigned = df.select(id.as("vid"), vec.as("v"))
-      .crossJoin(centroids)
-      .withColumn("ccos", cosineNative(df, col("v"), col("cvec")))
-      .groupBy("vid")
-      .agg(expr("max_by(cid, ccos)").as("cluster"), first("v").as("v"))
-    // probe the nProbe centroids nearest to the query
-    val probed = broadcast(
-      centroids.crossJoin(broadcast(query.select(queryVec.as("qv"))))
-        .select(col("cid"), col("qv"),
-          cosineNative(df, col("cvec"), col("qv")).as("ccos"))
-        .orderBy(col("ccos").desc, col("cid"))
-        .limit(nProbe))
-    assigned.join(probed, col("cluster") === col("cid"))
-      .select(col("vid").as("id"), cosineNative(df, col("v"), col("qv")).as("cos"))
+    // hash-ordered top-N: a deterministic pseudo-random sample in one
+    // TakeOrdered pass, no count()/stride scan
+    val cents = df.select(id.cast("long").as("cid"), vec.as("cvec"))
+      .orderBy(xxhash64(col("cid")), col("cid")).limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "ivfTopK: input has no vectors to sample centroids from")
+    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = cents.map { case (cid, cv) => (cosD(cv, qv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2)
+    // nearest-centroid argmax as ONE projection: max over (cos, cid) structs
+    val assign = array_max(array(cents.map { case (cid, cv) =>
+      struct(cosineNative(df, vec, typedlit(cv)).as("ccos"),
+        lit(cid).as("cid")) }: _*))
+    df.select(id.as("id"), vec.as("v"), assign.getField("cid").as("cluster"))
+      .filter(col("cluster").isin(probe: _*))
+      .select(col("id"), cosineNative(df, col("v"), typedlit(qv)).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
@@ -146,5 +153,37 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("i"), col("b.vid").as("j"), col("a.bucket").as("bucket"),
         cos.as("cos"))
+  }
+
+  /** [[bucketedPairs]] with a per-bucket size cap: any bucket larger than
+    * `maxBucket` is re-bucketed with `extraBits` additional sign bits, so a
+    * single fat bucket (all-positive embeddings, a degenerate region of the
+    * space) cannot go quadratic — the self-join fan-out per key is bounded
+    * by the refined bucket sizes. Refinement only ever SPLITS a bucket
+    * (agreeing on bits+extraBits sign bits implies agreeing on the first
+    * bits), so the output is a subset of [[bucketedPairs]]' — the standard
+    * recall-for-bound trade of every LSH scheme, spec-pinned with a planted
+    * fat bucket. Bucket sizes travel via a broadcast join (one small agg,
+    * no extra shuffle of vectors). */
+  def bucketedPairsCapped(df: DataFrame, id: Column, vec: Column, bits: Int,
+      maxBucket: Long, extraBits: Int = 8, native: Boolean = true): DataFrame = {
+    val b = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+    // refined key space: shift leaves room for the level tag (fat buckets
+    // re-keyed with more bits can collide numerically with slim ones)
+    val refined = b.join(broadcast(sizes), "bucket")
+      .withColumn("bucket",
+        when(col("__bn") > maxBucket,
+          signBucket(col("v"), bits + extraBits) * 2 + 1)
+          .otherwise(col("bucket") * 2))
+      .drop("__bn")
+    val cos =
+      if (native) cosineNative(df, col("a.v"), col("b.v"))
+      else cosine(asDouble(col("a.v")), asDouble(col("b.v")))
+    refined.as("a").join(refined.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"),
+        col("a.bucket").as("bucket"), cos.as("cos"))
   }
 }

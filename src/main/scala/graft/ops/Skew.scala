@@ -20,6 +20,13 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Uniform salt in [0, buckets): seeded `rand` — the idiom Spark's
+    * indeterminate-stage rollback understands for retry correctness
+    * (partition-id arithmetic skews when upstream partition sizes skew,
+    * which is exactly when salting is needed). */
+  private def saltExpr(buckets: Int): Column =
+    floor(rand(42) * buckets).cast("int")
+
   /** Aggregations that re-merge losslessly across salt partials. */
   private def partial(op: String, in: Column, out: String): (Column, Column) = op match {
     case "sum"   => (sum(in).as(out), sum(col(out)).as(out))
@@ -39,7 +46,7 @@ object Skew {
       aggs: Seq[(String, String, String)], saltBuckets: Int): DataFrame = {
     val specs = aggs.map { case (in, op, out) => partial(op, col(in), out) }
     val phase1 = df
-      .withColumn(SaltCol, pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .withColumn(SaltCol, saltExpr(saltBuckets))
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(specs.head._1, specs.tail.map(_._1): _*)
     phase1
@@ -56,8 +63,7 @@ object Skew {
     require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
       s"saltedJoin is only sound for fact-preserving join types, got '$joinType' " +
         "(right/full would emit unmatched dim rows once per salt replica)")
-    val saltedFact = fact.withColumn(SaltCol,
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedFact = fact.withColumn(SaltCol, saltExpr(saltBuckets))
     val replicatedDim = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(replicatedDim, Seq(key, SaltCol), joinType).drop(SaltCol)

@@ -68,6 +68,60 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("jaccard maxDf cap: identical above true max df, prunes a planted stop-shingle") {
+    import spark.implicits._
+    // 30 docs all share one boilerplate shingle ("common stop shingle",
+    // df=30); docs 0 and 1 additionally share their entire unique tail
+    val mk = (i: Int, tail: String) => (i.toLong, s"common stop shingle $tail")
+    val rows = mk(0, "w0a w0b w0c w0d") +: mk(1, "w0a w0b w0c w0d extra") +:
+      (2 until 30).map(i => mk(i, s"w${i}a w${i}b w${i}c w${i}d"))
+    val docs2 = rows.toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.jaccardPairs(docs2, col("doc_id"), col("text"), 3, 0.0, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Long.MaxValue)
+    // property: any cap at or above the true max df changes nothing
+    assert(pairs(30) === uncapped)
+    // all 30*29/2 pairs share the stop shingle → quadratic candidate set
+    assert(uncapped.size === 30 * 29 / 2)
+    // cap below the stop shingle's df: only genuinely similar docs survive
+    // (bounded join fan-out); the (0,1) near-dup pair is kept intact
+    val capped = pairs(5)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < 5, s"capped=${capped.size}")
+    assert(capped.exists { case (i, j, jac) => i == 0 && j == 1 && jac > 0.5 })
+  }
+
+  test("bucketedPairsCapped splits a planted fat bucket, subset of uncapped") {
+    import spark.implicits._
+    // 64 vectors, all positive in the first 4 dims → ONE fat sign-bucket at
+    // bits=4; dims 5..12 get id-dependent signs so extraBits=8 can split it
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    // plus a SMALL bucket (first dim negative, size 3 ≤ cap): must survive
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val embs2 = (fat ++ slim).toDF("vec_id", "embedding")
+    def pset(d: org.apache.spark.sql.DataFrame) =
+      d.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pset(Similarity.bucketedPairs(embs2, col("vec_id"),
+      col("embedding"), bits = 4))
+    val capped = pset(Similarity.bucketedPairsCapped(embs2, col("vec_id"),
+      col("embedding"), bits = 4, maxBucket = 10, extraBits = 8))
+    assert(uncapped.size === 64 * 63 / 2 + 3) // the fat bucket IS quadratic
+    assert(capped.subsetOf(uncapped))
+    // the 8 refinement bits are exactly the 8 id bits → every fat-bucket
+    // vector lands alone; the quadratic term is gone, the slim bucket intact
+    assert(capped === Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"capped=$capped")
+  }
+
   test("simhash hamming distance separates near-dups from random pairs") {
     val nearDups = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.95)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -133,4 +133,14 @@ class ScaleSpec extends AnyFunSuite {
       Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
         q, col("embedding"), 500).collect().map(_.getLong(0)).toSet))
   }
+
+  test("ivf probe plan is scan→project→filter→top-k: no exchange, no join") {
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    val plan = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"vectors must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"no join in the probe path:\n$plan")
+  }
 }
