@@ -29,10 +29,18 @@ object GraftService {
       aggs: Seq[AggSpec],
       where: Seq[FilterTerm] = Nil,
       aggregate: Boolean = true,
-      combine: CombineMode = CombineMode.Merged)
+      combine: CombineMode = CombineMode.Merged,
+      affinity: Option[String] = None)
 
   /** The analytical verb: scatter/gather collapses into one Spark plan.
-    * Arity/spec validation mirrors controller.py:611-615. */
+    * Arity/spec validation mirrors controller.py:611-615.
+    *
+    * `affinity` (reference: the `affinity` kwarg routing a call to a
+    * dedicated worker queue, controller.py:315-338,609) maps to a Spark
+    * FAIR-scheduler pool: the calling thread's subsequent actions are tagged
+    * `spark.scheduler.pool = affinity`, so with `spark.scheduler.mode=FAIR`
+    * an interactive pool is not starved by a batch pool — the same isolation
+    * the reference buys with per-affinity queues. */
   def groupby(spark: SparkSession, call: GroupByCall): Option[DataFrame] = {
     if (call.filenames.isEmpty)
       throw new BadCallException("groupby: filenames must be non-empty")
@@ -42,6 +50,8 @@ object GraftService {
       throw new BadCallException(s"groupby: unsupported agg op '${a.op}'"))
     call.where.find(t => !FilterTerm.SupportedOps(t.op)).foreach(t =>
       throw new BadCallException(s"groupby: unsupported filter op '${t.op}'"))
+    call.affinity.foreach(pool =>
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool))
     GroupByEngine.groupby(spark, call.filenames, call.groupby, call.aggs,
       call.where, call.aggregate, call.combine)
   }
@@ -54,6 +64,14 @@ object GraftService {
       case "loglevel" => OpsApi.logLevel(spark, args.getOrElse("level", "info")); "ok"
       case "sleep"    => Thread.sleep((args.getOrElse("seconds", "0").toDouble * 1000).toLong); "done"
       case "kill" | "killall" => OpsApi.shutdown(spark); "stopped"
+      case "downloads" => // reference rpc.py:210-231: list tickets + state
+        Tickets.list().map(t =>
+          s"${t.id} ${t.state} ${t.what}${t.error.map(" err=" + _).getOrElse("")}")
+          .mkString("\n")
+      case "delete_download" => // reference rpc.py:233-254: cancel by ticket
+        val id = args.getOrElse("ticket",
+          throw new BadCallException("delete_download: 'ticket' required"))
+        if (Tickets.cancel(spark, id)) "cancelled" else "not_found_or_done"
       case other      => throw new UnknownVerbException(other)
     }
 }

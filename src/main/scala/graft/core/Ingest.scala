@@ -86,6 +86,15 @@ object Ingest {
       atomicPublish(batch, tableDir); ()
     }.start()
 
+  /** Ticketed bulk ingest: the reference's `download` verb returns a ticket
+    * and moves data in the background (rpc.py:210-254, controller.py:555-597);
+    * here the background work is read-source → atomic-publish, tracked and
+    * cancellable through [[Tickets]]. */
+  def downloadTicketed(spark: SparkSession, source: String, tableDir: String): String =
+    Tickets.submit(spark, s"download $source -> $tableDir") { s =>
+      atomicPublish(s.read.parquet(source), tableDir); ()
+    }
+
   /** Read the currently-published version (resolve manifest, then scan). */
   def readPublished(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

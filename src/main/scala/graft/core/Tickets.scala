@@ -1,0 +1,101 @@
+package graft.core
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Ticketed async-job surface: the reference's download-slot protocol
+  * (parqueryd/rpc.py:210-254 `downloads()` / `delete_download`; ticket
+  * slots in controller.py:555-597) re-expressed over Spark job groups.
+  *
+  * The reference tracks a ticket per bulk download, lists progress per
+  * node, and cancels by marking slot files for the downloader to notice.
+  * Here a ticket owns a Spark job group: `submit` returns immediately with
+  * the ticket id, the body runs on a daemon thread inside that group,
+  * `list`/`get` expose the lifecycle, and `cancel` interrupts every job of
+  * the group mid-stage (`interruptOnCancel`) — Spark's scheduler is the
+  * per-node slot machinery. States: PENDING → RUNNING → DONE | FAILED |
+  * CANCELLED.
+  */
+object Tickets {
+
+  sealed abstract class State(val name: String) { override def toString: String = name }
+  case object Pending extends State("PENDING")
+  case object Running extends State("RUNNING")
+  case object Done extends State("DONE")
+  case object Failed extends State("FAILED")
+  case object Cancelled extends State("CANCELLED")
+
+  final case class Ticket(
+      id: String,
+      what: String,
+      state: State,
+      submittedMs: Long,
+      endedMs: Option[Long] = None,
+      error: Option[String] = None) {
+    def terminal: Boolean = state == Done || state == Failed || state == Cancelled
+  }
+
+  private val registry = new ConcurrentHashMap[String, Ticket]()
+
+  private def transition(id: String)(f: Ticket => Ticket): Unit =
+    registry.computeIfPresent(id, (_, t) => f(t))
+
+  /** Submit `body` as a ticketed background job; returns the ticket id
+    * immediately (the reference's `download` returns its ticket the same
+    * way). The body's Spark jobs all run under the ticket's job group, so
+    * a later [[cancel]] reaches work already in flight. */
+  def submit(spark: SparkSession, what: String)(body: SparkSession => Unit): String = {
+    val id = UUID.randomUUID().toString.take(12)
+    registry.put(id, Ticket(id, what, Pending, System.currentTimeMillis()))
+    val runner = new Thread(() => {
+      transition(id)(t => if (t.state == Pending) t.copy(state = Running) else t)
+      spark.sparkContext.setJobGroup(id, s"graft ticket $id: $what",
+        interruptOnCancel = true)
+      try {
+        body(spark)
+        transition(id)(t =>
+          if (t.state == Running)
+            t.copy(state = Done, endedMs = Some(System.currentTimeMillis()))
+          else t)
+      } catch {
+        case e: Throwable =>
+          // a cancel() races the failure it provokes: keep CANCELLED sticky
+          transition(id)(t =>
+            if (t.state == Cancelled) t
+            else t.copy(state = Failed, endedMs = Some(System.currentTimeMillis()),
+              error = Some(e.toString)))
+      } finally spark.sparkContext.clearJobGroup()
+    }, s"graft-ticket-$id")
+    runner.setDaemon(true)
+    runner.start()
+    id
+  }
+
+  /** All known tickets, newest first (the `downloads()` listing verb). */
+  def list(): Seq[Ticket] =
+    registry.values().asScala.toSeq.sortBy(-_.submittedMs)
+
+  def get(id: String): Option[Ticket] = Option(registry.get(id))
+
+  /** Cancel a ticket (the `delete_download` verb): marks it CANCELLED and
+    * interrupts every Spark job in its group. No-op on terminal tickets. */
+  def cancel(spark: SparkSession, id: String): Boolean =
+    get(id) match {
+      case Some(t) if !t.terminal =>
+        transition(id)(t => if (t.terminal) t
+          else t.copy(state = Cancelled, endedMs = Some(System.currentTimeMillis())))
+        spark.sparkContext.cancelJobGroup(id)
+        true
+      case _ => false
+    }
+
+  /** Drop terminal tickets from the listing (ops hygiene; the reference
+    * overwrites slots as they complete). */
+  def prune(): Int = {
+    val gone = registry.values().asScala.filter(_.terminal).map(_.id).toSeq
+    gone.foreach(registry.remove)
+    gone.size
+  }
+}

@@ -70,6 +70,86 @@ class ServiceSpec extends AnyFunSuite {
       graft.queries.QueryUtil.events(spark, sf).count())
   }
 
+  test("ticket lifecycle: submit → list → cancel → terminal; fast job → DONE") {
+    def await(id: String, want: Set[Tickets.State], ms: Int = 60000): Tickets.Ticket = {
+      val deadline = System.currentTimeMillis() + ms
+      var t = Tickets.get(id).get
+      while (!want(t.state) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); t = Tickets.get(id).get
+      }
+      t
+    }
+    // fast ticket completes; await BEFORE submitting the slow one so the
+    // slow job can't starve it out of the shared local scheduler
+    val fast = Tickets.submit(spark, "fast count") { s => s.range(1000).count(); () }
+    assert(await(fast, Set(Tickets.Done)).state === Tickets.Done)
+    // slow ticket: many tiny sleeping tasks — long-running but each task
+    // finishes fast, so a missed cancel can't wedge the shared session
+    val slow = Tickets.submit(spark, "slow sum") { s =>
+      import org.apache.spark.sql.functions._
+      val nap = udf((x: Long) => { Thread.sleep(50); x })
+      s.range(0, 2000, 1, 2000).select(sum(nap(col("id")))).collect(); ()
+    }
+    try {
+      val ids = Tickets.list().map(_.id)
+      assert(ids.contains(fast) && ids.contains(slow))
+      await(slow, Set(Tickets.Running))
+      assert(Tickets.cancel(spark, slow))
+      val cancelled = await(slow, Set(Tickets.Cancelled))
+      assert(cancelled.state === Tickets.Cancelled && cancelled.terminal)
+      // cancel is sticky: the provoked job failure must not flip it to FAILED
+      Thread.sleep(500)
+      assert(Tickets.get(slow).get.state === Tickets.Cancelled)
+      assert(!Tickets.cancel(spark, slow)) // terminal → no-op
+      // verb surface mirrors the reference wording
+      assert(GraftService.call(spark, "downloads").contains(slow))
+      assert(GraftService.call(spark, "delete_download",
+        Map("ticket" -> slow)) === "not_found_or_done")
+      assert(Tickets.prune() >= 2)
+    } finally Tickets.cancel(spark, slow)
+  }
+
+  test("ticketed download publishes atomically and reports DONE") {
+    val dir = Files.createTempDirectory("graft-dl").toString
+    val id = Ingest.downloadTicketed(spark, s"$sf/region.parquet", s"$dir/t")
+    val deadline = System.currentTimeMillis() + 30000
+    while (!Tickets.get(id).get.terminal && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(Tickets.get(id).get.state === Tickets.Done)
+    assert(Ingest.readPublished(spark, s"$dir/t").count() ===
+      spark.read.parquet(s"$sf/region.parquet").count())
+  }
+
+  test("affinity kwarg routes the calling thread to a scheduler pool") {
+    val out = GraftService.groupby(spark, GraftService.GroupByCall(
+      filenames = Seq(s"$sf/lineitem.parquet"),
+      groupby = Seq("l_returnflag"),
+      aggs = Seq(AggSpec("l_quantity", "sum", "s")),
+      affinity = Some("batch_pool")))
+    assert(out.get.count() === 3) // action runs under the pool
+    assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") === "batch_pool")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
+  test("arrow result round-trips every wire type including nulls") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1, CAST(10 AS BIGINT), CAST(1.5 AS FLOAT), CAST(2.5 AS DOUBLE),
+            true, 'alpha', CAST('ab' AS BINARY),
+            DATE'2024-02-29', TIMESTAMP'2024-02-29 12:34:56.789012'),
+           (2, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+         AS t(i, l, f, d, b, s, bin, dt, ts)""")
+    val bytes = ArrowResult.toArrowBytes(df)
+    assert(bytes.length > 0)
+    val back = ArrowResult.fromArrowBytes(spark, bytes)
+    assert(back.schema.map(_.dataType) === df.schema.map(_.dataType))
+    val a = df.orderBy("i").collect().map(r =>
+      r.toSeq.map { case x: Array[Byte] => x.toSeq; case x => x })
+    val b = back.orderBy("i").collect().map(r =>
+      r.toSeq.map { case x: Array[Byte] => x.toSeq; case x => x })
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("native cosine expression is bit-identical to the composable form") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = embs.filter(col("vec_id") === 0)
