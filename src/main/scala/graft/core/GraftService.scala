@@ -11,6 +11,8 @@ sealed abstract class GraftException(msg: String) extends RuntimeException(msg)
 final class UnknownVerbException(verb: String)
   extends GraftException(s"Sorry, I don't understand you: '$verb'") // controller.py:495 wording
 final class BadCallException(msg: String) extends GraftException(msg)
+final class CallTimeoutException(msg: String, cause: Throwable)
+  extends GraftException(msg) { initCause(cause) } // rpc.py:136-149 RPCError('Timeout')
 
 /** Service facade: the reference's generic RPC verb dispatch
   * (rpc.py:96-190 `__getattr__` → controller.py:493-549 `handle_rpc`),
@@ -54,6 +56,41 @@ object GraftService {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool))
     GroupByEngine.groupby(spark, call.filenames, call.groupby, call.aggs,
       call.where, call.aggregate, call.combine)
+  }
+
+  /** Client-side timeout + retry envelope, mirroring the reference RPC's
+    * contract (parqueryd/rpc.py:32-34 default 120 s timeout, :136-149 retry
+    * loop that tears down and redials the controller): each attempt runs on
+    * its own thread under its own job group; a timed-out attempt has its
+    * in-flight Spark jobs cancelled (the redial analogue — otherwise the
+    * zombie attempt keeps burning the cluster), then the call is retried up
+    * to `retries` times before [[CallTimeoutException]]. Spark's task
+    * retries handle executor failure; this knob is the driver-API timeout
+    * the reference exposes to callers. */
+  def callWithRetry[T](spark: SparkSession, what: String,
+      timeoutMs: Long = 120000L, retries: Int = 2)(body: => T): T = {
+    val group = s"graft-call-${java.util.UUID.randomUUID().toString.take(8)}"
+    var last: Throwable = null
+    (0 to retries).foreach { attempt =>
+      val task = new java.util.concurrent.FutureTask[T](() => {
+        spark.sparkContext.setJobGroup(s"$group-$attempt", what,
+          interruptOnCancel = true)
+        try body finally spark.sparkContext.clearJobGroup()
+      })
+      val runner = new Thread(task, s"$group-$attempt")
+      runner.setDaemon(true)
+      runner.start()
+      try return task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"$group-$attempt")
+          last = e
+        case e: java.util.concurrent.ExecutionException =>
+          last = e.getCause // transient failure → redial-and-retry, like rpc.py
+      }
+    }
+    throw new CallTimeoutException(
+      s"$what: no result after ${retries + 1} attempts (timeout ${timeoutMs} ms)", last)
   }
 
   /** Ops verbs (reference controller.py:493-549 dispatch table). */

@@ -68,6 +68,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dupClusters releases every intermediate checkpoint (only the result persists)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val out = Dedup.dupClusters(pairs)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // iteration hygiene: edges + every superseded round were unpersisted;
+    // at most the final (result) checkpoint may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("jaccard maxDf cap: identical above true max df, prunes a planted stop-shingle") {
     import spark.implicits._
     // 30 docs all share one boilerplate shingle ("common stop shingle",

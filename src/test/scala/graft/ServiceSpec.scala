@@ -120,6 +120,24 @@ class ServiceSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/region.parquet").count())
   }
 
+  test("callWithRetry: transient failure retried, hard timeout cancels and raises") {
+    // fails on attempt 0, succeeds on attempt 1 — the redial-and-retry path
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = GraftService.callWithRetry(spark, "flaky", timeoutMs = 30000) {
+      if (attempts.getAndIncrement() == 0) throw new RuntimeException("transient")
+      spark.range(10).count()
+    }
+    assert(got === 10L && attempts.get() === 2)
+    // every attempt times out → CallTimeoutException after retries+1 tries
+    val tries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[CallTimeoutException] {
+      GraftService.callWithRetry(spark, "stuck", timeoutMs = 300, retries = 2) {
+        tries.getAndIncrement(); Thread.sleep(60000); 0L
+      }
+    }
+    assert(e.getMessage.contains("3 attempts") && tries.get() === 3)
+  }
+
   test("affinity kwarg routes the calling thread to a scheduler pool") {
     val out = GraftService.groupby(spark, GraftService.GroupByCall(
       filenames = Seq(s"$sf/lineitem.parquet"),
