@@ -108,33 +108,107 @@ object Similarity {
     * `cluster`, the probe filter partition-prunes the scan itself. (Round 1
     * ran a `count()` in the query path and shuffled all n×C vector-carrying
     * rows through a groupBy — both gone.) */
-  def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
-      queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    // hash-ordered top-N: a deterministic pseudo-random sample in one
-    // TakeOrdered pass, no count()/stride scan
+  /** Deterministic hash-ordered centroid sample: one TakeOrdered pass, no
+    * count()/stride scan. Driver-sized by design (nCentroids ~ √n is
+    * thousands even at 100 TB). */
+  private def sampleCentroids(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int): Array[(Long, Array[Float])] = {
     val cents = df.select(id.cast("long").as("cid"), vec.as("cvec"))
       .orderBy(xxhash64(col("cid")), col("cid")).limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(cents.nonEmpty, "ivfTopK: input has no vectors to sample centroids from")
-    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
-    def cosD(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probe = cents.map { case (cid, cv) => (cosD(cv, qv), cid) }
-      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2)
-    // nearest-centroid argmax as ONE projection: max over (cos, cid) structs
-    val assign = array_max(array(cents.map { case (cid, cv) =>
+    require(cents.nonEmpty, "ivf: input has no vectors to sample centroids from")
+    cents
+  }
+
+  /** Nearest-centroid argmax as ONE projection: max over (cos, cid) structs
+    * built from centroid literals — no join, no shuffle. */
+  private def assignExpr(df: DataFrame,
+      cents: Array[(Long, Array[Float])], vec: Column): Column =
+    array_max(array(cents.map { case (cid, cv) =>
       struct(cosineNative(df, vec, typedlit(cv)).as("ccos"),
-        lit(cid).as("cid")) }: _*))
-    df.select(id.as("id"), vec.as("v"), assign.getField("cid").as("cluster"))
+        lit(cid).as("cid")) }: _*)).getField("cid")
+
+  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def nearestCentroids(cents: Array[(Long, Array[Float])],
+      qv: Array[Float], nProbe: Int): Seq[Long] =
+    cents.map { case (cid, cv) => (cosDriver(cv, qv), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2).toSeq
+
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
+      queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val cents = sampleCentroids(df, id, vec, nCentroids)
+    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    val probe = nearestCentroids(cents, qv, nProbe)
+    df.select(id.as("id"), vec.as("v"),
+        assignExpr(df, cents, vec).as("cluster"))
       .filter(col("cluster").isin(probe: _*))
       .select(col("id"), cosineNative(df, col("v"), typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Offline half of IVF at scale: assign every vector its inverted list and
+    * write the table hive-partitioned by `cluster` (plus the centroid sample
+    * to a sibling dir, so the online half probes the SAME lists). This is
+    * what turns probing into PARTITION PRUNING: the online filter
+    * `cluster IN (probe set)` never opens the other lists' files — at 100 TB
+    * the scan itself shrinks by nProbe/nCentroids. */
+  def ivfWritePartitioned(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, path: String): Unit = {
+    val cents = sampleCentroids(df, id, vec, nCentroids)
+    df.select(id.cast("long").as("id"), vec.as("v"),
+        assignExpr(df, cents, vec).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Online half: probe a table written by [[ivfWritePartitioned]]. One
+    * partition-pruned scan → fused cosine → TakeOrdered; zero shuffles. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: DataFrame, queryVec: Column, nProbe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    val probe = nearestCentroids(cents, qv, nProbe)
+    val table = spark.read.parquet(path)
+    table.filter(col("cluster").isin(probe: _*))
+      .select(col("id"), cosineNative(table, col("v"), typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Multiprobe sign-LSH top-k: probe the query's bucket plus the buckets
+    * reached by flipping the LOWEST-MARGIN sign bits first (|q_d| smallest —
+    * the dimensions where the hyperplane decision was nearly a coin flip,
+    * so the nearest neighbours most likely sit just across them). The
+    * classic recall-multiplier for bucketed ANN: nProbe trades scan width
+    * for recall without re-bucketing the table, and the probe set is
+    * computed on the driver, so the plan stays a single bucket-IN filter
+    * over the scan — partition-prunable when the table is written bucketed. */
+  def lshTopKMultiprobe(df: DataFrame, id: Column, vec: Column,
+      query: DataFrame, queryVec: Column, bits: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    require(qv.length >= bits, s"query vector shorter than $bits dims")
+    val qbucket = (0 until bits).map(i => if (qv(i) >= 0f) 1L << i else 0L).sum
+    val flips = (0 until bits).sortBy(i => math.abs(qv(i).toDouble))
+    val probes = (qbucket +: flips.map(i => qbucket ^ (1L << i)))
+      .take(math.max(nProbe, 1))
+    df.withColumn("__bucket", signBucket(vec, bits))
+      .filter(col("__bucket").isin(probes: _*))
+      .select(id.as("id"), cosineNative(df, vec, typedlit(qv)).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }

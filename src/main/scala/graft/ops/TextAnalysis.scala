@@ -19,6 +19,23 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-style pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks — the split GPT-2-family pre-tokenizers apply before
+    * byte-pair merges, and a far better LLM-token-cost estimate than
+    * whitespace counting (punctuation and numbers tokenize separately).
+    * The pattern is plain character classes so the Spark (Java regex) and
+    * DuckDB (RE2) oracles agree. */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokensBpe(c: Column): Column =
+    regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
+
+  def tokenCountBpe(c: Column): Column = size(tokensBpe(c))
+
+  /** DuckDB twin of [[tokenCountBpe]] (oracle construction). */
+  def tokenCountBpeSql(col: String): String =
+    s"len(regexp_extract_all($col, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */

@@ -100,6 +100,21 @@ object TextQueries {
       Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"), bits = 16)
         .select(col("doc").as("doc_id"), col("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // BPE-style pre-tokenizer cost estimate vs whitespace count (q42's twin
+    // with the tokenizer an LLM-data pipeline actually budgets with)
+    "q75_token_bpe" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), TA.tokenCountBpe(col("text")).as("ntok"),
+          TA.tokenCount(col("text")).as("nws"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").cast("long").as("sum_bpe"),
+          min("ntok").cast("int").as("min_bpe"),
+          max("ntok").cast("int").as("max_bpe"),
+          sum("nws").cast("long").as("sum_ws"))
+        .orderBy("lang")
     })
   )
 
@@ -204,6 +219,14 @@ object TextQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS node, least(a, min(b)) AS cluster
          FROM reach GROUP BY a ORDER BY node""",
+
+    "q75_token_bpe" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(${TA.tokenCountBpeSql("text")}) AS BIGINT) AS sum_bpe,
+         CAST(min(${TA.tokenCountBpeSql("text")}) AS INT) AS min_bpe,
+         CAST(max(${TA.tokenCountBpeSql("text")}) AS INT) AS max_bpe,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_ws
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q66_minhash_sketch" -> {
       val mins = (0 until 16)

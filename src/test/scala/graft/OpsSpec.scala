@@ -186,6 +186,13 @@ class OpsSpec extends AnyFunSuite {
     assert(cs.sameElements(cs.sorted.reverse))
   }
 
+  test("bpe-ish tokenizer splits words, numbers, and punctuation") {
+    import spark.implicits._
+    val got = Seq("Hello, world42! x3.14").toDF("t")
+      .select(TextAnalysis.tokensBpe(col("t")).as("tk")).head.getSeq[String](0)
+    assert(got === Seq("Hello", ",", "world", "42", "!", "x", "3", ".", "14"))
+  }
+
   test("language id returns a known label") {
     val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet

@@ -134,6 +134,40 @@ class ScaleSpec extends AnyFunSuite {
         q, col("embedding"), 500).collect().map(_.getLong(0)).toSet))
   }
 
+  test("ivf partitioned table partition-prunes at probe time, same answer as online ivf") {
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/emb"
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    Similarity.ivfWritePartitioned(body, col("vec_id"), col("embedding"), 8, dir)
+    val offline = Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 3, k = 10)
+    val plan = offline.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe must prune unprobed inverted lists at the scan:\n$plan")
+    val online = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
+    assert(offline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      online.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("multiprobe lsh: one probe equals single-bucket lsh, more probes add recall") {
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = ids(Similarity.lshTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), bits = 4, k = 10))
+    val mp1 = ids(Similarity.lshTopKMultiprobe(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), bits = 4, nProbe = 1, k = 10))
+    assert(mp1 === single)
+    val brute = Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), 10).collect().map(_.getLong(0)).toSet
+    def recall(r: Seq[(Long, Double)]) = r.map(_._1).count(brute).toDouble / brute.size
+    val mpAll = ids(Similarity.lshTopKMultiprobe(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), bits = 4, nProbe = 5, k = 10))
+    assert(recall(mpAll) >= recall(mp1), s"${recall(mpAll)} < ${recall(mp1)}")
+  }
+
   test("ivf probe plan is scan→project→filter→top-k: no exchange, no join") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
