@@ -53,6 +53,29 @@ object EventsQueries {
         .orderBy("event_type")
     }),
 
+    // interval join via graft.ops.RangeJoin: events falling inside
+    // "hot windows" ([hour-30min, hour+90min) around above-average hours) —
+    // overlapping, non-bucket-aligned ranges, so it exercises the true
+    // range-join path, not an hour equi-join. Hotness threshold is pure
+    // integer arithmetic (n·hours·5 ≥ total·6 ⟺ n ≥ 1.2·mean) so both
+    // engines cut identically.
+    "q76_range_join" -> ((s, d) => {
+      val H = 3600000000L // 1 hour in µs
+      val e = events(s, d).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val hb = e.groupBy(expr(s"us div $H").as("b")).agg(count(lit(1)).as("n"))
+      val tot = e.agg(count(lit(1)).as("t"))
+      val nh = hb.agg(count(lit(1)).as("h"))
+      val hot = hb.crossJoin(broadcast(tot)).crossJoin(broadcast(nh))
+        .filter(col("n") * col("h") * 5 >= col("t") * 6)
+        .select((col("b") * H - H / 2).as("s"), (col("b") * H + 3 * H / 2).as("e2"))
+      graft.ops.RangeJoin.pointInRange(e, col("us"), hot, col("s"), col("e2"), H)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // sessionization: 30-min inactivity gap, per-user session stats
     "q33_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -96,6 +119,19 @@ object EventsQueries {
          SELECT event_type, count(*) AS n, count(sus) AS n_with_signup,
            round(avg((us - sus) / 1000000.0), 4) AS avg_secs_since
          FROM w GROUP BY 1 ORDER BY 1""",
+
+    "q76_range_join" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) us FROM events),
+         hb AS (SELECT us // 3600000000 b, count(*) n FROM e GROUP BY 1),
+         tot AS (SELECT count(*) t FROM e),
+         nh AS (SELECT count(*) h FROM hb),
+         hot AS (SELECT b FROM hb, tot, nh WHERE n * h * 5 >= t * 6),
+         r AS (SELECT b * 3600000000 - 1800000000 s,
+                      b * 3600000000 + 5400000000 e2 FROM hot)
+         SELECT event_type, count(*) AS n_pairs,
+           count(DISTINCT event_id) AS n_events
+         FROM e JOIN r ON e.us >= r.s AND e.us < r.e2
+         GROUP BY 1 ORDER BY 1""",
 
     "q33_events_sessions" ->
       """WITH e AS (

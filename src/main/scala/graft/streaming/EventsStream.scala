@@ -93,6 +93,28 @@ object EventsStream {
       dimKey: String): DataFrame =
     events.join(dim, col(eventKey) === col(dimKey))
 
+  /** Stream-stream interval join: attribute each `right` event to a prior
+    * `left` event of the same user within `withinMs` (click→purchase
+    * attribution). Both sides are watermarked and the join carries the
+    * time-range predicate, so Spark bounds BOTH state stores: a buffered
+    * left row is dropped once the right watermark passes its ts + withinMs —
+    * the only stream-stream join shape that survives unbounded input. */
+  def attributionJoin(left: DataFrame, right: DataFrame, leftType: String,
+      rightType: String, withinMs: Long, watermark: String = "2 hours"): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_event"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_event"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+  }
+
   /** Run a streaming DataFrame to completion against the available input and
     * return the materialized result (memory sink). */
   def runToCompletion(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -134,6 +134,24 @@ class ScaleSpec extends AnyFunSuite {
         q, col("embedding"), 500).collect().map(_.getLong(0)).toSet))
   }
 
+  test("bucketized range join equals the naive interval join, without a nested loop") {
+    import graft.ops.RangeJoin
+    val H = 3600000000L
+    val ev = graft.queries.QueryUtil.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    // overlapping 2h ranges straddling bucket boundaries
+    val ranges = ev.select((expr(s"us div $H") * H - H / 2).as("s")).distinct()
+      .select(col("s"), (col("s") + 2 * H).as("e2"))
+    val got = RangeJoin.pointInRange(ev, col("us"), ranges, col("s"), col("e2"), H)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join must plan as an equi-join on the bucket:\n$plan")
+    val naive = ev.join(ranges, col("us") >= col("s") && col("us") < col("e2"))
+    assert(got.count() === naive.count())
+    assert(got.select("event_id", "s").exceptAll(naive.select("event_id", "s")).isEmpty)
+    assert(naive.select("event_id", "s").exceptAll(got.select("event_id", "s")).isEmpty)
+  }
+
   test("ivf partitioned table partition-prunes at probe time, same answer as online ivf") {
     val dir = Files.createTempDirectory("graft-ivf").toString + "/emb"
     val q = embs.filter(col("vec_id") === 0)

@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(appended.forall(wantSet.contains))
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val within = 6 * 3600 * 1000L // 6h window keeps the fixture non-trivial
+    val ev = graft.queries.QueryUtil.events(spark, sf)
+    def side(t: String) = ev.filter(col("event_type") === t)
+    val want = side("view").select(col("user_id").as("l_user"),
+        col("event_id").as("l_event"), col("ts").as("l_ts"))
+      .join(side("purchase").select(col("user_id").as("r_user"),
+          col("event_id").as("r_event"), col("ts").as("r_ts")),
+        col("l_user") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${within / 1000} SECONDS"))
+      .select("l_event", "r_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val got = EventsStream.runToCompletion(
+        EventsStream.attributionJoin(stream, stream, "view", "purchase", within),
+        "attrib", OutputMode.Append())
+      .select("l_event", "r_event").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("stateful sessionization matches the batch session count") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val got = EventsStream.runToCompletion(
