@@ -82,15 +82,17 @@ object Dedup {
       minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(df, id, text, n)
-      .select(col("doc"), xxhash64(col("shingle")).as("h"))
-    // df via window (not groupBy + join back: one shuffle side instead of
-    // two); the doc-partitioned window then feeds BOTH the prefix ranking
+      .select(col("doc"), xxhash64(col("shingle")).as("h")).cache()
+    // df via partial-agg groupBy + join back, NOT a window over h: the
+    // groupBy's map-side combine shuffles ~|vocab| partial rows instead of
+    // the full exploded set, and AQE turns the join-back into a broadcast
+    // when the df table is small (falling back to a shuffle join at corpus
+    // scale). The doc-partitioned window then feeds BOTH the prefix ranking
     // and the per-doc array aggregation without re-shuffling — groupBy(doc)
     // reuses the window's partitioning
-    val byH = Window.partitionBy("h")
+    val dfreq = sets.groupBy("h").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc")
-    val ranked = sets
-      .withColumn("df", count(lit(1)).over(byH))
+    val ranked = sets.join(dfreq, "h")
       .withColumn("sz", count(lit(1)).over(byDoc))
       .withColumn("rn",
         row_number().over(byDoc.orderBy(col("df"), col("h"))))
@@ -259,8 +261,13 @@ object Dedup {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node")).localCheckpoint(true)
+    // init = identity labels with the first neighbour-min round fused in
+    // (one groupBy): pair-shaped clusters are already final here and the
+    // loop only has to confirm convergence
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min("b").as("nbr_min"))
+      .select(col("node"), least(col("node"), col("nbr_min")).as("cluster"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -112,7 +112,7 @@ object EventsStream {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMs MILLISECOND"))
   }
 
   /** Run a streaming DataFrame to completion against the available input and
