@@ -101,6 +101,8 @@ object GraftService {
       case "loglevel" => OpsApi.logLevel(spark, args.getOrElse("level", "info")); "ok"
       case "sleep"    => Thread.sleep((args.getOrElse("seconds", "0").toDouble * 1000).toLong); "done"
       case "kill" | "killall" => OpsApi.shutdown(spark); "stopped"
+      case "killworkers" => // ref: stop workers, controller survives
+        spark.sparkContext.cancelAllJobs(); "workers stopped"
       case "downloads" => // reference rpc.py:210-231: list tickets + state
         Tickets.list().map(t =>
           s"${t.id} ${t.state} ${t.what}${t.error.map(" err=" + _).getOrElse("")}")

@@ -28,6 +28,9 @@ class ServiceSpec extends AnyFunSuite {
     val e = intercept[UnknownVerbException] { GraftService.call(spark, "distribute") }
     assert(e.getMessage.contains("Sorry, I don't understand you"))
     assert(GraftService.call(spark, "ping") === "pong")
+    // killworkers aborts in-flight work but the controller stays alive
+    assert(GraftService.call(spark, "killworkers") === "workers stopped")
+    assert(GraftService.call(spark, "ping") === "pong")
   }
 
   test("csv ingest parses timestamps, atomic publish flips versions") {
