@@ -69,6 +69,49 @@ object Multimodal {
       }
     }
 
+  /** One sampled frame (or audio window) extracted from a media payload. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  implicit val mediaFrameEnc: Encoder[MediaFrame] = Encoders.product[MediaFrame]
+
+  /** STUB frame decoder: fixed-stride byte windows standing in for video
+    * frame extraction / audio windowing. ??? real demux+decode goes here;
+    * the surrounding one-to-many flatMap IS the production shape. */
+  def frameSliceStub(payload: Array[Byte], idx: Int, frameLen: Int): Array[Byte] =
+    payload.slice(idx * frameLen, math.min((idx + 1) * frameLen, payload.length))
+
+  /** Frame sampling: every `stride`-th frame up to `maxFrames` per media row,
+    * as a bounded one-to-many flatMap (the row explosion never exceeds
+    * maxFrames × input rows, so stage output is predictable at 100 TB —
+    * unbounded per-video explosion is the classic multimodal-pipeline OOM).
+    * Frames inherit the partition of their media row: decode-then-aggregate
+    * pipelines stay shuffle-free until the feature aggregation. */
+  def sampleFrames(media: Dataset[MediaRecord], frameLen: Int = 64,
+      stride: Int = 2, maxFrames: Int = 4): Dataset[MediaFrame] = {
+    require(frameLen > 0 && stride > 0 && maxFrames > 0)
+    media.flatMap { r =>
+      val total = (r.payload.length + frameLen - 1) / frameLen
+      (0 until total by stride).take(maxFrames).map(i =>
+        MediaFrame(r.media_id, i, frameSliceStub(r.payload, i, frameLen)))
+    }
+  }
+
+  /** STUB resize: truncate/pad the payload to `targetBytes` — stands in for
+    * image resize (??? real resample goes here); the map-stage plumbing and
+    * the metadata-preserving schema are the real part. */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    require(targetBytes > 0)
+    media.map { r =>
+      val out =
+        if (r.payload.length >= targetBytes) r.payload.take(targetBytes)
+        else r.payload ++ new Array[Byte](targetBytes - r.payload.length)
+      r.copy(payload = out)
+    }
+  }
+
   /** Build a media table from any table with a string column (testdata has no
     * binary fixtures, so payloads are the UTF-8 bytes — the pipeline is
     * payload-agnostic). */

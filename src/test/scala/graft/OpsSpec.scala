@@ -221,4 +221,23 @@ class OpsSpec extends AnyFunSuite {
       assert(f.n_bytes > 0 && f.checksum.length === 32)
     }
   }
+
+  test("multimodal frame sampling is bounded and deterministic; resize is exact-width") {
+    val media = Multimodal.fromText(docs.limit(20), "doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(media, frameLen = 64, stride = 2,
+      maxFrames = 3).collect()
+    val byDoc = frames.groupBy(_.media_id)
+    assert(byDoc.size === 20)
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 3) // the explosion bound
+      assert(fs.map(_.frame_idx).distinct.length === fs.length)
+      fs.foreach(f => assert(f.frame_bytes.length <= 64 && f.frame_bytes.nonEmpty))
+    }
+    val again = Multimodal.sampleFrames(media, frameLen = 64, stride = 2,
+      maxFrames = 3).collect()
+    assert(again.map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet ===
+      frames.map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet)
+    val resized = Multimodal.resize(media, targetBytes = 100).collect()
+    assert(resized.length === 20 && resized.forall(_.payload.length === 100))
+  }
 }
