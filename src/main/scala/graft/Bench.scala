@@ -37,9 +37,12 @@ object Bench {
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       purgeStorage(spark)
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // a failed run must not win the min(): its time-to-crash would make a
+      // flaky query look like the fastest in the suite
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue)
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }

@@ -64,8 +64,10 @@ object ArrowResult {
             case (DateType, v: DateDayVector) =>
               v.setSafe(r, row.getDate(c).toLocalDate.toEpochDay.toInt)
             case (TimestampType, v: TimeStampMicroTZVector) =>
+              // floorDiv, not /: truncation flips the sub-second part of
+              // pre-1970 instants by a full second
               val ts = row.getTimestamp(c)
-              v.setSafe(r, ts.getTime / 1000 * 1000000L + ts.getNanos / 1000)
+              v.setSafe(r, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000)
             case (dt, v) => throw new IllegalStateException(s"$dt vs ${v.getClass}")
           }
         }

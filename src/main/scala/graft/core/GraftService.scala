@@ -52,8 +52,10 @@ object GraftService {
       throw new BadCallException(s"groupby: unsupported agg op '${a.op}'"))
     call.where.find(t => !FilterTerm.SupportedOps(t.op)).foreach(t =>
       throw new BadCallException(s"groupby: unsupported filter op '${t.op}'"))
-    call.affinity.foreach(pool =>
-      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool))
+    // unconditional: affinity=None must RESTORE the default pool, or the
+    // thread silently inherits the previous call's pool forever
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      call.affinity.orNull)
     GroupByEngine.groupby(spark, call.filenames, call.groupby, call.aggs,
       call.where, call.aggregate, call.combine)
   }
@@ -83,10 +85,22 @@ object GraftService {
       try return task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       catch {
         case e: java.util.concurrent.TimeoutException =>
+          // kill the zombie attempt as far as possible: cancel its Spark
+          // jobs AND interrupt the runner (non-Spark body code); a body
+          // that ignores interrupts can still overlap the retry — callers
+          // with non-idempotent bodies must make them ticket-guarded
           spark.sparkContext.cancelJobGroup(s"$group-$attempt")
+          runner.interrupt()
           last = e
         case e: java.util.concurrent.ExecutionException =>
-          last = e.getCause // transient failure → redial-and-retry, like rpc.py
+          e.getCause match {
+            // deterministic application errors surface immediately — the
+            // reference only redials on timeout/connection loss, and
+            // retrying a validation failure just repeats it 3× and then
+            // misreports it as a timeout
+            case g: GraftException => throw g
+            case c => last = c // transient → redial-and-retry, like rpc.py
+          }
       }
     }
     throw new CallTimeoutException(

@@ -54,6 +54,9 @@ object Tickets {
       spark.sparkContext.setJobGroup(id, s"graft ticket $id: $what",
         interruptOnCancel = true)
       try {
+        // a cancel() that landed before the thread started wins: the body
+        // must not run (its side effects would publish after "cancelled")
+        if (!get(id).exists(_.state == Running)) throw new InterruptedException("cancelled before start")
         body(spark)
         transition(id)(t =>
           if (t.state == Running)

@@ -36,7 +36,10 @@ object RangeJoin {
       start: Column, end: Column, bucketLen: Long): DataFrame = {
     require(bucketLen > 0, "bucketLen must be positive")
     val l = left.withColumn("__bucket", bucketOf(pt, bucketLen))
-    val r = ranges.withColumn("__bucket",
+    // drop inverted ranges BEFORE the explode: sequence(a, b) with a > b
+    // generates a DESCENDING sequence, so one malformed row would explode
+    // into bucketOf(start)-bucketOf(end) spurious rows instead of zero
+    val r = ranges.filter(end > start).withColumn("__bucket",
       explode(sequence(bucketOf(start, bucketLen), bucketOf(end - 1, bucketLen))))
     l.join(r, Seq("__bucket"))
       .filter(pt >= start && pt < end)

@@ -91,23 +91,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: partition vectors into `nCentroids` inverted lists by
-    * nearest centroid; a query probes only the `nProbe` nearest lists.
-    *
-    * Centroids are a deterministic hash-ordered sample (swap in k-means
-    * centroids in production — the pipeline shape is identical). With
-    * `nProbe == nCentroids` this degrades to exact brute force (spec-pinned).
-    *
-    * Scale shape: the centroid table is driver-sized BY DESIGN (even at
-    * 100 TB, nCentroids ~ √n is thousands of rows), so it is collected once
-    * at plan-build time and folded into the plan as literals. Assignment is
-    * then a single projection — an argmax over nCentroids fused codegen'd
-    * cosines — and probing is a `cluster IN (probe set)` filter computed on
-    * the driver: ZERO joins, zero shuffles, and the table's vectors never
-    * leave their scan partitions. With the table written partitioned by
-    * `cluster`, the probe filter partition-prunes the scan itself. (Round 1
-    * ran a `count()` in the query path and shuffled all n×C vector-carrying
-    * rows through a groupBy — both gone.) */
   /** Deterministic hash-ordered centroid sample: one TakeOrdered pass, no
     * count()/stride scan. Driver-sized by design (nCentroids ~ √n is
     * thousands even at 100 TB). */
@@ -129,6 +112,17 @@ object Similarity {
       struct(cosineNative(df, vec, typedlit(cv)).as("ccos"),
         lit(cid).as("cid")) }: _*)).getField("cid")
 
+  /** Exactly-one-row query vector, with a clear error instead of head()'s
+    * NoSuchElementException (empty) or a partition-order-dependent pick
+    * (several rows). */
+  private def singleQueryVec(query: DataFrame, queryVec: Column): Array[Float] = {
+    val rows = query.select(queryVec).take(2)
+    if (rows.length != 1)
+      throw new graft.core.BadCallException(
+        s"expected exactly one query row, got ${if (rows.isEmpty) 0 else "several"}")
+    rows(0).getSeq[Float](0).toArray
+  }
+
   private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
@@ -143,10 +137,27 @@ object Similarity {
     cents.map { case (cid, cv) => (cosDriver(cv, qv), cid) }
       .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2).toSeq
 
+  /** IVF-style ANN: partition vectors into `nCentroids` inverted lists by
+    * nearest centroid; a query probes only the `nProbe` nearest lists.
+    *
+    * Centroids are a deterministic hash-ordered sample (swap in k-means
+    * centroids in production — the pipeline shape is identical). With
+    * `nProbe == nCentroids` this degrades to exact brute force (spec-pinned).
+    *
+    * Scale shape: the centroid table is driver-sized BY DESIGN (even at
+    * 100 TB, nCentroids ~ √n is thousands of rows), so it is collected once
+    * at plan-build time and folded into the plan as literals. Assignment is
+    * then a single projection — an argmax over nCentroids fused codegen'd
+    * cosines — and probing is a `cluster IN (probe set)` filter computed on
+    * the driver: ZERO joins, zero shuffles, and the table's vectors never
+    * leave their scan partitions. With the table written partitioned by
+    * `cluster`, the probe filter partition-prunes the scan itself. (Round 1
+    * ran a `count()` in the query path and shuffled all n×C vector-carrying
+    * rows through a groupBy — both gone.) */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
       queryVec: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val cents = sampleCentroids(df, id, vec, nCentroids)
-    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    val qv = singleQueryVec(query, queryVec)
     val probe = nearestCentroids(cents, qv, nProbe)
     df.select(id.as("id"), vec.as("v"),
         assignExpr(df, cents, vec).as("cluster"))
@@ -180,7 +191,7 @@ object Similarity {
       query: DataFrame, queryVec: Column, nProbe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path.centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    val qv = singleQueryVec(query, queryVec)
     val probe = nearestCentroids(cents, qv, nProbe)
     val table = spark.read.parquet(path)
     table.filter(col("cluster").isin(probe: _*))
@@ -200,7 +211,7 @@ object Similarity {
   def lshTopKMultiprobe(df: DataFrame, id: Column, vec: Column,
       query: DataFrame, queryVec: Column, bits: Int, nProbe: Int,
       k: Int): DataFrame = {
-    val qv = query.select(queryVec).head.getSeq[Float](0).toArray
+    val qv = singleQueryVec(query, queryVec)
     require(qv.length >= bits, s"query vector shorter than $bits dims")
     val qbucket = (0 until bits).map(i => if (qv(i) >= 0f) 1L << i else 0L).sum
     val flips = (0 until bits).sortBy(i => math.abs(qv(i).toDouble))

@@ -23,9 +23,10 @@ object TextAnalysis {
     * punctuation marks — the split GPT-2-family pre-tokenizers apply before
     * byte-pair merges, and a far better LLM-token-cost estimate than
     * whitespace counting (punctuation and numbers tokenize separately).
-    * The pattern is plain character classes so the Spark (Java regex) and
-    * DuckDB (RE2) oracles agree. */
-  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * The whitespace class is spelled out explicitly: Java's `\s` includes
+    * vertical tab (\x0B) but RE2's does not, so a bare `\s` would make the
+    * Spark and DuckDB (RE2) oracles diverge on documents containing \x0B. */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   def tokensBpe(c: Column): Column =
     regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
@@ -34,7 +35,7 @@ object TextAnalysis {
 
   /** DuckDB twin of [[tokenCountBpe]] (oracle construction). */
   def tokenCountBpeSql(col: String): String =
-    s"len(regexp_extract_all($col, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    s"len(regexp_extract_all($col, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))"
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 

@@ -131,6 +131,15 @@ class ServiceSpec extends AnyFunSuite {
       spark.range(10).count()
     }
     assert(got === 10L && attempts.get() === 2)
+    // deterministic application errors surface immediately, unretried
+    val badTries = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[BadCallException] {
+      GraftService.callWithRetry(spark, "invalid") {
+        badTries.getAndIncrement()
+        throw new BadCallException("unsupported agg op")
+      }
+    }
+    assert(badTries.get() === 1)
     // every attempt times out → CallTimeoutException after retries+1 tries
     val tries = new java.util.concurrent.atomic.AtomicInteger(0)
     val e = intercept[CallTimeoutException] {
@@ -149,7 +158,13 @@ class ServiceSpec extends AnyFunSuite {
       affinity = Some("batch_pool")))
     assert(out.get.count() === 3) // action runs under the pool
     assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") === "batch_pool")
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    // a following call WITHOUT affinity must restore the default pool, not
+    // silently inherit batch_pool
+    GraftService.groupby(spark, GraftService.GroupByCall(
+      filenames = Seq(s"$sf/lineitem.parquet"),
+      groupby = Seq("l_returnflag"),
+      aggs = Seq(AggSpec("l_quantity", "sum", "s"))))
+    assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
   }
 
   test("arrow result round-trips every wire type including nulls") {
