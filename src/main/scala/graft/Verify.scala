@@ -15,8 +15,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // ops like jaccardPairs cache intermediates; release between queries
+      // ops like jaccardPairs cache intermediates and dupClusters leaves its
+      // result checkpoint; release both between queries (clearCache alone
+      // does not touch localCheckpoint blocks)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
