@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSketch}
+import graft.functions.{CosineSimilarity, MinHashSketch, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.minhashSketch)
+    e.injectFunction(GraftExtensions.wordShingles)
   }
 }
 
@@ -40,6 +41,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
     (exprs: Seq[Expression]) => sketchBuilder(exprs))
 
+  private def shinglesBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_shingles n must be an integer literal, got $other")
+    }
+    WordShingles(exprs(0), n)
+  }
+
+  private val wordShingles = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (exprs: Seq[Expression]) => shinglesBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -47,5 +62,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sketch", sketchBuilder, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
   }
 }

@@ -35,8 +35,18 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of `text`, distinct. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles of `text`, distinct — the native one-pass
+    * [[graft.functions.WordShingles]] expression (first-occurrence dedup,
+    * `<n`-token texts shingle to `[text]`). */
+  def shingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+
+  /** The composable-functions formulation of [[shingles]] — value-identical
+    * (property-tested in OpsSpec), kept as the executable spec of the native
+    * expression. NOT used in query paths: the lambda body's free-variable
+    * `split` is re-evaluated per shingle (O(L²) string work per doc,
+    * measured 10× slower than [[WordShingles]]'s single pass). */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) >= n,
@@ -52,8 +62,10 @@ object Dedup {
        | i -> array_to_string((str_split($col,' '))[i:i+${n - 1}], ' ')))""".stripMargin
 
   /** (id, shingle) exploded pairs. */
-  def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+  def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
+  }
 
   /** All pairs with shingle-Jaccard ≥ `minJaccard` — exact, via a
     * prefix-filtered set-similarity join (the AllPairs/PPJoin family:

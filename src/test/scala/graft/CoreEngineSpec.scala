@@ -17,6 +17,7 @@ object SparkTestSession {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.ensureRegistered(s)
     s
   }
   val sf = "/root/testdata/sf0.001"

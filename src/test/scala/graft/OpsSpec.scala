@@ -19,6 +19,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Seq("a b c", "b c d"))
   }
 
+  test("native word_shingles ≡ composable formulation (corpus + edges)") {
+    import spark.implicits._
+    // edge cases the corpus won't cover: empty tokens from doubled/leading/
+    // trailing spaces, texts shorter than n, exactly n, duplicate shingles
+    val edges = Seq("", " ", "a", "a b", "a b c", "a  b c ", " a b c",
+      "x y x y x y x y", "a b c a b c d").toDF("text")
+    for ((df, n) <- Seq((edges, 1), (edges, 2), (edges, 3),
+        (docs.select("text"), 3), (docs.select("text"), 5))) {
+      val diff = df.select(
+          Dedup.shingles(col("text"), n).as("fast"),
+          Dedup.shinglesComposable(col("text"), n).as("slow"))
+        .filter(not(col("fast") <=> col("slow")))
+      assert(diff.isEmpty, s"n=$n mismatch: ${diff.head(3).mkString("; ")}")
+    }
+  }
+
   test("jaccard pairs are symmetric-free (i<j), bounded in [0,1]") {
     val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.0)
       .limit(1000).collect()
