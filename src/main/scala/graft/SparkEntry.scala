@@ -28,10 +28,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++ MiscQueries.queries ++
-      TpchQueries.queries ++ SubqueryQueries.queries ++ PipelineQueries.queries
+      TpchQueries.queries ++ SubqueryQueries.queries ++ PipelineQueries.queries ++
+      SamplingQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventsQueries.oracleSql ++
       TextQueries.oracleSql ++ VectorQueries.oracleSql ++ MiscQueries.oracleSql ++
-      TpchQueries.oracleSql ++ SubqueryQueries.oracleSql ++ PipelineQueries.oracleSql
+      TpchQueries.oracleSql ++ SubqueryQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      SamplingQueries.oracleSql
 }

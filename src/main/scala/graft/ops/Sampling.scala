@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Deterministic sampling and dataset splitting for training-data pipelines.
+  *
+  * Everything keys off a portable hash of a stable row id — NOT `rand()` or
+  * `randomSplit` — so assignments are reproducible across runs, engines,
+  * cluster sizes and repartitionings: the properties a 100 TB corpus needs
+  * (resumable jobs re-derive identical splits; train/test membership can be
+  * audited years later from the id alone). Pure narrow projections/filters:
+  * no shuffle, no state, fused into the scan by whole-stage codegen.
+  *
+  * Reference scope: the reference engine exposes sampling only as client-side
+  * filtering (`where_terms` on precomputed columns); hash-split/stratified
+  * sampling are the LLM-data-pipeline extensions (SURVEY.md §2 extension
+  * rows), oracle-checked through the same [[PortableHash]] arithmetic.
+  */
+object Sampling {
+
+  /** Hash-bucket resolution: 1e6 buckets ≈ 4-decimal weight precision. */
+  val Buckets: Long = 1000000L
+
+  /** Uniform bucket in [0, Buckets) from a portable seeded hash of `key`
+    * (any type; hashed via its canonical string form). */
+  def hashBucket(key: Column, seed: Int): Column =
+    pmod(PortableHash.md5Long(key.cast("string"), seed), lit(Buckets))
+
+  /** DuckDB twin of [[hashBucket]] (oracle construction). */
+  def hashBucketSql(col: String, seed: Int): String =
+    s"(${PortableHash.md5LongSql(s"$col::VARCHAR", seed)}) % $Buckets"
+
+  /** Cumulative integer bucket thresholds for `weights` (normalized); the
+    * single source of truth for BOTH the Spark and SQL split builders, so a
+    * row can never land in different splits across engines. */
+  private def thresholds(weights: Seq[Double]): Seq[Long] = {
+    val total = weights.sum
+    require(total > 0, "split weights must sum to a positive value")
+    weights.scanLeft(0.0)(_ + _).tail.map(c => math.round(c / total * Buckets))
+  }
+
+  /** Deterministic split assignment: `names(i)` with probability
+    * `weights(i)` (normalized). Stable under reruns and data reshuffles —
+    * the id alone decides membership. */
+  def splitColumn(key: Column, names: Seq[String], weights: Seq[Double],
+      seed: Int = 42): Column = {
+    require(names.nonEmpty && names.length == weights.length,
+      s"names/weights must be same non-zero length, " +
+        s"got ${names.length}/${weights.length}")
+    val b = hashBucket(key, seed)
+    names.zip(thresholds(weights)).dropRight(1)
+      .foldRight(lit(names.last)) { case ((nm, th), acc) =>
+        when(b < th, nm).otherwise(acc)
+      }
+  }
+
+  /** DuckDB twin of [[splitColumn]]. */
+  def splitSql(col: String, names: Seq[String], weights: Seq[Double],
+      seed: Int = 42): String = {
+    val b = hashBucketSql(col, seed)
+    val arms = names.zip(thresholds(weights)).dropRight(1)
+      .map { case (nm, th) => s"WHEN $b < $th THEN '$nm'" }
+    s"CASE ${arms.mkString(" ")} ELSE '${names.last}' END"
+  }
+
+  /** Train/val/test convenience split. */
+  def trainValTest(key: Column, train: Double = 0.8, valW: Double = 0.1,
+      test: Double = 0.1, seed: Int = 42): Column =
+    splitColumn(key, Seq("train", "val", "test"), Seq(train, valW, test), seed)
+
+  /** Per-stratum deterministic sampling: keep a `fracs(stratum)` share of
+    * each stratum (strata absent from the map are dropped) — the downsample/
+    * rebalance primitive for mixing corpus sources at target rates. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      fracs: Map[String, Double], seed: Int = 7): DataFrame = {
+    val b = hashBucket(key, seed)
+    val cond = fracs.toSeq.sortBy(_._1)
+      .map { case (s, f) => stratum === s && b < math.round(f * Buckets) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(cond)
+  }
+
+  /** DuckDB twin of [[stratifiedSample]]'s predicate. */
+  def stratifiedSampleSql(keyCol: String, stratumCol: String,
+      fracs: Map[String, Double], seed: Int = 7): String = {
+    val b = hashBucketSql(keyCol, seed)
+    fracs.toSeq.sortBy(_._1)
+      .map { case (s, f) =>
+        s"($stratumCol = '$s' AND $b < ${math.round(f * Buckets)})" }
+      .mkString(" OR ")
+  }
+}

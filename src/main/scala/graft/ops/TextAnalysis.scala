@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
@@ -104,4 +104,30 @@ object TextAnalysis {
     s"""CASE WHEN len(str_split($col, ' ')) < 30 THEN 'short'
        | WHEN len(list_distinct(str_split($col, ' ')))::DOUBLE / len(str_split($col, ' ')) < 0.35 THEN 'repetitive'
        | ELSE 'ok' END""".stripMargin
+
+  /** Per-(doc, token) TF-IDF over whitespace tokens:
+    * `tf(doc, tok) * ln(n_docs / df(tok))` — the keyword-extraction /
+    * salience primitive (what distinguishes THIS document from the corpus).
+    *
+    * Scale shape: one explode feeding one (doc, tok) groupBy; document
+    * frequency is a second map-side-combined aggregate over the tf table
+    * (already one row per (doc, tok), so df costs a ~|vocab|-row shuffle);
+    * the corpus doc count joins in as a broadcast single row. No windows,
+    * no collects.
+    *
+    * Output columns: doc, tok, tf (long), df (long), tfidf (double). Ranking
+    * consumers should order by `round(tfidf, 6)` with a token tie-break: the
+    * raw double can differ by 1 ulp across engines (ln is not a correctly-
+    * rounded operation in every libm), and the rounded grid collapses that. */
+  def tfidf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(id).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("tok"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("tfidf"))
+  }
 }

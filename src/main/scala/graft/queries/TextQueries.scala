@@ -102,6 +102,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // end-to-end dedup: transitive clusters → keep each cluster's minimum
+    // id → surviving corpus stats. The full "what actually ships to
+    // training" pipeline, pinned per source
+    "q79_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.9)
+      val losers = Dedup.dupClusters(pairs)
+        .filter(col("node") =!= col("cluster"))
+        .select(col("node").as("loser"))
+      docs.join(losers, col("doc_id") === col("loser"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
+    // TF-IDF keyword extraction: each document's most distinctive token.
+    // Rank key is round(tfidf, 6) + token tie-break — see TextAnalysis.tfidf
+    // scaladoc for why the raw double must not be the sort key
+    "q80_tfidf_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val scored = TA.tfidf(docs, col("doc_id"), col("text"))
+        .select(col("doc"), col("tok"), round(col("tfidf"), 6).as("score"))
+      val w = Window.partitionBy("doc").orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("doc") < 20)
+        .select(col("doc").as("doc_id"), col("tok"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-style pre-tokenizer cost estimate vs whitespace count (q42's twin
     // with the tokenizer an LLM-data pipeline actually budgets with)
     "q75_token_bpe" -> ((s, d) => {
@@ -219,6 +251,37 @@ object TextQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS node, least(a, min(b)) AS cluster
          FROM reach GROUP BY a ORDER BY node""",
+
+    "q79_dedup_survivors" ->
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a)
+         SELECT source, count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster < node)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q80_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) tok
+           FROM documents),
+         tf AS (SELECT doc, tok, count(*) tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) n_docs FROM documents),
+         scored AS (SELECT doc, tok,
+           round(tf * ln(n_docs::DOUBLE / df), 6) score
+           FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+         rk AS (SELECT doc, tok, score,
+           row_number() OVER (PARTITION BY doc ORDER BY score DESC, tok) rn
+           FROM scored)
+         SELECT doc AS doc_id, tok, score FROM rk
+         WHERE rn = 1 AND doc < 20 ORDER BY doc_id""",
 
     "q75_token_bpe" ->
       s"""SELECT lang, count(*) AS n_docs,

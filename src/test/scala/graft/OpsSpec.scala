@@ -256,4 +256,48 @@ class OpsSpec extends AnyFunSuite {
     val resized = Multimodal.resize(media, targetBytes = 100).collect()
     assert(resized.length === 20 && resized.forall(_.payload.length === 100))
   }
+
+  test("hash split is total, deterministic, and near the target weights") {
+    val split = docs.select(col("doc_id"),
+      Sampling.trainValTest(col("doc_id")).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // total, no nulls
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // determinism: same assignment on a re-read and under repartition
+    val again = docs.repartition(7).select(col("doc_id"),
+      Sampling.trainValTest(col("doc_id")).as("s"))
+    assert(split.except(again).isEmpty && again.except(split).isEmpty)
+  }
+
+  test("stratified sample keeps only mapped strata at bounded rates") {
+    val fracs = Map("en" -> 0.5, "de" -> 0.2)
+    val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"), fracs)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(fracs.keySet)) // unmapped strata dropped
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a deterministic hash sample can deviate from the rate, but never by
+    // more than the binomial tail at fixture size
+    assert(byLang("en").toDouble / total("en") > 0.3 &&
+      byLang("en").toDouble / total("en") < 0.7)
+    // sampled rows are a subset of the originals
+    assert(kept.select("doc_id").except(docs.select("doc_id")).isEmpty)
+  }
+
+  test("tfidf ranks stratum-exclusive tokens above corpus-wide ones") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "common common rare0"),
+      (1L, "common common rare1"),
+      (2L, "common common rare2")).toDF("id", "text")
+    val scored = TextAnalysis.tfidf(tiny, col("id"), col("text"))
+    // 'common' appears in every doc => idf = ln(1) = 0
+    assert(scored.filter(col("tok") === "common" && col("tfidf") =!= 0.0).isEmpty)
+    val top = scored.filter(col("doc") === 0L)
+      .orderBy(col("tfidf").desc, col("tok")).head()
+    assert(top.getString(1) === "rare0")
+  }
 }
