@@ -1,15 +1,32 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Dedup, Similarity}
 
-/** Micro-benchmark: native codegen'd `cosine_sim` expression vs the
-  * composable `zip_with`+`aggregate` form, on the blocked all-pairs workload
-  * (the heaviest cosine consumer). Prints one JSON line. */
+/** Micro-benchmarks for the native Catalyst expressions vs their composable
+  * built-in-function twins: `cosine_sim` (vs `zip_with`+`aggregate`) on the
+  * blocked all-pairs workload, and `word_shingles` (vs the
+  * `transform`+`slice` lambda form, which re-splits the document once per
+  * shingle). Prints one JSON line per comparison. */
 object BenchMicro {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench-micro")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    docs.count()
+    def timeShingle(fast: Boolean): Double = {
+      val c = if (fast) Dedup.shingles(col("text"), 3)
+              else Dedup.shinglesComposable(col("text"), 3)
+      docs.select(explode(c)).count()
+      val t0 = System.nanoTime()
+      (1 to 3).foreach(_ => docs.select(explode(c)).count())
+      (System.nanoTime() - t0) / 3e9
+    }
+    graft.GraftExtensions.ensureRegistered(spark)
+    val shComposed = timeShingle(fast = false)
+    val shNative = timeShingle(fast = true)
+    println(s"""{"metric":"shingle_micro","composed_sec":$shComposed,"native_sec":$shNative,"speedup":${shComposed / shNative},"sf":"$sfDir"}""")
+    docs.unpersist()
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     embs.count()
     def time(native: Boolean): Double = {

@@ -222,7 +222,11 @@ object Dedup {
       sort_array(collect_list(col("xh"))).as("hs"),
       count(lit(1)).as("n")) ++
       (0 until k).map(j => min(PortableHash.derivedHash(col("h"), j)).as(s"s$j"))
-    val docsigs = sets.groupBy("doc").agg(aggs.head, aggs.tail: _*).cache()
+    // uncached on purpose: the one-row-per-doc aggregate is referenced four
+    // times, but ReusedExchange shares its shuffle and re-running the (now
+    // cheap) explode+agg beats paying cache materialization + storage churn
+    // (measured at sf0.1: cold 4.5 s vs 6.0 s cached, steady 0.9 s vs 1.3 s)
+    val docsigs = sets.groupBy("doc").agg(aggs.head, aggs.tail: _*)
     val cands = lshCandidates(docsigs, k, bands)
     verifyPairs(cands, docsigs.select("doc", "hs", "n"), minJaccard)
   }
