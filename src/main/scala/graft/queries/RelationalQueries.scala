@@ -55,6 +55,37 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "q81_join_left" -> ((s, d) => {
+      // per-order count of RETURNED items, zeros retained — the outer-join
+      // shape count(inner join) silently gets wrong. Fact side stays on the
+      // left; the filtered right side shrinks before the shuffle
+      val ret = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_quantity"))
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1996-02-01"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_returned"),
+          coalesce(sum("l_quantity"), lit(0.0)).as("qty_returned"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q82_join_full" -> ((s, d) => {
+      // daily order count vs daily ship count, FULL OUTER on the date:
+      // nulls possible on both sides (ship dates run past the last order
+      // date); coalesce of the two keys is the canonical full-outer idiom
+      val a = t(s, d, "orders").groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_ord"))
+      val b = t(s, d, "lineitem").groupBy(col("l_shipdate").as("day"))
+        .agg(count(lit(1)).as("n_ship"))
+      a.as("a").join(b.as("b"), col("a.day") === col("b.day"), "full_outer")
+        .select(coalesce(col("a.day"), col("b.day")).as("day"),
+          coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+          coalesce(col("n_ship"), lit(0L)).as("n_ship"))
+        .orderBy("day")
+    }),
+
     "q16_tpch_q3" -> ((s, d) => {
       // shipping-priority: revenue of unshipped BUILDING orders, top 10
       val cust = broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
@@ -244,6 +275,26 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
          GROUP BY 1 ORDER BY 1""",
+
+    "q81_join_left" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_returned,
+         coalesce(sum(l_quantity), 0.0) AS qty_returned
+         FROM orders
+         LEFT JOIN (SELECT l_orderkey, l_quantity FROM lineitem
+                    WHERE l_returnflag = 'R') r ON o_orderkey = r.l_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q82_join_full" ->
+      """WITH a AS (SELECT o_orderdate AS day, count(*) n_ord
+           FROM orders GROUP BY 1),
+         b AS (SELECT l_shipdate AS day, count(*) n_ship
+           FROM lineitem GROUP BY 1)
+         SELECT coalesce(a.day, b.day) AS day,
+           coalesce(n_ord, 0) AS n_ord, coalesce(n_ship, 0) AS n_ship
+         FROM a FULL OUTER JOIN b ON a.day = b.day
+         ORDER BY 1""",
 
     "q16_tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
