@@ -94,6 +94,18 @@ object Similarity {
   /** Deterministic hash-ordered centroid sample: one TakeOrdered pass, no
     * count()/stride scan. Driver-sized by design (nCentroids ~ √n is
     * thousands even at 100 TB). */
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of true top-k ids the ANN surfaced. BOTH inputs are expected
+    * in the `(id, cos)` shape every topK operator here returns. The tuning
+    * metric for bits/probes/centroids — an ANN path without a recall
+    * measurement can't be trusted after any parameter change. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val truth = exact.limit(k).select(col("id"))
+    val hit = approx.limit(k).select(col("id"))
+      .join(truth, "id", "left_semi").count()
+    hit.toDouble / math.min(k, truth.count()).toDouble
+  }
+
   private def sampleCentroids(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int): Array[(Long, Array[Float])] = {
     val cents = df.select(id.cast("long").as("cid"), vec.as("cvec"))
@@ -200,22 +212,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** Multiprobe sign-LSH top-k: probe the query's bucket plus the buckets
-    * reached by flipping the LOWEST-MARGIN sign bits first (|q_d| smallest —
-    * the dimensions where the hyperplane decision was nearly a coin flip,
-    * so the nearest neighbours most likely sit just across them). The
-    * classic recall-multiplier for bucketed ANN: nProbe trades scan width
-    * for recall without re-bucketing the table, and the probe set is
-    * computed on the driver, so the plan stays a single bucket-IN filter
-    * over the scan — partition-prunable when the table is written bucketed. */
+  /** Multiprobe sign-LSH top-k: probe the query's bucket plus neighbouring
+    * buckets in increasing perturbation cost — the cost of a bucket is the
+    * summed margin |q_d| of the sign bits flipped to reach it (a bit whose
+    * hyperplane decision was nearly a coin flip is cheap to flip; the
+    * nearest neighbours most likely sit just across those). This is the
+    * standard perturbation-set ordering (Lv et al., VLDB'07 multi-probe
+    * LSH), so `nProbe = 2^bits` degrades gracefully to an exhaustive scan
+    * (recall 1.0 — pinned in StreamingSpec). The classic recall-multiplier
+    * for bucketed ANN: nProbe trades scan width for recall without
+    * re-bucketing the table, and the probe set is computed on the driver,
+    * so the plan stays a single bucket-IN filter over the scan —
+    * partition-prunable when the table is written bucketed. */
   def lshTopKMultiprobe(df: DataFrame, id: Column, vec: Column,
       query: DataFrame, queryVec: Column, bits: Int, nProbe: Int,
       k: Int): DataFrame = {
+    require(bits <= 20, s"multiprobe enumerates 2^bits buckets on the " +
+      s"driver; bits=$bits > 20 — use more probes per bucket instead")
     val qv = singleQueryVec(query, queryVec)
     require(qv.length >= bits, s"query vector shorter than $bits dims")
     val qbucket = (0 until bits).map(i => if (qv(i) >= 0f) 1L << i else 0L).sum
-    val flips = (0 until bits).sortBy(i => math.abs(qv(i).toDouble))
-    val probes = (qbucket +: flips.map(i => qbucket ^ (1L << i)))
+    val margins = (0 until bits).map(i => math.abs(qv(i).toDouble))
+    val probes = (0L until (1L << bits))
+      .sortBy { mask =>
+        (0 until bits).collect { case i if (mask & (1L << i)) != 0 => margins(i) }.sum
+      }
+      .map(mask => qbucket ^ mask)
       .take(math.max(nProbe, 1))
     df.withColumn("__bucket", signBucket(vec, bits))
       .filter(col("__bucket").isin(probes: _*))

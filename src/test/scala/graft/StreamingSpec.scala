@@ -66,6 +66,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("deterministic sampling/splitting works unchanged on a stream") {
+    // hash split + stratified sample are stateless narrow ops, so the same
+    // Column works under readStream; membership must match batch exactly
+    import graft.ops.Sampling
+    val docDir = Files.createTempDirectory("graft-docs-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docDir.toString)
+    val sampled = Sampling.stratifiedSample(stream, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25))
+      .select(col("doc_id"), Sampling.trainValTest(col("doc_id")).as("split"))
+    val got = EventsStream.runToCompletion(sampled, "sampled_stream",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = Sampling.stratifiedSample(batchDocs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.25))
+      .select(col("doc_id"), Sampling.trainValTest(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("lsh recall@k is measurable and maxes out when probing every bucket") {
+    import graft.ops.Similarity
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = embs.limit(1).select(col("embedding"))
+    val exact = Similarity.bruteForceTopK(embs, col("vec_id"),
+      col("embedding"), query, col("embedding"), k = 10)
+    // probing all 2^bits buckets makes LSH exhaustive => recall 1.0
+    val all = Similarity.lshTopKMultiprobe(embs, col("vec_id"),
+      col("embedding"), query, col("embedding"), bits = 2, nProbe = 4, k = 10)
+    assert(Similarity.recallAtK(all, exact, 10) === 1.0)
+    val one = Similarity.lshTopK(embs, col("vec_id"), col("embedding"),
+      query, col("embedding"), bits = 2, k = 10)
+    val r1 = Similarity.recallAtK(one, exact, 10)
+    assert(r1 >= 0.0 && r1 <= 1.0)
+  }
+
   test("stateful sessionization matches the batch session count") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val got = EventsStream.runToCompletion(
