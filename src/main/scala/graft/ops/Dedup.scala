@@ -90,42 +90,52 @@ object Dedup {
     * unchanged whenever maxDf ≥ the corpus's true max prefix-shingle df
     * (property-tested in OpsSpec); below that it trades recall for a hard
     * bound on per-key join fan-out. */
-  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    // NO caching of the exploded set: with the native shingle expression the
-    // explode is cheaper to recompute than to materialize (measured at
-    // sf0.1: cold run 3.2 s uncached vs 11.1 s cached), Spark's
-    // ReusedExchange covers the shared shuffles, and zero storage footprint
-    // means an iterative caller can't accumulate blocks
+  /** Per-document shingle profile: `doc`, `hs` (sorted shingle-hash array —
+    * the exact-verify input), `n` (set size), `pre` (the rarest-first
+    * prefix of length |S| − ⌈t·|S|⌉ + 1, df-capped — the candidate-join
+    * input).
+    *
+    * NO caching of the exploded set: with the native shingle expression the
+    * explode is cheaper to recompute than to materialize (measured at
+    * sf0.1: cold run 3.2 s uncached vs 11.1 s cached), Spark's
+    * ReusedExchange covers the shared shuffles, and zero storage footprint
+    * means an iterative caller can't accumulate blocks.
+    *
+    * ONE groupBy(doc) replaces a window pass: the (df, h)-sorted struct
+    * array IS the rarest-first ranking (array_sort on structs is
+    * lexicographic), so the verify array, the set size, and the prefix all
+    * project straight out of it — one shuffle of the exploded set, no
+    * per-partition window sort. Document frequency comes from a partial-agg
+    * groupBy + join back: the map-side combine shuffles ~|vocab| partial
+    * rows instead of the full exploded set, and AQE turns the join-back
+    * into a broadcast when the df table is small. */
+  private def shingleProfile(df: DataFrame, id: Column, text: Column, n: Int,
+      t: Double, maxDf: Long): DataFrame = {
     val sets = shingleSets(df, id, text, n)
       .select(col("doc"), xxhash64(col("shingle")).as("h"))
-    // df via partial-agg groupBy + join back: the map-side combine shuffles
-    // ~|vocab| partial rows instead of the full exploded set, and AQE turns
-    // the join-back into a broadcast when the df table is small (falling
-    // back to a shuffle join at corpus scale)
     val dfreq = sets.groupBy("h").agg(count(lit(1)).as("df"))
-    // ONE groupBy(doc) replaces the former window pass: the (df, h)-sorted
-    // struct array IS the rarest-first ranking (array_sort on structs is
-    // lexicographic), so the per-doc verify array, the set size, and the
-    // prefix all project straight out of it — one shuffle of the exploded
-    // set, no per-partition window sort
     val profile = sets.join(dfreq, "h")
       .groupBy("doc")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("a"))
-    // α = ⌈t·|S|⌉ is the minimum overlap J ≥ t implies, so the first
-    // |S| − α + 1 rarest shingles must witness any qualifying pair; the
-    // 1e-9 guards FP ceil overshoot (a longer prefix is always safe, a
+    // α = ⌈t·|S|⌉ is the minimum overlap the threshold implies, so the
+    // first |S| − α + 1 rarest shingles must witness any qualifying pair;
+    // the 1e-9 guards FP ceil overshoot (a longer prefix is always safe, a
     // shorter one can miss pairs). maxDf prunes inside the prefix only —
     // identical selection to ranking-then-filtering
     val prefixLen = (size(col("a")) -
-      ceil(lit(minJaccard) * size(col("a")) - lit(1e-9)) + 1).cast("int")
-    val docsets = profile.select(col("doc"),
+      ceil(lit(t) * size(col("a")) - lit(1e-9)) + 1).cast("int")
+    profile.select(col("doc"),
       array_sort(transform(col("a"), x => x.getField("h"))).as("hs"),
       size(col("a")).as("n"),
       transform(
         filter(slice(col("a"), lit(1), prefixLen),
           x => x.getField("df") <= maxDf),
         x => x.getField("h")).as("pre"))
+  }
+
+  def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val docsets = shingleProfile(df, id, text, n, minJaccard, maxDf)
     val prefix = docsets.select(col("doc"), explode(col("pre")).as("h"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
@@ -133,6 +143,34 @@ object Dedup {
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
     verifyPairs(cands, docsets.select("doc", "hs", "n"), minJaccard)
+  }
+
+  /** All DIRECTED pairs with shingle-containment
+    * `|S_i ∩ S_j| / |S_i| ≥ minContainment` — quote/boilerplate detection:
+    * i is the contained side, so a short document pasted inside a long one
+    * scores ~1.0 here while its Jaccard is tiny. Exact, via the asymmetric
+    * prefix filter: if containment ≥ t then S_j must hit one of S_i's
+    * rarest |S_i| − ⌈t·|S_i|⌉ + 1 shingles (at most (1−t)·|S_i| of S_i can
+    * be missed), so only i-side PREFIXES join against j-side FULL sets —
+    * j-side keys only materialize where an i-prefix key exists, which also
+    * bounds the fan-out by the same `maxDf` cap. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      minContainment: Double, maxDf: Long = Long.MaxValue): DataFrame = {
+    val docsets = shingleProfile(df, id, text, n, minContainment, maxDf)
+    val aPre = docsets.select(col("doc"), explode(col("pre")).as("h"))
+    val bAll = docsets.select(col("doc"), explode(col("hs")).as("h"))
+    val cands = aPre.as("a")
+      .join(bAll.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    cands
+      .join(docsets.as("da"), col("i") === col("da.doc"))
+      .join(docsets.as("db"), col("j") === col("db.doc"))
+      .select(col("i"), col("j"),
+        (size(array_intersect(col("da.hs"), col("db.hs"))).cast("double") /
+          col("da.n")).as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 
   /** Exact Jaccard for candidate (i, j) pairs against a one-row-per-doc

@@ -119,6 +119,16 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // directed containment (|Si∩Sj|/|Si|): the quote/boilerplate detector —
+    // a short doc pasted inside a long one scores ~1 here, invisible to
+    // symmetric Jaccard
+    "q83_containment" -> ((s, d) => {
+      Dedup.containmentPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, minContainment = 0.9)
+        .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+        .orderBy(col("containment").desc, col("i"), col("j"))
+    }),
+
     // TF-IDF keyword extraction: each document's most distinctive token.
     // Rank key is round(tfidf, 6) + token tie-break — see TextAnalysis.tfidf
     // scaladoc for why the raw double must not be the sort key
@@ -267,6 +277,21 @@ object TextQueries {
          FROM documents
          WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster < node)
          GROUP BY 1 ORDER BY 1""",
+
+    "q83_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+         e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         sizes AS (SELECT doc_id AS doc, len(s) n FROM sh),
+         inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
+           JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
+         cont AS (
+           SELECT i, j, ninter * 1.0 / sa.n c FROM inter
+             JOIN sizes sa ON sa.doc = i
+           UNION ALL
+           SELECT j, i, ninter * 1.0 / sb.n c FROM inter
+             JOIN sizes sb ON sb.doc = j)
+         SELECT i, j, round(c, 6) AS containment FROM cont WHERE c >= 0.9
+         ORDER BY round(c, 6) DESC, i, j""",
 
     "q80_tfidf_top" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) tok

@@ -257,6 +257,21 @@ class OpsSpec extends AnyFunSuite {
     assert(resized.length === 20 && resized.forall(_.payload.length === 100))
   }
 
+  test("containment detects quote inclusion and is properly asymmetric") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (10 to 25).map(i => s"w$i").mkString(" ") // inside `long`
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("id", "text")
+    val got = Dedup.containmentPairs(df, col("id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the short doc is fully contained in the long one; the reverse
+    // direction (and the unrelated doc) must NOT qualify — and this pair is
+    // invisible to symmetric Jaccard at the same threshold
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    assert(Dedup.jaccardPairs(df, col("id"), col("text"), 3, 0.9).isEmpty)
+  }
+
   test("hash split is total, deterministic, and near the target weights") {
     val split = docs.select(col("doc_id"),
       Sampling.trainValTest(col("doc_id")).as("s"))
