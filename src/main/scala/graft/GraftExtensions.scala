@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSketch, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.minhashSketch)
     e.injectFunction(GraftExtensions.wordShingles)
+    e.injectFunction(GraftExtensions.minhashSignature)
   }
 }
 
@@ -55,6 +56,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (exprs: Seq[Expression]) => shinglesBuilder(exprs))
 
+  private def signatureBuilder(exprs: Seq[Expression]): Expression =
+    (exprs(1), exprs(2)) match {
+      case (Literal(n: Int, _), Literal(k: Int, _)) =>
+        MinHashSignature(exprs(0), n, k)
+      case other => throw new IllegalArgumentException(
+        s"minhash_signature n and k must be integer literals, got $other")
+    }
+
+  private val minhashSignature = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+    (exprs: Seq[Expression]) => signatureBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -63,5 +77,6 @@ object GraftExtensions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sketch", sketchBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature", signatureBuilder, "built-in")
   }
 }

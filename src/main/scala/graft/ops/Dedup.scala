@@ -215,6 +215,37 @@ object Dedup {
         element_at(col("sig"), j + 1).as(s"s$j")): _*)
   }
 
+  /** MinHash signature as a pure per-row projection — the
+    * [[graft.functions.MinHashSignature]] native expression. Bit-equal to
+    * [[minhashSignatures]]/[[minhashSignaturesSketch]] but with NO explode,
+    * NO shuffle, NO aggregation state: a map stage fused into the scan, the
+    * shape signature-only consumers (banding, fingerprint columns,
+    * streaming dedup) want at 100 TB. */
+  def minhashSignaturesRowwise(df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.select(id.as("doc"),
+        call_function("minhash_signature", text, lit(n), lit(k)).as("sig"))
+      .select(col("doc") +: (0 until k).map(j =>
+        element_at(col("sig"), j + 1).as(s"s$j")): _*)
+  }
+
+  /** Streaming-compatible fuzzy dedup: keep the first document seen per
+    * MinHash signature. Because the signature is a stateless projection
+    * ([[minhashSignaturesRowwise]]), this composes with
+    * `dropDuplicates`/`dropDuplicatesWithinWatermark` on an append-mode
+    * stream — an explode+groupBy signature could not run pre-dedup there.
+    * Exact-duplicate and heavily-overlapping texts (collision probability
+    * ≈ J^k for Jaccard J) collapse; k tunes the strictness. */
+  def nearDupFilterBySignature(df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.withColumn("__sig",
+        call_function("minhash_signature", text, lit(n), lit(k)).cast("string"))
+      .dropDuplicates("__sig")
+      .drop("__sig")
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -96,6 +96,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // same signature, zero-shuffle shape: the per-row native expression
+    // (no explode, no aggregation) — pinned by the IDENTICAL oracle as q66
+    "q84_minhash_rowwise" -> ((s, d) => {
+      Dedup.minhashSignaturesRowwise(t(s, d, "documents"), col("doc_id"),
+          col("text"), n = 3, k = 16)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q47_simhash" -> ((s, d) => {
       Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"), bits = 16)
         .select(col("doc").as("doc_id"), col("simhash"))
@@ -316,13 +325,20 @@ object TextQueries {
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_ws
          FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "q66_minhash_sketch" -> {
-      val mins = (0 until 16)
-        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
-      s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
-         e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
-         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e)
-         SELECT doc AS doc_id, $mins FROM hashed GROUP BY doc ORDER BY doc"""
-    }
+    "q66_minhash_sketch" -> minhashSigOracle,
+
+    "q84_minhash_rowwise" -> minhashSigOracle
   )
+
+  /** One oracle, three formulations: the conditional-min aggregation, the
+    * TypedImperativeAggregate sketch (q66), and the per-row native
+    * expression (q84) must all be bit-equal to this affine-min CTE. */
+  private lazy val minhashSigOracle: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+       e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+       hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e)
+       SELECT doc AS doc_id, $mins FROM hashed GROUP BY doc ORDER BY doc"""
+  }
 }

@@ -257,6 +257,26 @@ class OpsSpec extends AnyFunSuite {
     assert(resized.length === 20 && resized.forall(_.payload.length === 100))
   }
 
+  test("minhash signature: rowwise expression ≡ sketch agg ≡ conditional-min") {
+    val byAgg = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 8)
+      .orderBy("doc").collect().map(_.toSeq)
+    val bySketch = Dedup.minhashSignaturesSketch(docs, col("doc_id"), col("text"), 3, 8)
+      .orderBy("doc").collect().map(_.toSeq)
+    val byRow = Dedup.minhashSignaturesRowwise(docs, col("doc_id"), col("text"), 3, 8)
+      .orderBy("doc").collect().map(_.toSeq)
+    assert(byRow.nonEmpty && byRow.toSeq === byAgg.toSeq)
+    assert(byRow.toSeq === bySketch.toSeq)
+  }
+
+  test("signature near-dup filter keeps one doc per signature") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), // exact dup
+      (3L, "x y z w v u t")).toDF("id", "text")
+    val kept = Dedup.nearDupFilterBySignature(df, col("id"), col("text"), 3, 16)
+    assert(kept.count() === 2)
+    assert(kept.select("text").distinct().count() === 2)
+  }
+
   test("containment detects quote inclusion and is properly asymmetric") {
     import spark.implicits._
     val long = (1 to 60).map(i => s"w$i").mkString(" ")

@@ -89,6 +89,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === want)
   }
 
+  test("streaming signature near-dup filter matches the batch filter") {
+    import graft.ops.Dedup
+    val docDir = Files.createTempDirectory("graft-dedup-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docDir.toString)
+    // the signature is a stateless projection, so dropDuplicates composes
+    // on an append stream; batch twin must keep the same documents
+    val got = EventsStream.runToCompletion(
+        Dedup.nearDupFilterBySignature(stream, col("doc_id"), col("text"), 3, 16)
+          .select("doc_id"),
+        "neardup_stream", OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    val want = Dedup.nearDupFilterBySignature(batchDocs, col("doc_id"),
+        col("text"), 3, 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch dropDuplicates keeps an arbitrary row per signature; compare
+    // the per-signature counts instead of exact ids
+    assert(got.size === want.size && got.size < batchDocs.count())
+  }
+
   test("lsh recall@k is measurable and maxes out when probing every bucket") {
     import graft.ops.Similarity
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
