@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, SimHash64, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.minhashSketch)
     e.injectFunction(GraftExtensions.wordShingles)
     e.injectFunction(GraftExtensions.minhashSignature)
+    e.injectFunction(GraftExtensions.simhash64)
   }
 }
 
@@ -69,6 +70,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
     (exprs: Seq[Expression]) => signatureBuilder(exprs))
 
+  private def simhashBuilder(exprs: Seq[Expression]): Expression =
+    exprs(1) match {
+      case Literal(bits: Int, _) => SimHash64(exprs(0), bits)
+      case other => throw new IllegalArgumentException(
+        s"simhash64 bits must be an integer literal, got $other")
+    }
+
+  private val simhash64 = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => simhashBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -78,5 +91,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("minhash_sketch", sketchBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", signatureBuilder, "built-in")
+    reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "built-in")
   }
 }

@@ -384,6 +384,17 @@ object Dedup {
     labels
   }
 
+  /** SimHash as a pure per-row projection — the
+    * [[graft.functions.SimHash64]] native expression. Bit-equal to
+    * [[simhash]] (OpsSpec) with no token explode, no shuffle: the map-stage
+    * shape for fingerprint columns and streaming Hamming-bucket dedup. */
+  def simhashRowwise(df: DataFrame, id: Column, text: Column,
+      bits: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.select(id.as("doc"),
+      call_function("simhash64", text, lit(bits)).as("simhash"))
+  }
+
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in
     * one aggregation pass, then bits assembled. */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {

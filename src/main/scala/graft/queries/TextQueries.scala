@@ -111,6 +111,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // same fingerprint, zero-shuffle shape (per-row native expression) —
+    // pinned by the IDENTICAL oracle as q47
+    "q85_simhash_rowwise" -> ((s, d) => {
+      Dedup.simhashRowwise(t(s, d, "documents"), col("doc_id"), col("text"),
+          bits = 16)
+        .select(col("doc").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
     // end-to-end dedup: transitive clusters → keep each cluster's minimum
     // id → surviving corpus stats. The full "what actually ships to
     // training" pipeline, pinned per source
@@ -259,6 +268,8 @@ object TextQueries {
          WHERE p.jaccard >= 0.9 ORDER BY c.i, c.j""",
 
     "q47_simhash" -> simhashSql,
+
+    "q85_simhash_rowwise" -> simhashSql,
 
     "q74_dup_clusters" ->
       s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

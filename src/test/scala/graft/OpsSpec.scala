@@ -268,6 +268,14 @@ class OpsSpec extends AnyFunSuite {
     assert(byRow.toSeq === bySketch.toSeq)
   }
 
+  test("simhash: rowwise expression ≡ explode+groupBy aggregation") {
+    val byAgg = Dedup.simhash(docs, col("doc_id"), col("text"), 16)
+      .orderBy("doc").collect().map(_.toSeq)
+    val byRow = Dedup.simhashRowwise(docs, col("doc_id"), col("text"), 16)
+      .orderBy("doc").collect().map(_.toSeq)
+    assert(byRow.nonEmpty && byRow.toSeq === byAgg.toSeq)
+  }
+
   test("signature near-dup filter keeps one doc per signature") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), // exact dup
