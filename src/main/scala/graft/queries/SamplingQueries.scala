@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Sampling, TextAnalysis => TA}
+import graft.ops.{Chunking, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Deterministic sampling/splitting over the `documents` table — the
@@ -40,6 +40,38 @@ object SamplingQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"))
         .orderBy("lang")
+    }),
+
+    // overlapping token windows (width 64, stride 48): per window-index
+    // stats + content fingerprints pin both the windowing arithmetic and
+    // the chunk text byte-for-byte
+    "q86_chunk" -> ((s, d) => {
+      Chunking.chunk(t(s, d, "documents"), col("doc_id"), col("text"),
+          width = 64, stride = 48)
+        .groupBy("chunk_idx")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tok").cast("long").as("sum_tok"),
+          min("n_tok").cast("int").as("min_tok"),
+          max("n_tok").cast("int").as("max_tok"),
+          min(md5(col("chunk"))).as("min_h"),
+          max(md5(col("chunk"))).as("max_h"))
+        .orderBy("chunk_idx")
+    }),
+
+    // concat-and-cut packing into 512-token context bins, packed per
+    // source (parallel pack groups — no global sort at scale)
+    "q87_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
+        width = 64, stride = 48)
+        .join(broadcast(docs.select(col("doc_id").as("doc"), col("source"))),
+          "doc")
+      Chunking.pack(chunks, col("source"), ctx = 512)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("source")
     })
   )
 
@@ -56,6 +88,26 @@ object SamplingQueries {
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents
          WHERE ${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)}
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q86_chunk" ->
+      s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})
+         SELECT chunk_idx, count(*) AS n_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(min(n_tok) AS INT) AS min_tok,
+           CAST(max(n_tok) AS INT) AS max_tok,
+           min(md5(chunk)) AS min_h, max(md5(chunk)) AS max_h
+         FROM ch GROUP BY 1 ORDER BY 1""",
+
+    "q87_pack" ->
+      s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)}),
+         j AS (SELECT ch.*, source FROM ch JOIN documents ON doc = doc_id),
+         p AS (SELECT source, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT source, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -300,6 +300,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(df, col("id"), col("text"), 3, 0.9).isEmpty)
   }
 
+  test("chunking covers every token with the right overlap; packing fills bins") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = Chunking.chunk(df, col("id"), col("text"), width = 64,
+      stride = 48).orderBy("chunk_idx").collect()
+    // starts at 1, 49, 97 → lengths 64, 52, 4; overlap region re-covered
+    assert(chunks.map(_.getInt(3)).toSeq === Seq(64, 52, 4))
+    val texts = chunks.map(_.getString(2))
+    assert(texts(0).startsWith("t1 ") && texts(1).startsWith("t49 ") &&
+      texts(2) === "t97 t98 t99 t100")
+    // every token appears in at least one chunk
+    val covered = texts.flatMap(_.split(" ")).toSet
+    assert(covered === (1 to 100).map(i => s"t$i").toSet)
+    // packing: 3 chunks of 120 total tokens into ctx=64 bins, one group
+    val packed = Chunking.pack(
+        Chunking.chunk(df, col("id"), col("text"), 64, 48).withColumn("g", lit("a")),
+        col("g"), ctx = 64)
+      .orderBy("chunk_idx").collect().map(_.getAs[Long]("bin"))
+    assert(packed.toSeq === Seq(0L, 1L, 1L)) // cum-before: 0, 64, 116
+  }
+
   test("hash split is total, deterministic, and near the target weights") {
     val split = docs.select(col("doc_id"),
       Sampling.trainValTest(col("doc_id")).as("s"))
