@@ -11,6 +11,43 @@ object TpchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // TPC-H Q19 shape (adapted to the trimmed part schema): disjunctive
+    // OR-of-ANDs predicate spanning both join sides — the classic test that
+    // the optimizer still pushes the per-side residuals below the join and
+    // keeps the whole thing in one codegen span
+    "q88_tpch_q19" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = broadcast(t(s, d, "part"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#25" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q10: returned-item reporting — who returned the most revenue
+    // in one quarter (4-table star, top 20)
+    "q89_tpch_q10" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1996-04-01"))
+      val ret = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q1: the full pricing summary (8 aggregates incl. computed
     // disc_price/charge in exact cents math)
     "q58_tpch_q1" -> ((s, d) => {
@@ -109,6 +146,30 @@ object TpchQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q88_tpch_q19" ->
+      s"""SELECT ${revenueSql("l_extendedprice", "l_discount")} AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 40)
+            OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 50)""",
+
+    "q89_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         ${revenueSql("l_extendedprice", "l_discount")} AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "q58_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
