@@ -25,6 +25,20 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // cross-modal retrieval: vector search → join back to the documents
+    // table (vec_id aligns with doc_id) — the "semantic fetch" a RAG/
+    // curation pipeline runs; the 10-row hit list broadcasts
+    "q90_semantic_fetch" -> ((s, d) => {
+      val hits = Sim.bruteForceTopK(
+        emb(s, d).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
+        queryVec(s, d), col("embedding"), k = 10)
+      t(s, d, "documents")
+        .join(broadcast(hits), col("doc_id") === col("id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"))
+    }),
+
     // sign-LSH bucketed top-k — the scale path (bucket prunes candidates)
     "q49_ann_lsh" -> ((s, d) => {
       Sim.lshTopK(
@@ -93,6 +107,14 @@ object VectorQueries {
                  WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)
          SELECT vec_id, round(cos, 6) AS cos FROM top
          ORDER BY round(cos, 6) DESC, vec_id""",
+
+    "q90_semantic_fetch" ->
+      s"""WITH qv AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+         top AS (SELECT vec_id, $cosQ AS cos FROM embeddings, qv
+                 WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)
+         SELECT doc_id, lang, source, round(cos, 6) AS cos
+         FROM top JOIN documents ON doc_id = vec_id
+         ORDER BY round(cos, 6) DESC, doc_id""",
 
     "q49_ann_lsh" ->
       s"""WITH qv AS (SELECT embedding qe, $bucket4 qbucket
