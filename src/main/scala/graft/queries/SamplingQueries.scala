@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Chunking, Sampling, TextAnalysis => TA}
+import graft.functions.PortableHash
+import graft.ops.{Chunking, Curation, Dedup, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Deterministic sampling/splitting over the `documents` table — the
@@ -72,6 +73,20 @@ object SamplingQueries {
           countDistinct("bin").as("n_bins"),
           sum("n_tok").cast("long").as("sum_tok"))
         .orderBy("source")
+    }),
+
+    // the capstone: the ENTIRE curation pipeline (quality → language
+    // rebalance → exact dedup → fuzzy dedup → split → chunk → pack) pinned
+    // end-to-end by one oracle — every keep/drop/cut decision must agree
+    "q91_curation_pipeline" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("lang"), Curation.Config(langFracs = LangFracs))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
     })
   )
 
@@ -108,6 +123,37 @@ object SamplingQueries {
          SELECT source, count(*) AS n_chunks,
            count(DISTINCT (cum - n_tok) // 512) AS n_bins,
            CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q91_curation_pipeline" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH q AS (SELECT * FROM documents
+           WHERE ${TA.qualityClassSql("text")} = 'ok'
+             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+         e1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+         spl AS (SELECT *,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM e2),
+         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+         p AS (SELECT split, doc, n_tok,
+           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
          FROM p GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

@@ -352,6 +352,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").except(docs.select("doc_id")).isEmpty)
   }
 
+  test("curation pipeline: invariants hold end-to-end") {
+    val packed = Curation.curate(docs, col("doc_id"), col("text"),
+      col("lang"), Curation.Config(langFracs =
+        Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)))
+    assert(packed.count() > 0)
+    // splits are total over the configured names; bins start at 0 per split
+    val splits = packed.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val minBins = packed.groupBy("split").agg(min("bin").as("m"))
+      .collect().map(_.getLong(1))
+    assert(minBins.forall(_ === 0L))
+    // surviving docs have unique content fingerprints (exact dedup held)
+    val docsKept = packed.select("doc").distinct()
+      .join(docs, col("doc") === col("doc_id"))
+    val nDocs = docsKept.count()
+    assert(nDocs ===
+      docsKept.select(TextAnalysis.fingerprint(col("text"))).distinct().count())
+    // deterministic: a rerun reproduces the identical packing
+    val again = Curation.curate(docs, col("doc_id"), col("text"),
+      col("lang"), Curation.Config(langFracs =
+        Map("en" -> 1.0, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)))
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
   test("tfidf ranks stratum-exclusive tokens above corpus-wide ones") {
     import spark.implicits._
     val tiny = Seq(
