@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
 /** Deduplication operators for training-data pipelines, smallest-to-largest
-  * hammer: exact → fingerprint → SimHash → shingle-Jaccard → MinHash-LSH.
+  * hammer: exact → fingerprint → SimHash → signature filter →
+  * shingle-Jaccard → directed containment → MinHash-LSH → transitive
+  * clusters.
   *
   * Scale design (100 TB):
   *  - exact/fingerprint dedup is one hash-shuffle on a 16-byte key — the
