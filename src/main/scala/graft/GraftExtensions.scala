@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, SimHash64, WordChunks, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wordShingles)
     e.injectFunction(GraftExtensions.minhashSignature)
     e.injectFunction(GraftExtensions.simhash64)
+    e.injectFunction(GraftExtensions.wordChunks)
   }
 }
 
@@ -82,6 +83,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (exprs: Seq[Expression]) => simhashBuilder(exprs))
 
+  private def chunksBuilder(exprs: Seq[Expression]): Expression =
+    (exprs(1), exprs(2)) match {
+      case (Literal(w: Int, _), Literal(st: Int, _)) =>
+        WordChunks(exprs(0), w, st)
+      case other => throw new IllegalArgumentException(
+        s"word_chunks width and stride must be integer literals, got $other")
+    }
+
+  private val wordChunks = (
+    FunctionIdentifier("word_chunks"),
+    new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+    (exprs: Seq[Expression]) => chunksBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -92,5 +106,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", signatureBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("word_chunks", chunksBuilder, "built-in")
   }
 }

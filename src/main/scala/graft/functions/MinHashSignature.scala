@@ -53,27 +53,7 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
 
 object MinHashSignature {
 
-  // MessageDigest is not thread-safe and codegen calls this static helper
-  // from many task threads
-  private val digests: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-  private val Suffix = "#0".getBytes("UTF-8")
   private val P = PortableHash.MinhashP
-
-  /** Same value as `PortableHash.baseHash`: first 15 hex chars of
-    * md5(s + "#0") as int64, mod P (see [[MinHashSketch]]). */
-  private def baseHash(s: UTF8String): Long = {
-    val digest = digests.get()
-    digest.reset()
-    digest.update(s.getBytes)
-    digest.update(Suffix)
-    val d = digest.digest()
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
-    h % P
-  }
 
   // affine coefficients per k, computed once per JVM (not per row)
   private val coeffs =
@@ -93,7 +73,7 @@ object MinHashSignature {
     var i = 0
     val m = shingles.numElements()
     while (i < m) {
-      val h = baseHash(shingles.getUTF8String(i))
+      val h = PortableHash.Jvm.baseHash(shingles.getUTF8String(i))
       j = 0
       while (j < k) {
         val hj = (h * as(j) + bs(j)) % P

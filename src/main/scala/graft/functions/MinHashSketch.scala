@@ -36,30 +36,14 @@ case class MinHashSketch(
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
   private val P = PortableHash.MinhashP
   private val as = (0 until k).map(PortableHash.derivedA).toArray
   private val bs = (0 until k).map(PortableHash.derivedB).toArray
 
-  /** Same value as PortableHash.baseHash: first 15 hex chars of
-    * md5(s + "#0") as int64, mod P. */
-  private def baseHash(s: UTF8String): Long = {
-    digest.reset()
-    digest.update(s.getBytes)
-    digest.update("#0".getBytes("UTF-8"))
-    val d = digest.digest()
-    // 15 hex chars = 60 bits = first 7.5 bytes, big-endian as in the hex string
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
-    h % P
-  }
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = baseHash(v.asInstanceOf[UTF8String])
+      val h = PortableHash.Jvm.baseHash(v.asInstanceOf[UTF8String])
       var j = 0
       while (j < k) {
         val hj = (h * as(j) + bs(j)) % P

@@ -60,4 +60,34 @@ object PortableHash {
 
   def derivedHashSql(h: String, j: Int): String =
     s"(($h) * ${derivedA(j)} + ${derivedB(j)}) % $MinhashP"
+
+  /** JVM-side twins of the Column forms above, for native expressions'
+    * eval/codegen paths. ONE copy of the md5-prefix machinery: the
+    * cross-engine bit-equality of every sketch rests on these exact bytes,
+    * so the sketch expressions ([[MinHashSketch]], [[MinHashSignature]],
+    * [[SimHash64]]) must all call here rather than keep private copies. */
+  object Jvm {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val digests: ThreadLocal[java.security.MessageDigest] =
+      ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+    private val Suffix = "#0".getBytes("UTF-8")
+
+    /** Same value as `md5Long(c, 0)`: first 15 hex chars of md5(s + "#0")
+      * as int64 (7 bytes + high nibble, big-endian like the hex string). */
+    def md5Long60(s: UTF8String): Long = {
+      val digest = digests.get()
+      digest.reset()
+      digest.update(s.getBytes)
+      digest.update(Suffix)
+      val d = digest.digest()
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      (h << 4) | ((d(7) & 0xf0L) >> 4)
+    }
+
+    /** Same value as [[PortableHash.baseHash]]. */
+    def baseHash(s: UTF8String): Long = md5Long60(s) % MinhashP
+  }
 }

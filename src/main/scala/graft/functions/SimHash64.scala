@@ -45,31 +45,14 @@ case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
 
 object SimHash64 {
 
-  private val digests: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-  private val Suffix = "#0".getBytes("UTF-8")
-
-  /** Same value as `PortableHash.md5Long(c, 0)`: first 15 hex chars of
-    * md5(s + "#0") as int64 (no modulus — SimHash uses the raw 60 bits). */
-  private def md5Long60(s: UTF8String): Long = {
-    val digest = digests.get()
-    digest.reset()
-    digest.update(s.getBytes)
-    digest.update(Suffix)
-    val d = digest.digest()
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
   def simhash(text: UTF8String, bits: Int): Long = {
     val toks = WordShingles.shingle(text, 1) // distinct tokens, set semantics
     val votes = new Array[Int](bits)
     var i = 0
     val m = toks.numElements()
     while (i < m) {
-      val h = md5Long60(toks.getUTF8String(i))
+      // raw 60-bit hash, no modulus — same value as PortableHash.md5Long(c, 0)
+      val h = PortableHash.Jvm.md5Long60(toks.getUTF8String(i))
       var b = 0
       while (b < bits) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

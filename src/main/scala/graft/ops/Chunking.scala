@@ -21,8 +21,27 @@ object Chunking {
     * text and its token count. Window k (0-based) starts at token
     * 1 + k·stride; the final windows may be shorter than `width` (they are
     * kept — training pipelines pad or pack them, they don't drop tail
-    * tokens). */
+    * tokens). Null text chunks to nothing (posexplode of null).
+    *
+    * Runs through the native [[graft.functions.WordChunks]] expression: one
+    * split per row. The composable form below re-splits per window — for a
+    * long document (the case chunking exists for) that is O(L²/stride). */
   def chunk(df: DataFrame, id: Column, text: Column, width: Int,
+      stride: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.select(id.as("doc"),
+        posexplode(call_function("word_chunks", text, lit(width), lit(stride)))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc"), col("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n_tok").as("n_tok"))
+  }
+
+  /** The composable-functions formulation of [[chunk]] — value-identical on
+    * non-null text (property-tested in OpsSpec), kept as the executable
+    * spec of the native expression. NOT used in pipelines: the lambda
+    * body's free-variable `split` re-evaluates per window, and a null text
+    * emits a phantom `width`-token chunk (least/greatest skip nulls). */
+  def chunkComposable(df: DataFrame, id: Column, text: Column, width: Int,
       stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1 && stride <= width,
       s"need 1 <= stride <= width, got width=$width stride=$stride")

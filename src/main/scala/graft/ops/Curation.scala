@@ -49,12 +49,16 @@ object Curation {
       call_function("minhash_signature", text,
         lit(cfg.shingleN), lit(cfg.sigK)),
       id)
-    val split = fuzzy.withColumn("split",
-      Sampling.splitColumn(id, cfg.splitNames, cfg.splitWeights,
-        cfg.splitSeed))
-    val chunks = Chunking.chunk(split, id, text, cfg.chunkWidth,
+    // split is a pure hash of the id, so it is RE-DERIVED on the chunk
+    // output (whose `doc` IS the id) instead of joined back — a join here
+    // would re-evaluate the whole quality→sample→dedup lineage a second
+    // time (none of it is cached, by design) and add a shuffle for a value
+    // the hash recomputes in-place, byte-identically
+    val chunks = Chunking.chunk(fuzzy, id, text, cfg.chunkWidth,
         cfg.chunkStride)
-      .join(split.select(id.as("doc"), col("split")), "doc")
+      .withColumn("split",
+        Sampling.splitColumn(col("doc"), cfg.splitNames, cfg.splitWeights,
+          cfg.splitSeed))
     Chunking.pack(chunks, col("split"), cfg.ctx)
   }
 }

@@ -39,9 +39,13 @@ object Dedup {
 
   /** Word n-gram shingles of `text`, distinct — the native one-pass
     * [[graft.functions.WordShingles]] expression (first-occurrence dedup,
-    * `<n`-token texts shingle to `[text]`). */
+    * `<n`-token texts shingle to `[text]`). Built directly from the
+    * expression, NOT via the function registry, so it resolves on ANY
+    * session — a bare Column carries no session to register against. */
   def shingles(text: Column, n: Int): Column =
-    call_function("word_shingles", text, lit(n))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   /** The composable-functions formulation of [[shingles]] — value-identical
     * (property-tested in OpsSpec), kept as the executable spec of the native
@@ -69,29 +73,6 @@ object Dedup {
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
   }
 
-  /** All pairs with shingle-Jaccard ≥ `minJaccard` — exact, via a
-    * prefix-filtered set-similarity join (the AllPairs/PPJoin family:
-    * Bayardo et al. WWW'07, Xiao et al. WWW'08).
-    *
-    * Under one global rarest-first shingle ordering, two sets with
-    * J ≥ t MUST share a shingle among their first |S| − ⌈t·|S|⌉ + 1
-    * shingles (prefix-filtering lemma), so only those prefixes enter the
-    * candidate join. At t=0.8 that is ~1/5 of each set, shrinking the
-    * quadratic term ~25×; hot stop-shingles sort to the END of the rarest-
-    * first order and stay out of the join entirely unless a document is
-    * made of nothing else. Verification then computes exact Jaccard from
-    * one sorted hash array per document (`array_intersect`), so candidates
-    * cost one tiny join each instead of re-shuffling the exploded shingle
-    * table. Join/array keys are `xxhash64(shingle)` — an 8-byte key; a
-    * 2^-64 collision could merge two shingles, noise at any corpus size.
-    *
-    * `maxDf` (default: no cap) additionally drops shingles with document
-    * frequency > maxDf from candidate generation — the skew valve for
-    * adversarial corpora (a boilerplate line shared by millions of docs
-    * would otherwise be a quadratic join key at 100 TB). Output is
-    * unchanged whenever maxDf ≥ the corpus's true max prefix-shingle df
-    * (property-tested in OpsSpec); below that it trades recall for a hard
-    * bound on per-key join fan-out. */
   /** Per-document shingle profile: `doc`, `hs` (sorted shingle-hash array —
     * the exact-verify input), `n` (set size), `pre` (the rarest-first
     * prefix of length |S| − ⌈t·|S|⌉ + 1, df-capped — the candidate-join
@@ -135,6 +116,29 @@ object Dedup {
         x => x.getField("h")).as("pre"))
   }
 
+  /** All pairs with shingle-Jaccard ≥ `minJaccard` — exact, via a
+    * prefix-filtered set-similarity join (the AllPairs/PPJoin family:
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    *
+    * Under one global rarest-first shingle ordering, two sets with
+    * J ≥ t MUST share a shingle among their first |S| − ⌈t·|S|⌉ + 1
+    * shingles (prefix-filtering lemma), so only those prefixes enter the
+    * candidate join. At t=0.8 that is ~1/5 of each set, shrinking the
+    * quadratic term ~25×; hot stop-shingles sort to the END of the rarest-
+    * first order and stay out of the join entirely unless a document is
+    * made of nothing else. Verification then computes exact Jaccard from
+    * one sorted hash array per document (`array_intersect`), so candidates
+    * cost one tiny join each instead of re-shuffling the exploded shingle
+    * table. Join/array keys are `xxhash64(shingle)` — an 8-byte key; a
+    * 2^-64 collision could merge two shingles, noise at any corpus size.
+    *
+    * `maxDf` (default: no cap) additionally drops shingles with document
+    * frequency > maxDf from candidate generation — the skew valve for
+    * adversarial corpora (a boilerplate line shared by millions of docs
+    * would otherwise be a quadratic join key at 100 TB). Output is
+    * unchanged whenever maxDf ≥ the corpus's true max prefix-shingle df
+    * (property-tested in OpsSpec); below that it trades recall for a hard
+    * bound on per-key join fan-out. */
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val docsets = shingleProfile(df, id, text, n, minJaccard, maxDf)
@@ -226,26 +230,39 @@ object Dedup {
   def minhashSignaturesRowwise(df: DataFrame, id: Column, text: Column,
       n: Int, k: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    df.select(id.as("doc"),
+    // the aggregation forms DROP null-text docs (explode of null emits no
+    // row); filter here so all three formulations stay bit-equal
+    df.where(text.isNotNull)
+      .select(id.as("doc"),
         call_function("minhash_signature", text, lit(n), lit(k)).as("sig"))
       .select(col("doc") +: (0 until k).map(j =>
         element_at(col("sig"), j + 1).as(s"s$j")): _*)
   }
 
-  /** Streaming-compatible fuzzy dedup: keep the first document seen per
-    * MinHash signature. Because the signature is a stateless projection
-    * ([[minhashSignaturesRowwise]]), this composes with
-    * `dropDuplicates`/`dropDuplicatesWithinWatermark` on an append-mode
-    * stream — an explode+groupBy signature could not run pre-dedup there.
-    * Exact-duplicate and heavily-overlapping texts (collision probability
-    * ≈ J^k for Jaccard J) collapse; k tunes the strictness. */
+  /** Fuzzy dedup on the full MinHash signature: keep ONE document per
+    * signature. Because the signature is a stateless projection
+    * ([[minhashSignaturesRowwise]]), this composes with stateful dedup on
+    * an append-mode stream — an explode+groupBy signature could not run
+    * pre-dedup there. Exact-duplicate and heavily-overlapping texts
+    * (collision probability ≈ J^k for Jaccard J) collapse; k tunes the
+    * strictness.
+    *
+    * Keep policy: batch keeps the MINIMUM `id` per signature (rerun-
+    * deterministic, matching the library's dedup discipline); a streaming
+    * input keeps the first arrival (the only option without a shuffle-able
+    * history, and deterministic in arrival order). Null-text rows are
+    * never collapsed with each other — each gets a per-id key. */
   def nearDupFilterBySignature(df: DataFrame, id: Column, text: Column,
       n: Int, k: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    df.withColumn("__sig",
-        call_function("minhash_signature", text, lit(n), lit(k)).cast("string"))
-      .dropDuplicates("__sig")
-      .drop("__sig")
+    val keyed = df.withColumn("__sig",
+      coalesce(
+        call_function("minhash_signature", text, lit(n), lit(k)).cast("string"),
+        concat(lit("null-text:"), id.cast("string"))))
+    val kept =
+      if (df.isStreaming) keyed.dropDuplicates("__sig")
+      else dedupExact(keyed, col("__sig"), id)
+    kept.drop("__sig")
   }
 
   /** LSH banding: (doc, band, key) where key concatenates the band's
@@ -393,8 +410,11 @@ object Dedup {
   def simhashRowwise(df: DataFrame, id: Column, text: Column,
       bits: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(df.sparkSession)
-    df.select(id.as("doc"),
-      call_function("simhash64", text, lit(bits)).as("simhash"))
+    // null-text filter: bit-equality with the aggregation form (see
+    // minhashSignaturesRowwise)
+    df.where(text.isNotNull)
+      .select(id.as("doc"),
+        call_function("simhash64", text, lit(bits)).as("simhash"))
   }
 
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in

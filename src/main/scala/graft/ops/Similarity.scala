@@ -91,21 +91,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of true top-k ids the ANN surfaced. BOTH inputs are expected
+    * in the `(id, cos)` shape every topK operator here returns — at most k
+    * rows each, so the id sets are collected and compared on the driver
+    * (one action per input, no join, no double evaluation of the exact
+    * plan). An empty truth set means recall is vacuously 1.0 (never NaN).
+    * The tuning metric for bits/probes/centroids — an ANN path without a
+    * recall measurement can't be trusted after any parameter change. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val truth = exact.limit(k).select(col("id")).collect().map(_.get(0)).toSet
+    if (truth.isEmpty) return 1.0
+    val hits = approx.limit(k).select(col("id")).collect().map(_.get(0)).toSet
+    truth.intersect(hits).size.toDouble / truth.size
+  }
+
   /** Deterministic hash-ordered centroid sample: one TakeOrdered pass, no
     * count()/stride scan. Driver-sized by design (nCentroids ~ √n is
     * thousands even at 100 TB). */
-  /** Recall@k of an approximate top-k result against the exact one: the
-    * fraction of true top-k ids the ANN surfaced. BOTH inputs are expected
-    * in the `(id, cos)` shape every topK operator here returns. The tuning
-    * metric for bits/probes/centroids — an ANN path without a recall
-    * measurement can't be trusted after any parameter change. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
-    val truth = exact.limit(k).select(col("id"))
-    val hit = approx.limit(k).select(col("id"))
-      .join(truth, "id", "left_semi").count()
-    hit.toDouble / math.min(k, truth.count()).toDouble
-  }
-
   private def sampleCentroids(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int): Array[(Long, Array[Float])] = {
     val cents = df.select(id.cast("long").as("cid"), vec.as("cvec"))
@@ -232,13 +235,22 @@ object Similarity {
     val qv = singleQueryVec(query, queryVec)
     require(qv.length >= bits, s"query vector shorter than $bits dims")
     val qbucket = (0 until bits).map(i => if (qv(i) >= 0f) 1L << i else 0L).sum
-    val margins = (0 until bits).map(i => math.abs(qv(i).toDouble))
-    val probes = (0L until (1L << bits))
-      .sortBy { mask =>
-        (0 until bits).collect { case i if (mask & (1L << i)) != 0 => margins(i) }.sum
-      }
-      .map(mask => qbucket ^ mask)
-      .take(math.max(nProbe, 1))
+    val margins = (0 until bits).map(i => math.abs(qv(i).toDouble)).toArray
+    // cost per mask computed ONCE into a primitive-backed array before the
+    // sort — sortBy's ordering key would otherwise re-run an allocating
+    // fold per comparison (~40M times at bits=20)
+    val costed = new Array[(Double, Long)](1 << bits)
+    var mask = 0L
+    while (mask < costed.length) {
+      var c = 0.0
+      var i = 0
+      while (i < bits) { if ((mask & (1L << i)) != 0) c += margins(i); i += 1 }
+      costed(mask.toInt) = (c, mask)
+      mask += 1
+    }
+    val probes = costed.sortBy(_._1).iterator
+      .map { case (_, m) => qbucket ^ m }
+      .take(math.max(nProbe, 1)).toSeq
     df.withColumn("__bucket", signBucket(vec, bits))
       .filter(col("__bucket").isin(probes: _*))
       .select(id.as("id"), cosineNative(df, vec, typedlit(qv)).as("cos"))

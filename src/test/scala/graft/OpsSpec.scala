@@ -300,6 +300,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(df, col("id"), col("text"), 3, 0.9).isEmpty)
   }
 
+  test("native word_chunks ≡ composable chunking; null text chunks to nothing") {
+    import spark.implicits._
+    val edges = Seq("", " ", "a", "a b", (1 to 63).map(i => s"w$i").mkString(" "),
+      (1 to 64).map(i => s"w$i").mkString(" "),
+      (1 to 65).map(i => s"w$i").mkString(" "),
+      (1 to 200).map(i => s"w$i").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (df <- Seq(edges, docs.select(col("doc_id").as("id"), col("text")))) {
+      val fast = Chunking.chunk(df, col("id"), col("text"), 64, 48)
+      val slow = Chunking.chunkComposable(df, col("id"), col("text"), 64, 48)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    }
+    // null text: the native path emits NO chunk (the composable form's
+    // phantom width-token chunk was a bug — least/greatest skip nulls)
+    val withNull = Seq((1L, Option("a b c")), (2L, None))
+      .toDF("id", "text")
+    assert(Chunking.chunk(withNull, col("id"), col("text"), 64, 48)
+      .filter(col("doc") === 2L).isEmpty)
+  }
+
   test("chunking covers every token with the right overlap; packing fills bins") {
     import spark.implicits._
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
