@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Chunking, Curation, Dedup, Sampling, TextAnalysis => TA}
+import graft.ops.{Chunking, Curation, Dedup, Layout, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Deterministic sampling/splitting over the `documents` table — the
@@ -75,6 +75,23 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // Morton interleave arithmetic (the multi-dim data-skipping sort key):
+    // per z-prefix bucket, the (custkey, day) rectangle must be compact —
+    // pins every bit of the spread/interleave ladder
+    "q92_zorder" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(pmod(col("o_custkey"), lit(65536L)).as("a"),
+          pmod(datediff(col("o_orderdate"), to_date(lit("1995-01-01"))),
+            lit(65536)).cast("long").as("b"))
+      o.select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+        .groupBy(shiftright(col("z"), 20).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("a").as("min_a"), max("a").as("max_a"),
+          min("b").as("min_b"), max("b").as("max_b"),
+          sum("z").cast("long").as("sum_z"))
+        .orderBy("zbucket")
+    }),
+
     // the capstone: the ENTIRE curation pipeline (quality → language
     // rebalance → exact dedup → fuzzy dedup → split → chunk → pack) pinned
     // end-to-end by one oracle — every keep/drop/cut decision must agree
@@ -124,6 +141,19 @@ object SamplingQueries {
            count(DISTINCT (cum - n_tok) // 512) AS n_bins,
            CAST(sum(n_tok) AS BIGINT) AS sum_tok
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q92_zorder" -> {
+      val z = Layout.zValueSql("a", "b")
+      s"""WITH dims AS (SELECT o_custkey % 65536 AS a,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) % 65536 AS b
+           FROM orders),
+         zs AS (SELECT a, b, $z AS z FROM dims)
+         SELECT (z >> 20) AS zbucket, count(*) AS n,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b,
+           CAST(sum(z) AS BIGINT) AS sum_z
+         FROM zs GROUP BY 1 ORDER BY 1"""
+    },
 
     "q91_curation_pipeline" -> {
       val mins = (0 until 16)

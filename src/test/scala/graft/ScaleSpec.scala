@@ -86,6 +86,38 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout keeps BOTH dimensions compact per file; plain sort does not") {
+    import graft.ops.Layout
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(pmod(col("o_custkey"), lit(65536L)).as("a"),
+        pmod(datediff(col("o_orderdate"), to_date(lit("1995-01-01"))),
+          lit(65536)).cast("long").as("b"))
+    def spans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .collect()
+      (byFile.map(_.getLong(1)).sum.toDouble / byFile.length,
+        byFile.map(_.getLong(2)).sum.toDouble / byFile.length)
+    }
+    // 32 files = 5 z-prefix bits → ~2-3 bits of clustering per dimension;
+    // at 8 files the floor is only global/2 per dim, too coarse to assert on
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.writeZOrdered(o, s"$dir/z", col("a"), col("b"), files = 32)
+    o.repartitionByRange(32, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$dir/plain")
+    val (za, zb) = spans(s"$dir/z")
+    val (pa, pb) = spans(s"$dir/plain")
+    // plain sort: a compact but b spans ~everything per file. z-order: both
+    // dimensions bounded — the b-span must shrink by a wide margin while a
+    // stays far below its global range
+    assert(pa <= za, "plain sort should be at least as compact on its own key")
+    assert(zb < pb / 2.0,
+      s"z-order should bound the second dimension: z=$zb plain=$pb")
+    val globalA = o.agg(max("a") - min("a")).head.getLong(0).toDouble
+    assert(za < globalA / 2.0, s"zorder a-span $za vs global $globalA")
+  }
+
   test("as-of join matches brute-force temporal lookup") {
     import graft.ops.AsOf
     val ev = graft.queries.QueryUtil.events(spark, sf)
