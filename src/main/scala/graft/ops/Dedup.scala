@@ -417,6 +417,42 @@ object Dedup {
         call_function("simhash64", text, lit(bits)).as("simhash"))
   }
 
+  /** All pairs within Hamming distance `maxHamming` of each other's
+    * SimHash — the SimHash dedup CLOSER (the fingerprint alone finds
+    * nothing; this pairs them). Pigeonhole blocking: split the `bits`-wide
+    * hash into `maxHamming + 1` bands — two hashes differing in ≤
+    * maxHamming bits MUST agree on at least one whole band, so only
+    * band-bucket neighbours are candidates (never all-pairs), then the
+    * exact `bit_count(xor)` verifies. The standard near-dup blocking for
+    * web-scale SimHash (Manku et al., WWW'07). Output: (i, j, hamming),
+    * i < j. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"need 0 <= maxHamming < bits, got $maxHamming/$bits")
+    val nBands = maxHamming + 1
+    val sigs = simhashRowwise(df, id, text, bits)
+    val bandCols = (0 until nBands).map { j =>
+      val lo = j * bits / nBands
+      val hi = (j + 1) * bits / nBands // last band absorbs the remainder
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), lo)
+          .bitwiseAND(lit((1L << (hi - lo)) - 1L)).as("bval"))
+    }
+    val banded = sigs.select(col("doc"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash (`bits`-wide) over distinct tokens: per-bit ±1 votes summed in
     * one aggregation pass, then bits assembled. */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {

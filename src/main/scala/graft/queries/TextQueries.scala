@@ -111,6 +111,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash dedup closed end-to-end: pigeonhole band blocking + exact
+    // Hamming verify, vs the oracle's brute-force O(n²) xor scan. The
+    // shared-vocabulary corpus makes LOTS of docs genuinely simhash-close,
+    // so the pin is the per-distance pair census plus min/max witness ids —
+    // any missed or phantom candidate shifts a count
+    "q93_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          bits = 16, maxHamming = 3)
+        .groupBy(col("hamming").cast("int").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("i").as("min_i"), max("j").as("max_j"))
+        .orderBy("hamming")
+    }),
+
     // same fingerprint, zero-shuffle shape (per-row native expression) —
     // pinned by the IDENTICAL oracle as q47
     "q85_simhash_rowwise" -> ((s, d) => {
@@ -270,6 +284,15 @@ object TextQueries {
     "q47_simhash" -> simhashSql,
 
     "q85_simhash_rowwise" -> simhashSql,
+
+    "q93_simhash_pairs" ->
+      s"""WITH s AS ($simhashSql),
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         SELECT hamming, count(*) AS n_pairs, min(i) AS min_i, max(j) AS max_j
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     "q74_dup_clusters" ->
       s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

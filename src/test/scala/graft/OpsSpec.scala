@@ -268,6 +268,19 @@ class OpsSpec extends AnyFunSuite {
     assert(byRow.toSeq === bySketch.toSeq)
   }
 
+  test("simhash band blocking finds exactly the brute-force Hamming pairs") {
+    val sample = docs.filter(col("doc_id") < 100)
+    val got = Dedup.simhashPairs(sample, col("doc_id"), col("text"), 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhashRowwise(sample, col("doc_id"), col("text"), 16)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute && brute.nonEmpty) // pigeonhole blocking is lossless
+  }
+
   test("simhash: rowwise expression ≡ explode+groupBy aggregation") {
     val byAgg = Dedup.simhash(docs, col("doc_id"), col("text"), 16)
       .orderBy("doc").collect().map(_.toSeq)
