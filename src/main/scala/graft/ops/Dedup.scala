@@ -432,24 +432,32 @@ object Dedup {
       s"need 0 <= maxHamming < bits, got $maxHamming/$bits")
     val nBands = maxHamming + 1
     val sigs = simhashRowwise(df, id, text, bits)
-    val bandCols = (0 until nBands).map { j =>
+    def bandOf(sim: Column, j: Int): Column = {
       val lo = j * bits / nBands
       val hi = (j + 1) * bits / nBands // last band absorbs the remainder
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), lo)
-          .bitwiseAND(lit((1L << (hi - lo)) - 1L)).as("bval"))
+      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1L))
     }
+    val bandCols = (0 until nBands).map(j =>
+      struct(lit(j).as("band"), bandOf(col("simhash"), j).as("bval")))
     val banded = sigs.select(col("doc"), col("simhash"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("simhash"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
+    // a pair agreeing on several bands would surface once per band; instead
+    // of a distinct() (a full shuffle of the duplicated candidate set),
+    // keep a pair only in its FIRST agreeing band — checkable as a plain
+    // filter because both full hashes ride along with the join
+    val firstBandOnly = (1 until nBands).map(j =>
+      col("a.band") < j ||
+        bandOf(col("a.simhash"), j - 1) =!= bandOf(col("b.simhash"), j - 1))
+      .reduceOption(_ && _).getOrElse(lit(true))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc") < col("b.doc"))
+      .filter(firstBandOnly)
       .select(col("a.doc").as("i"), col("b.doc").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
