@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties the engine claims
+  * (broadcast stars, pushed filters, heap-based top-k, zero-shuffle
+  * row-wise sketches) asserted against the OPTIMIZED physical plan, so a
+  * refactor that silently degrades a plan fails a test instead of a bench.
+  * Data correctness is the oracle gate's job; this spec is about HOW the
+  * queries run. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star joins broadcast their dimension sides (q13, q88)") {
+    val p13 = plan("q13_join_broadcast")
+    assert(p13.contains("BroadcastHashJoin"))
+    assert(!p13.contains("SortMergeJoin"), s"dims must broadcast:\n$p13")
+    val p88 = plan("q88_tpch_q19")
+    assert(p88.contains("BroadcastHashJoin") && !p88.contains("SortMergeJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (q20)") {
+    val p = plan("q20_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("selective scan predicates reach the parquet reader (q55)") {
+    val p = plan("q55_tpch_q6")
+    assert(p.contains("PushedFilters: [") &&
+      p.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"TPC-H Q6's filters must push down:\n$p")
+  }
+
+  test("row-wise sketches run with zero aggregation shuffle (q84, q85)") {
+    for (q <- Seq("q84_minhash_rowwise", "q85_simhash_rowwise")) {
+      val p = plan(q)
+      // the only allowed exchange is the final presentation sort's range
+      // partitioning — any hashpartitioning means an aggregation snuck in
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle for aggregation:\n$p")
+    }
+  }
+
+  test("chunking is a pure map stage before its aggregate (q86 scan side)") {
+    val p = plan("q86_chunk")
+    // exactly one aggregation exchange (the groupBy chunk_idx); the chunk
+    // generation itself must not add one
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected one agg exchange, got $n:\n$p")
+  }
+}

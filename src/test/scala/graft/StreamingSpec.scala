@@ -89,6 +89,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === want)
   }
 
+  test("chunking runs unchanged on a stream with batch-identical output") {
+    import graft.ops.Chunking
+    val docDir = Files.createTempDirectory("graft-chunk-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docDir.toString)
+    val got = EventsStream.runToCompletion(
+        Chunking.chunk(stream, col("doc_id"), col("text"), 64, 48),
+        "chunk_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = Chunking.chunk(batchDocs, col("doc_id"), col("text"), 64, 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("streaming signature near-dup filter matches the batch filter") {
     import graft.ops.Dedup
     val docDir = Files.createTempDirectory("graft-dedup-stream")
