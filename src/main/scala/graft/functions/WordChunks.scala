@@ -54,23 +54,13 @@ case class WordChunks(child: Expression, width: Int, stride: Int)
 
 object WordChunks {
 
-  /** Token spans by one scan over the string, then each window is one
-    * substring + one arithmetic token count. */
+  /** Token spans by one scan over the string ([[WordShingles.tokenSpans]],
+    * the single copy of the split-keeping-empties invariant), then each
+    * window is one substring + one arithmetic token count. */
   def chunks(text: UTF8String, width: Int, stride: Int): ArrayData = {
     val s = text.toString
-    var ntok = 1
-    var i = 0
-    while (i < s.length) { if (s.charAt(i) == ' ') ntok += 1; i += 1 }
-    val starts = new Array[Int](ntok)
-    val ends = new Array[Int](ntok)
-    var t = 0
-    starts(0) = 0
-    i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
-      i += 1
-    }
-    ends(t) = s.length
+    val (starts, ends) = WordShingles.tokenSpans(s)
+    val ntok = starts.length
     val nChunks = (ntok - 1) / stride + 1
     val out = new Array[Any](nChunks)
     var k = 0

@@ -51,18 +51,17 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
 
-  /** Split on ' ' keeping ALL tokens (leading/trailing/empty), window by n,
-    * first-occurrence dedup. Called from both interpreted eval and the
-    * generated code. */
-  def shingle(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    // manual split: String.split(" ") drops trailing empties; Spark's
-    // split(text, " ") keeps them (Pattern.split limit -1) — match Spark.
+  /** Single-space token spans of `s`, keeping ALL tokens (leading/
+    * trailing/empty) — exactly `split(text, " ")` (Pattern.split limit -1;
+    * plain String.split(" ") would drop trailing empties). THE one copy of
+    * this invariant: [[WordChunks]] slices the same spans, and every
+    * cross-engine oracle depends on the two agreeing. Returns (starts,
+    * ends) arrays, one entry per token. */
+  def tokenSpans(s: String): (Array[Int], Array[Int]) = {
     var ntok = 1
     var i = 0
     while (i < s.length) { if (s.charAt(i) == ' ') ntok += 1; i += 1 }
-    if (ntok < n) return new GenericArrayData(Array[Any](text))
-    val starts = new Array[Int](ntok) // token start offsets
+    val starts = new Array[Int](ntok)
     val ends = new Array[Int](ntok)
     var t = 0
     starts(0) = 0
@@ -72,6 +71,16 @@ object WordShingles {
       i += 1
     }
     ends(t) = s.length
+    (starts, ends)
+  }
+
+  /** Window the token spans by n, first-occurrence dedup. Called from both
+    * interpreted eval and the generated code. */
+  def shingle(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val (starts, ends) = tokenSpans(s)
+    val ntok = starts.length
+    if (ntok < n) return new GenericArrayData(Array[Any](text))
     // shingle k spans tokens [k, k+n): as substring starts(k)..ends(k+n-1)
     // (tokens are space-joined in the source string already)
     val seen = new java.util.LinkedHashSet[UTF8String]()

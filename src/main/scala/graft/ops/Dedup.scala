@@ -68,10 +68,8 @@ object Dedup {
        | i -> array_to_string((str_split($col,' '))[i:i+${n - 1}], ' ')))""".stripMargin
 
   /** (id, shingle) exploded pairs. */
-  def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+  def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
-  }
 
   /** Per-document shingle profile: `doc`, `hs` (sorted shingle-hash array —
     * the exact-verify input), `n` (set size), `pre` (the rarest-first
@@ -435,7 +433,10 @@ object Dedup {
     def bandOf(sim: Column, j: Int): Column = {
       val lo = j * bits / nBands
       val hi = (j + 1) * bits / nBands // last band absorbs the remainder
-      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1L))
+      // JVM shifts are mod 64: (1L << 64) - 1 == 0 would collapse every
+      // band value to 0 (all-pairs!) for bits=64, maxHamming=0
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(sim, lo).bitwiseAND(lit(mask))
     }
     val bandCols = (0 until nBands).map(j =>
       struct(lit(j).as("band"), bandOf(col("simhash"), j).as("bval")))

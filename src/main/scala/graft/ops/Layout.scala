@@ -61,6 +61,10 @@ object Layout {
     val s = df.agg(
       min(a.cast("long")), max(a.cast("long")),
       min(b.cast("long")), max(b.cast("long"))).head()
+    if (s.isNullAt(0)) { // empty input: nothing to lay out, write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def norm(c: Column, lo: Long, hi: Long): Column =
       ((c.cast("long") - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
     val z = zValue(norm(a, s.getLong(0), s.getLong(1)),

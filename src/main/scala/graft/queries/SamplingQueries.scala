@@ -144,8 +144,13 @@ object SamplingQueries {
 
     "q92_zorder" -> {
       val z = Layout.zValueSql("a", "b")
-      s"""WITH dims AS (SELECT o_custkey % 65536 AS a,
-           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) % 65536 AS b
+      // DuckDB % keeps the dividend's sign; Spark pmod is always
+      // non-negative — spell out pmod in SQL so an order date BEFORE the
+      // 1995-01-01 anchor (none in this data, but real TPC-H has them)
+      // could not silently diverge min_b/max_b between the engines
+      def pmodSql(x: String) = s"((($x) % 65536 + 65536) % 65536)"
+      s"""WITH dims AS (SELECT ${pmodSql("o_custkey")} AS a,
+           ${pmodSql("date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)")} AS b
            FROM orders),
          zs AS (SELECT a, b, $z AS z FROM dims)
          SELECT (z >> 20) AS zbucket, count(*) AS n,
