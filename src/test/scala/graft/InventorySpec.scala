@@ -12,6 +12,11 @@ class InventorySpec extends AnyFunSuite {
     * no exact SQL twin can reproduce) — every other query needs an oracle. */
   private val rowsOnlyByDesign = Set("q34_approx_distinct", "q57_ann_ivf")
 
+  test("the driver's entry() smoke contract returns rows") {
+    import SparkTestSession._
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every query has an oracle unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === rowsOnlyByDesign,
