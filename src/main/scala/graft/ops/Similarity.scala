@@ -230,32 +230,48 @@ object Similarity {
   def lshTopKMultiprobe(df: DataFrame, id: Column, vec: Column,
       query: DataFrame, queryVec: Column, bits: Int, nProbe: Int,
       k: Int): DataFrame = {
-    require(bits <= 20, s"multiprobe enumerates 2^bits buckets on the " +
-      s"driver; bits=$bits > 20 — use more probes per bucket instead")
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     val qv = singleQueryVec(query, queryVec)
     require(qv.length >= bits, s"query vector shorter than $bits dims")
     val qbucket = (0 until bits).map(i => if (qv(i) >= 0f) 1L << i else 0L).sum
     val margins = (0 until bits).map(i => math.abs(qv(i).toDouble)).toArray
-    // cost per mask computed ONCE into a primitive-backed array before the
-    // sort — sortBy's ordering key would otherwise re-run an allocating
-    // fold per comparison (~40M times at bits=20)
-    val costed = new Array[(Double, Long)](1 << bits)
-    var mask = 0L
-    while (mask < costed.length) {
-      var c = 0.0
-      var i = 0
-      while (i < bits) { if ((mask & (1L << i)) != 0) c += margins(i); i += 1 }
-      costed(mask.toInt) = (c, mask)
-      mask += 1
-    }
-    val probes = costed.sortBy(_._1).iterator
-      .map { case (_, m) => qbucket ^ m }
-      .take(math.max(nProbe, 1)).toSeq
+    val probes = probeSequence(margins, math.max(nProbe, 1))
+      .map(qbucket ^ _)
     df.withColumn("__bucket", signBucket(vec, bits))
       .filter(col("__bucket").isin(probes: _*))
       .select(id.as("id"), cosineNative(df, vec, typedlit(qv)).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+  }
+
+  /** First `n` flip masks in nondecreasing summed-margin cost, WITHOUT
+    * enumerating the 2^bits mask space: best-first expansion over flip
+    * sets ordered by cheapest margins (the add/shift successor rule of
+    * Lv et al.'s multi-probe sequence — each subset of sorted positions is
+    * generated exactly once, heap holds O(n) states). n = 2^bits yields
+    * every mask, so an exhaustive probe stays reachable at small bits
+    * while bits = 62 with a few hundred probes is just as cheap. */
+  private def probeSequence(margins: Array[Double], n: Int): Seq[Long] = {
+    val bits = margins.length
+    // sorted-space index -> (margin, original bit position)
+    val order = margins.zipWithIndex.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer[Long](0L) // no-flip first
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Long, Int)](Ordering.by(s => -s._1))
+    if (bits > 0) pq.enqueue((order(0)._1, 1L << order(0)._2, 0))
+    while (out.size < n && pq.nonEmpty) {
+      val (cost, mask, last) = pq.dequeue()
+      out += mask
+      if (last + 1 < bits) {
+        val (mNext, bNext) = order(last + 1)
+        val (mLast, bLast) = order(last)
+        // add the next-cheapest position; or shift the newest flip to it
+        pq.enqueue((cost + mNext, mask | (1L << bNext), last + 1))
+        pq.enqueue((cost - mLast + mNext,
+          (mask & ~(1L << bLast)) | (1L << bNext), last + 1))
+      }
+    }
+    out.toSeq
   }
 
   /** Blocked all-pairs similarity: cosine only within sign-LSH buckets —

@@ -135,10 +135,15 @@ class StreamingSpec extends AnyFunSuite {
     val query = embs.limit(1).select(col("embedding"))
     val exact = Similarity.bruteForceTopK(embs, col("vec_id"),
       col("embedding"), query, col("embedding"), k = 10)
-    // probing all 2^bits buckets makes LSH exhaustive => recall 1.0
-    val all = Similarity.lshTopKMultiprobe(embs, col("vec_id"),
-      col("embedding"), query, col("embedding"), bits = 2, nProbe = 4, k = 10)
-    assert(Similarity.recallAtK(all, exact, 10) === 1.0)
+    // probing all 2^bits buckets makes LSH exhaustive => recall 1.0 —
+    // which also proves the best-first probe generator emits every mask
+    // exactly once (a duplicate would starve some bucket of its probe)
+    for ((bits, probes) <- Seq((2, 4), (4, 16))) {
+      val all = Similarity.lshTopKMultiprobe(embs, col("vec_id"),
+        col("embedding"), query, col("embedding"), bits, probes, k = 10)
+      assert(Similarity.recallAtK(all, exact, 10) === 1.0,
+        s"bits=$bits nProbe=$probes must be exhaustive")
+    }
     val one = Similarity.lshTopK(embs, col("vec_id"), col("embedding"),
       query, col("embedding"), bits = 2, k = 10)
     val r1 = Similarity.recallAtK(one, exact, 10)
