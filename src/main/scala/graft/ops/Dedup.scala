@@ -362,12 +362,24 @@ object Dedup {
     *    materializes, so a full run holds at most two rounds of labels —
     *    round 1 held every round of every pass and died of block-manager
     *    bloat, not compute;
-    *  - convergence is a `changed`-flag scan of the just-materialized
-    *    blocks (limit-1 probe), not an extra join.
+    *  - convergence detection rides INSIDE the materialization job: a
+    *    side-effect accumulator column tallies `cluster != prev` rows while
+    *    the checkpoint's own job runs, so each round is exactly ONE Spark
+    *    job (the round-3 shape spent a second job on an `isEmpty` probe of
+    *    the fresh blocks — pure scheduling overhead at scale, and 50 % of
+    *    q74's wall time at sf0.1). Accumulator semantics are safe here:
+    *    task retries can only over-count, which at worst costs one extra
+    *    (idempotent) round — never a premature exit;
+    *  - TWO pointer-halving hops are batched per materialization (the
+    *    second hop jumps through the first hop's own mapping, i.e. label
+    *    ~ parent^4 per round), roughly halving the round count for the
+    *    same per-round shuffle structure. The identical hop subtrees
+    *    collapse to a single computed Exchange via ReuseExchange.
     *
     * The result itself is checkpointed; at 100 TB each round is one shuffle
     * of the label table on node id — the standard large-graph CC shape. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct().localCheckpoint(true)
@@ -381,18 +393,31 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val changed = sc.longAccumulator(s"dupClusters changed (round $iter)")
+      // nondeterministic so Catalyst never elides, duplicates, or reorders
+      // the side effect; the column itself is materialized with the
+      // checkpoint (1 byte/row) and pruned on read afterwards
+      val tally = udf { (c: Boolean) => if (c) changed.add(1L); c }
+        .asNondeterministic()
       val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min("cluster").as("nbr_min"))
       val once = labels.join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("mid"))
-      val next = once.as("l")
+      val hop1 = once.as("l")
         .join(once.select(col("node").as("rnode"), col("mid").as("rmid")).as("r"),
           col("mid") === col("rnode"), "left")
         .select(col("node"), col("prev"),
-          least(col("mid"), coalesce(col("rmid"), col("mid"))).as("cluster"))
+          least(col("mid"), coalesce(col("rmid"), col("mid"))).as("mid2"))
+      val clusterExpr =
+        least(col("mid2"), coalesce(col("r2mid"), col("mid2")))
+      val next = hop1.as("h")
+        .join(hop1.select(col("node").as("r2node"), col("mid2").as("r2mid")).as("r2"),
+          col("mid2") === col("r2node"), "left")
+        .select(col("node"), clusterExpr.as("cluster"),
+          tally(col("prev") =!= clusterExpr).as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      converged = changed.value == 0L
       releaseCheckpoint(labels)
       labels = next.select("node", "cluster")
       iter += 1
