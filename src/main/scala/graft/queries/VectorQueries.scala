@@ -84,6 +84,38 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // REAL image decode: deterministic synthetic PNGs (dims + solid fill
+    // derived from doc_id) decoded by the JDK ImageIO codec. The oracle
+    // recomputes the exact pixel sums arithmetically — a fake decode cannot
+    // reproduce width×height×channel, so this pins pixel-true decoding.
+    "q94_image_stats" -> ((s, d) => {
+      Multimodal.decodeImageStats(syntheticMedia(s, d))
+        .groupBy((col("media_id") % 4).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_pixels")).as("sum_pixels"),
+          sum(col("sum_r")).as("sum_red"),
+          sum(col("sum_g")).as("sum_green"),
+          max(col("width")).as("max_w"),
+          min(col("height")).as("min_h"))
+        .orderBy("grp")
+    }),
+
+    // REAL image resize: decode → Graphics2D resample to exact 6×3 →
+    // re-encode PNG → decode again for stats. Solid fills are exact under
+    // any interpolation, so the oracle pins both the output dims and that
+    // resampled pixels carry the source color.
+    "q95_image_resize" -> ((s, d) => {
+      Multimodal.decodeImageStats(
+          Multimodal.resizeImages(syntheticMedia(s, d), w = 6, h = 3))
+        .groupBy((col("media_id") % 4).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_pixels")).as("sum_pixels"),
+          sum(col("sum_r")).as("sum_red"),
+          max(col("width")).as("max_w"),
+          max(col("height")).as("max_h"))
+        .orderBy("grp")
+    }),
+
     // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
     "q51_embed_block_pairs" -> ((s, d) => {
       Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)
@@ -92,6 +124,22 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("i"), col("j"))
     })
   )
+
+  /** Deterministic synthetic image table: one solid-fill PNG per document,
+    * dims 4+(id%8) × 4+(id%5), RGB (id%256, id*7%256, id*11%256). Built in a
+    * map stage (one tiny PNG encode per row — no shuffle, no driver work). */
+  private def syntheticMedia(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = 4 + (id % 8).toInt
+        val h = 4 + (id % 5).toInt
+        Multimodal.MediaRecord(id, "image",
+          Multimodal.syntheticPng(w, h,
+            (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 11) % 256).toInt),
+          src)
+      }
+  }
 
   private val cosQ = Sim.cosineSql("embedding", "qe")
   private val bucket8 = Sim.signBucketSql("embedding", 8)
@@ -140,6 +188,26 @@ object VectorQueries {
          SELECT label, count(*) AS n_kept FROM embeddings
          WHERE vec_id NOT IN (SELECT l FROM losers)
          GROUP BY 1 ORDER BY 1""",
+
+    // the oracle recomputes the decoded pixel sums arithmetically: a solid
+    // w×h fill of channel value c decodes to a channel sum of exactly w*h*c
+    "q94_image_stats" ->
+      """SELECT doc_id % 4 AS grp, count(*) AS n,
+         CAST(sum((4 + doc_id % 8) * (4 + doc_id % 5)) AS BIGINT) AS sum_pixels,
+         CAST(sum((4 + doc_id % 8) * (4 + doc_id % 5) * (doc_id % 256)) AS BIGINT) AS sum_red,
+         CAST(sum((4 + doc_id % 8) * (4 + doc_id % 5) * ((doc_id * 7) % 256)) AS BIGINT) AS sum_green,
+         CAST(max(4 + doc_id % 8) AS INT) AS max_w,
+         CAST(min(4 + doc_id % 5) AS INT) AS min_h
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // after resize every image is exactly 6×3 = 18 px of the source color
+    "q95_image_resize" ->
+      """SELECT doc_id % 4 AS grp, count(*) AS n,
+         CAST(sum(18) AS BIGINT) AS sum_pixels,
+         CAST(sum(18 * (doc_id % 256)) AS BIGINT) AS sum_red,
+         CAST(6 AS INT) AS max_w,
+         CAST(3 AS INT) AS max_h
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q51_embed_block_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),

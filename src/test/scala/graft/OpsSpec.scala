@@ -257,6 +257,54 @@ class OpsSpec extends AnyFunSuite {
     assert(resized.length === 20 && resized.forall(_.payload.length === 100))
   }
 
+  test("image codec: PNG decode recovers exact pixels, corrupt payloads drop") {
+    import spark.implicits._
+    // non-solid gradient: pins per-pixel positions, not just aggregates
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 30) << 16) | ((y * 40) << 8) | (x + y))
+    val png = Multimodal.encodePng(img)
+    val back = Multimodal.decodeImage(png).get
+    assert(back.getWidth === w && back.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((back.getRGB(x, y) & 0xffffff) === ((x * 30) << 16 | (y * 40) << 8 | (x + y)),
+        s"pixel ($x,$y)")
+    // stats are the exact per-channel sums
+    val st = Multimodal.imageStats(1L, back)
+    val expR = (for (y <- 0 until h; x <- 0 until w) yield x * 30).sum.toLong
+    val expG = (for (y <- 0 until h; x <- 0 until w) yield y * 40).sum.toLong
+    val expB = (for (y <- 0 until h; x <- 0 until w) yield x + y).sum.toLong
+    assert((st.width, st.height, st.n_pixels) === ((w, h, w.toLong * h)))
+    assert((st.sum_r, st.sum_g, st.sum_b) === ((expR, expG, expB)))
+    // dataset path: one good PNG, one corrupt payload → corrupt row drops
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, "s"),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4), "s"))
+      .toDS()
+    val stats = Multimodal.decodeImageStats(media).collect()
+    assert(stats.map(_.media_id).toSeq === Seq(1L))
+    assert(stats.head.sum_r === expR)
+  }
+
+  test("image resize hits exact target dims and preserves solid fill exactly") {
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(16, 10, 200, 60, 7)
+    val media = Seq(Multimodal.MediaRecord(9L, "image", png, "s")).toDS()
+    val out = Multimodal.resizeImages(media, w = 4, h = 6).collect()
+    assert(out.length === 1)
+    val img = Multimodal.decodeImage(out.head.payload).get
+    assert(img.getWidth === 4 && img.getHeight === 6)
+    // solid fill is exact under any interpolation
+    for (y <- 0 until 6; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
+    // upscale too
+    val up = Multimodal.resizeImage(Multimodal.decodeImage(png).get, 32, 40)
+    assert(up.getWidth === 32 && up.getHeight === 40)
+    assert((up.getRGB(31, 39) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
+  }
+
   test("minhash signature: rowwise expression ≡ sketch agg ≡ conditional-min") {
     val byAgg = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 8)
       .orderBy("doc").collect().map(_.toSeq)
