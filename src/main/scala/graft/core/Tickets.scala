@@ -39,8 +39,27 @@ object Tickets {
 
   private val registry = new ConcurrentHashMap[String, Ticket]()
 
-  private def transition(id: String)(f: Ticket => Ticket): Unit =
+  /** One latch per ticket, released when the ticket reaches a terminal
+    * state — lets callers block on COMPLETION rather than poll a wall-clock
+    * deadline (the round-3 flake class: a fixed deadline that a loaded box
+    * can always exceed). */
+  private val done = new ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+
+  private def transition(id: String)(f: Ticket => Ticket): Unit = {
     registry.computeIfPresent(id, (_, t) => f(t))
+    if (get(id).exists(_.terminal))
+      Option(done.get(id)).foreach(_.countDown())
+  }
+
+  /** Block until the ticket is terminal (or `timeoutMs` elapses); returns
+    * the latest ticket state either way. Latch-based: wakes the moment the
+    * worker thread or a cancel flips the state, immune to poll-interval ×
+    * load-factor flakiness. */
+  def await(id: String, timeoutMs: Long): Option[Ticket] = {
+    Option(done.get(id)).foreach(
+      _.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    get(id)
+  }
 
   /** Submit `body` as a ticketed background job; returns the ticket id
     * immediately (the reference's `download` returns its ticket the same
@@ -49,6 +68,7 @@ object Tickets {
   def submit(spark: SparkSession, what: String)(body: SparkSession => Unit): String = {
     val id = UUID.randomUUID().toString.take(12)
     registry.put(id, Ticket(id, what, Pending, System.currentTimeMillis()))
+    done.put(id, new java.util.concurrent.CountDownLatch(1))
     val runner = new Thread(() => {
       transition(id)(t => if (t.state == Pending) t.copy(state = Running) else t)
       spark.sparkContext.setJobGroup(id, s"graft ticket $id: $what",
@@ -98,7 +118,7 @@ object Tickets {
     * overwrites slots as they complete). */
   def prune(): Int = {
     val gone = registry.values().asScala.filter(_.terminal).map(_.id).toSeq
-    gone.foreach(registry.remove)
+    gone.foreach { id => registry.remove(id); done.remove(id) }
     gone.size
   }
 }

@@ -115,10 +115,10 @@ class ServiceSpec extends AnyFunSuite {
   test("ticketed download publishes atomically and reports DONE") {
     val dir = Files.createTempDirectory("graft-dl").toString
     val id = Ingest.downloadTicketed(spark, s"$sf/region.parquet", s"$dir/t")
-    val deadline = System.currentTimeMillis() + 30000
-    while (!Tickets.get(id).get.terminal && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    assert(Tickets.get(id).get.state === Tickets.Done)
+    // latch-based await: returns the instant the ticket goes terminal (the
+    // old fixed 30 s poll deadline flaked under full-suite load)
+    val t = Tickets.await(id, timeoutMs = 300000).get
+    assert(t.state === Tickets.Done)
     assert(Ingest.readPublished(spark, s"$dir/t").count() ===
       spark.read.parquet(s"$sf/region.parquet").count())
   }
