@@ -34,7 +34,10 @@ object GroupByEngine {
 
   /** Missing shards are silently dropped; an all-missing query yields None —
     * the reference's empty-result protocol (parqueryd/controller.py:617-622,
-    * RELEASE_NOTES.rst:64-65, rpc.py:151-153). */
+    * RELEASE_NOTES.rst:64-65, rpc.py:151-153). Shard schemas may drift
+    * (schema-on-read, parqueryd/worker.py:381-397): added columns read as
+    * null where absent, and int-width drift widens — see
+    * [[SchemaDrift.readSharded]]. */
   def groupby(
       spark: SparkSession,
       filenames: Seq[String],
@@ -45,7 +48,7 @@ object GroupByEngine {
       combine: CombineMode = CombineMode.Merged): Option[DataFrame] = {
     val existing = pruneMissing(spark, filenames)
     if (existing.isEmpty) None
-    else Some(groupbyDf(spark.read.parquet(existing: _*), keys, aggs, where, aggregate, combine))
+    else Some(groupbyDf(SchemaDrift.readSharded(spark, existing), keys, aggs, where, aggregate, combine))
   }
 
   /** Same semantics over an already-loaded DataFrame (e.g. a registered

@@ -126,6 +126,29 @@ object MiscQueries {
            FROM v_orders2
            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders2)
            GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // schema-on-read over DRIFTING shards (reference worker.py:381-397):
+    // shard 1 carries k as INT, shard 2 widens k to LONG and adds a column;
+    // SchemaDrift.readSharded widens int→long and nulls the absent column,
+    // still one FileSourceScan. The oracle recomputes over the un-split
+    // source table, pinning that no row, value, or null was lost.
+    "q96_schema_drift" -> ((s, d) => {
+      val base = t(s, d, "nation")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_drift_q96").getAbsolutePath
+      base.filter(col("n_nationkey") < 12)
+        .select(col("n_nationkey").cast("int").as("k"), col("n_regionkey").as("r"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/s1")
+      base.filter(col("n_nationkey") >= 12)
+        .select(col("n_nationkey").as("k"), col("n_regionkey").as("r"),
+          col("n_name").as("name"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/s2")
+      graft.core.SchemaDrift.readSharded(s, Seq(s"$dir/s1", s"$dir/s2"))
+        .groupBy("r")
+        .agg(sum("k").as("sum_k"), count(col("name")).as("n_named"),
+          count(lit(1)).as("n"))
+        .orderBy("r")
     })
   )
 
@@ -197,6 +220,14 @@ object MiscQueries {
       """SELECT o_orderstatus, count(*) AS n
          FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
-         GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the drift split is n_nationkey < 12 vs >= 12; `name` exists only in
+    // the second shard, so count(name) counts exactly the >= 12 rows
+    "q96_schema_drift" ->
+      """SELECT n_regionkey AS r, CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
+         count(CASE WHEN n_nationkey >= 12 THEN n_name END) AS n_named,
+         count(*) AS n
+         FROM nation GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -114,4 +114,58 @@ class CoreEngineSpec extends AnyFunSuite {
     // every oracle key must exist in queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("schema drift: added column reads as null, widened int reads as long") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // shard 1: k int, v string          (the original producer)
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/s1")
+    // shard 2: k LONG (widened), v, extra double (new producer)
+    Seq((10L, "c", 1.5), (20L, "d", 2.5)).toDF("k", "v", "extra")
+      .coalesce(1).write.parquet(s"$dir/s2")
+    val df = SchemaDrift.readSharded(spark, Seq(s"$dir/s1", s"$dir/s2"))
+    assert(df.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.schema("extra").dataType === org.apache.spark.sql.types.DoubleType)
+    val rows = df.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 10L, 20L))
+    // missing-column→null contract for the shard written before `extra`
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    assert(rows.drop(2).map(_.getDouble(2)).toSeq === Seq(1.5, 2.5))
+    // the full groupby() verb path answers over the drifted set
+    val got = GroupByEngine.groupby(spark,
+        Seq(s"$dir/s1", s"$dir/s2"),
+        keys = Seq("v"),
+        aggs = Seq(AggSpec("k", "sum", "sum_k"))).get
+      .orderBy("v").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 10L), ("d", 20L)))
+  }
+
+  test("schema drift: added-column-only drift merges distributed; corruption raises typed error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift2").toString
+    Seq((1, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$dir/s1")
+    Seq((2, "b", 9L)).toDF("k", "v", "n").coalesce(1).write.parquet(s"$dir/s2")
+    // same int width + added column → plain mergeSchema path succeeds
+    val df = SchemaDrift.readSharded(spark, Seq(s"$dir/s1", s"$dir/s2"))
+    assert(df.count() === 2 && df.schema.fieldNames.contains("n"))
+    // string vs int on the same field is corruption, not widening
+    Seq(("oops", "c")).toDF("k", "v").coalesce(1).write.parquet(s"$dir/s3")
+    intercept[SchemaDrift.SchemaDriftException] {
+      SchemaDrift.readSharded(spark, Seq(s"$dir/s1", s"$dir/s3")).schema
+    }
+  }
+
+  test("schema drift widening lattice: int⊔float→double, decimal widens, nested arrays recurse") {
+    import org.apache.spark.sql.types._
+    def w(a: DataType, b: DataType) = SchemaDrift.widenType("f", a, b)
+    assert(w(IntegerType, LongType) === LongType)
+    assert(w(ByteType, ShortType) === ShortType)
+    assert(w(IntegerType, FloatType) === DoubleType) // never float: int32 ⊄ float24
+    assert(w(LongType, DoubleType) === DoubleType)
+    assert(w(DecimalType(10, 2), DecimalType(12, 4)) === DecimalType(12, 4))
+    assert(w(ArrayType(IntegerType), ArrayType(LongType)) === ArrayType(LongType, true))
+    intercept[SchemaDrift.SchemaDriftException] { w(StringType, IntegerType) }
+  }
 }
