@@ -63,13 +63,16 @@ object VectorQueries {
         .orderBy("source")
     }),
 
-    // IVF ANN: inverted-list probe search. No oracle (the nearest-centroid
-    // argmax tie-break isn't worth pinning in SQL; exactness is pinned by
-    // the spec's full-probe ≡ brute-force identity) — rows-only check.
+    // IVF ANN: inverted-list probe search with Lloyd-refined (k-means)
+    // centroids. No oracle (the nearest-centroid argmax tie-break isn't
+    // worth pinning in SQL; exactness is pinned by the spec's full-probe ≡
+    // brute-force identity, centroid quality by the planted-cluster recall
+    // spec) — rows-only check.
     "q57_ann_ivf" -> ((s, d) => {
       Sim.ivfTopK(
           emb(s, d).filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"),
-          queryVec(s, d), col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
+          queryVec(s, d), col("embedding"), nCentroids = 8, nProbe = 3, k = 10,
+          kmeansIters = 4)
         .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
     }),

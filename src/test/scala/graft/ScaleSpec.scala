@@ -221,10 +221,47 @@ class ScaleSpec extends AnyFunSuite {
   test("ivf probe plan is scan→project→filter→top-k: no exchange, no join") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
-    val plan = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
-      q, col("embedding"), nCentroids = 8, nProbe = 3, k = 10)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"vectors must not shuffle:\n$plan")
-    assert(!plan.toLowerCase.contains("join"), s"no join in the probe path:\n$plan")
+    for (iters <- Seq(0, 3)) { // hash-sampled AND k-means centroids
+      val plan = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+        q, col("embedding"), nCentroids = 8, nProbe = 3, k = 10,
+        kmeansIters = iters)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"vectors must not shuffle:\n$plan")
+      assert(!plan.toLowerCase.contains("join"), s"no join in the probe path:\n$plan")
+    }
+  }
+
+  test("k-means centroids: recall on planted clusters ≥ hash-sample centroids") {
+    import spark.implicits._
+    // 8 planted clusters on orthogonal axes of a 16-dim space, fixed seed —
+    // everything downstream (sampling, assignment, Lloyd) is deterministic,
+    // so the recall comparison can never flake
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val nClusters = 8; val perCluster = 50
+    def point(c: Int): Array[Float] = {
+      val v = Array.fill(dim)((rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      v(2 * c) += 1.0f
+      v
+    }
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster)
+      yield (c.toLong * perCluster + i, point(c))
+    val planted = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val qv = Seq((999L, point(3))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val exact = Similarity.bruteForceTopK(planted, col("vec_id"), col("embedding"),
+      qv, col("embedding"), k = 10)
+    def recall(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(planted, col("vec_id"), col("embedding"),
+        qv, col("embedding"), nCentroids = nClusters, nProbe = 1, k = 10,
+        kmeansIters = iters)
+      Similarity.recallAtK(approx, exact, 10)
+    }
+    val hash = recall(0)
+    val kmeans = recall(8)
+    assert(kmeans >= hash, s"k-means recall $kmeans < hash-sample recall $hash")
+    // Lloyd converges to the planted centers here, so single-probe recall
+    // should be total; the hash sample has no such guarantee
+    assert(kmeans === 1.0, s"k-means single-probe recall on planted clusters: $kmeans")
   }
 }
