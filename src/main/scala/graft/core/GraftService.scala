@@ -117,10 +117,14 @@ object GraftService {
       case "kill" | "killall" => OpsApi.shutdown(spark); "stopped"
       case "killworkers" => // ref: stop workers, controller survives
         spark.sparkContext.cancelAllJobs(); "workers stopped"
-      case "downloads" => // reference rpc.py:210-231: list tickets + state
-        Tickets.list().map(t =>
-          s"${t.id} ${t.state} ${t.what}${t.error.map(" err=" + _).getOrElse("")}")
-          .mkString("\n")
+      case "downloads" => // reference rpc.py:210-231: list tickets + state,
+        // with per-file slots indented under multi-file tickets
+        Tickets.list().map { t =>
+          val head = s"${t.id} ${t.state} ${t.what}${t.error.map(" err=" + _).getOrElse("")}"
+          val files = Tickets.fileSlots(t.id)
+            .map(f => s"  ${f.state} ${f.bytes}B ${f.path}")
+          (head +: files).mkString("\n")
+        }.mkString("\n")
       case "delete_download" => // reference rpc.py:233-254: cancel by ticket
         val id = args.getOrElse("ticket",
           throw new BadCallException("delete_download: 'ticket' required"))

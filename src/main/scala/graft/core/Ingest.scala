@@ -48,18 +48,24 @@ object Ingest {
     * version — the moveparquet barrier semantics without any coordination
     * service. */
   def atomicPublish(df: DataFrame, tableDir: String): String = {
-    val spark = df.sparkSession
     val version = UUID.randomUUID().toString.take(8)
     val dataDir = s"$tableDir/data/$version"
     df.write.parquet(dataDir)
+    publishManifest(df.sparkSession, tableDir, dataDir, version)
+  }
+
+  /** The manifest commit point, shared by every publish path: write the
+    * pointer beside the table, then one overwrite-rename flips readers to
+    * the new complete version. Atomic on HDFS/posix; on S3 use a
+    * conditional-put manifest or a catalog (Delta/Iceberg) instead. */
+  private def publishManifest(spark: SparkSession, tableDir: String,
+      dataDir: String, version: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tableDir).getFileSystem(conf)
     val tmp = new Path(tableDir, s".$ManifestName.$version.tmp")
     val out = fs.create(tmp, true)
     out.write(dataDir.getBytes("UTF-8"))
     out.close()
-    // overwrite-rename is the commit point: atomic on HDFS/posix; on S3 use
-    // a conditional-put manifest or a catalog (Delta/Iceberg) instead
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(new Path(tableDir).toUri, conf)
     fc.rename(tmp, new Path(tableDir, ManifestName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -93,6 +99,45 @@ object Ingest {
   def downloadTicketed(spark: SparkSession, source: String, tableDir: String): String =
     Tickets.submit(spark, s"download $source -> $tableDir") { s =>
       atomicPublish(s.read.parquet(source), tableDir); ()
+    }
+
+  /** Multi-file ticketed bulk ingest with PER-FILE progress slots — the
+    * reference tracks node×file download slots with byte counts
+    * (controller.py:580-590, worker.py:492-519); a 10k-file ingest here is
+    * likewise never one opaque RUNNING. Each source file is byte-copied
+    * into one freshly staged version dir (its slot flips PENDING → RUNNING
+    * → DONE with the copied byte count, or FAILED); the manifest flips ONCE
+    * after every file landed, so readers keep all-or-nothing visibility
+    * (the moveparquet barrier). Cancellation is honored at file
+    * boundaries — already-terminal slots stay, unstarted ones stay PENDING,
+    * and nothing publishes. */
+  def downloadTicketedFiles(spark: SparkSession, sources: Seq[String],
+      tableDir: String): String =
+    Tickets.submitWithFiles(spark,
+        s"download ${sources.size} files -> $tableDir", sources) { (s, id) =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val version = UUID.randomUUID().toString.take(8)
+      val dataDir = new Path(s"$tableDir/data/$version")
+      val fs = dataDir.getFileSystem(conf)
+      fs.mkdirs(dataDir)
+      sources.foreach { src =>
+        if (!Tickets.get(id).exists(_.state == Tickets.Running))
+          throw new InterruptedException("cancelled mid-ingest")
+        Tickets.fileUpdate(id, src, 0L, Tickets.Running)
+        try {
+          val srcPath = new Path(src)
+          val sfs = srcPath.getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sfs, srcPath, fs, new Path(dataDir, srcPath.getName), false, conf)
+          Tickets.fileUpdate(id, src, sfs.getFileStatus(srcPath).getLen, Tickets.Done)
+        } catch {
+          case e: Throwable =>
+            Tickets.fileUpdate(id, src, 0L, Tickets.Failed)
+            throw e
+        }
+      }
+      publishManifest(s, tableDir, dataDir.toString, version)
+      ()
     }
 
   /** Read the currently-published version (resolve manifest, then scan). */

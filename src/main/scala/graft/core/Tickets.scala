@@ -37,6 +37,12 @@ object Tickets {
     def terminal: Boolean = state == Done || state == Failed || state == Cancelled
   }
 
+  /** Per-file progress slot — the reference's node×file download slots with
+    * byte counts (parqueryd/controller.py:580-590, worker.py:492-519). A
+    * 10k-file ingest is no longer one opaque RUNNING: each file transitions
+    * PENDING → RUNNING → DONE(bytes) | FAILED independently. */
+  final case class FileSlot(path: String, bytes: Long, state: State)
+
   private val registry = new ConcurrentHashMap[String, Ticket]()
 
   /** One latch per ticket, released when the ticket reaches a terminal
@@ -61,14 +67,45 @@ object Tickets {
     get(id)
   }
 
+  private val slots =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, FileSlot]]()
+
+  /** Per-file slots of a ticket, path-sorted (deterministic listing). */
+  def fileSlots(id: String): Seq[FileSlot] =
+    Option(slots.get(id)).map(_.values.asScala.toSeq.sortBy(_.path))
+      .getOrElse(Nil)
+
+  /** Move one file's slot; bytes are cumulative for the file. */
+  def fileUpdate(id: String, path: String, bytes: Long, state: State): Unit =
+    Option(slots.get(id)).foreach(_.put(path, FileSlot(path, bytes, state)))
+
+  /** [[submit]] with per-file progress slots: `files` are registered
+    * PENDING before the worker thread starts (a `downloads` listing can
+    * never observe the ticket without its slots), and the body receives the
+    * ticket id so it can move slots as it goes. */
+  def submitWithFiles(spark: SparkSession, what: String, files: Seq[String])(
+      body: (SparkSession, String) => Unit): String = {
+    val id = submitImpl(spark, what, before = { id =>
+      val m = new ConcurrentHashMap[String, FileSlot]()
+      files.foreach(f => m.put(f, FileSlot(f, 0L, Pending)))
+      slots.put(id, m)
+    })(body)
+    id
+  }
+
   /** Submit `body` as a ticketed background job; returns the ticket id
     * immediately (the reference's `download` returns its ticket the same
     * way). The body's Spark jobs all run under the ticket's job group, so
     * a later [[cancel]] reaches work already in flight. */
-  def submit(spark: SparkSession, what: String)(body: SparkSession => Unit): String = {
+  def submit(spark: SparkSession, what: String)(body: SparkSession => Unit): String =
+    submitImpl(spark, what, before = _ => ())((s, _) => body(s))
+
+  private def submitImpl(spark: SparkSession, what: String, before: String => Unit)(
+      body: (SparkSession, String) => Unit): String = {
     val id = UUID.randomUUID().toString.take(12)
     registry.put(id, Ticket(id, what, Pending, System.currentTimeMillis()))
     done.put(id, new java.util.concurrent.CountDownLatch(1))
+    before(id)
     val runner = new Thread(() => {
       transition(id)(t => if (t.state == Pending) t.copy(state = Running) else t)
       spark.sparkContext.setJobGroup(id, s"graft ticket $id: $what",
@@ -77,7 +114,7 @@ object Tickets {
         // a cancel() that landed before the thread started wins: the body
         // must not run (its side effects would publish after "cancelled")
         if (!get(id).exists(_.state == Running)) throw new InterruptedException("cancelled before start")
-        body(spark)
+        body(spark, id)
         transition(id)(t =>
           if (t.state == Running)
             t.copy(state = Done, endedMs = Some(System.currentTimeMillis()))
@@ -118,7 +155,7 @@ object Tickets {
     * overwrites slots as they complete). */
   def prune(): Int = {
     val gone = registry.values().asScala.filter(_.terminal).map(_.id).toSeq
-    gone.foreach { id => registry.remove(id); done.remove(id) }
+    gone.foreach { id => registry.remove(id); done.remove(id); slots.remove(id) }
     gone.size
   }
 }

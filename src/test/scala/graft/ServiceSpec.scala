@@ -123,6 +123,46 @@ class ServiceSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/region.parquet").count())
   }
 
+  test("multi-file ingest tracks per-file slots; downloads verb lists them") {
+    val dir = Files.createTempDirectory("graft-mf").toString
+    // three same-schema shard files (the reference's multi-file ingest shape)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val srcDir = Files.createTempDirectory("graft-mfsrc").toString
+    def partFile(d: String): String =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .head.getAbsolutePath
+    val srcs = (0 to 2).map { i =>
+      nation.filter(col("n_nationkey") % 3 === i).coalesce(1)
+        .write.parquet(s"$srcDir/p$i")
+      partFile(s"$srcDir/p$i")
+    }
+    val id = Ingest.downloadTicketedFiles(spark, srcs, s"$dir/t")
+    val t = Tickets.await(id, timeoutMs = 300000).get
+    assert(t.state === Tickets.Done)
+    val fs = Tickets.fileSlots(id)
+    assert(fs.map(_.path).toSet === srcs.toSet)
+    // every slot reached DONE with the source file's actual byte count
+    fs.foreach { s =>
+      assert(s.state === Tickets.Done, s"slot ${s.path}")
+      assert(s.bytes === new java.io.File(s.path).length(), s"bytes of ${s.path}")
+    }
+    // published table is the union of the copied shards
+    assert(Ingest.readPublished(spark, s"$dir/t").count() === nation.count())
+    // the verb surface shows one line per file under the ticket
+    val listing = GraftService.call(spark, "downloads")
+    assert(listing.contains(id))
+    srcs.foreach(src => assert(listing.contains(src), s"listing missing $src"))
+    // a failing file marks its slot FAILED and the ticket FAILED, no publish
+    val bad = Ingest.downloadTicketedFiles(spark,
+      Seq(s"$sf/region.parquet", s"$dir/definitely-missing.parquet"), s"$dir/t2")
+    val tb = Tickets.await(bad, timeoutMs = 300000).get
+    assert(tb.state === Tickets.Failed)
+    val badSlots = Tickets.fileSlots(bad).sortBy(_.path)
+    assert(badSlots.exists(_.state === Tickets.Failed))
+    assert(badSlots.exists(_.state === Tickets.Done))
+    assert(!new java.io.File(s"$dir/t2/_MANIFEST").exists())
+  }
+
   test("callWithRetry: transient failure retried, hard timeout cancels and raises") {
     // fails on attempt 0, succeeds on attempt 1 — the redial-and-retry path
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
