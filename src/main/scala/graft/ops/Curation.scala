@@ -36,6 +36,14 @@ object Curation {
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`. */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
+      cfg: Config = Config()): DataFrame =
+    Chunking.pack(curateChunks(docs, id, text, lang, cfg), col("split"), cfg.ctx)
+
+  /** The pipeline up to (but excluding) context packing: one row per chunk,
+    * `doc, chunk_idx, chunk, n_tok, split`. This is the part that is a pure
+    * composition of filters, stateless projections, and keyed dedups — the
+    * shape that also runs on a stream ([[curateStream]]). */
+  def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config()): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val quality = docs.filter(TextAnalysis.qualityClass(text) === "ok")
@@ -54,11 +62,56 @@ object Curation {
     // would re-evaluate the whole quality→sample→dedup lineage a second
     // time (none of it is cached, by design) and add a shuffle for a value
     // the hash recomputes in-place, byte-identically
-    val chunks = Chunking.chunk(fuzzy, id, text, cfg.chunkWidth,
-        cfg.chunkStride)
+    Chunking.chunk(fuzzy, id, text, cfg.chunkWidth, cfg.chunkStride)
       .withColumn("split",
         Sampling.splitColumn(col("doc"), cfg.splitNames, cfg.splitWeights,
           cfg.splitSeed))
-    Chunking.pack(chunks, col("split"), cfg.ctx)
+  }
+
+  /** [[curateChunks]] over an APPEND-MODE STREAM — continuous curation of
+    * arriving documents. Every stage composes on a stream as-is: quality
+    * filter and stratified sampling are stateless row predicates, split is
+    * a pure hash, chunking is a stateless one-to-many projection, and both
+    * dedup stages become Structured Streaming `dropDuplicates` over the
+    * same keys (state-store-backed, one entry per distinct key).
+    *
+    * Keep-policy difference vs batch, by necessity: a stream keeps each
+    * key's FIRST ARRIVAL (deterministic in arrival order — there is no
+    * shuffle-able history to take a min over), while batch keeps the
+    * MINIMUM id. On dedup-free input the two pipelines are bit-identical
+    * (StreamingSpec pins this); on duplicated input they keep the same
+    * NUMBER of survivors from the same groups. State at 100 TB: the dedup
+    * state is one fingerprint/signature per distinct document — bound it
+    * with a watermark on an event-time column before the filters if the
+    * corpus is unbounded.
+    *
+    * Packing is deliberately absent: it is a per-window-ORDER cumsum (a
+    * window over everything seen so far), which append streams cannot
+    * express incrementally — pack each micro-batch via `foreachBatch`
+    * (`Chunking.pack` on the batch DataFrame) when bin assignment is
+    * needed online. */
+  def curateStream(docs: DataFrame, id: Column, text: Column, lang: Column,
+      cfg: Config = Config()): DataFrame = {
+    require(docs.isStreaming, "curateStream expects a streaming DataFrame")
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val quality = docs.filter(TextAnalysis.qualityClass(text) === "ok")
+    val rebalanced =
+      if (cfg.langFracs.isEmpty) quality
+      else Sampling.stratifiedSample(quality, id, lang, cfg.langFracs,
+        cfg.sampleSeed)
+    // exact dedup: first arrival per content fingerprint (null-text rows
+    // never reach here — qualityClass(null) is not "ok" — but the per-id
+    // fallback keeps the key total like nearDupFilterBySignature's)
+    val exact = rebalanced
+      .withColumn("__fp", coalesce(TextAnalysis.fingerprint(text),
+        concat(lit("null-text:"), id.cast("string"))))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+    val fuzzy = Dedup.nearDupFilterBySignature(exact, id, text,
+      cfg.shingleN, cfg.sigK)
+    Chunking.chunk(fuzzy, id, text, cfg.chunkWidth, cfg.chunkStride)
+      .withColumn("split",
+        Sampling.splitColumn(col("doc"), cfg.splitNames, cfg.splitWeights,
+          cfg.splitSeed))
   }
 }

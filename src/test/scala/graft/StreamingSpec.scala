@@ -129,6 +129,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === want.size && got.size < batchDocs.count())
   }
 
+  test("streaming curation ≡ batch curation on dedup-free input") {
+    import graft.ops.{Curation, Dedup}
+    import graft.ops.TextAnalysis
+    val cfg = Curation.Config()
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    // dedup-free input = survivors of BOTH batch dedup stages, so the
+    // stream's first-arrival keep and batch's min-id keep cannot diverge:
+    // every key is unique, both keeps are the identity
+    val exact = Dedup.dedupExact(
+      batchDocs.filter(TextAnalysis.qualityClass(col("text")) === "ok"),
+      TextAnalysis.fingerprint(col("text")), col("doc_id"))
+    val dedupFree = Dedup.nearDupFilterBySignature(exact, col("doc_id"),
+      col("text"), cfg.shingleN, cfg.sigK)
+    val srcDir = Files.createTempDirectory("graft-curate-stream").toString
+    dedupFree.write.parquet(s"$srcDir/docs")
+    val input = spark.read.parquet(s"$srcDir/docs")
+    val stream = spark.readStream.schema(input.schema).parquet(s"$srcDir/docs")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getString(4))
+    val got = EventsStream.runToCompletion(
+        Curation.curateStream(stream, col("doc_id"), col("text"), col("lang"), cfg),
+        "curate_stream", OutputMode.Append())
+      .collect().map(key).toSet
+    val want = Curation.curateChunks(input, col("doc_id"), col("text"),
+        col("lang"), cfg)
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("streaming curation keeps exactly one survivor per planted dup group") {
+    import graft.ops.Curation
+    import spark.implicits._
+    // 4 groups × 3 exact copies; texts long+clean enough to pass quality
+    val base = (0 until 4).map(g =>
+      s"group $g " + (0 until 40).map(i => s"token${g}_$i").mkString(" "))
+    val rows = for (g <- 0 until 4; c <- 0 until 3)
+      yield (g * 10L + c, base(g), "en")
+    val srcDir = Files.createTempDirectory("graft-curate-dups").toString
+    rows.toDF("doc_id", "text", "lang").coalesce(1).write.parquet(s"$srcDir/docs")
+    val input = spark.read.parquet(s"$srcDir/docs")
+    val stream = spark.readStream.schema(input.schema).parquet(s"$srcDir/docs")
+    val out = EventsStream.runToCompletion(
+        Curation.curateStream(stream, col("doc_id"), col("text"), col("lang")),
+        "curate_dups", OutputMode.Append())
+      .select("doc").distinct().collect().map(_.getLong(0)).toSeq
+    assert(out.length === 4, s"one survivor per group, got $out")
+    // each survivor belongs to a distinct planted group
+    assert(out.map(_ / 10).sorted === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("lsh recall@k is measurable and maxes out when probing every bucket") {
     import graft.ops.Similarity
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
