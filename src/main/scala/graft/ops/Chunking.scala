@@ -82,4 +82,48 @@ object Chunking {
         floor((col("__cum") - col("n_tok")) / ctx))
       .drop("__cum")
   }
+
+  // not private: Spark's codegen'd encoder projections need access
+  final case class FfdIn(g: String, doc: Long, chunk_idx: Int,
+      chunk: String, n_tok: Int)
+  final case class FfdOut(doc: Long, chunk_idx: Int, chunk: String,
+      n_tok: Int, grp: String, bin: Long)
+
+  /** First-fit-decreasing packing: within each pack group, place chunks in
+    * (n_tok DESC, doc, chunk_idx) order into the first bin with room,
+    * opening a new bin when none fits. Unlike [[pack]]'s concat-and-cut,
+    * NO chunk straddles a bin boundary — every bin is a set of whole
+    * chunks ≤ `ctx` tokens (a chunk alone larger than `ctx` gets its own
+    * overflow bin). Fully deterministic (total order + first-fit), so it
+    * is oracle-pinnable bit-for-bit; bins are densely numbered 0..B-1 per
+    * group in opening order.
+    *
+    * Scale shape: one hash shuffle on the group key, then each group packs
+    * independently (`flatMapGroups`). FFD is inherently sequential within
+    * a group — the group's chunk list is materialized and sorted in the
+    * task, so pick pack groups that bound group size (source/shard/date,
+    * same rule [[pack]] states); the first-fit scan keeps a running loads
+    * array, O(chunks × bins) worst case with a tiny constant. */
+  def packFFD(chunks: DataFrame, group: Column, ctx: Int): DataFrame = {
+    require(ctx >= 1, s"context length must be >= 1, got $ctx")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(group.cast("string").as("g"), col("doc").cast("long").as("doc"),
+        col("chunk_idx").cast("int").as("chunk_idx"), col("chunk"),
+        col("n_tok").cast("int").as("n_tok"))
+      .as[FfdIn]
+      .groupByKey(_.g)
+      .flatMapGroups { (g: String, it: Iterator[FfdIn]) =>
+        val rows = it.toArray.sortBy(r => (-r.n_tok, r.doc, r.chunk_idx))
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+        rows.iterator.map { r =>
+          var i = 0
+          while (i < loads.length && loads(i) + r.n_tok > ctx) i += 1
+          if (i == loads.length) loads += r.n_tok else loads(i) += r.n_tok
+          FfdOut(r.doc, r.chunk_idx, r.chunk, r.n_tok, g, i.toLong)
+        }
+      }
+      .toDF()
+  }
 }

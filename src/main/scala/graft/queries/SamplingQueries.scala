@@ -75,6 +75,20 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // first-fit-decreasing packing: whole chunks into 128-token bins, no
+    // chunk straddles a boundary. Deterministic (n_tok DESC, doc, chunk_idx
+    // order + first fit), so the full per-chunk bin assignment is pinned
+    // bit-exact against a recursive-CTE FFD in the oracle.
+    "q97_pack_ffd" -> ((s, d) => {
+      val chunks = Chunking.chunk(
+        t(s, d, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      Chunking.packFFD(chunks, pmod(col("doc"), lit(3)), ctx = 128)
+        .select(col("grp"), col("bin"), col("doc"), col("chunk_idx"),
+          col("n_tok"))
+        .orderBy("grp", "bin", "doc", "chunk_idx")
+    }),
+
     // Morton interleave arithmetic (the multi-dim data-skipping sort key):
     // per z-prefix bucket, the (custkey, day) rectangle must be compact —
     // pins every bit of the spread/interleave ladder
@@ -141,6 +155,41 @@ object SamplingQueries {
            count(DISTINCT (cum - n_tok) // 512) AS n_bins,
            CAST(sum(n_tok) AS BIGINT) AS sum_tok
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    // FFD as a recursive CTE: the state row carries the per-bin remaining
+    // capacities as a LIST; each step places the next chunk (in the same
+    // n_tok DESC, doc, chunk_idx order) into the first bin with room
+    // (list_position returns 0 when none fits → open a new bin)
+    "q97_pack_ffd" ->
+      """WITH RECURSIVE chunks AS (
+           SELECT doc_id AS doc, (s - 1) // 32 AS chunk_idx,
+                  least(32, len(str_split(text, ' ')) - s + 1) AS n_tok,
+                  CAST(doc_id % 3 AS VARCHAR) AS grp
+           FROM documents, LATERAL (
+             SELECT unnest(generate_series(1, greatest(len(str_split(text, ' ')), 1), 32)) s)
+           WHERE doc_id < 60
+         ), ordered AS (
+           SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tok DESC, doc, chunk_idx) rn
+           FROM chunks
+         ), ffd AS (
+           SELECT grp, rn, doc, chunk_idx, n_tok,
+                  CAST(0 AS BIGINT) AS bin, [128 - n_tok] AS loads
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.grp, o.rn, o.doc, o.chunk_idx, o.n_tok,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN len(f.loads)
+                       ELSE list_position(list_transform(f.loads, b -> b >= o.n_tok), true) - 1 END,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN list_append(f.loads, 128 - o.n_tok)
+                       ELSE list_transform(f.loads, (b, i) ->
+                         CASE WHEN i = list_position(list_transform(f.loads, x -> x >= o.n_tok), true)
+                              THEN b - o.n_tok ELSE b END) END
+           FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
+         )
+         SELECT grp, bin, CAST(doc AS BIGINT) AS doc,
+                CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_tok AS INT) AS n_tok
+         FROM ffd ORDER BY grp, bin, doc, chunk_idx""",
 
     "q92_zorder" -> {
       val z = Layout.zValueSql("a", "b")

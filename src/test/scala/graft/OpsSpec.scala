@@ -305,6 +305,37 @@ class OpsSpec extends AnyFunSuite {
     assert((up.getRGB(31, 39) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
   }
 
+  test("ffd packing: bins within ctx, nothing lost, fill ≥ non-splitting greedy") {
+    import graft.ops.Chunking
+    val ctx = 128
+    val chunks = Chunking.chunk(docs, col("doc_id"), col("text"), 32, 32)
+    val packed = Chunking.packFFD(chunks, pmod(col("doc"), lit(3)), ctx).collect()
+    // nothing lost or duplicated
+    assert(packed.length === chunks.count())
+    // no bin over capacity; bins densely numbered from 0 per group
+    val byBin = packed.groupBy(r => (r.getString(4), r.getLong(5)))
+    byBin.foreach { case ((g, b), rs) =>
+      assert(rs.map(_.getInt(3)).sum <= ctx, s"bin ($g,$b) overflows")
+    }
+    packed.groupBy(_.getString(4)).foreach { case (g, rs) =>
+      val bins = rs.map(_.getLong(5)).distinct.sorted
+      assert(bins === (0L until bins.length).toArray, s"group $g bins not dense")
+    }
+    // FFD uses no more bins than the next-fit baseline (greedy in arrival
+    // order, no splitting) — the apples-to-apples whole-chunk comparison;
+    // concat-and-cut "bins" split chunks across boundaries, a different op
+    val ffdBins = byBin.size
+    val nextFitBins = packed.groupBy(_.getString(4)).map { case (_, rs) =>
+      var bins = 0; var load = ctx + 1 // force-open first bin
+      rs.sortBy(r => (r.getLong(0), r.getInt(1))).foreach { r =>
+        val t = r.getInt(3)
+        if (load + t > ctx) { bins += 1; load = t } else load += t
+      }
+      bins
+    }.sum
+    assert(ffdBins <= nextFitBins, s"FFD $ffdBins bins > next-fit $nextFitBins")
+  }
+
   test("minhash signature: rowwise expression ≡ sketch agg ≡ conditional-min") {
     val byAgg = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 8)
       .orderBy("doc").collect().map(_.toSeq)
