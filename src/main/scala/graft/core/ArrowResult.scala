@@ -38,10 +38,13 @@ object ArrowResult {
         "(project/cast the result to scalar wire types first)")
   }
 
-  /** Serialize a (small, final) result as one Arrow IPC stream. */
-  def toArrowBytes(df: DataFrame): Array[Byte] = {
+  /** Serialize a (small, final) result as one Arrow IPC stream.
+    * `maxResultBytes > 0` applies the typed memory-cap taxonomy
+    * ([[GraftService.collectResult]]): oversized results raise
+    * [[ResultTooBigException]] instead of flooding the driver. */
+  def toArrowBytes(df: DataFrame, maxResultBytes: Long = 0L): Array[Byte] = {
     val sparkSchema = df.schema
-    val rows = df.collect()
+    val rows = GraftService.collectResult(df, maxResultBytes)
     val fields = sparkSchema.fields.map(f =>
       new Field(f.name, FieldType.nullable(arrowType(f.dataType)), null))
     val schema = new ArrowSchema(fields.toSeq.asJava)

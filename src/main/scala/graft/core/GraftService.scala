@@ -13,6 +13,13 @@ final class UnknownVerbException(verb: String)
 final class BadCallException(msg: String) extends GraftException(msg)
 final class CallTimeoutException(msg: String, cause: Throwable)
   extends GraftException(msg) { initCause(cause) } // rpc.py:136-149 RPCError('Timeout')
+/** The reference's `FileTooBigError` re-aimed at the failure a DRIVER
+  * actually has (exceptions.py:4,20-21: the worker refuses any single
+  * result over a hard byte cap instead of dying): a result set too large
+  * to collect surfaces as this typed error — both our own pre-flight cap
+  * and Spark's native `spark.driver.maxResultSize` abort map to it. */
+final class ResultTooBigException(msg: String, cause: Throwable = null)
+  extends GraftException(msg) { if (cause != null) initCause(cause) }
 
 /** Service facade: the reference's generic RPC verb dispatch
   * (rpc.py:96-190 `__getattr__` → controller.py:493-549 `handle_rpc`),
@@ -105,6 +112,48 @@ object GraftService {
     }
     throw new CallTimeoutException(
       s"$what: no result after ${retries + 1} attempts (timeout ${timeoutMs} ms)", last)
+  }
+
+  /** Collect a result with the memory-cap taxonomy applied. Two guards:
+    *  - pre-flight: Catalyst's size estimate for the plan is checked
+    *    against `maxResultBytes` BEFORE any task runs (the reference
+    *    checks the file size before downloading, exceptions.py:20-21) —
+    *    a caller typo like "select the whole lineitem table" fails in
+    *    milliseconds, not after shipping gigabytes to the driver;
+    *  - post-hoc: Spark's own `spark.driver.maxResultSize` abort (raised
+    *    mid-collect by the scheduler) is re-thrown as the same typed
+    *    [[ResultTooBigException]] instead of a generic SparkException.
+    * `maxResultBytes <= 0` disables the pre-flight cap. Estimates are
+    * estimates: the pre-flight guard is advisory sizing, the post-hoc one
+    * is the hard backstop. */
+  def collectResult(df: DataFrame, maxResultBytes: Long = 0L): Array[org.apache.spark.sql.Row] = {
+    if (maxResultBytes > 0) {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est > BigInt(maxResultBytes))
+        throw new ResultTooBigException(
+          s"estimated result size $est B exceeds the configured cap " +
+            s"$maxResultBytes B (reference FileTooBigError semantics)")
+    }
+    try df.collect()
+    catch {
+      case e: Throwable if isResultCapAbort(e) =>
+        throw new ResultTooBigException(
+          "result exceeded spark.driver.maxResultSize while collecting", e)
+    }
+  }
+
+  /** Recognize the scheduler's maxResultSize abort anywhere in the cause
+    * chain (Spark raises it as a SparkException with this phrasing /
+    * error class). */
+  private[graft] def isResultCapAbort(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("maxResultSize") ||
+          m.contains("MAX_RESULT_SIZE_EXCEEDED")) return true
+      t = t.getCause
+    }
+    false
   }
 
   /** Ops verbs (reference controller.py:493-549 dispatch table). */

@@ -415,7 +415,11 @@ object Dedup {
         .join(hop1.select(col("node").as("r2node"), col("mid2").as("r2mid")).as("r2"),
           col("mid2") === col("r2node"), "left")
         .select(col("node"), clusterExpr.as("cluster"),
-          tally(col("prev") =!= clusterExpr).as("chg"))
+          // coalesce guard: a NULL comparison (only possible if node ids /
+          // labels ever became nullable) must count as "changed" — Spark
+          // skips primitive-arg UDFs on null input, so an unguarded null
+          // here would silently not tally and could converge prematurely
+          tally(coalesce(col("prev") =!= clusterExpr, lit(true))).as("chg"))
         .localCheckpoint(true)
       converged = changed.value == 0L
       releaseCheckpoint(labels)

@@ -190,6 +190,30 @@ class ServiceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("3 attempts") && tries.get() === 3)
   }
 
+  test("oversized results raise the typed ResultTooBigException") {
+    // pre-flight cap: a whole-table collect against a tiny cap fails before
+    // any task runs (the reference's FileTooBigError pre-check semantics)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val e = intercept[ResultTooBigException] {
+      GraftService.collectResult(li, maxResultBytes = 1024L)
+    }
+    assert(e.getMessage.contains("exceeds the configured cap"))
+    // the same cap passes a result that fits
+    assert(GraftService.collectResult(li.limit(1).select(col("l_orderkey")),
+      maxResultBytes = 1L << 20).length === 1)
+    // Arrow wire applies the cap too
+    intercept[ResultTooBigException] {
+      ArrowResult.toArrowBytes(li.select(col("l_orderkey")), maxResultBytes = 16L)
+    }
+    // post-hoc: the scheduler's own maxResultSize abort (raised as a nested
+    // SparkException) classifies into the same typed error
+    val sparkAbort = new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: Total size of serialized results " +
+        "of 3 tasks (2.0 GiB) is bigger than spark.driver.maxResultSize (1.0 GiB)")
+    assert(GraftService.isResultCapAbort(new RuntimeException("wrap", sparkAbort)))
+    assert(!GraftService.isResultCapAbort(new RuntimeException("unrelated")))
+  }
+
   test("affinity kwarg routes the calling thread to a scheduler pool") {
     val out = GraftService.groupby(spark, GraftService.GroupByCall(
       filenames = Seq(s"$sf/lineitem.parquet"),
