@@ -104,9 +104,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "timing" documents the r6 method change for cross-round comparison:
+    // earlier rounds timed `.count()`, which let Catalyst prune all
+    // projection work a query's output columns carried (md5s, string ops);
+    // noop-write times the FULL result, so projection-heavy queries read
+    // higher here than in BENCH_r5 and earlier without having regressed.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":${if (retry.isEmpty) 2 else 3},"contaminated":${suspect.nonEmpty},""" +
-      s""""suspect":$suspectJson,"sf":"$sfDir"}""")
+      s""""suspect":$suspectJson,"timing":"noop-write full materialization (r5 and earlier: count())",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, SimHash64, WordChunks, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, RollingHash, SimHash64, WordChunks, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.minhashSignature)
     e.injectFunction(GraftExtensions.simhash64)
     e.injectFunction(GraftExtensions.wordChunks)
+    e.injectFunction(GraftExtensions.rollingHash)
   }
 }
 
@@ -96,6 +97,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
     (exprs: Seq[Expression]) => chunksBuilder(exprs))
 
+  private val rollingHash = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (exprs: Seq[Expression]) => RollingHash(exprs(0)))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -107,5 +113,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("minhash_signature", signatureBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_chunks", chunksBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs(0)), "built-in")
   }
 }

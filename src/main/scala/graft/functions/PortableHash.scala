@@ -23,14 +23,17 @@ object PortableHash {
   /** Polynomial rolling hash over characters: fold of
     * `acc = (acc * 31 + ord(char)) mod 1e9+7`. Character-order sensitive —
     * the document-fingerprinting primitive (distinct from bag-of-words
-    * hashes). DuckDB twin via list_reduce over str_split. */
-  def rollingHash(c: Column): Column =
+    * hashes). This composable formulation is kept as the executable spec
+    * of the native [[RollingHash]] expression (OpsSpec pins equality); NOT
+    * for pipelines — the per-character `substr` makes it O(L²) per row and
+    * it materializes an L-long array. */
+  def rollingHashComposable(c: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
       lit(0L),
       (acc, ch) => pmod(acc * 31L + ch, lit(1000000007L)))
 
-  /** DuckDB SQL twin of [[rollingHash]] (for oracle construction). */
+  /** DuckDB SQL twin of [[RollingHash]] (for oracle construction). */
   def rollingHashSql(col: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
        | list_transform(generate_series(1, length($col)), i -> ord(substr($col, i, 1))::BIGINT)),

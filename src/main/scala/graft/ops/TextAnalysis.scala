@@ -91,8 +91,13 @@ object TextAnalysis {
     * trimmed text. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 
-  /** Character-order-sensitive rolling-hash fingerprint. */
-  def rollingFingerprint(c: Column): Column = PortableHash.rollingHash(c)
+  /** Character-order-sensitive rolling-hash fingerprint — the native
+    * codegen'd [[graft.functions.RollingHash]]: one O(L) codepoint pass
+    * (the composable fold it replaced did O(L²) per-char substrs). */
+  def rollingFingerprint(c: Column): Column = {
+    // callers always run under a graft session; registration is idempotent
+    call_function("rolling_hash", c)
+  }
 
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =

@@ -305,6 +305,27 @@ class OpsSpec extends AnyFunSuite {
     assert((up.getRGB(31, 39) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
   }
 
+  test("native rolling_hash ≡ composable formulation (corpus + edges)") {
+    import spark.implicits._
+    import graft.functions.PortableHash
+    // edges: empty, single char, non-ASCII codepoints (Spark ascii = Duck
+    // ord = codepoint, the native loop must walk codepoints not chars),
+    // whitespace runs, a long string
+    val edges = Seq("", "a", " ", "中文 漢字", "éàü", "a b  c", "x" * 500,
+      "mixed 中 ascii é end").toDF("text")
+    for (df <- Seq(edges, docs.select("text"))) {
+      val diff = df
+        .select(graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("fast"),
+          PortableHash.rollingHashComposable(col("text")).as("slow"))
+        .filter(not(col("fast") <=> col("slow")))
+      assert(diff.isEmpty, s"mismatch: ${diff.head(3).mkString("; ")}")
+    }
+    // null text → null, like the composable fold
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(graft.ops.TextAnalysis.rollingFingerprint(col("text")).as("h"))
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ffd packing: bins within ctx, nothing lost, fill ≥ non-splitting greedy") {
     import graft.ops.Chunking
     val ctx = 128
