@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * The IMAGE codec is real: JDK `javax.imageio` (headless) decodes
   * PNG/JPEG/BMP/GIF payloads to pixels, and `Graphics2D` resamples — zero
   * non-JDK dependencies ([[decodeImage]], [[imageStats]], [[resizeImage]]).
-  * AUDIO and VIDEO remain clearly-marked deterministic STUBs
-  * (`decodeStub`/`frameSliceStub`) because the JDK ships no audio/video
-  * codec; the Iterator-based partition loop around them is the production
-  * shape (it amortizes per-batch model or codec initialization exactly like
+  * The AUDIO codec is real too: JDK `javax.sound.sampled` decodes WAV/AIFF/
+  * AU PCM payloads to 16-bit samples ([[decodeAudio]], [[decodeAudioStats]]).
+  * Only VIDEO remains a clearly-marked deterministic STUB
+  * (`frameSliceStub`) because the JDK ships no video demuxer; the
+  * Iterator-based partition loop around it is the production shape (it
+  * amortizes per-batch model or codec initialization exactly like
   * `mapInPandas`/`mapPartitions` pipelines do, and never materializes a
   * whole partition in memory).
   *
@@ -42,12 +44,13 @@ object Multimodal {
   implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** STUB decoder for AUDIO/VIDEO — deterministic fake features derived from
-    * payload bytes (the JDK ships no audio/video codec; ??? marks the seam).
-    * Images have a REAL decoder below ([[decodeImage]]/[[decodeImageStats]]);
+  /** STUB decoder for VIDEO — deterministic fake features derived from
+    * payload bytes (the JDK ships no video codec; ??? marks the seam).
+    * Images and audio have REAL decoders below ([[decodeImage]]/
+    * [[decodeImageStats]], [[decodeAudio]]/[[decodeAudioStats]]);
     * everything around this stub is the production partition loop. */
   def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-    // ??? real audio-frame / video-sample decode goes here (no JDK codec)
+    // ??? real video-sample decode goes here (no JDK codec)
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -224,6 +227,89 @@ object Multimodal {
         decodeImage(r.payload) match {
           case Some(img) => r.copy(payload = encodePng(resizeImage(img, w, h)))
           case None      => r
+        }
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // Real audio codec (JDK-only: javax.sound.sampled — WAV/AIFF/AU PCM)
+  // ---------------------------------------------------------------------
+
+  /** Decoded-audio scalar stats over raw PCM16 samples. Integer-exact, so
+    * aggregations are DuckDB-oracle-checkable just like [[ImageStats]]. */
+  final case class AudioStats(
+      media_id: Long,
+      n_samples: Long,
+      channels: Int,
+      sample_rate: Int,
+      sum_abs: Long,
+      max_abs: Int)
+
+  implicit val audioStatsEnc: Encoder[AudioStats] = Encoders.product[AudioStats]
+
+  /** Decode an audio payload (WAV/AIFF/AU with PCM content — the formats
+    * the JDK's `javax.sound.sampled` registry ships) to interleaved signed
+    * 16-bit samples. None for unrecognized/corrupt payloads — same
+    * drop-don't-throw contract as [[decodeImage]]. Non-16-bit PCM content
+    * is converted to 16-bit by the JDK's own converter, keeping the output
+    * shape uniform. */
+  def decodeAudio(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Short])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate,
+        16, src.getChannels, src.getChannels * 2, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = pcm.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some((fmt, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic mono PCM16 WAV fixture: sample i is
+    * `((seed + 7*i) mod 2003) - 1001` — integer-exact, so an oracle
+    * recomputes every decoded sample arithmetically (the audio twin of
+    * [[syntheticPng]]'s solid fill). */
+  def syntheticWav(nSamples: Int, seed: Int, sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(nSamples > 0)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((seed.toLong + 7L * i) % 2003L - 1001L).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat,
+      16, 1, 2, sampleRate.toFloat, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode audio payloads → exact PCM stats, per-partition; undecodable
+    * payloads drop, like [[decodeImageStats]]. */
+  def decodeAudioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] =
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.payload).map { case (fmt, samples) =>
+          var sumAbs = 0L; var maxAbs = 0; var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i).toInt)
+            sumAbs += a; if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          AudioStats(r.media_id, samples.length.toLong / fmt.getChannels,
+            fmt.getChannels, fmt.getSampleRate.toInt, sumAbs, maxAbs)
         }
       }
     }

@@ -119,6 +119,28 @@ object VectorQueries {
         .orderBy("grp")
     }),
 
+    // REAL audio decode: deterministic mono PCM16 WAVs (sample i =
+    // ((seed + 7i) mod 2003) - 1001, n and seed derived from doc_id),
+    // decoded by the JDK javax.sound.sampled codec — the oracle recomputes
+    // every |sample| arithmetically, pinning sample-true PCM decoding.
+    "q98_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          Multimodal.MediaRecord(id, "audio",
+            Multimodal.syntheticWav(
+              nSamples = 500 + (id % 300).toInt, seed = (id % 997).toInt),
+            "synth")
+        }
+      Multimodal.decodeAudioStats(media)
+        .groupBy((col("media_id") % 4).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_samples")).as("sum_samples"),
+          sum(col("sum_abs")).as("sum_abs"),
+          max(col("max_abs")).as("max_abs"))
+        .orderBy("grp")
+    }),
+
     // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
     "q51_embed_block_pairs" -> ((s, d) => {
       Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)
@@ -211,6 +233,25 @@ object VectorQueries {
          CAST(6 AS INT) AS max_w,
          CAST(3 AS INT) AS max_h
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // the WAV fixture's samples are pure doc_id arithmetic; max n is
+    // 500 + 299 = 799, so a fixed 0..798 series joined on i < n replaces
+    // the correlated generate_series DuckDB's binder rejects
+    "q98_audio_stats" ->
+      """WITH per AS (SELECT doc_id, 500 + doc_id % 300 AS n, doc_id % 997 AS seed
+           FROM documents),
+         idx AS (SELECT unnest(generate_series(0, 798)) AS i),
+         st AS (
+           SELECT p.doc_id, max(p.n) AS n_samples,
+                  sum(abs(((p.seed + 7*x.i) % 2003) - 1001)) AS s_abs,
+                  max(abs(((p.seed + 7*x.i) % 2003) - 1001)) AS m_abs
+           FROM per p JOIN idx x ON x.i < p.n
+           GROUP BY p.doc_id)
+         SELECT doc_id % 4 AS grp, count(*) AS n,
+           CAST(sum(n_samples) AS BIGINT) AS sum_samples,
+           CAST(sum(s_abs) AS BIGINT) AS sum_abs,
+           CAST(max(m_abs) AS INT) AS max_abs
+         FROM st GROUP BY 1 ORDER BY 1""",
 
     "q51_embed_block_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),

@@ -305,6 +305,29 @@ class OpsSpec extends AnyFunSuite {
     assert((up.getRGB(31, 39) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
   }
 
+  test("audio codec: WAV decode recovers exact PCM16 samples, corrupt drops") {
+    import spark.implicits._
+    val n = 777; val seed = 123
+    val wav = Multimodal.syntheticWav(n, seed)
+    val (fmt, samples) = Multimodal.decodeAudio(wav).get
+    assert(fmt.getChannels === 1 && fmt.getSampleRate === 8000f)
+    assert(samples.length === n)
+    for (i <- 0 until n)
+      assert(samples(i) === (((seed.toLong + 7L * i) % 2003L) - 1001L).toShort,
+        s"sample $i")
+    // dataset path: corrupt payload drops, stats are the exact sums
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, "s"),
+      Multimodal.MediaRecord(2L, "audio", Array[Byte](9, 9, 9), "s")).toDS()
+    val stats = Multimodal.decodeAudioStats(media).collect()
+    assert(stats.map(_.media_id).toSeq === Seq(1L))
+    val expAbs = (0 until n).map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).sum
+    assert(stats.head.n_samples === n.toLong)
+    assert(stats.head.sum_abs === expAbs)
+    assert(stats.head.max_abs === (0 until n)
+      .map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).max.toInt)
+  }
+
   test("native rolling_hash ≡ composable formulation (corpus + edges)") {
     import spark.implicits._
     import graft.functions.PortableHash
