@@ -20,7 +20,11 @@ object Curation {
 
   /** @param langFracs   per-language keep rates (empty = keep every language)
     * @param chunkWidth  tokens per chunk; `chunkStride` < width ⇒ overlap
-    * @param ctx         context length chunks are packed into (per split) */
+    * @param ctx         context length chunks are packed into (per split)
+    * @param ffdPack     true = first-fit-decreasing whole-chunk bins
+    *                    ([[Chunking.packFFD]] — no chunk straddles a bin);
+    *                    false = concat-and-cut ([[Chunking.pack]], the
+    *                    GPT-style continuous token stream) */
   case class Config(
       langFracs: Map[String, Double] = Map.empty,
       shingleN: Int = 3,
@@ -31,13 +35,20 @@ object Curation {
       chunkStride: Int = 48,
       ctx: Int = 512,
       sampleSeed: Int = 7,
-      splitSeed: Int = 42)
+      splitSeed: Int = 42,
+      ffdPack: Boolean = false)
 
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`. */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
-      cfg: Config = Config()): DataFrame =
-    Chunking.pack(curateChunks(docs, id, text, lang, cfg), col("split"), cfg.ctx)
+      cfg: Config = Config()): DataFrame = {
+    val chunks = curateChunks(docs, id, text, lang, cfg)
+    if (cfg.ffdPack)
+      Chunking.packFFD(chunks, col("split"), cfg.ctx)
+        .withColumnRenamed("grp", "split")
+        .select("doc", "chunk_idx", "chunk", "n_tok", "split", "bin")
+    else Chunking.pack(chunks, col("split"), cfg.ctx)
+  }
 
   /** The pipeline up to (but excluding) context packing: one row per chunk,
     * `doc, chunk_idx, chunk, n_tok, split`. This is the part that is a pure

@@ -62,7 +62,10 @@ object Multimodal {
 
   /** Batched per-partition feature extraction over a typed Dataset — the
     * `mapPartitions` shape that amortizes codec init per partition, not per
-    * row. */
+    * row. Decodable payloads get REAL features: images a dim-bucket
+    * luminance histogram, audio dim equal-width mean-|amplitude| bands;
+    * video and undecodable payloads fall back to the deterministic stub
+    * (so the pipeline never drops a row for having exotic bytes). */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
       // per-partition codec/model initialization happens here, once
@@ -70,10 +73,55 @@ object Multimodal {
       rows.map { r =>
         digest.reset()
         val sum = digest.digest(r.payload).map("%02x".format(_)).mkString
+        val feats = r.kind match {
+          case "image" => decodeImage(r.payload).map(imageHistogram(_, dim))
+          case "audio" => decodeAudio(r.payload).map(p => audioBands(p._2, dim))
+          case _       => None
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum,
-          decodeStub(r.payload, dim))
+          feats.getOrElse(decodeStub(r.payload, dim)))
       }
     }
+
+  /** Normalized luminance histogram: fraction of pixels per of `dim` equal
+    * brightness buckets (luminance = (r+g+b)/3, integer math). */
+  def imageHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        out(math.min(dim - 1, lum * dim / 256)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < dim) { out(i) /= n; i += 1 }
+    out
+  }
+
+  /** Mean |amplitude| (normalized to [0,1]) over `dim` equal sample bands —
+    * the classic cheap audio energy profile. */
+  def audioBands(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < samples.length) {
+      val b = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+      out(b) += math.abs(samples(i).toInt) / 32768f
+      counts(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < dim) { if (counts(b) > 0) out(b) /= counts(b); b += 1 }
+    out
+  }
 
   /** One sampled frame (or audio window) extracted from a media payload. */
   final case class MediaFrame(

@@ -305,6 +305,53 @@ class OpsSpec extends AnyFunSuite {
     assert((up.getRGB(31, 39) & 0xffffff) === ((200 << 16) | (60 << 8) | 7))
   }
 
+  test("curate with ffdPack keeps the same chunks, whole-chunk bins within ctx") {
+    import graft.ops.Curation
+    val cfg = Curation.Config(ctx = 256)
+    val cut = Curation.curate(docs, col("doc_id"), col("text"), col("lang"), cfg)
+      .collect()
+    val ffd = Curation.curate(docs, col("doc_id"), col("text"), col("lang"),
+      cfg.copy(ffdPack = true)).collect()
+    assert(ffd.map(_.schema.fieldNames.toSeq).headOption ===
+      cut.map(_.schema.fieldNames.toSeq).headOption)
+    def chunkKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2))
+    assert(ffd.map(chunkKey).toSet === cut.map(chunkKey).toSet)
+    // FFD bins never exceed ctx (cut bins may straddle by design)
+    ffd.groupBy(r => (r.getString(4), r.getLong(5))).foreach { case (k, rs) =>
+      assert(rs.map(_.getInt(3)).sum <= cfg.ctx, s"bin $k overflows")
+    }
+  }
+
+  test("extractFeatures routes decodable media to real codec features") {
+    import spark.implicits._
+    // solid mid-gray image → all histogram mass in one luminance bucket
+    val png = Multimodal.syntheticPng(8, 8, 100, 100, 100)
+    // constant-amplitude audio → every band has the same mean |amplitude|
+    val pcm = new Array[Byte](400 * 2)
+    for (i <- 0 until 400) { pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x10 } // 4096
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 400L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png, "s"),
+      Multimodal.MediaRecord(2L, "audio", bos.toByteArray, "s"),
+      Multimodal.MediaRecord(3L, "image", Array[Byte](1, 2, 3), "s")) // undecodable → stub
+      .toDS()
+    val f = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(x => x.media_id -> x.features).toMap
+    // lum 100 → bucket 100*8/256 = 3, fraction 1.0
+    assert(f(1L)(3) === 1.0f && f(1L).sum === 1.0f)
+    // all bands equal 4096/32768 = 0.125
+    f(2L).foreach(b => assert(math.abs(b - 0.125f) < 1e-6f))
+    // stub fallback is the byte-fold, not all-zero
+    assert(f(3L).exists(_ != 0f))
+  }
+
   test("audio codec: WAV decode recovers exact PCM16 samples, corrupt drops") {
     import spark.implicits._
     val n = 777; val seed = 123
