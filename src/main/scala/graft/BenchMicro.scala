@@ -26,6 +26,19 @@ object BenchMicro {
     val shComposed = timeShingle(fast = false)
     val shNative = timeShingle(fast = true)
     println(s"""{"metric":"shingle_micro","composed_sec":$shComposed,"native_sec":$shNative,"speedup":${shComposed / shNative},"sf":"$sfDir"}""")
+    // rolling hash: native O(L) codepoint walk vs the composable fold's
+    // O(L²) per-character substrs + per-row long-array materialization
+    def timeRolling(fast: Boolean): Double = {
+      val c = if (fast) graft.ops.TextAnalysis.rollingFingerprint(col("text"))
+              else graft.functions.PortableHash.rollingHashComposable(col("text"))
+      docs.select(sum(c)).collect()
+      val t0 = System.nanoTime()
+      (1 to 3).foreach(_ => docs.select(sum(c)).collect())
+      (System.nanoTime() - t0) / 3e9
+    }
+    val rhComposed = timeRolling(fast = false)
+    val rhNative = timeRolling(fast = true)
+    println(s"""{"metric":"rolling_hash_micro","composed_sec":$rhComposed,"native_sec":$rhNative,"speedup":${rhComposed / rhNative},"sf":"$sfDir"}""")
     docs.unpersist()
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     embs.count()
