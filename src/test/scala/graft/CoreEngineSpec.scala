@@ -140,6 +140,15 @@ class CoreEngineSpec extends AnyFunSuite {
       .orderBy("v").collect()
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("a", 1L), ("b", 2L), ("c", 10L), ("d", 20L)))
+    // concat combine (per-shard kernels) still sees shard identity through
+    // the widened-schema read: input_file_name survives the explicit schema
+    val concat = GroupByEngine.groupby(spark,
+        Seq(s"$dir/s1", s"$dir/s2"),
+        keys = Nil,
+        aggs = Seq(AggSpec("k", "sum", "sum_k")),
+        combine = CombineMode.Concat).get
+      .collect().map(_.getLong(0)).sorted
+    assert(concat.toSeq === Seq(3L, 30L)) // one row per shard, not merged
   }
 
   test("schema drift: added-column-only drift merges distributed; corruption raises typed error") {
