@@ -100,12 +100,29 @@ object Curation {
     * window over everything seen so far), which append streams cannot
     * express incrementally — pack each micro-batch via `foreachBatch`
     * (`Chunking.pack` on the batch DataFrame) when bin assignment is
-    * needed online. */
+    * needed online.
+    *
+    * @param eventTime optional `(tsColumn, delayThreshold)` — when set, the
+    *   dedup state is WATERMARK-BOUNDED (`dropDuplicatesWithinWatermark`):
+    *   a duplicate arriving within the delay of its first sighting is
+    *   dropped, and state for keys older than the watermark is reclaimed.
+    *   This is the 100 TB unbounded-corpus mode — without it, dedup state
+    *   grows with one entry per distinct document forever. */
   def curateStream(docs: DataFrame, id: Column, text: Column, lang: Column,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      eventTime: Option[(Column, String)] = None): DataFrame = {
     require(docs.isStreaming, "curateStream expects a streaming DataFrame")
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val quality = docs.filter(TextAnalysis.qualityClass(text) === "ok")
+    val watermarked = eventTime match {
+      case Some((ts, delay)) =>
+        docs.withColumn("__ts", ts).withWatermark("__ts", delay)
+      case None => docs
+    }
+    def dedupOn(df: DataFrame, key: String): DataFrame = eventTime match {
+      case Some(_) => df.dropDuplicatesWithinWatermark(key)
+      case None    => df.dropDuplicates(key)
+    }
+    val quality = watermarked.filter(TextAnalysis.qualityClass(text) === "ok")
     val rebalanced =
       if (cfg.langFracs.isEmpty) quality
       else Sampling.stratifiedSample(quality, id, lang, cfg.langFracs,
@@ -113,14 +130,19 @@ object Curation {
     // exact dedup: first arrival per content fingerprint (null-text rows
     // never reach here — qualityClass(null) is not "ok" — but the per-id
     // fallback keeps the key total like nearDupFilterBySignature's)
-    val exact = rebalanced
+    val exact = dedupOn(rebalanced
       .withColumn("__fp", coalesce(TextAnalysis.fingerprint(text),
-        concat(lit("null-text:"), id.cast("string"))))
-      .dropDuplicates("__fp")
+        concat(lit("null-text:"), id.cast("string")))), "__fp")
       .drop("__fp")
-    val fuzzy = Dedup.nearDupFilterBySignature(exact, id, text,
-      cfg.shingleN, cfg.sigK)
-    Chunking.chunk(fuzzy, id, text, cfg.chunkWidth, cfg.chunkStride)
+    // fuzzy dedup on the row-wise MinHash signature (same key
+    // nearDupFilterBySignature uses), state-bounded the same way
+    val fuzzy = dedupOn(exact
+      .withColumn("__sig", coalesce(
+        call_function("minhash_signature", text,
+          lit(cfg.shingleN), lit(cfg.sigK)).cast("string"),
+        concat(lit("null-text:"), id.cast("string")))), "__sig")
+      .drop("__sig")
+    Chunking.chunk(fuzzy.drop("__ts"), id, text, cfg.chunkWidth, cfg.chunkStride)
       .withColumn("split",
         Sampling.splitColumn(col("doc"), cfg.splitNames, cfg.splitWeights,
           cfg.splitSeed))

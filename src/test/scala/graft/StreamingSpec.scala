@@ -179,6 +179,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_ / 10).sorted === Seq(0L, 1L, 2L, 3L))
   }
 
+  test("watermark-bounded streaming curation dedups like the unbounded mode") {
+    import graft.ops.Curation
+    import spark.implicits._
+    val base = (0 until 3).map(g =>
+      s"wm group $g " + (0 until 40).map(i => s"wtok${g}_$i").mkString(" "))
+    // duplicates arrive within seconds of each other — inside any sane
+    // watermark delay, so bounded state must drop them exactly like the
+    // unbounded mode (state for old keys is reclaimed, behavior identical)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = for (g <- 0 until 3; c <- 0 until 3) yield
+      (g * 10L + c, base(g), "en",
+        new java.sql.Timestamp(t0.getTime + (g * 3 + c) * 1000L))
+    val srcDir = Files.createTempDirectory("graft-curate-wm").toString
+    rows.toDF("doc_id", "text", "lang", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/docs")
+    val input = spark.read.parquet(s"$srcDir/docs")
+    val stream = spark.readStream.schema(input.schema).parquet(s"$srcDir/docs")
+    val out = EventsStream.runToCompletion(
+        Curation.curateStream(stream, col("doc_id"), col("text"), col("lang"),
+          Curation.Config(), eventTime = Some((col("ts"), "10 minutes"))),
+        "curate_wm", OutputMode.Append())
+      .select("doc").distinct().collect().map(_.getLong(0)).toSeq
+    assert(out.length === 3, s"one survivor per group, got $out")
+    assert(out.map(_ / 10).sorted === Seq(0L, 1L, 2L))
+  }
+
   test("lsh recall@k is measurable and maxes out when probing every bucket") {
     import graft.ops.Similarity
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
