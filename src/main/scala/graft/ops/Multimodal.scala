@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` payloads with typed
   * metadata, processed in batched per-partition passes.
   *
-  * The IMAGE codec is real: JDK `javax.imageio` (headless) decodes
-  * PNG/JPEG/BMP/GIF payloads to pixels, and `Graphics2D` resamples — zero
-  * non-JDK dependencies ([[decodeImage]], [[imageStats]], [[resizeImage]]).
-  * The AUDIO codec is real too: JDK `javax.sound.sampled` decodes WAV/AIFF/
-  * AU PCM payloads to 16-bit samples ([[decodeAudio]], [[decodeAudioStats]]).
-  * Only VIDEO remains a clearly-marked deterministic STUB
-  * (`frameSliceStub`) because the JDK ships no video demuxer; the
-  * Iterator-based partition loop around it is the production shape (it
+  * All three codecs are REAL, zero non-JDK dependencies:
+  *  - IMAGE: JDK `javax.imageio` (headless) decodes PNG/JPEG/BMP/GIF
+  *    payloads to pixels, `Graphics2D` resamples ([[decodeImage]],
+  *    [[imageStats]], [[resizeImage]]).
+  *  - AUDIO: JDK `javax.sound.sampled` decodes WAV/AIFF/AU PCM payloads to
+  *    16-bit samples ([[decodeAudio]], [[decodeAudioStats]]).
+  *  - VIDEO: a pure-JDK RIFF/AVI demuxer ([[demuxAvi]]) walks the container
+  *    byte-exactly and decodes frames — uncompressed BI_RGB DIB frames
+  *    (`00db`) pixel-exactly, MJPEG frames (`00dc`) through the same real
+  *    ImageIO JPEG codec the image path uses. [[sampleVideoFrames]] is real
+  *    frame extraction; [[decodeVideoStats]] is oracle-checkable.
+  * Payloads with no decodable structure fall back to the deterministic
+  * byte-level featurizer ([[decodeStub]]) / byte-window slicer
+  * ([[frameSliceStub]]) so a pipeline never drops a row for exotic bytes.
+  * The Iterator-based partition loop is the production shape throughout (it
   * amortizes per-batch model or codec initialization exactly like
   * `mapInPandas`/`mapPartitions` pipelines do, and never materializes a
   * whole partition in memory).
@@ -44,13 +51,11 @@ object Multimodal {
   implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
-  /** STUB decoder for VIDEO — deterministic fake features derived from
-    * payload bytes (the JDK ships no video codec; ??? marks the seam).
-    * Images and audio have REAL decoders below ([[decodeImage]]/
-    * [[decodeImageStats]], [[decodeAudio]]/[[decodeAudioStats]]);
-    * everything around this stub is the production partition loop. */
+  /** Fallback featurizer for OPAQUE payloads — deterministic byte-level
+    * features for rows whose bytes none of the real codecs ([[decodeImage]],
+    * [[decodeAudio]], [[demuxAvi]]) recognize, so the pipeline never drops
+    * a row for having exotic bytes. */
   def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-    // ??? real video-sample decode goes here (no JDK codec)
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -63,8 +68,9 @@ object Multimodal {
   /** Batched per-partition feature extraction over a typed Dataset — the
     * `mapPartitions` shape that amortizes codec init per partition, not per
     * row. Decodable payloads get REAL features: images a dim-bucket
-    * luminance histogram, audio dim equal-width mean-|amplitude| bands;
-    * video and undecodable payloads fall back to the deterministic stub
+    * luminance histogram, audio dim equal-width mean-|amplitude| bands,
+    * video the mean luminance histogram over up to 4 sampled frames;
+    * undecodable payloads fall back to the deterministic byte-level stub
     * (so the pipeline never drops a row for having exotic bytes). */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
@@ -76,6 +82,7 @@ object Multimodal {
         val feats = r.kind match {
           case "image" => decodeImage(r.payload).map(imageHistogram(_, dim))
           case "audio" => decodeAudio(r.payload).map(p => audioBands(p._2, dim))
+          case "video" => demuxAvi(r.payload).flatMap(videoHistogram(_, dim))
           case _       => None
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, sum,
@@ -131,18 +138,22 @@ object Multimodal {
 
   implicit val mediaFrameEnc: Encoder[MediaFrame] = Encoders.product[MediaFrame]
 
-  /** STUB frame decoder: fixed-stride byte windows standing in for video
-    * frame extraction / audio windowing. ??? real demux+decode goes here;
-    * the surrounding one-to-many flatMap IS the production shape. */
+  /** Byte-window slicer for OPAQUE payloads: fixed-stride byte windows for
+    * rows with no parseable container (fixed-width feature blobs, raw PCM
+    * dumps). Real video frame extraction is [[sampleVideoFrames]] via the
+    * RIFF/AVI demuxer; this is the structureless fallback. */
   def frameSliceStub(payload: Array[Byte], idx: Int, frameLen: Int): Array[Byte] =
     payload.slice(idx * frameLen, math.min((idx + 1) * frameLen, payload.length))
 
-  /** Frame sampling: every `stride`-th frame up to `maxFrames` per media row,
-    * as a bounded one-to-many flatMap (the row explosion never exceeds
-    * maxFrames × input rows, so stage output is predictable at 100 TB —
-    * unbounded per-video explosion is the classic multimodal-pipeline OOM).
-    * Frames inherit the partition of their media row: decode-then-aggregate
-    * pipelines stay shuffle-free until the feature aggregation. */
+  /** Byte-window sampling: every `stride`-th window up to `maxFrames` per
+    * media row, as a bounded one-to-many flatMap (the row explosion never
+    * exceeds maxFrames × input rows, so stage output is predictable at
+    * 100 TB — unbounded per-video explosion is the classic
+    * multimodal-pipeline OOM). Windows inherit the partition of their media
+    * row: decode-then-aggregate pipelines stay shuffle-free until the
+    * feature aggregation. For real video containers use
+    * [[sampleVideoFrames]] (same bounded-flatMap shape, real decoded
+    * frames). */
   def sampleFrames(media: Dataset[MediaRecord], frameLen: Int = 64,
       stride: Int = 2, maxFrames: Int = 4): Dataset[MediaFrame] = {
     require(frameLen > 0 && stride > 0 && maxFrames > 0)
@@ -361,6 +372,388 @@ object Multimodal {
         }
       }
     }
+
+  // ---------------------------------------------------------------------
+  // Real video codec (JDK-only: RIFF/AVI container demux; BI_RGB frames
+  // decoded byte-exactly, MJPEG frames through the real ImageIO JPEG codec)
+  // ---------------------------------------------------------------------
+
+  /** A demuxed AVI: stream geometry + the raw per-frame chunk payloads.
+    * Frame DECODE is deferred to [[DemuxedVideo.decodeFrame]] so stride
+    * sampling never pays for skipped frames (demux is an O(bytes) container
+    * walk; decode is the expensive part). `codec` is `"rgb"` (uncompressed
+    * BI_RGB DIB, decoded byte-exactly) or `"mjpg"` (per-frame JPEG via
+    * ImageIO). `topDown` mirrors the DIB convention: negative biHeight
+    * means rows are stored top-down instead of the default bottom-up. */
+  final case class DemuxedVideo(
+      width: Int,
+      height: Int,
+      codec: String,
+      topDown: Boolean,
+      bitCount: Int,
+      frameChunks: IndexedSeq[Array[Byte]]) {
+    def nFrames: Int = frameChunks.length
+    def decodeFrame(i: Int): Option[java.awt.image.BufferedImage] = codec match {
+      case "rgb"  => decodeDib(frameChunks(i), width, height, bitCount, topDown)
+      case "mjpg" => decodeImage(frameChunks(i))
+      case _      => None
+    }
+  }
+
+  private def fourCC(b: Array[Byte], o: Int): String =
+    if (o + 4 > b.length) ""
+    else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** Demux a RIFF/AVI payload: walk `hdrl` for the first `vids` stream's
+    * BITMAPINFOHEADER (width / height / bit depth / compression), then
+    * collect that stream's frame chunks (`NNdb` uncompressed / `NNdc`
+    * compressed, including inside nested `rec ` LISTs) from `movi`.
+    * Supported frame codings: BI_RGB 24/32-bit DIB and MJPEG. None for
+    * anything unrecognized or corrupt — same drop-don't-throw contract as
+    * [[decodeImage]]/[[decodeAudio]], so one bad blob can't fail a 100 TB
+    * stage. */
+  def demuxAvi(payload: Array[Byte]): Option[DemuxedVideo] = try {
+    if (payload.length < 12 || fourCC(payload, 0) != "RIFF" ||
+      fourCC(payload, 8) != "AVI ") return None
+    val end = math.min(payload.length.toLong, 8L + u32(payload, 4))
+
+    var width = 0; var height = 0; var bitCount = 0
+    var topDown = false; var codec = ""
+    var vidsStream = -1 // index of the first 'vids' stream, in strl order
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    // one pass over hdrl to bind the stream, then one over movi for frames;
+    // chunk grammar: id(4) size(4) data(size) pad(size&1)
+    def walkHdrl(from: Long, to: Long): Unit = {
+      var o = from
+      var streamIdx = -1
+      while (o + 8 <= to) {
+        val id = fourCC(payload, o.toInt)
+        val size = u32(payload, o.toInt + 4)
+        val data = o + 8
+        if (id == "LIST" && fourCC(payload, data.toInt) == "strl") {
+          streamIdx += 1
+          // within strl: strh tells the stream type, strf carries the
+          // BITMAPINFOHEADER for video streams
+          var so = data + 4
+          val sEnd = math.min(to, data + size)
+          var isVids = false
+          while (so + 8 <= sEnd) {
+            val sid = fourCC(payload, so.toInt)
+            val ssize = u32(payload, so.toInt + 4)
+            val sdata = (so + 8).toInt
+            if (sid == "strh" && ssize >= 8)
+              isVids = fourCC(payload, sdata) == "vids"
+            if (sid == "strf" && isVids && vidsStream < 0 && ssize >= 40) {
+              vidsStream = streamIdx
+              width = i32(payload, sdata + 4)
+              val rawH = i32(payload, sdata + 8)
+              topDown = rawH < 0
+              height = math.abs(rawH)
+              bitCount = u16(payload, sdata + 14)
+              val comp = u32(payload, sdata + 16)
+              codec =
+                if (comp == 0L && (bitCount == 24 || bitCount == 32)) "rgb"
+                else if (comp == MJPG_FOURCC || fourCC(payload, sdata + 16) == "MJPG") "mjpg"
+                else ""
+            }
+            so += 8 + ssize + (ssize & 1)
+          }
+        }
+        o = data + size + (size & 1)
+      }
+    }
+
+    def walkMovi(from: Long, to: Long): Unit = {
+      val want = f"$vidsStream%02d"
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourCC(payload, o.toInt)
+        val size = u32(payload, o.toInt + 4)
+        val data = o + 8
+        if (id == "LIST" && fourCC(payload, data.toInt) == "rec ")
+          walkMovi(data + 4, math.min(to, data + size))
+        else if (id.startsWith(want) &&
+          (id.endsWith("db") || id.endsWith("dc")) && data + size <= to)
+          frames += java.util.Arrays.copyOfRange(
+            payload, data.toInt, (data + size).toInt)
+        o = data + size + (size & 1)
+      }
+    }
+
+    // top level: LIST hdrl, LIST movi (idx1 and anything else is skipped —
+    // the index is an optimization for seeking, not needed for a full walk)
+    var o = 12L
+    while (o + 8 <= end) {
+      val id = fourCC(payload, o.toInt)
+      val size = u32(payload, o.toInt + 4)
+      val data = o + 8
+      if (id == "LIST") fourCC(payload, data.toInt) match {
+        case "hdrl" => walkHdrl(data + 4, math.min(end, data + size))
+        case "movi" if vidsStream >= 0 && codec.nonEmpty =>
+          walkMovi(data + 4, math.min(end, data + size))
+        case _ => ()
+      }
+      o = data + size + (size & 1)
+    }
+
+    if (vidsStream < 0 || codec.isEmpty || width <= 0 || height <= 0 ||
+      frames.isEmpty) None
+    else Some(DemuxedVideo(width, height, codec, topDown, bitCount, frames.toIndexedSeq))
+  } catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  private val MJPG_FOURCC: Long = u32("MJPG".getBytes("US-ASCII"), 0)
+
+  /** Decode one uncompressed DIB frame chunk (BI_RGB, 24- or 32-bit,
+    * bottom-up unless `topDown`, rows padded to 4-byte boundaries) to a
+    * BufferedImage — byte-exact, no resampling, no color conversion. */
+  def decodeDib(data: Array[Byte], w: Int, h: Int, bitCount: Int,
+      topDown: Boolean): Option[java.awt.image.BufferedImage] = {
+    val bpp = bitCount / 8
+    if (bpp != 3 && bpp != 4) return None
+    val rowLen = ((w * bpp + 3) / 4) * 4
+    if (data.length < rowLen.toLong * h) return None
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      var o = srcRow * rowLen
+      while (x < w) {
+        // DIB pixel order is B,G,R(,X)
+        val bch = data(o) & 0xff; val gch = data(o + 1) & 0xff; val rch = data(o + 2) & 0xff
+        img.setRGB(x, y, (rch << 16) | (gch << 8) | bch)
+        x += 1; o += bpp
+      }
+      y += 1
+    }
+    Some(img)
+  }
+
+  private def putFourCC(bos: java.io.ByteArrayOutputStream, s: String): Unit =
+    bos.write(s.getBytes("US-ASCII"), 0, 4)
+
+  private def putU32(bos: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+    bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length + 9)
+    putFourCC(bos, id); putU32(bos, data.length.toLong)
+    bos.write(data, 0, data.length)
+    if ((data.length & 1) == 1) bos.write(0) // RIFF chunks are even-aligned
+    bos.toByteArray
+  }
+
+  private def list(listType: String, children: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(children.length + 13)
+    putFourCC(bos, "LIST"); putU32(bos, children.length + 4L)
+    putFourCC(bos, listType)
+    bos.write(children, 0, children.length)
+    bos.toByteArray
+  }
+
+  /** Assemble a complete single-video-stream AVI container around
+    * ready-made frame chunks. `compression` 0 = BI_RGB (`00db` chunks),
+    * MJPG fourcc = MJPEG (`00dc`). Writes avih + strh/strf + movi + idx1 —
+    * the full standard layout, so any AVI reader (not just [[demuxAvi]])
+    * accepts the output. */
+  private def buildAvi(w: Int, h: Int, bitCount: Int, compression: Long,
+      frameData: Seq[Array[Byte]], fps: Int): Array[Byte] = {
+    val db = compression == 0L
+    val frameId = if (db) "00db" else "00dc"
+    val maxFrame = if (frameData.isEmpty) 0 else frameData.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream(56)
+    putU32(avih, 1000000L / fps)          // dwMicroSecPerFrame
+    putU32(avih, maxFrame.toLong * fps)   // dwMaxBytesPerSec
+    putU32(avih, 0); putU32(avih, 0x10)   // padding; AVIF_HASINDEX
+    putU32(avih, frameData.length.toLong) // dwTotalFrames
+    putU32(avih, 0); putU32(avih, 1)      // initial frames; 1 stream
+    putU32(avih, maxFrame.toLong)         // suggested buffer
+    putU32(avih, w.toLong); putU32(avih, h.toLong)
+    (0 until 4).foreach(_ => putU32(avih, 0)) // dwReserved
+
+    val strh = new java.io.ByteArrayOutputStream(56)
+    putFourCC(strh, "vids")
+    if (db) putFourCC(strh, "DIB ") else putFourCC(strh, "MJPG")
+    putU32(strh, 0); putU32(strh, 0)      // flags; prio+language
+    putU32(strh, 0)                       // initial frames
+    putU32(strh, 1); putU32(strh, fps.toLong) // scale; rate
+    putU32(strh, 0); putU32(strh, frameData.length.toLong) // start; length
+    putU32(strh, maxFrame.toLong); putU32(strh, 0xffffffffL) // buffer; quality
+    putU32(strh, 0)                       // sample size
+    putU32(strh, 0); putU32(strh, (h.toLong << 16) | w.toLong) // rcFrame
+
+    val strf = new java.io.ByteArrayOutputStream(40)
+    putU32(strf, 40); putU32(strf, w.toLong); putU32(strf, h.toLong)
+    putU32(strf, (bitCount.toLong << 16) | 1L) // biPlanes=1, biBitCount
+    putU32(strf, compression)
+    putU32(strf, frameData.headOption.map(_.length.toLong).getOrElse(0L))
+    (0 until 4).foreach(_ => putU32(strf, 0)) // ppm x/y, clr used/important
+
+    val strl = list("strl",
+      chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+    val moviChildren = frameData.map(chunk(frameId, _))
+    val movi = list("movi", moviChildren.flatten.toArray)
+
+    val idx1 = new java.io.ByteArrayOutputStream(frameData.length * 16)
+    var off = 4L // offsets are relative to the start of movi's list type
+    frameData.foreach { f =>
+      putFourCC(idx1, frameId); putU32(idx1, 0x10) // AVIIF_KEYFRAME
+      putU32(idx1, off); putU32(idx1, f.length.toLong)
+      off += 8 + f.length + (f.length & 1)
+    }
+
+    val body = hdrl ++ movi ++ chunk("idx1", idx1.toByteArray)
+    val bos = new java.io.ByteArrayOutputStream(body.length + 12)
+    putFourCC(bos, "RIFF"); putU32(bos, body.length + 4L); putFourCC(bos, "AVI ")
+    bos.write(body, 0, body.length)
+    bos.toByteArray
+  }
+
+  /** Serialize a BufferedImage as one bottom-up, 4-byte-row-padded 24-bit
+    * BI_RGB DIB frame chunk (the exact bytes [[decodeDib]] reads back). */
+  def encodeDib(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowLen = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](rowLen * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var o = (h - 1 - y) * rowLen
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(o) = (p & 0xff).toByte          // B
+        out(o + 1) = ((p >> 8) & 0xff).toByte  // G
+        out(o + 2) = ((p >> 16) & 0xff).toByte // R
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real uncompressed AVI from frames: 24-bit BI_RGB, lossless — decoded
+    * stats are integer-exact, so video pipelines are DuckDB-oracle-checkable
+    * exactly like [[syntheticPng]] images. */
+  def encodeAviRgb(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "avi: need at least one frame")
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "avi: all frames must share dimensions")
+    buildAvi(w, h, 24, 0L, frames.map(encodeDib), fps)
+  }
+
+  /** Real MJPEG AVI: each frame JPEG-encoded by ImageIO, wrapped in `00dc`
+    * chunks with biCompression = 'MJPG' — the standard motion-JPEG layout. */
+  def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "avi: need at least one frame")
+    imageIoReady
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "avi: all frames must share dimensions")
+    val jpegs = frames.map { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", bos)
+      bos.toByteArray
+    }
+    buildAvi(w, h, 24, MJPG_FOURCC, jpegs, fps)
+  }
+
+  /** Deterministic solid-fill AVI fixture: frame f of `colors` is a solid
+    * w×h fill — the video twin of [[syntheticPng]]. Lossless BI_RGB, so an
+    * oracle recomputes every decoded channel sum arithmetically. */
+  def syntheticAvi(w: Int, h: Int, colors: Seq[(Int, Int, Int)]): Array[Byte] =
+    encodeAviRgb(colors.map { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      img
+    })
+
+  /** Decoded-video scalar stats: geometry + exact channel sums across ALL
+    * frames. Integer-exact for BI_RGB content (lossless), so aggregations
+    * are DuckDB-oracle-checkable like [[ImageStats]]/[[AudioStats]]. */
+  final case class VideoStats(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  implicit val videoStatsEnc: Encoder[VideoStats] = Encoders.product[VideoStats]
+
+  /** Demux + decode video payloads → exact per-video stats, per-partition
+    * (codec init amortized); undecodable payloads drop (flatMap), not
+    * fatal. Frames decode one at a time — peak memory is one frame, not
+    * one video. */
+  def decodeVideoStats(media: Dataset[MediaRecord]): Dataset[VideoStats] =
+    media.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        demuxAvi(r.payload).map { v =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
+          var i = 0
+          while (i < v.nFrames) {
+            v.decodeFrame(i).foreach { img =>
+              val st = imageStats(r.media_id, img)
+              sr += st.sum_r; sg += st.sum_g; sb += st.sum_b; np += st.n_pixels
+            }
+            i += 1
+          }
+          VideoStats(r.media_id, v.width, v.height, v.nFrames, np, sr, sg, sb)
+        }
+      }
+    }
+
+  /** REAL video frame sampling: demux the AVI container, decode every
+    * `stride`-th frame up to `maxFrames`, and emit each as a lossless PNG
+    * payload (so downstream image stages — [[decodeImageStats]],
+    * [[resizeImages]], [[extractFeatures]] — consume frames unchanged).
+    * Bounded one-to-many flatMap, same scale shape as [[sampleFrames]]:
+    * row explosion ≤ maxFrames × input rows, frames stay in their media
+    * row's partition, skipped frames are never decoded. Payloads that are
+    * not AVI drop (flatMap) — use [[sampleFrames]] for opaque byte
+    * windows. */
+  def sampleVideoFrames(media: Dataset[MediaRecord], stride: Int = 2,
+      maxFrames: Int = 4): Dataset[MediaFrame] = {
+    require(stride > 0 && maxFrames > 0)
+    media.flatMap { r =>
+      demuxAvi(r.payload).toSeq.flatMap { v =>
+        (0 until v.nFrames by stride).take(maxFrames).flatMap(i =>
+          v.decodeFrame(i).map(img => MediaFrame(r.media_id, i, encodePng(img))))
+      }
+    }
+  }
+
+  /** Mean luminance histogram over up to `maxFrames` evenly-strided decoded
+    * frames — the video featurizer behind [[extractFeatures]]. None if no
+    * frame decodes. */
+  def videoHistogram(v: DemuxedVideo, dim: Int, maxFrames: Int = 4): Option[Array[Float]] = {
+    val stride = math.max(1, v.nFrames / maxFrames)
+    val hists = (0 until v.nFrames by stride).take(maxFrames)
+      .flatMap(i => v.decodeFrame(i).map(imageHistogram(_, dim)))
+    if (hists.isEmpty) None
+    else Some(Array.tabulate(dim)(i => hists.map(_(i)).sum / hists.length))
+  }
 
   /** Build a media table from any table with a string column (testdata has no
     * binary fixtures, so payloads are the UTF-8 bytes — the pipeline is

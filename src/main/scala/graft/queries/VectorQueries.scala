@@ -141,6 +141,25 @@ object VectorQueries {
         .orderBy("grp")
     }),
 
+    // REAL video decode: deterministic synthetic AVIs (RIFF container,
+    // uncompressed BI_RGB solid-fill frames, geometry + per-frame colors
+    // derived from doc_id) demuxed and decoded by the pure-JDK AVI codec.
+    // BI_RGB is lossless, so the oracle recomputes the exact channel sums
+    // across every frame arithmetically — a fake demux cannot reproduce
+    // per-frame-varying colors × frame counts.
+    "q99_video_stats" -> ((s, d) => {
+      Multimodal.decodeVideoStats(syntheticVideos(s, d))
+        .groupBy((col("media_id") % 4).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_frames").cast("long")).as("sum_frames"),
+          sum(col("n_pixels")).as("sum_pixels"),
+          sum(col("sum_r")).as("sum_red"),
+          sum(col("sum_g")).as("sum_green"),
+          max(col("width")).as("max_w"),
+          min(col("height")).as("min_h"))
+        .orderBy("grp")
+    }),
+
     // blocked all-pairs embedding similarity: top-10 within-LSH-bucket pairs
     "q51_embed_block_pairs" -> ((s, d) => {
       Sim.bucketedPairs(emb(s, d), col("vec_id"), col("embedding"), bits = 8)
@@ -163,6 +182,26 @@ object VectorQueries {
           Multimodal.syntheticPng(w, h,
             (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 11) % 256).toInt),
           src)
+      }
+  }
+
+  /** Deterministic synthetic video table: one BI_RGB AVI per document,
+    * dims (4+id%6) × (3+id%4), 2+(id%3) frames, frame f solid-filled with
+    * (id+31f, 5id+17f, 9id+13f) mod 256. Built in a map stage — one small
+    * AVI encode per row, no shuffle, no driver work. */
+  private def syntheticVideos(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = 4 + (id % 6).toInt
+        val h = 3 + (id % 4).toInt
+        val nf = 2 + (id % 3).toInt
+        val colors = (0 until nf).map { f =>
+          (((id + 31L * f) % 256).toInt,
+            ((id * 5 + 17L * f) % 256).toInt,
+            ((id * 9 + 13L * f) % 256).toInt)
+        }
+        Multimodal.MediaRecord(id, "video", Multimodal.syntheticAvi(w, h, colors), src)
       }
   }
 
@@ -251,6 +290,28 @@ object VectorQueries {
            CAST(sum(n_samples) AS BIGINT) AS sum_samples,
            CAST(sum(s_abs) AS BIGINT) AS sum_abs,
            CAST(max(m_abs) AS INT) AS max_abs
+         FROM st GROUP BY 1 ORDER BY 1""",
+
+    // the AVI fixture's frame colors are pure doc_id arithmetic; max nf is
+    // 2 + 2 = 4, so a fixed 0..3 frame-index series joined on f < nf
+    // replaces the correlated generate_series (same pattern as q98)
+    "q99_video_stats" ->
+      """WITH per AS (SELECT doc_id, 4 + doc_id % 6 AS w, 3 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS nf FROM documents),
+         idx AS (SELECT unnest(generate_series(0, 3)) AS f),
+         st AS (
+           SELECT p.doc_id, max(p.w) AS w, max(p.h) AS h, max(p.nf) AS nf,
+                  sum(p.w * p.h * ((p.doc_id + 31*x.f) % 256)) AS s_r,
+                  sum(p.w * p.h * ((p.doc_id*5 + 17*x.f) % 256)) AS s_g
+           FROM per p JOIN idx x ON x.f < p.nf
+           GROUP BY p.doc_id)
+         SELECT doc_id % 4 AS grp, count(*) AS n,
+           CAST(sum(nf) AS BIGINT) AS sum_frames,
+           CAST(sum(nf * w * h) AS BIGINT) AS sum_pixels,
+           CAST(sum(s_r) AS BIGINT) AS sum_red,
+           CAST(sum(s_g) AS BIGINT) AS sum_green,
+           CAST(max(w) AS INT) AS max_w,
+           CAST(min(h) AS INT) AS min_h
          FROM st GROUP BY 1 ORDER BY 1""",
 
     "q51_embed_block_pairs" ->

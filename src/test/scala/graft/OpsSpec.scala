@@ -375,6 +375,73 @@ class OpsSpec extends AnyFunSuite {
       .map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).max.toInt)
   }
 
+  test("video codec: AVI RIFF demux recovers exact BI_RGB frames, corrupt drops") {
+    import spark.implicits._
+    val colors = Seq((200, 60, 7), (0, 255, 128), (33, 44, 55))
+    val avi = Multimodal.syntheticAvi(5, 3, colors) // odd width exercises DIB row padding
+    val v = Multimodal.demuxAvi(avi).get
+    assert(v.width === 5 && v.height === 3 && v.nFrames === 3 && v.codec === "rgb")
+    for ((c, i) <- colors.zipWithIndex) {
+      val img = v.decodeFrame(i).get
+      assert(img.getWidth === 5 && img.getHeight === 3)
+      for (y <- 0 until 3; x <- 0 until 5)
+        assert((img.getRGB(x, y) & 0xffffff) === ((c._1 << 16) | (c._2 << 8) | c._3),
+          s"frame $i pixel ($x,$y)")
+    }
+    assert(Multimodal.demuxAvi(Array[Byte](1, 2, 3, 4)) === None)
+    assert(Multimodal.demuxAvi("RIFF1234AVI corrupt".getBytes("US-ASCII")) === None)
+    // dataset path: exact channel sums across all frames; non-AVI drops
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", avi, "s"),
+      Multimodal.MediaRecord(2L, "video", Array[Byte](9, 9), "s")).toDS()
+    val st = Multimodal.decodeVideoStats(media).collect()
+    assert(st.map(_.media_id).toSeq === Seq(1L))
+    assert(st.head.width === 5 && st.head.height === 3)
+    assert(st.head.n_frames === 3 && st.head.n_pixels === 45L)
+    assert(st.head.sum_r === 15L * (200 + 0 + 33))
+    assert(st.head.sum_g === 15L * (60 + 255 + 44))
+    assert(st.head.sum_b === 15L * (7 + 128 + 55))
+  }
+
+  test("video codec: MJPEG via ImageIO; frame sampling real, bounded, lossless") {
+    import spark.implicits._
+    def solid(rgb: Int) = {
+      val im = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) im.setRGB(x, y, rgb)
+      im
+    }
+    // MJPEG 00dc frames must decode exactly as ImageIO decodes the same
+    // JPEG bytes (JPEG is lossy vs the source, but demux adds nothing)
+    val mj = Multimodal.encodeAviMjpeg(Seq(solid(0x808080), solid(0x4060a0)))
+    val vm = Multimodal.demuxAvi(mj).get
+    assert(vm.codec === "mjpg" && vm.nFrames === 2 &&
+      vm.width === 8 && vm.height === 6)
+    val direct = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(vm.frameChunks(0)))
+    val dec = vm.decodeFrame(0).get
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(dec.getRGB(x, y) === direct.getRGB(x, y), s"pixel ($x,$y)")
+    // sampleVideoFrames: stride 2 + maxFrames 2 over 5 frames → frames 0, 2
+    val avi = Multimodal.syntheticAvi(4, 4,
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3), (4, 5, 6)))
+    val media = Seq(Multimodal.MediaRecord(7L, "video", avi, "s")).toDS()
+    val fs = Multimodal.sampleVideoFrames(media, stride = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq === Seq(0, 2))
+    // sampled frames are lossless PNGs consumable by the image stages
+    val f2 = Multimodal.decodeImage(fs(1).frame_bytes).get
+    assert(f2.getWidth === 4 && f2.getHeight === 4)
+    assert((f2.getRGB(3, 3) & 0xffffff) === ((70 << 16) | (80 << 8) | 90))
+    // extractFeatures routes video to the real frame histogram:
+    // solid gray frames (lum 100 → bucket 3) put all mass in one bucket
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(9L, "video",
+        Multimodal.syntheticAvi(6, 6, Seq((100, 100, 100), (100, 100, 100))),
+        "s")).toDS(), dim = 8).collect()
+    assert(feats.head.features(3) === 1.0f)
+  }
+
   test("native rolling_hash ≡ composable formulation (corpus + edges)") {
     import spark.implicits._
     import graft.functions.PortableHash
