@@ -22,6 +22,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p88.contains("BroadcastHashJoin") && !p88.contains("SortMergeJoin"))
   }
 
+  test("TPC-H breadth keeps scale shapes: semi join broadcast (q102), " +
+    "single window shuffle (q108), heap top-k (q109)") {
+    // Q8: the region-membership filter must run as a broadcast semi join —
+    // customers are a filter here, never a payload-carrying join side
+    val p102 = plan("q102_tpch_q8")
+    assert(p102.contains("LeftSemi"), s"region filter must be a semi join:\n$p102")
+    assert(p102.contains("BroadcastHashJoin") && !p102.contains("SortMergeJoin"),
+      s"Q8 dims must broadcast:\n$p102")
+    // Q17: the 0.2·avg correlated threshold is ONE window over the
+    // part-filtered scan — a self-join formulation would double the scan
+    // and add a shuffle
+    val p108 = plan("q108_tpch_q17")
+    assert(p108.contains("Window"), p108)
+    assert(shuffles(p108) <= 2,
+      s"Q17 must not re-shuffle beyond window + final agg:\n$p108")
+    // Q18: top-100-by-value is a heap, not a global sort
+    val p109 = plan("q109_tpch_q18")
+    assert(p109.contains("TakeOrderedAndProject"), p109)
+  }
+
+  /** Shuffle exchanges only — BroadcastExchange is not a repartition. */
+  private def shuffles(plan: String): Int =
+    "(?m)(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(plan).length
+
   test("top-k plans as TakeOrderedAndProject, not a global sort (q20)") {
     val p = plan("q20_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
