@@ -135,15 +135,19 @@ object TpchQueries {
     // for the absent partsupp table): cheapest-supplier-per-part in one
     // region, min_by with a deterministic (acctbal, suppkey) tie-break
     "q100_tpch_q2" -> ((s, d) => {
+      // part slice joins BEFORE the pair-distinct: the dedup shuffle then
+      // carries only the selected parts' lineitems (~5% here), not the
+      // whole fact table — the ordering that matters at 100 TB
       val pairs = t(s, d, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 25))
+          .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
       val supEu = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
           col("n_regionkey") === col("r_regionkey"))
-      t(s, d, "part")
-        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 25))
-        .join(pairs, col("p_partkey") === col("l_partkey"))
+      pairs
         .join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
         .groupBy("p_partkey", "p_name")
         .agg(expr(
@@ -284,16 +288,21 @@ object TpchQueries {
     // suppliers stand in for the complaint filter): supplier counts per
     // (brand, type, size) slice
     "q107_tpch_q16" -> ((s, d) => {
-      val pairs = t(s, d, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // both filters run BEFORE the pair-distinct (same 100 TB ordering as
+      // q100): the dedup shuffle carries only qualifying parts' lineitems
+      // from non-complaint suppliers
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#3" &&
+            col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
         .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") >= 0)
           .select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
-      t(s, d, "part")
-        .filter(col("p_brand") =!= "Brand#3" &&
-          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
-        .join(pairs, col("p_partkey") === col("l_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .distinct() // (group key, supplier) unique ⇒ the count below IS a
+        .groupBy("p_brand", "p_type", "p_size") // distinct-supplier count,
+        .agg(count(lit(1)).as("supplier_cnt")) // with one dedup pass not two
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     }),
 
