@@ -275,6 +275,42 @@ object Dedup {
     kept.drop("__sig")
   }
 
+  /** INCREMENTAL corpus dedup: drop incoming rows that (near-)duplicate an
+    * EXISTING corpus, touching only the corpus's MinHash signature index —
+    * never its text. The production shape for continuous ingestion at
+    * 100 TB: the corpus side is k longs per document (its signature table,
+    * built once by any of the bit-equal signature formulations —
+    * [[minhashSignaturesRowwise]] at write time, typically — and stored;
+    * pair it with [[graft.ops.Layout.writeBucketed]] on `doc` for
+    * shuffle-free recurring runs), the incoming batch computes its own
+    * signatures in a map stage, LSH banding bounds the candidate join
+    * exactly as in [[minhashLshPairs]], and the verify is the standard
+    * unbiased MinHash Jaccard estimate — the number of agreeing signature
+    * components — compared as an INTEGER (`agree ≥ ⌈t·k⌉`, no cross-engine
+    * float boundary). Exact duplicates agree on all k components, so the
+    * exact case needs no separate pass. Null-text incoming rows carry no
+    * signature and always survive. */
+  def dedupAgainstCorpus(incoming: DataFrame, id: Column, text: Column,
+      corpusIndex: DataFrame, n: Int, k: Int, bands: Int,
+      minEstJaccard: Double): DataFrame = {
+    val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
+    val inSig = minhashSignaturesRowwise(incoming, id, text, n, k)
+    val cands = lshBands(inSig, k, bands).as("a")
+      .join(lshBands(corpusIndex, k, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
+      .distinct()
+    val agree = (0 until k)
+      .map(j => when(col(s"ai.s$j") === col(s"ci.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dropped = cands
+      .join(inSig.as("ai"), col("i") === col("ai.doc"))
+      .join(corpusIndex.as("ci"), col("j") === col("ci.doc"))
+      .filter(agree >= minAgree)
+      .select(col("i")).distinct()
+    incoming.join(dropped, id === col("i"), "left_anti")
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -75,4 +75,25 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Bucketed layout for RECURRING equi-joins and aggregations on a fixed
+    * key: both sides written with the same bucket count hash-place matching
+    * keys in matching files, so every later join or groupBy on that key
+    * reads co-located data and plans with ZERO shuffle exchanges
+    * (spec-pinned in PlanSpec) — at 100 TB this converts the nightly
+    * fact-to-fact join from a full-table shuffle into a per-bucket local
+    * merge. Bucket metadata lives in the session catalog (`saveAsTable`),
+    * not in the parquet files — plain `spark.read.parquet` of the same
+    * files would NOT know the layout; readers must go through
+    * `spark.table`. `sortBy(key)` additionally pre-sorts each bucket file
+    * so sort-merge joins skip their sort when files-per-bucket is 1
+    * (`repartition(key)` before write gives exactly that). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
 }

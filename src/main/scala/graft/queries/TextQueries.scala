@@ -71,6 +71,23 @@ object TextQueries {
         .orderBy(col("jaccard").desc, col("i"), col("j"))
     }),
 
+    // incremental corpus dedup: a new batch filtered against the EXISTING
+    // corpus's signature index only (never its text) — the continuous-
+    // ingestion shape. Corpus = doc_id ≡ 0 (mod 3), incoming = the rest;
+    // integer agree-count verify (≥ ⌈0.5·16⌉ = 8 of 16 components)
+    "q113_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusIdx = Dedup.minhashSignaturesRowwise(
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+        n = 3, k = 16)
+      Dedup.dedupAgainstCorpus(docs.filter(col("doc_id") % 3 =!= 0),
+          col("doc_id"), col("text"), corpusIdx,
+          n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     "q46_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, k = 16, bands = 4, minJaccard = 0.9)
@@ -273,6 +290,32 @@ object TextQueries {
       s"""$jaccardCte
          SELECT i, j, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.8
          ORDER BY round(jaccard, 6) DESC, i, j""",
+
+    "q113_incremental_dedup" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
+      val bandsSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4).map(j => s"s$j").mkString(" || ',' || ")
+        s"SELECT doc, $b band, $key bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(j => s"CASE WHEN ai.s$j = ci.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+         |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         |hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+         |sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         |bands AS ($bandsSel),
+         |cand AS (SELECT DISTINCT a.doc i, b.doc j FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc % 3 <> 0 AND b.doc % 3 = 0),
+         |dropped AS (SELECT DISTINCT c.i FROM cand c
+         |  JOIN sig ai ON ai.doc = c.i JOIN sig ci ON ci.doc = c.j
+         |  WHERE $agree >= 8)
+         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents WHERE doc_id % 3 <> 0
+         |  AND doc_id NOT IN (SELECT i FROM dropped)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q46_minhash_lsh" ->
       s"""$jaccardCte,

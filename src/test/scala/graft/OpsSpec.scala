@@ -375,6 +375,34 @@ class OpsSpec extends AnyFunSuite {
       .map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).max.toInt)
   }
 
+  test("incremental corpus dedup: exact + near dups drop via the corpus " +
+    "signature index; unrelated and null-text rows survive") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different corpus text about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // exact duplicate of corpus doc 1
+      (11L, base + " extratok"),         // near duplicate (J ≈ 58/59)
+      (12L, (100 to 160).map(i => s"other$i").mkString(" ")), // unrelated
+      (13L, null.asInstanceOf[String])   // null text: no signature, survives
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashSignaturesRowwise(
+      corpus, col("doc_id"), col("text"), n = 3, k = 16)
+    val kept = Dedup.dedupAgainstCorpus(incoming, col("doc_id"), col("text"),
+        idx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 13L))
+    // rerun-deterministic (same signatures, same bands, same verdicts)
+    val again = Dedup.dedupAgainstCorpus(incoming, col("doc_id"), col("text"),
+        idx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
   test("video codec: AVI RIFF demux recovers exact BI_RGB frames, corrupt drops") {
     import spark.implicits._
     val colors = Seq((200, 60, 7), (0, 255, 128), (33, 44, 55))

@@ -46,6 +46,38 @@ class PlanSpec extends AnyFunSuite {
   private def shuffles(plan: String): Int =
     "(?m)(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(plan).length
 
+  test("bucketed layout: co-located join AND key agg plan with zero shuffles") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+    graft.ops.Layout.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    graft.ops.Layout.writeBucketed(custs, "b_custs", "c_custkey", 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the join must exploit the bucket layout, not
+      // hide the shuffle question behind a small-side broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.table("b_orders")
+        .join(spark.table("b_custs"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey").agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      // join on the bucket key reads co-located files; the groupBy keeps
+      // the same key so even the aggregation reuses the bucket distribution
+      assert(shuffles(p) === 0,
+        s"bucketed join/agg must plan with zero shuffle exchanges:\n$p")
+      // and the layout is a layout, not a semantic change
+      val expect = orders
+        .join(custs, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey").agg(count(lit(1)).as("n"))
+      assert(q.orderBy("c_mktsegment", "o_custkey").collect().toSeq ===
+        expect.orderBy("c_mktsegment", "o_custkey").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_custs")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort (q20)") {
     val p = plan("q20_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
