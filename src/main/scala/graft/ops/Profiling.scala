@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset profiling: per-column statistics (row/null/distinct counts,
+  * numeric range and mean, string length range) computed in ONE aggregation
+  * pass over ONE scan — the pre-training data-quality report every pipeline
+  * runs, shaped so it stays cheap at 100 TB.
+  *
+  * Scale notes: all per-column aggregates go into a single `agg(...)` so the
+  * scan happens once and every statistic partial-aggregates map-side; the
+  * result is one driver row reshaped to per-column rows by a literal-bounded
+  * inline (no shuffle, no explode of data rows). Exact `n_distinct` plans a
+  * multi-count-distinct Expand (input ×columns before partial agg) — right
+  * for oracle-checked correctness and small-to-medium tables; at 100 TB pass
+  * `approxDistinct = true` for one HLL sketch per column instead (the
+  * standard trade, same single-pass shape).
+  *
+  * Stat typing is deliberately engine-portable (numerics as DOUBLE, string
+  * stats on codepoint lengths, counts as LONG) so a DuckDB oracle can
+  * recompute every cell bit-exactly; engine-specific type names are NOT
+  * part of the output for the same reason.
+  */
+object Profiling {
+
+  /** Per-column profile of `df` (all columns, or `cols` if given):
+    * `(column, n_rows, n_null, n_distinct, min_num, max_num, mean_num,
+    * min_len, max_len)`. Numeric stats are null for non-numeric columns,
+    * length stats null for non-strings; timestamps profile as epoch
+    * SECONDS in the numeric slots (integer-exact for whole-second data).
+    * `mean_num` is rounded to 4 decimals (cross-engine summation noise ≪
+    * the grid; counts/min/max are exact). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    val fields = df.schema.fields.filter(f => cols.isEmpty || cols.contains(f.name))
+    require(fields.nonEmpty, "profile: no matching columns")
+
+    def numericOf(f: StructField): Option[Column] = f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      // NTZ casts through LTZ in the session timezone (UTC), matching the
+      // oracle's naive epoch() reading of the same parquet
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(unix_timestamp(col(f.name).cast(TimestampType)).cast("double"))
+      case _ => None
+    }
+
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      val nm = f.name
+      val num = numericOf(f)
+      val len = f.dataType match {
+        case StringType => Some(length(c))
+        case _ => None
+      }
+      Seq(
+        count(lit(1)).as(s"__n_$nm"),
+        count(when(c.isNull, 1)).as(s"__null_$nm"),
+        (if (approxDistinct) approx_count_distinct(c) else countDistinct(c))
+          .as(s"__dist_$nm"),
+        num.map(min).getOrElse(lit(null).cast("double")).as(s"__min_$nm"),
+        num.map(max).getOrElse(lit(null).cast("double")).as(s"__max_$nm"),
+        num.map(n => round(avg(n), 4)).getOrElse(lit(null).cast("double"))
+          .as(s"__mean_$nm"),
+        len.map(l => min(l).cast("int")).getOrElse(lit(null).cast("int"))
+          .as(s"__minlen_$nm"),
+        len.map(l => max(l).cast("int")).getOrElse(lit(null).cast("int"))
+          .as(s"__maxlen_$nm"))
+    }
+
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // reshape the single wide row to per-column rows: a literal-bounded
+    // inline of per-column structs — runs on the one aggregated row, so it
+    // is driver-cheap regardless of input size
+    val rows = fields.map { f =>
+      val nm = f.name
+      struct(lit(nm).as("column"),
+        col(s"__n_$nm").as("n_rows"), col(s"__null_$nm").as("n_null"),
+        col(s"__dist_$nm").as("n_distinct"),
+        col(s"__min_$nm").as("min_num"), col(s"__max_$nm").as("max_num"),
+        col(s"__mean_$nm").as("mean_num"),
+        col(s"__minlen_$nm").as("min_len"), col(s"__maxlen_$nm").as("max_len"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** DuckDB twin of one [[profile]] row for oracle construction: the same
+    * stats for column `name` of `table`, with `kind` ∈ num | str | ts |
+    * other controlling which slots are non-null. */
+  def profileRowSql(table: String, name: String, kind: String): String = {
+    val (minS, maxS, meanS) = kind match {
+      case "num" => (s"CAST(min($name) AS DOUBLE)", s"CAST(max($name) AS DOUBLE)",
+        s"round(avg(CAST($name AS DOUBLE)), 4)")
+      case "ts" => (s"CAST(min(epoch($name)) AS DOUBLE)",
+        s"CAST(max(epoch($name)) AS DOUBLE)",
+        s"round(avg(CAST(epoch($name) AS DOUBLE)), 4)")
+      case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    }
+    val (minL, maxL) =
+      if (kind == "str") (s"CAST(min(length($name)) AS INT)", s"CAST(max(length($name)) AS INT)")
+      else ("CAST(NULL AS INT)", "CAST(NULL AS INT)")
+    s"""SELECT '$name' AS "column", count(*) AS n_rows,
+       | count(*) FILTER ($name IS NULL) AS n_null,
+       | count(DISTINCT $name) AS n_distinct,
+       | $minS AS min_num, $maxS AS max_num, $meanS AS mean_num,
+       | $minL AS min_len, $maxL AS max_len
+       |FROM $table""".stripMargin
+  }
+}

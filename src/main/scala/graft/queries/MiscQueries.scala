@@ -22,6 +22,14 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // one-pass per-column dataset profile (counts, nulls, exact distinct,
+    // numeric range/mean, string lengths) — the pre-training data-quality
+    // report, single scan + single aggregation
+    "q114_profile" -> ((s, d) => {
+      graft.ops.Profiling.profile(t(s, d, "lineitem"))
+        .orderBy("column")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -153,6 +161,19 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q114_profile" -> {
+      import graft.ops.Profiling.profileRowSql
+      val rows = Seq(
+        "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+        "l_linenumber" -> "num", "l_quantity" -> "num",
+        "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+        "l_returnflag" -> "str", "l_linestatus" -> "str",
+        "l_shipdate" -> "ts")
+        .map { case (c, k) => profileRowSql("lineitem", c, k) }
+        .mkString("\n UNION ALL\n ")
+      s"""SELECT * FROM (\n $rows\n) ORDER BY "column""""
+    },
 
     "q35_sql_exists" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer

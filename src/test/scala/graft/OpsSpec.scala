@@ -375,6 +375,34 @@ class OpsSpec extends AnyFunSuite {
       .map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).max.toInt)
   }
 
+  test("profiling: one-pass per-column stats with exact counts and typed slots") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    val df = Seq(
+      (1L, Some(2.5), Some("ab")),
+      (2L, None, Some("abcd")),
+      (2L, Some(7.5), None)
+    ).toDF("k", "v", "s")
+    val p = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("k", "v", "s"))
+    val k = p("k"); val v = p("v"); val s = p("s")
+    assert(k.getLong(1) === 3L && k.getLong(2) === 0L && k.getLong(3) === 2L)
+    assert(k.getDouble(4) === 1.0 && k.getDouble(5) === 2.0)
+    assert(v.getLong(2) === 1L && v.getLong(3) === 2L) // one null, 2 distinct
+    assert(v.getDouble(4) === 2.5 && v.getDouble(5) === 7.5 && v.getDouble(6) === 5.0)
+    assert(k.isNullAt(7) && v.isNullAt(7)) // length slots: strings only
+    assert(s.getLong(2) === 1L && s.getInt(7) === 2 && s.getInt(8) === 4)
+    assert(s.isNullAt(4) && s.isNullAt(5)) // numeric slots: null for strings
+    // approx mode keeps the same shape, estimates in a sane range
+    val a = Profiling.profile(df, approxDistinct = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("k") >= 1L && a("k") <= 3L)
+    // column subset selection
+    assert(Profiling.profile(df, cols = Seq("k")).collect().map(_.getString(0))
+      .toSeq === Seq("k"))
+  }
+
   test("incremental corpus dedup: exact + near dups drop via the corpus " +
     "signature index; unrelated and null-text rows survive") {
     import spark.implicits._
