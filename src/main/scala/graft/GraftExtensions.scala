@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, RollingHash, SimHash64, WordChunks, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, RollingHash, SimHash64, SpaceSavingSketch, WordChunks, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhash64)
     e.injectFunction(GraftExtensions.wordChunks)
     e.injectFunction(GraftExtensions.rollingHash)
+    e.injectFunction(GraftExtensions.spaceSaving)
   }
 }
 
@@ -102,6 +103,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
     (exprs: Seq[Expression]) => RollingHash(exprs(0)))
 
+  private def spaceSavingBuilder(exprs: Seq[Expression]): Expression =
+    exprs(1) match {
+      case Literal(capacity: Int, _) =>
+        SpaceSavingSketch(exprs(0), capacity).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"space_saving capacity must be an integer literal, got $other")
+    }
+
+  private val spaceSaving = (
+    FunctionIdentifier("space_saving"),
+    new ExpressionInfo(classOf[SpaceSavingSketch].getName, "space_saving"),
+    (exprs: Seq[Expression]) => spaceSavingBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -109,6 +123,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sketch", sketchBuilder, "built-in")
+    reg.createOrReplaceTempFunction("space_saving", spaceSavingBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_shingles", shinglesBuilder, "built-in")
     reg.createOrReplaceTempFunction("minhash_signature", signatureBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "built-in")

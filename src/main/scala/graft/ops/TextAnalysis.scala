@@ -135,4 +135,26 @@ object TextAnalysis {
         (col("tf") * log(col("n_docs").cast("double") / col("df")))
           .as("tfidf"))
   }
+
+  /** Per-group top-k heavy hitters over a string column via the
+    * [[graft.functions.SpaceSavingSketch]] bounded-memory aggregate — the
+    * token/boilerplate census that an exact groupBy(term) cannot afford at
+    * 100 TB: memory is `capacity` counters per group, partials combine
+    * map-side, and the shuffle carries one summary per group instead of the
+    * term universe. Counts are overestimates with an error bound (`cnt`,
+    * `err`: true ∈ [cnt − err, cnt]); with capacity ≥ the per-partition
+    * distinct-term count they are exact (err = 0) — the DuckDB-checkable
+    * regime q115 pins. Output: (grp, rank, term, cnt, err), rank 1..k by
+    * (cnt DESC, term ASC). */
+  def heavyHitters(df: DataFrame, group: Column, term: Column, capacity: Int,
+      k: Int): DataFrame = {
+    require(k > 0 && capacity >= k, s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
+    df.groupBy(group.as("grp"))
+      .agg(call_function("space_saving", term, lit(capacity)).as("hh"))
+      .select(col("grp"), posexplode(slice(col("hh"), 1, k)))
+      .select(col("grp"), (col("pos") + 1).as("rank"),
+        col("col.term").as("term"), col("col.cnt").as("cnt"),
+        col("col.err").as("err"))
+  }
 }

@@ -71,6 +71,19 @@ object TextQueries {
         .orderBy(col("jaccard").desc, col("i"), col("j"))
     }),
 
+    // bounded-memory heavy hitters: per-language top-10 tokens via the
+    // SpaceSaving sketch. Capacity (64) exceeds the corpus vocabulary, so
+    // every count is exact (err = 0) and the DuckDB oracle replays it as an
+    // exact count + rank — the same query under pressure degrades to
+    // bounded-error estimates instead of failing (spec-tested)
+    "q115_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      TA.heavyHitters(toks, col("lang"), col("tok"), capacity = 64, k = 10)
+        .select(col("grp").as("lang"), col("rank"), col("term"), col("cnt"))
+        .orderBy("lang", "rank")
+    }),
+
     // incremental corpus dedup: a new batch filtered against the EXISTING
     // corpus's signature index only (never its text) — the continuous-
     // ingestion shape. Corpus = doc_id ≡ 0 (mod 3), incoming = the rest;
@@ -290,6 +303,15 @@ object TextQueries {
       s"""$jaccardCte
          SELECT i, j, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.8
          ORDER BY round(jaccard, 6) DESC, i, j""",
+
+    "q115_heavy_hitters" ->
+      """WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) tok FROM documents),
+         cnt AS (SELECT lang, tok, count(*) c FROM toks GROUP BY 1, 2),
+         r AS (SELECT lang, tok, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) rn
+           FROM cnt)
+         SELECT lang, CAST(rn AS INT) AS rank, tok AS term, c AS cnt
+         FROM r WHERE rn <= 10 ORDER BY lang, rank""",
 
     "q113_incremental_dedup" -> {
       val mins = (0 until 16)

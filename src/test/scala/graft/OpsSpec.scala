@@ -375,6 +375,38 @@ class OpsSpec extends AnyFunSuite {
       .map(i => math.abs((seed.toLong + 7L * i) % 2003L - 1001L)).max.toInt)
   }
 
+  test("space-saving heavy hitters: exact when capacity covers the vocab; " +
+    "overestimates with honest error bounds under pressure") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // skewed stream: term01 dominates (×800), terms 2..20 appear ×20 each
+    val rows = Seq.fill(800)(("g", "term01")) ++
+      (2 to 20).flatMap(i => Seq.fill(20)(("g", f"term$i%02d")))
+    val df = spark.createDataset(rows).toDF("g", "tok").repartition(7)
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // capacity >= vocab: exact counts, zero error, exact ranking
+    val exact = TextAnalysis.heavyHitters(df, col("g"), col("tok"), 32, 5).collect()
+    assert(exact.map(r => (r.getString(2), r.getLong(3), r.getLong(4))).toSeq ===
+      ("term01", 800L, 0L) +:
+        (2 to 5).map(i => (f"term$i%02d", 20L, 0L)))
+    // capacity < vocab (8 < 20, merged across 7 partitions): every reported
+    // count is an overestimate whose error band contains the true count,
+    // and any term with true frequency > N/capacity is guaranteed present
+    val tight = TextAnalysis.heavyHitters(df, col("g"), col("tok"), 8, 8).collect()
+    tight.foreach { r =>
+      val (t, c, e) = (r.getString(2), r.getLong(3), r.getLong(4))
+      val tru = truth.getOrElse(t, 0L)
+      assert(c >= tru && c - e <= tru, s"$t: cnt=$c err=$e true=$tru")
+    }
+    val n = rows.size // term01: 800 > 1180/8, must be present
+    assert(truth("term01") > n / 8)
+    assert(tight.exists(_.getString(2) === "term01"))
+    // determinism: same result regardless of physical partitioning
+    val single = TextAnalysis.heavyHitters(df.coalesce(1), col("g"), col("tok"), 32, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(single === exact.map(_.toSeq).toSeq)
+  }
+
   test("profiling: one-pass per-column stats with exact counts and typed slots") {
     import spark.implicits._
     import graft.ops.Profiling
