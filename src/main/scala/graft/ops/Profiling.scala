@@ -9,14 +9,18 @@ import org.apache.spark.sql.types._
   * pass over ONE scan — the pre-training data-quality report every pipeline
   * runs, shaped so it stays cheap at 100 TB.
   *
-  * Scale notes: all per-column aggregates go into a single `agg(...)` so the
-  * scan happens once and every statistic partial-aggregates map-side; the
-  * result is one driver row reshaped to per-column rows by a literal-bounded
-  * inline (no shuffle, no explode of data rows). Exact `n_distinct` plans a
-  * multi-count-distinct Expand (input ×columns before partial agg) — right
-  * for oracle-checked correctness and small-to-medium tables; at 100 TB pass
-  * `approxDistinct = true` for one HLL sketch per column instead (the
-  * standard trade, same single-pass shape).
+  * Scale notes: all non-distinct aggregates go into a single `agg(...)` so
+  * the scan happens once and every statistic partial-aggregates map-side;
+  * the result is one driver row reshaped to per-column rows by a
+  * literal-bounded inline (no shuffle of data rows). Exact `n_distinct`
+  * deliberately does NOT use multi-column `count(DISTINCT)` — Catalyst
+  * plans that as an Expand that multiplies EVERY aggregate's input by the
+  * column count (measured 9.6 s vs 1 s at sf0.1). Instead values stack to
+  * `(column, value)` pairs feeding one grouped distinct-count — map-side
+  * partials shrink the shuffle to ~|vocab| rows per column, and the
+  * 1-row-per-column result broadcast-joins back. `approxDistinct = true`
+  * replaces that second pass with per-column HLL sketches inside the first
+  * one (one scan total) — the 100 TB default.
   *
   * Stat typing is deliberately engine-portable (numerics as DOUBLE, string
   * stats on codepoint lengths, counts as LONG) so a DuckDB oracle can
@@ -56,9 +60,10 @@ object Profiling {
       }
       Seq(
         count(lit(1)).as(s"__n_$nm"),
-        count(when(c.isNull, 1)).as(s"__null_$nm"),
-        (if (approxDistinct) approx_count_distinct(c) else countDistinct(c))
-          .as(s"__dist_$nm"),
+        count(when(c.isNull, 1)).as(s"__null_$nm")) ++
+      (if (approxDistinct) Seq(approx_count_distinct(c).as(s"__dist_$nm"))
+       else Nil) ++
+      Seq(
         num.map(min).getOrElse(lit(null).cast("double")).as(s"__min_$nm"),
         num.map(max).getOrElse(lit(null).cast("double")).as(s"__max_$nm"),
         num.map(n => round(avg(n), 4)).getOrElse(lit(null).cast("double"))
@@ -77,12 +82,30 @@ object Profiling {
       val nm = f.name
       struct(lit(nm).as("column"),
         col(s"__n_$nm").as("n_rows"), col(s"__null_$nm").as("n_null"),
-        col(s"__dist_$nm").as("n_distinct"),
+        (if (approxDistinct) col(s"__dist_$nm") else lit(null).cast("long"))
+          .as("n_distinct"),
         col(s"__min_$nm").as("min_num"), col(s"__max_$nm").as("max_num"),
         col(s"__mean_$nm").as("mean_num"),
         col(s"__minlen_$nm").as("min_len"), col(s"__maxlen_$nm").as("max_len"))
     }
-    one.select(inline(array(rows: _*)))
+    val stats = one.select(inline(array(rows: _*)))
+    if (approxDistinct) return stats
+
+    // exact distinct counts, Expand-free: stack to (column, value) pairs —
+    // string casts are injective per source type, so the distinct count is
+    // the column's — and count per column in ONE grouped aggregate whose
+    // map-side partials carry ~|vocab| rows, not the table
+    val pairs = df.select(inline(array(fields.map(f =>
+      struct(lit(f.name).as("column"),
+        col(f.name).cast("string").as("__v"))): _*)))
+    val dist = pairs.groupBy("column")
+      .agg(countDistinct(col("__v")).as("__nd"))
+    stats.drop("n_distinct")
+      .join(broadcast(dist), Seq("column"))
+      .select(col("column"), col("n_rows"), col("n_null"),
+        col("__nd").as("n_distinct"),
+        col("min_num"), col("max_num"), col("mean_num"),
+        col("min_len"), col("max_len"))
   }
 
   /** DuckDB twin of one [[profile]] row for oracle construction: the same
