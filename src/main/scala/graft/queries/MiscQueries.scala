@@ -42,10 +42,14 @@ object MiscQueries {
     }),
 
     "q36_percentile" -> ((s, d) => {
+      // one percentile buffer serving both quantiles — two separate
+      // percentile() aggs would each hold the whole group's values
       t(s, d, "orders")
         .groupBy("o_orderstatus")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy("o_orderstatus")
     }),
 

@@ -366,10 +366,15 @@ object TpchQueries {
       val li = t(s, d, "lineitem")
         .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
-      li.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nr"),
-          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("rsupp"))
+      // two plain aggs instead of two countDistincts in one: the (order,
+      // supplier) pre-aggregate dedups first, so the per-order roll-up
+      // counts rows — no multi-distinct Expand multiplying the input
+      li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_returnflag") === "R").as("ret"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("ret"), 1L).otherwise(0L)).as("nr"),
+          max(when(col("ret"), col("l_suppkey"))).as("rsupp"))
         .filter(col("ns") > 1 && col("nr") === 1)
         .groupBy("rsupp").agg(count(lit(1)).as("numwait"))
         .join(broadcast(t(s, d, "supplier")), col("rsupp") === col("s_suppkey"))
