@@ -46,6 +46,15 @@ class PlanSpec extends AnyFunSuite {
   private def shuffles(plan: String): Int =
     "(?m)(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(plan).length
 
+  test("space-saving sketch aggregates map-side: one exchange, partial " +
+    "summaries on the map side (q115)") {
+    val p = plan("q115_heavy_hitters")
+    assert(p.contains("partial_spacesavingsketch"),
+      s"sketch must partial-aggregate before the exchange:\n$p")
+    assert(shuffles(p) <= 2, // group exchange + final sort's range exchange
+      s"heavy hitters must shuffle summaries, not terms:\n$p")
+  }
+
   test("bucketed layout: co-located join AND key agg plan with zero shuffles") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$sf/orders.parquet")
