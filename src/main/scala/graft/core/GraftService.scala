@@ -125,10 +125,19 @@ object GraftService {
     *    [[ResultTooBigException]] instead of a generic SparkException.
     * `maxResultBytes <= 0` disables the pre-flight cap. Estimates are
     * estimates: the pre-flight guard is advisory sizing, the post-hoc one
-    * is the hard backstop. */
+    * is the hard backstop. The pre-flight only fires for plans whose size
+    * statistic tracks the RESULT (scan/filter/project/limit shapes):
+    * Catalyst estimates aggregates and joins from their INPUTS, so a
+    * 3-row groupBy over a 10 GB table would be spuriously rejected —
+    * those shapes rely on the post-hoc backstop alone. */
   def collectResult(df: DataFrame, maxResultBytes: Long = 0L): Array[org.apache.spark.sql.Row] = {
-    if (maxResultBytes > 0) {
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val resultSized = plan.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => ()
+    }.isEmpty
+    if (maxResultBytes > 0 && resultSized) {
+      val est = plan.stats.sizeInBytes
       if (est > BigInt(maxResultBytes))
         throw new ResultTooBigException(
           s"estimated result size $est B exceeds the configured cap " +

@@ -120,21 +120,34 @@ object Ingest {
       val dataDir = new Path(s"$tableDir/data/$version")
       val fs = dataDir.getFileSystem(conf)
       fs.mkdirs(dataDir)
-      sources.foreach { src =>
-        if (!Tickets.get(id).exists(_.state == Tickets.Running))
-          throw new InterruptedException("cancelled mid-ingest")
-        Tickets.fileUpdate(id, src, 0L, Tickets.Running)
-        try {
-          val srcPath = new Path(src)
-          val sfs = srcPath.getFileSystem(conf)
-          org.apache.hadoop.fs.FileUtil.copy(
-            sfs, srcPath, fs, new Path(dataDir, srcPath.getName), false, conf)
-          Tickets.fileUpdate(id, src, sfs.getFileStatus(srcPath).getLen, Tickets.Done)
-        } catch {
-          case e: Throwable =>
-            Tickets.fileUpdate(id, src, 0L, Tickets.Failed)
-            throw e
+      try {
+        sources.zipWithIndex.foreach { case (src, i) =>
+          if (!Tickets.get(id).exists(_.state == Tickets.Running))
+            throw new InterruptedException("cancelled mid-ingest")
+          Tickets.fileUpdate(id, src, 0L, Tickets.Running)
+          try {
+            val srcPath = new Path(src)
+            val sfs = srcPath.getFileSystem(conf)
+            // index-prefixed staging name: two sources sharing a basename
+            // (part-00000.parquet from different dirs — the common multi-part
+            // layout) must NOT overwrite each other in the staged version
+            org.apache.hadoop.fs.FileUtil.copy(
+              sfs, srcPath, fs, new Path(dataDir, f"f$i%05d-${srcPath.getName}"),
+              false, conf)
+            Tickets.fileUpdate(id, src, sfs.getFileStatus(srcPath).getLen, Tickets.Done)
+          } catch {
+            case e: Throwable =>
+              Tickets.fileUpdate(id, src, 0L, Tickets.Failed)
+              throw e
+          }
         }
+      } catch {
+        case e: Throwable =>
+          // failed or cancelled: the unreferenced staged version must not
+          // accumulate — delete it before surfacing the failure (manifest
+          // was never flipped, so readers never saw it)
+          try fs.delete(dataDir, true) catch { case _: Throwable => () }
+          throw e
       }
       publishManifest(s, tableDir, dataDir.toString, version)
       ()

@@ -47,15 +47,25 @@ object SchemaDrift {
     * happy path merges footers in executors). */
   private def widenedSchema(spark: SparkSession, paths: Seq[String]): StructType = {
     import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    // daemon pool + finite deadline: this fallback fires exactly when
+    // storage is degraded, so one hung footer read must surface as an
+    // error (and never pin the JVM via non-daemon threads), not wedge the
+    // driver forever
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, paths.size))
+      math.min(32, paths.size),
+      (r: Runnable) => { val t = new Thread(r, "graft-drift-footer"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val schemas = Await.result(
         Future.sequence(paths.map(p => Future(spark.read.parquet(p).schema))),
-        Duration.Inf)
+        10.minutes)
       schemas.reduce(widen)
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new SchemaDriftException(
+          s"schema-drift footer sweep over ${paths.size} paths exceeded 10 minutes " +
+            "(degraded storage?) — retry or pass an explicit schema")
     } finally pool.shutdown()
   }
 

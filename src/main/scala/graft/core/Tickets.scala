@@ -103,9 +103,12 @@ object Tickets {
   private def submitImpl(spark: SparkSession, what: String, before: String => Unit)(
       body: (SparkSession, String) => Unit): String = {
     val id = UUID.randomUUID().toString.take(12)
-    registry.put(id, Ticket(id, what, Pending, System.currentTimeMillis()))
     done.put(id, new java.util.concurrent.CountDownLatch(1))
+    // slots (before) register BEFORE the ticket becomes listable: a
+    // concurrent `downloads` call must never observe a multi-file ticket
+    // with zero file slots
     before(id)
+    registry.put(id, Ticket(id, what, Pending, System.currentTimeMillis()))
     val runner = new Thread(() => {
       transition(id)(t => if (t.state == Pending) t.copy(state = Running) else t)
       spark.sparkContext.setJobGroup(id, s"graft ticket $id: $what",

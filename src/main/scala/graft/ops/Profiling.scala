@@ -100,10 +100,12 @@ object Profiling {
         col(f.name).cast("string").as("__v"))): _*)))
     val dist = pairs.groupBy("column")
       .agg(countDistinct(col("__v")).as("__nd"))
+    // LEFT join + coalesce: a zero-row input has no pairs at all, and the
+    // contract is per-column rows with n_rows = 0, not an empty report
     stats.drop("n_distinct")
-      .join(broadcast(dist), Seq("column"))
+      .join(broadcast(dist), Seq("column"), "left")
       .select(col("column"), col("n_rows"), col("n_null"),
-        col("__nd").as("n_distinct"),
+        coalesce(col("__nd"), lit(0L)).as("n_distinct"),
         col("min_num"), col("max_num"), col("mean_num"),
         col("min_len"), col("max_len"))
   }

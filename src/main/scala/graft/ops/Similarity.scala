@@ -178,21 +178,25 @@ object Similarity {
     * many queries, so repeated `ivfTopK`/`ivfWritePartitioned` calls over
     * the same (source plan, nCentroids, kmeansIters) reuse the trained
     * centroids instead of re-running sampling + Lloyd rounds. The key is
-    * the canonicalized analyzed plan of the vector projection (source
-    * paths, filters, and the vector expression all participate), so two
+    * the canonicalized analyzed plan of the (id, vector) projection
+    * (source paths, filters, the id — which seeds the sample — and the
+    * vector expression all participate), so two
     * different inputs can never share an entry; like any index, a cached
     * entry goes stale if the files under an identical plan are rewritten —
     * call [[clearCentroidCache]] after replacing data in place. Bounded
     * (whole-map reset beyond 64 entries; each entry is a driver-sized
     * centroid table by design). */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Long, Array[Float])]]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int), Array[(Long, Array[Float])]]()
 
   def clearCentroidCache(): Unit = centroidCache.clear()
 
   private def centroidsFor(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int, kmeansIters: Int): Array[(Long, Array[Float])] = {
-    val key = (df.select(vec).queryExecution.analyzed.canonicalized.toString,
+    // key on the canonicalized plan OBJECT of the (id, vec) projection —
+    // structural equality, no truncated-toString collisions, and the id
+    // column participates because sampleCentroids seeds by xxhash64(id)
+    val key = (df.select(id, vec).queryExecution.analyzed.canonicalized,
       nCentroids, kmeansIters)
     if (centroidCache.size > 64) centroidCache.clear()
     centroidCache.computeIfAbsent(key, _ =>

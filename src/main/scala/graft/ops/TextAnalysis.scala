@@ -93,11 +93,14 @@ object TextAnalysis {
 
   /** Character-order-sensitive rolling-hash fingerprint — the native
     * codegen'd [[graft.functions.RollingHash]]: one O(L) codepoint pass
-    * (the composable fold it replaced did O(L²) per-char substrs). */
-  def rollingFingerprint(c: Column): Column = {
-    // callers always run under a graft session; registration is idempotent
-    call_function("rolling_hash", c)
-  }
+    * (the composable fold it replaced did O(L²) per-char substrs). Built
+    * directly from the expression, NOT via the function registry — a bare
+    * Column carries no session to register against, so this must resolve
+    * on ANY session (same rule as [[graft.ops.Dedup.shingles]]). */
+  def rollingFingerprint(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =
