@@ -433,6 +433,15 @@ class OpsSpec extends AnyFunSuite {
     // column subset selection
     assert(Profiling.profile(df, cols = Seq("k")).collect().map(_.getString(0))
       .toSeq === Seq("k"))
+    // empty input still reports one row per column with n_rows = 0 in BOTH
+    // distinct modes (exact mode left-joins its empty distinct counts)
+    for (approx <- Seq(false, true)) {
+      val er = Profiling.profile(df.filter(lit(false)), approxDistinct = approx)
+        .collect()
+      assert(er.length === 3, s"approx=$approx")
+      er.foreach(r => assert(r.getLong(1) === 0L && r.getLong(3) === 0L,
+        s"approx=$approx row=$r"))
+    }
   }
 
   test("incremental corpus dedup: exact + near dups drop via the corpus " +

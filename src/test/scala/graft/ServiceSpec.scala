@@ -161,6 +161,33 @@ class ServiceSpec extends AnyFunSuite {
     assert(badSlots.exists(_.state === Tickets.Failed))
     assert(badSlots.exists(_.state === Tickets.Done))
     assert(!new java.io.File(s"$dir/t2/_MANIFEST").exists())
+    // ...and the failed ingest's staged version dir is cleaned up, not
+    // left orphaned on disk
+    val t2data = new java.io.File(s"$dir/t2/data")
+    assert(!t2data.exists() || t2data.listFiles().isEmpty,
+      s"orphaned staging: ${Option(t2data.listFiles()).map(_.toSeq)}")
+  }
+
+  test("multi-file ingest: same-basename sources do not overwrite each other") {
+    val dir = Files.createTempDirectory("graft-dup").toString
+    val srcDir = Files.createTempDirectory("graft-dupsrc").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    def partFile(d: String): String =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .head.getAbsolutePath
+    // two shards that Spark names identically (part-00000-*.parquet is the
+    // standard multi-part layout) staged from different directories
+    nation.filter(col("n_nationkey") < 10).coalesce(1).write.parquet(s"$srcDir/a")
+    nation.filter(col("n_nationkey") >= 10).coalesce(1).write.parquet(s"$srcDir/b")
+    val pa = new java.io.File(partFile(s"$srcDir/a"))
+    val pb0 = new java.io.File(partFile(s"$srcDir/b"))
+    // force the SAME basename for both sources
+    val pb = new java.io.File(pb0.getParent, pa.getName)
+    assert(pb0.renameTo(pb))
+    val id = Ingest.downloadTicketedFiles(spark,
+      Seq(pa.getAbsolutePath, pb.getAbsolutePath), s"$dir/t")
+    assert(Tickets.await(id, timeoutMs = 300000).get.state === Tickets.Done)
+    assert(Ingest.readPublished(spark, s"$dir/t").count() === nation.count())
   }
 
   test("callWithRetry: transient failure retried, hard timeout cancels and raises") {
@@ -201,6 +228,12 @@ class ServiceSpec extends AnyFunSuite {
     // the same cap passes a result that fits
     assert(GraftService.collectResult(li.limit(1).select(col("l_orderkey")),
       maxResultBytes = 1L << 20).length === 1)
+    // aggregates are NOT pre-flight-rejected: Catalyst estimates them from
+    // their input (GBs), but the result is 6 rows — only the post-hoc
+    // backstop applies to such plans
+    assert(GraftService.collectResult(
+      li.groupBy("l_returnflag", "l_linestatus").count(),
+      maxResultBytes = 1024L).length > 0)
     // Arrow wire applies the cap too
     intercept[ResultTooBigException] {
       ArrowResult.toArrowBytes(li.select(col("l_orderkey")), maxResultBytes = 16L)
