@@ -205,6 +205,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_ / 10).sorted === Seq(0L, 1L, 2L))
   }
 
+  test("space-saving sketch survives the streaming state store: complete-mode " +
+    "stream equals the batch heavy hitters") {
+    import graft.ops.TextAnalysis
+    graft.GraftExtensions.ensureRegistered(spark)
+    val want = TextAnalysis.heavyHitters(
+        graft.queries.QueryUtil.events(spark, sf),
+        lit("all"), col("event_type"), capacity = 64, k = 5)
+      .collect().map(r => (r.getInt(1).toLong, r.getString(2), r.getLong(3), r.getLong(4)))
+    // the sketch partials serialize through the streaming state store
+    // between micro-batches — merge + serde correctness under streaming
+    val agg = EventsStream.readEvents(spark, streamDir)
+      .groupBy(lit("all").as("grp"))
+      .agg(call_function("space_saving", col("event_type"), lit(64)).as("hh"))
+    val got = EventsStream.runToCompletion(agg, "hh_stream", OutputMode.Complete())
+      .select(col("grp"), posexplode(slice(col("hh"), 1, 5)))
+      .select((col("pos") + 1).cast("long"), col("col.term"), col("col.cnt"),
+        col("col.err"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+    // capacity covers the event-type universe, so streamed counts are exact
+    got.foreach { case (_, _, _, err) => assert(err === 0L) }
+  }
+
   test("lsh recall@k is measurable and maxes out when probing every bucket") {
     import graft.ops.Similarity
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
