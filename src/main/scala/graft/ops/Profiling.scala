@@ -91,15 +91,17 @@ object Profiling {
     val stats = one.select(inline(array(rows: _*)))
     if (approxDistinct) return stats
 
-    // exact distinct counts, Expand-free: stack to (column, value) pairs —
-    // string casts are injective per source type, so the distinct count is
-    // the column's — and count per column in ONE grouped aggregate whose
-    // map-side partials carry ~|vocab| rows, not the table
-    val pairs = df.select(inline(array(fields.map(f =>
-      struct(lit(f.name).as("column"),
-        col(f.name).cast("string").as("__v"))): _*)))
-    val dist = pairs.groupBy("column")
-      .agg(countDistinct(col("__v")).as("__nd"))
+    // exact distinct counts, Expand-free: stack to (column, value) pairs
+    // and count per column in grouped aggregates whose map-side partials
+    // carry ~|vocab| rows, not the table. One stack PER DATA TYPE, unioned:
+    // values keep their native type (no row-by-row string formatting), and
+    // each branch's scan prunes to exactly its own columns — total bytes
+    // read match the single-scan form
+    val dist = fields.groupBy(_.dataType).toSeq.map { case (_, fs) =>
+      df.select(inline(array(fs.map(f =>
+          struct(lit(f.name).as("column"), col(f.name).as("__v"))): _*)))
+        .groupBy("column").agg(countDistinct(col("__v")).as("__nd"))
+    }.reduce(_ unionAll _)
     // LEFT join + coalesce: a zero-row input has no pairs at all, and the
     // contract is per-column rows with n_rows = 0, not an empty report
     stats.drop("n_distinct")
