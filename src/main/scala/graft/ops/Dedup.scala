@@ -140,18 +140,31 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minJaccard: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val docsets = shingleProfile(df, id, text, n, minJaccard, maxDf)
-    val prefix = docsets.select(col("doc"), col("n"), explode(col("pre")).as("h"))
+    val prefix = docsets.select(col("doc"), col("n"),
+      posexplode(col("pre")).as(Seq("p", "h")))
     // AllPairs length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (|∩| ≤
     // min(|A|,|B|), |∪| ≥ max(|A|,|B|)), so size-incompatible candidates
     // leave the join before the distinct + exact verify (measured 2.7×
     // fewer candidates at t=0.8, sf0.1). The 1e-9 slack absorbs FP
     // overshoot in t·n (0.8·5 > 4 in doubles) — prune-only, never drops a
-    // qualifying pair
+    // qualifying pair.
+    // PPJoin positional filter (Xiao WWW'08): a match at 0-based rank
+    // position p bounds the overlap by 1 + min(|A|−p_a−1, |B|−p_b−1); J ≥ t
+    // needs overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, so positions too deep to
+    // reach α are pruned in the same join. Under a maxDf cap the prefix is
+    // position-SHIFTED left, which only loosens the bound — still
+    // prune-only. The 1e-9 here guards ceil overshoot in the OTHER
+    // direction (a too-large α would over-prune).
+    val alpha = ceil(
+      (lit(minJaccard) / (1 + minJaccard)) * (col("a.n") + col("b.n")) - lit(1e-9))
+    val overlapBound =
+      lit(1) + least(col("a.n") - col("a.p") - 1, col("b.n") - col("b.p") - 1)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
           col("a.n") * minJaccard <= col("b.n") + lit(1e-9) &&
-          col("b.n") * minJaccard <= col("a.n") + lit(1e-9))
+          col("b.n") * minJaccard <= col("a.n") + lit(1e-9) &&
+          overlapBound >= alpha)
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
     verifyPairs(cands, docsets.select("doc", "hs", "n"), minJaccard)
@@ -169,15 +182,21 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: Column, text: Column, n: Int,
       minContainment: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val docsets = shingleProfile(df, id, text, n, minContainment, maxDf)
-    val aPre = docsets.select(col("doc"), col("n"), explode(col("pre")).as("h"))
+    val aPre = docsets.select(col("doc"), col("n"),
+      posexplode(col("pre")).as(Seq("p", "h")))
     val bAll = docsets.select(col("doc"), col("n"), explode(col("hs")).as("h"))
     // asymmetric length filter: containment ≥ t forces |B| ≥ |A∩B| ≥ t·|A|
     // (one direction only — B may be arbitrarily larger). Same prune-only
-    // 1e-9 FP-overshoot slack as [[jaccardPairs]]
+    // 1e-9 FP-overshoot slack as [[jaccardPairs]]. The positional bound
+    // applies on the i side only (b explodes `hs`, hash-ordered, so b
+    // positions carry no rank meaning): a match at rank position p_a caps
+    // the overlap at |A| − p_a, which must still reach ⌈t·|A|⌉
     val cands = aPre.as("a")
       .join(bAll.as("b"),
         col("a.h") === col("b.h") && col("a.doc") =!= col("b.doc") &&
-          col("a.n") * minContainment <= col("b.n") + lit(1e-9))
+          col("a.n") * minContainment <= col("b.n") + lit(1e-9) &&
+          col("a.n") - col("a.p") >=
+            ceil(col("a.n") * minContainment - lit(1e-9)))
       .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .distinct()
     cands
