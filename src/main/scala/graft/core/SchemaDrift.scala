@@ -56,16 +56,23 @@ object SchemaDrift {
       math.min(32, paths.size),
       (r: Runnable) => { val t = new Thread(r, "graft-drift-footer"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // deadline SCALES with the sweep size (≥1 s per path, 10 min floor) and
+    // is conf-overridable: a flat cap would reject an honest 100k-shard
+    // sweep — the exact scenario this fallback exists for — while a hung
+    // footer read must still surface as an error, not wedge the driver
+    val deadline = spark.conf.getOption("graft.drift.footerSweepTimeoutSec")
+      .map(_.toLong).getOrElse(math.max(600L, paths.size.toLong)).seconds
     try {
       val schemas = Await.result(
         Future.sequence(paths.map(p => Future(spark.read.parquet(p).schema))),
-        10.minutes)
+        deadline)
       schemas.reduce(widen)
     } catch {
       case _: java.util.concurrent.TimeoutException =>
         throw new SchemaDriftException(
-          s"schema-drift footer sweep over ${paths.size} paths exceeded 10 minutes " +
-            "(degraded storage?) — retry or pass an explicit schema")
+          s"schema-drift footer sweep over ${paths.size} paths exceeded $deadline " +
+            "(degraded storage?) — retry, raise graft.drift.footerSweepTimeoutSec, " +
+            "or pass an explicit schema")
     } finally pool.shutdown()
   }
 
@@ -91,6 +98,14 @@ object SchemaDrift {
     case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
     case (x, y) if (integral(x) && fractional(y)) || (fractional(x) && integral(y)) =>
       DoubleType // never float: int32 doesn't fit float exactly
+    // date ⊔ timestamp = timestamp_ntz (midnight expansion): the common
+    // producer drift when an upstream starts carrying time-of-day on a date
+    // column. NTZ specifically — Spark's Parquet reader upcasts INT32 date
+    // only to TimestampNTZ, never to LTZ, and an LTZ-written shard reads
+    // under an NTZ target as its UTC wall clock (sessions here pin
+    // session.timeZone=UTC, so instants are preserved verbatim).
+    case (DateType, t) if timestampLike(t) => TimestampNTZType
+    case (t, DateType) if timestampLike(t) => TimestampNTZType
     case (x: DecimalType, y: DecimalType) =>
       val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
       val scale = math.max(x.scale, y.scale)
@@ -108,6 +123,9 @@ object SchemaDrift {
   }
   private def fractional(t: DataType): Boolean = t match {
     case FloatType | DoubleType => true; case _ => false
+  }
+  private def timestampLike(t: DataType): Boolean = t match {
+    case TimestampType | TimestampNTZType => true; case _ => false
   }
   private def rank(t: DataType): Int = t match {
     case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4

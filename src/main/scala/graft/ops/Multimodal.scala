@@ -393,11 +393,17 @@ object Multimodal {
       bitCount: Int,
       frameChunks: IndexedSeq[Array[Byte]]) {
     def nFrames: Int = frameChunks.length
-    def decodeFrame(i: Int): Option[java.awt.image.BufferedImage] = codec match {
-      case "rgb"  => decodeDib(frameChunks(i), width, height, bitCount, topDown)
-      case "mjpg" => decodeImage(frameChunks(i))
-      case _      => None
-    }
+    // drop-don't-throw here too: demux validates the container geometry,
+    // but a frame CHUNK can still be malformed (truncated DIB, bogus JPEG
+    // markers) and this runs outside demuxAvi's catch — one corrupt blob
+    // must not fail a whole decode stage
+    def decodeFrame(i: Int): Option[java.awt.image.BufferedImage] = try {
+      codec match {
+        case "rgb"  => decodeDib(frameChunks(i), width, height, bitCount, topDown)
+        case "mjpg" => decodeImage(frameChunks(i))
+        case _      => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def fourCC(b: Array[Byte], o: Int): String =
@@ -506,7 +512,11 @@ object Multimodal {
       o = data + size + (size & 1)
     }
 
-    if (vidsStream < 0 || codec.isEmpty || width <= 0 || height <= 0 ||
+    // sanity-bound declared dimensions: a corrupt header can claim widths
+    // near Int.MaxValue, which would overflow Int row-stride math and OOM
+    // the frame allocation downstream; no real AVI exceeds 32768 on an axis
+    if (vidsStream < 0 || codec.isEmpty ||
+      width < 1 || width > 32768 || height < 1 || height > 32768 ||
       frames.isEmpty) None
     else Some(DemuxedVideo(width, height, codec, topDown, bitCount, frames.toIndexedSeq))
   } catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
@@ -520,8 +530,12 @@ object Multimodal {
       topDown: Boolean): Option[java.awt.image.BufferedImage] = {
     val bpp = bitCount / 8
     if (bpp != 3 && bpp != 4) return None
-    val rowLen = ((w * bpp + 3) / 4) * 4
-    if (data.length < rowLen.toLong * h) return None
+    if (w < 1 || w > 32768 || h < 1 || h > 32768) return None
+    // stride in Long: w*bpp can overflow Int for hostile declared widths,
+    // which would bypass the length guard below with a small/negative value
+    val rowLenL = ((w.toLong * bpp + 3) / 4) * 4
+    if (data.length < rowLenL * h) return None
+    val rowLen = rowLenL.toInt // <= 4*32768+3, safe after the bounds check
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

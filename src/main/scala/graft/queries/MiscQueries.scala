@@ -11,14 +11,21 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // approx_count_distinct: the 100 TB-scalable sketch variant. No oracle —
-    // HLL estimates are engine-specific (driver records rows-only check);
-    // exact twins are pinned by q06.
+    // approx_count_distinct: the 100 TB-scalable sketch variant. The HLL
+    // estimate itself is engine-specific, so the checkable contract is its
+    // ERROR BOUND: |approx-exact|/exact <= 3×rsd (rsd=0.05 default → 15%,
+    // a 3-sigma bound HLL++ holds with overwhelming probability). The
+    // oracle recomputes exact and asserts the boolean — making the sketch
+    // row fully hash-checkable instead of rows-only. Exact twin: q06.
     "q34_approx_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= lit(0.15) * col("exact_parts").cast("double"))
+            .as("within_rel_bound"))
         .orderBy("l_returnflag")
     }),
 
@@ -161,10 +168,39 @@ object MiscQueries {
         .agg(sum("k").as("sum_k"), count(col("name")).as("n_named"),
           count(lit(1)).as("n"))
         .orderBy("r")
+    }),
+
+    // DATE-TYPE drift (round-7 lattice extension): the old producer wrote a
+    // DATE column, the new one carries full timestamps — readSharded widens
+    // date ⊔ timestamp to timestamp_ntz (dates midnight-expand, LTZ shards
+    // read as UTC wall clock), still ONE FileSourceScan. The oracle
+    // recomputes over the un-split orders table: day-truncation stands in
+    // for the date shard's midnight expansion.
+    "q117_drift_date" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_drift_q117").getAbsolutePath
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderdate").cast("date").as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/s1")
+      base.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/s2")
+      graft.core.SchemaDrift.readSharded(s, Seq(s"$dir/s1", s"$dir/s2"))
+        .groupBy(year(col("t")).as("yr"))
+        .agg(count(lit(1)).as("n"), min("t").as("min_t"), max("t").as("max_t"))
+        .orderBy("yr")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the estimate is engine-specific; the bound is not. TRUE is the
+    // contract: Spark's side computes |approx-exact| <= 0.15*exact.
+    "q34_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS within_rel_bound
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q114_profile" -> {
       import graft.ops.Profiling.profileRowSql
@@ -253,6 +289,18 @@ object MiscQueries {
       """SELECT n_regionkey AS r, CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
          count(CASE WHEN n_nationkey >= 12 THEN n_name END) AS n_named,
          count(*) AS n
-         FROM nation GROUP BY 1 ORDER BY 1"""
+         FROM nation GROUP BY 1 ORDER BY 1""",
+
+    // even keys came from the DATE shard → midnight-truncated; odd keys
+    // kept their full timestamp
+    "q117_drift_date" ->
+      """WITH u AS (SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 2 = 0
+                THEN date_trunc('day', o_orderdate)
+                ELSE o_orderdate END AS TIMESTAMP) AS t
+           FROM orders)
+         SELECT CAST(year(t) AS INT) AS yr, count(*) AS n,
+           min(t) AS min_t, max(t) AS max_t
+         FROM u GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -638,7 +638,8 @@ object TpchQueries {
          FROM w WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq""",
 
     "q109_tpch_q18" ->
-      """WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      """WITH big AS (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
            FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
          SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
          FROM big JOIN orders ON l_orderkey = o_orderkey

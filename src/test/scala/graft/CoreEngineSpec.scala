@@ -175,6 +175,28 @@ class CoreEngineSpec extends AnyFunSuite {
     assert(w(LongType, DoubleType) === DoubleType)
     assert(w(DecimalType(10, 2), DecimalType(12, 4)) === DecimalType(12, 4))
     assert(w(ArrayType(IntegerType), ArrayType(LongType)) === ArrayType(LongType, true))
+    // NTZ on purpose: the Parquet reader upcasts INT32 date only to NTZ
+    assert(w(DateType, TimestampType) === TimestampNTZType)
+    assert(w(TimestampNTZType, DateType) === TimestampNTZType)
     intercept[SchemaDrift.SchemaDriftException] { w(StringType, IntegerType) }
+  }
+
+  test("schema drift: date shard ⊔ timestamp shard reads as midnight-expanded timestamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-date").toString
+    // old producer records a DATE; the new one started carrying time-of-day
+    Seq((1, java.sql.Date.valueOf("2024-03-05")),
+        (2, java.sql.Date.valueOf("2024-03-06"))).toDF("k", "t")
+      .coalesce(1).write.parquet(s"$dir/s1")
+    Seq((3, java.sql.Timestamp.valueOf("2024-03-07 10:30:00"))).toDF("k", "t")
+      .coalesce(1).write.parquet(s"$dir/s2")
+    val df = SchemaDrift.readSharded(spark, Seq(s"$dir/s1", s"$dir/s2"))
+    // NTZ target: dates midnight-expand; the LTZ shard reads as its UTC
+    // wall clock (sessions pin UTC, so the instant is preserved verbatim)
+    assert(df.schema("t").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    val got = df.orderBy("k").collect()
+      .map(_.getAs[java.time.LocalDateTime](1).toString)
+    assert(got.toSeq === Seq("2024-03-05T00:00", "2024-03-06T00:00",
+      "2024-03-07T10:30"))
   }
 }

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class InventorySpec extends AnyFunSuite {
 
   /** Queries that are rows-only BY DESIGN (engine-specific estimates that
-    * no exact SQL twin can reproduce) — every other query needs an oracle. */
-  private val rowsOnlyByDesign = Set("q34_approx_distinct", "q57_ann_ivf")
+    * no exact SQL twin can reproduce) — every other query needs an oracle.
+    * Empty since round 7: q34/q57 now emit oracle-checkable error/recall
+    * bounds (the estimate is engine-specific, its bound is not). */
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("the driver's entry() smoke contract returns rows") {
     import SparkTestSession._
