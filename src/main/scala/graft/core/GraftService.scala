@@ -61,6 +61,7 @@ object GraftService {
       throw new BadCallException(s"groupby: unsupported filter op '${t.op}'"))
     // unconditional: affinity=None must RESTORE the default pool, or the
     // thread silently inherits the previous call's pool forever
+    OpsApi.ensurePoolMonitor(spark) // info() attributes this call's jobs
     spark.sparkContext.setLocalProperty("spark.scheduler.pool",
       call.affinity.orNull)
     GroupByEngine.groupby(spark, call.filenames, call.groupby, call.aggs,

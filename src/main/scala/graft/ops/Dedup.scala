@@ -444,19 +444,34 @@ object Dedup {
     *    collapse to a single computed Exchange via ReuseExchange.
     *
     * The result itself is checkpointed; at 100 TB each round is one shuffle
-    * of the label table on node id — the standard large-graph CC shape. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * of the label table on node id — the standard large-graph CC shape.
+    *
+    * Fault-tolerance modes: the default `localCheckpoint` truncates lineage
+    * into EXECUTOR memory/disk — fastest, but an executor loss mid-iteration
+    * kills the job (restart, never wrong answers). Passing `checkpointDir`
+    * selects RELIABLE checkpoints at the same cadence: every round's label
+    * table is persisted to that (HDFS/object-store) directory, so the
+    * computation survives executor loss — the right mode for very long
+    * chains at 100 TB. The caller owns the directory's lifecycle (checkpoint
+    * files outlive the call by design: the returned DataFrame reads from
+    * them); set `spark.cleaner.referenceTracking.cleanCheckpoints=true` for
+    * GC-driven cleanup. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val edges = snap(pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct())
     // init = identity labels with the first neighbour-min round fused in
     // (one groupBy): pair-shaped clusters are already final here and the
     // loop only has to confirm convergence
-    var labels = edges.groupBy(col("a").as("node"))
+    var labels = snap(edges.groupBy(col("a").as("node"))
       .agg(min("b").as("nbr_min"))
-      .select(col("node"), least(col("node"), col("nbr_min")).as("cluster"))
-      .localCheckpoint(true)
+      .select(col("node"), least(col("node"), col("nbr_min")).as("cluster")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -478,7 +493,7 @@ object Dedup {
           least(col("mid"), coalesce(col("rmid"), col("mid"))).as("mid2"))
       val clusterExpr =
         least(col("mid2"), coalesce(col("r2mid"), col("mid2")))
-      val next = hop1.as("h")
+      val next = snap(hop1.as("h")
         .join(hop1.select(col("node").as("r2node"), col("mid2").as("r2mid")).as("r2"),
           col("mid2") === col("r2node"), "left")
         .select(col("node"), clusterExpr.as("cluster"),
@@ -486,8 +501,7 @@ object Dedup {
           // labels ever became nullable) must count as "changed" — Spark
           // skips primitive-arg UDFs on null input, so an unguarded null
           // here would silently not tally and could converge prematurely
-          tally(coalesce(col("prev") =!= clusterExpr, lit(true))).as("chg"))
-        .localCheckpoint(true)
+          tally(coalesce(col("prev") =!= clusterExpr, lit(true))).as("chg")))
       converged = changed.value == 0L
       releaseCheckpoint(labels)
       labels = next.select("node", "cluster")

@@ -112,6 +112,29 @@ object Profiling {
         col("min_len"), col("max_len"))
   }
 
+  /** Per-column top-k VALUES — the other half of every data-quality report
+    * ([[profile]] gives the shape of each column, this gives its dominant
+    * content). Composition of the profile's stacked `(column, value)` pair
+    * shape with [[TextAnalysis.heavyHitters]]: one scan stacks the requested
+    * columns (values cast to string for a uniform report schema, nulls
+    * dropped — they are already counted by `profile`), then ONE SpaceSaving
+    * aggregation per column bounds memory at `capacity` counters regardless
+    * of column cardinality. With capacity ≥ each column's per-partition
+    * distinct count the counts are exact (err = 0) — the oracle-checkable
+    * regime; under pressure they degrade to bounded-error estimates instead
+    * of failing. Output: (column, rank, value, cnt, err), rank 1..k by
+    * (cnt DESC, value ASC). */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int,
+      capacity: Int): DataFrame = {
+    require(cols.nonEmpty, "topValues: no columns requested")
+    val pairs = df.select(inline(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("__v"))): _*)))
+      .where(col("__v").isNotNull)
+    TextAnalysis.heavyHitters(pairs, col("column"), col("__v"), capacity, k)
+      .select(col("grp").as("column"), col("rank"),
+        col("term").as("value"), col("cnt"), col("err"))
+  }
+
   /** DuckDB twin of one [[profile]] row for oracle construction: the same
     * stats for column `name` of `table`, with `kind` ∈ num | str | ts |
     * other controlling which slots are non-null. */

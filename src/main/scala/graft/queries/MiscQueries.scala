@@ -37,6 +37,20 @@ object MiscQueries {
         .orderBy("column")
     }),
 
+    // profile × heavy-hitters composition: per-column top-k VALUES via one
+    // stacked scan + one SpaceSaving aggregation per column — the content
+    // half of the data-quality report q114 shapes. Capacity (32) exceeds
+    // each column's distinct count, so counts are exact (err = 0, asserted
+    // via max_err in the output) and DuckDB replays them as count+rank.
+    "q116_profile_topk" -> ((s, d) => {
+      graft.ops.Profiling.topValues(t(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber"), k = 5,
+          capacity = 32)
+        .select(col("column"), col("rank"), col("value"), col("cnt"),
+          col("err"))
+        .orderBy("column", "rank")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -201,6 +215,26 @@ object MiscQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
          TRUE AS within_rel_bound
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // exact regime: SpaceSaving counts replay as plain count(*) + rank;
+    // err is structurally 0 there, so the oracle pins it as a constant
+    "q116_profile_topk" ->
+      """WITH vals AS (
+           SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value
+             FROM lineitem WHERE l_returnflag IS NOT NULL
+           UNION ALL
+           SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+             FROM lineitem WHERE l_linestatus IS NOT NULL
+           UNION ALL
+           SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+             FROM lineitem WHERE l_linenumber IS NOT NULL),
+         cnt AS (SELECT "column", value, count(*) AS c FROM vals GROUP BY 1, 2),
+         r AS (SELECT "column", value, c,
+             row_number() OVER (PARTITION BY "column" ORDER BY c DESC, value) AS rn
+           FROM cnt)
+         SELECT "column", CAST(rn AS INT) AS rank, value, c AS cnt,
+           CAST(0 AS BIGINT) AS err
+         FROM r WHERE rn <= 5 ORDER BY "column", rank""",
 
     "q114_profile" -> {
       import graft.ops.Profiling.profileRowSql

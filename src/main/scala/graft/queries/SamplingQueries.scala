@@ -138,7 +138,7 @@ object SamplingQueries {
 
     "q86_chunk" ->
       s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})
-         SELECT chunk_idx, count(*) AS n_chunks,
+         SELECT CAST(chunk_idx AS INT) AS chunk_idx, count(*) AS n_chunks,
            CAST(sum(n_tok) AS BIGINT) AS sum_tok,
            CAST(min(n_tok) AS INT) AS min_tok,
            CAST(max(n_tok) AS INT) AS max_tok,

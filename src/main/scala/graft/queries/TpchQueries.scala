@@ -490,8 +490,8 @@ object TpchQueries {
 
     "q62_window_suite" ->
       """SELECT o_custkey, o_orderkey,
-         dense_rank() OVER w AS rnk,
-         ntile(4) OVER w AS quartile,
+         CAST(dense_rank() OVER w AS INT) AS rnk,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
          coalesce(lag(o_orderkey) OVER w, -1) AS prev_order,
          coalesce(lead(o_orderkey) OVER w, -1) AS next_order
          FROM orders WHERE o_custkey < 50

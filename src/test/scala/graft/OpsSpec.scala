@@ -97,6 +97,24 @@ class OpsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("dupClusters reliable-checkpoint mode: identical clusters, checkpoint files on disk") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L)).toDF("i", "j")
+    val local = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable").toString
+    // reliable mode: every round persists to the checkpoint dir, so lineage
+    // survives executor loss (localCheckpoint blocks die with the executor)
+    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local, "both fault-tolerance modes must agree")
+    // the mode actually engaged: checkpoint data landed under the dir
+    def count(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(count).sum else 1
+    assert(count(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+  }
+
   test("jaccard maxDf cap: identical above true max df, prunes a planted stop-shingle") {
     import spark.implicits._
     // 30 docs all share one boilerplate shingle ("common stop shingle",

@@ -200,6 +200,29 @@ class ScaleSpec extends AnyFunSuite {
       online.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("durable ivf index: cold-session probe loads persisted centroids, bit-equal, no exchange") {
+    val dir = Files.createTempDirectory("graft-ivf-cold").toString + "/emb"
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    // index build with TRAINED centroids (the expensive part a new session
+    // must never repeat)
+    Similarity.ivfWritePartitioned(body, col("vec_id"), col("embedding"), 8, dir,
+      kmeansIters = 4)
+    val warm = Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 3, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // simulate a fresh session: the session-scoped centroid memo is gone,
+    // so the probe can only answer from the PERSISTED index
+    Similarity.clearCentroidCache()
+    val cold = Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 3, k = 10)
+    val plan = cold.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"cold probe must partition-prune:\n$plan")
+    assert(!plan.contains("Exchange"), s"cold probe must not shuffle vectors:\n$plan")
+    assert(cold.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === warm,
+      "cold-session probe must be bit-equal to the warm one")
+  }
+
   test("multiprobe lsh: one probe equals single-bucket lsh, more probes add recall") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)

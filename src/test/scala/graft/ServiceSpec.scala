@@ -264,6 +264,36 @@ class ServiceSpec extends AnyFunSuite {
     assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
   }
 
+  test("info reports queue depth per affinity pool while a pooled job runs") {
+    import org.apache.spark.sql.functions.udf
+    OpsApi.ensurePoolMonitor(spark)
+    // a deliberately slow job under a named pool, on its own thread (pool
+    // tagging is thread-local) — each task sleeps so the job stays active
+    // long enough for info() to observe it
+    val slow = udf { (x: Long) => Thread.sleep(400); x }
+    val t = new Thread(() => {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "probe_pool")
+      try spark.range(0, 8, 1, 8).select(slow(col("id"))).collect()
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    })
+    t.start()
+    try {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var seen: Option[OpsApi.PoolStats] = None
+      while (seen.isEmpty && System.nanoTime() < deadline) {
+        seen = OpsApi.info(spark).pools.get("probe_pool")
+        if (seen.isEmpty) Thread.sleep(25)
+      }
+      assert(seen.nonEmpty, "pooled job never surfaced in info().pools")
+      assert(seen.get.activeJobs >= 1)
+      // task-level depth is non-negative and bounded by the job's size
+      assert(seen.get.pendingTasks + seen.get.runningTasks <= 8)
+    } finally t.join()
+    // after completion the pool drains from the registry
+    val after = OpsApi.info(spark).pools.get("probe_pool")
+    assert(after.isEmpty || after.get.activeJobs === 0)
+  }
+
   test("arrow result round-trips every wire type including nulls") {
     val df = spark.sql(
       """SELECT * FROM VALUES
