@@ -5,6 +5,7 @@ import java.nio.channels.Channels
 import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -20,23 +21,93 @@ import org.apache.spark.sql.types._
   * stream; [[fromArrowBytes]] is the inverse, giving a round-trip equality
   * gate. Bulk data movement stays on the parquet/manifest path ([[Ingest]]);
   * this is only the last-hop result contract.
+  *
+  * Wire types: all scalar Spark types plus NESTED `array` / `struct`
+  * (recursively) — profile reports and sketch outputs like SpaceSaving's
+  * `array<struct<term,cnt,err>>` ship without a flattening projection.
   */
 object ArrowResult {
 
+  private def arrowField(name: String, dt: DataType): Field = dt match {
+    case ArrayType(et, _) =>
+      new Field(name, FieldType.nullable(ArrowType.List.INSTANCE),
+        Seq(arrowField("item", et)).asJava)
+    case StructType(fs) =>
+      new Field(name, FieldType.nullable(ArrowType.Struct.INSTANCE),
+        fs.map(f => arrowField(f.name, f.dataType)).toSeq.asJava)
+    case _ =>
+      new Field(name, FieldType.nullable(arrowType(dt)), null)
+  }
+
   private def arrowType(dt: DataType): ArrowType = dt match {
-    case BooleanType   => ArrowType.Bool.INSTANCE
-    case IntegerType   => new ArrowType.Int(32, true)
-    case LongType      => new ArrowType.Int(64, true)
-    case FloatType     => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-    case DoubleType    => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-    case StringType    => ArrowType.Utf8.INSTANCE
-    case BinaryType    => ArrowType.Binary.INSTANCE
-    case DateType      => new ArrowType.Date(DateUnit.DAY)
-    case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+    case BooleanType      => ArrowType.Bool.INSTANCE
+    case IntegerType      => new ArrowType.Int(32, true)
+    case LongType         => new ArrowType.Int(64, true)
+    case FloatType        => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType       => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType       => ArrowType.Utf8.INSTANCE
+    case BinaryType       => ArrowType.Binary.INSTANCE
+    case DateType         => new ArrowType.Date(DateUnit.DAY)
+    case TimestampType    => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
     case other => throw new BadCallException(
       s"arrow result: unsupported column type ${other.simpleString} " +
-        "(project/cast the result to scalar wire types first)")
+        "(project/cast the result to wire types first)")
   }
+
+  private def setNullAt(vec: ValueVector, r: Int): Unit = vec match {
+    case v: BaseFixedWidthVector    => v.setNull(r)
+    case v: BaseVariableWidthVector => v.setNull(r)
+    case v: ListVector              => v.setNull(r)
+    case v: StructVector            => v.setNull(r)
+    case other => throw new IllegalStateException(s"setNull on ${other.getClass}")
+  }
+
+  /** Write one (non-null) value at row `r`; recurses into list/struct.
+    * List children keep their own running element index, carried through
+    * `ListVector.startNewValue`'s returned offset — correct because rows
+    * are written strictly in order. */
+  private def writeValue(vec: ValueVector, r: Int, dt: DataType, value: Any): Unit =
+    (dt, vec) match {
+      case (BooleanType, v: BitVector) =>
+        v.setSafe(r, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (IntegerType, v: IntVector)   => v.setSafe(r, value.asInstanceOf[Int])
+      case (LongType, v: BigIntVector)   => v.setSafe(r, value.asInstanceOf[Long])
+      case (FloatType, v: Float4Vector)  => v.setSafe(r, value.asInstanceOf[Float])
+      case (DoubleType, v: Float8Vector) => v.setSafe(r, value.asInstanceOf[Double])
+      case (StringType, v: VarCharVector) =>
+        v.setSafe(r, value.asInstanceOf[String].getBytes("UTF-8"))
+      case (BinaryType, v: VarBinaryVector) =>
+        v.setSafe(r, value.asInstanceOf[Array[Byte]])
+      case (DateType, v: DateDayVector) =>
+        v.setSafe(r, value.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case (TimestampType, v: TimeStampMicroTZVector) =>
+        // floorDiv, not /: truncation flips the sub-second part of
+        // pre-1970 instants by a full second
+        val ts = value.asInstanceOf[java.sql.Timestamp]
+        v.setSafe(r, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000)
+      case (TimestampNTZType, v: TimeStampMicroVector) =>
+        val ldt = value.asInstanceOf[java.time.LocalDateTime]
+        val ep = ldt.toEpochSecond(java.time.ZoneOffset.UTC)
+        v.setSafe(r, ep * 1000000L + ldt.getNano / 1000)
+      case (ArrayType(et, _), v: ListVector) =>
+        val seq = value.asInstanceOf[scala.collection.Seq[Any]]
+        val start = v.startNewValue(r)
+        seq.zipWithIndex.foreach { case (x, i) =>
+          if (x == null) setNullAt(v.getDataVector, start + i)
+          else writeValue(v.getDataVector, start + i, et, x)
+        }
+        v.endValue(r, seq.length)
+      case (StructType(fs), v: StructVector) =>
+        v.setIndexDefined(r)
+        val row = value.asInstanceOf[Row]
+        fs.zipWithIndex.foreach { case (f, i) =>
+          val child = v.getChildByOrdinal(i)
+          if (row.isNullAt(i)) setNullAt(child, r)
+          else writeValue(child, r, f.dataType, row.get(i))
+        }
+      case (dt2, v) => throw new IllegalStateException(s"$dt2 vs ${v.getClass}")
+    }
 
   /** Serialize a (small, final) result as one Arrow IPC stream.
     * `maxResultBytes > 0` applies the typed memory-cap taxonomy
@@ -45,8 +116,7 @@ object ArrowResult {
   def toArrowBytes(df: DataFrame, maxResultBytes: Long = 0L): Array[Byte] = {
     val sparkSchema = df.schema
     val rows = GraftService.collectResult(df, maxResultBytes)
-    val fields = sparkSchema.fields.map(f =>
-      new Field(f.name, FieldType.nullable(arrowType(f.dataType)), null))
+    val fields = sparkSchema.fields.map(f => arrowField(f.name, f.dataType))
     val schema = new ArrowSchema(fields.toSeq.asJava)
     val allocator = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, allocator)
@@ -55,24 +125,8 @@ object ArrowResult {
       sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
         val vec = root.getVector(c)
         rows.zipWithIndex.foreach { case (row, r) =>
-          if (row.isNullAt(c)) vec.setNull(r)
-          else (f.dataType, vec) match {
-            case (BooleanType, v: BitVector)    => v.setSafe(r, if (row.getBoolean(c)) 1 else 0)
-            case (IntegerType, v: IntVector)    => v.setSafe(r, row.getInt(c))
-            case (LongType, v: BigIntVector)    => v.setSafe(r, row.getLong(c))
-            case (FloatType, v: Float4Vector)   => v.setSafe(r, row.getFloat(c))
-            case (DoubleType, v: Float8Vector)  => v.setSafe(r, row.getDouble(c))
-            case (StringType, v: VarCharVector) => v.setSafe(r, row.getString(c).getBytes("UTF-8"))
-            case (BinaryType, v: VarBinaryVector) => v.setSafe(r, row.getAs[Array[Byte]](c))
-            case (DateType, v: DateDayVector) =>
-              v.setSafe(r, row.getDate(c).toLocalDate.toEpochDay.toInt)
-            case (TimestampType, v: TimeStampMicroTZVector) =>
-              // floorDiv, not /: truncation flips the sub-second part of
-              // pre-1970 instants by a full second
-              val ts = row.getTimestamp(c)
-              v.setSafe(r, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000)
-            case (dt, v) => throw new IllegalStateException(s"$dt vs ${v.getClass}")
-          }
+          if (row.isNullAt(c)) setNullAt(vec, r)
+          else writeValue(vec, r, f.dataType, row.get(c))
         }
         vec.setValueCount(rows.length)
       }
@@ -84,6 +138,57 @@ object ArrowResult {
     } finally { root.close(); allocator.close() }
   }
 
+  private def sparkTypeOf(f: Field): DataType = f.getType match {
+    case _: ArrowType.Bool => BooleanType
+    case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+    case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+    case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Date => DateType
+    case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
+    case _: ArrowType.Timestamp => TimestampType
+    case _: ArrowType.List =>
+      ArrayType(sparkTypeOf(f.getChildren.get(0)), containsNull = true)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.toSeq.map(c =>
+        StructField(c.getName, sparkTypeOf(c), nullable = true)))
+    case other => throw new BadCallException(s"arrow result: unsupported $other")
+  }
+
+  /** Read one value at row `r`; recurses into list (via the offsets the
+    * writer laid down) and struct (per child at the same row index). */
+  private def readValue(vec: ValueVector, r: Int, dt: DataType): Any =
+    if (vec.isNull(r)) null
+    else (dt, vec) match {
+      case (BooleanType, v: BitVector)      => v.get(r) == 1
+      case (IntegerType, v: IntVector)      => v.get(r)
+      case (LongType, v: BigIntVector)      => v.get(r)
+      case (FloatType, v: Float4Vector)     => v.get(r)
+      case (DoubleType, v: Float8Vector)    => v.get(r)
+      case (StringType, v: VarCharVector)   => new String(v.get(r), "UTF-8")
+      case (BinaryType, v: VarBinaryVector) => v.get(r)
+      case (DateType, v: DateDayVector) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(r).toLong))
+      case (TimestampType, v: TimeStampMicroTZVector) =>
+        val us = v.get(r)
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+        ts
+      case (TimestampNTZType, v: TimeStampMicroVector) =>
+        val us = v.get(r)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000).toInt, java.time.ZoneOffset.UTC)
+      case (ArrayType(et, _), v: ListVector) =>
+        val s = v.getElementStartIndex(r); val e = v.getElementEndIndex(r)
+        (s until e).map(i => readValue(v.getDataVector, i, et))
+      case (StructType(fs), v: StructVector) =>
+        Row(fs.zipWithIndex.map { case (f, i) =>
+          readValue(v.getChildByOrdinal(i), r, f.dataType) }: _*)
+      case (dt2, v) => throw new IllegalStateException(s"$dt2 vs ${v.getClass}")
+    }
+
   /** Deserialize an Arrow IPC stream back into a local DataFrame (the
     * round-trip gate; a real non-JVM client would stop at the Arrow table). */
   def fromArrowBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
@@ -92,44 +197,13 @@ object ArrowResult {
     try {
       val root = reader.getVectorSchemaRoot
       val arrowFields = root.getSchema.getFields.asScala.toSeq
-      val sparkSchema = StructType(arrowFields.map { f =>
-        val dt = f.getType match {
-          case _: ArrowType.Bool => BooleanType
-          case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
-          case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-          case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-          case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-          case _: ArrowType.Utf8 => StringType
-          case _: ArrowType.Binary => BinaryType
-          case _: ArrowType.Date => DateType
-          case _: ArrowType.Timestamp => TimestampType
-          case other => throw new BadCallException(s"arrow result: unsupported $other")
-        }
-        StructField(f.getName, dt, nullable = true)
-      })
+      val sparkSchema = StructType(arrowFields.map(f =>
+        StructField(f.getName, sparkTypeOf(f), nullable = true)))
       val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
       while (reader.loadNextBatch()) {
         (0 until root.getRowCount).foreach { r =>
           val vals = (0 until root.getFieldVectors.size).map { c =>
-            val vec = root.getVector(c)
-            if (vec.isNull(r)) null
-            else vec match {
-              case v: BitVector     => v.get(r) == 1
-              case v: IntVector     => v.get(r)
-              case v: BigIntVector  => v.get(r)
-              case v: Float4Vector  => v.get(r)
-              case v: Float8Vector  => v.get(r)
-              case v: VarCharVector => new String(v.get(r), "UTF-8")
-              case v: VarBinaryVector => v.get(r)
-              case v: DateDayVector =>
-                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(r).toLong))
-              case v: TimeStampMicroTZVector =>
-                val us = v.get(r)
-                val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000)
-                ts.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
-                ts
-              case other => throw new IllegalStateException(other.getClass.toString)
-            }
+            readValue(root.getVector(c), r, sparkSchema.fields(c).dataType)
           }
           rows += Row(vals: _*)
         }

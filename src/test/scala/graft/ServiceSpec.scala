@@ -313,6 +313,49 @@ class ServiceSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("arrow wire round-trips nested array/struct outputs (sketch + profile shapes)") {
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    graft.GraftExtensions.ensureRegistered(spark)
+    // the real SpaceSaving shape: grp -> array<struct<term,cnt,err>> — the
+    // exact output the round-6 wire could not ship without flattening
+    import spark.implicits._
+    val toks = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("de", "x"))
+      .toDF("lang", "tok")
+    val sketch = toks.groupBy("lang")
+      .agg(call_function("space_saving", col("tok"), flit(4)).as("hh"))
+    val back = ArrowResult.fromArrowBytes(spark, ArrowResult.toArrowBytes(sketch))
+    // the wire is all-nullable by design; types and values must be identical
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
+    def nn(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, nn(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nn(a.elementType), containsNull = true)
+      case d => d
+    }
+    assert(nn(back.schema) === nn(sketch.schema))
+    assert(back.orderBy("lang").collect().toSeq ===
+      sketch.orderBy("lang").collect().toSeq)
+    // nested nulls + empty list + NTZ timestamps survive the wire
+    val tricky = spark.sql(
+      """SELECT * FROM VALUES
+           (1, array(named_struct('t', 'a', 'n', CAST(3 AS BIGINT)),
+                     CAST(NULL AS STRUCT<t: STRING, n: BIGINT>)),
+            array(CAST(1.5 AS DOUBLE), NULL),
+            TIMESTAMP_NTZ'2024-02-29 12:34:56.789012'),
+           (2, NULL, array(), NULL)
+         AS t(i, hh, xs, ts)""")
+    val back2 = ArrowResult.fromArrowBytes(spark, ArrowResult.toArrowBytes(tricky))
+    assert(back2.schema.map(_.dataType) === tricky.schema.map(_.dataType))
+    assert(back2.orderBy("i").collect().toSeq ===
+      tricky.orderBy("i").collect().toSeq)
+    // the q114 profile report ships whole (flat but mixed-typed)
+    val prof = graft.ops.Profiling.profile(
+      spark.read.parquet(s"$sf/lineitem.parquet"), Seq("l_returnflag", "l_quantity"))
+    val back3 = ArrowResult.fromArrowBytes(spark, ArrowResult.toArrowBytes(prof))
+    assert(back3.orderBy("column").collect().toSeq ===
+      prof.orderBy("column").collect().toSeq)
+  }
+
   test("native cosine expression is bit-identical to the composable form") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = embs.filter(col("vec_id") === 0)
