@@ -37,6 +37,40 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Anti-join with a broadcast BLOOM pre-filter: keep the `incoming` rows
+    * whose `key` is NOT in `corpus` — bit-identical to a plain left_anti
+    * join (spec-pinned; the oracle replays it as SQL `NOT IN`) but with the
+    * 100 TB shape: a Bloom filter built from the corpus keys (one
+    * aggregation, driver-sized bit array) broadcasts to every task, and
+    * rows the filter proves DEFINITELY ABSENT (Bloom has no false
+    * negatives) skip the shuffle join entirely. Only the "might contain"
+    * remainder — true matches plus the `fpp` sliver of false positives —
+    * pays the exact verify join, so the join's probe side shrinks from
+    * |incoming| to |matches|/(1-fpp)-ish. This is the standard
+    * decontamination / incremental-ingest fast path when the corpus key
+    * set is too big to broadcast as a hash set but its Bloom bits are not
+    * (1 GB of bits covers ~10^9 keys at 1% fpp).
+    *
+    * `expectedItems` sizes the filter — overshoot only wastes bits,
+    * undershoot inflates fpp (never correctness, the verify join catches
+    * every false positive). The membership probe is a broadcast-closure
+    * UDF: non-codegen, but a pure in-memory bit test on a map-side filter
+    * — the scan stays one pass and nothing extra shuffles. */
+  def antiJoinWithBloom(incoming: DataFrame, key: Column, corpus: DataFrame,
+      corpusKey: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val bf = corpus.select(corpusKey.cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val definitelyAbsent = incoming.filter(!might(key.cast("string")))
+    val suspects = incoming.filter(might(key.cast("string")))
+      .join(corpus.select(corpusKey.as("__ck")).distinct(),
+        key === col("__ck"), "left_anti")
+    definitelyAbsent.unionByName(suspects)
+  }
+
   /** Word n-gram shingles of `text`, distinct — the native one-pass
     * [[graft.functions.WordShingles]] expression (first-occurrence dedup,
     * `<n`-token texts shingle to `[text]`). Built directly from the

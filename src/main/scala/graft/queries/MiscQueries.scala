@@ -74,6 +74,25 @@ object MiscQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // approx percentile (GK sketch): the third bound-checkable estimate
+    // after HLL (q34) and SpaceSaving (q115/q116). percentile_approx with
+    // accuracy=100 guarantees the returned element's RANK is within
+    // n/100 of the target, so its VALUE must lie inside the exact quantile
+    // window [p-0.02, p+0.02] (double the guarantee — safely monotone).
+    // The exact p50 rides along; the oracle recomputes it (quantile_cont ≡
+    // Spark percentile, pinned by q36) and asserts the bound TRUE.
+    "q118_approx_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("ap"),
+          expr("percentile(o_totalprice, array(0.48D, 0.5D, 0.52D))").as("pb"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("pb"), 2), 4).as("p50"),
+          (col("ap") >= element_at(col("pb"), 1) &&
+            col("ap") <= element_at(col("pb"), 3)).as("within_rank_bound"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q37_pivot" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy("o_orderpriority")
@@ -258,6 +277,12 @@ object MiscQueries {
     "q36_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the sketch value is engine-specific; its rank-error bound is not
+    "q118_approx_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         TRUE AS within_rank_bound
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q37_pivot" ->

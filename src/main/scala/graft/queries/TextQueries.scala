@@ -101,6 +101,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // bloom-prefiltered exact decontamination: incoming batch anti-joined
+    // against the corpus's md5 fingerprints, with a broadcast Bloom filter
+    // proving most non-matches DEFINITELY absent before the verify join —
+    // the exact-dedup fast path when the corpus key set outgrows a hash-set
+    // broadcast. Result is bit-identical to a plain anti join (Bloom has no
+    // false negatives; false positives die in the verify join), which is
+    // exactly what the oracle replays.
+    "q119_bloom_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("fp"))
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("fp", md5(col("text")))
+      Dedup.antiJoinWithBloom(incoming, col("fp"), corpus, col("fp"),
+          expectedItems = 10000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     "q46_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, k = 16, bands = 4, minJaccard = 0.9)
@@ -264,6 +284,15 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // the Bloom pre-filter is invisible to the result by contract: the
+    // oracle is the plain anti join it must equal
+    "q119_bloom_dedup" ->
+      """WITH corpus AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0)
+         SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents
+         WHERE doc_id % 3 <> 0 AND md5(text) NOT IN (SELECT fp FROM corpus)
+         GROUP BY 1 ORDER BY 1""",
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n, count(DISTINCT text) AS n_distinct_text,

@@ -97,6 +97,25 @@ class OpsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("bloom anti-join pre-filter is bit-identical to the plain anti join") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => s"doc-$i").toDF("k")
+    val incoming = (150 until 400).map(i => (i.toLong, s"doc-$i")).toDF("id", "k")
+    val plain = incoming.join(corpus.select(col("k").as("__ck")),
+        col("k") === col("__ck"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // healthy fpp AND a deliberately undersized filter (high fpp → many
+    // false positives forced through the verify join): equality must hold
+    // in both regimes because the verify join kills every false positive
+    for ((items, fpp) <- Seq((1000L, 0.01), (5L, 0.5))) {
+      val got = graft.ops.Dedup.antiJoinWithBloom(incoming, col("k"),
+          corpus, col("k"), expectedItems = items, fpp = fpp)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === plain, s"items=$items fpp=$fpp")
+    }
+    assert(plain === (200L until 400L))
+  }
+
   test("dupClusters reliable-checkpoint mode: identical clusters, checkpoint files on disk") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),

@@ -140,4 +140,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q96_schema_drift")
     assert(!p.contains("Union"), s"drift read must stay one scan:\n$p")
   }
+
+  test("date-type drift read is a single scan, not a per-shard union (q117)") {
+    // the widened-NTZ fallback path must also stay one FileSourceScan —
+    // a per-shard union would blow up the plan at 100k shards
+    val p = plan("q117_drift_date")
+    assert(!p.contains("Union"), s"date-drift read must stay one scan:\n$p")
+  }
 }
