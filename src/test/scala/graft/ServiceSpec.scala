@@ -380,6 +380,25 @@ class ServiceSpec extends AnyFunSuite {
     assert(composed.isNullAt(0))
   }
 
+  test("SQL function builders: descriptive arity errors, foldable int sizes accepted") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    // wrong arg count surfaces the function's own message, not an
+    // IndexOutOfBoundsException from blind exprs(1) access
+    val e = intercept[Throwable] {
+      spark.sql("SELECT space_saving(x) FROM VALUES ('a') t(x)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("space_saving expects 2")),
+      s"got: ${messages(e)}")
+    // a foldable (non-literal) capacity is a constant too: 16+16 works
+    val hh = spark.sql(
+      """SELECT space_saving(x, 16+16) AS hh
+         FROM VALUES ('a'), ('a'), ('b') t(x)""").collect()
+    val top = hh(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) === "a" && top.head.getLong(1) === 2L)
+  }
+
   test("cosine_sim is callable from SQL once registered") {
     GraftExtensions.ensureRegistered(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
