@@ -39,6 +39,33 @@ object TextAnalysis {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
+  /** Curation scrub: lowercase → redact emails → redact NNN-NNN-NNNN phone
+    * shapes → collapse whitespace runs → trim. The normalization every
+    * corpus pass runs before dedup/fingerprinting, fused into the scan as
+    * pure codegen'd regexp projection (no UDF, no shuffle). Patterns stay
+    * inside the Java∩RE2 common syntax so the DuckDB oracle ([[scrubSql]])
+    * applies the IDENTICAL transformation — the whitespace class is spelled
+    * out because Java's `\s` and RE2's disagree on \x0B (same caveat as
+    * [[BpeTokenPattern]]). Redaction first, collapse second: collapsing can
+    * merge tokens and must not create new redactable shapes. */
+  private val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private val SpaceRunPattern = "[ \\t\\n\\x0B\\f\\r]+"
+
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), EmailPattern, "<email>"),
+        PhonePattern, "<phone>"),
+      SpaceRunPattern, " "))
+
+  /** DuckDB twin of [[scrub]] (oracle construction). */
+  def scrubSql(col: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(lower($col),
+       | '$EmailPattern', '<email>', 'g'),
+       | '$PhonePattern', '<phone>', 'g'),
+       | '$SpaceRunPattern', ' ', 'g'))""".stripMargin.replace("\n", "")
+
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))

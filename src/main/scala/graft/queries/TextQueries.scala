@@ -101,6 +101,31 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // curation scrub: normalization + PII redaction as one fused regexp
+    // projection. PII is PLANTED deterministically (an email and a phone
+    // derived from doc_id appended to each text) so redaction provably
+    // fires on every row; the oracle applies the identical transformation
+    // in DuckDB and recomputes the post-scrub fingerprint census.
+    "q120_scrub" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" Contact USER"), col("doc_id"), lit("@Example.COM  or "),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("  now")).as("text"))
+      planted.select(col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.scrub(col("text")).as("clean"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(md5(col("clean"))).as("n_distinct_clean"),
+          sum(length(col("clean"))).cast("long").as("sum_len"),
+          sum(when(col("clean").contains("<email>"), 1).otherwise(0))
+            .cast("long").as("n_email"),
+          sum(when(col("clean").contains("<phone>"), 1).otherwise(0))
+            .cast("long").as("n_phone"))
+        .orderBy("source")
+    }),
+
     // bloom-prefiltered exact decontamination: incoming batch anti-joined
     // against the corpus's md5 fingerprints, with a broadcast Bloom filter
     // proving most non-matches DEFINITELY absent before the verify join —
@@ -284,6 +309,23 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical plant + identical scrub, replayed in DuckDB
+    "q120_scrub" -> {
+      import graft.ops.TextAnalysis.scrubSql
+      s"""WITH planted AS (SELECT doc_id, source,
+           text || ' Contact USER' || CAST(doc_id AS VARCHAR) || '@Example.COM  or '
+             || CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-01'
+             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '  now' AS text
+           FROM documents),
+         c AS (SELECT doc_id, source, ${scrubSql("text")} AS clean FROM planted)
+         SELECT source, count(*) AS n,
+           count(DISTINCT md5(clean)) AS n_distinct_clean,
+           CAST(sum(length(clean)) AS BIGINT) AS sum_len,
+           CAST(sum(CASE WHEN clean LIKE '%<email>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           CAST(sum(CASE WHEN clean LIKE '%<phone>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone
+         FROM c GROUP BY 1 ORDER BY 1"""
+    },
 
     // the Bloom pre-filter is invisible to the result by contract: the
     // oracle is the plain anti join it must equal

@@ -29,6 +29,29 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq && got.map(_._2).sum > 0)
   }
 
+  test("streaming decontamination: bloom anti-join against a static corpus equals batch") {
+    // the continuous-ingest shape: a document STREAM scrubbed against a
+    // static corpus's fingerprints, definite-absents skipping the join
+    val dir = Files.createTempDirectory("graft-bloom-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("d.parquet"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("fp"))
+    def pipeline(incoming: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.antiJoinWithBloom(
+          incoming.filter(col("doc_id") % 3 =!= 0)
+            .withColumn("fp", md5(col("text"))),
+          col("fp"), corpus, col("fp"), expectedItems = 10000)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(pipeline(stream), "bloom_stream",
+        OutputMode.Complete())
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = pipeline(docs)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq && got.map(_._2).sum > 0)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // simulate at-least-once delivery: the same file twice in the source dir
     val dir = Files.createTempDirectory("graft-dedup-stream")
