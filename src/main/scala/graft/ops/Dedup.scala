@@ -545,6 +545,30 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware survivor selection over transitive dup clusters: keep
+    * the HIGHEST-`quality` member of each cluster (tie-break lowest id)
+    * instead of the minimum id — the realistic curation policy (keep the
+    * longest / cleanest copy, drop the rest).
+    *
+    * Scale shape: only CLUSTER MEMBERS compete — the slim `(id, quality)`
+    * projection joins the cluster table (pair-connected docs only, tiny
+    * next to the corpus), one window ranks within each cluster, and the
+    * resulting LOSER id set anti-joins back. The corpus itself never
+    * shuffles: losers ≈ the duplicate fraction, a broadcast-sized side at
+    * any realistic dup rate. */
+  def dedupBestPerCluster(df: DataFrame, id: Column, pairs: DataFrame,
+      quality: Column, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(pairs, maxIter, checkpointDir)
+    val slim = df.select(id.as("__id"), quality.as("__q"))
+      .join(clusters, col("__id") === col("node"))
+    val losers = slim.withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__q").desc, col("__id"))))
+      .filter(col("__rn") =!= 1).select(col("__id").as("__loser"))
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
   /** SimHash as a pure per-row projection — the
     * [[graft.functions.SimHash64]] native expression. Bit-equal to
     * [[simhash]] (OpsSpec) with no token explode, no shuffle: the map-stage

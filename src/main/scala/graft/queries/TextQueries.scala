@@ -226,6 +226,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // quality-aware dedup: same transitive clusters as q79, but each
+    // cluster keeps its LONGEST member (token count, tie-break lowest id)
+    // instead of the minimum id — the curation policy that keeps the best
+    // copy. Only cluster members compete; the corpus never shuffles.
+    "q121_dedup_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.9)
+      Dedup.dedupBestPerCluster(docs, col("doc_id"), pairs,
+          TA.tokenCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // directed containment (|Si∩Sj|/|Si|): the quote/boilerplate detector —
     // a short doc pasted inside a long one scores ~1 here, invisible to
     // symmetric Jaccard
@@ -455,6 +471,28 @@ object TextQueries {
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents
          WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster < node)
+         GROUP BY 1 ORDER BY 1""",
+
+    // same recursive-CTE clusters as q79; the survivor is the row_number-1
+    // member under (token count DESC, id ASC) — losers are everyone else
+    "q121_dedup_best" ->
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+         m AS (SELECT cc.node, cc.cluster, len(str_split(d.text, ' ')) AS q
+           FROM cc JOIN documents d ON d.doc_id = cc.node),
+         r AS (SELECT node, row_number() OVER (PARTITION BY cluster
+             ORDER BY q DESC, node) AS rn FROM m)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM r WHERE rn > 1)
          GROUP BY 1 ORDER BY 1""",
 
     "q83_containment" ->

@@ -97,6 +97,19 @@ class OpsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("dedupBestPerCluster keeps the highest-quality member per cluster, singletons untouched") {
+    import spark.implicits._
+    // clusters {1,2,3} and {10,11}; 20 is a singleton (appears in no pair)
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 4.0), (11L, 4.0),
+      (20L, 1.0)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = graft.ops.Dedup.dedupBestPerCluster(rows, col("id"), pairs, col("q"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 wins {1,2,3} on quality; 10 wins {10,11} on the id tie-break;
+    // 20 survives without ever entering the window
+    assert(got === Seq(2L, 10L, 20L))
+  }
+
   test("bloom anti-join pre-filter is bit-identical to the plain anti join") {
     import spark.implicits._
     val corpus = (0 until 200).map(i => s"doc-$i").toDF("k")
