@@ -38,6 +38,20 @@ object EventsQueries {
         .orderBy("wstart", "event_type")
     }),
 
+    // HOPPING (sliding) 1-hour window, 30-minute hop: each event lands in
+    // exactly window/hop = 2 overlapping windows — the standard smoothing
+    // window the streaming module exposes; batch twin so the oracle can
+    // replay it (each event duplicated into its two window starts).
+    "q122_events_hopping" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("wstart", "event_type")
+    }),
+
     // backward as-of join: each event enriched with its user's most recent
     // signup time (graft.ops.AsOf — union + running struct-max, one shuffle)
     "q67_asof_join" -> ((s, d) => {
@@ -108,6 +122,22 @@ object EventsQueries {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // two window starts per event: the 30-min bucket and the one before.
+    // wstart is pure naive epoch arithmetic (never to_timestamp) so the
+    // result is independent of DuckDB's session timezone.
+    "q122_events_hopping" ->
+      """WITH s AS (SELECT event_type, value,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + ((epoch_us(ts) // 1800000000) * 1800) * INTERVAL 1 SECOND
+             AS s0
+           FROM events),
+         w AS (SELECT s0 AS wstart, event_type, value FROM s
+               UNION ALL
+               SELECT s0 - INTERVAL 30 MINUTE, event_type, value FROM s)
+         SELECT wstart, event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q67_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) us FROM events),

@@ -43,6 +43,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(appended.forall(wantSet.contains))
   }
 
+  test("hopping-window streaming counts equal the batch aggregation (q122 twin)") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+    val want = agg(graft.queries.QueryUtil.events(spark, sf))
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val got = EventsStream.runToCompletion(
+        agg(EventsStream.readEvents(spark, streamDir)),
+        "hop_complete", OutputMode.Complete())
+      .orderBy("wstart", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val within = 6 * 3600 * 1000L // 6h window keeps the fixture non-trivial
     val ev = graft.queries.QueryUtil.events(spark, sf)
