@@ -91,4 +91,28 @@ object Sampling {
         s"($stratumCol = '$s' AND $b < ${math.round(f * Buckets)})" }
       .mkString(" OR ")
   }
+
+  /** EXACT-k deterministic sample per group: the k rows whose portable
+    * key-hash ranks lowest within each group (hash order ≈ uniform; the
+    * string-key tie-break keeps it total). [[stratifiedSample]] keeps a
+    * FRACTION and cannot promise a count — this is the "3 exemplar docs
+    * per language" / fixed-budget-eval primitive. One hash shuffle on the
+    * group key; a pathologically hot group concentrates its window on one
+    * task — pre-filter with [[stratifiedSample]] to a few× k per group
+    * first when a stratum is billions of rows. */
+  def sampleKPerGroup(df: DataFrame, key: Column, group: Column, k: Int,
+      seed: Int = 11): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", PortableHash.md5Long(key.cast("string"), seed))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("__h"), key.cast("string"))))
+      .filter(col("__rn") <= k).drop("__h", "__rn")
+  }
+
+  /** DuckDB twin of [[sampleKPerGroup]]'s rank (oracle construction). */
+  def sampleKRankSql(keyCol: String, groupCol: String, seed: Int = 11): String =
+    s"""row_number() OVER (PARTITION BY $groupCol
+       | ORDER BY ${PortableHash.md5LongSql(s"$keyCol::VARCHAR", seed)},
+       | CAST($keyCol AS VARCHAR))""".stripMargin.replace("\n", "")
 }

@@ -39,6 +39,44 @@ object TextAnalysis {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
+  /** Collocation mining: pointwise mutual information of adjacent token
+    * pairs, PMI = ln(P(ab)) − ln(P(a)) − ln(P(b)) with unigram/bigram
+    * probabilities from corpus counts — the classic vocabulary-induction /
+    * multi-word-expression signal. Two explode+count aggregations (both
+    * map-side partial), the scalar totals broadcast, and the bigram table
+    * joins the unigram counts twice; `minCount` floors the pair count
+    * (PMI of rare pairs is noise). PMI is a sum of five ln() terms —
+    * libm differences across engines are ~1e-15, so the 6-decimal rounding
+    * grid makes it oracle-exact. Output: (bigram, n_pair, pmi).
+    *
+    * The bigram lambda transforms over a MATERIALIZED token-array column
+    * (element_at on `__toks`), never re-splitting per element — the O(L²)
+    * trap [[graft.ops.Dedup.shinglesComposable]] documents. */
+  def pmiBigrams(df: DataFrame, text: Column, minCount: Long): DataFrame = {
+    val toked = df.select(tokens(text).as("__toks"))
+    val uni = toked.select(explode(col("__toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val bg = toked.select(explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    val n1 = uni.agg(sum("c1").cast("double").as("n1"))
+    val n2 = bg.agg(sum("c2").cast("double").as("n2"))
+    bg.filter(col("c2") >= minCount)
+      .withColumn("t1", split(col("b"), " ").getItem(0))
+      .withColumn("t2", split(col("b"), " ").getItem(1))
+      .join(uni.select(col("t").as("t1"), col("c1").as("ca")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c1").as("cb")), "t2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("b").as("bigram"), col("c2").as("n_pair"),
+        round(log(col("c2").cast("double")) + lit(2.0) * log(col("n1"))
+          - log(col("n2")) - log(col("ca").cast("double"))
+          - log(col("cb").cast("double")), 6).as("pmi"))
+  }
+
   /** Curation scrub: lowercase → redact emails → redact NNN-NNN-NNNN phone
     * shapes → collapse whitespace runs → trim. The normalization every
     * corpus pass runs before dedup/fingerprinting, fused into the scan as

@@ -43,6 +43,16 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // EXACT-k deterministic per-group sample: 3 exemplar docs per language
+    // by portable-hash rank — membership fully pinned (sum of kept ids)
+    "q124_sample_k_per_group" -> ((s, d) => {
+      Sampling.sampleKPerGroup(t(s, d, "documents"), col("doc_id"),
+          col("lang"), k = 3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // overlapping token windows (width 64, stride 48): per window-index
     // stats + content fingerprints pin both the windowing arithmetic and
     // the chunk text byte-for-byte
@@ -135,6 +145,13 @@ object SamplingQueries {
          FROM documents
          WHERE ${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)}
          GROUP BY 1 ORDER BY 1""",
+
+    "q124_sample_k_per_group" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+           ${Sampling.sampleKRankSql("doc_id", "lang")} AS rn
+           FROM documents)
+         SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""",
 
     "q86_chunk" ->
       s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})

@@ -226,6 +226,15 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // collocation mining: top-20 adjacent-pair PMI over the corpus —
+    // vocabulary-induction / multi-word-expression detection
+    "q123_pmi_bigrams" -> ((s, d) => {
+      TA.pmiBigrams(t(s, d, "documents"), col("text"), minCount = 5)
+        .orderBy(col("pmi").desc, col("bigram")).limit(20)
+        .select(col("bigram"), col("n_pair"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+    }),
+
     // quality-aware dedup: same transitive clusters as q79, but each
     // cluster keeps its LONGEST member (token count, tie-break lowest id)
     // instead of the minimum id — the curation policy that keeps the best
@@ -472,6 +481,27 @@ object TextQueries {
          FROM documents
          WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster < node)
          GROUP BY 1 ORDER BY 1""",
+
+    // identical count+ln arithmetic; the 6-decimal grid absorbs libm noise
+    "q123_pmi_bigrams" ->
+      """WITH tk AS (SELECT str_split(text, ' ') s FROM documents),
+         uni AS (SELECT unnest(s) t FROM tk),
+         uc AS (SELECT t, count(*) c1 FROM uni GROUP BY 1),
+         n1 AS (SELECT CAST(count(*) AS DOUBLE) n FROM uni),
+         bgl AS (SELECT list_transform(generate_series(1, len(s) - 1),
+             i -> s[i] || ' ' || s[i+1]) bs FROM tk),
+         bg AS (SELECT unnest(bs) b FROM bgl),
+         bc AS (SELECT b, count(*) c2 FROM bg GROUP BY 1),
+         n2 AS (SELECT CAST(count(*) AS DOUBLE) n FROM bg),
+         j AS (SELECT bc.b, bc.c2, a.c1 ca, z.c1 cb FROM bc
+           JOIN uc a ON a.t = str_split(bc.b, ' ')[1]
+           JOIN uc z ON z.t = str_split(bc.b, ' ')[2]
+           WHERE bc.c2 >= 5)
+         SELECT b AS bigram, c2 AS n_pair,
+           round(ln(CAST(c2 AS DOUBLE)) + 2.0 * ln(n1.n) - ln(n2.n)
+             - ln(CAST(ca AS DOUBLE)) - ln(CAST(cb AS DOUBLE)), 6) AS pmi
+         FROM j, n1, n2
+         ORDER BY pmi DESC, bigram LIMIT 20""",
 
     // same recursive-CTE clusters as q79; the survivor is the row_number-1
     // member under (token count DESC, id ASC) — losers are everyone else
