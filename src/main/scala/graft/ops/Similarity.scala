@@ -271,6 +271,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED IVF probe: top-k neighbours for EVERY row of a query batch in
+    * one pass over the table — the serving shape (embedding a request batch
+    * and probing once beats one job per query by the batch size).
+    *
+    * The query batch is driver-sized BY DESIGN (a serving batch is
+    * thousands of rows, same contract as the centroid table): per-query
+    * probe sets are computed on the driver exactly like [[ivfTopK]], the
+    * scan filters to the UNION of all probed lists (still
+    * partition-prunable), and the query batch broadcast-joins on
+    * list membership — no shuffle of table vectors. The only Exchange is
+    * the per-query top-k window, keyed on qid over candidate rows
+    * (bounded by probed-list sizes × batch size). Per query, the result is
+    * IDENTICAL to [[ivfTopK]] (spec-pinned). */
+  def ivfTopKBatch(df: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column,
+      nCentroids: Int, nProbe: Int, k: Int, kmeansIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidsFor(df, id, vec, nCentroids, kmeansIters)
+    val qrows = queries.select(qid.cast("long").as("qid"), qvec.as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qrows.nonEmpty, "ivfTopKBatch: empty query batch")
+    val probed = qrows.map { case (q, v) =>
+      (q, v, nearestCentroids(cents, v, nProbe)) }
+    val allProbed = probed.flatMap(_._3).distinct.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(probed.toSeq.toDF("qid", "qv", "probes"))
+    df.select(id.as("id"), vec.as("v"),
+        assignExpr(df, cents, vec).as("cluster"))
+      .filter(col("cluster").isin(allProbed: _*))
+      .join(qdf, array_contains(col("probes"), col("cluster")))
+      .select(col("qid"), col("id"),
+        cosineNative(df, col("v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Offline half of IVF at scale: assign every vector its inverted list and
     * write the table hive-partitioned by `cluster` (plus the centroid sample
     * to a sibling dir, so the online half probes the SAME lists). This is

@@ -223,6 +223,23 @@ class ScaleSpec extends AnyFunSuite {
       "cold-session probe must be bit-equal to the warm one")
   }
 
+  test("batched ivf probe equals the per-query probe for every query in the batch") {
+    val body = embs.filter(col("vec_id") >= 3)
+    val queries = embs.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfTopKBatch(body, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        nCentroids = 8, nProbe = 3, k = 10, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(p => (-p._2, p._1)).toSeq).toMap
+    for (q <- 0L until 3L) {
+      val single = Similarity.ivfTopK(body, col("vec_id"), col("embedding"),
+          embs.filter(col("vec_id") === q), col("embedding"),
+          nCentroids = 8, nProbe = 3, k = 10, kmeansIters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) === single, s"query $q diverges from the per-query probe")
+    }
+  }
+
   test("multiprobe lsh: one probe equals single-bucket lsh, more probes add recall") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
