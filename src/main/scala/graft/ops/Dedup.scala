@@ -59,9 +59,13 @@ object Dedup {
   def antiJoinWithBloom(incoming: DataFrame, key: Column, corpus: DataFrame,
       corpusKey: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = incoming.sparkSession
-    val bf = corpus.select(corpusKey.cast("string").as("__k"))
+    val keyed = corpus.select(corpusKey.cast("string").as("__k"))
       .where(col("__k").isNotNull)
-      .stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
+    // empty corpus: nothing can match, the anti join keeps everything —
+    // and Spark's stat.bloomFilter NPEs on an empty aggregation, so the
+    // guard is correctness, not just a fast path (limit-1 probe, cheap)
+    if (keyed.isEmpty) return incoming
+    val bf = keyed.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((k: String) => k != null && bc.value.mightContainString(k))
     val definitelyAbsent = incoming.filter(!might(key.cast("string")))

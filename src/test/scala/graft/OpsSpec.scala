@@ -127,6 +127,18 @@ class OpsSpec extends AnyFunSuite {
       assert(got === plain, s"items=$items fpp=$fpp")
     }
     assert(plain === (200L until 400L))
+    // edge cases: an EMPTY corpus keeps everything (bloom proves all rows
+    // absent); a null incoming key never matches, exactly like the anti join
+    val empty = corpus.filter(lit(false))
+    val keptAll = graft.ops.Dedup.antiJoinWithBloom(incoming, col("k"),
+        empty, col("k"), expectedItems = 1)
+      .count()
+    assert(keptAll === incoming.count())
+    val withNull = incoming.union(Seq((999L, null.asInstanceOf[String])).toDF("id", "k"))
+    val gotNull = graft.ops.Dedup.antiJoinWithBloom(withNull, col("k"),
+        corpus, col("k"), expectedItems = 1000)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotNull === ((200L until 400L) :+ 999L))
   }
 
   test("dupClusters reliable-checkpoint mode: identical clusters, checkpoint files on disk") {

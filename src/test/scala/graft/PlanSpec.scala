@@ -141,6 +141,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"drift read must stay one scan:\n$p")
   }
 
+  test("bloom decontamination: exactly one verify join, definite-absents join nothing (q119)") {
+    val p = plan("q119_bloom_dedup")
+    // the union's first branch is a pure filter (rows the bloom proves
+    // absent); only the suspects branch pays a join — and it broadcasts
+    assert(p.contains("Union"), p)
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"verify join must broadcast here:\n$p")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"exactly one anti join expected:\n$p")
+  }
+
+  test("batched ivf probe: table vectors never shuffle; only the per-query window does (q125)") {
+    val p = plan("q125_ann_ivf_batch")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"),
+      s"batch membership must broadcast:\n$p")
+    // shuffles: the qid window(s) + final agg — never the vector table scan
+    assert(shuffles(p) <= 3, s"unexpected shuffle count:\n$p")
+  }
+
   test("date-type drift read is a single scan, not a per-shard union (q117)") {
     // the widened-NTZ fallback path must also stay one FileSourceScan —
     // a per-shard union would blow up the plan at 100k shards

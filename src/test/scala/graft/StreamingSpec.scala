@@ -265,6 +265,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(r1 >= 0.0 && r1 <= 1.0)
   }
 
+  test("streaming profile (single-scan HLL variant) equals the batch profile") {
+    // the continuous data-quality monitor: profile's one-aggregation form
+    // (approxDistinct=true — the 100 TB default) runs unchanged on a
+    // stream in complete mode; HLL merge is order-independent, so the
+    // stream must equal the batch bit-for-bit
+    val batchDf = graft.queries.QueryUtil.events(spark, sf)
+      .select("event_type", "value")
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profiling.profile(df, approxDistinct = true)
+    val want = prof(batchDf).orderBy("column").collect().toSeq
+    val stream = EventsStream.readEvents(spark, streamDir)
+      .select("event_type", "value")
+    val got = EventsStream.runToCompletion(prof(stream), "profile_stream",
+        OutputMode.Complete())
+      .orderBy("column").collect().toSeq
+    assert(got === want && got.nonEmpty)
+  }
+
   test("stateful sessionization matches the batch session count") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val got = EventsStream.runToCompletion(
