@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, TextAnalysis => TA}
+import graft.ops.{Dedup, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Composite pipelines: the end-to-end shapes users actually run —
@@ -23,6 +23,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"),
           round(avg(TA.typeTokenRatio(col("text"))), 6).as("avg_ttr"))
+        .orderBy("lang")
+    }),
+
+    // the MODERN pipeline end-to-end, composed from the round-7 ops:
+    // scrub (normalize+redact) → Bloom decontamination against a held-out
+    // set's fingerprints → near-dup clusters keep the BEST copy → hash
+    // split keeps train — every stage's membership decision replayed by
+    // the oracle from the ops' documented SQL twins.
+    "q126_pipeline_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clean = docs.select(col("doc_id"), col("source"), col("lang"),
+        TA.scrub(col("text")).as("text"))
+      val heldOut = clean.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(md5(col("text")).as("fp"))
+      val incoming = clean.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("fp", md5(col("text")))
+      val decon = Dedup.antiJoinWithBloom(incoming, col("fp"), heldOut,
+        col("fp"), expectedItems = 10000).drop("fp")
+      val pairs = Dedup.jaccardPairs(decon, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.9)
+      val best = Dedup.dedupBestPerCluster(decon, col("doc_id"), pairs,
+        TA.tokenCount(col("text")))
+      best.filter(Sampling.trainValTest(col("doc_id")) === "train")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"))
         .orderBy("lang")
     }),
 
@@ -61,6 +87,46 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // every stage replayed: scrubSql → NOT IN held-out fingerprints →
+    // shared-shingle jaccard pairs → recursive-CTE clusters → per-cluster
+    // quality rank (token count DESC, id) → splitSql = 'train'
+    "q126_pipeline_v2" -> {
+      val scrub = TA.scrubSql("text")
+      val sh3clean = Dedup.shinglesSql("text", 3)
+      val split = Sampling.splitSql("doc_id",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+      s"""WITH RECURSIVE
+         clean AS (SELECT doc_id, source, lang, $scrub AS text FROM documents),
+         held AS (SELECT md5(text) fp FROM clean WHERE doc_id % 7 = 0),
+         decon AS (SELECT * FROM clean WHERE doc_id % 7 <> 0
+           AND md5(text) NOT IN (SELECT fp FROM held)),
+         sh AS (SELECT doc_id, $sh3clean s FROM decon),
+         e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         sizes AS (SELECT doc_id AS doc, len(s) n FROM sh),
+         inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
+           JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
+         pairs AS (SELECT i, j, ninter * 1.0 / (sa.n + sb.n - ninter) jaccard
+           FROM inter JOIN sizes sa ON sa.doc = i JOIN sizes sb ON sb.doc = j),
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+         m AS (SELECT cc.node, cc.cluster, len(str_split(d.text, ' ')) q
+           FROM cc JOIN decon d ON d.doc_id = cc.node),
+         rk AS (SELECT node, row_number() OVER (PARTITION BY cluster
+             ORDER BY q DESC, node) rn FROM m),
+         best AS (SELECT * FROM decon
+           WHERE doc_id NOT IN (SELECT node FROM rk WHERE rn > 1))
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM best WHERE $split = 'train'
+         GROUP BY 1 ORDER BY 1"""
+    },
 
     "q71_corpus_pipeline" ->
       s"""WITH ok AS (SELECT * FROM documents
