@@ -39,6 +39,12 @@ object PipelineQueries {
         .select(md5(col("text")).as("fp"))
       val incoming = clean.filter(pmod(col("doc_id"), lit(7)) =!= 0)
         .withColumn("fp", md5(col("text")))
+      // uncached on purpose, same verdict as jaccard's docsets
+      // (Dedup.scala): the decontaminated set feeds five downstream
+      // references, but persisting it MEASURED SLOWER at sf0.1 (6.0 s
+      // recompute vs 8.2 s cached — materialization + storage churn beats
+      // the repeated regex scrub, and ReuseExchange already shares the
+      // aggregation subtrees)
       val decon = Dedup.antiJoinWithBloom(incoming, col("fp"), heldOut,
         col("fp"), expectedItems = 10000).drop("fp")
       val pairs = Dedup.jaccardPairs(decon, col("doc_id"), col("text"),
