@@ -97,6 +97,32 @@ class OpsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
   }
 
+  test("scrub: redaction and normalization edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // email at start, mixed case, trailing punctuation kept
+      ("User.Name+tag@EXAMPLE.co.uk wrote this", "<email> wrote this"),
+      // two emails in one text
+      ("a@b.io and c@d.org", "<email> and <email>"),
+      // phone with dots and with spaces; digits elsewhere untouched
+      ("call 555.123.4567 or 555 123 4567 in 2024", "call <phone> or <phone> in 2024"),
+      // 2-2-4 digit shapes must NOT match the 3-3-4 pattern
+      ("ref 55-12-4567 stays", "ref 55-12-4567 stays"),
+      // whitespace runs (tab, newline, vertical tab ) collapse; trim
+      ("  A\tB\nCD  ", "a b c d"),
+      // plain text only lowercases
+      ("Hello World", "hello world"))
+    val got = cases.map(_._1).toDF("text")
+      .select(graft.ops.TextAnalysis.scrub(col("text")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+    // null propagates (drop-don't-invent)
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(graft.ops.TextAnalysis.scrub(col("text")).as("c"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("dedupBestPerCluster keeps the highest-quality member per cluster, singletons untouched") {
     import spark.implicits._
     // clusters {1,2,3} and {10,11}; 20 is a singleton (appears in no pair)
