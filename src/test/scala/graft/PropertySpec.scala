@@ -74,4 +74,44 @@ class PropertySpec extends AnyFunSuite {
       assert(remerged.toSeq === direct.toSeq, s"nShards=$nShards")
     }
   }
+
+  test("scrub is idempotent on 200 random PII-seeded strings (safe re-runs)") {
+    import spark.implicits._
+    // a curation pass that changes data when re-applied corrupts resumable
+    // pipelines — scrub∘scrub must equal scrub on arbitrary input
+    val rnd = new scala.util.Random(1234)
+    val frags = IndexedSeq("Hello", "WORLD", "a@b.io", "x.y+z@Mail.CO.uk",
+      "555-123-4567", "555.123.4567", "12-34-5678", "@nolocal.io",
+      "trailing@dot.", "  ", "\t", "\n", "", "<email>", "<phone>",
+      "a@b.io@c.de", "123", "...", "über", "ønsker")
+    val texts = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => frags(rnd.nextInt(frags.size)))
+        .mkString(" ")
+    }
+    val once = texts.toDF("t")
+      .select(graft.ops.TextAnalysis.scrub(col("t")).as("s1"))
+      .select(col("s1"), graft.ops.TextAnalysis.scrub(col("s1")).as("s2"))
+      .filter(not(col("s1") <=> col("s2")))
+    assert(once.isEmpty,
+      s"scrub not idempotent on: ${once.head(3).mkString("; ")}")
+  }
+
+  test("sampleKPerGroup: exactly min(k,|group|) rows, identical under repartitioning") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.ops.Sampling.sampleKPerGroup(df, col("doc_id"), col("lang"), k)
+        .select("lang", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    for (k <- Seq(1, 3, 7)) {
+      val a = run(base, k)
+      val b = run(base.repartition(13, col("doc_id")), k)
+      assert(a === b, s"membership must not depend on layout (k=$k)")
+      val sizes = a.groupBy(_._1).view.mapValues(_.size)
+      val groupSizes = base.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.foreach { case (g, n) =>
+        assert(n === math.min(k.toLong, groupSizes(g)), s"group $g at k=$k")
+      }
+    }
+  }
 }
