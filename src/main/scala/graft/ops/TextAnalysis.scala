@@ -167,6 +167,29 @@ object TextAnalysis {
       graft.functions.RollingHash(
         org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Duplicate n-gram fraction — the phrase-level repetition signal the
+    * unigram [[typeTokenRatio]] misses (a document alternating two long
+    * sentences has healthy TTR but ~1.0 here): 1 − distinct/total n-gram
+    * slots. The standard boilerplate/spam quality rule for corpus
+    * filtering. Texts shorter than n tokens have no n-gram slots and score
+    * 0 by convention (both twins guard this explicitly — the Spark shingle
+    * expression falls back to [text] there while the SQL twin yields an
+    * empty list, which would otherwise disagree). Pure codegen'd
+    * projection over the scan. */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val ntok = tokenCount(c)
+    when(ntok < n, lit(0.0)).otherwise(
+      lit(1.0) - size(graft.ops.Dedup.shingles(c, n)).cast("double")
+        / (ntok - (n - 1)).cast("double"))
+  }
+
+  /** DuckDB twin of [[dupNgramFraction]] (oracle construction). */
+  def dupNgramFractionSql(col: String, n: Int): String =
+    s"""CASE WHEN len(str_split($col, ' ')) < $n THEN 0.0
+       | ELSE 1.0 - len(${graft.ops.Dedup.shinglesSql(col, n)})::DOUBLE
+       |   / (len(str_split($col, ' ')) - ${n - 1}) END""".stripMargin
+      .replace("\n", "")
+
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =
     when(tokenCount(c) < 30, "short")

@@ -226,6 +226,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // duplicate 3-gram fraction census: the Gopher/C4 phrase-repetition
+    // quality rule, per source — with a PLANTED repetitive tail (text
+    // doubled for doc_id % 11 == 0) so the signal provably fires
+    "q127_dup_ngrams" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("source"),
+          TA.dupNgramFraction(col("text"), 3).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(avg("f"), 6).as("avg_dup3"),
+          round(max("f"), 6).as("max_dup3"),
+          sum(when(col("f") > 0.2, 1).otherwise(0)).cast("long")
+            .as("n_repetitive"))
+        .orderBy("source")
+    }),
+
     // collocation mining: top-20 adjacent-pair PMI over the corpus —
     // vocabulary-induction / multi-word-expression detection
     "q123_pmi_bigrams" -> ((s, d) => {
@@ -481,6 +501,20 @@ object TextQueries {
          FROM documents
          WHERE doc_id NOT IN (SELECT node FROM cc WHERE cluster < node)
          GROUP BY 1 ORDER BY 1""",
+
+    // identical plant + identical fraction arithmetic
+    "q127_dup_ngrams" -> {
+      val frac = TA.dupNgramFractionSql("text", 3)
+      """WITH planted AS (SELECT doc_id, source,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text ELSE text END AS text
+           FROM documents),
+         f AS (SELECT source, """ + frac + """ AS f FROM planted)
+         SELECT source, count(*) AS n,
+           round(avg(f), 6) AS avg_dup3,
+           round(max(f), 6) AS max_dup3,
+           CAST(sum(CASE WHEN f > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         FROM f GROUP BY 1 ORDER BY 1"""
+    },
 
     // identical count+ln arithmetic; the 6-decimal grid absorbs libm noise
     "q123_pmi_bigrams" ->
