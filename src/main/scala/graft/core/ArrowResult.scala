@@ -184,7 +184,7 @@ object ArrowResult {
         val s = v.getElementStartIndex(r); val e = v.getElementEndIndex(r)
         (s until e).map(i => readValue(v.getDataVector, i, et))
       case (StructType(fs), v: StructVector) =>
-        Row(fs.zipWithIndex.map { case (f, i) =>
+        Row(fs.toIndexedSeq.zipWithIndex.map { case (f, i) =>
           readValue(v.getChildByOrdinal(i), r, f.dataType) }: _*)
       case (dt2, v) => throw new IllegalStateException(s"$dt2 vs ${v.getClass}")
     }

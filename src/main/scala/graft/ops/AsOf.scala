@@ -30,7 +30,7 @@ object AsOf {
     val l = left.select(
       col(key).as("__k"), leftTsMs.as("__ts"), lit(1).as("__side"),
       lit(null).cast(right.schema(valueCol).dataType).as("__v"),
-      struct(lCols.map(col): _*).as("__row"))
+      struct(lCols.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(
       col(key).as("__k"), rightTsMs.as("__ts"), lit(0).as("__side"),
       col(valueCol).as("__v"), lit(null).cast(l.schema("__row").dataType).as("__row"))

@@ -50,7 +50,7 @@ object Profiling {
       case _ => None
     }
 
-    val aggs: Seq[Column] = fields.flatMap { f =>
+    val aggs: Seq[Column] = fields.toIndexedSeq.flatMap { f =>
       val c = col(f.name)
       val nm = f.name
       val num = numericOf(f)
@@ -78,7 +78,7 @@ object Profiling {
     // reshape the single wide row to per-column rows: a literal-bounded
     // inline of per-column structs — runs on the one aggregated row, so it
     // is driver-cheap regardless of input size
-    val rows = fields.map { f =>
+    val rows = fields.toIndexedSeq.map { f =>
       val nm = f.name
       struct(lit(nm).as("column"),
         col(s"__n_$nm").as("n_rows"), col(s"__null_$nm").as("n_null"),
@@ -98,7 +98,7 @@ object Profiling {
     // each branch's scan prunes to exactly its own columns — total bytes
     // read match the single-scan form
     val dist = fields.groupBy(_.dataType).toSeq.map { case (_, fs) =>
-      df.select(inline(array(fs.map(f =>
+      df.select(inline(array(fs.toIndexedSeq.map(f =>
           struct(lit(f.name).as("column"), col(f.name).as("__v"))): _*)))
         .groupBy("column").agg(countDistinct(col("__v")).as("__nd"))
     }.reduce(_ unionAll _)

@@ -208,7 +208,7 @@ object Similarity {
     * built from centroid literals — no join, no shuffle. */
   private def assignExpr(df: DataFrame,
       cents: Array[(Long, Array[Float])], vec: Column): Column =
-    array_max(array(cents.map { case (cid, cv) =>
+    array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
       struct(cosineNative(df, vec, typedlit(cv)).as("ccos"),
         lit(cid).as("cid")) }: _*)).getField("cid")
 
