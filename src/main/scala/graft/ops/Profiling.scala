@@ -135,6 +135,32 @@ object Profiling {
         col("term").as("value"), col("cnt"), col("err"))
   }
 
+  /** Robust per-group outlier census: median / MAD (median absolute
+    * deviation) and the count of points with |x − median| > k·MAD — the
+    * data-validation rule that survives corrupt shards, where mean/stddev
+    * get dragged by the very outliers they should flag. Two grouped
+    * percentile aggregations (each one shuffle of map-side partial
+    * buffers) with the per-group medians broadcast back between them;
+    * the scan is read twice but nothing wide ever shuffles. */
+  def outlierStats(df: DataFrame, group: Column, x: Column,
+      k: Double = 3.0): DataFrame = {
+    val base = df.select(group.as("__g"), x.cast("double").as("__x"))
+    val med = base.groupBy("__g")
+      .agg(expr("percentile(__x, 0.5D)").as("__med"))
+    val dev = base.join(broadcast(med), "__g")
+      .select(col("__g"), col("__x"), col("__med"),
+        abs(col("__x") - col("__med")).as("__ad"))
+    val mad = dev.groupBy(col("__g").as("__g3"))
+      .agg(expr("percentile(__ad, 0.5D)").as("__mad"))
+    dev.join(broadcast(mad), col("__g") === col("__g3"))
+      .groupBy(col("__g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 4).as("median"),
+        round(max(col("__mad")), 4).as("mad"),
+        sum(when(col("__ad") > lit(k) * col("__mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+  }
+
   /** DuckDB twin of one [[profile]] row for oracle construction: the same
     * stats for column `name` of `table`, with `kind` ∈ num | str | ts |
     * other controlling which slots are non-null. */

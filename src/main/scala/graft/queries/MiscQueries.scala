@@ -51,6 +51,18 @@ object MiscQueries {
         .orderBy("column", "rank")
     }),
 
+    // robust outlier census: median/MAD per order status over totalprice —
+    // the corrupt-shard validation rule (mean/stddev get dragged by the
+    // outliers they should flag; the median pair does not). The >3·MAD
+    // boundary is a continuous-valued threshold, so the integer outlier
+    // count is stable against cross-engine float noise.
+    "q128_outliers" -> ((s, d) => {
+      graft.ops.Profiling.outlierStats(t(s, d, "orders"),
+          col("o_orderstatus"), col("o_totalprice"), k = 3.0)
+        .withColumnRenamed("group", "o_orderstatus")
+        .orderBy("o_orderstatus")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -278,6 +290,22 @@ object MiscQueries {
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // same two-stage median/MAD arithmetic; quantile_cont ≡ Spark
+    // percentile is pinned by q36
+    "q128_outliers" ->
+      """WITH m AS (SELECT o_orderstatus g, quantile_cont(o_totalprice, 0.5) med
+           FROM orders GROUP BY 1),
+         d AS (SELECT g, med, o_totalprice x, abs(o_totalprice - med) ad
+           FROM orders JOIN m ON o_orderstatus = g),
+         m2 AS (SELECT g, quantile_cont(ad, 0.5) mad FROM d GROUP BY 1)
+         SELECT d.g AS o_orderstatus, count(*) AS n,
+           round(max(d.med), 4) AS median,
+           round(max(m2.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3.0 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM d JOIN m2 ON d.g = m2.g
+         GROUP BY 1 ORDER BY 1""",
 
     // the sketch value is engine-specific; its rank-error bound is not
     "q118_approx_percentile" ->
