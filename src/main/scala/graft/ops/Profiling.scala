@@ -139,20 +139,40 @@ object Profiling {
     * deviation) and the count of points with |x − median| > k·MAD — the
     * data-validation rule that survives corrupt shards, where mean/stddev
     * get dragged by the very outliers they should flag. Two grouped
-    * percentile aggregations (each one shuffle of map-side partial
-    * buffers) with the per-group medians broadcast back between them;
-    * the scan is read twice but nothing wide ever shuffles. */
+    * median aggregations (each one shuffle of map-side partial buffers)
+    * with the per-group medians broadcast back between them; the scan is
+    * read twice but nothing wide ever shuffles. NULL groups are a group
+    * (null-safe `<=>` joins — plain `===` would silently drop them from
+    * the census).
+    *
+    * `approxMedian = true` is the 100 TB default: both median passes use
+    * `percentile_approx` (Greenwald–Khanna), whose per-group state is
+    * bounded by `accuracy` and whose partials merge map-side — where the
+    * exact `percentile` buffers a value→count map per group, O(distinct
+    * values) executor memory on a continuous column. The sketch guarantee
+    * is on RANK: the returned element's rank is within n/accuracy of the
+    * target, so the approx median lies inside the exact
+    * [0.5−2ε, 0.5+2ε]-quantile value window (ε = 1/accuracy), and the
+    * approx MAD inside the deviations' window widened by
+    * δ = |approxMed − exactMed| (|x−m'|−|x−m| ≤ |m'−m| pointwise, so
+    * order statistics shift by ≤ δ). q129 pins both bounds against the
+    * DuckDB exact twin; exact mode stays as the oracle twin (q128). */
   def outlierStats(df: DataFrame, group: Column, x: Column,
-      k: Double = 3.0): DataFrame = {
+      k: Double = 3.0, approxMedian: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    def median(c: Column): Column =
+      if (approxMedian) percentile_approx(c, lit(0.5), lit(accuracy))
+      else org.apache.spark.sql.functions.median(c)
     val base = df.select(group.as("__g"), x.cast("double").as("__x"))
     val med = base.groupBy("__g")
-      .agg(expr("percentile(__x, 0.5D)").as("__med"))
-    val dev = base.join(broadcast(med), "__g")
+      .agg(median(col("__x")).as("__med"))
+      .withColumnRenamed("__g", "__g2")
+    val dev = base.join(broadcast(med), col("__g") <=> col("__g2"))
       .select(col("__g"), col("__x"), col("__med"),
         abs(col("__x") - col("__med")).as("__ad"))
     val mad = dev.groupBy(col("__g").as("__g3"))
-      .agg(expr("percentile(__ad, 0.5D)").as("__mad"))
-    dev.join(broadcast(mad), col("__g") === col("__g3"))
+      .agg(median(col("__ad")).as("__mad"))
+    dev.join(broadcast(mad), col("__g") <=> col("__g3"))
       .groupBy(col("__g").as("group"))
       .agg(count(lit(1)).as("n"),
         round(max(col("__med")), 4).as("median"),

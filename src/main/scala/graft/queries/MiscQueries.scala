@@ -63,6 +63,53 @@ object MiscQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // the 100 TB mode of the outlier census: approxMedian=true swaps both
+    // median passes to percentile_approx (bounded GK state, mergeable
+    // partials). Estimates never appear in output — instead the exact
+    // median/MAD ride along (DuckDB replays them, same arithmetic as
+    // q128) plus two bound booleans the oracle pins TRUE:
+    //  - med_in_bound: approx median inside the exact [0.48, 0.52]
+    //    quantile window (rank guarantee n/100, doubled — q118's rule);
+    //  - mad_in_bound: approx MAD inside the exact deviations' window
+    //    widened by δ = |approxMed − exactMed| (order statistics of
+    //    |x−m'| shift ≤ δ from those of |x−m|).
+    "q129_outliers_approx" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val approx = graft.ops.Profiling.outlierStats(orders,
+          col("o_orderstatus"), col("o_totalprice"), k = 3.0,
+          approxMedian = true, accuracy = 100)
+        .select(col("group").as("__ga"), col("n"),
+          col("median").as("__amed"), col("mad").as("__amad"))
+      val exwin = orders
+        .groupBy(col("o_orderstatus").as("__ge"))
+        .agg(expr(
+          "percentile(cast(o_totalprice as double), array(0.48D, 0.5D, 0.52D))")
+          .as("__wx"))
+      val exdev = orders.join(broadcast(exwin),
+          col("o_orderstatus") === col("__ge"))
+        .select(col("__ge"),
+          element_at(col("__wx"), 2).as("__emed"),
+          col("__wx"),
+          abs(col("o_totalprice").cast("double") -
+            element_at(col("__wx"), 2)).as("__ad"))
+        .groupBy("__ge")
+        .agg(max(col("__wx")).as("__wx"), max(col("__emed")).as("__emed"),
+          expr("percentile(__ad, array(0.48D, 0.5D, 0.52D))").as("__wad"))
+      approx.join(exdev, col("__ga") === col("__ge"))
+        .select(col("__ga").as("o_orderstatus"), col("n"),
+          round(element_at(col("__wx"), 2), 4).as("median"),
+          round(element_at(col("__wad"), 2), 4).as("mad"),
+          (col("__amed") >= element_at(col("__wx"), 1) - lit(1e-9) &&
+            col("__amed") <= element_at(col("__wx"), 3) + lit(1e-9))
+            .as("med_in_bound"),
+          (col("__amad") >= element_at(col("__wad"), 1) -
+              abs(col("__amed") - col("__emed")) - lit(1e-9) &&
+            col("__amad") <= element_at(col("__wad"), 3) +
+              abs(col("__amed") - col("__emed")) + lit(1e-9))
+            .as("mad_in_bound"))
+        .orderBy("o_orderstatus")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -306,6 +353,19 @@ object MiscQueries {
              AS n_outliers
          FROM d JOIN m2 ON d.g = m2.g
          GROUP BY 1 ORDER BY 1""",
+
+    // approx-mode census: exact median/MAD replayed (q128's arithmetic),
+    // sketch values reduced to their rank-error bounds, pinned TRUE
+    "q129_outliers_approx" ->
+      """WITH m AS (SELECT o_orderstatus g, quantile_cont(o_totalprice, 0.5) med
+           FROM orders GROUP BY 1),
+         d AS (SELECT g, med, abs(o_totalprice - med) ad
+           FROM orders JOIN m ON o_orderstatus = g)
+         SELECT g AS o_orderstatus, count(*) AS n,
+           round(max(med), 4) AS median,
+           round(quantile_cont(ad, 0.5), 4) AS mad,
+           TRUE AS med_in_bound, TRUE AS mad_in_bound
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     // the sketch value is engine-specific; its rank-error bound is not
     "q118_approx_percentile" ->

@@ -532,6 +532,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("outlierStats: NULL group is a census row; approx ≡ exact when the " +
+    "sketch is in its exact regime (accuracy ≥ n, odd groups)") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      (null.asInstanceOf[String], 10.0), (null.asInstanceOf[String], 20.0),
+      (null.asInstanceOf[String], 30.0)
+    ).toDF("g", "x").repartition(4)
+    val exact = Profiling.outlierStats(df, col("g"), col("x"), k = 3.0)
+      .orderBy(asc_nulls_first("group")).collect()
+    // NULL group survives the two internal joins (null-safe <=>):
+    // x = (10,20,30) → median 20, ad = (10,0,10) → mad 10, no |ad| > 30
+    val nr = exact.head
+    assert(nr.isNullAt(0) && nr.getLong(1) === 3L &&
+      nr.getDouble(2) === 20.0 && nr.getDouble(3) === 10.0 &&
+      nr.getLong(4) === 0L)
+    // "a": median 3, ad sorted (0,1,1,2,97) → mad 1, one point > 3·MAD
+    val ar = exact(1)
+    assert(ar.getLong(1) === 5L && ar.getDouble(2) === 3.0 &&
+      ar.getDouble(3) === 1.0 && ar.getLong(4) === 1L)
+    // GK with accuracy ≥ n has rank error < 1 ⇒ returns the exact middle
+    // element; odd group sizes make the exact interpolated median an
+    // element too ⇒ the modes must agree bit-for-bit, null group included
+    val approx = Profiling.outlierStats(df, col("g"), col("x"), k = 3.0,
+        approxMedian = true, accuracy = 1000)
+      .orderBy(asc_nulls_first("group")).collect()
+    assert(approx.map(_.toSeq).toSeq === exact.map(_.toSeq).toSeq)
+  }
+
   test("incremental corpus dedup: exact + near dups drop via the corpus " +
     "signature index; unrelated and null-text rows survive") {
     import spark.implicits._
