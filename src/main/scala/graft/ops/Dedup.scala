@@ -55,10 +55,37 @@ object Dedup {
     * undershoot inflates fpp (never correctness, the verify join catches
     * every false positive). The membership probe is a broadcast-closure
     * UDF: non-codegen, but a pure in-memory bit test on a map-side filter
-    * — the scan stays one pass and nothing extra shuffles. */
+    * — the scan stays one pass and nothing extra shuffles.
+    *
+    * One-scan shape: the probe is evaluated once into a NULL-GATED join
+    * key — suspects carry the key, definite-absents carry null, and a
+    * null key can never equal anything, so the left_anti join passes
+    * those rows through untouched while suspects pay the exact verify.
+    * `incoming` is read exactly once (PlanSpec-pinned); the earlier
+    * two-branch filter∪filter shape re-scanned the source, 2× the I/O of
+    * the operator it accelerates at 100 TB. The gated rows do hash to the
+    * verify exchange's single null partition; AQE's OptimizeSkewedJoin
+    * splits the left side of a LeftAnti join and the matching corpus-side
+    * partition holds no nulls (filtered at build), so the null partition
+    * splits into trivially-empty probes at scale.
+    *
+    * Key contract: BOTH the Bloom probe and the verify join compare the
+    * key's canonical string rendering, so filter and join can never
+    * disagree (a typed join with a string probe would wrongly keep a
+    * mixed-type row whose typed equality holds while renderings differ —
+    * INT 5 vs DOUBLE 5.0). Same-typed keys are asserted at call time;
+    * for them string equality coincides with native equality (every
+    * in-repo caller joins md5 strings), keeping the spec-pinned
+    * bit-identity with the plain left_anti join. */
   def antiJoinWithBloom(incoming: DataFrame, key: Column, corpus: DataFrame,
       corpusKey: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = incoming.sparkSession
+    val kt = incoming.select(key).schema.head.dataType
+    val ct = corpus.select(corpusKey).schema.head.dataType
+    require(kt == ct,
+      s"antiJoinWithBloom: key type $kt must equal corpus key type $ct — " +
+      "the probe and join compare canonical string renderings, which only " +
+      "coincide with typed equality for same-typed keys")
     val keyed = corpus.select(corpusKey.cast("string").as("__k"))
       .where(col("__k").isNotNull)
     // empty corpus: nothing can match, the anti join keeps everything —
@@ -68,11 +95,12 @@ object Dedup {
     val bf = keyed.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val definitelyAbsent = incoming.filter(!might(key.cast("string")))
-    val suspects = incoming.filter(might(key.cast("string")))
-      .join(corpus.select(corpusKey.as("__ck")).distinct(),
-        key === col("__ck"), "left_anti")
-    definitelyAbsent.unionByName(suspects)
+    val sKey = key.cast("string")
+    incoming
+      .withColumn("__bloom_jk", when(might(sKey), sKey))
+      .join(keyed.select(col("__k").as("__ck")).distinct(),
+        col("__bloom_jk") === col("__ck"), "left_anti")
+      .drop("__bloom_jk")
   }
 
   /** Word n-gram shingles of `text`, distinct — the native one-pass

@@ -141,15 +141,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"drift read must stay one scan:\n$p")
   }
 
-  test("bloom decontamination: exactly one verify join, definite-absents join nothing (q119)") {
+  test("bloom decontamination: ONE scan of incoming, one verify join (q119)") {
     val p = plan("q119_bloom_dedup")
-    // the union's first branch is a pure filter (rows the bloom proves
-    // absent); only the suspects branch pays a join — and it broadcasts
-    assert(p.contains("Union"), p)
+    // one-scan shape: the bloom probe null-gates the join key, so there is
+    // no filter∪filter branch re-reading the source — incoming appears as
+    // exactly one scan (the second scan is the verify join's corpus build
+    // side), and definite-absents ride through the single anti join on a
+    // null key instead of bypassing it via a Union
+    assert(!p.contains("Union"), s"one-scan shape must not branch:\n$p")
     assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"verify join must broadcast here:\n$p")
     assert("LeftAnti".r.findAllIn(p).size == 1,
       s"exactly one anti join expected:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"exactly two scans expected (incoming + corpus build side):\n$p")
   }
 
   test("batched ivf probe: table vectors never shuffle; only the per-query window does (q125)") {
