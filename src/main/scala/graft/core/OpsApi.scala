@@ -39,7 +39,8 @@ object OpsApi {
     * that rides only on the submitting thread's local properties, which the
     * listener captures at job start. One registration per context
     * (idempotent); state is two bounded maps of ACTIVE job ids. */
-  private final class PoolMonitor extends org.apache.spark.scheduler.SparkListener {
+  private[graft] final class PoolMonitor(sc: org.apache.spark.SparkContext)
+      extends org.apache.spark.scheduler.SparkListener {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Seq[Int])]()
     override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val pool = Option(js.properties)
@@ -49,10 +50,27 @@ object OpsApi {
     }
     override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
       jobs.remove(je.jobId)
+    // self-evict when the context stops: without this, the static map entry
+    // (and the listener plus its jobs map) outlives every stopped context
+    // in a JVM that restarts sessions — a slow leak keyed by applicationId
+    override def onApplicationEnd(
+        e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+      monitors.remove(sc.applicationId)
+      jobs.clear()
+      try sc.removeSparkListener(this)
+      catch { case _: IllegalStateException => () } // bus already stopped
+    }
   }
 
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, PoolMonitor]()
+
+  /** Test hook: is a monitor currently registered for this app id? */
+  private[graft] def hasPoolMonitor(appId: String): Boolean =
+    monitors.containsKey(appId)
+
+  private[graft] def poolMonitorFor(appId: String): Option[PoolMonitor] =
+    Option(monitors.get(appId))
 
   /** Install the pool monitor on this session's context (idempotent). Must
     * run before the jobs whose pools `info` should attribute — GraftService
@@ -60,7 +78,7 @@ object OpsApi {
   def ensurePoolMonitor(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
     monitors.computeIfAbsent(sc.applicationId, _ => {
-      val m = new PoolMonitor
+      val m = new PoolMonitor(sc)
       sc.addSparkListener(m)
       m
     })

@@ -525,7 +525,14 @@ object Dedup {
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir mutates SparkContext state shared beyond this call;
+    // every checkpoint here is EAGER (materialized before return), so the
+    // previous directory can be restored on exit. When no directory was
+    // set before and the context offers no public unset, the setting does
+    // outlive the call — documented global side effect.
+    val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
+    try {
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -575,6 +582,9 @@ object Dedup {
     }
     releaseCheckpoint(edges)
     labels
+    } finally {
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** Quality-aware survivor selection over transitive dup clusters: keep

@@ -99,18 +99,27 @@ object Sampling {
     * per language" / fixed-budget-eval primitive. One hash shuffle on the
     * group key; a pathologically hot group concentrates its window on one
     * task — pre-filter with [[stratifiedSample]] to a few× k per group
-    * first when a stratum is billions of rows. */
+    * first when a stratum is billions of rows.
+    *
+    * Determinism: (hash, key) is a total order only when keys are unique
+    * within a group; duplicate keys with DIFFERING payload columns would
+    * otherwise let partition layout pick the survivor, so a full-row
+    * xxhash64 closes the order. That final tie-break is Spark-side only —
+    * [[sampleKRankSql]] (the oracle twin) assumes unique keys per group,
+    * where it never fires. */
   def sampleKPerGroup(df: DataFrame, key: Column, group: Column, k: Int,
       seed: Int = 11): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__h", PortableHash.md5Long(key.cast("string"), seed))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(group).orderBy(col("__h"), key.cast("string"))))
+        Window.partitionBy(group).orderBy(col("__h"), key.cast("string"),
+          xxhash64(df.columns.toIndexedSeq.map(col): _*))))
       .filter(col("__rn") <= k).drop("__h", "__rn")
   }
 
-  /** DuckDB twin of [[sampleKPerGroup]]'s rank (oracle construction). */
+  /** DuckDB twin of [[sampleKPerGroup]]'s rank (oracle construction;
+    * assumes unique keys per group — see the tie-break note above). */
   def sampleKRankSql(keyCol: String, groupCol: String, seed: Int = 11): String =
     s"""row_number() OVER (PARTITION BY $groupCol
        | ORDER BY ${PortableHash.md5LongSql(s"$keyCol::VARCHAR", seed)},

@@ -174,11 +174,19 @@ class OpsSpec extends AnyFunSuite {
     val local = Dedup.dupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-reliable").toString
+    // a pre-existing context-level checkpoint dir must survive the call —
+    // dupClusters sets its own dir only for the duration (all its
+    // checkpoints are eager) and restores the previous one on exit
+    val prevDir = java.nio.file.Files.createTempDirectory("graft-cc-prev").toString
+    spark.sparkContext.setCheckpointDir(prevDir)
     // reliable mode: every round persists to the checkpoint dir, so lineage
     // survives executor loss (localCheckpoint blocks die with the executor)
     val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === local, "both fault-tolerance modes must agree")
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        new java.io.File(prevDir).getName)),
+      "previous checkpoint dir must be restored after dupClusters")
     // the mode actually engaged: checkpoint data landed under the dir
     def count(f: java.io.File): Int =
       if (f.isDirectory) f.listFiles().map(count).sum else 1

@@ -114,4 +114,24 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sampleKPerGroup: duplicate keys with differing payloads still pick " +
+    "layout-independent survivors (full-row tie-break)") {
+    import spark.implicits._
+    // every key appears twice with a DIFFERENT payload: (hash, key) alone
+    // is not a total order here, so without the full-row tie-break the
+    // surviving payload would depend on partition layout
+    val dup = (0 until 40).flatMap(i =>
+        Seq((s"g${i % 4}", i.toLong, s"payload-a-$i"), (s"g${i % 4}", i.toLong, s"payload-b-$i")))
+      .toDF("g", "k", "payload")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.sampleKPerGroup(df, col("k"), col("g"), 3)
+        .select("g", "k", "payload").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val a = run(dup.repartition(1))
+    val b = run(dup.repartition(17, col("payload")))
+    val c = run(dup.orderBy(desc("payload")).repartition(5, col("k")))
+    assert(a === b && b === c,
+      "survivor payload must not depend on partition layout")
+  }
 }

@@ -294,6 +294,23 @@ class ServiceSpec extends AnyFunSuite {
     assert(after.isEmpty || after.get.activeJobs === 0)
   }
 
+  test("pool monitor self-evicts when the application ends (no cross-context leak)") {
+    OpsApi.ensurePoolMonitor(spark)
+    val appId = spark.sparkContext.applicationId
+    val m = OpsApi.poolMonitorFor(appId)
+    assert(m.nonEmpty, "monitor must be registered")
+    // fire the lifecycle event directly (stopping the shared test context
+    // would kill every other suite): the listener must drop its static map
+    // entry, clear its jobs state, and deregister itself
+    m.get.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!OpsApi.hasPoolMonitor(appId), "entry must evict on app end")
+    assert(m.get.jobs.isEmpty, "job state must clear on app end")
+    // a live context can re-register afterwards (idempotent ensure)
+    OpsApi.ensurePoolMonitor(spark)
+    assert(OpsApi.hasPoolMonitor(appId))
+  }
+
   test("arrow result round-trips every wire type including nulls") {
     val df = spark.sql(
       """SELECT * FROM VALUES
