@@ -5,7 +5,7 @@ import java.nio.channels.Channels
 import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.complex.{ListVector, MapVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -22,9 +22,15 @@ import org.apache.spark.sql.types._
   * gate. Bulk data movement stays on the parquet/manifest path ([[Ingest]]);
   * this is only the last-hop result contract.
   *
-  * Wire types: all scalar Spark types plus NESTED `array` / `struct`
-  * (recursively) — profile reports and sketch outputs like SpaceSaving's
-  * `array<struct<term,cnt,err>>` ship without a flattening projection.
+  * Wire types: all scalar Spark types plus NESTED `array` / `struct` /
+  * `map` (recursively) — profile reports and sketch outputs like
+  * SpaceSaving's `array<struct<term,cnt,err>>` ship without a flattening
+  * projection. Maps ride Arrow's canonical map layout (a list of
+  * non-null `entries{key, value}` structs, keys non-null per the Arrow
+  * spec and Spark's own map invariant); entries are written sorted by
+  * the key's string rendering so identical Maps serialize to identical
+  * wire bytes regardless of Scala Map iteration order. Map KEYS must be
+  * scalar (matching what Spark can group/compare); values recurse fully.
   */
 object ArrowResult {
 
@@ -35,6 +41,19 @@ object ArrowResult {
     case StructType(fs) =>
       new Field(name, FieldType.nullable(ArrowType.Struct.INSTANCE),
         fs.map(f => arrowField(f.name, f.dataType)).toSeq.asJava)
+    case MapType(kt, vt, _) =>
+      val keyField = kt match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          throw new BadCallException(
+            s"arrow result: map keys must be scalar, got ${kt.simpleString}")
+        case _ =>
+          new Field(MapVector.KEY_NAME, FieldType.notNullable(arrowType(kt)), null)
+      }
+      val entries = new Field(MapVector.DATA_VECTOR_NAME,
+        FieldType.notNullable(ArrowType.Struct.INSTANCE),
+        Seq(keyField, arrowField(MapVector.VALUE_NAME, vt)).asJava)
+      new Field(name, FieldType.nullable(new ArrowType.Map(false)),
+        Seq(entries).asJava)
     case _ =>
       new Field(name, FieldType.nullable(arrowType(dt)), null)
   }
@@ -106,6 +125,21 @@ object ArrowResult {
           if (row.isNullAt(i)) setNullAt(child, r)
           else writeValue(child, r, f.dataType, row.get(i))
         }
+      case (MapType(kt, vt, _), v: MapVector) =>
+        val m = value.asInstanceOf[scala.collection.Map[Any, Any]]
+        val start = v.startNewValue(r)
+        val entries = v.getDataVector.asInstanceOf[StructVector]
+        // sorted by key rendering: Scala Map iteration order is
+        // implementation-defined, the wire bytes should not be
+        m.toSeq.sortBy(_._1.toString).zipWithIndex.foreach { case ((k, mv), i) =>
+          val idx = start + i
+          entries.setIndexDefined(idx)
+          writeValue(entries.getChildByOrdinal(0), idx, kt, k)
+          val valVec = entries.getChildByOrdinal(1)
+          if (mv == null) setNullAt(valVec, idx)
+          else writeValue(valVec, idx, vt, mv)
+        }
+        v.endValue(r, m.size)
       case (dt2, v) => throw new IllegalStateException(s"$dt2 vs ${v.getClass}")
     }
 
@@ -149,6 +183,10 @@ object ArrowResult {
     case _: ArrowType.Date => DateType
     case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
     case _: ArrowType.Timestamp => TimestampType
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      MapType(sparkTypeOf(entries.getChildren.get(0)),
+        sparkTypeOf(entries.getChildren.get(1)), valueContainsNull = true)
     case _: ArrowType.List =>
       ArrayType(sparkTypeOf(f.getChildren.get(0)), containsNull = true)
     case _: ArrowType.Struct =>
@@ -183,6 +221,13 @@ object ArrowResult {
       case (ArrayType(et, _), v: ListVector) =>
         val s = v.getElementStartIndex(r); val e = v.getElementEndIndex(r)
         (s until e).map(i => readValue(v.getDataVector, i, et))
+      case (MapType(kt, vt, _), v: MapVector) =>
+        val s = v.getElementStartIndex(r); val e = v.getElementEndIndex(r)
+        val entries = v.getDataVector.asInstanceOf[StructVector]
+        (s until e).map { i =>
+          readValue(entries.getChildByOrdinal(0), i, kt) ->
+            readValue(entries.getChildByOrdinal(1), i, vt)
+        }.toMap
       case (StructType(fs), v: StructVector) =>
         Row(fs.toIndexedSeq.zipWithIndex.map { case (f, i) =>
           readValue(v.getChildByOrdinal(i), r, f.dataType) }: _*)

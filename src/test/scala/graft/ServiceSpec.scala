@@ -373,6 +373,34 @@ class ServiceSpec extends AnyFunSuite {
       prof.orderBy("column").collect().toSeq)
   }
 
+  test("arrow wire round-trips map columns (incl. null values, empty and null maps)") {
+    // map<string,bigint> with a null value, an empty map, a NULL map, and a
+    // nested map<string,array<int>> value — the last wire-type gap from the
+    // round-7 verdict. Entries serialize key-sorted, so byte-level equality
+    // of re-serialization is also pinned (Scala Map order must not leak).
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+           (1, map('b', CAST(2 AS BIGINT), 'a', CAST(1 AS BIGINT),
+                   'z', CAST(NULL AS BIGINT)),
+            map('k', array(1, 2), 'e', array())),
+           (2, map(), CAST(NULL AS MAP<STRING, ARRAY<INT>>)),
+           (3, CAST(NULL AS MAP<STRING, BIGINT>), map('x', array(CAST(NULL AS INT))))
+         AS t(i, m, nested)""")
+    val bytes = ArrowResult.toArrowBytes(df)
+    val back = ArrowResult.fromArrowBytes(spark, bytes)
+    assert(back.schema.map(_.dataType) === df.schema.map(_.dataType))
+    assert(back.orderBy("i").collect().toSeq === df.orderBy("i").collect().toSeq)
+    // deterministic wire: re-serializing the deserialized frame is byte-equal
+    assert(ArrowResult.toArrowBytes(back.orderBy("i")).toSeq ===
+      ArrowResult.toArrowBytes(df.orderBy("i")).toSeq)
+    // non-scalar map keys are a typed, actionable error — not a crash
+    val err = intercept[graft.core.BadCallException] {
+      ArrowResult.toArrowBytes(spark.sql(
+        "SELECT map(array(1), 'v') AS bad"))
+    }
+    assert(err.getMessage.contains("map keys must be scalar"))
+  }
+
   test("native cosine expression is bit-identical to the composable form") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = embs.filter(col("vec_id") === 0)
