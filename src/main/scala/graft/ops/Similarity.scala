@@ -325,15 +325,60 @@ object Similarity {
     import spark.implicits._
     cents.toSeq.toDF("cid", "cvec")
       .write.mode("overwrite").parquet(s"$path.centroids")
+    // manifest sidecar: the index's build parameters, written LAST so its
+    // presence marks a complete build (lists + centroids both landed). The
+    // probe side validates against it instead of failing obscurely —
+    // dimension mismatches and over-probing surface as typed errors, and a
+    // different tool (or a human) can read what the index IS without
+    // opening parquet footers. Hadoop FS API, so it lands next to the
+    // lists on any supported filesystem (local, s3a, abfss).
+    val manifest =
+      s"""{"format":"graft-ivf","formatVersion":1,"metric":"cosine",
+         |"nCentroids":${cents.length},"dim":${cents.head._2.length},
+         |"kmeansIters":$kmeansIters}""".stripMargin.replace("\n", "")
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read an index's manifest sidecar, or None for a pre-manifest index
+    * (probing stays backward-compatible with indexes written before the
+    * manifest existed). */
+  def ivfReadManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, "UTF-8"))
+      if (node.path("format").asText() != "graft-ivf")
+        throw new graft.core.BadCallException(
+          s"$path.manifest.json is not a graft-ivf manifest")
+      Some(node)
+    }
   }
 
   /** Online half: probe a table written by [[ivfWritePartitioned]]. One
-    * partition-pruned scan → fused cosine → TakeOrdered; zero shuffles. */
+    * partition-pruned scan → fused cosine → TakeOrdered; zero shuffles.
+    * When the index carries a manifest, the query vector's dimension and
+    * the probe budget are validated against it up front. */
   def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       query: DataFrame, queryVec: Column, nProbe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path.centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qv = singleQueryVec(query, queryVec)
+    ivfReadManifest(spark, path).foreach { m =>
+      val dim = m.path("dim").asInt(); val nc = m.path("nCentroids").asInt()
+      if (dim != qv.length) throw new graft.core.BadCallException(
+        s"ivf index at $path holds $dim-dim vectors; query vector has ${qv.length}")
+      if (nProbe > nc) throw new graft.core.BadCallException(
+        s"nProbe=$nProbe exceeds the index's $nc inverted lists")
+    }
     val probe = nearestCentroids(cents, qv, nProbe)
     val table = spark.read.parquet(path)
     table.filter(col("cluster").isin(probe: _*))

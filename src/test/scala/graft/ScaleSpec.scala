@@ -221,6 +221,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"cold probe must not shuffle vectors:\n$plan")
     assert(cold.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === warm,
       "cold-session probe must be bit-equal to the warm one")
+    // the manifest sidecar records what the index IS and gates bad probes
+    val m = Similarity.ivfReadManifest(spark, dir)
+    assert(m.nonEmpty, "a fresh index must carry a manifest")
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    assert(m.get.path("nCentroids").asInt() === 8)
+    assert(m.get.path("dim").asInt() === dim)
+    assert(m.get.path("kmeansIters").asInt() === 4)
+    assert(m.get.path("metric").asText() === "cosine")
+    val overProbe = intercept[graft.core.BadCallException] {
+      Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+        nProbe = 99, k = 10)
+    }
+    assert(overProbe.getMessage.contains("exceeds the index's 8 inverted lists"))
+    import spark.implicits._
+    val badDim = intercept[graft.core.BadCallException] {
+      Similarity.ivfTopKPartitioned(spark, dir,
+        Seq(Tuple1(Array(1f, 2f))).toDF("qv"), col("qv"), nProbe = 2, k = 10)
+    }
+    assert(badDim.getMessage.contains(s"$dim-dim vectors; query vector has 2"))
+    // pre-manifest indexes stay probe-able: delete the sidecar, same answer
+    val mp = new org.apache.hadoop.fs.Path(s"$dir.manifest.json")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    assert(Similarity.ivfReadManifest(spark, dir).isEmpty)
+    val legacy = Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 3, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(legacy === warm, "manifest-less probe must still answer identically")
   }
 
   test("batched ivf probe equals the per-query probe for every query in the batch") {
