@@ -103,6 +103,40 @@ object Dedup {
       .drop("__bloom_jk")
   }
 
+  /** N-gram-overlap benchmark decontamination — the published eval-leakage
+    * rule (GPT-3's 13-gram filter, Brown et al. NeurIPS'20 App. C; PaLM and
+    * Llama use the same shape): for each incoming document, the fraction of
+    * its DISTINCT word n-grams that appear anywhere in the benchmark
+    * corpus, plus a `contaminated` flag at `threshold`. Where
+    * [[antiJoinWithBloom]] removes EXACT key matches, this catches partial
+    * containment — an eval question quoted inside an otherwise-novel page.
+    *
+    * Scale shape: benchmarks are small by definition (MBs of eval sets vs
+    * a 100 TB corpus), so the benchmark's distinct n-gram set BROADCASTS
+    * (`broadcastBench`, default true) and the only shuffle is the per-doc
+    * hit count's hash aggregation — the corpus text itself never shuffles.
+    * Set `broadcastBench = false` for a pathological benchmark too big to
+    * broadcast; the semi join then shuffles on the gram. The overlap ratio
+    * is one IEEE division of two exact counts (cross-engine bit-stable);
+    * the flag compares the UNROUNDED ratio. */
+  def ngramOverlap(incoming: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchText: Column, n: Int, threshold: Double,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(benchText, n)).as("__g")).distinct()
+    val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    // shingles() first-occurrence-dedups per doc, so hits count DISTINCT
+    // grams and size(shingles) is the matching denominator
+    val hits = incoming.select(id.as("id"), explode(shingles(text, n)).as("__g"))
+      .join(bg, Seq("__g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("__hit"))
+    val ratio = coalesce(col("__hit"), lit(0L)) / col("__tot")
+    incoming.select(id.as("id"), size(shingles(text, n)).as("__tot"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), round(ratio, 6).as("overlap"),
+        (ratio >= threshold).as("contaminated"))
+  }
+
   /** Word n-gram shingles of `text`, distinct — the native one-pass
     * [[graft.functions.WordShingles]] expression (first-occurrence dedup,
     * `<n`-token texts shingle to `[text]`). Built directly from the

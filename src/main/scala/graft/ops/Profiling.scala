@@ -181,6 +181,57 @@ object Profiling {
           .cast("long").as("n_outliers"))
   }
 
+  /** Approximate equi-depth bin boundaries: the (nBins−1) inner quantiles
+    * of `x` from ONE `percentile_approx` (Greenwald–Khanna) aggregation —
+    * bounded sketch state, map-side-mergeable partials, rank guarantee
+    * n/accuracy per boundary. Driver-sized by definition (nBins doubles). */
+  def equiDepthBounds(df: DataFrame, x: Column, nBins: Int,
+      accuracy: Int = 10000): Seq[Double] = {
+    require(nBins > 1, s"nBins must be > 1, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val r = df.select(x.cast("double").as("__x")).where(col("__x").isNotNull)
+      .agg(percentile_approx(col("__x"), typedlit(probs), lit(accuracy))).head
+    if (r.isNullAt(0)) Nil else r.getSeq[Double](0)
+  }
+
+  /** Equi-depth (equi-height) histogram of a numeric column: `nBins`
+    * buckets of ~equal row count with per-bucket lo/hi/n — the profiling
+    * shape that stays informative on skewed distributions where equi-width
+    * buckets collapse into one hot bar.
+    *
+    * `approx = true` is the 100 TB default: boundaries from
+    * [[equiDepthBounds]] (one bounded-state sketch agg), then one narrow
+    * pass assigns `bin = 1 + #{boundaries < x}` — a codegen'd array scan
+    * over a literal — and a hash agg counts each bin. Nothing wide ever
+    * shuffles and no global sort exists. Per-bin counts deviate from n/nBins
+    * by at most the sketch's rank error PLUS the size of any tie run
+    * straddling a boundary (ties are indivisible under value-based
+    * assignment — an inherent property of every value-bucketed histogram,
+    * not of the sketch).
+    *
+    * `approx = false` is the exact oracle twin: a global
+    * `ntile(nBins) OVER (ORDER BY x)`, which funnels the sort through ONE
+    * task — test-scale only, kept because its output is deterministic
+    * cross-engine (bin populations are fixed by rank arithmetic, and
+    * lo/hi depend only on the sorted VALUES, so ties need no tie-break). */
+  def histogramEquiDepth(df: DataFrame, x: Column, nBins: Int,
+      approx: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(nBins > 1, s"nBins must be > 1, got $nBins")
+    val base = df.select(x.cast("double").as("__x")).where(col("__x").isNotNull)
+    val binned =
+      if (approx) {
+        val bl = typedlit(equiDepthBounds(df, x, nBins, accuracy))
+        base.withColumn("__bin",
+          size(filter(bl, b => b < col("__x"))) + 1)
+      } else {
+        import org.apache.spark.sql.expressions.Window
+        base.withColumn("__bin", ntile(nBins).over(Window.orderBy(col("__x"))))
+      }
+    binned.groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"), min("__x").as("lo"), max("__x").as("hi"))
+      .orderBy("bin")
+  }
+
   /** DuckDB twin of one [[profile]] row for oracle construction: the same
     * stats for column `name` of `table`, with `kind` ∈ num | str | ts |
     * other controlling which slots are non-null. */

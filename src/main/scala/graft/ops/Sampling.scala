@@ -124,4 +124,60 @@ object Sampling {
     s"""row_number() OVER (PARTITION BY $groupCol
        | ORDER BY ${PortableHash.md5LongSql(s"$keyCol::VARCHAR", seed)},
        | CAST($keyCol AS VARCHAR))""".stripMargin.replace("\n", "")
+
+  /** Weighted sampling WITHOUT replacement, k per group — exactly the
+    * Efraimidis–Spirakis scheme (IPL 2006: keep the k largest priority
+    * keys u_i^(1/w_i)), made hash-deterministic and ENGINE-PORTABLE via
+    * the distributional identity u^(1/w) =d max(u_1,…,u_w)
+    * (P(max ≤ t) = t^w): for an integer weight w the priority is the MAX
+    * of w seeded hashes, pure int64 arithmetic. The standard formulation
+    * exponentiates (`pow`/`ln`), and libm vs JVM transcendentals differ in
+    * the last ulp — a flipped rank silently changes which row is sampled,
+    * so no transcendental ever enters the ordering. The w draws come from
+    * [[PortableHash]]'s affine-derived family (one md5, w affine maps —
+    * same pseudo-independence tradeoff as MinHash, and the same cost
+    * shape: hashing is 1 digest regardless of weight).
+    *
+    * Weights are clamped to [1, maxWeight] IN BOTH ENGINES (the clamp is
+    * part of the spec, not a silent guard): a zero/negative weight still
+    * gets one draw, and `maxWeight` bounds the per-row transform array —
+    * at w = maxWeight a row is simply maxWeight× likelier than w = 1.
+    * This is the domain-mixing primitive ("sample web:books:code at
+    * 5:2:1", quality-weighted subset selection) where reproducibility
+    * across engines, reruns and repartitionings is the whole point. One
+    * hash shuffle on the group key; same hot-group note as
+    * [[sampleKPerGroup]]. Assumes unique keys per group (the oracle twin's
+    * precondition); ties in priority break by key string. */
+  def weightedSampleKPerGroup(df: DataFrame, key: Column, weight: Column,
+      group: Column, k: Int, seed: Int = 11, maxWeight: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxWeight >= 1 && maxWeight <= 65536,
+      s"maxWeight must be in [1, 65536], got $maxWeight")
+    import org.apache.spark.sql.expressions.Window
+    val P = PortableHash.MinhashP
+    val base = pmod(PortableHash.md5Long(key.cast("string"), seed), lit(P))
+    val w = greatest(least(weight.cast("long"), lit(maxWeight.toLong)), lit(1L))
+    // j-th draw: (base * A_j + B_j) mod P with A_j odd — the MinHash
+    // derived family, but A_j/B_j computed in-expression because w is a
+    // runtime value. All factors < 2^30, products < 2^60: overflow-safe.
+    val prio = array_max(transform(sequence(lit(1L), w), j =>
+      pmod(base * pmod(j * lit(0x9E3779B1L), lit(P)).bitwiseOR(lit(1L))
+        + pmod(j * lit(0x85EBCA6BL), lit(P)), lit(P))))
+    df.withColumn("__prio", prio)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("__prio").desc, key.cast("string"))))
+      .filter(col("__rn") <= k).drop("__prio", "__rn")
+  }
+
+  /** DuckDB twin of [[weightedSampleKPerGroup]]'s priority (oracle
+    * construction): rank by this DESC, then key string. */
+  def weightedPrioritySql(keyCol: String, weightCol: String, seed: Int = 11,
+      maxWeight: Int = 256): String = {
+    val P = PortableHash.MinhashP
+    s"""list_max(list_transform(
+       | generate_series(1::BIGINT, greatest(least($weightCol::BIGINT, $maxWeight), 1)),
+       | j -> ((${PortableHash.md5LongSql(s"$keyCol::VARCHAR", seed)}) % $P
+       |   * (((j * ${0x9E3779B1L}) % $P) | 1)
+       |   + (j * ${0x85EBCA6BL}) % $P) % $P))""".stripMargin.replace("\n", "")
+  }
 }

@@ -110,6 +110,41 @@ object MiscQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // equi-depth histogram, exact twin: global ntile rank arithmetic is
+    // deterministic cross-engine (bin populations fixed by rank; lo/hi
+    // depend only on sorted values) — the oracle replays it verbatim
+    "q132_histogram_eqdepth" -> ((s, d) => {
+      graft.ops.Profiling.histogramEquiDepth(t(s, d, "lineitem"),
+          col("l_extendedprice"), nBins = 8, approx = false)
+        .select(col("bin"), col("n"),
+          round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
+        .orderBy("bin")
+    }),
+
+    // the 100 TB histogram mode: boundaries from one GK sketch agg
+    // (equiDepthBounds). Estimates never in output — each approx boundary
+    // must lie inside the exact [p−0.02, p+0.02] quantile window (rank
+    // guarantee n/100, doubled — q118's rule); the exact quantile rides
+    // along for DuckDB to replay.
+    "q133_histogram_bounds" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val nB = 8
+      val bounds = graft.ops.Profiling.equiDepthBounds(li,
+        col("l_extendedprice"), nB, accuracy = 100)
+      val winProbs = (1 until nB).map(_.toDouble / nB)
+        .flatMap(p => Seq(p - 0.02, p, p + 0.02))
+      val arr = winProbs.map(p => s"${p}D").mkString(", ")
+      li.agg(expr(
+          s"percentile(cast(l_extendedprice as double), array($arr))").as("w"))
+        .select(posexplode(typedlit(bounds)).as(Seq("i0", "ab")), col("w"))
+        .select((col("i0") + 1).cast("int").as("i"),
+          round(element_at(col("w"), col("i0") * 3 + 2), 4).as("exact_q"),
+          (col("ab") >= element_at(col("w"), col("i0") * 3 + 1) - lit(1e-9) &&
+            col("ab") <= element_at(col("w"), col("i0") * 3 + 3) + lit(1e-9))
+            .as("in_window"))
+        .orderBy("i")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -366,6 +401,24 @@ object MiscQueries {
            round(quantile_cont(ad, 0.5), 4) AS mad,
            TRUE AS med_in_bound, TRUE AS mad_in_bound
          FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q132_histogram_eqdepth" ->
+      """WITH b AS (SELECT ntile(8) OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS bin,
+           CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+           round(min(x), 2) AS lo, round(max(x), 2) AS hi
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q133_histogram_bounds" -> {
+      val probs = (1 until 8).map(i => (i.toDouble / 8).toString).mkString(", ")
+      s"""WITH q AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+           [$probs]) AS qs FROM lineitem),
+         i AS (SELECT unnest(generate_series(1, 7)) AS i)
+         SELECT CAST(i AS INT) AS i, round(qs[i], 4) AS exact_q,
+           TRUE AS in_window
+         FROM i, q ORDER BY i"""
+    },
 
     // the sketch value is engine-specific; its rank-error bound is not
     "q118_approx_percentile" ->

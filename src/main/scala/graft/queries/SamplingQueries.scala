@@ -53,6 +53,19 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis via the
+    // max-of-w-hashes identity — no transcendentals, so the rank order is
+    // bit-reproducible cross-engine): 3 docs per language, weight = token
+    // count clamped to 64 — the domain-mixing / quality-weighted-subset
+    // primitive. Membership fully pinned (sum of kept ids).
+    "q131_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSampleKPerGroup(t(s, d, "documents"), col("doc_id"),
+          TA.tokenCount(col("text")), col("lang"), k = 3, maxWeight = 64)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // overlapping token windows (width 64, stride 48): per window-index
     // stats + content fingerprints pin both the windowing arithmetic and
     // the chunk text byte-for-byte
@@ -149,6 +162,16 @@ object SamplingQueries {
     "q124_sample_k_per_group" ->
       s"""WITH r AS (SELECT lang, doc_id,
            ${Sampling.sampleKRankSql("doc_id", "lang")} AS rn
+           FROM documents)
+         SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""",
+
+    "q131_weighted_sample" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY ${Sampling.weightedPrioritySql("doc_id",
+               "len(str_split(text, ' '))", 11, 64)} DESC,
+             doc_id::VARCHAR) AS rn
            FROM documents)
          SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""",

@@ -146,6 +146,20 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // n-gram-overlap decontamination (the GPT-3 13-gram rule at n=3 for
+    // this corpus's short docs): per incoming doc, the fraction of its
+    // distinct 3-grams that appear anywhere in the "benchmark" slice
+    // (doc_id ≡ 0 mod 10), flagged at 0.5 — catches an eval question
+    // QUOTED inside an otherwise-novel page, where exact-match q119 cannot
+    "q130_ngram_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.ngramOverlap(docs.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 10 === 0), col("text"),
+          n = 3, threshold = 0.5)
+        .orderBy("id")
+    }),
+
     "q46_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, k = 16, bands = 4, minJaccard = 0.9)
@@ -380,6 +394,18 @@ object TextQueries {
          FROM documents
          WHERE doc_id % 3 <> 0 AND md5(text) NOT IN (SELECT fp FROM corpus)
          GROUP BY 1 ORDER BY 1""",
+
+    "q130_ngram_decontam" ->
+      s"""WITH bg AS (SELECT DISTINCT unnest($sh3) g FROM documents WHERE doc_id % 10 = 0),
+         |inc AS (SELECT doc_id, $sh3 s FROM documents WHERE doc_id % 10 <> 0),
+         |ig AS (SELECT doc_id, unnest(s) g FROM inc),
+         |hit AS (SELECT doc_id, count(*) h FROM ig
+         |  WHERE g IN (SELECT g FROM bg) GROUP BY 1),
+         |tot AS (SELECT doc_id, len(s) t FROM inc)
+         |SELECT tot.doc_id AS id, round(coalesce(h, 0) / t, 6) AS overlap,
+         |  (coalesce(h, 0) / t) >= 0.5 AS contaminated
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+         |ORDER BY id""".stripMargin,
 
     "q40_dedup_exact" ->
       """SELECT source, count(*) AS n, count(DISTINCT text) AS n_distinct_text,

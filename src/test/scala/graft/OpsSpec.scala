@@ -193,6 +193,50 @@ class OpsSpec extends AnyFunSuite {
     assert(count(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
   }
 
+  test("ngramOverlap: self-benchmark is fully contaminated, disjoint corpus is clean, " +
+    "broadcast and shuffle paths agree") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val incoming = docs.filter(col("doc_id") % 10 =!= 0)
+    // every doc overlaps 100% with a benchmark containing itself
+    val self = Dedup.ngramOverlap(docs, col("doc_id"), col("text"),
+      docs, col("text"), n = 3, threshold = 0.5)
+    assert(self.filter(!col("contaminated") || col("overlap") =!= 1.0).count() === 0)
+    // a benchmark sharing no vocabulary yields overlap 0 everywhere
+    import spark.implicits._
+    val alien = Seq("zzq qqz zqq zzz qqq").toDF("text")
+    val clean = Dedup.ngramOverlap(docs, col("doc_id"), col("text"),
+      alien, col("text"), n = 3, threshold = 0.5)
+    assert(clean.filter(col("contaminated") || col("overlap") =!= 0.0).count() === 0)
+    // the broadcast hint must not change a single row
+    def rows(b: Boolean) = Dedup.ngramOverlap(incoming, col("doc_id"),
+        col("text"), bench, col("text"), n = 3, threshold = 0.5,
+        broadcastBench = b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(true) === rows(false))
+  }
+
+  test("histogramEquiDepth: exact mode is ntile arithmetic; approx mode within sketch bound") {
+    val df = spark.range(1, 1001).toDF("v")
+    val exact = Profiling.histogramEquiDepth(df, col("v"), 8, approx = false)
+      .collect()
+    assert(exact.map(_.getLong(1)).sum === 1000L)
+    assert(exact.map(_.getLong(1)).toSet === Set(125L), "1000 rows / 8 bins = 125 each")
+    // bins tile the value range: next lo is the successor of previous hi
+    val his = exact.map(_.getDouble(3)); val los = exact.map(_.getDouble(2))
+    assert(los.head === 1.0 && his.last === 1000.0)
+    (1 until 8).foreach(i => assert(los(i) === his(i - 1) + 1.0))
+    // accuracy > n makes the GK sketch rank-exact → every bin within ±1
+    val approx = Profiling.histogramEquiDepth(df, col("v"), 8,
+      approx = true, accuracy = 10000).collect()
+    assert(approx.map(_.getLong(1)).sum === 1000L)
+    assert(approx.forall(r => math.abs(r.getLong(1) - 125L) <= 1),
+      s"approx bins ${approx.map(_.getLong(1)).mkString(",")} not within ±1 of 125")
+    // empty input: no bins, no crash (percentile_approx returns null)
+    assert(Profiling.histogramEquiDepth(df.filter(col("v") < 0), col("v"), 8)
+      .count() === 0)
+  }
+
   test("jaccard maxDf cap: identical above true max df, prunes a planted stop-shingle") {
     import spark.implicits._
     // 30 docs all share one boilerplate shingle ("common stop shingle",

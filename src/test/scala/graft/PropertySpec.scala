@@ -115,6 +115,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSampleKPerGroup: layout-independent, weight-biased, clamp honored") {
+    import spark.implicits._
+    val rows = (0 until 120).map(i =>
+      (s"g${i % 3}", i.toLong, 1 + (i % 7)))
+    val df = rows.toDF("g", "k", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.weightedSampleKPerGroup(d, col("k"), col("w"),
+          col("g"), k = 4)
+        .select("g", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+        .sorted.toSeq
+    // membership must not depend on partition layout
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13, col("k")))
+    val c = run(df.orderBy(desc("k")).repartition(5, col("g")))
+    assert(a === b && b === c)
+    // the weighting actually biases: one key with weight 60 vs 9 keys with
+    // weight 1 → P(heavy wins a k=1 draw) = 60/69 ≈ 0.87 per seed; over 40
+    // seeds the heavy key must win clearly more than half
+    val skew = ((0L until 9L).map(i => ("g", i, 1)) :+ (("g", 9L, 60)))
+      .toDF("g", "k", "w")
+    val wins = (0 until 40).count { seed =>
+      graft.ops.Sampling.weightedSampleKPerGroup(skew, col("k"), col("w"),
+          col("g"), k = 1, seed = seed)
+        .head.getLong(1) == 9L
+    }
+    assert(wins > 20, s"heavy key won only $wins/40 draws")
+    // weights ≤ 0 clamp to 1 (still sampleable), huge weights clamp to
+    // maxWeight — both are part of the cross-engine spec, not guards
+    val clamped = Seq(("g", 1L, -5), ("g", 2L, 0), ("g", 3L, 1000000)).toDF("g", "k", "w")
+    assert(graft.ops.Sampling.weightedSampleKPerGroup(clamped, col("k"),
+      col("w"), col("g"), k = 3).count() === 3)
+  }
+
   test("sampleKPerGroup: duplicate keys with differing payloads still pick " +
     "layout-independent survivors (full-row tie-break)") {
     import spark.implicits._
