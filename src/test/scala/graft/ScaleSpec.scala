@@ -149,6 +149,99 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() === ord.filter(col("order_year") === 1997).count())
   }
 
+  /** Set session confs for the body, restoring prior values after. */
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    // get() can return null (conf defined but unset) — treat as absent
+    val olds = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("non-hinted join degrades broadcast→SMJ when the dim outgrows the " +
+    "threshold, same answer") {
+    // the 100 TB failure mode this guards: a "dimension" that grew past
+    // executor memory must fall back to a shuffle join, not OOM a broadcast.
+    // Joins built WITHOUT an explicit broadcast() hint leave the choice to
+    // Catalyst's size estimate — threshold -1 simulates "too big" and the
+    // SAME code must plan an SMJ and return identical rows.
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    def q = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+    val fast = q
+    val base = fast.collect()
+    assert(fast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "customer is small here: the default plan must broadcast it")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val slow = q
+      val rows = slow.collect()
+      val p = slow.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"with broadcast off the join must degrade to SMJ:\n$p")
+      assert(rows.toSeq === base.toSeq,
+        "degraded plan must return identical rows")
+    }
+  }
+
+  test("AQE splits a skewed SMJ partition at runtime (skew=true in final plan)") {
+    // one pathologically hot key: 60k of 70k left rows share key 0, with a
+    // payload fat enough that the hot post-shuffle partition crosses the
+    // (lowered) skew threshold. Broadcast disabled so the join is an SMJ —
+    // the only shape AQE skew-splitting applies to.
+    val left = spark.range(0, 70000)
+      .select(when(col("id") < 60000, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pay"))
+    val right = spark.range(0, 1000).select(col("id").as("k"),
+      col("id").cast("string").as("attr"))
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k",
+      // coalescing can mask the skew detection on tiny test data
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the inspected QueryExecution is the one
+      // that ran — count() plans its own query and the join's AQE plan
+      // would never finalize. Left keys: 0 (60k rows, matches right's 0) +
+      // 60000..69999 (no match).
+      assert(joined.collect().length === 60000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join skew=true:\n$p")
+    }
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact " +
+    "partitions at runtime") {
+    // the partitioned-layout payoff beyond static pruning: the filter is on
+    // the DIM (d_attr), not the fact — only DPP can skip fact partitions,
+    // by piping the dim's surviving keys into the scan as a runtime filter.
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/fact"
+    spark.range(0, 10000)
+      .select(col("id"), (col("id") % 20).as("part_key"))
+      .write.partitionBy("part_key").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(0, 20).select(col("id").as("d_key"),
+      (col("id") % 10).as("d_attr"))
+    val q = fact.join(dim, col("part_key") === col("d_key"))
+      .filter(col("d_attr") === 3)
+    // d_attr=3 survives for d_key ∈ {3, 13} → 2 of 20 partitions, 500 rows each
+    assert(q.count() === 1000L)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning predicate:\n$p")
+  }
+
   test("ivf with full probe equals brute force; partial probe has sane recall") {
     val q = embs.filter(col("vec_id") === 0)
     val body = embs.filter(col("vec_id") =!= 0)
