@@ -169,6 +169,43 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__prio", "__rn")
   }
 
+  /** Token-budget selection per group: walk each group's rows in
+    * deterministic portable-hash order and keep rows while the group's
+    * cumulative `cost` stays ≤ `budget` — "give every domain at most N
+    * tokens" / fixed-compute-mixture assembly. The row that first crosses
+    * the budget is EXCLUDED (greedy prefix, never overshoot), except a
+    * single row whose own cost exceeds the whole budget is excluded too —
+    * the rule is simply cumsum ≤ budget. Hash order (not quality order) is
+    * deliberate: it makes the kept prefix an unbiased uniform subsample of
+    * the group at every budget level, and REPRODUCIBLE — the same ids
+    * survive across engines, reruns and repartitionings; rank by a quality
+    * column upstream if curation order is wanted (compose with
+    * [[graft.ops.Dedup.dedupBestPerCluster]]-style scoring).
+    *
+    * One hash shuffle on the group key; the cumulative sum is a window in
+    * that same partitioning (no second exchange). Same hot-group note as
+    * [[sampleKPerGroup]]; assumes unique keys per group (the oracle twin's
+    * precondition), hash ties break by key string. */
+  def budgetPerGroup(df: DataFrame, key: Column, cost: Column, group: Column,
+      budget: Long, seed: Int = 11): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+      .orderBy(PortableHash.md5Long(key.cast("string"), seed), key.cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(cost.cast("long")).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
+  /** DuckDB twin of [[budgetPerGroup]]'s cumulative cost (oracle
+    * construction): filter this ≤ budget. */
+  def budgetCumSql(keyCol: String, costCol: String, groupCol: String,
+      seed: Int = 11): String =
+    s"""sum($costCol::BIGINT) OVER (PARTITION BY $groupCol
+       | ORDER BY ${PortableHash.md5LongSql(s"$keyCol::VARCHAR", seed)},
+       | CAST($keyCol AS VARCHAR)
+       | ROWS UNBOUNDED PRECEDING)""".stripMargin.replace("\n", "")
+
   /** DuckDB twin of [[weightedSampleKPerGroup]]'s priority (oracle
     * construction): rank by this DESC, then key string. */
   def weightedPrioritySql(keyCol: String, weightCol: String, seed: Int = 11,

@@ -66,6 +66,21 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // token-budget mixture assembly: at most 2000 tokens per source, rows
+    // taken in deterministic hash order (an unbiased uniform prefix at
+    // every budget level) — membership fully pinned (sum of kept ids +
+    // exact token total per source)
+    "q134_budget_per_group" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ntok", TA.tokenCount(col("text")))
+      Sampling.budgetPerGroup(docs, col("doc_id"), col("ntok"),
+          col("source"), budget = 2000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("ntok").cast("long").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // overlapping token windows (width 64, stride 48): per window-index
     // stats + content fingerprints pin both the windowing arithmetic and
     // the chunk text byte-for-byte
@@ -175,6 +190,15 @@ object SamplingQueries {
            FROM documents)
          SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""",
+
+    "q134_budget_per_group" ->
+      s"""WITH c AS (SELECT source, doc_id, len(str_split(text, ' ')) AS ntok,
+           ${Sampling.budgetCumSql("doc_id", "len(str_split(text, ' '))", "source")} AS cum
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(ntok) AS BIGINT) AS sum_tokens
+         FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""",
 
     "q86_chunk" ->
       s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})

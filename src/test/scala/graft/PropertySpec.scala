@@ -148,6 +148,29 @@ class PropertySpec extends AnyFunSuite {
       col("w"), col("g"), k = 3).count() === 3)
   }
 
+  test("budgetPerGroup: budget honored per group, nested prefixes, layout-independent") {
+    import spark.implicits._
+    val rows = (0 until 150).map(i => (s"g${i % 3}", i.toLong, 5L + i % 40))
+    val df = rows.toDF("g", "k", "cost")
+    def keep(budget: Long, d: org.apache.spark.sql.DataFrame = df) =
+      graft.ops.Sampling.budgetPerGroup(d, col("k"), col("cost"), col("g"), budget)
+        .select("g", "k", "cost").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val small = keep(200); val big = keep(800)
+    // every group's kept cost stays within budget
+    small.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.toSeq.map(_._3).sum <= 200, s"group $g exceeds budget") }
+    // a smaller budget keeps a PREFIX of the larger budget's selection —
+    // the hash order is budget-independent, so mixtures nest
+    assert(small.subsetOf(big), "budget prefixes must nest")
+    // layout independence
+    assert(keep(200, df.repartition(11, col("cost"))) === small)
+    assert(keep(200, df.orderBy(desc("k")).repartition(3, col("g"))) === small)
+    // a budget below every row cost keeps nothing; a huge one keeps all
+    assert(keep(4).isEmpty)
+    assert(keep(1000000).size === 150)
+  }
+
   test("sampleKPerGroup: duplicate keys with differing payloads still pick " +
     "layout-independent survivors (full-row tie-break)") {
     import spark.implicits._
