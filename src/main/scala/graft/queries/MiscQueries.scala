@@ -134,7 +134,12 @@ object MiscQueries {
       val winProbs = (1 until nB).map(_.toDouble / nB)
         .flatMap(p => Seq(p - 0.02, p, p + 0.02))
       val arr = winProbs.map(p => s"${p}D").mkString(", ")
-      li.agg(expr(
+      // coalesce before the exact-percentile agg: its partial buffer is a
+      // value→count map over ~100k distinct prices, and serializing 32 of
+      // them dominates the query (measured 3.9 s; 4 partials ≈ 1 s). The
+      // exact twin is test-scale-only by design (q132's scaladoc) — the
+      // shipped approx path never builds these buffers.
+      li.select(col("l_extendedprice")).coalesce(4).agg(expr(
           s"percentile(cast(l_extendedprice as double), array($arr))").as("w"))
         .select(posexplode(typedlit(bounds)).as(Seq("i0", "ab")), col("w"))
         .select((col("i0") + 1).cast("int").as("i"),
