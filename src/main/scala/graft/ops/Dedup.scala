@@ -116,23 +116,30 @@ object Dedup {
     * (`broadcastBench`, default true) and the only shuffle is the per-doc
     * hit count's hash aggregation — the corpus text itself never shuffles.
     * Set `broadcastBench = false` for a pathological benchmark too big to
-    * broadcast; the semi join then shuffles on the gram. The overlap ratio
-    * is one IEEE division of two exact counts (cross-engine bit-stable);
-    * the flag compares the UNROUNDED ratio. */
+    * broadcast; the membership join then shuffles on the gram. The overlap
+    * ratio is one IEEE division of two exact counts (cross-engine
+    * bit-stable); the flag compares the UNROUNDED ratio.
+    *
+    * One-scan shape: `incoming` is read ONCE — its exploded grams LEFT-join
+    * the benchmark set with a match indicator, and a single per-doc
+    * aggregation counts total and matched grams together (PlanSpec-pinned:
+    * one shuffle). A semi-join formulation would drop the non-matching
+    * grams and force a second scan plus an id-to-id join to recover the
+    * denominator. `shingles()` first-occurrence-dedups per doc, so both
+    * counts are over DISTINCT grams. Rows with NULL `text` produce no
+    * grams and are absent from the output. */
   def ngramOverlap(incoming: DataFrame, id: Column, text: Column,
       benchmark: DataFrame, benchText: Column, n: Int, threshold: Double,
       broadcastBench: Boolean = true): DataFrame = {
     val benchGrams = benchmark
       .select(explode(shingles(benchText, n)).as("__g")).distinct()
+      .withColumn("__in", lit(1))
     val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
-    // shingles() first-occurrence-dedups per doc, so hits count DISTINCT
-    // grams and size(shingles) is the matching denominator
-    val hits = incoming.select(id.as("id"), explode(shingles(text, n)).as("__g"))
-      .join(bg, Seq("__g"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("__hit"))
-    val ratio = coalesce(col("__hit"), lit(0L)) / col("__tot")
-    incoming.select(id.as("id"), size(shingles(text, n)).as("__tot"))
-      .join(hits, Seq("id"), "left")
+    val ratio = col("__hit") / col("__tot")
+    incoming.select(id.as("id"), explode(shingles(text, n)).as("__g"))
+      .join(bg, Seq("__g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("__tot"), count(col("__in")).as("__hit"))
       .select(col("id"), round(ratio, 6).as("overlap"),
         (ratio >= threshold).as("contaminated"))
   }

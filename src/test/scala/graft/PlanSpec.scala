@@ -165,6 +165,33 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"unexpected shuffle count:\n$p")
   }
 
+  test("ngram decontamination: one scan of incoming, broadcast bench set, " +
+    "one counting pass (q130)") {
+    val p = plan("q130_ngram_decontam")
+    // total + matched gram counts come from ONE aggregation over ONE scan
+    // of incoming left-joined to the broadcast benchmark set — a semi-join
+    // shape would re-scan incoming for the denominator and join id-to-id
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"exactly two scans (incoming + bench build side):\n$p")
+    // gram-dedup agg + per-doc agg + final sort — never a 4th
+    assert(shuffles(p) <= 3, s"unexpected shuffle count:\n$p")
+  }
+
+  test("weighted sample pushes the rank limit below the shuffle (q131); " +
+    "budget cumsum rides one exchange (q134)") {
+    val p131 = plan("q131_weighted_sample")
+    // Spark's rank-limit pushdown: each map task pre-prunes to its local
+    // top-k BEFORE the group exchange — the full table never shuffles
+    assert(p131.contains("WindowGroupLimit"),
+      s"rank filter must push a partial top-k below the exchange:\n$p131")
+    assert(shuffles(p131) <= 2, s"window + final sort only:\n$p131")
+    // q134: the group-agg reuses the window's hash partitioning
+    val p134 = plan("q134_budget_per_group")
+    assert(shuffles(p134) <= 2, s"window + final sort only:\n$p134")
+  }
+
   test("date-type drift read is a single scan, not a per-shard union (q117)") {
     // the widened-NTZ fallback path must also stay one FileSourceScan —
     // a per-shard union would blow up the plan at 100k shards
