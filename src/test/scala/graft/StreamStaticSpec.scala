@@ -52,6 +52,31 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq && got.map(_._2).sum > 0)
   }
 
+  test("streaming n-gram decontamination against a static benchmark equals batch") {
+    // partial-containment leak checking on a document STREAM: the static
+    // benchmark's gram set broadcasts into every microbatch, and the
+    // per-doc overlap count is the query's single stateful aggregation
+    // (a second downstream agg would trip Spark's multi-stateful-operator
+    // correctness check — by design). Row-level equality with batch.
+    val dir = Files.createTempDirectory("graft-ngram-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("d.parquet"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def pipeline(incoming: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.ngramOverlap(
+        incoming.filter(col("doc_id") % 10 =!= 0), col("doc_id"),
+        col("text"), bench, col("text"), n = 3, threshold = 0.5)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(pipeline(stream), "ngram_stream",
+        OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val want = pipeline(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // simulate at-least-once delivery: the same file twice in the source dir
     val dir = Files.createTempDirectory("graft-dedup-stream")
