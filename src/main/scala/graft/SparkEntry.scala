@@ -18,11 +18,11 @@ import graft.queries._
   *    cross-engine summation noise is ≪ the rounding grid;
   *  - time arithmetic in exact epoch millis, never interval types;
   *  - every query ends with a fully deterministic ORDER BY;
-  *  - sketch ESTIMATES (HLL q34, IVF q57, GK percentile q118) never appear
-  *    in output — the checkable contract is their ERROR BOUND, emitted as a
-  *    boolean the Spark side computes honestly and the oracle pins TRUE,
-  *    next to the exact value the oracle recomputes. No rows-only queries
-  *    remain;
+  *  - sketch ESTIMATES (HLL q34, IVF q57/q125, GK percentile q118, approx
+  *    median/MAD q129, histogram boundaries q133) never appear in output —
+  *    the checkable contract is their ERROR BOUND, emitted as a boolean the
+  *    Spark side computes honestly and the oracle pins TRUE, next to the
+  *    exact value the oracle recomputes. No rows-only queries remain;
   *  - oracle SQL output types must round-trip DuckDB as int64/int32/double
   *    exactly as Spark emits them — DuckDB `sum(BIGINT)` silently widens to
   *    HUGEINT and fails the driver's type-tagged hash (cast it back), and
