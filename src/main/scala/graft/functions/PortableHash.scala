@@ -92,5 +92,20 @@ object PortableHash {
 
     /** Same value as [[PortableHash.baseHash]]. */
     def baseHash(s: UTF8String): Long = md5Long60(s) % MinhashP
+
+    /** Same value as `md5Long(c, seed)` for a JVM string — the seeded
+      * general-purpose variant (the UTF8String overload above is the
+      * seed-0 sketch fast path). Used where driver/executor JVM code must
+      * reproduce the Column-side hash order exactly (e.g. streaming
+      * admission replaying [[graft.ops.Sampling.budgetPerGroup]]'s order). */
+    def md5Long60(s: String, seed: Int): Long = {
+      val digest = digests.get()
+      digest.reset()
+      val d = digest.digest((s + "#" + seed).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      (h << 4) | ((d(7) & 0xf0L) >> 4)
+    }
   }
 }

@@ -77,6 +77,49 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq && got.nonEmpty)
   }
 
+  test("streaming budget admission: one batch equals the batch op; state " +
+    "carries across batches and never overspends") {
+    import graft.streaming.{Admission, BudgetRow}
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val budget = 2000L
+    def toRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source").as("grp"), col("doc_id").as("key"),
+        size(split(col("text"), " ")).cast("long").as("cost")).as[BudgetRow]
+    // batch truth: the hash-order prefix selection
+    val batchKept = graft.ops.Sampling.budgetPerGroup(
+        docs.withColumn("ntok", size(split(col("text"), " "))),
+        col("doc_id"), col("ntok"), col("source"), budget)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // one-microbatch stream: admission must pick EXACTLY the same rows
+    val dir1 = Files.createTempDirectory("graft-admit-1")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir1.resolve("a.parquet"))
+    val oneBatch = Admission.admitToCompletion(spark,
+        toRows(spark.readStream.schema(docs.schema).parquet(dir1.toString)),
+        budget, "admit_one")
+      .collect().map(r => (r.grp, r.key)).toSet
+    assert(oneBatch === batchKept,
+      "a single-batch stream must admit the batch op's exact selection")
+    // two microbatches of the SAME data (maxFilesPerTrigger=1): the spent
+    // state carries over — batch 1's admissions survive verbatim, batch 2
+    // may only admit into the remainder, and no group ever overspends
+    val dir2 = Files.createTempDirectory("graft-admit-2")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir2.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir2.resolve("b.parquet"))
+    val twoBatches = Admission.admitToCompletion(spark,
+        toRows(spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir2.toString)),
+        budget, "admit_two")
+      .collect()
+    val perGroupCost = twoBatches.groupBy(_.grp).view.mapValues(_.map(_.cost).sum)
+    perGroupCost.foreach { case (g, c) =>
+      assert(c <= budget, s"group $g overspent: $c > $budget") }
+    val admittedPairs = twoBatches.map(r => (r.grp, r.key)).toSet
+    assert(batchKept.subsetOf(admittedPairs),
+      "batch 1's admissions must survive the second batch")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // simulate at-least-once delivery: the same file twice in the source dir
     val dir = Files.createTempDirectory("graft-dedup-stream")
