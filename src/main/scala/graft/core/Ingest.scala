@@ -31,6 +31,26 @@ object Ingest {
     withTs.write.mode("overwrite").parquet(out)
   }
 
+  /** JSONL → Parquet — the de-facto LLM-corpus interchange format (one
+    * JSON document per line: crawl dumps, dataset releases, annotation
+    * exports). Pass `schema` on real runs — at 100 TB, inference reads the
+    * data twice and silently unions drifting shapes; inference is for
+    * exploration only. `dropMalformed = true` (default) survives the bad
+    * lines a crawl WILL contain instead of letting one of them kill the
+    * job; set it false to keep a `_corrupt_record` audit column
+    * (PERMISSIVE mode) when the bad lines themselves are the question. */
+  def jsonlToParquet(spark: SparkSession, in: String, out: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      timestampCols: Seq[String] = Nil,
+      dropMalformed: Boolean = true): Unit = {
+    val reader = spark.read
+      .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
+    val raw = schema.map(reader.schema).getOrElse(reader).json(in)
+    val withTs = timestampCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, to_timestamp(col(c))))
+    withTs.write.mode("overwrite").parquet(out)
+  }
+
   /** The reference's `distribute(filenames, bucket)` verb — documented but
     * unimplemented there (README.md:129-141 vs controller.py:495 fall-through;
     * SURVEY.md §2.11). Here: write a table to a target prefix, optionally

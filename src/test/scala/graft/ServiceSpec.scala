@@ -51,6 +51,37 @@ class ServiceSpec extends AnyFunSuite {
     assert(Ingest.readPublished(spark, table).count() === 1)
   }
 
+  test("jsonl ingest: explicit schema, malformed lines dropped or audited") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val jl = s"$dir/in.jsonl"
+    Files.writeString(java.nio.file.Paths.get(jl),
+      """{"doc_id": 1, "text": "hello world", "ts": "2024-01-01 00:00:00"}
+        |{"doc_id": 2, "text": "zweite zeile", "ts": "2024-01-02 12:30:00"}
+        |{"doc_id": 3 "text": THIS IS NOT JSON
+        |{"doc_id": 4, "text": "after the bad line", "ts": "2024-01-03 06:00:00"}
+        |""".stripMargin)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", StringType)))
+    // the 100 TB path: explicit schema, bad line dropped, job survives
+    Ingest.jsonlToParquet(spark, jl, s"$dir/out", Some(schema),
+      timestampCols = Seq("ts"))
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 3)
+    assert(got.schema("ts").dataType.typeName === "timestamp")
+    assert(got.select(sum("doc_id")).head.getLong(0) === 7L)
+    // audit mode: the corrupt line is KEPT as a _corrupt_record row
+    val auditSchema = schema.add("_corrupt_record", StringType)
+    Ingest.jsonlToParquet(spark, jl, s"$dir/out_audit", Some(auditSchema),
+      dropMalformed = false)
+    val audit = spark.read.parquet(s"$dir/out_audit")
+    assert(audit.count() === 4)
+    assert(audit.filter(col("_corrupt_record").isNotNull).count() === 1)
+    // inference-mode exploration works too (schema-free)
+    Ingest.jsonlToParquet(spark, jl, s"$dir/out_inferred")
+    assert(spark.read.parquet(s"$dir/out_inferred").count() === 3)
+  }
+
   test("compaction rewrites files and preserves content through re-publish") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
