@@ -104,6 +104,31 @@ object Ingest {
     atomicPublish(df.repartition(nFiles), tableDir)
   }
 
+  /** Forget-pass: atomically republish `tableDir` WITHOUT the rows whose
+    * `keyCol` appears in `keys` — the right-to-be-forgotten / takedown /
+    * opt-out primitive a corpus under data-protection law needs. One
+    * broadcast anti join over the current published version (takedown key
+    * sets are thousands of ids, never fact-table-sized), staged to a fresh
+    * version dir, then the same one-rename manifest flip every publish
+    * uses: readers see the old complete version until the instant the new
+    * complete one exists, and the old files remain for audit until
+    * explicitly vacuumed. Returns the new version id. */
+  def deleteByKeys(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: DataFrame): String = {
+    val cur = readPublished(spark, tableDir)
+    val keyed = keys.toDF("__del_key")
+    atomicPublish(
+      cur.join(broadcast(keyed), col(keyCol) === col("__del_key"), "left_anti"),
+      tableDir)
+  }
+
+  /** Convenience overload for a driver-side key list. */
+  def deleteByKeys(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: Seq[Long]): String = {
+    import spark.implicits._
+    deleteByKeys(spark, tableDir, keyCol, keys.toDF("__del_key"))
+  }
+
   /** Publish each streaming micro-batch as a new complete table version —
     * `foreachBatch` bridge from Structured Streaming into the atomic
     * manifest protocol (readers always see exactly one full snapshot). */

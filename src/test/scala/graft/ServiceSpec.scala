@@ -82,6 +82,24 @@ class ServiceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out_inferred").count() === 3)
   }
 
+  test("deleteByKeys: forget-pass republishes without the keys, old version intact") {
+    val dir = Files.createTempDirectory("graft-forget").toString
+    val table = s"$dir/table"
+    import spark.implicits._
+    val v1 = (1L to 10L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    Ingest.atomicPublish(v1, table)
+    Ingest.deleteByKeys(spark, table, "doc_id", Seq(3L, 7L, 999L))
+    val after = Ingest.readPublished(spark, table)
+    assert(after.count() === 8)
+    assert(after.filter(col("doc_id").isin(3L, 7L)).count() === 0)
+    // non-destructive flip: both version dirs still on disk for audit
+    val versions = new java.io.File(s"$table/data").listFiles()
+    assert(versions.length === 2, "old version must survive until vacuumed")
+    // idempotent: forgetting already-absent keys is a clean no-op republish
+    Ingest.deleteByKeys(spark, table, "doc_id", Seq(3L))
+    assert(Ingest.readPublished(spark, table).count() === 8)
+  }
+
   test("compaction rewrites files and preserves content through re-publish") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
