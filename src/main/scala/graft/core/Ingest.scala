@@ -198,6 +198,32 @@ object Ingest {
       ()
     }
 
+  /** Reclaim version dirs no longer referenced by the manifest. Every
+    * publish ([[atomicPublish]], [[compact]], [[deleteByKeys]],
+    * [[publishStream]]) stages a NEW complete version and leaves the old
+    * one for audit and in-flight readers — vacuum is the explicit,
+    * separate reclamation step (the Delta/Iceberg discipline: never
+    * garbage-collect inside the write path). Keeps the currently-published
+    * version unconditionally plus any version modified within `graceMs`
+    * (readers that resolved the manifest just before a flip finish their
+    * scan inside the grace window). Returns the deleted dirs. */
+  def vacuum(spark: SparkSession, tableDir: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tableDir).getFileSystem(conf)
+    val in = fs.open(new Path(tableDir, ManifestName))
+    val current = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    val currentPath = fs.makeQualified(new Path(current))
+    val dataRoot = new Path(tableDir, "data")
+    if (!fs.exists(dataRoot)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(dataRoot).toSeq
+      .filter(s => s.isDirectory &&
+        fs.makeQualified(s.getPath) != currentPath &&
+        s.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Read the currently-published version (resolve manifest, then scan). */
   def readPublished(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -100,6 +100,26 @@ class ServiceSpec extends AnyFunSuite {
     assert(Ingest.readPublished(spark, table).count() === 8)
   }
 
+  test("vacuum reclaims unreferenced versions, never the published one") {
+    val dir = Files.createTempDirectory("graft-vacuum").toString
+    val table = s"$dir/table"
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    Ingest.atomicPublish(df, table)
+    Ingest.atomicPublish(df.limit(3), table)
+    Ingest.atomicPublish(df.limit(1), table)
+    assert(new java.io.File(s"$table/data").listFiles().length === 3)
+    // grace window protects recent versions even when unreferenced
+    assert(Ingest.vacuum(spark, table, graceMs = 60000).isEmpty)
+    val deleted = Ingest.vacuum(spark, table, graceMs = 0)
+    assert(deleted.length === 2, s"expected 2 reclaimed, got $deleted")
+    assert(new java.io.File(s"$table/data").listFiles().length === 1)
+    assert(Ingest.readPublished(spark, table).count() === 1,
+      "the published version must survive vacuum")
+    // idempotent
+    assert(Ingest.vacuum(spark, table, graceMs = 0).isEmpty)
+  }
+
   test("compaction rewrites files and preserves content through re-publish") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
