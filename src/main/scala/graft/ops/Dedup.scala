@@ -676,11 +676,21 @@ object Dedup {
     * web-scale SimHash (Manku et al., WWW'07). Output: (i, j, hamming),
     * i < j. */
   def simhashPairs(df: DataFrame, id: Column, text: Column, bits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    hammingPairs(simhashRowwise(df, id, text, bits), bits, maxHamming)
+
+  /** Hamming-distance pair mining over ANY 64-bit-or-narrower signature
+    * frame `(doc, simhash)` — the pigeonhole band-blocking core
+    * (Manku WWW'07) shared by text SimHash ([[simhashPairs]]) and image
+    * perceptual hashes ([[graft.ops.Multimodal.imageDHashes]]): split the
+    * signature into `maxHamming + 1` bands; any pair within the distance
+    * budget must agree exactly on ≥ 1 band (lossless blocking, proven in
+    * OpsSpec), so candidates come from band-value equi-joins, never all
+    * pairs. */
+  def hammingPairs(sigs: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"need 0 <= maxHamming < bits, got $maxHamming/$bits")
     val nBands = maxHamming + 1
-    val sigs = simhashRowwise(df, id, text, bits)
     def bandOf(sim: Column, j: Int): Column = {
       val lo = j * bits / nBands
       val hi = (j + 1) * bits / nBands // last band absorbs the remainder

@@ -259,6 +259,96 @@ object Multimodal {
       rows.flatMap(r => decodeImage(r.payload).map(img => imageStats(r.media_id, img)))
     }
 
+  /** 64-bit difference hash (dHash) — the standard perceptual fingerprint
+    * for image near-dup detection: area-average the luminance onto a 9×8
+    * grid, then emit one bit per horizontal gradient (cell < right
+    * neighbour). Re-encodes, format changes, mild rescales and global
+    * color shifts move the hash by a few bits at most; Hamming distance ≤ k
+    * over [[graft.ops.Dedup.hammingPairs]] is the image-dedup rule.
+    *
+    * Deterministic BY CONSTRUCTION: integer area-average over exact pixel
+    * blocks with the integer ITU-R 601 luma (299r+587g+114b)/1000 — NOT
+    * Graphics2D resampling, whose interpolation may vary across JDKs. The
+    * hash is a dedup KEY; it must be bit-stable across environments.
+    * Degenerate dims (width < 9 / height < 8) clamp each block to ≥ 1
+    * source pixel, so tiny images hash deterministically too. Bit layout:
+    * bit (y*8 + x) set ⇔ cell(x,y) < cell(x+1,y); a solid image hashes to
+    * exactly 0L, a strictly increasing horizontal gradient to -1L
+    * (all 64 bits) — the two literal anchors the oracle pins. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val gw = 9; val gh = 8
+    val cells = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = math.min(gy * h / gh, h - 1)
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = math.min(gx * w / gw, w - 1)
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy * gw + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < gh * (gw - 1)) {
+      val y = i / (gw - 1); val x = i % (gw - 1)
+      if (cells(y * gw + x) < cells(y * gw + x + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+  implicit val imageHashEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
+
+  /** Decode → dHash per image, per-partition codec amortization; corrupt
+    * payloads drop (never throw). Feed the result (renamed to
+    * `(doc, simhash)`) to [[graft.ops.Dedup.hammingPairs]] for banded
+    * near-dup mining, or group by the hash for exact perceptual buckets. */
+  def imageDHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] =
+    media.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap(r => decodeImage(r.payload).map(img =>
+        ImageHash(r.media_id, dHash64(img))))
+    }
+
+  /** Deterministic horizontal-gradient PNG: luma rises strictly left to
+    * right (column x is the gray value `lo + x*step`), so its dHash is
+    * exactly -1L — the all-bits anchor fixture. */
+  def syntheticGradientPng(w: Int, h: Int, lo: Int, step: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && step > 0 && lo + (w - 1) * step <= 255,
+      s"gradient out of range: lo=$lo step=$step w=$w")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = lo + x * step
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Real image resample to exact target dims via Graphics2D (bilinear —
     * deterministic for a given JDK; solid fills are exact under any
     * interpolation). Returns a new BufferedImage, RGB. */

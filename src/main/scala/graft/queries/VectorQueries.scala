@@ -161,6 +161,28 @@ object VectorQueries {
         .orderBy("grp")
     }),
 
+    // image perceptual dedup: per-image 64-bit dHash (integer area-average
+    // luma grid → horizontal gradient bits). The fixtures pin the two
+    // arithmetic anchors through the REAL decode path: a solid fill has no
+    // gradients (hash exactly 0), a strictly-increasing horizontal
+    // gradient sets every bit (hash exactly -1) — so the oracle replays
+    // the whole decode→resample→hash pipeline as doc_id arithmetic.
+    "q135_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload =
+            if (id % 5 == 0) Multimodal.syntheticGradientPng(16, 8, 0, 10)
+            else Multimodal.syntheticPng(4 + (id % 8).toInt, 4 + (id % 5).toInt,
+              (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 11) % 256).toInt)
+          Multimodal.MediaRecord(id, "image", payload, "synth")
+        }
+      Multimodal.imageDHashes(media).toDF()
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n"), sum("media_id").as("sum_ids"))
+        .orderBy("dhash")
+    }),
+
     // REAL audio decode: deterministic mono PCM16 WAVs (sample i =
     // ((seed + 7i) mod 2003) - 1001, n and seed derived from doc_id),
     // decoded by the JDK javax.sound.sampled codec — the oracle recomputes
@@ -322,6 +344,12 @@ object VectorQueries {
          CAST(sum(18 * (doc_id % 256)) AS BIGINT) AS sum_red,
          CAST(6 AS INT) AS max_w,
          CAST(3 AS INT) AS max_h
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q135_image_dhash" ->
+      """SELECT CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dhash,
+         count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     // the WAV fixture's samples are pure doc_id arithmetic; max n is

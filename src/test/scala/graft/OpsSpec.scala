@@ -368,6 +368,43 @@ class OpsSpec extends AnyFunSuite {
     assert(losers.forall(l => !keptIds.contains(l)))
   }
 
+  test("image dHash: anchors, scale invariance, 1-bit near-dups via generic " +
+    "hamming pair mining") {
+    import java.awt.image.BufferedImage
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // anchors through the real codec: solid → 0, strict gradient → -1
+    assert(Multimodal.dHash64(Multimodal.decodeImage(
+      Multimodal.syntheticPng(7, 5, 120, 120, 120)).get) === 0L)
+    assert(Multimodal.dHash64(Multimodal.decodeImage(
+      Multimodal.syntheticGradientPng(16, 8, 0, 10)).get) === -1L)
+    // perceptual: the same gradient at other dims and a global luma shift
+    // hash IDENTICALLY (gradient structure, not pixels, is the key)
+    assert(Multimodal.dHash64(Multimodal.decodeImage(
+      Multimodal.syntheticGradientPng(27, 16, 5, 9)).get) === -1L)
+    // a 1-cell defect (one grid row, cell 4 copies cell 3) flips exactly
+    // bit y*8+3: cell3 < cell4 becomes false there, every other gradient
+    // comparison is untouched
+    def planted(defect: Boolean): BufferedImage = {
+      val img = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = if (defect && x == 4 && y == 0) 30 * 3 else 30 * x
+        img.setRGB(x, y, gray(math.min(v, 255)))
+      }
+      img
+    }
+    val a = Multimodal.dHash64(planted(false))
+    val b = Multimodal.dHash64(planted(true))
+    assert(java.lang.Long.bitCount(a ^ b) === 1,
+      s"defect must flip exactly bit 3: ${java.lang.Long.toBinaryString(a ^ b)}")
+    // generic hamming mining finds the near-dup pair, rejects the solid
+    import spark.implicits._
+    val sigs = Seq((1L, a), (2L, b), (3L, 0L)).toDF("doc", "simhash")
+    val pairs = Dedup.hammingPairs(sigs, bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1)),
+      s"expected exactly the planted near-dup pair, got ${pairs.toSeq}")
+  }
+
   test("multimodal feature extraction preserves rows and emits fixed dims") {
     val media = Multimodal.fromText(docs.limit(20), "doc_id", "text", "source")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
