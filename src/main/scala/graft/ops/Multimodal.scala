@@ -328,10 +328,11 @@ object Multimodal {
         ImageHash(r.media_id, dHash64(img))))
     }
 
-  /** Deterministic horizontal-gradient PNG: luma rises strictly left to
-    * right (column x is the gray value `lo + x*step`), so its dHash is
-    * exactly -1L — the all-bits anchor fixture. */
-  def syntheticGradientPng(w: Int, h: Int, lo: Int, step: Int): Array[Byte] = {
+  /** Deterministic horizontal-gradient frame: luma rises strictly left to
+    * right (column x is the gray value `lo + x*step`), so for w ≥ 9 its
+    * dHash is exactly -1L — the all-bits anchor fixture (image AND video
+    * first-frame variants). */
+  def gradientImage(w: Int, h: Int, lo: Int, step: Int): java.awt.image.BufferedImage = {
     require(w > 0 && h > 0 && step > 0 && lo + (w - 1) * step <= 255,
       s"gradient out of range: lo=$lo step=$step w=$w")
     val img = new java.awt.image.BufferedImage(w, h,
@@ -346,8 +347,25 @@ object Multimodal {
       }
       y += 1
     }
-    encodePng(img)
+    img
   }
+
+  /** [[gradientImage]] as an encoded PNG. */
+  def syntheticGradientPng(w: Int, h: Int, lo: Int, step: Int): Array[Byte] =
+    encodePng(gradientImage(w, h, lo, step))
+
+  /** First-frame perceptual hash per video: demux → decode frame 0 →
+    * [[dHash64]]. The cheap video near-dup key — container re-muxes and
+    * lossless re-encodes preserve frame content, so they land on the same
+    * hash; feed [[graft.ops.Dedup.hammingPairs]] for tolerance. Only frame
+    * 0 ever decodes (lazy chunk decode): peak memory is one frame, and the
+    * demux itself never copies the frame payloads. */
+  def videoDHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] =
+    media.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap(r => demuxAvi(r.payload).flatMap(_.decodeFrame(0))
+        .map(img => ImageHash(r.media_id, dHash64(img))))
+    }
 
   /** Real image resample to exact target dims via Graphics2D (bilinear —
     * deterministic for a given JDK; solid fills are exact under any
@@ -432,6 +450,77 @@ object Multimodal {
     var i = 0
     while (i < nSamples) {
       val v = ((seed.toLong + 7L * i) % 2003L - 1001L).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sampleRate.toFloat,
+      16, 1, 2, sampleRate.toFloat, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit audio envelope hash — [[dHash64]]'s audio twin: mean |sample|
+    * over 65 equal windows, one bit per RISING envelope step (window i <
+    * window i+1). Start-offset trims, lossless re-encodes and moderate
+    * uniform gain keep the loudness CONTOUR, so near-dup takes land within
+    * a few bits — Hamming over [[graft.ops.Dedup.hammingPairs]] is the
+    * audio-dedup rule, exactly as for images. Integer arithmetic only
+    * (sums and floor means of int16 magnitudes): the hash is a dedup key
+    * and must be bit-stable across JVMs/platforms. Short clips clamp each
+    * window to ≥ 1 sample. Anchors: a constant-amplitude clip hashes to
+    * exactly 0L, a strictly rising envelope to -1L. */
+  def audioEnvelopeHash64(samples: Array[Short]): Long = {
+    require(samples.nonEmpty, "envelope hash needs at least one sample")
+    val nw = 65
+    val n = samples.length
+    val env = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val s0 = math.min(i * n / nw, n - 1)
+      val s1 = math.max(s0 + 1, (i + 1) * n / nw)
+      var sum = 0L
+      var j = s0
+      while (j < s1) { sum += math.abs(samples(j).toLong); j += 1 }
+      env(i) = sum / (s1 - s0)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (env(i) < env(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  final case class AudioHash(media_id: Long, ehash: Long)
+  implicit val audioHashEnc: Encoder[AudioHash] = Encoders.product[AudioHash]
+
+  /** Decode → envelope hash per clip, per-partition; corrupt payloads
+    * drop. Rename to `(doc, simhash)` for [[graft.ops.Dedup.hammingPairs]]. */
+  def audioEnvelopeHashes(media: Dataset[MediaRecord]): Dataset[AudioHash] =
+    media.mapPartitions(rows =>
+      rows.flatMap(r => decodeAudio(r.payload).map { case (_, samples) =>
+        AudioHash(r.media_id, audioEnvelopeHash64(samples)) }))
+
+  /** Deterministic envelope WAV: sample i alternates sign with amplitude
+    * `lo + i*slope` — envelope strictly rising for slope > 0 (hash −1L),
+    * constant for slope = 0 (hash 0L). The audio anchor fixture. */
+  def syntheticEnvelopeWav(nSamples: Int, lo: Int, slope: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(nSamples > 0 && lo >= 0 && slope >= 0 &&
+      lo.toLong + nSamples.toLong * slope <= 32767L,
+      s"envelope out of int16 range: lo=$lo slope=$slope n=$nSamples")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val a = lo + i * slope
+      val v = (if (i % 2 == 0) a else -a).toShort
       pcm(2 * i) = (v & 0xff).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1

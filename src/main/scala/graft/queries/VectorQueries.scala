@@ -183,6 +183,56 @@ object VectorQueries {
         .orderBy("dhash")
     }),
 
+    // video near-dup key: first-frame dHash through the REAL demux +
+    // BI_RGB frame decode — gradient-first-frame videos anchor at -1,
+    // solid-frame videos at 0, replayed as doc_id arithmetic
+    "q136_video_dhash" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          def solid = {
+            val img = new java.awt.image.BufferedImage(16, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val v = (id % 200).toInt
+            for (y <- 0 until 8; x <- 0 until 16)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            img
+          }
+          val frames =
+            if (id % 4 == 0)
+              // frame 1 is SOLID (hash 0): if the op hashed any frame but
+              // frame 0 the -1 oracle row would break
+              Seq(Multimodal.gradientImage(16, 8, 0, 10), solid)
+            else Seq(solid, solid)
+          Multimodal.MediaRecord(id, "video",
+            Multimodal.encodeAviRgb(frames), "synth")
+        }
+      Multimodal.videoDHashes(media).toDF()
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n"), sum("media_id").as("sum_ids"))
+        .orderBy("dhash")
+    }),
+
+    // audio near-dup key: envelope gradient hash through the REAL WAV
+    // decode — rising-envelope clips anchor at -1, constant-amplitude at 0
+    "q137_audio_envelope_hash" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val payload =
+            if (id % 3 == 0)
+              Multimodal.syntheticEnvelopeWav(650, lo = 50, slope = 2)
+            else
+              Multimodal.syntheticEnvelopeWav(400 + (id % 200).toInt,
+                lo = 100 + (id % 500).toInt, slope = 0)
+          Multimodal.MediaRecord(id, "audio", payload, "synth")
+        }
+      Multimodal.audioEnvelopeHashes(media).toDF()
+        .groupBy("ehash")
+        .agg(count(lit(1)).as("n"), sum("media_id").as("sum_ids"))
+        .orderBy("ehash")
+    }),
+
     // REAL audio decode: deterministic mono PCM16 WAVs (sample i =
     // ((seed + 7i) mod 2003) - 1001, n and seed derived from doc_id),
     // decoded by the JDK javax.sound.sampled codec — the oracle recomputes
@@ -349,6 +399,18 @@ object VectorQueries {
     "q135_image_dhash" ->
       """SELECT CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS dhash,
+         count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q136_video_dhash" ->
+      """SELECT CASE WHEN doc_id % 4 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS dhash,
+         count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q137_audio_envelope_hash" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS ehash,
          count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM documents GROUP BY 1 ORDER BY 1""",
 

@@ -405,6 +405,28 @@ class OpsSpec extends AnyFunSuite {
       s"expected exactly the planted near-dup pair, got ${pairs.toSeq}")
   }
 
+  test("video first-frame dHash and audio envelope hash: anchors and invariances") {
+    // video: hash = frame 0's image dHash, later frames irrelevant
+    val grad = Multimodal.gradientImage(16, 8, 0, 10)
+    val solid = Multimodal.gradientImage(16, 8, 0, 10) // overwritten below
+    for (y <- 0 until 8; x <- 0 until 16) solid.setRGB(x, y, 0x505050)
+    val aviGradFirst = Multimodal.encodeAviRgb(Seq(grad, solid))
+    val aviSolidFirst = Multimodal.encodeAviRgb(Seq(solid, grad))
+    def vHash(payload: Array[Byte]): Long =
+      Multimodal.dHash64(Multimodal.demuxAvi(payload).get.decodeFrame(0).get)
+    assert(vHash(aviGradFirst) === -1L)
+    assert(vHash(aviSolidFirst) === 0L)
+    // audio: constant envelope → 0; strictly rising → -1; rising at other
+    // length/gain → same hash (contour, not samples, is the key)
+    def aHash(payload: Array[Byte]): Long =
+      Multimodal.audioEnvelopeHash64(Multimodal.decodeAudio(payload).get._2)
+    assert(aHash(Multimodal.syntheticEnvelopeWav(400, lo = 300, slope = 0)) === 0L)
+    assert(aHash(Multimodal.syntheticEnvelopeWav(650, lo = 50, slope = 2)) === -1L)
+    assert(aHash(Multimodal.syntheticEnvelopeWav(1300, lo = 10, slope = 5)) === -1L)
+    // short-clip clamp: fewer samples than windows still hashes (no crash)
+    Multimodal.audioEnvelopeHash64(Array[Short](5, -3, 9))
+  }
+
   test("multimodal feature extraction preserves rows and emits fixed dims") {
     val media = Multimodal.fromText(docs.limit(20), "doc_id", "text", "source")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
