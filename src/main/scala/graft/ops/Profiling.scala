@@ -232,6 +232,54 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Drift report between two dataset versions sharing a schema —
+    * yesterday's snapshot vs today's ingest, per column: both row counts,
+    * null-RATE delta (rates, not raw counts: the versions differ in size
+    * by design), mean delta, and min/max range breach flags (a new value
+    * outside the old observed range is the classic upstream-change
+    * signal). Two single-scan [[profile]] passes joined on the column
+    * name; the join input is k rows (k = column count), so everything
+    * after the scans is driver-cheap at any data size. */
+  def profileDiff(before: DataFrame, after: DataFrame,
+      cols: Seq[String] = Nil): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(col("column"),
+        col("n_rows").as(s"n_rows_$tag"),
+        col("n_null").as(s"n_null_$tag"),
+        col("min_num").as(s"min_$tag"), col("max_num").as(s"max_$tag"),
+        col("mean_num").as(s"mean_$tag"))
+    def nullRate(tag: String) =
+      col(s"n_null_$tag") / col(s"n_rows_$tag")
+    side(before, "a").join(side(after, "b"), "column")
+      .select(col("column"), col("n_rows_a"), col("n_rows_b"),
+        round(nullRate("b") - nullRate("a"), 6).as("null_rate_delta"),
+        round(col("mean_b") - col("mean_a"), 4).as("mean_delta"),
+        (col("min_b") < col("min_a")).as("min_breach"),
+        (col("max_b") > col("max_a")).as("max_breach"))
+  }
+
+  /** Pairwise Pearson correlations over numeric columns — the
+    * feature-redundancy / leakage screen of a dataset profile. ONE
+    * aggregation pass computes every pair's co-moments simultaneously
+    * (k·(k−1)/2 `corr` aggregates share the scan and partial-merge
+    * map-side); emitted long-form `(col_a, col_b, corr)`, a < b. At 100 TB
+    * this is a single map-side-combinable scan — never a per-pair job. */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a).cast("double"), col(b).cast("double")), 4)
+        .as(s"${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__$b").as("corr"))
+    }: _*)).as("p")).select("p.*")
+  }
+
   /** DuckDB twin of one [[profile]] row for oracle construction: the same
     * stats for column `name` of `table`, with `kind` ∈ num | str | ts |
     * other controlling which slots are non-null. */

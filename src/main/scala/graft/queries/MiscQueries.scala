@@ -150,6 +150,27 @@ object MiscQueries {
         .orderBy("i")
     }),
 
+    // pairwise numeric correlations in ONE scan (all co-moments in a
+    // single agg) — the redundancy/leakage screen of a profile. r4 keeps
+    // the cross-engine one-pass-co-moment noise (≪1e-9) off the grid.
+    "q138_correlations" -> ((s, d) => {
+      graft.ops.Profiling.correlations(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // version-to-version drift report: two single-scan profiles joined on
+    // the column name — null-rate delta, mean delta, range-breach flags
+    // (the upstream-change signal between corpus snapshots)
+    "q139_profile_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.ops.Profiling.profileDiff(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 =!= 0),
+          Seq("o_custkey", "o_totalprice"))
+        .orderBy("column")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -406,6 +427,39 @@ object MiscQueries {
            round(quantile_cont(ad, 0.5), 4) AS mad,
            TRUE AS med_in_bound, TRUE AS mad_in_bound
          FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q138_correlations" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val rows = (for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+           round(corr(CAST(${cols(i)} AS DOUBLE), CAST(${cols(j)} AS DOUBLE)), 4) AS corr
+           FROM lineitem""").mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY col_a, col_b"
+    },
+
+    // the deltas replay profile's own arithmetic: per-side rounded means
+    // re-rounded on subtraction, exact-integer null rates, double compares
+    "q139_profile_diff" -> {
+      def one(nm: String) =
+        s"""SELECT '$nm' AS "column", a.n AS n_rows_a, b.n AS n_rows_b,
+           round(b.null_$nm / b.n - a.null_$nm / a.n, 6) AS null_rate_delta,
+           round(b.mean_$nm - a.mean_$nm, 4) AS mean_delta,
+           b.min_$nm < a.min_$nm AS min_breach,
+           b.max_$nm > a.max_$nm AS max_breach
+           FROM a, b"""
+      val aggCols = Seq("o_custkey", "o_totalprice").map(nm =>
+        s"""count(*) FILTER ($nm IS NULL) AS null_$nm,
+           CAST(min($nm) AS DOUBLE) AS min_$nm,
+           CAST(max($nm) AS DOUBLE) AS max_$nm,
+           round(avg(CAST($nm AS DOUBLE)), 4) AS mean_$nm""").mkString(", ")
+      s"""WITH agg AS (SELECT o_orderkey % 2 = 0 AS is_a, count(*) AS n,
+           $aggCols FROM orders GROUP BY 1),
+         a AS (SELECT * FROM agg WHERE is_a),
+         b AS (SELECT * FROM agg WHERE NOT is_a)
+         SELECT * FROM (${one("o_custkey")} UNION ALL ${one("o_totalprice")})
+         ORDER BY "column""""
+    },
 
     "q132_histogram_eqdepth" ->
       """WITH b AS (SELECT ntile(8) OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS bin,
