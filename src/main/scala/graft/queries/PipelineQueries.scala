@@ -58,6 +58,33 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // pipeline v3, composed from the round-8 ops: scrub → n-gram-overlap
+    // decontamination against a held-out benchmark (PARTIAL containment,
+    // where v2's Bloom pass needs exact fingerprint equality) →
+    // per-language token-budget mixture assembly → train split. Every
+    // membership decision replayed by one composed oracle.
+    "q140_pipeline_v3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clean = docs.select(col("doc_id"), col("lang"),
+        TA.scrub(col("text")).as("text"))
+      val bench = clean.filter(pmod(col("doc_id"), lit(9)) === 0)
+      val incoming = clean.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+      val verdicts = Dedup.ngramOverlap(incoming, col("doc_id"), col("text"),
+        bench, col("text"), n = 3, threshold = 0.5)
+      val keep = incoming.join(
+        verdicts.filter(!col("contaminated")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val budgeted = Sampling.budgetPerGroup(
+        keep.withColumn("ntok", TA.tokenCount(col("text"))),
+        col("doc_id"), col("ntok"), col("lang"), budget = 3000)
+      budgeted.filter(Sampling.trainValTest(col("doc_id")) === "train")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").cast("long").as("sum_tokens"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // conversion funnel: signup → first click after → first purchase after
     "q72_funnel" -> ((s, d) => {
       val e = events(s, d)
@@ -93,6 +120,34 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // every stage replayed: scrubSql → distinct benchmark 3-grams →
+    // per-doc overlap ratio < 0.5 → hash-order cumulative token budget →
+    // splitSql = 'train'
+    "q140_pipeline_v3" -> {
+      val scrub = TA.scrubSql("text")
+      val sh3 = Dedup.shinglesSql("text", 3)
+      val cum = Sampling.budgetCumSql("doc_id",
+        "len(str_split(text, ' '))", "lang")
+      val split = Sampling.splitSql("doc_id",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+      s"""WITH clean AS (SELECT doc_id, lang, $scrub AS text FROM documents),
+         |bg AS (SELECT DISTINCT unnest($sh3) g FROM clean WHERE doc_id % 9 = 0),
+         |inc AS (SELECT doc_id, lang, text, $sh3 s FROM clean WHERE doc_id % 9 <> 0),
+         |ig AS (SELECT doc_id, unnest(s) g FROM inc),
+         |hit AS (SELECT doc_id, count(*) h FROM ig
+         |  WHERE g IN (SELECT g FROM bg) GROUP BY 1),
+         |keep AS (SELECT inc.doc_id, lang, text FROM inc
+         |  LEFT JOIN hit ON inc.doc_id = hit.doc_id
+         |  WHERE coalesce(h, 0) / len(s) < 0.5),
+         |cost AS (SELECT doc_id, lang, len(str_split(text, ' ')) AS ntok,
+         |  $cum AS cum FROM keep),
+         |sel AS (SELECT * FROM cost WHERE cum <= 3000),
+         |tr AS (SELECT * FROM sel WHERE $split = 'train')
+         |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // every stage replayed: scrubSql → NOT IN held-out fingerprints →
     // shared-shingle jaccard pairs → recursive-CTE clusters → per-cluster
