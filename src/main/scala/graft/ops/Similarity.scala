@@ -76,6 +76,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar int8 quantization of an embedding column: adds a per-vector
+    * `qscale` (max|x| / 127) and `qvec` (`array<tinyint>` codes) — the 4×
+    * storage/shuffle shrink that makes 100 TB ANN serving fit executor
+    * memory, at the cost of bounded per-element error ≤ scale/2. Rounding
+    * is `floor(x/scale + 0.5)` IN SO MANY WORDS: round-half-up has one
+    * portable definition, where "round" is half-even in some engines and
+    * half-away in others — the codes are persisted data, so their
+    * construction must be engine-reproducible. An all-zero vector keeps
+    * scale 0 and all-zero codes (guarded division). */
+  def quantizeInt8(df: DataFrame, vec: Column): DataFrame = {
+    val scale = (array_max(transform(vec, x => abs(x))).cast("double") / 127.0)
+    df.withColumn("qscale", scale)
+      .withColumn("qvec", transform(vec, x =>
+        when(col("qscale") === 0.0, lit(0))
+          .otherwise(floor(x.cast("double") / col("qscale") + 0.5))
+          .cast("tinyint")))
+  }
+
+  /** Dequantized double vector from int8 codes: `q_i * scale`. */
+  def dequant(qvec: Column, qscale: Column): Column =
+    transform(qvec, q => q.cast("double") * qscale)
+
+  /** Brute-force top-k over QUANTIZED vectors: cosine on the dequantized
+    * codes (a codegen'd lambda — the fp32 originals never load). Serving
+    * from codes is the point: the scan reads ~1/4 the bytes. Recall loss
+    * is data-dependent; measure with [[recallAtK]] before trusting a
+    * budget (q141 pins the bound on the synthetic corpus). */
+  def quantizedBruteTopK(df: DataFrame, id: Column, qvec: Column,
+      qscale: Column, query: DataFrame, queryVec: Column, k: Int): DataFrame = {
+    val joined = df.crossJoin(broadcast(query.select(queryVec.as("__q"))))
+    joined.select(id.as("id"),
+        cosine(dequant(qvec, qscale), asDouble(col("__q"))).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Sign-LSH bucketed top-k: evaluate cosine only inside the query's bucket. */
   def lshTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
       queryVec: Column, bits: Int, k: Int, native: Boolean = true): DataFrame = {

@@ -25,6 +25,22 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // int8-quantized ANN serving: top-k on dequantized codes (4× smaller
+    // scan) vs the fp32 brute truth — same oracle-pinned recall-bound
+    // contract as q57/q125
+    "q141_ann_quantized" -> ((s, d) => {
+      val base = emb(s, d).filter(col("vec_id") =!= 0)
+      val codes = Sim.quantizeInt8(base, col("embedding"))
+      val approx = Sim.quantizedBruteTopK(codes, col("vec_id"), col("qvec"),
+        col("qscale"), queryVec(s, d), col("embedding"), k = 10)
+      val truth = Sim.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        queryVec(s, d), col("embedding"), k = 10)
+      approx.select(col("id")).join(broadcast(truth.select(col("id"))), "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"),
+          (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
+    }),
+
     // cross-modal retrieval: vector search → join back to the documents
     // table (vec_id aligns with doc_id) — the "semantic fetch" a RAG/
     // curation pipeline runs; the 10-row hit list broadcasts
@@ -328,6 +344,9 @@ object VectorQueries {
     // the probed result is engine-specific; the recall bound is not. TRUE
     // is the contract: Spark's side counts |ivf ∩ brute| >= 0.9k honestly.
     "q57_ann_ivf" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // same contract: the sketch side is engine-specific, its bound is not
+    "q141_ann_quantized" -> "SELECT 10 AS k, TRUE AS recall_ok",
 
     // one bound row per batched query, same contract as q57
     "q125_ann_ivf_batch" ->

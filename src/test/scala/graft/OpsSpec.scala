@@ -324,6 +324,36 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("int8 quantization: per-element error ≤ scale/2, zero-vector safe, " +
+    "serving recall near-lossless") {
+    import spark.implicits._
+    val codes = Similarity.quantizeInt8(embs, col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("qscale"),
+        Similarity.dequant(col("qvec"), col("qscale")).as("deq"))
+    // round-half-up at scale granularity: |x − q·s| ≤ s/2 (+ fp slack)
+    val worst = codes.select(max(expr(
+      "aggregate(zip_with(embedding, deq, (a, b) -> abs(a - b) / qscale), " +
+        "0D, (acc, e) -> greatest(acc, e))"))).head.getDouble(0)
+    assert(worst <= 0.5 + 1e-6, s"worst normalized error $worst exceeds half-ulp")
+    // all-zero vector: scale 0, codes 0, no division blowup
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"), col("embedding"))
+    val zr = z.select(col("qscale"), col("qvec")).head
+    assert(zr.getDouble(0) === 0.0 && zr.getSeq[Byte](1).forall(_ == 0))
+    // serving recall vs fp32 truth on the corpus (q141 pins ≥ 0.9 at
+    // sf0.01/sf0.1; print the margin so a regression is visible here)
+    val q = embs.filter(col("vec_id") === 0)
+    val base = embs.filter(col("vec_id") =!= 0)
+    val approx = Similarity.quantizedBruteTopK(
+      Similarity.quantizeInt8(base, col("embedding")), col("vec_id"),
+      col("qvec"), col("qscale"), q, col("embedding"), k = 10)
+    val truth = Similarity.bruteForceTopK(base, col("vec_id"),
+      col("embedding"), q, col("embedding"), k = 10)
+    val recall = Similarity.recallAtK(approx, truth, 10)
+    info(s"int8 serving recall@10 = $recall")
+    assert(recall >= 0.9, s"recall@10 $recall below the q141 bound")
+  }
+
   test("brute-force top-k returns k descending rows") {
     val q = embs.filter(col("vec_id") === 0)
     val top = Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
