@@ -352,11 +352,20 @@ object Similarity {
     * `cluster IN (probe set)` never opens the other lists' files — at 100 TB
     * the scan itself shrinks by nProbe/nCentroids. */
   def ivfWritePartitioned(df: DataFrame, id: Column, vec: Column,
-      nCentroids: Int, path: String, kmeansIters: Int = 0): Unit = {
+      nCentroids: Int, path: String, kmeansIters: Int = 0,
+      quantize: Boolean = false): Unit = {
     val cents = centroidsFor(df, id, vec, nCentroids, kmeansIters)
-    df.select(id.cast("long").as("id"), vec.as("v"),
-        assignExpr(df, cents, vec).as("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val assigned = df.select(id.cast("long").as("id"), vec.as("v"),
+      assignExpr(df, cents, vec).as("cluster"))
+    // quantize=true: the inverted lists hold int8 codes + a per-vector
+    // scale instead of fp32 — the probe scan reads ~1/4 the bytes, the
+    // composition that makes 100 TB serving fit. The centroid sidecar
+    // stays fp32 (thousands of rows; quantizing it would only hurt the
+    // probe-list choice).
+    val listed =
+      if (quantize) quantizeInt8(assigned, col("v")).drop("v")
+      else assigned
+    listed.write.mode("overwrite").partitionBy("cluster").parquet(path)
     val spark = df.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cid", "cvec")
@@ -371,7 +380,8 @@ object Similarity {
     val manifest =
       s"""{"format":"graft-ivf","formatVersion":1,"metric":"cosine",
          |"nCentroids":${cents.length},"dim":${cents.head._2.length},
-         |"kmeansIters":$kmeansIters}""".stripMargin.replace("\n", "")
+         |"kmeansIters":$kmeansIters,"quantized":$quantize}"""
+        .stripMargin.replace("\n", "")
     val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
@@ -417,8 +427,15 @@ object Similarity {
     }
     val probe = nearestCentroids(cents, qv, nProbe)
     val table = spark.read.parquet(path)
+    // quantized lists are detected by SCHEMA (qvec/qscale columns), so
+    // even a manifest-less legacy index probes correctly either way
+    val cos =
+      if (table.columns.contains("qvec"))
+        cosine(dequant(col("qvec"), col("qscale")),
+          asDouble(typedlit(qv)))
+      else cosineNative(table, col("v"), typedlit(qv))
     table.filter(col("cluster").isin(probe: _*))
-      .select(col("id"), cosineNative(table, col("v"), typedlit(qv)).as("cos"))
+      .select(col("id"), cos.as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
   }
