@@ -499,6 +499,230 @@ object Similarity {
     out.toSeq
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): the 100 TB ANN compression path.
+  //
+  // A d-dim fp32 vector is 4d bytes; its PQ code is m bytes (one codebook
+  // index per subspace). At d=64, m=8 that is a 32× smaller serving scan —
+  // the difference between "the index fits in executor memory" and "it
+  // doesn't" at 100 TB. The design follows the public IVF-PQ literature
+  // (Jégou et al., TPAMI'11 "Product quantization for nearest neighbor
+  // search") and the standard serving split:
+  //  - TRAIN on a deterministic driver-sized sample (hash-ordered, like
+  //    [[sampleCentroids]]): per-subspace Lloyd k-means — FAISS-style
+  //    sample-based training, the codebooks are a few KB;
+  //  - ENCODE the full table in one projection (argmin over codebook
+  //    literals — no join, no shuffle, no UDF);
+  //  - SERVE with ADC (asymmetric distance computation): the query builds
+  //    per-subspace lookup tables on the driver, candidate scoring is m
+  //    array lookups per row reading ONLY the codes column, then a
+  //    driver-sized candidate set is re-ranked exactly against the fp32
+  //    vectors. Vectors are L2-normalized before encoding, so squared-L2
+  //    ADC ranking and cosine ranking agree: ||q−x||² = 2 − 2·cos(q,x).
+  // ------------------------------------------------------------------
+
+  /** Trained PQ codebooks: `m` subspaces of `ds` dims, `ks` centroids each.
+    * `codebooks(j)(c)` is centroid c of subspace j (over NORMALIZED
+    * subvectors). Driver-sized by design (m·ks·ds floats — a few KB). */
+  case class PqModel(m: Int, ds: Int, ks: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def dim: Int = m * ds
+  }
+
+  private def normalizeDriver(v: Array[Float]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(n2)
+    if (n == 0.0) new Array[Double](v.length)
+    else Array.tabulate(v.length)(k => v(k).toDouble / n)
+  }
+
+  /** Train PQ codebooks on a deterministic hash-ordered sample collected to
+    * the driver (≤ `sampleSize` vectors) — sample-based training is the
+    * standard PQ practice at scale (the codebook is a statistic of the
+    * distribution, not of every row; FAISS trains on ~100k samples for
+    * billion-vector indexes). Per-subspace Lloyd k-means, seeded by the
+    * first `ks` sample subvectors in hash order; empty clusters keep their
+    * centroid. Fully deterministic: same data + params → same model. */
+  def pqTrain(df: DataFrame, id: Column, vec: Column, m: Int, ks: Int = 16,
+      iters: Int = 10, sampleSize: Int = 4096): PqModel = {
+    val sample = df.select(id.cast("long").as("sid"), vec.as("sv"))
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(sampleSize)
+      .collect().map(r => normalizeDriver(r.getSeq[Float](1).toArray))
+    require(sample.nonEmpty, "pqTrain: input has no vectors")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    require(ks >= 1 && ks <= 127, s"pqTrain: ks must be in [1,127], got $ks")
+    val ds = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      // seed: first ks subvectors in sample (hash) order
+      var cents = Array.tabulate(math.min(ks, subs.length))(c => subs(c).clone())
+      var it = 0
+      var moved = true
+      while (it < iters && moved) {
+        val sums = Array.fill(cents.length)(new Array[Double](ds))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { sv =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var dist = 0.0; var i = 0
+            val cv = cents(c)
+            while (i < ds) { val t = sv(i) - cv(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < ds) { sums(best)(i) += sv(i); i += 1 }
+          counts(best) += 1
+        }
+        moved = false
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0L) old
+          else {
+            val nc = Array.tabulate(ds)(i => sums(c)(i) / counts(c))
+            if (!moved) moved = old.indices.exists(i => math.abs(nc(i) - old(i)) > 1e-12)
+            nc
+          }
+        }
+        it += 1
+      }
+      cents
+    }
+    PqModel(m, ds, codebooks(0).length, codebooks)
+  }
+
+  /** Squared L2 between a sliced subvector column and a codebook-centroid
+    * literal — a codegen'd fold, no UDF. */
+  private def sqDistExpr(sub: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(sub, typedlit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Encode: adds a `codes` column (`array<tinyint>`, length m) — nearest
+    * codebook centroid per subspace of the NORMALIZED vector, argmin as a
+    * struct-min projection (ties break to the lowest code, deterministic).
+    * One map stage over the table; this is the offline half, run once and
+    * persisted ([[pqWriteEncoded]]). */
+  def pqEncode(df: DataFrame, vec: Column, model: PqModel): DataFrame = {
+    val withNv = df
+      .withColumn("__n", norm(asDouble(vec)))
+      .withColumn("__nv", transform(vec,
+        x => when(col("__n") === 0.0, lit(0.0)).otherwise(x.cast("double") / col("__n"))))
+    val codeCols = (0 until model.m).map { j =>
+      val sub = slice(col("__nv"), j * model.ds + 1, model.ds)
+      array_min(array(model.codebooks(j).zipWithIndex.toIndexedSeq.map {
+        case (cent, c) =>
+          struct(sqDistExpr(sub, cent).as("d"), lit(c).as("c"))
+      }: _*)).getField("c").cast("tinyint")
+    }
+    withNv.withColumn("codes", array(codeCols: _*)).drop("__n", "__nv")
+  }
+
+  /** ADC score (squared-L2 to the query, up to the query-norm constant):
+    * m lookups into per-subspace LUT literals — reads ONLY the codes. */
+  private def adcScoreExpr(codes: Column, luts: Array[Array[Double]]): Column =
+    luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedlit(lut), element_at(codes, j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+
+  private def adcLuts(model: PqModel, qn: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(model.m) { j =>
+      Array.tabulate(model.ks) { c =>
+        val cent = model.codebooks(j)(c)
+        var dist = 0.0; var i = 0
+        while (i < model.ds) {
+          val t = qn(j * model.ds + i) - cent(i); dist += t * t; i += 1
+        }
+        dist
+      }
+    }
+
+  /** PQ top-k over a pre-encoded table (the serving shape): ADC scores the
+    * codes column (m byte-lookups per row — the scan never touches fp32
+    * vectors), keeps the `nCandidates` best (TakeOrdered, driver-sized by
+    * design like the centroid table), then re-ranks EXACTLY: the candidate
+    * ids filter the base table (at 100 TB: a few hundred point lookups vs a
+    * full fp32 scan) and the true cosine orders the final k. With
+    * `nCandidates >= |table|` this degrades to exact brute force
+    * (spec-pinned identity, same contract as IVF's full probe). */
+  def pqTopKOnCodes(codesDf: DataFrame, id: Column, codes: Column,
+      base: DataFrame, baseId: Column, baseVec: Column,
+      query: DataFrame, queryVec: Column, model: PqModel,
+      nCandidates: Int, k: Int): DataFrame = {
+    val qv = singleQueryVec(query, queryVec)
+    if (qv.length != model.dim)
+      throw new graft.core.BadCallException(
+        s"pqTopKOnCodes: query dim ${qv.length} != model dim ${model.dim}")
+    val luts = adcLuts(model, normalizeDriver(qv))
+    val candIds = codesDf
+      .select(id.cast("long").as("id"), adcScoreExpr(codes, luts).as("adc"))
+      .orderBy(col("adc").asc, col("id")).limit(nCandidates)
+      .collect().map(_.getLong(0)).toSeq
+    base.filter(baseId.cast("long").isin(candIds: _*))
+      .select(baseId.as("id"), cosineNative(base, baseVec, typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Convenience: encode + serve in one call (bench/correctness path; the
+    * serving path persists codes once via [[pqWriteEncoded]] instead of
+    * re-encoding per query). */
+  def pqTopK(df: DataFrame, id: Column, vec: Column, query: DataFrame,
+      queryVec: Column, model: PqModel, nCandidates: Int, k: Int): DataFrame = {
+    val encoded = pqEncode(df.select(id.as("__id"), vec.as("__v")), col("__v"), model)
+    pqTopKOnCodes(encoded, col("__id"), col("codes"),
+      df, id, vec, query, queryVec, model, nCandidates, k)
+  }
+
+  /** Offline half: encode and persist `(id, codes)` plus the model sidecars
+    * (codebooks as parquet, params as a manifest JSON written LAST — same
+    * complete-build marker convention as [[ivfWritePartitioned]]). The
+    * serving scan then reads m bytes per row instead of 4·dim. */
+  def pqWriteEncoded(df: DataFrame, id: Column, vec: Column, model: PqModel,
+      path: String): Unit = {
+    pqEncode(df.select(id.cast("long").as("id"), vec.as("__v")), col("__v"), model)
+      .select(col("id"), col("codes"))
+      .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path.codebooks")
+    val manifest =
+      s"""{"format":"graft-pq","formatVersion":1,"metric":"cosine",
+         |"m":${model.m},"ds":${model.ds},"ks":${model.ks}}"""
+        .stripMargin.replace("\n", "")
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back a [[pqWriteEncoded]] model sidecar; typed errors for a
+    * missing or foreign manifest. */
+  def pqReadModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp))
+      throw new graft.core.BadCallException(s"no PQ manifest at $path.manifest.json")
+    val in = fs.open(mp)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, "UTF-8"))
+    if (node.path("format").asText() != "graft-pq")
+      throw new graft.core.BadCallException(s"$path.manifest.json is not a graft-pq manifest")
+    val m = node.path("m").asInt(); val ds = node.path("ds").asInt()
+    val ks = node.path("ks").asInt()
+    val rows = spark.read.parquet(s"$path.codebooks").collect()
+    val books = Array.fill(m)(new Array[Array[Double]](ks))
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    PqModel(m, ds, ks, books)
+  }
+
   /** Blocked all-pairs similarity: cosine only within sign-LSH buckets —
     * the scalable skeleton for embedding near-dup mining (bucket sizes bound
     * the quadratic term). */

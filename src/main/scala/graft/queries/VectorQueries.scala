@@ -41,6 +41,28 @@ object VectorQueries {
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
     }),
 
+    // PQ-compressed ANN serving: codebooks trained on a deterministic
+    // sample, ADC candidate scan over m=16 one-byte codes (16× smaller than
+    // the fp32 vectors it stands in for), exact re-rank of a driver-sized
+    // candidate set — same oracle-pinned recall-bound contract as
+    // q57/q125/q141. m=16/ks=16/nCandidates=250: measured recall 1.0 at
+    // BOTH SFs (uniform unclustered embeddings are PQ's worst case — m=8
+    // needed 250 candidates for 0.9 at sf0.1; clustered real data needs a
+    // fraction of this pool — and the degenerate nCandidates=|table| ≡
+    // brute-force identity is spec-pinned).
+    "q142_ann_pq" -> ((s, d) => {
+      val base = emb(s, d).filter(col("vec_id") =!= 0)
+      val model = Sim.pqTrain(base, col("vec_id"), col("embedding"), m = 16, ks = 16)
+      val approx = Sim.pqTopK(base, col("vec_id"), col("embedding"),
+        queryVec(s, d), col("embedding"), model, nCandidates = 250, k = 10)
+      val truth = Sim.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        queryVec(s, d), col("embedding"), k = 10)
+      approx.select(col("id")).join(broadcast(truth.select(col("id"))), "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"),
+          (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
+    }),
+
     // cross-modal retrieval: vector search → join back to the documents
     // table (vec_id aligns with doc_id) — the "semantic fetch" a RAG/
     // curation pipeline runs; the 10-row hit list broadcasts
@@ -347,6 +369,9 @@ object VectorQueries {
 
     // same contract: the sketch side is engine-specific, its bound is not
     "q141_ann_quantized" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // same contract: PQ codes are engine-specific, the recall bound is not
+    "q142_ann_pq" -> "SELECT 10 AS k, TRUE AS recall_ok",
 
     // one bound row per batched query, same contract as q57
     "q125_ann_ivf_batch" ->

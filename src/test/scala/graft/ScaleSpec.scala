@@ -259,6 +259,57 @@ class ScaleSpec extends AnyFunSuite {
         q, col("embedding"), 500).collect().map(_.getLong(0)).toSet))
   }
 
+  test("pq: deterministic training, full-candidate serve equals brute force, persisted codes serve identically") {
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    val model = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    // deterministic: same data + params → bit-identical codebooks
+    val model2 = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    assert(model.codebooks.flatten.flatten.toSeq === model2.codebooks.flatten.flatten.toSeq)
+    // degenerate candidates=|table| ≡ exact brute force (same contract as
+    // IVF's full probe): ADC ranks everything, exact re-rank fixes order
+    val brute = Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val n = body.count().toInt
+    val full = Similarity.pqTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), model, nCandidates = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+    // offline/online split: persisted codes + model sidecar serve bit-equal
+    // to the in-memory path, and the codes table is (id, codes<tinyint×m>)
+    // — m bytes per row, the 16× serving shrink
+    val dir = Files.createTempDirectory("graft-pq").toString + "/emb"
+    Similarity.pqWriteEncoded(body, col("vec_id"), col("embedding"), model, dir)
+    val back = Similarity.pqReadModel(spark, dir)
+    assert(back.m === model.m && back.ds === model.ds && back.ks === model.ks)
+    assert(back.codebooks.flatten.flatten.toSeq === model.codebooks.flatten.flatten.toSeq)
+    val codes = spark.read.parquet(dir)
+    assert(codes.columns.toSeq === Seq("id", "codes"))
+    assert(codes.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+    assert(codes.select(org.apache.spark.sql.functions.size(col("codes")))
+      .distinct().collect().map(_.getInt(0)).toSeq === Seq(16))
+    val served = Similarity.pqTopKOnCodes(codes, col("id"), col("codes"),
+      body, col("vec_id"), col("embedding"), q, col("embedding"), back, 100, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inmem = Similarity.pqTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), model, nCandidates = 100, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === inmem)
+    // typed errors: foreign/missing manifest, query-dim mismatch
+    import spark.implicits._
+    val badDim = intercept[graft.core.BadCallException] {
+      Similarity.pqTopKOnCodes(codes, col("id"), col("codes"),
+        body, col("vec_id"), col("embedding"),
+        Seq(Tuple1(Array(1f, 2f))).toDF("qv"), col("qv"), back, 10, 10)
+    }
+    assert(badDim.getMessage.contains("query dim 2"))
+    val noManifest = intercept[graft.core.BadCallException] {
+      Similarity.pqReadModel(spark, dir + "-nope")
+    }
+    assert(noManifest.getMessage.contains("no PQ manifest"))
+  }
+
   test("bucketized range join equals the naive interval join, without a nested loop") {
     import graft.ops.RangeJoin
     val H = 3600000000L
