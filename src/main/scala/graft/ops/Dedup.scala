@@ -509,6 +509,38 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means clusters block the pairwise search instead of LSH sign buckets
+    * — the published recipe for web-scale embedding dedup. Reuses the IVF
+    * machinery end to end ([[Similarity.withClusterAssignment]]): centroid
+    * training is memoized/sample-seeded, assignment is a zero-shuffle argmax
+    * projection, and the quadratic term is bounded by cluster sizes (~n/C on
+    * k-means-balanced data; a pathological fat cluster gets the same valve
+    * story as [[Similarity.bucketedPairsCapped]] — raise nCentroids or
+    * pre-split). Within-cluster pairs with cosine ≥ `minCosine` mark the
+    * higher id a loser; survivors keep the lowest id per near-dup pair,
+    * the same greedy convention as [[dedupByEmbedding]]. Identical vectors
+    * always share a cluster, so exact copies can never escape the block. */
+  def semanticPairs(df: DataFrame, id: Column, vec: Column, nCentroids: Int,
+      minCosine: Double, kmeansIters: Int = 0): DataFrame = {
+    val b = Similarity.withClusterAssignment(
+      df.select(id.as("vid"), vec.as("v")), col("vid"), col("v"),
+      nCentroids, kmeansIters)
+    b.as("a").join(b.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"),
+        col("a.cluster").as("cluster"),
+        Similarity.cosineNative(df, col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, nCentroids: Int,
+      minCosine: Double, kmeansIters: Int = 0): DataFrame = {
+    val losers = semanticPairs(df, id, vec, nCentroids, minCosine, kmeansIters)
+      .select(col("j").as("__loser")).distinct()
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
   /** Release the persisted blocks behind a `localCheckpoint`ed frame (or a
     * projection of one). `Dataset.unpersist` only covers `cache()`; the
     * checkpoint's blocks belong to the materialized RDD inside the plan's

@@ -499,6 +499,18 @@ object Similarity {
     out.toSeq
   }
 
+  /** Adds a `cluster` column: nearest trained centroid by cosine — the same
+    * memoized training ([[centroidsFor]]) and zero-shuffle argmax projection
+    * the IVF probe path uses, exposed for cluster-blocked operators
+    * (SemDeDup-style semantic dedup, per-cluster stats). Identical vectors
+    * always land in the same cluster (the argmax is a pure function of the
+    * vector). */
+  def withClusterAssignment(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, kmeansIters: Int = 0): DataFrame = {
+    val cents = centroidsFor(df, id, vec, nCentroids, kmeansIters)
+    df.withColumn("cluster", assignExpr(df, cents, vec))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): the 100 TB ANN compression path.
   //

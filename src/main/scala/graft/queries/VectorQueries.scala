@@ -63,6 +63,28 @@ object VectorQueries {
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
     }),
 
+    // SemDeDup semantic dedup: k-means clusters block the pairwise cosine
+    // search (the published web-scale recipe; reuses the IVF centroid
+    // machinery). The oracle contract is PLANTED duplicates: exact copies
+    // of vec_id 0-4 at ids 100000+ must all be removed (an identical vector
+    // provably shares its original's cluster and scores cosine ~1), while
+    // every original survives (max original pairwise cosine is 0.51/0.60 at
+    // sf0.01/0.1 — measured — so τ=0.9 separates with a wide margin). Both
+    // counts are exactly DuckDB-computable.
+    "q143_semantic_dedup" -> ((s, d) => {
+      import graft.ops.Dedup
+      val base = emb(s, d)
+      val planted = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          col("label"))
+      val survivors = Dedup.semanticDedup(base.unionByName(planted),
+        col("vec_id"), col("embedding"), nCentroids = 8, minCosine = 0.9,
+        kmeansIters = 4)
+      survivors.agg(
+        sum(when(col("vec_id") >= 100000L, 1L).otherwise(0L)).as("planted_kept"),
+        sum(when(col("vec_id") < 100000L, 1L).otherwise(0L)).as("originals_kept"))
+    }),
+
     // cross-modal retrieval: vector search → join back to the documents
     // table (vec_id aligns with doc_id) — the "semantic fetch" a RAG/
     // curation pipeline runs; the 10-row hit list broadcasts
@@ -372,6 +394,12 @@ object VectorQueries {
 
     // same contract: PQ codes are engine-specific, the recall bound is not
     "q142_ann_pq" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // planted exact copies must all be deduped away; no original pair
+    // reaches τ=0.9 (measured max 0.51/0.60), so every original survives
+    "q143_semantic_dedup" ->
+      """SELECT CAST(0 AS BIGINT) AS planted_kept,
+         count(*) AS originals_kept FROM embeddings""",
 
     // one bound row per batched query, same contract as q57
     "q125_ann_ivf_batch" ->

@@ -1003,6 +1003,28 @@ class OpsSpec extends AnyFunSuite {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("semantic dedup: planted copies removed via shared cluster, min-id keep, losers are exactly the removed set") {
+    import org.apache.spark.sql.DataFrame
+    val base = embs.limit(50)
+    // plant exact copies of three vectors at higher ids
+    val planted = base.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"), col("label"))
+    val all = base.unionByName(planted)
+    val survivors = Dedup.semanticDedup(all, col("vec_id"), col("embedding"),
+      nCentroids = 4, minCosine = 0.9, kmeansIters = 2)
+    def ids(d: DataFrame) = d.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = ids(survivors)
+    // every planted copy shares its original's cluster at cos ~1 → removed;
+    // min-id keep means the ORIGINAL survives
+    assert(Set(1001L, 1002L, 1003L).intersect(kept).isEmpty)
+    assert(Set(1L, 2L, 3L).subsetOf(kept))
+    // survivors = all minus the distinct loser set (partition, no leakage)
+    val losers = Dedup.semanticPairs(all, col("vec_id"), col("embedding"),
+      nCentroids = 4, minCosine = 0.9, kmeansIters = 2)
+      .select(col("j")).collect().map(_.getLong(0)).toSet
+    assert(kept === ids(all) -- losers)
+  }
+
   test("tfidf ranks stratum-exclusive tokens above corpus-wide ones") {
     import spark.implicits._
     val tiny = Seq(
