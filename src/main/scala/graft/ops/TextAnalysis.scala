@@ -104,6 +104,43 @@ object TextAnalysis {
        | '$PhonePattern', '<phone>', 'g'),
        | '$SpaceRunPattern', ' ', 'g'))""".stripMargin.replace("\n", "")
 
+  /** RefinedWeb/CCNet-style boilerplate removal: drop every line that
+    * appears in at least `minDocs` DISTINCT documents (nav bars, cookie
+    * banners, license footers — the lines that repeat verbatim across a
+    * crawl), preserving the order of surviving lines. Returns
+    * `(id, text, n_lines, n_lines_kept)`; a document whose every line is
+    * boilerplate keeps an empty text (curation decides whether to drop it).
+    *
+    * Scale shape: one explode → one count-distinct agg over lines (the
+    * frequent-line set is small by definition — boilerplate is what
+    * repeats) → one anti join → one rebuild agg keyed on the doc id.
+    * Nothing is driver-side; the rebuild's per-doc state is the document's
+    * own lines, bounded by document length. Line order is restored by
+    * sorting (pos, line) structs — pos is unique per doc, so the rebuild is
+    * deterministic under any partitioning. */
+  def removeBoilerplateLines(df: DataFrame, id: Column, text: Column,
+      minDocs: Long, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(id.as("__id"),
+      posexplode(split(text, quoted)).as(Seq("__pos", "__line")))
+    val frequent = lines.groupBy("__line")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__line")
+    val rebuilt = lines.join(frequent, Seq("__line"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), sep).as("__t"),
+        count(lit(1)).as("__n_kept"))
+    df.select(id.as("__id"), size(split(text, quoted)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("__t"), lit("")).as("text"),
+        col("n_lines"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))

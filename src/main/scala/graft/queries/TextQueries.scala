@@ -101,6 +101,24 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // duplicated-line boilerplate removal (RefinedWeb/CCNet stage): lines
+    // shared verbatim by >= 5 distinct docs are dropped, survivor order
+    // preserved. The testdata has no newlines, so the fixture derives a
+    // deterministic line structure first (every ' table ' becomes a line
+    // break — both engines replay the identical rewrite); the oracle then
+    // recomputes the full remove-and-rebuild and fingerprints the cleaned
+    // text, pinning the reassembly byte-for-byte.
+    "q144_boilerplate_lines" -> ((s, d) => {
+      val lined = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " table ", "\n").as("text"))
+      graft.ops.TextAnalysis.removeBoilerplateLines(
+          lined, col("doc_id"), col("text"), minDocs = 5L)
+        .filter(col("id") < 10)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_lines_kept"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // curation scrub: normalization + PII redaction as one fused regexp
     // projection. PII is PLANTED deterministically (an email and a phone
     // derived from doc_id appended to each text) so redaction provably
@@ -368,6 +386,29 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical line fixture + identical remove-and-rebuild, replayed in
+    // DuckDB (LATERAL series gives each line its position; string_agg
+    // ORDER BY pos restores survivor order exactly like the array_sort
+    // rebuild)
+    "q144_boilerplate_lines" ->
+      """WITH lined AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS t
+           FROM documents),
+         parts AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+         lines AS (SELECT doc_id, x.i AS pos, ls[x.i] AS line
+           FROM parts, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) x),
+         freq AS (SELECT line FROM lines
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+         kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)),
+         reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT l.doc_id,
+           CAST(len(string_split(l.t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+           md5(coalesce(r.t2, '')) AS fp
+         FROM lined l LEFT JOIN reb r USING (doc_id)
+         WHERE l.doc_id < 10 ORDER BY l.doc_id""",
 
     // identical plant + identical scrub, replayed in DuckDB
     "q120_scrub" -> {

@@ -1025,6 +1025,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === ids(all) -- losers)
   }
 
+  test("boilerplate line removal: planted banner removed at threshold, rare lines kept, order preserved") {
+    import spark.implicits._
+    val banner = "ACCEPT COOKIES"
+    // banner in 6 docs (>= minDocs 5), a rare line in 2 (< 5)
+    val docs = (0L until 8L).map { i =>
+      val mid = if (i < 6) banner else s"unique middle $i"
+      val rare = if (i < 2) "\nrare footer" else ""
+      (i, s"intro $i\n$mid\noutro $i$rare")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, col("doc_id"),
+        col("text"), minDocs = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // banner gone, surviving lines keep their order
+    assert(out(0L) === "intro 0\noutro 0\nrare footer")
+    assert(out(5L) === "intro 5\noutro 5")
+    // below-threshold lines survive everywhere
+    assert(out(7L) === "intro 7\nunique middle 7\noutro 7")
+    // a doc that is ALL boilerplate comes back empty, not missing
+    val allBp = docs.unionByName(Seq((100L, banner)).toDF("doc_id", "text"))
+    val out2 = TextAnalysis.removeBoilerplateLines(allBp, col("doc_id"),
+        col("text"), minDocs = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out2(100L) === "")
+  }
+
   test("tfidf ranks stratum-exclusive tokens above corpus-wide ones") {
     import spark.implicits._
     val tiny = Seq(
