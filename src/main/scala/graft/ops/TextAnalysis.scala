@@ -227,6 +227,50 @@ object TextAnalysis {
        |   / (len(str_split($col, ' ')) - ${n - 1}) END""".stripMargin
       .replace("\n", "")
 
+  /** All word n-gram SLOTS of a text (with duplicates, in order) — the
+    * occurrence-counting companion to [[graft.ops.Dedup.shingles]]' distinct
+    * sets. Texts shorter than n tokens have no slots (empty array). */
+  def ngramSlots(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** DuckDB twin of [[ngramSlots]] construction, as a FROM-clause fragment:
+    * callers join `LATERAL (SELECT unnest(generate_series(1, len(ts) - ${n-1})) AS i)`
+    * and take `array_to_string(ts[i:i+${n-1}], ' ')`. Kept here as doc —
+    * the n-gram string must be built identically in both engines. */
+
+  /** Gopher-style repetition rule: fraction of characters covered by the
+    * most frequent word n-gram (count × n-gram length / total chars — the
+    * standard simple form; overlapping occurrences can push it past 1 on
+    * degenerate inputs, which only strengthens the signal). Returns one row
+    * per document: `(id, top_ngram, top_count, frac)`; the top n-gram
+    * tie-breaks to the lexicographically smallest, so the answer is
+    * deterministic. Distributed shape: explode slots → per-(doc, gram)
+    * count (partial-agg combines before the shuffle) → per-doc top-1 window
+    * → broadcast-friendly join back to char lengths. Per-group state is one
+    * counter; nothing driver-side. */
+  def topNgramCharFraction(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(id.as("id"), explode(ngramSlots(text, n)).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val top = counts.withColumn("__rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    df.select(id.as("id"), length(text).as("__nc"))
+      .join(top, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("gram"), lit("")).as("top_ngram"),
+        coalesce(col("cnt"), lit(0L)).as("top_count"),
+        when(col("__nc") === 0, lit(0.0)).otherwise(
+          round(coalesce(col("cnt") * length(col("gram")), lit(0L))
+            .cast("double") / col("__nc"), 6)).as("frac"))
+  }
+
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =
     when(tokenCount(c) < 30, "short")

@@ -101,6 +101,18 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Gopher repetition rule: fraction of characters covered by the most
+    // frequent bigram, deterministic lexicographic tie-break — the
+    // occurrence-level companion to q127's distinct-slot fraction
+    "q145_top_ngram_frac" -> ((s, d) => {
+      graft.ops.TextAnalysis.topNgramCharFraction(
+          t(s, d, "documents"), col("doc_id"), col("text"), n = 2)
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("top_ngram"), col("top_count"),
+          col("frac"))
+        .orderBy("doc_id")
+    }),
+
     // duplicated-line boilerplate removal (RefinedWeb/CCNet stage): lines
     // shared verbatim by >= 5 distinct docs are dropped, survivor order
     // preserved. The testdata has no newlines, so the fixture derives a
@@ -386,6 +398,27 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical slot construction (1-based inclusive list slice ≡ Spark's
+    // slice+concat_ws), identical (count DESC, gram ASC) top-1
+    "q145_top_ngram_frac" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts,
+             length(text) AS nc FROM documents WHERE doc_id < 20),
+         grams AS (SELECT doc_id, nc, array_to_string(ts[x.i:x.i+1], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+           WHERE len(ts) >= 2),
+         counts AS (SELECT doc_id, nc, gram, count(*) AS cnt
+           FROM grams GROUP BY 1, 2, 3),
+         top AS (SELECT doc_id, nc, gram, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+           FROM counts)
+         SELECT t.doc_id, coalesce(p.gram, '') AS top_ngram,
+           CAST(coalesce(p.cnt, 0) AS BIGINT) AS top_count,
+           CASE WHEN t.nc = 0 THEN 0.0
+             ELSE round(coalesce(p.cnt * length(p.gram), 0)::DOUBLE / t.nc, 6)
+           END AS frac
+         FROM toks t LEFT JOIN (SELECT * FROM top WHERE rn = 1) p USING (doc_id)
+         ORDER BY t.doc_id""",
 
     // identical line fixture + identical remove-and-rebuild, replayed in
     // DuckDB (LATERAL series gives each line its position; string_agg
