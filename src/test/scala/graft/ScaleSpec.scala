@@ -190,6 +190,34 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter from the selective dim side prunes the fact scan, same answer") {
+    // the 100 TB shuffle-join complement to DPP: when the fact side is NOT
+    // partitioned by the join key, Spark can still inject a bloom filter
+    // built from the dim side's selective predicate and drop fact rows at
+    // the scan, before the shuffle. Pinning that our plans stay eligible
+    // (plain equi-join + dim predicate, no hint) and that the filtered plan
+    // returns identical rows.
+    val ordSel = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    def q = li.select(col("l_orderkey"), col("l_quantity"))
+      .join(ordSel, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum("l_quantity").as("s"))
+    val base = q.collect()
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val fil = q
+      val p = fil.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"fact side must carry an injected runtime bloom filter:\n$p")
+      assert(fil.collect().toSeq === base.toSeq,
+        "bloom-filtered plan must return identical rows")
+    }
+  }
+
   test("AQE splits a skewed SMJ partition at runtime (skew=true in final plan)") {
     // one pathologically hot key: 60k of 70k left rows share key 0, with a
     // payload fat enough that the hot post-shuffle partition crosses the
