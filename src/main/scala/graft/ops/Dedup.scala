@@ -509,6 +509,26 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** Cross-document repeated n-gram span mining — the corpus-internal
+    * repetition signal behind exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": substrings
+    * repeated verbatim across documents are memorization fuel and should be
+    * collapsed). The full suffix-array construction doesn't map to a
+    * shuffle-friendly plan; the standard distributed proxy is fixed-width
+    * token windows: every L-token window occurring in ≥ `minDocs` distinct
+    * documents is a repeated span. One explode → one aggregation
+    * (map-side partial combine carries (gram → count, docs-seen) partials);
+    * no joins, nothing driver-side. Downstream: join the spans back to
+    * flag/cut the covered regions, or feed [[ngramOverlap]]-style
+    * decontamination with the mined set. */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column, L: Int,
+      minDocs: Long = 2L): DataFrame =
+    df.select(id.as("__id"),
+        explode(graft.ops.TextAnalysis.ngramSlots(text, L)).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters block the pairwise search instead of LSH sign buckets
     * — the published recipe for web-scale embedding dedup. Reuses the IVF

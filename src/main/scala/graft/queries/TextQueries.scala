@@ -101,6 +101,17 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // cross-document repeated 5-gram spans (Lee et al. exact-substring
+    // dedup signal): the most widely shared verbatim windows in the corpus
+    "q146_repeated_spans" -> ((s, d) => {
+      graft.ops.Dedup.repeatedSpans(t(s, d, "documents"),
+          col("doc_id"), col("text"), L = 5, minDocs = 2L)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(20)
+        .select(col("gram"), col("n_docs"), col("n_occ"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+    }),
+
     // Gopher repetition rule: fraction of characters covered by the most
     // frequent bigram, deterministic lexicographic tie-break — the
     // occurrence-level companion to q127's distinct-slot fraction
@@ -398,6 +409,20 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical slot construction; count(DISTINCT doc) / count(*) replayed
+    "q146_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT doc_id, array_to_string(ts[x.i:x.i+4], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5),
+         spans AS (SELECT gram, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occ
+           FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         top AS (SELECT * FROM spans
+           ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20)
+         SELECT gram, n_docs, n_occ FROM top
+         ORDER BY n_docs DESC, n_occ DESC, gram""",
 
     // identical slot construction (1-based inclusive list slice ≡ Spark's
     // slice+concat_ws), identical (count DESC, gram ASC) top-1
