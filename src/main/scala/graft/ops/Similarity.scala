@@ -388,6 +388,94 @@ object Similarity {
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
+  /** IVF-PQ composed index (Jégou et al. TPAMI'11, the standard billion-
+    * scale serving layout): inverted lists hive-partitioned by nearest
+    * centroid, each row carrying BOTH the fp32 vector and its PQ codes.
+    * The probe then stacks all three scan reducers Spark gives us:
+    *  - PARTITION pruning: `cluster IN (probe set)` skips unprobed lists;
+    *  - COLUMN pruning: the ADC candidate pass projects only (id, codes) —
+    *    parquet never materializes the fp32 column for it;
+    *  - POINT re-rank: only the driver-sized ADC candidate set re-reads
+    *    the fp32 vectors (same pruned partitions, id filter pushed down).
+    * At 100 TB the candidate pass reads nProbe/nCentroids of the rows × m
+    * bytes each — the fp32 bytes surface only for a few hundred rows. */
+  def ivfPqWritePartitioned(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, model: PqModel, path: String,
+      kmeansIters: Int = 0): Unit = {
+    val cents = centroidsFor(df, id, vec, nCentroids, kmeansIters)
+    val assigned = df.select(id.cast("long").as("id"), vec.as("v"),
+      assignExpr(df, cents, vec).as("cluster"))
+    pqEncode(assigned, col("v"), model)
+      .select(col("id"), col("v"), col("codes"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cvec")
+      .write.mode("overwrite").parquet(s"$path.centroids")
+    model.codebooks.zipWithIndex.flatMap { case (cs, j) =>
+      cs.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path.codebooks")
+    val manifest =
+      s"""{"format":"graft-ivfpq","formatVersion":1,"metric":"cosine",
+         |"nCentroids":${cents.length},"dim":${cents.head._2.length},
+         |"kmeansIters":$kmeansIters,
+         |"m":${model.m},"ds":${model.ds},"ks":${model.ks}}"""
+        .stripMargin.replace("\n", "")
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Online half of [[ivfPqWritePartitioned]]: probe `nProbe` lists by the
+    * persisted centroids, ADC-score the codes (partition- AND column-pruned
+    * scan), then re-rank the `nCandidates` best exactly from the fp32
+    * column of the same pruned lists. Typed errors on dim/probe mismatches
+    * via the manifest. */
+  def ivfPqTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: DataFrame, queryVec: Column, nProbe: Int,
+      nCandidates: Int, k: Int): DataFrame = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path.manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp))
+      throw new graft.core.BadCallException(s"no IVF-PQ manifest at $path.manifest.json")
+    val in = fs.open(mp)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, "UTF-8"))
+    if (node.path("format").asText() != "graft-ivfpq")
+      throw new graft.core.BadCallException(s"$path.manifest.json is not a graft-ivfpq manifest")
+    val qv = singleQueryVec(query, queryVec)
+    val dim = node.path("dim").asInt(); val nc = node.path("nCentroids").asInt()
+    if (dim != qv.length) throw new graft.core.BadCallException(
+      s"ivfpq index at $path holds $dim-dim vectors; query vector has ${qv.length}")
+    if (nProbe > nc) throw new graft.core.BadCallException(
+      s"nProbe=$nProbe exceeds the index's $nc inverted lists")
+    val m = node.path("m").asInt(); val ds = node.path("ds").asInt()
+    val ks = node.path("ks").asInt()
+    val books = Array.fill(m)(new Array[Array[Double]](ks))
+    spark.read.parquet(s"$path.codebooks").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val model = PqModel(m, ds, ks, books)
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probe = nearestCentroids(cents, qv, nProbe)
+    val luts = adcLuts(model, normalizeDriver(qv))
+    val table = spark.read.parquet(path)
+    val pruned = table.filter(col("cluster").isin(probe: _*))
+    val candIds = pruned
+      .select(col("id"), adcScoreExpr(col("codes"), luts).as("adc"))
+      .orderBy(col("adc").asc, col("id")).limit(nCandidates)
+      .collect().map(_.getLong(0)).toSeq
+    pruned.filter(col("id").isin(candIds: _*))
+      .select(col("id"), cosineNative(table, col("v"), typedlit(qv)).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Read an index's manifest sidecar, or None for a pre-manifest index
     * (probing stays backward-compatible with indexes written before the
     * manifest existed). */

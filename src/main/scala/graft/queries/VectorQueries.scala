@@ -63,6 +63,28 @@ object VectorQueries {
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
     }),
 
+    // IVF-PQ composed index, end to end: build the cluster-partitioned
+    // lists with PQ codes, probe partition+column-pruned ADC candidates,
+    // re-rank exactly — same oracle-pinned recall-bound contract as q57.
+    // nProbe=6/8 (the q57 budget for unclustered data) × nCandidates=250
+    // (the q142 pool): each component alone measures recall 1.0, and the
+    // composed bound is verified to hold at both SFs.
+    "q147_ann_ivfpq" -> ((s, d) => {
+      val base = emb(s, d).filter(col("vec_id") =!= 0)
+      val model = Sim.pqTrain(base, col("vec_id"), col("embedding"), m = 16, ks = 16)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-${d.hashCode.toHexString}/emb"
+      Sim.ivfPqWritePartitioned(base, col("vec_id"), col("embedding"),
+        nCentroids = 8, model, dir, kmeansIters = 4)
+      val approx = Sim.ivfPqTopKPartitioned(s, dir, queryVec(s, d),
+        col("embedding"), nProbe = 6, nCandidates = 250, k = 10)
+      val truth = Sim.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        queryVec(s, d), col("embedding"), k = 10)
+      approx.select(col("id")).join(broadcast(truth.select(col("id"))), "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"),
+          (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
+    }),
+
     // SemDeDup semantic dedup: k-means clusters block the pairwise cosine
     // search (the published web-scale recipe; reuses the IVF centroid
     // machinery). The oracle contract is PLANTED duplicates: exact copies
@@ -394,6 +416,9 @@ object VectorQueries {
 
     // same contract: PQ codes are engine-specific, the recall bound is not
     "q142_ann_pq" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // same contract for the composed IVF-PQ index
+    "q147_ann_ivfpq" -> "SELECT 10 AS k, TRUE AS recall_ok",
 
     // planted exact copies must all be deduped away; no original pair
     // reaches τ=0.9 (measured max 0.51/0.60), so every original survives

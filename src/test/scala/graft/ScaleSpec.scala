@@ -338,6 +338,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(noManifest.getMessage.contains("no PQ manifest"))
   }
 
+  test("ivf-pq index: full probe + full candidates equals brute force; ADC pass partition- and column-prunes") {
+    val dir = Files.createTempDirectory("graft-ivfpq").toString + "/emb"
+    val q = embs.filter(col("vec_id") === 0)
+    val body = embs.filter(col("vec_id") =!= 0)
+    val model = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    Similarity.ivfPqWritePartitioned(body, col("vec_id"), col("embedding"),
+      nCentroids = 4, model, dir, kmeansIters = 2)
+    // degenerate full-probe + all-candidates serve ≡ exact brute force
+    val n = body.count().toInt
+    val brute = Similarity.bruteForceTopK(body, col("vec_id"), col("embedding"),
+      q, col("embedding"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfPqTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 4, nCandidates = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+    // the index layout serves a pruned ADC pass: cluster filter reaches
+    // PartitionFilters and the scan projects (id, codes) without the fp32
+    // column — the partition × column pruning the 100 TB read cost rides on
+    val adc = spark.read.parquet(dir)
+      .filter(col("cluster").isin(0L, 1L)).select("id", "codes")
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"ADC pass must partition-prune unprobed lists:\n$plan")
+    val readSchema = plan.split("ReadSchema:").last
+    assert(readSchema.contains("codes") && !readSchema.contains("\"v\""),
+      s"ADC pass must not read the fp32 vectors:\n$readSchema")
+    // typed manifest errors
+    val overProbe = intercept[graft.core.BadCallException] {
+      Similarity.ivfPqTopKPartitioned(spark, dir, q, col("embedding"),
+        nProbe = 99, nCandidates = 10, k = 10)
+    }
+    assert(overProbe.getMessage.contains("exceeds the index's 4 inverted lists"))
+    import spark.implicits._
+    val badDim = intercept[graft.core.BadCallException] {
+      Similarity.ivfPqTopKPartitioned(spark, dir,
+        Seq(Tuple1(Array(1f, 2f))).toDF("qv"), col("qv"), nProbe = 2,
+        nCandidates = 10, k = 10)
+    }
+    assert(badDim.getMessage.contains("query vector has 2"))
+  }
+
   test("bucketized range join equals the naive interval join, without a nested loop") {
     import graft.ops.RangeJoin
     val H = 3600000000L
