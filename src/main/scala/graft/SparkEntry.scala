@@ -18,7 +18,8 @@ import graft.queries._
   *    cross-engine summation noise is ≪ the rounding grid;
   *  - time arithmetic in exact epoch millis, never interval types;
   *  - every query ends with a fully deterministic ORDER BY;
-  *  - sketch ESTIMATES (HLL q34, IVF q57/q125, GK percentile q118, approx
+  *  - sketch ESTIMATES (HLL q34, IVF q57/q125, int8/PQ/IVF-PQ ANN
+  *    q141/q142/q147, GK percentile q118, approx
   *    median/MAD q129, histogram boundaries q133) never appear in output —
   *    the checkable contract is their ERROR BOUND, emitted as a boolean the
   *    Spark side computes honestly and the oracle pins TRUE, next to the
