@@ -529,6 +529,36 @@ object Dedup {
       .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document repeated-span coverage: the fraction of a document's
+    * L-token windows that occur verbatim in OTHER documents — the decision
+    * signal exact-substring dedup cuts on (a doc that is mostly shared
+    * spans is a template/mirror; Lee et al. 2022 remove the spans, corpus
+    * policies often drop the doc past a coverage threshold). "Other
+    * documents" matters: a window repeated only WITHIN the doc is q127's
+    * (duplicate n-gram fraction) signal, not this one, so the span set is
+    * mined with `n_docs ≥ 2` and the join keeps per-doc containment.
+    * Shape: the [[repeatedSpans]] aggregation, then one semi-ish join of
+    * the exploded slots against the mined set (broadcast when small, hash
+    * otherwise) and a per-doc count — no driver-side state. Docs shorter
+    * than L tokens have no slots and score 0. */
+  def repeatedSpanCoverage(df: DataFrame, id: Column, text: Column, L: Int,
+      minDocs: Long = 2L): DataFrame = {
+    val slots = df.select(id.as("id"),
+      explode(graft.ops.TextAnalysis.ngramSlots(text, L)).as("gram"))
+    val spans = repeatedSpans(df, id, text, L, minDocs).select("gram")
+    val hits = slots.join(spans, Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("__n_rep"))
+    df.select(id.as("id"),
+        greatest(size(graft.ops.TextAnalysis.tokens(text)) - (L - 1), lit(0))
+          .cast("long").as("n_slots"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_slots"),
+        coalesce(col("__n_rep"), lit(0L)).as("n_repeated"),
+        when(col("n_slots") === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("__n_rep"), lit(0L)).cast("double")
+            / col("n_slots"), 6)).as("coverage"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters block the pairwise search instead of LSH sign buckets
     * — the published recipe for web-scale embedding dedup. Reuses the IVF

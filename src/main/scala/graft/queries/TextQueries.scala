@@ -112,6 +112,18 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
     }),
 
+    // per-document repeated-span coverage: fraction of a doc's 3-gram
+    // windows shared verbatim with other docs — the cut signal built on
+    // q146's mined span set
+    "q148_span_coverage" -> ((s, d) => {
+      graft.ops.Dedup.repeatedSpanCoverage(t(s, d, "documents"),
+          col("doc_id"), col("text"), L = 3, minDocs = 2L)
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_slots"), col("n_repeated"),
+          col("coverage"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition rule: fraction of characters covered by the most
     // frequent bigram, deterministic lexicographic tie-break — the
     // occurrence-level companion to q127's distinct-slot fraction
@@ -409,6 +421,27 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical slot construction; the mined span set and the per-doc
+    // containment join replayed
+    "q148_span_coverage" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT doc_id, array_to_string(ts[x.i:x.i+2], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3),
+         spans AS (SELECT gram FROM grams
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (SELECT g.doc_id, count(*) AS n_rep
+           FROM grams g JOIN spans s USING (gram) GROUP BY 1),
+         base AS (SELECT doc_id,
+             CAST(greatest(len(ts) - 2, 0) AS BIGINT) AS n_slots
+           FROM toks)
+         SELECT b.doc_id, b.n_slots,
+           CAST(coalesce(h.n_rep, 0) AS BIGINT) AS n_repeated,
+           CASE WHEN b.n_slots = 0 THEN 0.0
+             ELSE round(coalesce(h.n_rep, 0)::DOUBLE / b.n_slots, 6) END AS coverage
+         FROM base b LEFT JOIN hits h USING (doc_id)
+         WHERE b.doc_id < 20 ORDER BY b.doc_id""",
 
     // identical slot construction; count(DISTINCT doc) / count(*) replayed
     "q146_repeated_spans" ->
