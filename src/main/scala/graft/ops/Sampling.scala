@@ -197,6 +197,46 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Square-root temperature mixture — the classic α=0.5 source-rebalancing
+    * rule (multilingual square-root sampling: upweight small sources,
+    * temper dominant ones) as a composition of budget derivation +
+    * [[budgetPerGroup]]'s deterministic prefix take. Per-group budget:
+    *
+    *   b_g = totalBudget * isqrt(tot_g) DIV Σ isqrt(tot)
+    *
+    * with INTEGER square roots (floor∘sqrt of a BIGINT is exact in any
+    * IEEE engine — `pow(x, α)` for general α is NOT cross-engine
+    * bit-stable, which is why the α=0.5 point is the one shipped) and
+    * integer division, so budget assignment is bit-portable and the floor
+    * guarantees Σ b_g ≤ totalBudget. Overflow bound: totalBudget ×
+    * Σ isqrt(tot) must stay < 2^63 (totals are token counts; isqrt shrinks
+    * them to ≤ ~3e9 even at 100 T tokens). Group totals are one partial
+    * agg; budgets broadcast back (groups = sources/languages, driver-sized
+    * by definition); the take is [[budgetPerGroup]]'s single hash shuffle. */
+  def sqrtTemperatureMixture(df: DataFrame, key: Column, cost: Column,
+      group: Column, totalBudget: Long, seed: Int = 11): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(group.as("__g"))
+      .agg(sum(cost.cast("long")).as("__tot"))
+      .withColumn("__w", floor(sqrt(col("__tot").cast("double"))).cast("long"))
+    val budgets = totals
+      .crossJoin(broadcast(totals.agg(sum("__w").as("__sw"))))
+      .select(col("__g"),
+        expr(s"CAST($totalBudget * __w DIV __sw AS BIGINT)").as("__b"))
+    val w = Window.partitionBy(group)
+      .orderBy(PortableHash.md5Long(key.cast("string"), seed), key.cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets), group === col("__g"))
+      .withColumn("__cum", sum(cost.cast("long")).over(w))
+      .filter(col("__cum") <= col("__b"))
+      .drop("__g", "__b", "__cum")
+  }
+
+  /** DuckDB twin of [[sqrtTemperatureMixture]]'s per-group budget (oracle
+    * construction): a CTE `SELECT $groupCol AS g, $totalBudget *
+    * floor(sqrt(sum(cost))) DIV (...) ...` — see q149 for the full replay. */
+
   /** DuckDB twin of [[budgetPerGroup]]'s cumulative cost (oracle
     * construction): filter this ≤ budget. */
   def budgetCumSql(keyCol: String, costCol: String, groupCol: String,

@@ -81,6 +81,20 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // square-root temperature mixture: per-source budgets ∝ isqrt(source
+    // tokens) — the α=0.5 rebalancing rule, bit-portable integer budget
+    // arithmetic, then the q134 deterministic hash-prefix take
+    "q149_sqrt_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ntok", TA.tokenCount(col("text")))
+      Sampling.sqrtTemperatureMixture(docs, col("doc_id"), col("ntok"),
+          col("source"), totalBudget = 3000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("ntok").cast("long").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // overlapping token windows (width 64, stride 48): per window-index
     // stats + content fingerprints pin both the windowing arithmetic and
     // the chunk text byte-for-byte
@@ -199,6 +213,24 @@ object SamplingQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(ntok) AS BIGINT) AS sum_tokens
          FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""",
+
+    // identical integer budget arithmetic (floor∘sqrt is exact in any IEEE
+    // engine; DIV ≡ // integer division), identical prefix take
+    "q149_sqrt_mixture" ->
+      s"""WITH tot AS (SELECT source,
+             CAST(floor(sqrt(sum(len(str_split(text, ' '))))) AS BIGINT) AS w
+           FROM documents GROUP BY 1),
+         bud AS (SELECT source,
+             CAST(3000 * w // (SELECT sum(w) FROM tot) AS BIGINT) AS b
+           FROM tot),
+         c AS (SELECT source, doc_id, len(str_split(text, ' ')) AS ntok,
+           ${Sampling.budgetCumSql("doc_id", "len(str_split(text, ' '))", "source")} AS cum
+           FROM documents)
+         SELECT c.source, count(*) AS n_docs,
+           CAST(sum(c.doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(c.ntok) AS BIGINT) AS sum_tokens
+         FROM c JOIN bud USING (source)
+         WHERE c.cum <= bud.b GROUP BY 1 ORDER BY 1""",
 
     "q86_chunk" ->
       s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})

@@ -1050,6 +1050,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out2(100L) === "")
   }
 
+  test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {
+    import spark.implicits._
+    // A dominates 100:1 in tokens; sqrt weights temper that to 10:1
+    val rows = (0L until 200L).map(i => (i, "A", 50L)) ++
+      (1000L until 1002L).map(i => (i, "B", 50L))
+    val df = rows.toDF("doc_id", "source", "ntok")
+    val total = 1100L
+    val kept = Sampling.sqrtTemperatureMixture(df, col("doc_id"), col("ntok"),
+      col("source"), totalBudget = total)
+    val byGroup = kept.groupBy("source").agg(sum("ntok").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byGroup.values.sum <= total, "mixture must never overshoot the total budget")
+    // proportional (α=1) would give B ~1% of the budget (≈11 tokens → 0
+    // whole docs); sqrt weights give B ~9% (≈100 tokens → both its docs)
+    assert(byGroup.getOrElse("B", 0L) === 100L,
+      s"small source must be upweighted to its full 100 tokens: $byGroup")
+    assert(byGroup("A") <= total - 100L)
+  }
+
   test("tfidf ranks stratum-exclusive tokens above corpus-wide ones") {
     import spark.implicits._
     val tiny = Seq(
