@@ -388,6 +388,41 @@ object Similarity {
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Append a batch to an existing [[ivfWritePartitioned]] index WITHOUT
+    * retraining: incoming vectors are assigned to the PERSISTED centroids
+    * (the same argmax projection the probe uses) and their rows land in the
+    * same cluster partitions via a parquet append — the standard streaming
+    * index-maintenance contract (FAISS `add` after `train`). Probes see old
+    * and new rows identically; recall degrades only as the data
+    * distribution drifts from the trained centroids, at which point the
+    * index is re-trained and rewritten. Quantized indexes (manifest
+    * `quantized: true`) get their codes built with the same rounding rule,
+    * so appended lists stay schema-compatible. Dimension mismatches raise
+    * typed errors up front. */
+  def ivfAppendPartitioned(df: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, s"ivfAppendPartitioned: no centroids at $path.centroids")
+    val quantized = ivfReadManifest(spark, path)
+      .exists(_.path("quantized").asBoolean(false))
+    ivfReadManifest(spark, path).foreach { m =>
+      val dim = m.path("dim").asInt()
+      val batchDim = df.select(size(vec)).take(1).headOption.map(_.getInt(0))
+      batchDim.filter(_ != dim).foreach { bd =>
+        throw new graft.core.BadCallException(
+          s"ivf index at $path holds $dim-dim vectors; append batch has $bd")
+      }
+    }
+    val assigned = df.select(id.cast("long").as("id"), vec.as("v"),
+      assignExpr(df, cents, vec).as("cluster"))
+    val listed =
+      if (quantized) quantizeInt8(assigned, col("v")).drop("v")
+      else assigned
+    listed.write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   /** IVF-PQ composed index (Jégou et al. TPAMI'11, the standard billion-
     * scale serving layout): inverted lists hive-partitioned by nearest
     * centroid, each row carrying BOTH the fp32 vector and its PQ codes.

@@ -338,6 +338,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(noManifest.getMessage.contains("no PQ manifest"))
   }
 
+  test("ivf append: no-retrain batch add lands in persisted clusters, full probe equals brute force over the union") {
+    val dir = Files.createTempDirectory("graft-ivf-app").toString + "/emb"
+    val q = embs.filter(col("vec_id") === 0)
+    val first = embs.filter(col("vec_id") =!= 0 && col("vec_id") < 300)
+    val rest = embs.filter(col("vec_id") >= 300)
+    Similarity.ivfWritePartitioned(first, col("vec_id"), col("embedding"), 6, dir,
+      kmeansIters = 2)
+    Similarity.ivfAppendPartitioned(rest, col("vec_id"), col("embedding"), dir)
+    // full probe over the appended index ≡ brute force over old ∪ new
+    val got = Similarity.ivfTopKPartitioned(spark, dir, q, col("embedding"),
+      nProbe = 6, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(embs.filter(col("vec_id") =!= 0),
+      col("vec_id"), col("embedding"), q, col("embedding"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+    // an appended copy of a known vector lands in ITS cluster: probing for
+    // it at nProbe=1 surfaces the copy (same argmax as the original)
+    import spark.implicits._
+    val probeVec = embs.filter(col("vec_id") === 42).select(col("embedding"))
+    val copy = probeVec.select(lit(999999L).as("vec_id"),
+      col("embedding"), lit(0).as("label"))
+    Similarity.ivfAppendPartitioned(copy, col("vec_id"), col("embedding"), dir)
+    val hit = Similarity.ivfTopKPartitioned(spark, dir, probeVec,
+      col("embedding"), nProbe = 1, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit.contains(999999L) && hit.contains(42L),
+      s"appended copy must be probeable in its original's cluster: $hit")
+    // dimension guard
+    val bad = intercept[graft.core.BadCallException] {
+      Similarity.ivfAppendPartitioned(
+        Seq((1L, Array(1f, 2f), 0)).toDF("vec_id", "embedding", "label"),
+        col("vec_id"), col("embedding"), dir)
+    }
+    assert(bad.getMessage.contains("append batch has 2"))
+  }
+
   test("ivf-pq index: full probe + full candidates equals brute force; ADC pass partition- and column-prunes") {
     val dir = Files.createTempDirectory("graft-ivfpq").toString + "/emb"
     val q = embs.filter(col("vec_id") === 0)
