@@ -799,6 +799,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED PQ serving: ADC-score a whole query batch in ONE pass over the
+    * codes (the q125/ivfTopKBatch contract, PQ edition). Per-query LUTs are
+    * computed on the driver (the batch is driver-sized by design, same as
+    * the centroid table) and broadcast as an `array<array<double>>` column;
+    * scoring stays m array lookups per (row, query) — independent of batch
+    * size, no per-query expression blowup. Candidates per query come from
+    * one window top-C over the fanned-out scores (the only Exchange, keyed
+    * on qid); the exact re-rank touches only candidate ids. Per query the
+    * result is IDENTICAL to [[pqTopKOnCodes]] (spec-pinned). */
+  def pqTopKBatchOnCodes(codesDf: DataFrame, id: Column, codes: Column,
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, model: PqModel,
+      nCandidates: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = codesDf.sparkSession
+    import spark.implicits._
+    val qrows = queries.select(qid.cast("long").as("qid"), qvec.as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qrows.nonEmpty, "pqTopKBatchOnCodes: empty query batch")
+    qrows.find(_._2.length != model.dim).foreach { case (q, v) =>
+      throw new graft.core.BadCallException(
+        s"pqTopKBatchOnCodes: query $q dim ${v.length} != model dim ${model.dim}")
+    }
+    val lutRows = qrows.map { case (q, v) =>
+      (q, adcLuts(model, normalizeDriver(v)).map(_.toSeq).toSeq) }
+    val qdf = broadcast(lutRows.toSeq.toDF("qid", "luts"))
+    val candIds = codesDf.select(id.cast("long").as("id"), codes.as("__codes"))
+      .crossJoin(qdf)
+      .select(col("qid"), col("id"),
+        (0 until model.m).map { j =>
+          element_at(element_at(col("luts"), j + 1),
+            element_at(col("__codes"), j + 1).cast("int") + 1)
+        }.reduce(_ + _).as("adc"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").asc, col("id"))))
+      .filter(col("__rn") <= nCandidates)
+      .select(col("qid"), col("id"))
+    val qvecs = broadcast(qrows.map { case (q, v) => (q, v.toSeq) }
+      .toSeq.toDF("qid", "qv"))
+    base.select(baseId.cast("long").as("id"), baseVec.as("__v"))
+      .join(broadcast(candIds), Seq("id"))
+      .join(qvecs, Seq("qid"))
+      .select(col("qid"), col("id"),
+        cosineNative(base, col("__v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Convenience: encode + serve in one call (bench/correctness path; the
     * serving path persists codes once via [[pqWriteEncoded]] instead of
     * re-encoding per query). */

@@ -63,6 +63,35 @@ object VectorQueries {
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
     }),
 
+    // BATCHED PQ serving: one codes-scan answers a 3-query batch; per-query
+    // recall bound vs the brute truth, same contract as q125. Candidate
+    // pool 250 per query (the q142 pool that measures 1.0 alone).
+    "q150_ann_pq_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = emb(s, d).filter(col("vec_id") >= 3)
+      val queries = emb(s, d).filter(col("vec_id") < 3)
+      val model = Sim.pqTrain(base, col("vec_id"), col("embedding"), m = 16, ks = 16)
+      val encoded = Sim.pqEncode(
+        base.select(col("vec_id"), col("embedding")), col("embedding"), model)
+      val batch = Sim.pqTopKBatchOnCodes(encoded, col("vec_id"), col("codes"),
+        base, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), model,
+        nCandidates = 250, k = 10)
+      val truth = base
+        .crossJoin(broadcast(queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qv"))))
+        .select(col("qid"), col("vec_id").as("id"),
+          Sim.cosineNative(base, col("embedding"), col("qv")).as("cos"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
+        .filter(col("__rn") <= 10)
+      batch.join(truth.select(col("qid"), col("id")), Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        .select(col("qid"), lit(10).as("k"),
+          (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
+        .orderBy("qid")
+    }),
+
     // IVF-PQ composed index, end to end: build the cluster-partitioned
     // lists with PQ codes, probe partition+column-pruned ADC candidates,
     // re-rank exactly — same oracle-pinned recall-bound contract as q57.
@@ -419,6 +448,11 @@ object VectorQueries {
 
     // same contract for the composed IVF-PQ index
     "q147_ann_ivfpq" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // one bound row per batched PQ query, same contract as q125
+    "q150_ann_pq_batch" ->
+      """SELECT vec_id AS qid, 10 AS k, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 3 ORDER BY 1""",
 
     // planted exact copies must all be deduped away; no original pair
     // reaches τ=0.9 (measured max 0.51/0.60), so every original survives

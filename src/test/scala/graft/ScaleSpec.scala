@@ -415,6 +415,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(badDim.getMessage.contains("query vector has 2"))
   }
 
+  test("batched pq serve: per-query results identical to the single-query path") {
+    val body = embs.filter(col("vec_id") >= 3)
+    val queries = embs.filter(col("vec_id") < 3)
+    val model = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    val encoded = Similarity.pqEncode(
+      body.select(col("vec_id"), col("embedding")), col("embedding"), model)
+    val batch = Similarity.pqTopKBatchOnCodes(encoded, col("vec_id"), col("codes"),
+        body, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), model, 50, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    for (q <- 0L until 3L) {
+      val single = Similarity.pqTopKOnCodes(encoded, col("vec_id"), col("codes"),
+          body, col("vec_id"), col("embedding"),
+          embs.filter(col("vec_id") === q), col("embedding"), model, 50, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch(q).toSeq === single, s"query $q batch/single mismatch")
+    }
+  }
+
   test("bucketized range join equals the naive interval join, without a nested loop") {
     import graft.ops.RangeJoin
     val H = 3600000000L
