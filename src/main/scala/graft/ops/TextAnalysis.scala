@@ -119,26 +119,48 @@ object TextAnalysis {
     * sorting (pos, line) structs — pos is unique per doc, so the rebuild is
     * deterministic under any partitioning. */
   def removeBoilerplateLines(df: DataFrame, id: Column, text: Column,
-      minDocs: Long, sep: String = "\n"): DataFrame = {
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    removeLines(df, id, text, mineFrequentLines(df, id, text, minDocs, sep), sep)
+
+  /** Mining half of [[removeBoilerplateLines]]: the distinct lines present
+    * in ≥ `minDocs` documents (one `line` column). Run this OFFLINE over
+    * the static corpus; the apply half is then stateless per row batch —
+    * the production split for continuous ingest. */
+  def mineFrequentLines(df: DataFrame, id: Column, text: Column,
+      minDocs: Long, sep: String = "\n"): DataFrame =
+    df.select(id.as("__id"),
+        explode(split(text, java.util.regex.Pattern.quote(sep))).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("line")
+
+  /** Apply half: remove every line found in `badLines` (a one-column frame;
+    * de-duplicated here, so callers can pass raw mining output), rebuilding
+    * each document's surviving lines in order. Structured so the document
+    * side carries ONE stateful aggregation and the `badLines` side joins as
+    * a static (broadcastable) relation — exactly the stream-static shape,
+    * so the same code runs over `readStream` microbatches
+    * (StreamStaticSpec pins streaming ≡ batch). A document whose every
+    * line is boilerplate comes back with empty text, not missing. */
+  def removeLines(df: DataFrame, id: Column, text: Column,
+      badLines: DataFrame, sep: String = "\n"): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
     val lines = df.select(id.as("__id"),
+      size(split(text, quoted)).cast("long").as("__nl"),
       posexplode(split(text, quoted)).as(Seq("__pos", "__line")))
-    val frequent = lines.groupBy("__line")
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs).select("__line")
-    val rebuilt = lines.join(frequent, Seq("__line"), "left_anti")
+    val bad = badLines.select(col(badLines.columns.head).as("__line"))
+      .distinct().withColumn("__bad", lit(1))
+    lines.join(bad, Seq("__line"), "left")
       .groupBy("__id")
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__line")))),
-          x => x.getField("__line")), sep).as("__t"),
-        count(lit(1)).as("__n_kept"))
-    df.select(id.as("__id"), size(split(text, quoted)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as("id"),
-        coalesce(col("__t"), lit("")).as("text"),
-        col("n_lines"),
-        coalesce(col("__n_kept"), lit(0L)).as("n_lines_kept"))
+        max(col("__nl")).as("n_lines"),
+        sum(when(col("__bad").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        array_join(transform(array_sort(
+            collect_list(when(col("__bad").isNull,
+              struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), sep).as("__t"))
+      .select(col("__id").as("id"), col("__t").as("text"),
+        col("n_lines"), col("n_lines_kept"))
   }
 
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */

@@ -77,6 +77,35 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq && got.nonEmpty)
   }
 
+  test("streaming boilerplate removal: static mined lines applied to a document stream equals batch") {
+    // the production split: the frequent-line set is mined OFFLINE from the
+    // static corpus (mining on the stream would be a second stateful op);
+    // the removal itself is one stream-static join + one stateful rebuild
+    val dir = Files.createTempDirectory("graft-lines-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("d.parquet"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " table ", "\n").as("text"))
+    val mined = graft.ops.TextAnalysis.mineFrequentLines(
+      docs, col("doc_id"), col("text"), minDocs = 5L)
+    def pipeline(incoming: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.removeLines(
+        incoming.select(col("doc_id"),
+          regexp_replace(col("text"), " table ", "\n").as("text")),
+        col("doc_id"), col("text"), mined)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(pipeline(stream), "lines_stream",
+        OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = pipeline(raw)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === want.toSeq && got.exists(t => t._4 < t._3),
+      "stream must equal batch and at least one doc must lose a line")
+  }
+
   test("streaming budget admission: one batch equals the batch op; state " +
     "carries across batches and never overspends") {
     import graft.streaming.{Admission, BudgetRow}
