@@ -197,6 +197,28 @@ object Sampling {
       .filter(col("__cum") <= budget).drop("__cum")
   }
 
+  /** Deterministic pre-training shuffle: a reproducible global permutation —
+    * every training run needs its corpus in a "random" order that is
+    * nevertheless IDENTICAL across reruns, engines and partition layouts
+    * (or loss curves aren't comparable and resume-from-checkpoint skews).
+    * Order = portable md5-derived hash of the key (+ seed), tie-broken by
+    * the key string; change `seed` for a fresh epoch permutation.
+    *
+    * Scale shape: `repartitionByRange` on the hash gives a RANGE exchange
+    * (sampled boundaries, all reducers fill evenly) + per-partition sorts —
+    * a total order across output files with NO single-reducer global sort;
+    * writing part files in partition order preserves the permutation. The
+    * `shuffle_ord` column is kept (it IS the permutation — downstream
+    * writers sort shards by it, and it makes the order observable/testable);
+    * drop it after writing. */
+  def deterministicShuffle(df: DataFrame, key: Column, nPartitions: Int,
+      seed: Int = 11): DataFrame = {
+    require(nPartitions > 0, s"nPartitions must be positive, got $nPartitions")
+    df.withColumn("shuffle_ord", PortableHash.md5Long(key.cast("string"), seed))
+      .repartitionByRange(nPartitions, col("shuffle_ord"), key.cast("string"))
+      .sortWithinPartitions(col("shuffle_ord"), key.cast("string"))
+  }
+
   /** Square-root temperature mixture — the classic α=0.5 source-rebalancing
     * rule (multilingual square-root sampling: upweight small sources,
     * temper dominant ones) as a composition of budget derivation +

@@ -81,6 +81,19 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // deterministic pre-training shuffle: the head of the reproducible
+    // global permutation (portable hash order, tie-broken by key) — the
+    // oracle replays the same order; OpsSpec pins that the op's partition
+    // layout realizes exactly this order end to end
+    "q151_train_shuffle" -> ((s, d) => {
+      Sampling.deterministicShuffle(t(s, d, "documents"), col("doc_id"),
+          nPartitions = 4)
+        .orderBy(col("shuffle_ord"), col("doc_id").cast("string"))
+        .limit(20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // square-root temperature mixture: per-source budgets ∝ isqrt(source
     // tokens) — the α=0.5 rebalancing rule, bit-portable integer budget
     // arithmetic, then the q134 deterministic hash-prefix take
@@ -213,6 +226,15 @@ object SamplingQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(ntok) AS BIGINT) AS sum_tokens
          FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1""",
+
+    // identical hash order replayed; final presentation order by doc_id
+    "q151_train_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, source,
+           ${PortableHash.md5LongSql("doc_id::VARCHAR", 11)} AS ord
+           FROM documents),
+         top AS (SELECT doc_id, source FROM h
+           ORDER BY ord, CAST(doc_id AS VARCHAR) LIMIT 20)
+         SELECT doc_id, source FROM top ORDER BY doc_id""",
 
     // identical integer budget arithmetic (floor∘sqrt is exact in any IEEE
     // engine; DIV ≡ // integer division), identical prefix take

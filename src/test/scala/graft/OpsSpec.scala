@@ -1050,6 +1050,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out2(100L) === "")
   }
 
+  test("deterministic shuffle: partition-concatenated order IS the global permutation, reproducible, seed-sensitive") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val shuffled = Sampling.deterministicShuffle(docs, col("doc_id"), nPartitions = 4)
+    // collect() concatenates partitions in order: with range partitioning +
+    // within-partition sorts that must BE the global hash order
+    val got = shuffled.collect().map(_.getLong(0)).toSeq
+    val want = shuffled.orderBy(col("shuffle_ord"), col("doc_id").cast("string"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want, "partition layout must realize the global permutation")
+    assert(got.sorted === docs.collect().map(_.getLong(0)).toSeq.sorted,
+      "shuffle must be a permutation — no rows lost or duplicated")
+    // reproducible across evaluations; different seed ⇒ different order
+    val again = Sampling.deterministicShuffle(docs, col("doc_id"), 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again === got)
+    val other = Sampling.deterministicShuffle(docs, col("doc_id"), 4, seed = 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other != got)
+    assert(other.sorted === got.sorted)
+  }
+
   test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {
     import spark.implicits._
     // A dominates 100:1 in tokens; sqrt weights temper that to 10:1
