@@ -1071,6 +1071,17 @@ class OpsSpec extends AnyFunSuite {
     assert(other.sorted === got.sorted)
   }
 
+  test("native pq encode is bit-equal to the composable lambda form") {
+    val body = embs.filter(col("vec_id") =!= 0)
+    val model = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
+    def codes(native: Boolean) =
+      Similarity.pqEncode(body.select(col("vec_id"), col("embedding")),
+          col("embedding"), model, native = native)
+        .select(col("vec_id"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).sortBy(_._1).toSeq
+    assert(codes(native = true) === codes(native = false))
+  }
+
   test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {
     import spark.implicits._
     // A dominates 100:1 in tokens; sqrt weights temper that to 10:1
