@@ -49,6 +49,38 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** ALL word n-gram window SLOTS (with duplicates, in order) — the
+  * occurrence-counting companion to [[WordShingles]]' distinct sets, one
+  * native pass with the same tokenization invariant ([[WordShingles.tokenSpans]]).
+  * Texts with fewer than `n` tokens have no slots (EMPTY array — matching
+  * [[graft.ops.TextAnalysis.ngramSlots]]' composable twin, which OpsSpec
+  * pins bit-equal). Each slot is a substring of the source (tokens are
+  * space-joined there already), so emission is O(total slot length) with
+  * no per-token concatenation. */
+case class NgramSlots(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_slots expects a string column, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.allSlots(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles.allSlots($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramSlots =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_slots"
+}
+
 object WordShingles {
 
   /** Single-space token spans of `s`, keeping ALL tokens (leading/
@@ -93,6 +125,22 @@ object WordShingles {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All n-token windows in order, duplicates kept; empty when ntok < n.
+    * Called from both interpreted eval and the generated code. */
+  def allSlots(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val (starts, ends) = tokenSpans(s)
+    val ntok = starts.length
+    if (ntok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](ntok - n + 1)
+    var k = 0
+    while (k + n <= ntok) {
+      out(k) = UTF8String.fromString(s.substring(starts(k), ends(k + n - 1)))
+      k += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -523,10 +523,17 @@ object Dedup {
     * decontamination with the mined set. */
   def repeatedSpans(df: DataFrame, id: Column, text: Column, L: Int,
       minDocs: Long = 2L): DataFrame =
-    df.select(id.as("__id"),
-        explode(graft.ops.TextAnalysis.ngramSlots(text, L)).as("gram"))
+    spansOfSlots(df.select(id.as("id"),
+      explode(graft.ops.TextAnalysis.ngramSlots(text, L)).as("gram")), minDocs)
+
+  /** Span aggregation over an already-exploded `(id, gram)` slot frame —
+    * two-level form (per-(gram, doc) partial, then per-gram) instead of
+    * `count + countDistinct` in one agg, which would Expand-duplicate every
+    * slot row; the first level partial-aggregates before its shuffle. */
+  private def spansOfSlots(slots: DataFrame, minDocs: Long): DataFrame =
+    slots.groupBy("gram", "id").agg(count(lit(1)).as("__occ"))
       .groupBy("gram")
-      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_docs"), sum("__occ").as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
   /** Per-document repeated-span coverage: the fraction of a document's
@@ -543,9 +550,11 @@ object Dedup {
     * than L tokens have no slots and score 0. */
   def repeatedSpanCoverage(df: DataFrame, id: Column, text: Column, L: Int,
       minDocs: Long = 2L): DataFrame = {
+    // ONE explode feeds both the span mining and the containment join —
+    // the exploded slot table is the expensive frame here, never built twice
     val slots = df.select(id.as("id"),
       explode(graft.ops.TextAnalysis.ngramSlots(text, L)).as("gram"))
-    val spans = repeatedSpans(df, id, text, L, minDocs).select("gram")
+    val spans = spansOfSlots(slots, minDocs).select("gram")
     val hits = slots.join(spans, Seq("gram"))
       .groupBy("id").agg(count(lit(1)).as("__n_rep"))
     df.select(id.as("id"),

@@ -251,8 +251,20 @@ object TextAnalysis {
 
   /** All word n-gram SLOTS of a text (with duplicates, in order) — the
     * occurrence-counting companion to [[graft.ops.Dedup.shingles]]' distinct
-    * sets. Texts shorter than n tokens have no slots (empty array). */
-  def ngramSlots(c: Column, n: Int): Column = {
+    * sets. Texts shorter than n tokens have no slots (empty array).
+    * Native one-pass expression by default ([[graft.functions.NgramSlots]]
+    * — each slot is a substring of the source, no per-token concat; the
+    * composable lambda twin re-splits the text per slot, the same
+    * higher-order-function trap `word_shingles` documents). Built directly
+    * from the expression so it resolves on any session. */
+  def ngramSlots(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NgramSlots(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+
+  /** Composable twin of [[ngramSlots]] — the executable spec (OpsSpec pins
+    * bit-equality); NOT for pipelines (O(L²) re-split per slot). */
+  def ngramSlotsComposable(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),

@@ -1071,6 +1071,27 @@ class OpsSpec extends AnyFunSuite {
     assert(other.sorted === got.sorted)
   }
 
+  test("native ngram_slots is bit-equal to the composable lambda form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (n <- Seq(2, 3, 5)) {
+      val native = docs.select(col("doc_id"),
+          TextAnalysis.ngramSlots(col("text"), n).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+      val comp = docs.select(col("doc_id"),
+          TextAnalysis.ngramSlotsComposable(col("text"), n).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+      assert(native === comp, s"n=$n")
+    }
+    // edge rows: short text (no slots), empty string, consecutive spaces
+    import spark.implicits._
+    val edge = Seq((1L, "one two"), (2L, ""), (3L, "a  b c")).toDF("doc_id", "text")
+    val nat = edge.select(col("doc_id"), TextAnalysis.ngramSlots(col("text"), 3).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+    val cmp = edge.select(col("doc_id"), TextAnalysis.ngramSlotsComposable(col("text"), 3).as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).sortBy(_._1).toSeq
+    assert(nat === cmp)
+  }
+
   test("native pq encode is bit-equal to the composable lambda form") {
     val body = embs.filter(col("vec_id") =!= 0)
     val model = Similarity.pqTrain(body, col("vec_id"), col("embedding"), m = 16, ks = 16)
