@@ -568,6 +568,49 @@ object Dedup {
             / col("n_slots"), 6)).as("coverage"))
   }
 
+  /** Cut the repeated spans OUT of the documents — the transformation half
+    * of exact-substring dedup (Lee et al. 2022 remove every duplicated
+    * substring from all but one occurrence; the simpler corpus-hygiene
+    * variant shipped here removes COVERED TOKENS everywhere, which is the
+    * conservative choice for decontamination-grade cleaning). A token is
+    * covered iff some L-window containing it is a cross-document repeated
+    * span ([[repeatedSpans]], n_docs ≥ minDocs); surviving tokens rejoin in
+    * order. Returns `(id, text, n_tokens, n_tokens_kept)`.
+    *
+    * Shape: one explode to slots (positions kept) → span-set join → one
+    * `sequence(pos, pos+L-1)` explode of only the REPEATED slots (bounded
+    * by coverage, not document length) → distinct covered positions → one
+    * anti join against the token table → order-restoring rebuild, the same
+    * sort-structs aggregation [[graft.ops.TextAnalysis.removeLines]] uses.
+    * Everything is hash-partitioned on the doc id or the gram; nothing
+    * driver-side. */
+  def cutRepeatedSpans(df: DataFrame, id: Column, text: Column, L: Int,
+      minDocs: Long = 2L): DataFrame = {
+    val toks = df.select(id.as("id"),
+      posexplode(graft.ops.TextAnalysis.tokens(text)).as(Seq("pos", "tok")))
+    val slots = df.select(id.as("id"),
+      posexplode(graft.ops.TextAnalysis.ngramSlots(text, L))
+        .as(Seq("spos", "gram")))
+    val spans = spansOfSlots(
+      slots.select(col("id"), col("gram")), minDocs).select("gram")
+    val covered = slots.join(spans, Seq("gram"))
+      .select(col("id"), explode(sequence(col("spos"), col("spos") + (L - 1)))
+        .as("pos"))
+      .distinct()
+    toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text"),
+        count(lit(1)).as("__kept"))
+      .join(df.select(id.as("id"),
+        size(graft.ops.TextAnalysis.tokens(text)).cast("long").as("n_tokens")),
+        Seq("id"), "right")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_tokens"), coalesce(col("__kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters block the pairwise search instead of LSH sign buckets
     * — the published recipe for web-scale embedding dedup. Reuses the IVF

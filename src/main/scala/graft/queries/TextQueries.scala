@@ -112,6 +112,19 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
     }),
 
+    // span cutting: tokens covered by any cross-document repeated 5-gram
+    // are removed everywhere, survivors rejoin in order — the
+    // transformation half of exact-substring dedup; the oracle replays the
+    // cut and fingerprints the rebuilt text byte-for-byte
+    "q152_span_cut" -> ((s, d) => {
+      graft.ops.Dedup.cutRepeatedSpans(t(s, d, "documents"),
+          col("doc_id"), col("text"), L = 5, minDocs = 2L)
+        .filter(col("id") < 10)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_tokens_kept"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // per-document repeated-span coverage: fraction of a doc's 3-gram
     // windows shared verbatim with other docs — the cut signal built on
     // q146's mined span set
@@ -421,6 +434,32 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical slot/position construction (0-based), identical covered-
+    // position expansion and order-restoring rebuild
+    "q152_span_cut" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         tok AS (SELECT doc_id, x.i - 1 AS pos, ts[x.i] AS tok
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x),
+         slots AS (SELECT doc_id, x.i - 1 AS spos,
+             array_to_string(ts[x.i:x.i+4], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5),
+         spans AS (SELECT gram FROM slots
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT s.doc_id, s.spos + o.o AS pos
+           FROM slots s JOIN spans USING (gram),
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS o) o),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
+             count(*) AS kept
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.kept, 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(r.t2, '')) AS fp
+         FROM toks d LEFT JOIN reb r USING (doc_id)
+         WHERE d.doc_id < 10 ORDER BY d.doc_id""",
 
     // identical slot construction; the mined span set and the per-doc
     // containment join replayed

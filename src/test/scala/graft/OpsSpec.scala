@@ -1071,6 +1071,22 @@ class OpsSpec extends AnyFunSuite {
     assert(other.sorted === got.sorted)
   }
 
+  test("span cutting: a shared 5-gram is cut from every occurrence, unique text survives verbatim") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven eight nine"),
+      (3L, "ten eleven twelve thirteen fourteen fifteen")).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, col("doc_id"), col("text"), L = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0)._2 === "one two three four")
+    assert(out(1)._2 === "five six seven eight nine")
+    assert(out(2)._2 === "ten eleven twelve thirteen fourteen fifteen")
+    assert(out.map(t => (t._3, t._4)).toSeq === Seq((9L, 4L), (10L, 5L), (6L, 6L)))
+  }
+
   test("native ngram_slots is bit-equal to the composable lambda form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (n <- Seq(2, 3, 5)) {
