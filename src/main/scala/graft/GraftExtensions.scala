@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, RollingHash, SimHash64, SpaceSavingSketch, WordChunks, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, NgramSlots, RollingHash, SimHash64, SpaceSavingSketch, WordChunks, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wordChunks)
     e.injectFunction(GraftExtensions.rollingHash)
     e.injectFunction(GraftExtensions.spaceSaving)
+    e.injectFunction(GraftExtensions.ngramSlots)
   }
 }
 
@@ -129,6 +130,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SpaceSavingSketch].getName, "space_saving"),
     (exprs: Seq[Expression]) => spaceSavingBuilder(exprs))
 
+  private def slotsBuilder(exprs: Seq[Expression]): Expression = {
+    arity("ngram_slots", exprs, 2)
+    NgramSlots(exprs(0), intArg("ngram_slots", "n", exprs(1)))
+  }
+
+  private val ngramSlots = (
+    FunctionIdentifier("ngram_slots"),
+    new ExpressionInfo(classOf[NgramSlots].getName, "ngram_slots"),
+    (exprs: Seq[Expression]) => slotsBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -144,5 +155,6 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("simhash64", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("word_chunks", chunksBuilder, "built-in")
     reg.createOrReplaceTempFunction("rolling_hash", rollingHashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("ngram_slots", slotsBuilder, "built-in")
   }
 }

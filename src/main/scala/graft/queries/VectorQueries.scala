@@ -223,7 +223,7 @@ object VectorQueries {
         .withColumn("__rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))))
         .filter(col("__rn") <= 10)
-      batch.join(truth.select(col("qid"), col("id")), Seq("qid", "id"))
+      batch.join(broadcast(truth.select(col("qid"), col("id"))), Seq("qid", "id"))
         .groupBy("qid").agg(count(lit(1)).as("n_hits"))
         .select(col("qid"), lit(10).as("k"),
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))

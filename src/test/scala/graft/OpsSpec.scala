@@ -1071,6 +1071,21 @@ class OpsSpec extends AnyFunSuite {
     assert(other.sorted === got.sorted)
   }
 
+  test("ngram_slots is callable from SQL; removeLines is idempotent against a fixed line set") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val fromSql = spark.sql("SELECT ngram_slots('a b c d', 2) AS g")
+      .head.getSeq[String](0).toSeq
+    assert(fromSql === Seq("a b", "b c", "c d"))
+    import spark.implicits._
+    val docs = Seq((1L, "keep\nBANNER\nalso keep"), (2L, "BANNER\nBANNER\nx"))
+      .toDF("doc_id", "text")
+    val bad = Seq("BANNER").toDF("line")
+    val once = TextAnalysis.removeLines(docs, col("doc_id"), col("text"), bad)
+    val twice = TextAnalysis.removeLines(once, col("id"), col("text"), bad)
+    assert(twice.select("id", "text").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === once.select("id", "text").collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+  }
+
   test("span cutting: a shared 5-gram is cut from every occurrence, unique text survives verbatim") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon"
