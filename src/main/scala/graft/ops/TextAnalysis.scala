@@ -305,6 +305,29 @@ object TextAnalysis {
             .cast("double") / col("__nc"), 6)).as("frac"))
   }
 
+  /** Shannon character entropy per document (bits/char) — the gibberish /
+    * encoding-junk / binary-blob detector the length- and word-level
+    * quality rules miss (mojibake and base64 walls score normal token
+    * counts but extreme entropy; repeated-char padding scores near 0).
+    * H = (ln L − Σ c·ln c / L) / ln 2 over per-character counts c —
+    * computed in that factored form so the only shuffle carries (doc, char)
+    * partial counts (≤ alphabet size per doc, partial-aggregated map-side).
+    * Same cross-engine float discipline as [[pmiBigrams]]: natural log +
+    * round-6 (log noise is ulps, far below the rounding grid). Empty texts
+    * score 0 by convention. */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = df
+      .select(id.as("id"), explode(split(text, "")).as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    counts.groupBy("id")
+      .agg(sum("c").as("n_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("__clc"))
+      .select(col("id"), col("n_chars"),
+        when(col("n_chars") === 0, lit(0.0)).otherwise(
+          round((log(col("n_chars").cast("double"))
+            - col("__clc") / col("n_chars")) / math.log(2.0), 6)).as("entropy"))
+  }
+
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =
     when(tokenCount(c) < 30, "short")

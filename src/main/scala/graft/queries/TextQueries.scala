@@ -112,6 +112,21 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
     }),
 
+    // character entropy: the gibberish/binary-junk quality signal —
+    // planted low-entropy (one repeated char) and high-entropy (full
+    // alphabet cycle) rows pin both tails through the same arithmetic
+    "q153_char_entropy" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("aaaaaaaaaaaaaaaaaaaa"))
+          .when(col("doc_id") % 7 === 1,
+            lit("abcdefghijklmnopqrstuvwxyz0123456789"))
+          .otherwise(col("text")).as("text"))
+      graft.ops.TextAnalysis.charEntropy(planted, col("doc_id"), col("text"))
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_chars"), col("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // span cutting: tokens covered by any cross-document repeated 5-gram
     // are removed everywhere, survivors rejoin in order — the
     // transformation half of exact-substring dedup; the oracle replays the
@@ -434,6 +449,26 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical plant, identical per-char counting (1-based substr series)
+    // and the identical factored entropy formula
+    "q153_char_entropy" ->
+      """WITH planted AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'aaaaaaaaaaaaaaaaaaaa'
+                WHEN doc_id % 7 = 1 THEN 'abcdefghijklmnopqrstuvwxyz0123456789'
+                ELSE text END AS text
+           FROM documents WHERE doc_id < 20),
+         chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
+           FROM planted, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) x),
+         counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         agg AS (SELECT doc_id, sum(c) AS n_chars,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS clc
+           FROM counts GROUP BY 1)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN n_chars = 0 THEN 0.0
+             ELSE round((ln(n_chars::DOUBLE) - clc / n_chars) / ln(2.0), 6)
+           END AS entropy
+         FROM agg ORDER BY doc_id""",
 
     // identical slot/position construction (0-based), identical covered-
     // position expansion and order-restoring rebuild
