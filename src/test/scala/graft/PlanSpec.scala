@@ -192,6 +192,17 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p134) <= 2, s"window + final sort only:\n$p134")
   }
 
+  test("span mining runs Expand-free: two-level agg replaces count+countDistinct (q146, q148)") {
+    // count + countDistinct in ONE aggregate makes Spark Expand-duplicate
+    // every exploded slot row; the two-level form avoids it — pin that the
+    // rewrite never regresses
+    for (name <- Seq("q146_repeated_spans", "q148_span_coverage")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Expand"), s"$name must plan without Expand:\n$p")
+    }
+  }
+
   test("date-type drift read is a single scan, not a per-shard union (q117)") {
     // the widened-NTZ fallback path must also stay one FileSourceScan —
     // a per-shard union would blow up the plan at 100k shards
