@@ -328,6 +328,67 @@ object TextAnalysis {
             - col("__clc") / col("n_chars")) / math.log(2.0), 6)).as("entropy"))
   }
 
+  /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020 filter web
+    * text by the perplexity of a reference-corpus LM; the full system uses
+    * a KenLM 5-gram — the shipped 2-gram keeps the identical pipeline shape
+    * with cross-engine-exact arithmetic): train an add-k-smoothed bigram LM
+    * on `ref`, score every document by per-bigram cross-entropy
+    * −Σ ln p(w₂|w₁) / n, and bucket into head/middle/tail terciles (CCNet's
+    * split: head = most reference-like, tail = junk candidates).
+    *
+    * p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V), V = reference vocabulary;
+    * unseen bigrams and unseen left-words degrade smoothly to the smoothing
+    * floor. Docs with < 2 tokens carry no bigram evidence and score NULL
+    * (callers decide; the tercile window ranks them last, deterministically).
+    *
+    * Shape: two reference count aggs (partial map-side) + one broadcast
+    * scalar (V) + one hash join of document bigrams against the bigram
+    * table keyed on the pair + one against unigrams — the LM "model" IS
+    * those two count tables, distributed, never driver-side; at 100 TB
+    * train on a sampled/curated reference slice exactly as CCNet does.
+    * Returns per-doc scores only; tercile BUCKETING is the caller's
+    * presentation step (q154 uses exact ntile for the oracle — at 100 TB
+    * compute the two cutoffs with percentile_approx and CASE-assign
+    * instead, the q132/q133 exact-vs-sketch regime). Log arithmetic
+    * follows the q123/q153 float discipline (natural log, round-6). */
+  def bigramCrossEntropy(docs: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column, k: Double = 1.0): DataFrame = {
+    def pairs(df: DataFrame, cols: Seq[Column], t: Column): DataFrame = {
+      val base = df.select(cols :+ tokens(t).as("__toks"): _*)
+      val keep = base.columns.dropRight(1).toIndexedSeq.map(col)
+      base.select(keep :+ explode(
+          when(size(col("__toks")) >= 2,
+            transform(sequence(lit(1), size(col("__toks")) - 1),
+              i => struct(element_at(col("__toks"), i).as("w1"),
+                element_at(col("__toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("__p"): _*)
+        .select(keep ++ Seq(col("__p.w1").as("w1"), col("__p.w2").as("w2")): _*)
+    }
+    val refUni = ref.select(explode(tokens(refText)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val refBi = pairs(ref, Seq.empty, refText)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val vocab = refUni.agg(count(lit(1)).cast("double").as("__v"))
+    val docPairs = pairs(docs, Seq(id.as("id")), text)
+    val scored = docPairs
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (log(coalesce(col("__c2"), lit(0L)).cast("double") + k)
+          - log(coalesce(col("__c1"), lit(0L)).cast("double")
+            + lit(k) * col("__v")))
+          .as("__lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("__lp")) / count(lit(1)), 6).as("cross_entropy"))
+    docs.select(id.as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   def qualityClass(c: Column): Column =
     when(tokenCount(c) < 30, "short")

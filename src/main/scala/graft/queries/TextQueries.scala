@@ -112,6 +112,25 @@ object TextQueries {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
     }),
 
+    // CCNet-style LM quality scoring: add-1 bigram LM trained on the
+    // corpus, every doc scored by per-bigram cross-entropy, then the
+    // head/middle/tail tercile split (exact ntile here for the oracle; the
+    // 100 TB path CASE-assigns against percentile_approx cutoffs)
+    "q154_lm_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      graft.ops.TextAnalysis.bigramCrossEntropy(docs, col("doc_id"),
+          col("text"), docs, col("text"))
+        .withColumn("bucket",
+          array(lit("head"), lit("middle"), lit("tail"))(
+            ntile(3).over(Window.orderBy(
+              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("cross_entropy"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -449,6 +468,34 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical LM counts, identical add-1 smoothed log-prob and tercile
+    // window (ntile agrees cross-engine on the rounded score + id order)
+    "q154_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         uni AS (SELECT ts[x.i] AS w1, count(*) AS c1
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
+           GROUP BY 1),
+         bi AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c2
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+           WHERE len(ts) >= 2 GROUP BY 1, 2),
+         v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+           WHERE len(ts) >= 2),
+         sc AS (SELECT dp.doc_id, count(*) AS nb,
+             round(-sum(ln(coalesce(bi.c2, 0) + 1.0)
+               - ln(coalesce(uni.c1, 0) + v.v)) / count(*), 6) AS xent
+           FROM dp LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
+           CROSS JOIN v GROUP BY 1),
+         b AS (SELECT t.doc_id,
+             CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+             sc.xent AS cross_entropy,
+             (['head', 'middle', 'tail'])[ntile(3) OVER (
+               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+           FROM toks t LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_bigrams, cross_entropy, bucket FROM b
+         WHERE doc_id < 20 ORDER BY doc_id""",
 
     // identical plant, identical per-char counting (1-based substr series)
     // and the identical factored entropy formula
