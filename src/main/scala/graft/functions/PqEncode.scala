@@ -45,6 +45,9 @@ case class PqEncode(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n != m * ds)
+      throw new graft.core.BadCallException(
+        s"pq_encode: vector has $n dims, codebook expects ${m * ds} (m=$m × ds=$ds)")
     var norm = 0.0
     var i = 0
     while (i < n) {
@@ -93,6 +96,10 @@ case class PqEncode(child: Expression,
       val cent = ctx.freshName("cent")
       s"""
          |int $n = $v.numElements();
+         |if ($n != ${m * ds}) {
+         |  throw new graft.core.BadCallException(
+         |    "pq_encode: vector has " + $n + " dims, codebook expects ${m * ds} (m=$m × ds=$ds)");
+         |}
          |double $norm = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double __x = (double) $v.getFloat($i); $norm += __x * __x;

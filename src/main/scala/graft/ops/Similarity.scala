@@ -398,7 +398,11 @@ object Similarity {
     * index is re-trained and rewritten. Quantized indexes (manifest
     * `quantized: true`) get their codes built with the same rounding rule,
     * so appended lists stay schema-compatible. Dimension mismatches raise
-    * typed errors up front. */
+    * typed errors: a driver-side fast-fail on the first row, plus an
+    * in-pass guard on EVERY row (a `when(size ≠ dim, raise_error)` wrap of
+    * the vector column, free in the same write scan) so a mixed-dimension
+    * batch can never corrupt the index — the expected dim comes from the
+    * centroid sidecar, which exists for manifest-less legacy indexes too. */
   def ivfAppendPartitioned(df: DataFrame, id: Column, vec: Column,
       path: String): Unit = {
     val spark = df.sparkSession
@@ -407,15 +411,17 @@ object Similarity {
     require(cents.nonEmpty, s"ivfAppendPartitioned: no centroids at $path.centroids")
     val quantized = ivfReadManifest(spark, path)
       .exists(_.path("quantized").asBoolean(false))
-    ivfReadManifest(spark, path).foreach { m =>
-      val dim = m.path("dim").asInt()
-      val batchDim = df.select(size(vec)).take(1).headOption.map(_.getInt(0))
-      batchDim.filter(_ != dim).foreach { bd =>
+    val dim = ivfReadManifest(spark, path)
+      .map(_.path("dim").asInt()).getOrElse(cents.head._2.length)
+    df.select(size(vec)).take(1).headOption.map(_.getInt(0))
+      .filter(_ != dim).foreach { bd =>
         throw new graft.core.BadCallException(
           s"ivf index at $path holds $dim-dim vectors; append batch has $bd")
       }
-    }
-    val assigned = df.select(id.cast("long").as("id"), vec.as("v"),
+    val checkedVec = when(size(vec) === dim, vec).otherwise(raise_error(
+      concat(lit(s"ivf index at $path holds $dim-dim vectors; append row has "),
+        size(vec).cast("string"))))
+    val assigned = df.select(id.cast("long").as("id"), checkedVec.as("v"),
       assignExpr(df, cents, vec).as("cluster"))
     val listed =
       if (quantized) quantizeInt8(assigned, col("v")).drop("v")

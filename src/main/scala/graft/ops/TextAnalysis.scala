@@ -314,10 +314,14 @@ object TextAnalysis {
     * partial counts (≤ alphabet size per doc, partial-aggregated map-side).
     * Same cross-engine float discipline as [[pmiBigrams]]: natural log +
     * round-6 (log noise is ulps, far below the rounding grid). Empty texts
-    * score 0 by convention. */
+    * emit NO row — Spark's `split('', '')` yields `['']`, which would
+    * otherwise fabricate an (id, n_chars=1, entropy=0) row the
+    * generate_series-based DuckDB twin never produces, so zero-length
+    * characters are filtered out before counting. */
   def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
     val counts = df
       .select(id.as("id"), explode(split(text, "")).as("ch"))
+      .where(length(col("ch")) > 0)
       .groupBy("id", "ch").agg(count(lit(1)).as("c"))
     counts.groupBy("id")
       .agg(sum("c").as("n_chars"),

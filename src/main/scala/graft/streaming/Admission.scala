@@ -19,10 +19,15 @@ final case class BudgetSpent(spent: Long)
   *
   * Semantics: ACROSS microbatches, admission is first-come-first-served
   * (an online admitter cannot re-rank rows it already emitted); WITHIN a
-  * microbatch, rows are processed in the batch op's portable-hash order,
-  * so a stream that arrives as one batch admits EXACTLY the set
-  * `budgetPerGroup` selects (spec-pinned), and any replay of the same
-  * batch sequence admits the same rows. State per group is a single
+  * microbatch, rows are processed in the batch op's portable-hash order
+  * and admission is a PREFIX over the remaining budget — the first row
+  * that would overshoot CLOSES the batch for its group (no later, smaller
+  * row is back-filled; for non-negative costs that prefix is exactly the
+  * `cumsum ≤ budget` rule), so a stream that arrives as one batch admits
+  * EXACTLY the set `budgetPerGroup` selects for ANY cost sequence
+  * (spec-pinned, including an overshoot-then-fit sequence), and any
+  * replay of the same batch sequence admits the same rows. State per
+  * group is a single
   * running long; `flatMapGroupsWithState` keeps it in the state store, so
   * executor loss replays cleanly from the checkpoint.
   *
@@ -47,9 +52,16 @@ object Admission {
           // exactly budgetPerGroup's selection
           val ordered = it.toIndexedSeq.sortBy(r =>
             (PortableHash.Jvm.md5Long60(r.key.toString, seed), r.key.toString))
-          val kept = ordered.iterator.filter { r =>
-            if (spent + r.cost <= budget) { spent += r.cost; true } else false
-          }.toIndexedSeq
+          // prefix, not first-fit: the first overshoot ends admission for
+          // this batch — matches budgetPerGroup's cumsum ≤ budget filter
+          val kept = scala.collection.mutable.ArrayBuffer.empty[BudgetRow]
+          val iter = ordered.iterator
+          var open = true
+          while (open && iter.hasNext) {
+            val r = iter.next()
+            if (spent + r.cost <= budget) { spent += r.cost; kept += r }
+            else open = false
+          }
           state.update(BudgetSpent(spent))
           kept.iterator
       }

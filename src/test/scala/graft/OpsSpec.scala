@@ -1132,6 +1132,29 @@ class OpsSpec extends AnyFunSuite {
         .select(col("vec_id"), col("codes"))
         .collect().map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq)).sortBy(_._1).toSeq
     assert(codes(native = true) === codes(native = false))
+    // a mis-dimensioned vector raises the typed error, not an opaque
+    // ArrayIndexOutOfBounds from generated code
+    import spark.implicits._
+    val bad = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.pqEncode(bad, col("embedding"), model, native = true)
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(err).exists(m =>
+        m != null && m.contains("codebook expects 64")),
+      s"want a typed dim error, got: ${err.getMessage}")
+  }
+
+  test("char entropy emits no row for an empty text") {
+    import spark.implicits._
+    val df = Seq((1L, "aabb"), (2L, ""), (3L, "zzzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 3L), s"empty doc must emit no row: ${got.toSeq}")
+    assert(got.find(_._1 == 1L).get._3 === 1.0) // two symbols, equal counts
+    assert(got.find(_._1 == 3L).get._3 === 0.0) // single repeated symbol
   }
 
   test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {

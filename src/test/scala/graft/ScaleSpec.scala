@@ -365,13 +365,31 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(hit.contains(999999L) && hit.contains(42L),
       s"appended copy must be probeable in its original's cluster: $hit")
-    // dimension guard
+    // dimension guard: driver-side fast-fail on a uniformly-wrong batch
     val bad = intercept[graft.core.BadCallException] {
       Similarity.ivfAppendPartitioned(
         Seq((1L, Array(1f, 2f), 0)).toDF("vec_id", "embedding", "label"),
         col("vec_id"), col("embedding"), dir)
     }
     assert(bad.getMessage.contains("append batch has 2"))
+    // dimension guard: a MIXED batch (first row correct, later row wrong)
+    // slips past the sampled fast-fail but the in-pass per-row guard
+    // aborts the append before any corrupt row lands
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    val mixed = embs.filter(col("vec_id") === 7)
+      .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+      .union(Seq((888888L, Array(1f, 2f), 0)).toDF("vec_id", "embedding", "label"))
+    val preCount = spark.read.parquet(dir).count()
+    val mixedErr = intercept[Exception] {
+      Similarity.ivfAppendPartitioned(mixed, col("vec_id"), col("embedding"), dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(mixedErr).exists(_.contains("append row has 2")),
+      s"want the per-row dim error, got: ${mixedErr.getMessage}")
+    assert(spark.read.parquet(dir).count() === preCount,
+      "a failed mixed-dim append must not grow the index")
   }
 
   test("ivf-pq index: full probe + full candidates equals brute force; ADC pass partition- and column-prunes") {

@@ -149,6 +149,35 @@ class StreamStaticSpec extends AnyFunSuite {
       "batch 1's admissions must survive the second batch")
   }
 
+  test("streaming budget admission is a prefix, not first-fit: an " +
+    "overshoot-then-fit cost sequence matches budgetPerGroup exactly") {
+    import graft.streaming.{Admission, BudgetRow}
+    import graft.functions.PortableHash
+    import spark.implicits._
+    // engineer the adversarial order: in portable-hash order the 2nd row
+    // overshoots and the 3rd would fit the gap — first-fit admits it,
+    // the documented prefix semantics must NOT
+    val budget = 2000L
+    val keys = (1L to 6L).sortBy(k => (PortableHash.Jvm.md5Long60(k.toString, 11), k.toString))
+    val costs = Seq(1500L, 600L, 300L, 100L, 50L, 25L)
+    val rows = keys.zip(costs).map { case (k, c) => BudgetRow("g", k, c) }
+    val batch = rows.toDS()
+    val batchKept = graft.ops.Sampling.budgetPerGroup(batch.toDF(),
+        col("key"), col("cost"), col("grp"), budget)
+      .select("key").as[Long].collect().toSet
+    assert(batchKept === Set(keys.head),
+      "fixture must make the prefix stop at the first overshoot")
+    val dir = Files.createTempDirectory("graft-admit-prefix")
+    batch.toDF().coalesce(1).write.parquet(dir.resolve("in").toString)
+    val got = Admission.admitToCompletion(spark,
+        spark.readStream.schema(batch.schema)
+          .parquet(dir.resolve("in").toString).as[BudgetRow],
+        budget, "admit_prefix")
+      .collect().map(_.key).toSet
+    assert(got === batchKept,
+      s"prefix admission must match budgetPerGroup; got $got want $batchKept")
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     // simulate at-least-once delivery: the same file twice in the source dir
     val dir = Files.createTempDirectory("graft-dedup-stream")
