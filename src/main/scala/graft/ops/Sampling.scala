@@ -182,12 +182,53 @@ object Sampling {
     * column upstream if curation order is wanted (compose with
     * [[graft.ops.Dedup.dedupBestPerCluster]]-style scoring).
     *
-    * One hash shuffle on the group key; the cumulative sum is a window in
-    * that same partitioning (no second exchange). Same hot-group note as
-    * [[sampleKPerGroup]]; assumes unique keys per group (the oracle twin's
-    * precondition), hash ties break by key string. */
+    * Scale shape — the HOT-GROUP problem and its fix: the exact cumulative
+    * sum is a window partitioned on the group key, and `group` is a
+    * source/domain/language key with cardinality ~dozens, so a dominant
+    * group ("web", 90 % of a 100 TB corpus) would hash onto ONE reducer
+    * that sorts and prefix-scans the entire group. Hash order is uniform,
+    * though, so the kept prefix covers ≈ budget/total_cost of each group —
+    * which means a MAP-SIDE hash-cutoff prefilter can shrink the window's
+    * input to ≈ the budget-sized survivor set without changing the result:
+    *
+    *  1. one partial agg computes per-group (total, count, hmin, hmax);
+    *  2. per group, estimate the hash value the prefix ends at —
+    *    `hmin + range · min(1, (budget/total)·(1+ε))` — and broadcast the
+    *    driver-sized cutoff table (groups are few by the operator's
+    *    contract, the same assumption [[sqrtTemperatureMixture]]'s budget
+    *    broadcast already makes);
+    *  3. filter `hash ≤ cutoff` map-side (no exchange), then run the EXACT
+    *    window on the survivors. The filter keeps a hash-PREFIX of each
+    *    group, so surviving rows' cumulative sums are unchanged and the
+    *    output is byte-identical to the unfiltered window (spec-pinned
+    *    against [[budgetPerGroupOnePass]]);
+    *  4. under-coverage rescue: if a group's surviving cost total is still
+    *    ≤ budget while rows were cut off (the estimate can undershoot when
+    *    cost mass concentrates late in hash order), that group falls back
+    *    to its full row set — detected by one cheap agg over the ~budget-
+    *    sized prefix, exercised by a dedicated adversarial spec.
+    *
+    * Cost: two scans of the input (stats + window input) plus one agg over
+    * the prefix — vs one scan for the naive form, but the window now sorts
+    * ~budget rows per group instead of the whole group; at 100 TB that is
+    * the difference between a bounded task and a job-killing straggler.
+    * The cutoff check runs eagerly at call time (one driver-sized job),
+    * like the other operators that collect driver-sized calibration state.
+    * Assumes unique keys per group (the oracle twin's precondition), hash
+    * ties break by key string. */
   def budgetPerGroup(df: DataFrame, key: Column, cost: Column, group: Column,
       budget: Long, seed: Int = 11): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    budgetPrefixTake(df, key, cost, group,
+      stats => stats.withColumn("__b", lit(budget)), seed)
+  }
+
+  /** The naive one-pass form of [[budgetPerGroup]] — the window runs over
+    * every row of every group. Kept as the executable spec the prefiltered
+    * form is pinned byte-identical to; NOT the 100 TB path (a dominant
+    * group serializes onto one task here). */
+  def budgetPerGroupOnePass(df: DataFrame, key: Column, cost: Column,
+      group: Column, budget: Long, seed: Int = 11): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(group)
@@ -195,6 +236,52 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(cost.cast("long")).over(w))
       .filter(col("__cum") <= budget).drop("__cum")
+  }
+
+  /** Shared engine of [[budgetPerGroup]] / [[sqrtTemperatureMixture]]:
+    * exact per-group prefix take with the hash-cutoff prefilter described
+    * on [[budgetPerGroup]]. `withBudget` attaches a `__b` budget column to
+    * the per-group stats frame (`__g, __T, __N, __hmin, __hmax`) — a
+    * literal for the flat-budget op, the isqrt-weighted allocation for the
+    * mixture. */
+  private def budgetPrefixTake(df: DataFrame, key: Column, cost: Column,
+      group: Column, withBudget: DataFrame => DataFrame, seed: Int,
+      eps: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kstr = key.cast("string")
+    val base = df.withColumn("__g0", group)
+      .withColumn("__h", PortableHash.md5Long(kstr, seed))
+      .withColumn("__c", cost.cast("long"))
+    val stats = base.groupBy(col("__g0").as("__g"))
+      .agg(sum("__c").as("__T"), count(lit(1)).as("__N"),
+        min("__h").as("__hmin"), max("__h").as("__hmax"))
+    // cutoff estimate: float arithmetic is fine HERE — it only decides how
+    // much margin the prefilter keeps (and whether the rescue fires), never
+    // which rows the exact window emits
+    val cuts = withBudget(stats).select(col("__g"), col("__b"), col("__N"),
+      when(col("__T") <= col("__b"), lit(Long.MaxValue)).otherwise(
+        col("__hmin") + ((col("__hmax") - col("__hmin")).cast("double") *
+          least(lit(1.0), col("__b").cast("double") / col("__T").cast("double")
+            * lit(1.0 + eps))).cast("long")).as("__cut"))
+    val joined = base.join(broadcast(cuts), col("__g0") <=> col("__g"))
+    val pre = joined.filter(col("__h") <= col("__cut"))
+    // under-coverage rescue: a group whose surviving cost can't prove the
+    // prefix crossed its budget re-enters with its full row set
+    val fallback = pre.groupBy(col("__g0").as("__gc"))
+      .agg(sum("__c").as("__S"), count(lit(1)).as("__nf"))
+      .join(broadcast(cuts), col("__gc") <=> col("__g"))
+      .filter(col("__S") <= col("__b") && col("__nf") < col("__N"))
+      .select(col("__gc")).collect().map(_.get(0)).toSet
+    val input =
+      if (fallback.isEmpty) pre
+      else joined.filter(col("__h") <= col("__cut") ||
+        col("__g0").isInCollection(fallback.filter(_ != null)) ||
+        (if (fallback.contains(null)) col("__g0").isNull else lit(false)))
+    val w = Window.partitionBy(col("__g0")).orderBy(col("__h"), kstr)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    input.withColumn("__cum", sum(col("__c")).over(w))
+      .filter(col("__cum") <= col("__b"))
+      .drop("__g0", "__h", "__c", "__g", "__b", "__N", "__cut", "__cum")
   }
 
   /** Deterministic pre-training shuffle: a reproducible global permutation —
@@ -238,21 +325,17 @@ object Sampling {
   def sqrtTemperatureMixture(df: DataFrame, key: Column, cost: Column,
       group: Column, totalBudget: Long, seed: Int = 11): DataFrame = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
-    import org.apache.spark.sql.expressions.Window
-    val totals = df.groupBy(group.as("__g"))
-      .agg(sum(cost.cast("long")).as("__tot"))
-      .withColumn("__w", floor(sqrt(col("__tot").cast("double"))).cast("long"))
-    val budgets = totals
-      .crossJoin(broadcast(totals.agg(sum("__w").as("__sw"))))
-      .select(col("__g"),
-        expr(s"CAST($totalBudget * __w DIV __sw AS BIGINT)").as("__b"))
-    val w = Window.partitionBy(group)
-      .orderBy(PortableHash.md5Long(key.cast("string"), seed), key.cast("string"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(budgets), group === col("__g"))
-      .withColumn("__cum", sum(cost.cast("long")).over(w))
-      .filter(col("__cum") <= col("__b"))
-      .drop("__g", "__b", "__cum")
+    budgetPrefixTake(df, key, cost, group, stats => {
+      // per-group budget derived straight from the stats frame's totals —
+      // the isqrt weights reuse the same agg the cutoff estimate needs
+      val weighted = stats.withColumn("__w",
+        floor(sqrt(col("__T").cast("double"))).cast("long"))
+      weighted
+        .crossJoin(broadcast(weighted.agg(sum("__w").as("__sw"))))
+        .withColumn("__b",
+          expr(s"CAST($totalBudget * __w DIV __sw AS BIGINT)"))
+        .drop("__w", "__sw")
+    }, seed)
   }
 
   /** DuckDB twin of [[sqrtTemperatureMixture]]'s per-group budget (oracle

@@ -203,6 +203,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("budget take's window reads the hash-cutoff prefix, not the full " +
+    "group (q134, q149)") {
+    // the hot-group fix: the exact window's input must carry the broadcast
+    // cutoff filter (__h <= __cut), so a dominant group's window sorts
+    // ~budget rows, never the whole group
+    for (q <- Seq("q134_budget_per_group", "q149_sqrt_mixture")) {
+      val p = plan(q)
+      assert(p.contains("__cut"),
+        s"$q window input must be prefiltered by the hash cutoff:\n$p")
+      assert(p.contains("Window"), s"$q must still run the exact window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q cutoffs must broadcast, not shuffle:\n$p")
+    }
+  }
+
   test("date-type drift read is a single scan, not a per-shard union (q117)") {
     // the widened-NTZ fallback path must also stay one FileSourceScan —
     // a per-shard union would blow up the plan at 100k shards

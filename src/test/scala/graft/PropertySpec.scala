@@ -171,6 +171,50 @@ class PropertySpec extends AnyFunSuite {
     assert(keep(1000000).size === 150)
   }
 
+  test("budgetPerGroup prefilter is byte-identical to the one-pass window, " +
+    "including the under-coverage rescue and the mixture") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    import graft.functions.PortableHash
+    def collected(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "k", "cost").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ordinary mixed-cost corpus: prefilter path (cutoff < full range)
+    val rows = (0 until 400).map(i => (s"g${i % 3}", i.toLong, 5L + i % 40))
+    val df = rows.toDF("g", "k", "cost")
+    for (budget <- Seq(40L, 200L, 800L, 1000000L)) {
+      val fast = collected(Sampling.budgetPerGroup(df, col("k"), col("cost"), col("g"), budget))
+      val slow = collected(Sampling.budgetPerGroupOnePass(df, col("k"), col("cost"), col("g"), budget))
+      assert(fast === slow, s"budget=$budget")
+    }
+    // adversarial under-coverage: cost mass concentrated LATE in hash
+    // order, so the budget/total cutoff estimate undershoots and the
+    // rescue must fall back to the full group
+    val keys = (0L until 100L).sortBy(k => (PortableHash.Jvm.md5Long60(k.toString, 11), k.toString))
+    val adv = keys.zipWithIndex.map { case (k, i) =>
+      ("g0", k, if (i < 90) 1L else 1000L) }.toDF("g", "k", "cost")
+    val advBudget = 500L
+    val fastAdv = collected(Sampling.budgetPerGroup(adv, col("k"), col("cost"), col("g"), advBudget))
+    val slowAdv = collected(Sampling.budgetPerGroupOnePass(adv, col("k"), col("cost"), col("g"), advBudget))
+    assert(fastAdv === slowAdv && fastAdv.size === 90,
+      s"rescue must recover the cheap 90-row prefix: got ${fastAdv.size}")
+    // the mixture rides the same engine: spot equality vs a hand-built
+    // one-pass replay of its budget allocation
+    val mix = (0L until 200L).map(i => ("A", i, 50L)) ++
+      (1000L until 1002L).map(i => ("B", i, 50L))
+    val mixDf = mix.toDF("g", "k", "cost")
+    val gotMix = collected(Sampling.sqrtTemperatureMixture(mixDf, col("k"),
+      col("cost"), col("g"), totalBudget = 1100L))
+    val wantMix = {
+      // replay: weights isqrt(10000)=100, isqrt(100)=10 → budgets 1000/100
+      collected(Sampling.budgetPerGroupOnePass(mixDf.filter(col("g") === "A"),
+        col("k"), col("cost"), col("g"), 1000L)) ++
+      collected(Sampling.budgetPerGroupOnePass(mixDf.filter(col("g") === "B"),
+        col("k"), col("cost"), col("g"), 100L))
+    }
+    assert(gotMix === wantMix)
+  }
+
   test("sampleKPerGroup: duplicate keys with differing payloads still pick " +
     "layout-independent survivors (full-row tie-break)") {
     import spark.implicits._
