@@ -97,9 +97,13 @@ object Sampling {
     * string-key tie-break keeps it total). [[stratifiedSample]] keeps a
     * FRACTION and cannot promise a count — this is the "3 exemplar docs
     * per language" / fixed-budget-eval primitive. One hash shuffle on the
-    * group key; a pathologically hot group concentrates its window on one
-    * task — pre-filter with [[stratifiedSample]] to a few× k per group
-    * first when a stratum is billions of rows.
+    * group key — and the shuffle is TWO-PHASE: Catalyst's
+    * InferWindowGroupLimit rewrites the `row_number() ≤ k` filter into a
+    * PARTIAL per-map-task top-k below the exchange and a FINAL top-k
+    * above it (PlanSpec-pinned on q124), so a pathologically hot group
+    * ships at most k × nMapTasks rows to its reducer instead of the whole
+    * group — billions of rows in one stratum still reduce to a bounded
+    * task.
     *
     * Determinism: (hash, key) is a total order only when keys are unique
     * within a group; duplicate keys with DIFFERING payload columns would
@@ -249,10 +253,13 @@ object Sampling {
       eps: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kstr = key.cast("string")
-    val base = df.withColumn("__g0", group)
+    // the window partitions by the ORIGINAL group expression (not an
+    // aliased copy) so a downstream groupBy on the same column reuses the
+    // window's hash partitioning instead of re-exchanging
+    val base = df
       .withColumn("__h", PortableHash.md5Long(kstr, seed))
       .withColumn("__c", cost.cast("long"))
-    val stats = base.groupBy(col("__g0").as("__g"))
+    val stats = base.groupBy(group.as("__g"))
       .agg(sum("__c").as("__T"), count(lit(1)).as("__N"),
         min("__h").as("__hmin"), max("__h").as("__hmax"))
     // cutoff estimate: float arithmetic is fine HERE — it only decides how
@@ -263,11 +270,11 @@ object Sampling {
         col("__hmin") + ((col("__hmax") - col("__hmin")).cast("double") *
           least(lit(1.0), col("__b").cast("double") / col("__T").cast("double")
             * lit(1.0 + eps))).cast("long")).as("__cut"))
-    val joined = base.join(broadcast(cuts), col("__g0") <=> col("__g"))
+    val joined = base.join(broadcast(cuts), group <=> col("__g"))
     val pre = joined.filter(col("__h") <= col("__cut"))
     // under-coverage rescue: a group whose surviving cost can't prove the
     // prefix crossed its budget re-enters with its full row set
-    val fallback = pre.groupBy(col("__g0").as("__gc"))
+    val fallback = pre.groupBy(group.as("__gc"))
       .agg(sum("__c").as("__S"), count(lit(1)).as("__nf"))
       .join(broadcast(cuts), col("__gc") <=> col("__g"))
       .filter(col("__S") <= col("__b") && col("__nf") < col("__N"))
@@ -275,13 +282,13 @@ object Sampling {
     val input =
       if (fallback.isEmpty) pre
       else joined.filter(col("__h") <= col("__cut") ||
-        col("__g0").isInCollection(fallback.filter(_ != null)) ||
-        (if (fallback.contains(null)) col("__g0").isNull else lit(false)))
-    val w = Window.partitionBy(col("__g0")).orderBy(col("__h"), kstr)
+        group.isInCollection(fallback.filter(_ != null)) ||
+        (if (fallback.contains(null)) group.isNull else lit(false)))
+    val w = Window.partitionBy(group).orderBy(col("__h"), kstr)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     input.withColumn("__cum", sum(col("__c")).over(w))
       .filter(col("__cum") <= col("__b"))
-      .drop("__g0", "__h", "__c", "__g", "__b", "__N", "__cut", "__cum")
+      .drop("__h", "__c", "__g", "__b", "__N", "__cut", "__cum")
   }
 
   /** Deterministic pre-training shuffle: a reproducible global permutation —

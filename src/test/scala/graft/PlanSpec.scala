@@ -187,9 +187,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p131.contains("WindowGroupLimit"),
       s"rank filter must push a partial top-k below the exchange:\n$p131")
     assert(shuffles(p131) <= 2, s"window + final sort only:\n$p131")
-    // q134: the group-agg reuses the window's hash partitioning
+    // q124: the exact-k sample must plan BOTH phases — a Partial
+    // WindowGroupLimit below the exchange (map-side k per task: the
+    // hot-group fix) and the Final one above it
+    val p124 = plan("q124_sample_k_per_group")
+    assert(p124.contains("WindowGroupLimit") && p124.contains("Partial")
+        && p124.contains("Final"),
+      s"exact-k sample must run two-phase (Partial + Final group limit):\n$p124")
+    // q134: stats agg (the prefilter's driver-sized calibration) + window
+    // + final sort; the post-window group-agg must NOT add a fourth —
+    // the window partitions by the original group column so the agg
+    // reuses its hash partitioning
     val p134 = plan("q134_budget_per_group")
-    assert(shuffles(p134) <= 2, s"window + final sort only:\n$p134")
+    assert(shuffles(p134) <= 3, s"stats agg + window + final sort only:\n$p134")
   }
 
   test("span mining runs Expand-free: two-level agg replaces count+countDistinct (q146, q148)") {
