@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, MinHashSignature, MinHashSketch, NgramSlots, RollingHash, SimHash64, SpaceSavingSketch, WordChunks, WordShingles}
+import graft.functions.{CharEntropy, CosineSimilarity, MinHashSignature, MinHashSketch, NgramSlots, NgramTop, RollingHash, SimHash64, SpaceSavingSketch, WordChunks, WordShingles}
 
 /** Session extensions: registers graft's native Catalyst expressions so they
   * are callable from SQL and `call_function`.
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.rollingHash)
     e.injectFunction(GraftExtensions.spaceSaving)
     e.injectFunction(GraftExtensions.ngramSlots)
+    e.injectFunction(GraftExtensions.charEntropy)
+    e.injectFunction(GraftExtensions.ngramTop)
   }
 }
 
@@ -140,6 +142,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[NgramSlots].getName, "ngram_slots"),
     (exprs: Seq[Expression]) => slotsBuilder(exprs))
 
+  private def charEntropyBuilder(exprs: Seq[Expression]): Expression = {
+    arity("char_entropy", exprs, 1)
+    CharEntropy(exprs(0))
+  }
+
+  private val charEntropy = (
+    FunctionIdentifier("char_entropy"),
+    new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+    (exprs: Seq[Expression]) => charEntropyBuilder(exprs))
+
+  private def ngramTopBuilder(exprs: Seq[Expression]): Expression = {
+    arity("ngram_top", exprs, 2)
+    NgramTop(exprs(0), intArg("ngram_top", "n", exprs(1)))
+  }
+
+  private val ngramTop = (
+    FunctionIdentifier("ngram_top"),
+    new ExpressionInfo(classOf[NgramTop].getName, "ngram_top"),
+    (exprs: Seq[Expression]) => ngramTopBuilder(exprs))
+
   /** Imperative registration for sessions built without the extension
     * (idempotent) — keeps library call sites working under any session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -156,5 +178,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("word_chunks", chunksBuilder, "built-in")
     reg.createOrReplaceTempFunction("rolling_hash", rollingHashBuilder, "built-in")
     reg.createOrReplaceTempFunction("ngram_slots", slotsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("char_entropy", charEntropyBuilder, "built-in")
+    reg.createOrReplaceTempFunction("ngram_top", ngramTopBuilder, "built-in")
   }
 }

@@ -282,11 +282,32 @@ object TextAnalysis {
     * degenerate inputs, which only strengthens the signal). Returns one row
     * per document: `(id, top_ngram, top_count, frac)`; the top n-gram
     * tie-breaks to the lexicographically smallest, so the answer is
-    * deterministic. Distributed shape: explode slots → per-(doc, gram)
-    * count (partial-agg combines before the shuffle) → per-doc top-1 window
-    * → broadcast-friendly join back to char lengths. Per-group state is one
-    * counter; nothing driver-side. */
+    * deterministic. Distributed shape: ONE zero-shuffle map stage — the
+    * per-document gram table is bounded by document size, so the native
+    * [[graft.functions.NgramTop]] expression computes (gram, count) in the
+    * scan's codegen span; the exploded/windowed formulation survives as
+    * [[topNgramCharFractionComposable]], the executable spec (OpsSpec pins
+    * equality; speedup measured there too — see the expression's doc). */
   def topNgramCharFraction(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    val top = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NgramTop(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+    df.select(id.as("id"), length(text).as("__nc"), top.as("__top"))
+      .select(col("id"),
+        col("__top.gram").as("top_ngram"),
+        col("__top.cnt").as("top_count"),
+        when(col("__nc") === 0, lit(0.0)).otherwise(
+          round(when(col("__top.cnt") === 0, lit(0L))
+            .otherwise(col("__top.cnt") * length(col("__top.gram")))
+            .cast("double") / col("__nc"), 6)).as("frac"))
+  }
+
+  /** The explode → count → top-1-window form of [[topNgramCharFraction]] —
+    * the executable spec the native expression is pinned against; NOT the
+    * pipeline path (a full exchange + agg + window for per-row-computable
+    * state). */
+  def topNgramCharFractionComposable(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df
@@ -309,16 +330,31 @@ object TextAnalysis {
     * encoding-junk / binary-blob detector the length- and word-level
     * quality rules miss (mojibake and base64 walls score normal token
     * counts but extreme entropy; repeated-char padding scores near 0).
-    * H = (ln L − Σ c·ln c / L) / ln 2 over per-character counts c —
-    * computed in that factored form so the only shuffle carries (doc, char)
-    * partial counts (≤ alphabet size per doc, partial-aggregated map-side).
+    * H = (ln L − Σ c·ln c / L) / ln 2 over per-character counts c — ONE
+    * zero-shuffle map stage: per-document counts are bounded state
+    * (≤ alphabet size), so the native [[graft.functions.CharEntropy]]
+    * expression computes H inside the scan's codegen span; the exploded
+    * two-level-agg form survives as [[charEntropyComposable]], the
+    * executable spec (OpsSpec pins the rounded equality; speedup measured
+    * there — see the expression's doc).
     * Same cross-engine float discipline as [[pmiBigrams]]: natural log +
     * round-6 (log noise is ulps, far below the rounding grid). Empty texts
-    * emit NO row — Spark's `split('', '')` yields `['']`, which would
-    * otherwise fabricate an (id, n_chars=1, entropy=0) row the
-    * generate_series-based DuckDB twin never produces, so zero-length
-    * characters are filtered out before counting. */
+    * emit NO row, matching the generate_series-based DuckDB twin. */
   def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val h = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CharEntropy(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+    df.where(length(text) > 0)
+      .select(id.as("id"), length(text).cast("long").as("n_chars"),
+        round(h, 6).as("entropy"))
+  }
+
+  /** The explode-per-character → two-level-agg form of [[charEntropy]] —
+    * the executable spec the native expression is pinned against; NOT the
+    * pipeline path (an exchange + two agg passes for per-row-computable
+    * state). Zero-length characters are filtered so empty texts emit no
+    * row (Spark's `split('', '')` yields `['']`). */
+  def charEntropyComposable(df: DataFrame, id: Column, text: Column): DataFrame = {
     val counts = df
       .select(id.as("id"), explode(split(text, "")).as("ch"))
       .where(length(col("ch")) > 0)

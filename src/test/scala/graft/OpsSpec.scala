@@ -1157,6 +1157,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 === 0.0) // single repeated symbol
   }
 
+  test("native char_entropy and ngram_top equal their exploded-agg twins " +
+    "on the corpus, with zero shuffles in the native plans") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def entRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val entN = TextAnalysis.charEntropy(docs, col("doc_id"), col("text"))
+    val entC = TextAnalysis.charEntropyComposable(docs, col("doc_id"), col("text"))
+    assert(entRows(entN) === entRows(entC))
+    assert(!entN.queryExecution.executedPlan.toString.contains("Exchange"),
+      "native char entropy must plan with zero shuffles")
+    def topRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    for (n <- Seq(2, 3)) {
+      val topN = TextAnalysis.topNgramCharFraction(docs, col("doc_id"), col("text"), n)
+      val topC = TextAnalysis.topNgramCharFractionComposable(docs, col("doc_id"), col("text"), n)
+      assert(topRows(topN) === topRows(topC), s"n=$n")
+    }
+    assert(!TextAnalysis.topNgramCharFraction(docs, col("doc_id"), col("text"), 3)
+        .queryExecution.executedPlan.toString.contains("Exchange"),
+      "native top-ngram must plan with zero shuffles")
+    // edges: short text (no slots), single repeated token, tie-break
+    import spark.implicits._
+    val edge = Seq((1L, "one"), (2L, "b a b a c"), (3L, "x x x x"),
+      (4L, "a b a")).toDF("doc_id", "text")
+    val gotEdge = topRows(TextAnalysis.topNgramCharFraction(edge, col("doc_id"), col("text"), 2))
+    val wantEdge = topRows(TextAnalysis.topNgramCharFractionComposable(edge, col("doc_id"), col("text"), 2))
+    assert(gotEdge === wantEdge)
+    assert(gotEdge.find(_._1 == 1L).get._2 === "") // no slots → empty gram
+    assert(gotEdge.find(_._1 == 2L).get._2 === "b a") // clear 2-1 winner
+    assert(gotEdge.find(_._1 == 4L).get._2 === "a b") // 1-1 tie breaks low
+    // SQL surface resolves
+    assert(spark.sql("SELECT char_entropy('aabb') AS h").head.getDouble(0) === 1.0)
+    assert(spark.sql("SELECT ngram_top('a b a b', 2).gram AS g").head.getString(0) === "a b")
+  }
+
   test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {
     import spark.implicits._
     // A dominates 100:1 in tokens; sqrt weights temper that to 10:1
