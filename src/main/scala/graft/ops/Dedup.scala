@@ -568,6 +568,54 @@ object Dedup {
             / col("n_slots"), 6)).as("coverage"))
   }
 
+  /** Maximal repeated spans — Lee et al. 2022's actual span semantics on
+    * top of the fixed-L window proxy: overlapping/adjacent repeated
+    * L-windows within a document MERGE into one maximal span (a 200-token
+    * verbatim run is ONE span of 200 tokens, not 196 overlapping windows),
+    * which is what "remove duplicated substrings ≥ 50 tokens" needs —
+    * window-granularity artifacts at span boundaries disappear. Returns
+    * one row per maximal span: `(id, span_start, span_end, span_len,
+    * n_windows)` (token positions, inclusive).
+    *
+    * Shape: mined repeated slots ([[repeatedSpans]]' agg + containment
+    * join) → gaps-and-islands merge: a window partitioned by DOC ID
+    * (high-cardinality — no hot-group risk) flags breaks where the gap
+    * between consecutive repeated positions exceeds L, a running sum
+    * numbers the islands, and one agg (reusing the window's partitioning)
+    * emits each island's extent. Per-doc merge is the sort inside that
+    * window — linear scan, bounded by doc length. */
+  def maximalRepeatedSpans(df: DataFrame, id: Column, text: Column, L: Int,
+      minDocs: Long = 2L): DataFrame = {
+    val slots = df.select(id.as("id"),
+      posexplode(graft.ops.TextAnalysis.ngramSlots(text, L))
+        .as(Seq("spos", "gram")))
+    val spans = spansOfSlots(
+      slots.select(col("id"), col("gram")), minDocs).select("gram")
+    mergeWindows(slots.join(spans, Seq("gram")).select("id", "spos"), L)
+  }
+
+  /** Gaps-and-islands interval merge of repeated L-window positions:
+    * consecutive positions ≤ L apart chain into one maximal span (window
+    * [p', p'+L−1] and [p, p+L−1] overlap or touch iff p ≤ p'+L). Output
+    * intervals are DISJOINT per doc — the property [[cutRepeatedSpans]]
+    * exploits to skip a distinct. */
+  private def mergeWindows(rep: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("spos")
+    rep
+      .withColumn("__brk",
+        when(col("spos") - lag("spos", 1).over(w) > L, 1).otherwise(0))
+      .withColumn("__isl", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "__isl")
+      .agg(min("spos").cast("long").as("span_start"),
+        (max("spos") + lit(L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
   /** Cut the repeated spans OUT of the documents — the transformation half
     * of exact-substring dedup (Lee et al. 2022 remove every duplicated
     * substring from all but one occurrence; the simpler corpus-hygiene
@@ -577,13 +625,17 @@ object Dedup {
     * span ([[repeatedSpans]], n_docs ≥ minDocs); surviving tokens rejoin in
     * order. Returns `(id, text, n_tokens, n_tokens_kept)`.
     *
-    * Shape: one explode to slots (positions kept) → span-set join → one
-    * `sequence(pos, pos+L-1)` explode of only the REPEATED slots (bounded
-    * by coverage, not document length) → distinct covered positions → one
-    * anti join against the token table → order-restoring rebuild, the same
-    * sort-structs aggregation [[graft.ops.TextAnalysis.removeLines]] uses.
-    * Everything is hash-partitioned on the doc id or the gram; nothing
-    * driver-side. */
+    * Shape: one explode to slots (positions kept) → span-set join →
+    * [[mergeWindows]] maximal-span merge → ONE `sequence(start, end)`
+    * explode of the DISJOINT merged intervals → anti join against the
+    * token table → order-restoring rebuild, the same sort-structs
+    * aggregation [[graft.ops.TextAnalysis.removeLines]] uses. The merge
+    * (r9) replaced the per-slot L× position expansion + `distinct`: the
+    * covered-position exchange used to carry L rows per repeated WINDOW
+    * into a dedup shuffle; it now carries one row per covered POSITION,
+    * produced map-side after the merge, no distinct needed (merged
+    * intervals are disjoint). Everything is hash-partitioned on the doc id
+    * or the gram; nothing driver-side. */
   def cutRepeatedSpans(df: DataFrame, id: Column, text: Column, L: Int,
       minDocs: Long = 2L): DataFrame = {
     val toks = df.select(id.as("id"),
@@ -593,10 +645,11 @@ object Dedup {
         .as(Seq("spos", "gram")))
     val spans = spansOfSlots(
       slots.select(col("id"), col("gram")), minDocs).select("gram")
-    val covered = slots.join(spans, Seq("gram"))
-      .select(col("id"), explode(sequence(col("spos"), col("spos") + (L - 1)))
-        .as("pos"))
-      .distinct()
+    val covered = mergeWindows(slots.join(spans, Seq("gram"))
+        .select("id", "spos"), L)
+      .select(col("id"),
+        explode(sequence(col("span_start").cast("int"),
+          col("span_end").cast("int"))).as("pos"))
     toks.join(covered, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(

@@ -159,6 +159,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // maximal repeated spans (Lee et al. span semantics): overlapping/
+    // adjacent repeated 5-gram windows merge per doc into disjoint maximal
+    // spans — the oracle replays the gaps-and-islands interval merge
+    "q155_maximal_spans" -> ((s, d) => {
+      graft.ops.Dedup.maximalRepeatedSpans(t(s, d, "documents"),
+          col("doc_id"), col("text"), L = 5, minDocs = 2L)
+        .filter(col("id") < 30)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_len"), col("n_windows"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // per-document repeated-span coverage: fraction of a doc's 3-gram
     // windows shared verbatim with other docs — the cut signal built on
     // q146's mined span set
@@ -542,6 +554,34 @@ object TextQueries {
            md5(coalesce(r.t2, '')) AS fp
          FROM toks d LEFT JOIN reb r USING (doc_id)
          WHERE d.doc_id < 10 ORDER BY d.doc_id""",
+
+    // identical slot construction; the gaps-and-islands interval merge
+    // replayed (break when the gap between consecutive repeated positions
+    // exceeds L, islands grouped to their extents)
+    "q155_maximal_spans" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         slots AS (SELECT doc_id, x.i - 1 AS spos,
+             array_to_string(ts[x.i:x.i+4], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5),
+         spans AS (SELECT gram FROM slots
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         rep AS (SELECT s.doc_id, s.spos FROM slots s JOIN spans USING (gram)),
+         flag AS (SELECT doc_id, spos,
+             CASE WHEN spos - lag(spos) OVER (PARTITION BY doc_id ORDER BY spos) > 5
+               THEN 1 ELSE 0 END AS brk
+           FROM rep),
+         isl AS (SELECT doc_id, spos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY spos
+               ROWS UNBOUNDED PRECEDING) AS g
+           FROM flag),
+         merged AS (SELECT doc_id, CAST(min(spos) AS BIGINT) AS span_start,
+             CAST(max(spos) + 4 AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+           FROM isl GROUP BY doc_id, g)
+         SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_len, n_windows
+         FROM merged WHERE doc_id < 30 ORDER BY doc_id, span_start""",
 
     // identical slot construction; the mined span set and the per-doc
     // containment join replayed

@@ -1102,6 +1102,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(t => (t._3, t._4)).toSeq === Seq((9L, 4L), (10L, 5L), (6L, 6L)))
   }
 
+  test("maximal spans: adjacent windows chain, disjoint runs stay split, " +
+    "and the cut matches the covered union") {
+    import spark.implicits._
+    // d1/d2 share the run "p q r s" (three overlapping 2-gram windows →
+    // one maximal span) and the isolated "u v" (one window, separated by
+    // a unique token so the gap > L forces a new island)
+    val docs = Seq(
+      (1L, "p q r s junk1 u v w junk2"),
+      (2L, "p q r s junk3 u v junk4")).toDF("doc_id", "text")
+    val spans = Dedup.maximalRepeatedSpans(docs, col("doc_id"), col("text"),
+        L = 2, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(spans === Seq(
+      (1L, 0L, 3L, 4L, 3L), (1L, 5L, 6L, 2L, 1L),
+      (2L, 0L, 3L, 4L, 3L), (2L, 5L, 6L, 2L, 1L)), spans.toString)
+    // the cut removes exactly the merged intervals' tokens
+    val cut = Dedup.cutRepeatedSpans(docs, col("doc_id"), col("text"),
+        L = 2, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(cut(0)._2 === "junk1 w junk2" && cut(0)._3 === 9L && cut(0)._4 === 3L)
+    assert(cut(1)._2 === "junk3 junk4" && cut(1)._3 === 8L && cut(1)._4 === 2L)
+  }
+
   test("native ngram_slots is bit-equal to the composable lambda form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (n <- Seq(2, 3, 5)) {
