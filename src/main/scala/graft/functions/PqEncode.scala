@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: product-quantization encode of an
   * `array<float>` vector against a trained codebook, with whole-stage
@@ -25,17 +25,30 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
   *
   * The codebook rides in the expression as a literal (driver-sized by
   * design, a few KB); `codebooks(j)(c)(t)` = centroid c of subspace j.
-  */
+  *
+  * `normalize = false` is the RESIDUAL-encoding mode (IVFADC, Jégou
+  * TPAMI'11 §IV): the input is already a residual `normalize(v) −
+  * centroid(cluster)` (an `array<double>` column built upstream) and must
+  * be quantized AS IS — re-normalizing a residual would destroy the
+  * `‖q−x‖² = ‖q_res−x_res‖²` identity the residual ADC relies on. In that
+  * mode `array<double>` input is accepted alongside `array<float>`. */
 case class PqEncode(child: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Double]]],
+    normalize: Boolean = true) extends UnaryExpression {
 
   private val m = codebooks.length
   private val ds = codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
 
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode expects array<float>, got ${dt.simpleString}")
+      s"pq_encode expects array<float> or array<double>, got ${dt.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
@@ -48,17 +61,21 @@ case class PqEncode(child: Expression,
     if (n != m * ds)
       throw new graft.core.BadCallException(
         s"pq_encode: vector has $n dims, codebook expects ${m * ds} (m=$m × ds=$ds)")
-    var norm = 0.0
-    var i = 0
-    while (i < n) {
-      val x = v.getFloat(i).toDouble; norm += x * x; i += 1
-    }
-    norm = math.sqrt(norm)
+    def elem(i: Int): Double =
+      if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
     val nv = new Array[Double](n)
-    i = 0
-    while (i < n) {
-      nv(i) = if (norm == 0.0) 0.0 else v.getFloat(i).toDouble / norm
-      i += 1
+    var i = 0
+    if (normalize) {
+      var norm = 0.0
+      while (i < n) { val x = elem(i); norm += x * x; i += 1 }
+      norm = math.sqrt(norm)
+      i = 0
+      while (i < n) {
+        nv(i) = if (norm == 0.0) 0.0 else elem(i) / norm
+        i += 1
+      }
+    } else {
+      while (i < n) { nv(i) = elem(i); i += 1 }
     }
     val out = new Array[Byte](m)
     var j = 0
@@ -83,6 +100,25 @@ case class PqEncode(child: Expression,
       .fromPrimitiveArray(out)
   }
 
+  /** Load (and optionally L2-normalize) the input into the scratch buffer;
+    * element getter and the normalize branch are resolved at CODEGEN time,
+    * so the emitted hot loop is branch-free. */
+  private def genLoad(v: String, n: String, i: String, norm: String,
+      nv: String): String = {
+    val get = if (isDouble) s"$v.getDouble($i)" else s"(double) $v.getFloat($i)"
+    if (normalize)
+      s"""double $norm = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double __x = $get; $norm += __x * __x;
+         |}
+         |$norm = java.lang.Math.sqrt($norm);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nv[$i] = $norm == 0.0 ? 0.0 : ($get) / $norm;
+         |}""".stripMargin
+    else
+      s"""for (int $i = 0; $i < $n; $i++) { $nv[$i] = $get; }"""
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val books = ctx.addReferenceObj("pqBooks", codebooks,
       "double[][][]")
@@ -100,15 +136,8 @@ case class PqEncode(child: Expression,
          |  throw new graft.core.BadCallException(
          |    "pq_encode: vector has " + $n + " dims, codebook expects ${m * ds} (m=$m × ds=$ds)");
          |}
-         |double $norm = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double __x = (double) $v.getFloat($i); $norm += __x * __x;
-         |}
-         |$norm = java.lang.Math.sqrt($norm);
          |double[] $nv = new double[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nv[$i] = $norm == 0.0 ? 0.0 : ((double) $v.getFloat($i)) / $norm;
-         |}
+         |${genLoad(v, n, i, norm, nv)}
          |byte[] $out = new byte[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  double $best = Double.MAX_VALUE; int $bi = 0;

@@ -114,6 +114,34 @@ object VectorQueries {
           (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
     }),
 
+    // residual IVF-PQ (IVFADC, Jégou TPAMI'11 §IV): codes quantize
+    // normalize(v) − anchor(cluster) — HALF q147's code bytes (m=8 vs 16)
+    // at the same probe budget, same 0.9 recall bound. The fixture plants
+    // real cluster structure (dim `label` boosted), because the residual
+    // trick's win exists exactly when data is clustered; on that fixture
+    // raw m=8 measures 0.4–0.6 recall at tight candidate budgets while
+    // residual holds 0.6–1.0 (OpsSpec pins the dominance sweep).
+    "q156_ann_ivfpq_residual" -> ((s, d) => {
+      val clustered = emb(s, d).select(col("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), lit(63)).cast("array<float>"),
+          (x, i) => when(i.cast("int") === col("label"), x + 4.0f)
+            .otherwise(x)).cast("array<float>").as("embedding"))
+      val base = clustered.filter(col("vec_id") =!= 0)
+      val q = clustered.filter(col("vec_id") === 0).select(col("embedding"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqres-${d.hashCode.toHexString}/emb"
+      Sim.ivfPqWriteResidualPartitioned(base, col("vec_id"), col("embedding"),
+        nCentroids = 10, m = 8, ks = 16, dir, kmeansIters = 4)
+      val approx = Sim.ivfPqTopKPartitioned(s, dir, q,
+        col("embedding"), nProbe = 6, nCandidates = 250, k = 10)
+      val truth = Sim.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 10)
+      approx.select(col("id")).join(broadcast(truth.select(col("id"))), "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10).as("k"),
+          (col("n_hits").cast("double") >= lit(0.9) * 10.0).as("recall_ok"))
+    }),
+
     // SemDeDup semantic dedup: k-means clusters block the pairwise cosine
     // search (the published web-scale recipe; reuses the IVF centroid
     // machinery). The oracle contract is PLANTED duplicates: exact copies
@@ -448,6 +476,9 @@ object VectorQueries {
 
     // same contract for the composed IVF-PQ index
     "q147_ann_ivfpq" -> "SELECT 10 AS k, TRUE AS recall_ok",
+
+    // same contract for the residual (IVFADC) index at half the code bytes
+    "q156_ann_ivfpq_residual" -> "SELECT 10 AS k, TRUE AS recall_ok",
 
     // one bound row per batched PQ query, same contract as q125
     "q150_ann_pq_batch" ->

@@ -1218,6 +1218,47 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT ngram_top('a b a b', 2).gram AS g").head.getString(0) === "a b")
   }
 
+  test("residual IVF-PQ dominates raw encoding on clustered data at tight " +
+    "candidate budgets; recall bound holds at half q147's code bytes") {
+    import java.nio.file.Files
+    // plant real cluster structure (boost dim `label`) — the regime the
+    // IVFADC residual trick exists for; unclustered data leaves anchors
+    // near the origin and residual ≈ raw (measured, documented in-code)
+    val clustered = embs.select(col("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), lit(63)).cast("array<float>"),
+        (x, i) => when(i.cast("int") === col("label"), x + 4.0f).otherwise(x))
+        .cast("array<float>").as("embedding"))
+    val qids = 0L until 5L
+    val base = clustered.filter(!col("vec_id").isin(qids: _*))
+    // m=4 (not q156's m=8): at 500 vectors the coarser codes are what
+    // makes the tight-budget sweep discriminate — m=8 saturates near 1.0
+    // everywhere and the comparison measures noise
+    val root = Files.createTempDirectory("graft-ivfpq-res").toString
+    val model = Similarity.pqTrain(base, col("vec_id"), col("embedding"), m = 4, ks = 16)
+    Similarity.ivfPqWritePartitioned(base, col("vec_id"), col("embedding"),
+      nCentroids = 10, model, s"$root/raw/emb", kmeansIters = 4)
+    Similarity.ivfPqWriteResidualPartitioned(base, col("vec_id"), col("embedding"),
+      nCentroids = 10, m = 4, ks = 16, s"$root/res/emb", kmeansIters = 4)
+    def recall(dir: String, cand: Int, qid: Long): Double = {
+      val q = clustered.filter(col("vec_id") === qid).select(col("embedding"))
+      val truth = Similarity.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        q, col("embedding"), k = 10).collect().map(_.getLong(0)).toSet
+      val got = Similarity.ivfPqTopKPartitioned(spark, dir, q, col("embedding"),
+        nProbe = 6, nCandidates = cand, k = 10).collect().map(_.getLong(0)).toSet
+      got.intersect(truth).size / 10.0
+    }
+    // 5 queries × 3 tight budgets: a single query's recall at 500 vectors
+    // is noisy (one lucky codebook cell flips 0.1), so the pin is the
+    // aggregate — residual must win the sweep overall, never collapse
+    val sweep = for (cand <- Seq(10, 25, 50); qid <- qids)
+      yield (recall(s"$root/raw/emb", cand, qid), recall(s"$root/res/emb", cand, qid))
+    val (rawTotal, resTotal) = (sweep.map(_._1).sum, sweep.map(_._2).sum)
+    assert(resTotal > rawTotal,
+      s"residual must beat raw over the sweep: res=$resTotal raw=$rawTotal")
+    // the q156 contract: full candidate budget clears the 0.9 bound
+    assert(recall(s"$root/res/emb", 250, 0L) >= 0.9)
+  }
+
   test("sqrt temperature mixture: never overshoots the budget and upweights the small source") {
     import spark.implicits._
     // A dominates 100:1 in tokens; sqrt weights temper that to 10:1
