@@ -131,6 +131,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // trigram LM quality with stupid backoff (Brants 2007): one order up
+    // from q154's bigram — seen trigram ratio, else α·bigram ratio, else
+    // α²·add-1 unigram floor; every ln argument is an integer count so the
+    // backoff replays cross-engine exactly
+    "q157_lm_quality_trigram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      graft.ops.TextAnalysis.trigramStupidBackoff(docs, col("doc_id"),
+          col("text"), docs, col("text"))
+        .withColumn("bucket",
+          array(lit("head"), lit("middle"), lit("tail"))(
+            ntile(3).over(Window.orderBy(
+              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_trigrams"),
+          col("cross_entropy"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -507,6 +526,48 @@ object TextQueries {
                ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
            FROM toks t LEFT JOIN sc USING (doc_id))
          SELECT doc_id, n_bigrams, cross_entropy, bucket FROM b
+         WHERE doc_id < 20 ORDER BY doc_id""",
+
+    // the stupid backoff replayed: same integer-count CASE ladder, same
+    // α=0.4 ln offsets, same add-1 unigram floor and tercile assignment
+    "q157_lm_quality_trigram" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         uni AS (SELECT ts[x.i] AS w1, count(*) AS c1
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
+           GROUP BY 1),
+         bi AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c2
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+           WHERE len(ts) >= 2 GROUP BY 1, 2),
+         tri AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+             count(*) AS c3
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3 GROUP BY 1, 2, 3),
+         tot AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3),
+         sc AS (SELECT dp.doc_id, count(*) AS nt,
+             round(-sum(CASE
+               WHEN coalesce(tri.c3, 0) > 0
+                 THEN ln(tri.c3::DOUBLE) - ln(b12.c2::DOUBLE)
+               WHEN coalesce(b23.c2, 0) > 0
+                 THEN ln(0.4) + ln(b23.c2::DOUBLE) - ln(u2.c1::DOUBLE)
+               ELSE 2 * ln(0.4) + ln(coalesce(u3.c1, 0)::DOUBLE + 1.0)
+                 - ln(tot.n + tot.v) END) / count(*), 6) AS xent
+           FROM dp
+           LEFT JOIN tri USING (w1, w2, w3)
+           LEFT JOIN bi b12 ON dp.w1 = b12.w1 AND dp.w2 = b12.w2
+           LEFT JOIN bi b23 ON dp.w2 = b23.w1 AND dp.w3 = b23.w2
+           LEFT JOIN uni u2 ON dp.w2 = u2.w1
+           LEFT JOIN uni u3 ON dp.w3 = u3.w1
+           CROSS JOIN tot GROUP BY 1),
+         b AS (SELECT t.doc_id,
+             CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_trigrams,
+             sc.xent AS cross_entropy,
+             (['head', 'middle', 'tail'])[ntile(3) OVER (
+               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+           FROM toks t LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_trigrams, cross_entropy, bucket FROM b
          WHERE doc_id < 20 ORDER BY doc_id""",
 
     // identical plant, identical per-char counting (1-based substr series)
