@@ -696,6 +696,46 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** INCREMENTAL SemDeDup — dedup an incoming batch against a PERSISTED
+    * cluster index ([[Similarity.ivfWritePartitioned]]'s layout: centroids
+    * sidecar + cluster-partitioned members) WITHOUT re-pairing the corpus:
+    * the embedding analogue of [[dedupAgainstCorpus]]. Batch rows are
+    * assigned to the EXISTING clusters (the persisted-centroid argmax —
+    * no retraining), joined only against index members of the SAME
+    * cluster, and dropped when any member scores cosine ≥ `minCosine`.
+    * An identical copy of an indexed vector provably shares its cluster
+    * (same argmax), so exact cross-batch duplicates can never escape —
+    * the q143 contract, incrementally. Batch-INTERNAL duplicates are
+    * [[semanticDedup]]'s job, mirroring [[dedupAgainstCorpus]]'s contract;
+    * grow the index with accepted survivors via
+    * [[Similarity.ivfAppendPartitioned]] and the next batch dedups against
+    * them too (ScaleSpec pins that appended members catch later copies).
+    *
+    * Scale shape: corpus never re-paired with itself — the quadratic term
+    * is (batch rows per cluster) × (index rows per cluster), the SemDeDup
+    * block bound with a batch-sized left side; centroids broadcast in the
+    * argmax literal; one hash join on the cluster key. Quantized (int8)
+    * indexes are refused with a typed error — the cosine decision needs
+    * the fp32 members. */
+  def semanticDedupAgainstIndex(incoming: DataFrame, id: Column, vec: Column,
+      path: String, minCosine: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    if (Similarity.ivfReadManifest(spark, path)
+        .exists(_.path("quantized").asBoolean(false)))
+      throw new graft.core.BadCallException(
+        s"semanticDedupAgainstIndex needs an fp32 index; $path is quantized")
+    val assigned = Similarity.withPersistedClusterAssignment(
+      incoming.select(id.cast("long").as("__bid"), vec.as("__bv")),
+      col("__bv"), path)
+    val index = spark.read.parquet(path)
+      .select(col("v").as("__cv"), col("cluster"))
+    val losers = assigned.join(index, Seq("cluster"))
+      .filter(Similarity.cosineNative(incoming, col("__bv"), col("__cv"))
+        >= minCosine)
+      .select(col("__bid")).distinct()
+    incoming.join(losers, id.cast("long") === col("__bid"), "left_anti")
+  }
+
   /** Release the persisted blocks behind a `localCheckpoint`ed frame (or a
     * projection of one). `Dataset.unpersist` only covers `cache()`; the
     * checkpoint's blocks belong to the materialized RDD inside the plan's

@@ -735,6 +735,21 @@ object Similarity {
     df.withColumn("cluster", assignExpr(df, cents, vec))
   }
 
+  /** Cluster assignment against a PERSISTED index's centroid sidecar —
+    * the same zero-shuffle argmax projection the probe and
+    * [[ivfAppendPartitioned]] use, exposed so incremental operators
+    * (batch-vs-index dedup, streaming routers) can block new rows into
+    * the EXISTING clusters without retraining. */
+  def withPersistedClusterAssignment(df: DataFrame, vec: Column,
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty,
+      s"withPersistedClusterAssignment: no centroids at $path.centroids")
+    df.withColumn("cluster", assignExpr(df, cents, vec))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ): the 100 TB ANN compression path.
   //

@@ -164,6 +164,30 @@ object VectorQueries {
         sum(when(col("vec_id") < 100000L, 1L).otherwise(0L)).as("originals_kept"))
     }),
 
+    // INCREMENTAL SemDeDup: a new batch dedups against the PERSISTED
+    // cluster index without re-pairing the corpus. Planted contract like
+    // q143: exact copies of indexed vectors (same argmax cluster, cosine
+    // ~1) must all drop; genuinely new batch rows all survive (max
+    // cross-pair cosine 0.51/0.60 at sf0.01/0.1 — measured for q143 —
+    // so tau=0.9 separates)
+    "q158_semantic_dedup_incr" -> ((s, d) => {
+      import graft.ops.Dedup
+      val base = emb(s, d)
+      val corpus = base.filter(col("vec_id") < 400)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-semincr-${d.hashCode.toHexString}/emb"
+      Sim.ivfWritePartitioned(corpus, col("vec_id"), col("embedding"),
+        nCentroids = 8, dir, kmeansIters = 4)
+      val planted = corpus.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"),
+          col("label"))
+      val batch = base.filter(col("vec_id") >= 400).unionByName(planted)
+      val survivors = Dedup.semanticDedupAgainstIndex(batch, col("vec_id"),
+        col("embedding"), dir, minCosine = 0.9)
+      survivors.agg(
+        sum(when(col("vec_id") >= 200000L, 1L).otherwise(0L)).as("planted_kept"),
+        sum(when(col("vec_id") < 200000L, 1L).otherwise(0L)).as("new_kept"))
+    }),
+
     // cross-modal retrieval: vector search → join back to the documents
     // table (vec_id aligns with doc_id) — the "semantic fetch" a RAG/
     // curation pipeline runs; the 10-row hit list broadcasts
@@ -490,6 +514,11 @@ object VectorQueries {
     "q143_semantic_dedup" ->
       """SELECT CAST(0 AS BIGINT) AS planted_kept,
          count(*) AS originals_kept FROM embeddings""",
+
+    // planted cross-batch copies all drop; genuinely new rows all survive
+    "q158_semantic_dedup_incr" ->
+      """SELECT CAST(0 AS BIGINT) AS planted_kept,
+         count(*) AS new_kept FROM embeddings WHERE vec_id >= 400""",
 
     // one bound row per batched query, same contract as q57
     "q125_ann_ivf_batch" ->

@@ -392,6 +392,48 @@ class ScaleSpec extends AnyFunSuite {
       "a failed mixed-dim append must not grow the index")
   }
 
+  test("incremental semantic dedup: batch-vs-index drops exactly the planted " +
+    "copies; appended members catch later copies without retraining") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-semincr").toString + "/emb"
+    val corpus = embs.filter(col("vec_id") < 400)
+    Similarity.ivfWritePartitioned(corpus, col("vec_id"), col("embedding"), 8,
+      dir, kmeansIters = 4)
+    // batch 1: 3 planted copies of indexed vectors + the genuinely new tail
+    val planted = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"), col("label"))
+    val batch1 = embs.filter(col("vec_id") >= 400).unionByName(planted)
+    val s1 = Dedup.semanticDedupAgainstIndex(batch1, col("vec_id"),
+        col("embedding"), dir, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1.forall(_ < 200000L), s"planted copies must drop: ${s1.filter(_ >= 200000L)}")
+    assert(embs.filter(col("vec_id") >= 400).count() === s1.size.toLong,
+      "every genuinely new row must survive")
+    // accepted survivors append into the index (no retrain)...
+    Similarity.ivfAppendPartitioned(
+      batch1.join(s1.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+      col("vec_id"), col("embedding"), dir)
+    // ...so batch 2's copy OF A BATCH-1 SURVIVOR is now caught too
+    val survivorId = s1.min
+    val batch2 = batch1.filter(col("vec_id") === survivorId)
+      .select(lit(300001L).as("vec_id"), col("embedding"), col("label"))
+    val s2 = Dedup.semanticDedupAgainstIndex(batch2, col("vec_id"),
+        col("embedding"), dir, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s2.isEmpty,
+      "a copy of an appended batch-1 survivor must be caught incrementally")
+    // quantized indexes are refused with the typed error
+    val qdir = Files.createTempDirectory("graft-semincr-q").toString + "/emb"
+    Similarity.ivfWritePartitioned(corpus, col("vec_id"), col("embedding"), 8,
+      qdir, kmeansIters = 2, quantize = true)
+    val err = intercept[graft.core.BadCallException] {
+      Dedup.semanticDedupAgainstIndex(batch1, col("vec_id"), col("embedding"),
+        qdir, minCosine = 0.9).collect()
+    }
+    assert(err.getMessage.contains("quantized"))
+  }
+
   test("ivf-pq index: full probe + full candidates equals brute force; ADC pass partition- and column-prunes") {
     val dir = Files.createTempDirectory("graft-ivfpq").toString + "/emb"
     val q = embs.filter(col("vec_id") === 0)
