@@ -36,13 +36,18 @@ object Curation {
       ctx: Int = 512,
       sampleSeed: Int = 7,
       splitSeed: Int = 42,
-      ffdPack: Boolean = false)
+      ffdPack: Boolean = false,
+      imageMaxHamming: Int = 4)
 
   /** Runs the full pipeline; returns one row per packed chunk:
-    * `doc, chunk_idx, chunk, n_tok, split, bin`. */
+    * `doc, chunk_idx, chunk, n_tok, split, bin`.
+    * @param media optional image payloads keyed by doc id — when present,
+    *   perceptual image dedup runs as the FIRST stage (see
+    *   [[dedupByImageHash]]). */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
-      cfg: Config = Config()): DataFrame = {
-    val chunks = curateChunks(docs, id, text, lang, cfg)
+      cfg: Config = Config(),
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None): DataFrame = {
+    val chunks = curateChunks(docs, id, text, lang, cfg, media)
     if (cfg.ffdPack)
       Chunking.packFFD(chunks, col("split"), cfg.ctx)
         .withColumnRenamed("grp", "split")
@@ -50,14 +55,38 @@ object Curation {
     else Chunking.pack(chunks, col("split"), cfg.ctx)
   }
 
+  /** Perceptual IMAGE dedup as a curation stage — drops every document
+    * whose image is a near-duplicate (dHash Hamming ≤ `maxHamming`) of a
+    * LOWER-id document's image; docs without a media row pass through
+    * untouched. Runs FIRST in [[curate]] when media is supplied: the
+    * decision key is 8 bytes per document (vs shingle signatures for the
+    * text stages), mirror/re-encode/resize copies collapse before any text
+    * work is spent on them, and the text dedups then run on the smaller
+    * survivor set. Composition: [[Multimodal.imageDHashes]] (per-partition
+    * codec amortization, corrupt payloads drop) → the pigeonhole-banded
+    * [[Dedup.hammingPairs]] (lossless blocking, never all-pairs) → the
+    * same greedy min-id keep as [[Dedup.dedupByEmbedding]]. */
+  def dedupByImageHash(docs: DataFrame, id: Column,
+      media: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int): DataFrame = {
+    val hashes = Multimodal.imageDHashes(media).toDF()
+      .select(col("media_id").as("doc"), col("dhash").as("simhash"))
+    val losers = Dedup.hammingPairs(hashes, bits = 64, maxHamming = maxHamming)
+      .select(col("j").as("__iloser")).distinct()
+    docs.join(losers, id === col("__iloser"), "left_anti")
+  }
+
   /** The pipeline up to (but excluding) context packing: one row per chunk,
     * `doc, chunk_idx, chunk, n_tok, split`. This is the part that is a pure
     * composition of filters, stateless projections, and keyed dedups — the
     * shape that also runs on a stream ([[curateStream]]). */
   def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val quality = docs.filter(TextAnalysis.qualityClass(text) === "ok")
+    val base = media.map(m =>
+      dedupByImageHash(docs, id, m, cfg.imageMaxHamming)).getOrElse(docs)
+    val quality = base.filter(TextAnalysis.qualityClass(text) === "ok")
     val rebalanced =
       if (cfg.langFracs.isEmpty) quality
       else Sampling.stratifiedSample(quality, id, lang, cfg.langFracs,

@@ -183,6 +183,37 @@ object SamplingQueries {
           countDistinct("bin").as("n_bins"),
           sum("n_tok").cast("long").as("sum_tok"))
         .orderBy("split")
+    }),
+
+    // the multimodal capstone: q91's pipeline with the perceptual IMAGE
+    // dedup stage in front. The planted media runs the REAL PNG decode →
+    // dHash path: gradient images (every 31st doc, differing payloads,
+    // hash exactly -1) and solid images (every 37th, hash exactly 0) form
+    // two near-dup clusters; only each cluster's min id survives the image
+    // stage, and the oracle replays that drop set as doc_id arithmetic
+    // before replaying the full text pipeline
+    "q159_curation_multimodal" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .filter(id => id % 31 == 0 || id % 37 == 0)
+        .map { id =>
+          val payload =
+            if (id % 31 == 0)
+              Multimodal.syntheticGradientPng(16, 8, (id % 7).toInt * 10, 10)
+            else Multimodal.syntheticPng(4 + (id % 8).toInt, 4 + (id % 5).toInt,
+              (id % 256).toInt, ((id * 7) % 256).toInt, ((id * 11) % 256).toInt)
+          Multimodal.MediaRecord(id, "image", payload, "synth")
+        }
+      Curation.curate(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("lang"), Curation.Config(langFracs = LangFracs),
+          media = Some(media))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
     })
   )
 
@@ -325,6 +356,46 @@ object SamplingQueries {
            min(b) AS min_b, max(b) AS max_b,
            CAST(sum(z) AS BIGINT) AS sum_z
          FROM zs GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q159_curation_multimodal" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH idrop AS (
+           SELECT doc_id FROM documents
+           WHERE (doc_id % 31 = 0 AND doc_id > (SELECT min(doc_id)
+               FROM documents WHERE doc_id % 31 = 0))
+             OR (doc_id % 37 = 0 AND doc_id % 31 <> 0
+               AND doc_id > (SELECT min(doc_id) FROM documents
+                 WHERE doc_id % 37 = 0 AND doc_id % 31 <> 0))),
+         base AS (SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM idrop)),
+         q AS (SELECT * FROM base
+           WHERE ${TA.qualityClassSql("text")} = 'ok'
+             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+         e1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+         spl AS (SELECT *,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM e2),
+         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+         p AS (SELECT split, doc, n_tok,
+           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1"""
     },
 
     "q91_curation_pipeline" -> {
