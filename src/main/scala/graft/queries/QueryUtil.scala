@@ -9,17 +9,27 @@ object QueryUtil {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects by default. Read nanos as long, then floor to
-    * microseconds — exactly what engines with µs timestamps (DuckDB included)
-    * do when reading ns parquet, so oracle comparisons stay exact.
-    * Integer `DIV` keeps the arithmetic exact (nanos exceed 2^53, so a double
-    * division would corrupt low bits). */
+  /** The events table's `ts` physical type varies across testdata
+    * generations: TIMESTAMP(NANOS) (read as long via the legacy flag, floored
+    * to µs — integer `DIV` because nanos exceed 2^53 and a double division
+    * would corrupt low bits) or native µs timestamps (read as NTZ, cast to
+    * the session type — sessions pin UTC, so the instant is preserved
+    * verbatim). Both normalize to the same TIMESTAMP column, so every
+    * downstream query and oracle is generation-agnostic. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
   }
+
+  /** Normalization shared by the batch and streaming events readers
+    * (`ts DIV 1000` is exact integer division — nano longs exceed 2^53,
+    * so `/` through double would corrupt low bits). */
+  def normalizeTs(stored: org.apache.spark.sql.types.DataType): Column =
+    stored match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+      case _                                   => col("ts").cast("timestamp")
+    }
 
   /** Timestamp literal parsed in the SESSION timezone (UTC), not the JVM
     * default — `Timestamp.valueOf` would shift the boundary on non-UTC

@@ -20,22 +20,19 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Events schema as stored (ts = raw nanos int64; see QueryUtil.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. Streaming
+    * sources need a declared schema; one driver-side batch footer read
+    * discovers the stored `ts` physical type (nanos-as-long legacy shards
+    * vs native µs timestamps), and [[graft.queries.QueryUtil.normalizeTs]]
+    * folds both generations to the same TIMESTAMP column the batch reader
+    * produces — so stream≡batch twin specs hold across testdata versions. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = spark.read.parquet(dir).schema
     spark.readStream
-      .schema(rawSchema)
+      .schema(stored)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.queries.QueryUtil.normalizeTs(stored("ts").dataType))
   }
 
   /** Watermarked tumbling-window counts per event type — late data beyond
