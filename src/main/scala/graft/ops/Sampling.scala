@@ -369,4 +369,136 @@ object Sampling {
        |   * (((j * ${0x9E3779B1L}) % $P) | 1)
        |   + (j * ${0x85EBCA6BL}) % $P) % $P))""".stripMargin.replace("\n", "")
   }
+
+  // ------------------------------------------------------------------ DSIR
+
+  /** DSIR feature set: whitespace unigrams + adjacent bigrams (the paper's
+    * hashed-n-gram features). Empty tokens are dropped BEFORE bigram
+    * formation so the gram list is insensitive to repeated separators. */
+  private def dsirGrams(text: Column): Column = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bis)
+  }
+
+  /** Hashed-n-gram importance weights for data selection — DSIR (Xie et
+    * al., "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023). Unigram+bigram features hash into `nBuckets` buckets;
+    * a document's weight is the sum over its grams of the add-one-smoothed
+    * log-likelihood ratio between the TARGET distribution (the corpus you
+    * want more of — a quality exemplar set) and the RAW distribution (the
+    * corpus being selected from):
+    *
+    *   score(b) = ln((c_t(b)+1)/(N_t+B)) − ln((c_r(b)+1)/(N_r+B))
+    *
+    * Portability discipline: each bucket's score is rounded ONCE to
+    * integer micro-nats (`round(1e6·x)::BIGINT` — one transcendental per
+    * BUCKET, rounded before any per-doc sum), so document weights are
+    * exact BIGINT sums: order-independent, repartition-stable and
+    * bit-identical cross-engine. Rounding per-bucket rather than per-doc
+    * is what removes the float-summation-order hazard the LM-quality
+    * queries have to tolerate.
+    *
+    * Scale shape: the two gram-count passes collapse map-side into
+    * ≤ nBuckets partial rows each (the whole point of feature hashing —
+    * the model is a fixed-size table no matter the corpus size); the
+    * score table is nBuckets rows (MBs at the paper's 2^16) and
+    * BROADCASTS into the scoring pass, which is one explode + broadcast
+    * hash join + per-doc partial agg. No shuffle ever carries more than
+    * nBuckets rows except the final per-doc agg, which partial-aggregates
+    * on the generating side. The raw corpus is scanned twice (fit +
+    * score) — the paper's own two-phase shape; the target corpus is small
+    * by the method's definition.
+    *
+    * Returns `raw` + `n_grams` + `dsir_weight_u` (micro-nats; higher =
+    * more target-like; gram-free docs get 0). For the resampling step
+    * compose with [[weightedSampleKPerGroup]] via an affine map to
+    * integer weights ([[dsirEsWeight]]) or take a top-k. */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column,
+      nBuckets: Int = 1 << 16, seed: Int = 7): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val B = nBuckets.toLong
+    def bucket(g: Column) = pmod(PortableHash.md5Long(g, seed), lit(B))
+    def bucketCounts(df: DataFrame, t: Column) =
+      df.select(explode(dsirGrams(t)).as("__g"))
+        .groupBy(bucket(col("__g")).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+    val tc = bucketCounts(target, targetText)
+    val rc = bucketCounts(raw, text)
+    // the score table only needs buckets the raw corpus can produce, so a
+    // left join from raw counts suffices; totals ride in as broadcast
+    // scalars (sum over a ≤nBuckets-row frame)
+    val scores = rc.as("r")
+      .join(tc.as("t"), col("r.__b") === col("t.__b"), "left")
+      .crossJoin(broadcast(tc.agg(
+        coalesce(sum("__c"), lit(0L)).as("__nt"))))
+      .crossJoin(broadcast(rc.agg(
+        coalesce(sum("__c"), lit(0L)).as("__nr"))))
+      .select(col("r.__b").as("__b"),
+        round(lit(1e6) * (
+          log((coalesce(col("t.__c"), lit(0L)) + lit(1L)).cast("double")
+            / (col("__nt") + lit(B)).cast("double")) -
+          log((col("r.__c") + lit(1L)).cast("double")
+            / (col("__nr") + lit(B)).cast("double"))))
+          .cast("long").as("__s"))
+    val perDoc = raw.select(id.as("__id"), explode(dsirGrams(text)).as("__g"))
+      .select(col("__id"), bucket(col("__g")).as("__b"))
+      .join(broadcast(scores), "__b")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"), sum("__s").as("dsir_weight_u"))
+    raw.join(perDoc, id === col("__id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("dsir_weight_u", coalesce(col("dsir_weight_u"), lit(0L)))
+      .drop("__id")
+  }
+
+  /** Affine map from [[dsirWeights]] micro-nat weights to the integer
+    * [1, maxWeight] range [[weightedSampleKPerGroup]] consumes — monotone
+    * in the weight and degenerate-safe (all-equal weights map to 1).
+    * `lo`/`hi` are the corpus min/max weight (one tiny agg; broadcast or
+    * literal). The floor-division detours through double (Spark's `/` on
+    * BIGINT is double division) but stays EXACT, hence bit-portable vs
+    * the oracle's integer `//`: the numerator `(wu−lo)·(maxWeight−1)` is
+    * < 2^53 for any realistic micro-nat range, the quotient is ≤
+    * maxWeight−1, and IEEE division of exactly-representable operands is
+    * correctly rounded — a quotient that close to an integer from below
+    * cannot occur with denominators < 2^40. */
+  def dsirEsWeight(weightU: Column, lo: Column, hi: Column,
+      maxWeight: Int = 64): Column =
+    lit(1L) + floor((weightU - lo).cast("double") * lit((maxWeight - 1).toDouble)
+      / greatest(hi - lo, lit(1L)).cast("double")).cast("long")
+
+  /** DuckDB twin of [[dsirWeights]] (oracle construction): a WITH-clause
+    * body computing `dsir_w(id, n_grams, wu)` over `table`, with the
+    * target slice selected by `targetPred`. Compose further CTEs after it. */
+  def dsirSql(idCol: String, textCol: String, table: String,
+      targetPred: String, nBuckets: Int, seed: Int = 7): String =
+    s"""__toks AS (SELECT $idCol AS id, ($targetPred) AS tgt,
+         list_filter(str_split($textCol, ' '), t -> len(t) > 0) AS ts
+         FROM $table),
+       __grams AS (SELECT id, tgt,
+           (${PortableHash.md5LongSql("u.g", seed)}) % $nBuckets AS b
+         FROM __toks, LATERAL (SELECT unnest(list_concat(ts,
+           CASE WHEN len(ts) >= 2 THEN list_transform(
+             generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+           ELSE [] END)) AS g) u),
+       __rc AS (SELECT b, count(*) AS c FROM __grams GROUP BY 1),
+       __tc AS (SELECT b, count(*) AS c FROM __grams WHERE tgt GROUP BY 1),
+       __tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM __tc) AS nt,
+                        (SELECT coalesce(sum(c), 0) FROM __rc) AS nr),
+       __sc AS (SELECT __rc.b,
+           CAST(round(1e6 * (
+             ln((coalesce(__tc.c, 0) + 1)::DOUBLE / (__tot.nt + $nBuckets)::DOUBLE)
+             - ln((__rc.c + 1)::DOUBLE / (__tot.nr + $nBuckets)::DOUBLE)))
+           AS BIGINT) AS s
+         FROM __rc LEFT JOIN __tc ON __rc.b = __tc.b, __tot),
+       __w AS (SELECT id, count(*) AS n_grams, sum(s) AS wu
+         FROM __grams JOIN __sc USING (b) GROUP BY 1),
+       dsir_w AS (SELECT t.id, coalesce(w.n_grams, 0) AS n_grams,
+           coalesce(w.wu, 0) AS wu
+         FROM __toks t LEFT JOIN __w w ON t.id = w.id)""".stripMargin
 }

@@ -214,6 +214,44 @@ object SamplingQueries {
           countDistinct("bin").as("n_bins"),
           sum("n_tok").cast("long").as("sum_tok"))
         .orderBy("split")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // log-likelihood ratios against a target slice (source = src0), in
+    // integer micro-nats so every doc weight is an exact BIGINT. The
+    // per-source aggregate pins EVERY document's weight (sum + max per
+    // source), and src0 itself must surface as the most target-like mass
+    "q160_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("text"),
+          nBuckets = 64)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").cast("long").as("sum_grams"),
+          sum("dsir_weight_u").as("sum_weight_u"),
+          max("dsir_weight_u").as("max_weight_u"))
+        .orderBy("source")
+    }),
+
+    // the DSIR resampling step: micro-nat weights → integer [1,64] via the
+    // exact affine map → Efraimidis–Spirakis weighted sample, 3 docs per
+    // language. Membership fully pinned (sum of kept ids per language)
+    "q161_dsir_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val weighted = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"), nBuckets = 64)
+      val bounds = weighted.agg(
+        min("dsir_weight_u").as("__lo"), max("dsir_weight_u").as("__hi"))
+      val wEs = weighted.crossJoin(broadcast(bounds))
+        .withColumn("w_es",
+          Sampling.dsirEsWeight(col("dsir_weight_u"), col("__lo"), col("__hi")))
+      Sampling.weightedSampleKPerGroup(wEs, col("doc_id"), col("w_es"),
+          col("lang"), k = 3, maxWeight = 64)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("w_es").cast("long").as("sum_w"))
+        .orderBy("lang")
     })
   )
 
@@ -427,6 +465,36 @@ object SamplingQueries {
            count(DISTINCT (cum - n_tok) // 512) AS n_bins,
            CAST(sum(n_tok) AS BIGINT) AS sum_tok
          FROM p GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q160_dsir_weights" ->
+      s"""WITH ${Sampling.dsirSql("doc_id", "text", "documents",
+            "source = 'src0'", nBuckets = 64)},
+         src AS (SELECT doc_id, source FROM documents)
+         SELECT src.source, count(*) AS n_docs,
+           CAST(sum(w.n_grams) AS BIGINT) AS sum_grams,
+           CAST(sum(w.wu) AS BIGINT) AS sum_weight_u,
+           CAST(max(w.wu) AS BIGINT) AS max_weight_u
+         FROM dsir_w w JOIN src ON w.id = src.doc_id
+         GROUP BY 1 ORDER BY 1""",
+
+    "q161_dsir_resample" -> {
+      s"""WITH ${Sampling.dsirSql("doc_id", "text", "documents",
+            "source = 'src0'", nBuckets = 64)},
+         bounds AS (SELECT min(wu) AS lo, max(wu) AS hi FROM dsir_w),
+         es AS (SELECT w.id AS doc_id, d.lang,
+             1 + ((w.wu - b.lo) * 63) // greatest(b.hi - b.lo, 1) AS w_es
+           FROM dsir_w w JOIN documents d ON w.id = d.doc_id, bounds b),
+         r AS (SELECT lang, doc_id, w_es,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${Sampling.weightedPrioritySql("doc_id", "w_es",
+                 maxWeight = 64)} DESC,
+               doc_id::VARCHAR) AS rn
+           FROM es)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(w_es) AS BIGINT) AS sum_w
+         FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""
     }
   )
 }

@@ -1291,4 +1291,54 @@ class OpsSpec extends AnyFunSuite {
       .orderBy(col("tfidf").desc, col("tok")).head()
     assert(top.getString(1) === "rare0")
   }
+
+  test("dsir weights: target-like docs outrank the rest, planted corpus") {
+    import spark.implicits._
+    // target vocabulary {alpha beta gamma}; raw = 10 target-like docs +
+    // 30 off-distribution docs. Every target-like doc must outweigh every
+    // off-distribution doc, and a doc with zero grams scores exactly 0.
+    val raw = ((0L until 10L).map(i => (i, s"alpha beta gamma alpha beta")) ++
+      (100L until 130L).map(i => (i, s"delta${i % 7} epsilon${i % 5} zeta kappa")) ++
+      Seq((999L, " "))).toDF("doc_id", "text")
+    val target = Seq("alpha beta gamma", "beta gamma alpha alpha")
+      .toDF("text")
+    val w = Sampling.dsirWeights(raw, col("doc_id"), col("text"),
+        target, col("text"), nBuckets = 256)
+      .select("doc_id", "n_grams", "dsir_weight_u")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val minTargetLike = (0L until 10L).map(w(_)._2).min
+    val maxOff = (100L until 130L).map(w(_)._2).max
+    assert(minTargetLike > maxOff,
+      s"target-like docs must outweigh off-distribution: $minTargetLike <= $maxOff")
+    assert(w(999L) === ((0L, 0L)), "gram-free doc scores 0 with 0 grams")
+  }
+
+  test("dsir weights are repartition-stable (exact integer sums)") {
+    val target = docs.filter(col("source") === "src0")
+    val a = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        target, col("text"), nBuckets = 64)
+      .select("doc_id", "dsir_weight_u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.dsirWeights(docs.repartition(7), col("doc_id"),
+        col("text"), target.repartition(3), col("text"), nBuckets = 64)
+      .select("doc_id", "dsir_weight_u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "weights must be independent of partition layout")
+  }
+
+  test("dsir ES-weight affine map is monotone, bounded, degenerate-safe") {
+    import spark.implicits._
+    val df = Seq(-5000L, -1L, 0L, 3L, 9999L).toDF("wu")
+    val mapped = df.select(col("wu"),
+        Sampling.dsirEsWeight(col("wu"), lit(-5000L), lit(9999L), 64).as("w"))
+      .orderBy("wu").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mapped.head._2 === 1L && mapped.last._2 === 64L)
+    assert(mapped.map(_._2).sorted === mapped.map(_._2).toSeq,
+      "affine map must be monotone")
+    // all-equal weights: hi == lo == wu → everything maps to 1, no div-by-zero
+    val degen = Seq(7L, 7L, 7L).toDF("wu").select(
+      Sampling.dsirEsWeight(col("wu"), lit(7L), lit(7L), 64).as("w"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(degen === Seq(1L))
+  }
 }

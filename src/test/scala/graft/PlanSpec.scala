@@ -234,4 +234,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q117_drift_date")
     assert(!p.contains("Union"), s"date-drift read must stay one scan:\n$p")
   }
+
+  test("dsir scoring joins the bucket table by broadcast, never SMJ (q160)") {
+    // the score table is <= nBuckets rows by construction — if it ever
+    // falls back to a shuffle join the corpus-side explode re-exchanges
+    // per-gram rows, the exact failure mode feature hashing exists to avoid
+    // (the per-doc weight join-back is a legitimate shuffle join at scale,
+    // so the pin targets the __b bucket join specifically, not the plan)
+    val p = plan("q160_dsir_weights")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("__b")),
+      s"q160 score lookup must broadcast on the bucket key:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("__b")),
+      s"q160 gram rows must never sort-merge on the bucket key:\n$p")
+  }
 }
