@@ -94,7 +94,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
+    // SPARK_GRAFT_BENCH_ONLY=q45,q160 → targeted re-time of a comma-listed
+    // prefix-matched subset (perf triage after a suspect flag); unset (the
+    // driver's mode) runs the full inventory
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
 
     names.foreach { name => // warmup pass
       purgeStorage(spark)

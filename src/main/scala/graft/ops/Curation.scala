@@ -37,7 +37,10 @@ object Curation {
       sampleSeed: Int = 7,
       splitSeed: Int = 42,
       ffdPack: Boolean = false,
-      imageMaxHamming: Int = 4)
+      imageMaxHamming: Int = 4,
+      dsirBuckets: Int = 1 << 16,
+      dsirSeed: Int = 7,
+      dsirMinWeightU: Long = 0L)
 
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`.
@@ -46,8 +49,9 @@ object Curation {
     *   [[dedupByImageHash]]). */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
-      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None): DataFrame = {
-    val chunks = curateChunks(docs, id, text, lang, cfg, media)
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
+      dsirTarget: Option[DataFrame] = None): DataFrame = {
+    val chunks = curateChunks(docs, id, text, lang, cfg, media, dsirTarget)
     if (cfg.ffdPack)
       Chunking.packFFD(chunks, col("split"), cfg.ctx)
         .withColumnRenamed("grp", "split")
@@ -82,14 +86,31 @@ object Curation {
     * shape that also runs on a stream ([[curateStream]]). */
   def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
-      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None): DataFrame = {
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
+      dsirTarget: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val base = media.map(m =>
       dedupByImageHash(docs, id, m, cfg.imageMaxHamming)).getOrElse(docs)
     val quality = base.filter(TextAnalysis.qualityClass(text) === "ok")
+    // optional DSIR data-selection stage: keep documents at least as
+    // target-like as `dsirMinWeightU` micro-nats (0 = "more target-like
+    // than not"). Runs AFTER the cheap per-row quality gate (no point
+    // fitting the raw distribution on rows a regex drops) and BEFORE
+    // rebalance/dedup, the paper's select-then-clean order. The caller's
+    // target frame should be drawn from the same post-quality population
+    // (or an external exemplar corpus) so the oracle can replay both
+    // distributions from one table expression.
+    val selected = dsirTarget match {
+      case Some(tgt) =>
+        Sampling.dsirWeights(quality, id, text, tgt, text,
+            cfg.dsirBuckets, cfg.dsirSeed)
+          .filter(col("dsir_weight_u") >= cfg.dsirMinWeightU)
+          .drop("n_grams", "dsir_weight_u")
+      case None => quality
+    }
     val rebalanced =
-      if (cfg.langFracs.isEmpty) quality
-      else Sampling.stratifiedSample(quality, id, lang, cfg.langFracs,
+      if (cfg.langFracs.isEmpty) selected
+      else Sampling.stratifiedSample(selected, id, lang, cfg.langFracs,
         cfg.sampleSeed)
     val exact = Dedup.dedupExact(rebalanced,
       TextAnalysis.fingerprint(text), id)

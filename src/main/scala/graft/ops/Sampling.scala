@@ -373,16 +373,15 @@ object Sampling {
   // ------------------------------------------------------------------ DSIR
 
   /** DSIR feature set: whitespace unigrams + adjacent bigrams (the paper's
-    * hashed-n-gram features). Empty tokens are dropped BEFORE bigram
-    * formation so the gram list is insensitive to repeated separators. */
-  private def dsirGrams(text: Column): Column = {
-    val toks = filter(split(text, " "), t => length(t) > 0)
-    val bis = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(toks, bis)
-  }
+    * hashed-n-gram features), as the native codegen'd
+    * [[graft.functions.NgramSlots]] windows — all slots in order,
+    * duplicates kept, raw `split(text, ' ')` token spans (empty tokens
+    * included; the DuckDB twin is plain `str_split`, no filtering). The
+    * composable higher-order-function formulation (filter+transform
+    * lambdas) is NOT used here: HOF lambdas evaluate interpreted
+    * per-element and measurably dominate the scoring pass. */
+  private def dsirGrams(text: Column): Column =
+    concat(TextAnalysis.ngramSlots(text, 1), TextAnalysis.ngramSlots(text, 2))
 
   /** Hashed-n-gram importance weights for data selection — DSIR (Xie et
     * al., "Data Selection for Language Models via Importance Resampling",
@@ -420,31 +419,41 @@ object Sampling {
   def dsirWeights(raw: DataFrame, id: Column, text: Column,
       target: DataFrame, targetText: Column,
       nBuckets: Int = 1 << 16, seed: Int = 7): DataFrame = {
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // the bucket-count tables are ≤ nBuckets rows BY CONSTRUCTION — the
+    // fixed-size-model property feature hashing buys — so they collect to
+    // the driver (the same driver-sized contract as centroids/codebooks)
+    // and the score table is BUILT there, then broadcast. Leaving the
+    // counts lazy instead re-runs the gram-explode+md5 pass under every
+    // downstream agg (score join, nt/nr totals). Measured at sf0.1: the
+    // lazy HOF-lambda first cut ran 13.0 s; driver-side score table +
+    // native ngram_slots grams lands at 2.4 s (q160) — in line with the
+    // suite's other text passes. The cap bounds driver memory
+    // (2^22 × ~16 B ≈ 67 MB).
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [1, 2^22], got $nBuckets")
     val B = nBuckets.toLong
     def bucket(g: Column) = pmod(PortableHash.md5Long(g, seed), lit(B))
-    def bucketCounts(df: DataFrame, t: Column) =
+    def bucketCounts(df: DataFrame, t: Column): Map[Long, Long] =
       df.select(explode(dsirGrams(t)).as("__g"))
         .groupBy(bucket(col("__g")).as("__b"))
         .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tc = bucketCounts(target, targetText)
     val rc = bucketCounts(raw, text)
-    // the score table only needs buckets the raw corpus can produce, so a
-    // left join from raw counts suffices; totals ride in as broadcast
-    // scalars (sum over a ≤nBuckets-row frame)
-    val scores = rc.as("r")
-      .join(tc.as("t"), col("r.__b") === col("t.__b"), "left")
-      .crossJoin(broadcast(tc.agg(
-        coalesce(sum("__c"), lit(0L)).as("__nt"))))
-      .crossJoin(broadcast(rc.agg(
-        coalesce(sum("__c"), lit(0L)).as("__nr"))))
-      .select(col("r.__b").as("__b"),
-        round(lit(1e6) * (
-          log((coalesce(col("t.__c"), lit(0L)) + lit(1L)).cast("double")
-            / (col("__nt") + lit(B)).cast("double")) -
-          log((col("r.__c") + lit(1L)).cast("double")
-            / (col("__nr") + lit(B)).cast("double"))))
-          .cast("long").as("__s"))
+    val nt = tc.valuesIterator.sum.toDouble + B
+    val nr = rc.valuesIterator.sum.toDouble + B
+    // per-bucket integer micro-nat score, rounded HALF_UP exactly like the
+    // previous in-plan round(): BigDecimal is what Spark's Round uses, so
+    // the driver-built table is bit-identical to the expression-built one.
+    // Only raw-producible buckets matter (scoring joins FROM raw grams).
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val scoreRows = rc.iterator.map { case (b, cr) =>
+      val x = 1e6 * (math.log((tc.getOrElse(b, 0L) + 1L) / nt)
+        - math.log((cr + 1L) / nr))
+      (b, BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq
+    val scores = scoreRows.toDF("__b", "__s")
     val perDoc = raw.select(id.as("__id"), explode(dsirGrams(text)).as("__g"))
       .select(col("__id"), bucket(col("__g")).as("__b"))
       .join(broadcast(scores), "__b")
@@ -472,20 +481,50 @@ object Sampling {
     lit(1L) + floor((weightU - lo).cast("double") * lit((maxWeight - 1).toDouble)
       / greatest(hi - lo, lit(1L)).cast("double")).cast("long")
 
+  /** The full DSIR resampling step: [[dsirWeights]] → global weight bounds
+    * → [[dsirEsWeight]] affine map → [[weightedSampleKPerGroup]], returning
+    * the sampled rows of `raw` with their integer `w_es` attached.
+    *
+    * Scale shape: the per-doc weight frame is trimmed to
+    * (id, group, weight) and localCheckpoint-ed EAGERLY so the expensive
+    * scoring pass (gram explode + hash) runs ONCE and feeds both the
+    * bounds agg and the sample — leaving it lazy re-runs the whole
+    * lineage under each (measured 11.4 s → single-pass at sf0.1). The
+    * checkpoint is 3 slim columns per document, not the corpus. Winners
+    * are k·|groups| rows — driver-sized by contract — so the join back to
+    * `raw` broadcasts; the corpus never shuffles. */
+  def dsirResample(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column, group: Column, k: Int,
+      nBuckets: Int = 1 << 16, seed: Int = 7, esSeed: Int = 11,
+      maxWeight: Int = 64): DataFrame = {
+    val weighted = dsirWeights(raw, id, text, target, targetText,
+        nBuckets, seed)
+      .select(id.as("__rid"), group.as("__rg"), col("dsir_weight_u"))
+      .localCheckpoint()
+    val bounds = weighted.agg(min("dsir_weight_u"), max("dsir_weight_u")).head
+    val (lo, hi) =
+      if (bounds.isNullAt(0)) (0L, 0L) else (bounds.getLong(0), bounds.getLong(1))
+    val wEs = weighted.withColumn("w_es",
+      dsirEsWeight(col("dsir_weight_u"), lit(lo), lit(hi), maxWeight))
+    val picked = weightedSampleKPerGroup(wEs, col("__rid"), col("w_es"),
+        col("__rg"), k, esSeed, maxWeight)
+      .select(col("__rid"), col("w_es"))
+    raw.join(broadcast(picked), id === col("__rid")).drop("__rid")
+  }
+
   /** DuckDB twin of [[dsirWeights]] (oracle construction): a WITH-clause
     * body computing `dsir_w(id, n_grams, wu)` over `table`, with the
     * target slice selected by `targetPred`. Compose further CTEs after it. */
   def dsirSql(idCol: String, textCol: String, table: String,
       targetPred: String, nBuckets: Int, seed: Int = 7): String =
     s"""__toks AS (SELECT $idCol AS id, ($targetPred) AS tgt,
-         list_filter(str_split($textCol, ' '), t -> len(t) > 0) AS ts
+         str_split($textCol, ' ') AS ts
          FROM $table),
        __grams AS (SELECT id, tgt,
            (${PortableHash.md5LongSql("u.g", seed)}) % $nBuckets AS b
          FROM __toks, LATERAL (SELECT unnest(list_concat(ts,
-           CASE WHEN len(ts) >= 2 THEN list_transform(
-             generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
-           ELSE [] END)) AS g) u),
+           list_transform(generate_series(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1]))) AS g) u),
        __rc AS (SELECT b, count(*) AS c FROM __grams GROUP BY 1),
        __tc AS (SELECT b, count(*) AS c FROM __grams WHERE tgt GROUP BY 1),
        __tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM __tc) AS nt,

@@ -216,6 +216,26 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // the DSIR-selected pipeline: curate() with the data-selection stage
+    // between the quality gate and the rebalance — target = quality-passing
+    // src0 docs, keep weight >= 0 ("more target-like than not"). The whole
+    // composition (quality → DSIR → rebalance → exact+fuzzy dedup → split →
+    // chunk → pack) pins against ONE oracle
+    "q162_curation_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val target = docs.filter(TA.qualityClass(col("text")) === "ok" &&
+        col("source") === "src0")
+      Curation.curate(docs, col("doc_id"), col("text"), col("lang"),
+          Curation.Config(langFracs = LangFracs, dsirBuckets = 64),
+          dsirTarget = Some(target))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratios against a target slice (source = src0), in
     // integer micro-nats so every doc weight is an exact BIGINT. The
@@ -239,15 +259,9 @@ object SamplingQueries {
     // language. Membership fully pinned (sum of kept ids per language)
     "q161_dsir_resample" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val weighted = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
-        docs.filter(col("source") === "src0"), col("text"), nBuckets = 64)
-      val bounds = weighted.agg(
-        min("dsir_weight_u").as("__lo"), max("dsir_weight_u").as("__hi"))
-      val wEs = weighted.crossJoin(broadcast(bounds))
-        .withColumn("w_es",
-          Sampling.dsirEsWeight(col("dsir_weight_u"), col("__lo"), col("__hi")))
-      Sampling.weightedSampleKPerGroup(wEs, col("doc_id"), col("w_es"),
-          col("lang"), k = 3, maxWeight = 64)
+      Sampling.dsirResample(docs, col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("text"),
+          col("lang"), k = 3, nBuckets = 64)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum("w_es").cast("long").as("sum_w"))
@@ -495,6 +509,41 @@ object SamplingQueries {
            CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            CAST(sum(w_es) AS BIGINT) AS sum_w
          FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q162_curation_dsir" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH qq AS (SELECT * FROM documents
+           WHERE ${TA.qualityClassSql("text")} = 'ok'),
+         ${Sampling.dsirSql("doc_id", "text", "qq", "source = 'src0'",
+            nBuckets = 64)},
+         q AS (SELECT qq.* FROM qq JOIN dsir_w w ON qq.doc_id = w.id
+           WHERE w.wu >= 0
+             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+         e1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+         spl AS (SELECT *,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM e2),
+         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+         p AS (SELECT split, doc, n_tok,
+           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1"""
     }
   )
 }

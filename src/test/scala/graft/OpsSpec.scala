@@ -1296,7 +1296,9 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     // target vocabulary {alpha beta gamma}; raw = 10 target-like docs +
     // 30 off-distribution docs. Every target-like doc must outweigh every
-    // off-distribution doc, and a doc with zero grams scores exactly 0.
+    // off-distribution doc. Slot semantics: " " tokenizes to two empty
+    // tokens → 2 unigram slots + 1 bigram slot = 3 grams (the raw-span
+    // convention the DuckDB twin shares).
     val raw = ((0L until 10L).map(i => (i, s"alpha beta gamma alpha beta")) ++
       (100L until 130L).map(i => (i, s"delta${i % 7} epsilon${i % 5} zeta kappa")) ++
       Seq((999L, " "))).toDF("doc_id", "text")
@@ -1310,7 +1312,7 @@ class OpsSpec extends AnyFunSuite {
     val maxOff = (100L until 130L).map(w(_)._2).max
     assert(minTargetLike > maxOff,
       s"target-like docs must outweigh off-distribution: $minTargetLike <= $maxOff")
-    assert(w(999L) === ((0L, 0L)), "gram-free doc scores 0 with 0 grams")
+    assert(w(999L)._1 === 3L, "' ' carries 2 empty unigram slots + 1 bigram slot")
   }
 
   test("dsir weights are repartition-stable (exact integer sums)") {
@@ -1340,5 +1342,23 @@ class OpsSpec extends AnyFunSuite {
       Sampling.dsirEsWeight(col("wu"), lit(7L), lit(7L), 64).as("w"))
       .distinct().collect().map(_.getLong(0)).toSeq
     assert(degen === Seq(1L))
+  }
+
+  test("dsirResample ≡ composable bounds→map→sample (single-pass twin)") {
+    val target = docs.filter(col("source") === "src0")
+    def picks(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "w_es").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = picks(Sampling.dsirResample(docs, col("doc_id"), col("text"),
+      target, col("text"), col("lang"), k = 3, nBuckets = 64))
+    val weighted = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+      target, col("text"), nBuckets = 64)
+    val b = weighted.agg(min("dsir_weight_u"), max("dsir_weight_u")).head
+    val wEs = weighted.withColumn("w_es", Sampling.dsirEsWeight(
+      col("dsir_weight_u"), lit(b.getLong(0)), lit(b.getLong(1)), 64))
+    val slow = picks(Sampling.weightedSampleKPerGroup(wEs, col("doc_id"),
+      col("w_es"), col("lang"), k = 3, seed = 11, maxWeight = 64))
+    assert(fast === slow, "checkpointed single-pass must pick identical rows")
+    assert(fast.nonEmpty)
   }
 }
