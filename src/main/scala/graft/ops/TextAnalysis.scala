@@ -544,6 +544,68 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Per-group KL divergence of token distributions — mixture-drift
+    * diagnostics: KL(P_group ‖ P_corpus) over unigram frequencies answers
+    * "which source/snapshot has drifted furthest from the corpus blend",
+    * the number a mixture designer watches across versions (and the
+    * quantity DSIR-style selection implicitly optimizes). Tokens are the
+    * raw [[graft.functions.NgramSlots]] n=1 spans (= `str_split`, the
+    * cross-engine convention).
+    *
+    * Portability discipline: each (group, token) term
+    * `p·ln(p/q), p = c/n_g, q = c_t/N` rounds ONCE to integer micro-nats,
+    * so per-group sums are exact BIGINT arithmetic — order-independent and
+    * bit-identical to the DuckDB replay. The two ln arguments stay as
+    * separate small-magnitude quotients (`ln(p) − ln(q)`) so no product
+    * ever approaches int64/double-exactness limits at corpus scale.
+    * Rounding per term bounds the drift from true KL by ±0.5e-6·|vocab_g|
+    * — diagnostics-grade, and deterministic, which is the point.
+    *
+    * Scale shape: one explode → (group, token) partial-agg counts (the
+    * heavy shuffle, map-side collapsed), corpus totals re-aggregate from
+    * THAT table (never a second corpus scan), group totals broadcast
+    * (groups are few by contract), the token join is distributed
+    * (vocab-sized, never driver), final per-group agg is tiny. Returns
+    * `(group, n_tokens, n_distinct, kl_u)` sorted by group. */
+  def klPerGroup(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val gtok = df.select(group.as("grp"), explode(ngramSlots(text, 1)).as("__t"))
+    val gc = gtok.groupBy("grp", "__t").agg(count(lit(1)).as("__c"))
+    val tc = gc.groupBy("__t").agg(sum("__c").as("__ct"))
+    val gn = gc.groupBy("grp").agg(sum("__c").as("__n"))
+    // NB "__N" would collide with "__n" under Spark's case-insensitive
+    // resolution — hence "__nn"
+    val tot = gc.agg(sum("__c").as("__nn"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val q = col("__ct").cast("double") / col("__nn").cast("double")
+    gc.join(tc, "__t")
+      .join(broadcast(gn), "grp")
+      .crossJoin(broadcast(tot))
+      .withColumn("__u",
+        round(lit(1e6) * p * (log(p) - log(q))).cast("long"))
+      .groupBy("grp")
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"), sum("__u").as("kl_u"))
+      .orderBy("grp")
+  }
+
+  /** DuckDB twin of [[klPerGroup]] (oracle construction): WITH-clause body
+    * ending in `kl(grp, n_tokens, n_distinct, kl_u)`. */
+  def klPerGroupSql(groupCol: String, textCol: String, table: String): String =
+    s"""__tok AS (SELECT $groupCol AS grp, unnest(str_split($textCol, ' ')) AS t
+         FROM $table),
+       __gc AS (SELECT grp, t, count(*) AS c FROM __tok GROUP BY 1, 2),
+       __tc AS (SELECT t, sum(c) AS ct FROM __gc GROUP BY 1),
+       __gn AS (SELECT grp, sum(c) AS n FROM __gc GROUP BY 1),
+       __tot AS (SELECT sum(c) AS nn FROM __gc),
+       kl AS (SELECT __gc.grp,
+           CAST(sum(__gc.c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(sum(CAST(round(1e6 * (__gc.c::DOUBLE / __gn.n::DOUBLE)
+             * (ln(__gc.c::DOUBLE / __gn.n::DOUBLE)
+               - ln(__tc.ct::DOUBLE / __tot.nn::DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_u
+         FROM __gc JOIN __tc USING (t) JOIN __gn USING (grp), __tot
+         GROUP BY 1)""".stripMargin
+
   /** Per-group top-k heavy hitters over a string column via the
     * [[graft.functions.SpaceSavingSketch]] bounded-memory aggregate — the
     * token/boilerplate census that an exact groupBy(term) cannot afford at

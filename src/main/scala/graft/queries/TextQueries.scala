@@ -454,6 +454,14 @@ object TextQueries {
           max("ntok").cast("int").as("max_bpe"),
           sum("nws").cast("long").as("sum_ws"))
         .orderBy("lang")
+    }),
+
+    // per-source KL divergence of token distributions vs the corpus blend
+    // (mixture-drift diagnostics) — every (source, token) term pinned via
+    // exact integer micro-nat sums
+    "q163_kl_mixture" -> ((s, d) => {
+      TA.klPerGroup(t(s, d, "documents"), col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
     })
   )
 
@@ -979,7 +987,12 @@ object TextQueries {
 
     "q66_minhash_sketch" -> minhashSigOracle,
 
-    "q84_minhash_rowwise" -> minhashSigOracle
+    "q84_minhash_rowwise" -> minhashSigOracle,
+
+    "q163_kl_mixture" ->
+      s"""WITH ${TA.klPerGroupSql("source", "text", "documents")}
+         SELECT grp AS source, n_tokens, n_distinct, kl_u
+         FROM kl ORDER BY 1"""
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the

@@ -1344,6 +1344,21 @@ class OpsSpec extends AnyFunSuite {
     assert(degen === Seq(1L))
   }
 
+  test("klPerGroup: exactly zero on the corpus itself, ranks skew") {
+    import spark.implicits._
+    // one group == corpus blend: p == q per token → every micro-nat term
+    // rounds from exactly 0.0, so kl_u is EXACTLY 0
+    val one = Seq((1L, "a b c a"), (2L, "b c a b")).toDF("id", "text")
+    val z = TextAnalysis.klPerGroup(one, lit("all"), col("text")).collect()
+    assert(z.length === 1 && z.head.getAs[Long]("kl_u") === 0L)
+    // A ≈ blend, B dominated by one token: KL(B) > KL(A) > 0
+    val two = Seq(("A", "a b a b"), ("A", "b a c d"),
+      ("B", "a a a a"), ("B", "a a a z")).toDF("g", "text")
+    val m = TextAnalysis.klPerGroup(two, col("g"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("kl_u")).toMap
+    assert(m("B") > m("A") && m("A") > 0L, s"expected KL(B) > KL(A) > 0: $m")
+  }
+
   test("dsirResample ≡ composable bounds→map→sample (single-pass twin)") {
     val target = docs.filter(col("source") === "src0")
     def picks(df: org.apache.spark.sql.DataFrame) =
