@@ -416,19 +416,21 @@ object Sampling {
     * more target-like; gram-free docs get 0). For the resampling step
     * compose with [[weightedSampleKPerGroup]] via an affine map to
     * integer weights ([[dsirEsWeight]]) or take a top-k. */
-  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+  /** Fits the DSIR model: the per-bucket integer micro-nat score table,
+    * as a driver map — ≤ nBuckets entries BY CONSTRUCTION (the
+    * fixed-size-model property feature hashing buys; the cap bounds
+    * driver memory at 2^22 × ~16 B ≈ 67 MB), i.e. the same driver-sized
+    * contract as centroids/codebooks. Fit offline, then score batches
+    * ([[dsirWeights]]) or streams
+    * ([[graft.streaming.DsirStream]], stateless) against it. Scores round
+    * HALF_UP to micro-nats via BigDecimal — exactly what Spark's in-plan
+    * `round()` does, so the driver-built table is bit-identical to an
+    * expression-built one. Only raw-producible buckets appear (scoring
+    * joins FROM grams; a gram hashing to an absent bucket contributes
+    * nothing — refit to cover distribution drift). */
+  def dsirScoreTable(raw: DataFrame, text: Column,
       target: DataFrame, targetText: Column,
-      nBuckets: Int = 1 << 16, seed: Int = 7): DataFrame = {
-    // the bucket-count tables are ≤ nBuckets rows BY CONSTRUCTION — the
-    // fixed-size-model property feature hashing buys — so they collect to
-    // the driver (the same driver-sized contract as centroids/codebooks)
-    // and the score table is BUILT there, then broadcast. Leaving the
-    // counts lazy instead re-runs the gram-explode+md5 pass under every
-    // downstream agg (score join, nt/nr totals). Measured at sf0.1: the
-    // lazy HOF-lambda first cut ran 13.0 s; driver-side score table +
-    // native ngram_slots grams lands at 2.4 s (q160) — in line with the
-    // suite's other text passes. The cap bounds driver memory
-    // (2^22 × ~16 B ≈ 67 MB).
+      nBuckets: Int = 1 << 16, seed: Int = 7): Map[Long, Long] = {
     require(nBuckets > 0 && nBuckets <= (1 << 22),
       s"nBuckets must be in [1, 2^22], got $nBuckets")
     val B = nBuckets.toLong
@@ -442,18 +444,28 @@ object Sampling {
     val rc = bucketCounts(raw, text)
     val nt = tc.valuesIterator.sum.toDouble + B
     val nr = rc.valuesIterator.sum.toDouble + B
-    // per-bucket integer micro-nat score, rounded HALF_UP exactly like the
-    // previous in-plan round(): BigDecimal is what Spark's Round uses, so
-    // the driver-built table is bit-identical to the expression-built one.
-    // Only raw-producible buckets matter (scoring joins FROM raw grams).
-    val spark = raw.sparkSession
-    import spark.implicits._
-    val scoreRows = rc.iterator.map { case (b, cr) =>
+    rc.map { case (b, cr) =>
       val x = 1e6 * (math.log((tc.getOrElse(b, 0L) + 1L) / nt)
         - math.log((cr + 1L) / nr))
-      (b, BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    }.toSeq
-    val scores = scoreRows.toDF("__b", "__s")
+      b -> BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column,
+      nBuckets: Int = 1 << 16, seed: Int = 7): DataFrame = {
+    // the score table is driver-built ([[dsirScoreTable]]) and broadcast.
+    // Leaving the bucket counts lazy instead re-runs the gram-explode+md5
+    // pass under every downstream agg (score join, nt/nr totals).
+    // Measured at sf0.1: the lazy HOF-lambda first cut ran 13.0 s;
+    // driver-side score table + native ngram_slots grams lands at 2.4 s
+    // (q160) — in line with the suite's other text passes.
+    val B = nBuckets.toLong
+    def bucket(g: Column) = pmod(PortableHash.md5Long(g, seed), lit(B))
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val scores = dsirScoreTable(raw, text, target, targetText, nBuckets, seed)
+      .toSeq.toDF("__b", "__s")
     val perDoc = raw.select(id.as("__id"), explode(dsirGrams(text)).as("__g"))
       .select(col("__id"), bucket(col("__g")).as("__b"))
       .join(broadcast(scores), "__b")
@@ -463,6 +475,30 @@ object Sampling {
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
       .withColumn("dsir_weight_u", coalesce(col("dsir_weight_u"), lit(0L)))
       .drop("__id")
+  }
+
+  /** JVM twin of one document's DSIR scoring pass — same token spans
+    * (`split(" ", -1)` = [[graft.functions.NgramSlots]]' raw spans; a
+    * bigram slot of single-space-split tokens is exactly
+    * `tok(k) + " " + tok(k+1)`), same [[PortableHash.Jvm]] bucket, same
+    * absent-bucket drop as the batch op's inner join. Returns
+    * (n_grams, weight_u). The streaming scorer applies this per row, so
+    * online scoring is STATELESS; spec-pinned bit-equal to
+    * [[dsirWeights]]. */
+  def dsirScoreTextJvm(text: String, scores: scala.collection.Map[Long, Long],
+      nBuckets: Int, seed: Int): (Long, Long) = {
+    var n = 0L
+    var w = 0L
+    val toks = text.split(" ", -1)
+    def add(gram: String): Unit = {
+      val b = PortableHash.Jvm.md5Long60(gram, seed) % nBuckets
+      scores.get(b).foreach { s => n += 1; w += s }
+    }
+    var i = 0
+    while (i < toks.length) { add(toks(i)); i += 1 }
+    i = 0
+    while (i + 1 < toks.length) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+    (n, w)
   }
 
   /** Affine map from [[dsirWeights]] micro-nat weights to the integer

@@ -76,6 +76,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each ANCHOR, the
+    * k most-similar corpus vectors whose metadata `group` (source/domain/
+    * near-dup cluster…) DIFFERS from the anchor's — "looks like the
+    * anchor, provably isn't it", the pairs a retrieval/embedding trainer
+    * wants. The anchor batch is driver-sized by contract (same as
+    * [[ivfTopKBatch]]) and BROADCASTS; one corpus scan computes the fused
+    * codegen cosine per (row, anchor) surviving the group-mismatch filter
+    * (applied BEFORE ranking, so same-group rows never compete), then one
+    * window partitioned by anchor — high-cardinality partitions, no
+    * global sort. Self-pairs drop via the group rule. Swap the corpus for
+    * a probed IVF candidate set to bound the scan at serving time; brute
+    * over the full corpus is the mining-job shape (one pass, k·|anchors|
+    * rows out). Returns (anchor, id, cos, rk). */
+  def hardNegatives(df: DataFrame, id: Column, vec: Column, group: Column,
+      anchors: DataFrame, aId: Column, aVec: Column, aGroup: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val a = broadcast(anchors.select(aId.as("anchor"), aVec.as("__avec"),
+      aGroup.as("__ag")))
+    df.select(id.as("id"), vec.as("__v"), group.as("__g"))
+      .crossJoin(a)
+      .filter(!(col("__g") <=> col("__ag")))
+      .withColumn("cos", cosineNative(df, col("__v"), col("__avec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("anchor"))
+          .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("anchor"), col("id"), col("cos"), col("rk"))
+  }
+
   /** Scalar int8 quantization of an embedding column: adds a per-vector
     * `qscale` (max|x| / 127) and `qvec` (`array<tinyint>` codes) — the 4×
     * storage/shuffle shrink that makes 100 TB ANN serving fit executor

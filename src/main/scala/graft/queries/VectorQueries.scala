@@ -443,6 +443,21 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("i"), col("j")).limit(10)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("i"), col("j"))
+    }),
+
+    // hard-negative mining for contrastive training: per anchor, the 3
+    // most-similar embeddings from a DIFFERENT source — every rank pinned
+    "q164_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d).join(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      Sim.hardNegatives(e.filter(col("vec_id") =!= 0), col("vec_id"),
+          col("embedding"), col("source"),
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), col("vec_id"),
+          col("embedding"), col("source"), k = 3)
+        .select(col("anchor"), col("id").as("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy("anchor", "rk")
     })
   )
 
@@ -653,6 +668,21 @@ object VectorQueries {
            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            ORDER BY cos DESC, i, j LIMIT 10)
          SELECT i, j, round(cos, 6) AS cos FROM top
-         ORDER BY round(cos, 6) DESC, i, j"""
+         ORDER BY round(cos, 6) DESC, i, j""",
+
+    "q164_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, source
+           FROM embeddings JOIN documents ON doc_id = vec_id),
+         a AS (SELECT vec_id AS anchor, embedding AS ae, source AS asrc
+           FROM e WHERE vec_id IN (1, 2, 3)),
+         sc AS (SELECT a.anchor, e.vec_id,
+             ${Sim.cosineSql("e.embedding", "a.ae")} AS cos
+           FROM e, a WHERE e.vec_id <> 0 AND e.source <> a.asrc),
+         rk AS (SELECT anchor, vec_id, cos,
+             row_number() OVER (PARTITION BY anchor
+               ORDER BY cos DESC, vec_id) AS rk
+           FROM sc)
+         SELECT anchor, vec_id, round(cos, 6) AS cos, rk
+         FROM rk WHERE rk <= 3 ORDER BY anchor, rk"""
   )
 }

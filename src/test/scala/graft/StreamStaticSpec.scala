@@ -190,4 +190,46 @@ class StreamStaticSpec extends AnyFunSuite {
     val total = graft.queries.QueryUtil.events(spark, sf).count()
     assert(got === total) // duplicates collapsed to the original count
   }
+
+  test("streaming DSIR scoring: per-row JVM twin ≡ batch weights, " +
+    "stateless across microbatch splits") {
+    import graft.streaming.DsirStream
+    import graft.ops.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val target = docs.filter(col("source") === "src0")
+    val nBuckets = 64
+    // fit offline once; the model is the driver map both paths share
+    val table = Sampling.dsirScoreTable(docs, col("text"),
+      target, col("text"), nBuckets)
+    val want = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        target, col("text"), nBuckets)
+      .select("doc_id", "n_grams", "dsir_weight_u").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two microbatches of the same corpus file copied twice: a stateless
+    // scorer must emit each doc twice with IDENTICAL scores (arrival
+    // pattern can't matter when there is no state)
+    val dir = Files.createTempDirectory("graft-dsir-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(
+        DsirStream.scoreDocs(stream, col("doc_id"), col("text"),
+          col("source"), table, nBuckets).toDF(),
+        "dsir_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length === 2 * want.size, "both microbatches must score")
+    got.foreach { case (id, n, w) =>
+      assert(want(id) === ((n, w)), s"doc $id: stream ($n,$w) != batch ${want(id)}")
+    }
+    // admission filters on the same >= rule curate() uses
+    val admitted = EventsStream.runToCompletion(
+        DsirStream.admit(spark.readStream.schema(docs.schema)
+            .parquet(dir.toString), col("doc_id"), col("text"),
+          col("source"), table, nBuckets, minWeightU = 0L).toDF(),
+        "dsir_admit", OutputMode.Append())
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val wantAdmitted = want.filter(_._2._2 >= 0L).keySet
+    assert(admitted === wantAdmitted)
+  }
 }
