@@ -1359,6 +1359,33 @@ class OpsSpec extends AnyFunSuite {
     assert(m("B") > m("A") && m("A") > 0L, s"expected KL(B) > KL(A) > 0: $m")
   }
 
+  test("dsir JVM scoring twin ≡ column path on adversarial texts") {
+    import spark.implicits._
+    // edge shapes the corpus can't produce: empty, whitespace runs,
+    // leading/trailing separators, single token, unicode (multi-byte
+    // UTF-8 must hash identically through Column md5 and JVM md5),
+    // repeated grams, and an all-separator string
+    val texts = Seq(
+      "", " ", "  ", "a", " a", "a ", "a  b", "a b a b a b",
+      "naïve café über 日本語 テスト", "emoji 🙂 mixed ascii",
+      "tab\tis one token", "x y", "x y z")
+    val raw = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val target = Seq("a b", "naïve café").toDF("text")
+    val nBuckets = 32
+    val table = Sampling.dsirScoreTable(raw, col("text"),
+      target, col("text"), nBuckets)
+    val batch = Sampling.dsirWeights(raw, col("doc_id"), col("text"),
+        target, col("text"), nBuckets)
+      .select("doc_id", "n_grams", "dsir_weight_u").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, w) = Sampling.dsirScoreTextJvm(t, table, nBuckets, seed = 7)
+      assert(batch(i.toLong) === ((n, w)),
+        s"doc $i '$t': jvm ($n,$w) != column ${batch(i.toLong)}")
+    }
+  }
+
   test("dsirResample ≡ composable bounds→map→sample (single-pass twin)") {
     val target = docs.filter(col("source") === "src0")
     def picks(df: org.apache.spark.sql.DataFrame) =
