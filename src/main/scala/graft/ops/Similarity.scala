@@ -83,12 +83,16 @@ object Similarity {
     * wants. The anchor batch is driver-sized by contract (same as
     * [[ivfTopKBatch]]) and BROADCASTS; one corpus scan computes the fused
     * codegen cosine per (row, anchor) surviving the group-mismatch filter
-    * (applied BEFORE ranking, so same-group rows never compete), then one
-    * window partitioned by anchor — high-cardinality partitions, no
-    * global sort. Self-pairs drop via the group rule. Swap the corpus for
-    * a probed IVF candidate set to bound the scan at serving time; brute
-    * over the full corpus is the mining-job shape (one pass, k·|anchors|
-    * rows out). Returns (anchor, id, cos, rk). */
+    * (applied BEFORE ranking, so same-group rows never compete), then a
+    * per-anchor rank. Anchors are FEW, so the rank would be the hot-group
+    * failure mode as a bare window — but the `row_number ≤ k` filter
+    * two-phases under InferWindowGroupLimit (PlanSpec-pinned on q164,
+    * same mechanism as `sampleKPerGroup`): a Partial map-side top-k below
+    * the exchange means each anchor ships k × nMapTasks rows to its
+    * reducer, never the scored corpus. Self-pairs drop via the group
+    * rule. Swap the corpus for a probed IVF candidate set to bound the
+    * scan at serving time; brute over the full corpus is the mining-job
+    * shape (one pass, k·|anchors| rows out). Returns (anchor, id, cos, rk). */
   def hardNegatives(df: DataFrame, id: Column, vec: Column, group: Column,
       anchors: DataFrame, aId: Column, aVec: Column, aGroup: Column,
       k: Int): DataFrame = {

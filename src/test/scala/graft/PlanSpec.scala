@@ -249,4 +249,19 @@ class PlanSpec extends AnyFunSuite {
         l.contains("SortMergeJoin") && l.contains("__b")),
       s"q160 gram rows must never sort-merge on the bucket key:\n$p")
   }
+
+  test("hard-negative mining: anchors broadcast, rank runs two-phase (q164)") {
+    val p = plan("q164_hard_negatives")
+    // anchors must reach the corpus scan as a broadcast product, never a
+    // shuffled join on the corpus side
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q164 anchors must broadcast into the scoring scan:\n$p")
+    // the per-anchor top-k must plan BOTH WindowGroupLimit phases — the
+    // anchor cardinality is tiny by contract, so without the Partial
+    // map-side limit each anchor's whole scored corpus would ship to one
+    // reducer (the hot-group failure mode)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial")
+        && p.contains("Final"),
+      s"q164 rank filter must two-phase (Partial + Final group limit):\n$p")
+  }
 }
