@@ -487,6 +487,9 @@ object Sampling {
     * [[dsirWeights]]. */
   def dsirScoreTextJvm(text: String, scores: scala.collection.Map[Long, Long],
       nBuckets: Int, seed: Int): (Long, Long) = {
+    // null text scores (0, 0) — the batch op's convention (a null gram
+    // array explodes to no rows; the left join back coalesces to zero)
+    if (text == null) return (0L, 0L)
     var n = 0L
     var w = 0L
     val toks = text.split(" ", -1)

@@ -1384,6 +1384,9 @@ class OpsSpec extends AnyFunSuite {
       assert(batch(i.toLong) === ((n, w)),
         s"doc $i '$t': jvm ($n,$w) != column ${batch(i.toLong)}")
     }
+    // null text: the batch path's explode-drops + left-join-coalesce
+    // convention is (0, 0); the JVM twin must agree, not throw
+    assert(Sampling.dsirScoreTextJvm(null, table, nBuckets, 7) === ((0L, 0L)))
   }
 
   test("dsirResample ≡ composable bounds→map→sample (single-pass twin)") {
