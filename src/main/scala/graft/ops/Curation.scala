@@ -150,7 +150,11 @@ object Curation {
     * window over everything seen so far), which append streams cannot
     * express incrementally — pack each micro-batch via `foreachBatch`
     * (`Chunking.pack` on the batch DataFrame) when bin assignment is
-    * needed online.
+    * needed online. DSIR selection is also absent HERE because fitting
+    * needs two corpus passes; its online form is
+    * [[graft.streaming.DsirStream.admit]] (fit offline via
+    * [[Sampling.dsirScoreTable]], score statelessly per row with the same
+    * `≥ dsirMinWeightU` rule) — compose it upstream of this pipeline.
     *
     * @param eventTime optional `(tsColumn, delayThreshold)` — when set, the
     *   dedup state is WATERMARK-BOUNDED (`dropDuplicatesWithinWatermark`):

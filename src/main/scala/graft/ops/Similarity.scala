@@ -1116,6 +1116,31 @@ object Similarity {
         cos.as("cos"))
   }
 
+  /** k-NN graph over the corpus — each vector's k most-similar neighbors
+    * among its sign-LSH bucket candidates: the input structure of
+    * graph-based near-dup clustering, SemDeDup-style diversity pruning
+    * and label propagation. Candidate generation is [[bucketedPairs]]
+    * (quadratic strictly within buckets; swap in [[bucketedPairsCapped]]
+    * upstream via the same composition if a degenerate region goes fat),
+    * symmetrized by a projection union (each undirected pair feeds BOTH
+    * endpoints' neighbor lists — no second join), then a per-vector
+    * `row_number ≤ k` which two-phases under InferWindowGroupLimit
+    * (partition key `i` is high-cardinality here anyway). A vector alone
+    * in its bucket has no candidates and is absent from the graph — the
+    * standard LSH recall trade, callers union an IVF/brute fallback for
+    * isolated points if totality matters. Returns (i, j, cos, rk). */
+  def knnGraph(df: DataFrame, id: Column, vec: Column, bits: Int, k: Int,
+      native: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = bucketedPairs(df, id, vec, bits, native).select("i", "j", "cos")
+    val sym = pairs.union(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    sym.withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+  }
+
   /** [[bucketedPairs]] with a per-bucket size cap: any bucket larger than
     * `maxBucket` is re-bucketed with `extraBits` additional sign bits, so a
     * single fat bucket (all-positive embeddings, a degenerate region of the

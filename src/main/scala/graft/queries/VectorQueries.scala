@@ -445,6 +445,17 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("i"), col("j"))
     }),
 
+    // k-NN graph over LSH bucket candidates — the input structure of
+    // graph-based near-dup clustering / diversity pruning; every edge and
+    // rank pinned for the first 10 vectors
+    "q165_knn_graph" -> ((s, d) => {
+      Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
+          bits = 8, k = 3)
+        .filter(col("i") < 10)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy("i", "rk")
+    }),
+
     // hard-negative mining for contrastive training: per anchor, the 3
     // most-similar embeddings from a DIFFERENT source — every rank pinned
     "q164_hard_negatives" -> ((s, d) => {
@@ -669,6 +680,19 @@ object VectorQueries {
            ORDER BY cos DESC, i, j LIMIT 10)
          SELECT i, j, round(cos, 6) AS cos FROM top
          ORDER BY round(cos, 6) DESC, i, j""",
+
+    "q165_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym)
+         SELECT i, j, round(cos, 6) AS cos, rk
+         FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
 
     "q164_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding, source
