@@ -236,6 +236,26 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // split-leakage audit — the QA pass after split assignment: for every
+    // TRAIN document, the fraction of its distinct 5-grams that appear
+    // anywhere in the held-out splits (the GPT-3 overlap rule pointed at
+    // the pipeline's own eval data). The held-out side plays q130's
+    // benchmark role; at 100 TB scale flip broadcastBench=false since a
+    // 20 % split is no MB-sized eval set. Per-flag census pins every doc's
+    // overlap decision (counts + id sums + min/max witness)
+    "q167_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("split",
+        Sampling.splitColumn(col("doc_id"), SplitNames, SplitWeights))
+      Dedup.ngramOverlap(docs.filter(col("split") === "train"),
+          col("doc_id"), col("text"),
+          docs.filter(col("split") =!= "train"), col("text"),
+          n = 5, threshold = 0.5)
+        .groupBy("contaminated")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("sum_ids"),
+          min("overlap").as("min_overlap"), max("overlap").as("max_overlap"))
+        .orderBy("contaminated")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // log-likelihood ratios against a target slice (source = src0), in
     // integer micro-nats so every doc weight is an exact BIGINT. The
@@ -480,6 +500,26 @@ object SamplingQueries {
            CAST(sum(n_tok) AS BIGINT) AS sum_tok
          FROM p GROUP BY 1 ORDER BY 1"""
     },
+
+    "q167_split_leakage" ->
+      s"""WITH spl AS (SELECT doc_id, text,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM (SELECT
+             unnest(${Dedup.shinglesSql("text", 5)}) AS g
+           FROM spl WHERE split <> 'train') t),
+         inc AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 5)}) AS g
+           FROM spl WHERE split = 'train'),
+         ov AS (SELECT inc.doc_id, count(*) AS tot, count(bench.g) AS hit
+           FROM inc LEFT JOIN bench ON inc.g = bench.g GROUP BY 1),
+         sc AS (SELECT doc_id,
+             round(hit::DOUBLE / tot::DOUBLE, 6) AS overlap,
+             (hit::DOUBLE / tot::DOUBLE) >= 0.5 AS contaminated
+           FROM ov)
+         SELECT contaminated, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           min(overlap) AS min_overlap, max(overlap) AS max_overlap
+         FROM sc GROUP BY 1 ORDER BY 1""",
 
     "q160_dsir_weights" ->
       s"""WITH ${Sampling.dsirSql("doc_id", "text", "documents",

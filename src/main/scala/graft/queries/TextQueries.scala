@@ -462,6 +462,19 @@ object TextQueries {
     "q163_kl_mixture" -> ((s, d) => {
       TA.klPerGroup(t(s, d, "documents"), col("source"), col("text"))
         .withColumnRenamed("grp", "source")
+    }),
+
+    // diversity-aware subsampling: at most 2 docs per CONTENT bucket (the
+    // 16-bit SimHash fingerprint), deterministic hash rank — near-identical
+    // docs compete for the same 2 slots while distinct content survives
+    // untouched. Membership pinned globally (count + id sum + bucket count)
+    "q166_diversity_sample" -> ((s, d) => {
+      val hashed = Dedup.simhash(t(s, d, "documents"), col("doc_id"),
+        col("text"), bits = 16)
+      graft.ops.Sampling.sampleKPerGroup(hashed, col("doc"),
+          col("simhash"), k = 2)
+        .agg(count(lit(1)).as("n_kept"), sum("doc").as("sum_ids"),
+          countDistinct("simhash").as("n_buckets"))
     })
   )
 
@@ -992,7 +1005,16 @@ object TextQueries {
     "q163_kl_mixture" ->
       s"""WITH ${TA.klPerGroupSql("source", "text", "documents")}
          SELECT grp AS source, n_tokens, n_distinct, kl_u
-         FROM kl ORDER BY 1"""
+         FROM kl ORDER BY 1""",
+
+    "q166_diversity_sample" ->
+      s"""WITH s AS ($simhashSql),
+         r AS (SELECT doc_id, simhash,
+             ${graft.ops.Sampling.sampleKRankSql("doc_id", "simhash")} AS rn
+           FROM s)
+         SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           count(DISTINCT simhash) AS n_buckets
+         FROM r WHERE rn <= 2"""
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the
