@@ -650,7 +650,16 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("span_start").cast("int"),
           col("span_end").cast("int"))).as("pos"))
-    toks.join(covered, Seq("id", "pos"), "left_anti")
+    rebuildWithout(df, id, text, toks, covered)
+  }
+
+  /** Shared rebuild tail of the span-cut ops: drop `cutPositions` from the
+    * token table, rejoin survivors in order (the [[graft.ops.TextAnalysis
+    * .removeLines]] sort-structs aggregation), right-join back so
+    * fully-cut documents survive as empty text. */
+  private def rebuildWithout(df: DataFrame, id: Column, text: Column,
+      toks: DataFrame, cutPositions: DataFrame): DataFrame =
+    toks.join(cutPositions, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(
         array_join(transform(array_sort(
@@ -662,6 +671,47 @@ object Dedup {
         Seq("id"), "right")
       .select(col("id"), coalesce(col("text"), lit("")).as("text"),
         col("n_tokens"), coalesce(col("__kept"), lit(0L)).as("n_tokens_kept"))
+
+  /** The KEEP-FIRST cut — Lee et al. 2022's actual removal rule: every
+    * duplicated substring survives in EXACTLY ONE place (its canonical
+    * occurrence) and is cut everywhere else, where [[cutRepeatedSpans]]
+    * removes covered tokens unconditionally (the decontamination-grade
+    * variant). Canonical = the globally first occurrence of each repeated
+    * L-gram, (min id, min position) — deterministic and oracle-replayable.
+    * A position is cut iff some NON-canonical repeated window covers it
+    * and no canonical window does (canonical coverage wins overlaps, so
+    * the kept occurrence is never chewed by a different gram's duplicate
+    * elsewhere on the same tokens).
+    *
+    * Shape: one slot explode → span-set join → per-gram `row_number ≤ 1`
+    * (gram-partitioned: high cardinality, and the rank filter two-phases
+    * under InferWindowGroupLimit) splits windows into canonical /
+    * non-canonical; each side runs the [[mergeWindows]] interval merge,
+    * expands to one row per covered position (disjoint intervals — no
+    * distinct), and one anti join subtracts kept coverage from cut
+    * coverage before the token anti join + order-restoring rebuild.
+    * Returns `(id, text, n_tokens, n_tokens_kept)`. */
+  def cutRepeatedSpansKeepFirst(df: DataFrame, id: Column, text: Column,
+      L: Int, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("id"),
+      posexplode(graft.ops.TextAnalysis.tokens(text)).as(Seq("pos", "tok")))
+    val slots = df.select(id.as("id"),
+      posexplode(graft.ops.TextAnalysis.ngramSlots(text, L))
+        .as(Seq("spos", "gram")))
+    val spans = spansOfSlots(
+      slots.select(col("id"), col("gram")), minDocs).select("gram")
+    val ranked = slots.join(spans, Seq("gram"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("gram").orderBy(col("id"), col("spos"))))
+    def positions(w: DataFrame) = mergeWindows(w.select("id", "spos"), L)
+      .select(col("id"),
+        explode(sequence(col("span_start").cast("int"),
+          col("span_end").cast("int"))).as("pos"))
+    val cutPos = positions(ranked.filter(col("__rk") > 1))
+      .join(positions(ranked.filter(col("__rk") === 1)),
+        Seq("id", "pos"), "left_anti")
+    rebuildWithout(df, id, text, toks, cutPos)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -178,6 +178,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Lee et al.'s keep-first cut: every duplicated substring survives in
+    // exactly its canonical (globally first) occurrence; rebuilt text
+    // byte-pinned per doc
+    "q168_span_cut_keep_first" -> ((s, d) => {
+      graft.ops.Dedup.cutRepeatedSpansKeepFirst(t(s, d, "documents"),
+          col("doc_id"), col("text"), L = 5, minDocs = 2L)
+        .filter(col("id") < 10)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_tokens_kept"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // maximal repeated spans (Lee et al. span semantics): overlapping/
     // adjacent repeated 5-gram windows merge per doc into disjoint maximal
     // spans — the oracle replays the gaps-and-islands interval merge
@@ -628,6 +640,42 @@ object TextQueries {
            LATERAL (SELECT unnest(generate_series(0, 4)) AS o) o),
          kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
            ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
+             count(*) AS kept
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.kept, 0) AS BIGINT) AS n_tokens_kept,
+           md5(coalesce(r.t2, '')) AS fp
+         FROM toks d LEFT JOIN reb r USING (doc_id)
+         WHERE d.doc_id < 10 ORDER BY d.doc_id""",
+
+    // q152's replay with the canonical split: rank repeated windows per
+    // gram by (doc, position); cut coverage = non-canonical expansion
+    // minus canonical expansion
+    "q168_span_cut_keep_first" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         tok AS (SELECT doc_id, x.i - 1 AS pos, ts[x.i] AS tok
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x),
+         slots AS (SELECT doc_id, x.i - 1 AS spos,
+             array_to_string(ts[x.i:x.i+4], ' ') AS gram
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5),
+         spans AS (SELECT gram FROM slots
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         can AS (SELECT s.doc_id, s.spos,
+             row_number() OVER (PARTITION BY gram
+               ORDER BY s.doc_id, s.spos) AS rk
+           FROM slots s JOIN spans USING (gram)),
+         cutpos AS (SELECT DISTINCT c.doc_id, c.spos + o.o AS pos
+           FROM can c, LATERAL (SELECT unnest(generate_series(0, 4)) AS o) o
+           WHERE c.rk > 1),
+         keeppos AS (SELECT DISTINCT c.doc_id, c.spos + o.o AS pos
+           FROM can c, LATERAL (SELECT unnest(generate_series(0, 4)) AS o) o
+           WHERE c.rk = 1),
+         cut AS (SELECT c.doc_id, c.pos FROM cutpos c
+           ANTI JOIN keeppos k ON c.doc_id = k.doc_id AND c.pos = k.pos),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+           ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos),
          reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2,
              count(*) AS kept
            FROM kept GROUP BY 1)

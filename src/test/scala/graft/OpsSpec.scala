@@ -1344,6 +1344,26 @@ class OpsSpec extends AnyFunSuite {
     assert(degen === Seq(1L))
   }
 
+  test("keep-first span cut: canonical occurrence survives, later copies cut") {
+    import spark.implicits._
+    val shared = "one two three four five"
+    val docs = Seq(
+      (1L, s"alpha $shared omega"),
+      (2L, s"beta $shared gamma")).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, Int, Long) => org.apache.spark.sql.DataFrame) =
+      f(docs, col("doc_id"), col("text"), 5, 2L).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutAll = run(Dedup.cutRepeatedSpans)
+    assert(cutAll(1L) === "alpha omega" && cutAll(2L) === "beta gamma",
+      "cut-all must remove the shared run from BOTH docs")
+    val keepFirst = run(Dedup.cutRepeatedSpansKeepFirst)
+    assert(keepFirst(1L) === s"alpha $shared omega",
+      "the canonical (min doc id) occurrence must survive verbatim")
+    assert(keepFirst(2L) === "beta gamma",
+      "the later copy must still be cut")
+  }
+
   test("klPerGroup: exactly zero on the corpus itself, ranks skew") {
     import spark.implicits._
     // one group == corpus blend: p == q per token → every micro-nat term
