@@ -683,17 +683,20 @@ object Dedup {
     * the kept occurrence is never chewed by a different gram's duplicate
     * elsewhere on the same tokens).
     *
-    * Shape: one slot explode → span-set join → per-gram `row_number ≤ 1`
-    * (gram-partitioned: high cardinality, and the rank filter two-phases
-    * under InferWindowGroupLimit) splits windows into canonical /
-    * non-canonical; each side runs the [[mergeWindows]] interval merge,
-    * expands to one row per covered position (disjoint intervals — no
-    * distinct), and one anti join subtracts kept coverage from cut
-    * coverage before the token anti join + order-restoring rebuild.
-    * Returns `(id, text, n_tokens, n_tokens_kept)`. */
+    * Shape: one slot explode → span-set join → the canonical occurrence
+    * per gram comes from a `min(struct(id, spos))` AGGREGATE, not a rank:
+    * a window rank would ship every occurrence of a hot gram (a
+    * boilerplate sentence repeated millions of times) to one reducer to
+    * sort, while the min partial-aggregates map-side to one row per task,
+    * and the join back on the gram is a plain hash join AQE's skew split
+    * can divide (PlanSpec pins the rank's absence). Each side then runs
+    * the [[mergeWindows]] interval merge, expands to one row per covered
+    * position (disjoint intervals — no distinct), and one anti join
+    * subtracts kept coverage from cut coverage before the token anti join
+    * + order-restoring rebuild. Returns `(id, text, n_tokens,
+    * n_tokens_kept)`. */
   def cutRepeatedSpansKeepFirst(df: DataFrame, id: Column, text: Column,
       L: Int, minDocs: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(id.as("id"),
       posexplode(graft.ops.TextAnalysis.tokens(text)).as(Seq("pos", "tok")))
     val slots = df.select(id.as("id"),
@@ -701,15 +704,18 @@ object Dedup {
         .as(Seq("spos", "gram")))
     val spans = spansOfSlots(
       slots.select(col("id"), col("gram")), minDocs).select("gram")
-    val ranked = slots.join(spans, Seq("gram"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("gram").orderBy(col("id"), col("spos"))))
+    val rep = slots.join(spans, Seq("gram"))
+    val firsts = rep.groupBy("gram")
+      .agg(min(struct(col("id"), col("spos"))).as("__first"))
+    val flagged = rep.join(firsts, Seq("gram"))
+      .withColumn("__canon",
+        struct(col("id"), col("spos")) === col("__first"))
     def positions(w: DataFrame) = mergeWindows(w.select("id", "spos"), L)
       .select(col("id"),
         explode(sequence(col("span_start").cast("int"),
           col("span_end").cast("int"))).as("pos"))
-    val cutPos = positions(ranked.filter(col("__rk") > 1))
-      .join(positions(ranked.filter(col("__rk") === 1)),
+    val cutPos = positions(flagged.filter(!col("__canon")))
+      .join(positions(flagged.filter(col("__canon"))),
         Seq("id", "pos"), "left_anti")
     rebuildWithout(df, id, text, toks, cutPos)
   }

@@ -263,5 +263,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial")
         && p.contains("Final"),
       s"q164 rank filter must two-phase (Partial + Final group limit):\n$p")
+    // q168: the canonical occurrence must come from a partial-aggregable
+    // min, never a per-gram rank — a WindowGroupLimit here would mean a
+    // hot gram (boilerplate repeated millions of times) sorts all its
+    // occurrences on one reducer (the doc-id interval-merge windows are
+    // fine; it is the gram-keyed group limit that must be absent)
+    val p168 = plan("q168_span_cut_keep_first")
+    assert(!p168.contains("WindowGroupLimit"),
+      s"q168 canonical split must be the min-struct agg, not a rank:\n$p168")
   }
 }
