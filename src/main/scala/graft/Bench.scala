@@ -11,7 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Ambient-load hardening (this box is shared; round 5's single-order run
   * fabricated a contiguous q59–q68 "regression" block that never existed,
-  * and round 8's artifact drifted ~1.6× uniformly — pure box load):
+  * round 8's artifact drifted ~1.6× uniformly, and round 9's ran under ~1.9×
+  * sustained load — all pure box contention):
+  *  - a PRE-PROBE: before any timed work, the canary kernel is sampled and
+  *    if its median exceeds [[QuietCeilingSec]] (quiet floor on this box is
+  *    0.19–0.22 s) the bench SLEEPS and re-probes up to [[PreProbeRetries]]
+  *    times — catching sustained load in ~30 s instead of discovering it
+  *    after an 8-minute contaminated run;
   *  - ≥2 timed passes, each in a DIFFERENT deterministic shuffled order, so
   *    a 30–60 s ambient load spike cannot elevate the same alphabetical
   *    block in every pass;
@@ -29,11 +35,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    from "box was busy" without rerunning anything;
   *  - per-query MIN across valid passes (the min of storage-cold runs is
   *    the query's actual cost — noise is strictly additive);
-  *  - queries whose surviving-sample spread exceeds 2× (or that lost all
-  *    samples to quarantine) get ONE targeted re-time pass, then anything
-  *    whose min is still only supported by a single sample is reported in
-  *    a `suspect` list with `"contaminated": true` so downstream perf
-  *    triage knows the number is load-afflicted, not a code regression. */
+  *  - queries whose surviving samples disagree > 2× (or that lost all
+  *    samples to quarantine) get targeted re-time passes IN THIS SESSION —
+  *    up to [[SuspectRetimes]] rounds, each preceded by a short settle
+  *    sleep — and the clean numbers merge into the same artifact; only
+  *    queries still single-sample-supported after that are reported in
+  *    `suspect` with `"contaminated": true`.
+  *
+  * The JSON line is deliberately COMPACT (seconds rounded to 3 decimals,
+  * wall map before cpu map): round 9's full-precision doubles made the line
+  * long enough that the driver's output capture kept only the tail and
+  * recorded `parsed: null` — an unreadable artifact is a wasted round. */
 object Bench {
 
   /** Drop ALL persisted storage between queries: `clearCache()` releases
@@ -67,6 +79,19 @@ object Bench {
   private val CanaryEvery = 10
   private val CanaryDriftRatio = 1.5
 
+  /** Pre-probe gate: quiet floor on this box is 0.19–0.22 s canary median;
+    * above [[QuietCeilingSec]] the box is measurably contended, so wait
+    * [[PreProbeSleepSec]] and re-probe, up to [[PreProbeRetries]] times,
+    * before committing to the full run. If the box never quiets we run
+    * anyway (an honestly-flagged artifact beats none) with the pre-probe
+    * history in the JSON. */
+  private val QuietCeilingSec = 0.27
+  private val PreProbeRetries = 8
+  private val PreProbeSleepSec = 30
+
+  /** In-session suspect re-time rounds (merged into the same artifact). */
+  private val SuspectRetimes = 2
+
   /** Whole-process CPU seconds (all Spark threads) — the denominator that
     * ambient load CANNOT inflate: contention stretches wall time while
     * cpu-seconds stay ≈ the work the query actually did. */
@@ -91,23 +116,47 @@ object Bench {
     * segment (epoch) the sample ran inside. */
   private final case class QSample(wall: Double, cpu: Double, epoch: Int)
 
+  private def r3(v: Double): Double = (v * 1000).round / 1000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
     // SPARK_GRAFT_BENCH_ONLY=q45,q160 → targeted re-time of a comma-listed
-    // prefix-matched subset (perf triage after a suspect flag); unset (the
-    // driver's mode) runs the full inventory
+    // subset (perf triage after a suspect flag); unset OR empty (the
+    // driver's mode) runs the full inventory. A token matches a query name
+    // exactly or as the segment before its first '_' — "q16" selects
+    // q16_sort_limit but NOT q160_dsir_weights (bare startsWith did, and an
+    // empty env var used to silently select nothing).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.mkString(",")} matched zero of ${SparkEntry.queries.size} queries")
+
+    // ---- pre-probe: refuse to start a full run on a visibly loaded box ----
+    canaryOnce(spark) // canary pays its own codegen warmup here, not in a pass
+    def probeMedian(): Double = {
+      val xs = Seq.fill(5)(canaryOnce(spark)).sorted
+      xs(xs.length / 2)
+    }
+    val preProbe = Vector.newBuilder[Double]
+    var probed = probeMedian()
+    preProbe += probed
+    var waits = 0
+    while (probed > QuietCeilingSec && waits < PreProbeRetries) {
+      Thread.sleep(PreProbeSleepSec * 1000L)
+      waits += 1
+      probed = probeMedian()
+      preProbe += probed
+    }
 
     names.foreach { name => // warmup pass
       purgeStorage(spark)
       try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
-    canaryOnce(spark) // canary pays its own codegen warmup here, not in pass 1
 
     // a failed run must not win the min(): its time-to-crash would make a
     // flaky query look like the fastest in the suite
@@ -143,68 +192,74 @@ object Bench {
     def shuffled(seed: Long, xs: Seq[String]): Seq[String] =
       new scala.util.Random(seed).shuffle(xs)
 
-    val passes0 = Seq(timedPass(shuffled(1L, names)), timedPass(shuffled(2L, names)))
+    var passes = Seq(timedPass(shuffled(1L, names)), timedPass(shuffled(2L, names)))
 
-    // one targeted re-time for queries whose two samples disagree > 2×
-    // (pre-quarantine spread — quarantine is applied after all canaries
-    // exist, since the drift gate is relative to the session-wide minimum)
-    val retry = names.filter { n =>
-      val s = passes0.map(_._1(n).wall)
-      s.min > MinSuspectSec && s.max / s.min > SpreadRatio
-    }
-    val passes =
-      if (retry.isEmpty) passes0
-      else passes0 :+ timedPass(shuffled(3L, retry))
-
-    val canaryAll = passes.flatMap(_._2)
-    val canaryMin = canaryAll.min
-    // the drift gate is vs the session MEDIAN, not the min: the min lands
-    // at quiet pass boundaries, so a min-based gate flags the bench's own
+    // All contamination math is a function of the pass list so the suspect
+    // re-time loop below can merge passes and recompute from scratch. The
+    // drift gate is vs the session MEDIAN, not the min: the min lands at
+    // quiet pass boundaries, so a min-based gate flags the bench's own
     // steady-state as drift (measured: 33/36 segments false-quarantined).
     // The median gate catches TRANSIENT spikes (the r5 contiguous-block
-    // signature); SUSTAINED whole-session load (the r8 signature) shifts
-    // the median itself and is instead caught across rounds — canary
-    // min/median ride in the JSON precisely so the next round's judge can
-    // divide them against this round's before reading any query as a
-    // regression (cpu-seconds give the same cross-check per query).
-    val canaryMedian = canaryAll.sorted.apply(canaryAll.length / 2)
-    val canaryMaxDrift = canaryAll.max / canaryMedian
-    def segmentClean(canaries: Vector[Double], epoch: Int): Boolean =
-      canaries(epoch) <= CanaryDriftRatio * canaryMedian &&
-        canaries(epoch + 1) <= CanaryDriftRatio * canaryMedian
+    // signature); SUSTAINED whole-session load (the r8/r9 signature) shifts
+    // the median itself and is caught by the pre-probe above and across
+    // rounds by dividing canary medians.
+    def canaryMedianOf(ps: Seq[(Map[String, QSample], Vector[Double])]): Double = {
+      val all = ps.flatMap(_._2)
+      all.sorted.apply(all.length / 2)
+    }
+    def segmentClean(cs: Vector[Double], epoch: Int, median: Double): Boolean =
+      cs(epoch) <= CanaryDriftRatio * median &&
+        cs(epoch + 1) <= CanaryDriftRatio * median
+    def samplesOf(ps: Seq[(Map[String, QSample], Vector[Double])],
+                  n: String, validOnly: Boolean): Seq[QSample] = {
+      val median = canaryMedianOf(ps)
+      ps.flatMap { case (m, cs) =>
+        m.get(n).filter(s => !validOnly || segmentClean(cs, s.epoch, median))
+      }
+    }
+    // suspect = min supported by a single surviving sample (or none): trust
+    // the min, but mark it so a "regression" here is re-measured before
+    // anyone optimizes against it
+    def suspectsOf(ps: Seq[(Map[String, QSample], Vector[Double])]): Seq[String] =
+      names.filter { n =>
+        val s = samplesOf(ps, n, validOnly = true).map(_.wall).sorted
+        s.isEmpty || (s.head > MinSuspectSec &&
+          (s.length < 2 || s(1) / s.head > SpreadRatio))
+      }
+
+    // targeted in-session re-time of anything still suspect, clean numbers
+    // merged into the same artifact (VERDICT r9 Next #1c) — a short settle
+    // sleep first so a transient spike that caused the suspicion can pass
+    var suspect = suspectsOf(passes)
+    var retimes = 0
+    while (suspect.nonEmpty && retimes < SuspectRetimes) {
+      Thread.sleep(10000L)
+      passes = passes :+ timedPass(shuffled(4L + retimes, suspect))
+      retimes += 1
+      suspect = suspectsOf(passes)
+    }
+
+    val canaryAll = passes.flatMap(_._2)
+    val canaryMedian = canaryMedianOf(passes)
     val quarantinedSegments = passes.map { case (_, cs) =>
-      (0 until cs.length - 1).count(e => !segmentClean(cs, e))
+      (0 until cs.length - 1).count(e => !segmentClean(cs, e, canaryMedian))
     }.sum
 
     // valid samples = quarantine-surviving; raw = everything (fallback so a
     // fully-contended run still reports numbers — flagged, never silent)
-    def samplesOf(n: String, validOnly: Boolean): Seq[QSample] =
-      passes.flatMap { case (m, cs) =>
-        m.get(n).filter(s => !validOnly || segmentClean(cs, s.epoch))
-      }
-
     val results = names.map { n =>
-      val valid = samplesOf(n, validOnly = true)
-      val pool = if (valid.nonEmpty) valid else samplesOf(n, validOnly = false)
+      val valid = samplesOf(passes, n, validOnly = true)
+      val pool = if (valid.nonEmpty) valid else samplesOf(passes, n, validOnly = false)
       n -> pool.minBy(_.wall)
     }
-    val allQuarantined = names.filter(samplesOf(_, validOnly = true).isEmpty)
-
-    // suspect = min supported by a single surviving sample (or no surviving
-    // samples at all): trust the min, but mark it so a "regression" here is
-    // re-measured before anyone optimizes against it
-    val suspect = names.filter { n =>
-      val s = samplesOf(n, validOnly = true).map(_.wall).sorted
-      s.isEmpty || (s.head > MinSuspectSec &&
-        (s.length < 2 || s(1) / s.head > SpreadRatio))
-    }
+    val allQuarantined = names.filter(samplesOf(passes, _, validOnly = true).isEmpty)
 
     purgeStorage(spark)
     def jmap(f: ((String, QSample)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+      results.map { case (k, v) => "\"" + k + "\":" + r3(f((k, v))) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2.wall).sum
-    val totalCpu = results.map(_._2.cpu).sum
+    val total = r3(results.map(_._2.wall).sum)
+    val totalCpu = r3(results.map(_._2.cpu).sum)
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "timing" documents the r6 method change for cross-round comparison:
     // earlier rounds timed `.count()`, which let Catalyst prune all
@@ -213,8 +268,8 @@ object Bench {
     // higher here than in BENCH_r5 and earlier without having regressed.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2.wall)},""" +
       s""""queries_cpu":${jmap(_._2.cpu)},"cpu_total":$totalCpu,""" +
-      s""""canary":{"min":$canaryMin,"median":$canaryMedian,"max_drift":$canaryMaxDrift,"samples":${canaryAll.length},""" +
-      s""""samples_sec":${canaryAll.map(c => (c * 1000).round / 1000.0).mkString("[", ",", "]")},""" +
+      s""""canary":{"min":${r3(canaryAll.min)},"median":${r3(canaryMedian)},"max_drift":${r3(canaryAll.max / canaryMedian)},"samples":${canaryAll.length},""" +
+      s""""preprobe_sec":${preProbe.result().map(r3).mkString("[", ",", "]")},"preprobe_waits":$waits,""" +
       s""""quarantined_segments":$quarantinedSegments,"drift_gate":$CanaryDriftRatio},""" +
       s""""passes":${passes.length},"contaminated":${suspect.nonEmpty || allQuarantined.nonEmpty},""" +
       s""""suspect":$suspectJson,"timing":"noop-write full materialization (r5 and earlier: count())",""" +

@@ -53,9 +53,12 @@ object Dedup {
     *
     * `expectedItems` sizes the filter — overshoot only wastes bits,
     * undershoot inflates fpp (never correctness, the verify join catches
-    * every false positive). The membership probe is a broadcast-closure
-    * UDF: non-codegen, but a pure in-memory bit test on a map-side filter
-    * — the scan stays one pass and nothing extra shuffles.
+    * every false positive). The membership probe is a native codegen
+    * expression over the broadcast sketch
+    * ([[graft.functions.BloomMightContainKey]]): one bit-test fused into
+    * the scan's WholeStageCodegen, no per-row SerDe (the r9 formulation
+    * was a Scala UDF — correct but an opaque invoke with UTF8String→String
+    * conversion per row on the path whose whole point is cheap dismissal).
     *
     * One-scan shape: the probe is evaluated once into a NULL-GATED join
     * key — suspects carry the key, definite-absents carry null, and a
@@ -94,10 +97,12 @@ object Dedup {
     if (keyed.isEmpty) return incoming
     val bf = keyed.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
     val sKey = key.cast("string")
+    val might = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BloomMightContainKey(
+        org.apache.spark.sql.GraftColumnBridge.expression(sKey), bc))
     incoming
-      .withColumn("__bloom_jk", when(might(sKey), sKey))
+      .withColumn("__bloom_jk", when(might, sKey))
       .join(keyed.select(col("__k").as("__ck")).distinct(),
         col("__bloom_jk") === col("__ck"), "left_anti")
       .drop("__bloom_jk")

@@ -399,7 +399,11 @@ object Sampling {
     * exact BIGINT sums: order-independent, repartition-stable and
     * bit-identical cross-engine. Rounding per-bucket rather than per-doc
     * is what removes the float-summation-order hazard the LM-quality
-    * queries have to tolerate.
+    * queries have to tolerate. (Residual: `ln` itself is JVM `Math.log`
+    * vs the oracle's libm, neither correctly rounded — a 1-ulp divergence
+    * within ~1 ulp of a .5 micro-nat boundary could still flip one
+    * bucket's `round()` by 1; see [[graft.ops.TextAnalysis.klPerGroup]]
+    * for the full discussion of this transcendental hazard.)
     *
     * Scale shape: the two gram-count passes collapse map-side into
     * ≤ nBuckets partial rows each (the whole point of feature hashing —

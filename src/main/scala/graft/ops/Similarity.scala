@@ -92,17 +92,24 @@ object Similarity {
     * reducer, never the scored corpus. Self-pairs drop via the group
     * rule. Swap the corpus for a probed IVF candidate set to bound the
     * scan at serving time; brute over the full corpus is the mining-job
-    * shape (one pass, k·|anchors| rows out). Returns (anchor, id, cos, rk). */
+    * shape (one pass, k·|anchors| rows out). Returns (anchor, id, cos, rk).
+    *
+    * NULL rule: rows (and anchors) with a NULL `group` are EXCLUDED from
+    * mining — a hard negative must PROVABLY differ from the anchor, and an
+    * unknown group proves nothing; this also makes the Spark filter and
+    * the oracle's SQL `<>` (which drops NULL comparisons) agree by
+    * construction instead of diverging the day group metadata goes NULL. */
   def hardNegatives(df: DataFrame, id: Column, vec: Column, group: Column,
       anchors: DataFrame, aId: Column, aVec: Column, aGroup: Column,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val a = broadcast(anchors.select(aId.as("anchor"), aVec.as("__avec"),
-      aGroup.as("__ag")))
+      aGroup.as("__ag")).filter(col("__ag").isNotNull))
     df.select(id.as("id"), vec.as("__v"), group.as("__g"))
+      .filter(col("__g").isNotNull)
       .crossJoin(a)
-      .filter(!(col("__g") <=> col("__ag")))
+      .filter(col("__g") =!= col("__ag"))
       .withColumn("cos", cosineNative(df, col("__v"), col("__avec")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("anchor"))
@@ -1120,20 +1127,32 @@ object Similarity {
     * among its sign-LSH bucket candidates: the input structure of
     * graph-based near-dup clustering, SemDeDup-style diversity pruning
     * and label propagation. Candidate generation is [[bucketedPairs]]
-    * (quadratic strictly within buckets; swap in [[bucketedPairsCapped]]
-    * upstream via the same composition if a degenerate region goes fat),
-    * symmetrized by a projection union (each undirected pair feeds BOTH
+    * (quadratic strictly within buckets), or — when `maxBucket` is set —
+    * [[bucketedPairsCapped]], whose re-bucketing of any bucket larger than
+    * `maxBucket` with `extraBits` extra sign bits bounds the self-join
+    * fan-out: at 100 TB a degenerate embedding region (the classic
+    * all-positive-coordinates cluster) lands in one LSH bucket and an
+    * uncapped graph build goes quadratic on that one join key. The capped
+    * candidate set is a SUBSET of the uncapped one (refinement only splits
+    * buckets), so edges can only be lost, never invented — the standard
+    * LSH recall trade, ScaleSpec-pinned with a planted fat bucket.
+    * Symmetrized by a projection union (each undirected pair feeds BOTH
     * endpoints' neighbor lists — no second join), then a per-vector
     * `row_number ≤ k` which two-phases under InferWindowGroupLimit
     * (partition key `i` is high-cardinality here anyway). A vector alone
-    * in its bucket has no candidates and is absent from the graph — the
-    * standard LSH recall trade, callers union an IVF/brute fallback for
-    * isolated points if totality matters. Returns (i, j, cos, rk). */
+    * in its bucket has no candidates and is absent from the graph —
+    * callers union an IVF/brute fallback for isolated points if totality
+    * matters. Returns (i, j, cos, rk). Default `maxBucket = Long.MaxValue`
+    * keeps the exact uncapped behavior (and skips the bucket-size agg). */
   def knnGraph(df: DataFrame, id: Column, vec: Column, bits: Int, k: Int,
-      native: Boolean = true): DataFrame = {
+      native: Boolean = true, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val pairs = bucketedPairs(df, id, vec, bits, native).select("i", "j", "cos")
+    val cand =
+      if (maxBucket == Long.MaxValue) bucketedPairs(df, id, vec, bits, native)
+      else bucketedPairsCapped(df, id, vec, bits, maxBucket, extraBits, native)
+    val pairs = cand.select("i", "j", "cos")
     val sym = pairs.union(
       pairs.select(col("j").as("i"), col("i").as("j"), col("cos")))
     sym.withColumn("rk", row_number().over(

@@ -561,6 +561,17 @@ object TextAnalysis {
     * Rounding per term bounds the drift from true KL by ±0.5e-6·|vocab_g|
     * — diagnostics-grade, and deterministic, which is the point.
     *
+    * Residual cross-ENGINE hazard (per-term rounding removes summation-
+    * order drift, not implementation drift): `ln` here is JVM `Math.log`,
+    * in the oracle DuckDB's libm — neither is correctly rounded, so a
+    * 1-ulp disagreement can flip `round()` when a term's micro-nat value
+    * lands within ~1 ulp of an exact .5 boundary. No term in the synthetic
+    * corpus does (the gate would catch it), and a flip costs exactly 1
+    * micro-nat — harmless for diagnostics; callers needing a HARD
+    * bit-exact guarantee across engines should quantize the log-ratio
+    * inputs to a coarser grid first (the weighted-sampler docs discuss the
+    * same transcendental hazard).
+    *
     * Scale shape: one explode → (group, token) partial-agg counts (the
     * heavy shuffle, map-side collapsed), corpus totals re-aggregate from
     * THAT table (never a second corpus scan), group totals broadcast

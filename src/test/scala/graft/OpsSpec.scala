@@ -167,6 +167,33 @@ class OpsSpec extends AnyFunSuite {
     assert(gotNull === ((200L until 400L) :+ 999L))
   }
 
+  test("native bloom probe expression is bit-equal to the UDF it replaced, " +
+      "including the NULL→false contract") {
+    import spark.implicits._
+    val corpus = (0 until 200).map(i => s"doc-$i").toDF("k")
+    val bf = corpus.stat.bloomFilter("k", 1000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    // probe set straddles members, non-members, and NULL
+    val probes = ((0 until 400 by 7).map(i => (i.toLong, s"doc-$i")) :+
+      (999L, null.asInstanceOf[String])).toDF("id", "k")
+    val udfProbe = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val native = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BloomMightContainKey(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("k")), bc))
+    val rows = probes.select(col("id"), udfProbe(col("k")).as("u"), native.as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"probe must be non-nullable: $r")
+      assert(r.getBoolean(1) === r.getBoolean(2),
+        s"UDF ≠ native expression on id=${r.getLong(0)}")
+    }
+    // every true member probes true (no false negatives through the
+    // bytes-vs-String hash path: putString(s) ≡ putBinary(utf8(s)))
+    val members = probes.filter(col("id") < 200 && col("k").isNotNull)
+      .select(native.as("n")).collect().map(_.getBoolean(0))
+    assert(members.forall(identity), "a member probed false — hash path broken")
+  }
+
   test("dupClusters reliable-checkpoint mode: identical clusters, checkpoint files on disk") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),

@@ -263,13 +263,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial")
         && p.contains("Final"),
       s"q164 rank filter must two-phase (Partial + Final group limit):\n$p")
-    // q168: the canonical occurrence must come from a partial-aggregable
-    // min, never a per-gram rank — a WindowGroupLimit here would mean a
-    // hot gram (boilerplate repeated millions of times) sorts all its
+  }
+
+  test("span cut canonical split is the min-struct agg, not a per-gram rank (q168)") {
+    // the canonical occurrence must come from a partial-aggregable min,
+    // never a per-gram rank — a WindowGroupLimit here would mean a hot
+    // gram (boilerplate repeated millions of times) sorts all its
     // occurrences on one reducer (the doc-id interval-merge windows are
     // fine; it is the gram-keyed group limit that must be absent)
-    val p168 = plan("q168_span_cut_keep_first")
-    assert(!p168.contains("WindowGroupLimit"),
-      s"q168 canonical split must be the min-struct agg, not a rank:\n$p168")
+    val p = plan("q168_span_cut_keep_first")
+    assert(!p.contains("WindowGroupLimit"),
+      s"q168 canonical split must be the min-struct agg, not a rank:\n$p")
+  }
+
+  test("bloom probe is a fused codegen expression, not a UDF (q119)") {
+    val p = plan("q119_bloom_dedup")
+    // the membership probe must appear as the native expression inside the
+    // scan-side projection — a ScalaUDF would pay UTF8String→String SerDe
+    // per row and sit as an opaque invoke in the generated code
+    assert(p.contains("bloom_might_contain"),
+      s"native bloom probe expression expected in the plan:\n$p")
+    assert(!p.contains("UDF") && !p.contains("ScalaUDF"),
+      s"no UDF may remain on the decontamination path:\n$p")
+    // and the probe must land INSIDE a whole-stage-codegen span (the AQE
+    // executedPlan string hides spans pre-execution, so materialize first,
+    // then read the generated code off the FINAL plan — which also proves
+    // Janino compiles the generated probe)
+    val df = SparkEntry.queries("q119_bloom_dedup")(spark, sf)
+    df.collect()
+    val cg = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(cg.contains("WholeStageCodegen"), s"probe stage must codegen:\n$cg")
+    assert(cg.contains("mightContainBinary"),
+      "generated code must carry the fused bloom probe call")
   }
 }

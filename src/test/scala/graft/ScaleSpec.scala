@@ -685,4 +685,45 @@ class ScaleSpec extends AnyFunSuite {
     // should be total; the hash sample has no such guarantee
     assert(kmeans === 1.0, s"k-means single-probe recall on planted clusters: $kmeans")
   }
+
+  test("knnGraph maxBucket valve: planted fat bucket stays bounded, capped graph " +
+      "is a subset of the uncapped candidate edges, slim bucket intact") {
+    import spark.implicits._
+    // same planted geometry as the bucketedPairsCapped spec: 64 vectors all
+    // positive in the first 4 dims → ONE fat sign-bucket at bits=4 (the
+    // degenerate all-positive-coordinates region that goes quadratic at
+    // scale); dims 5..12 carry id-dependent signs so extraBits=8 isolates
+    // every fat-bucket vector; plus a slim 3-vector bucket under the cap
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val embs2 = (fat ++ slim).toDF("vec_id", "embedding")
+    def edges(d: org.apache.spark.sql.DataFrame) =
+      d.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = edges(Similarity.knnGraph(embs2, col("vec_id"),
+      col("embedding"), bits = 4, k = 2))
+    // uncapped: every fat-bucket vector has ≥ 2 candidates → 64 · 2 directed
+    // edges ride on a 2016-pair quadratic self-join underneath
+    assert(uncapped.count(_._1 < 100L) === 64 * 2)
+    val capped = edges(Similarity.knnGraph(embs2, col("vec_id"),
+      col("embedding"), bits = 4, k = 2, maxBucket = 10, extraBits = 8))
+    // the 8 refinement bits are exactly the 8 id bits → every fat-bucket
+    // vector lands alone (zero candidates, absent from the graph — the
+    // documented LSH recall trade); the join fan-out is bounded by the cap
+    // instead of the degenerate region's size
+    assert(capped.forall(_._1 >= 100L), s"fat-bucket edges survived: $capped")
+    // slim bucket below the cap is untouched: its full k-NN survives
+    assert(capped === Set((100L, 101L), (100L, 102L), (101L, 102L),
+      (101L, 100L), (102L, 100L), (102L, 101L)), s"capped=$capped")
+    // subset semantics: capped edges never invent a pair the uncapped
+    // candidate generation didn't already have
+    assert(capped.subsetOf(uncapped))
+  }
 }
