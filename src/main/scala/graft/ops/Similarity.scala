@@ -118,6 +118,71 @@ object Similarity {
       .select(col("anchor"), col("id"), col("cos"), col("rk"))
   }
 
+  /** Serving-scale hard-negative mining — the IVF-bounded variant the
+    * [[hardNegatives]] scaladoc promises: mine from an index written by
+    * [[ivfWritePartitioned]] so the scan covers only the anchors' probed
+    * inverted lists, and mining cost tracks `nProbe/nCentroids × corpus`
+    * instead of the corpus. At 100 TB this is the difference between a
+    * full-corpus pass per mining job and opening a handful of list files:
+    * the probe filter `cluster IN (union of per-anchor probe sets)` is
+    * PARTITION PRUNING on the hive layout (PlanSpec-pinned), the anchor
+    * batch (driver-sized by the same contract as [[ivfTopKBatch]])
+    * broadcast-joins on list membership, and the per-anchor `row_number
+    * ≤ k` two-phases exactly like the brute miner.
+    *
+    * The index stores no group metadata, so the caller supplies it as a
+    * `(id, group)` frame joined AFTER pruning — the join input is the
+    * candidate set, not the corpus. Same NULL rule as [[hardNegatives]]:
+    * NULL-group rows and anchors are excluded (a hard negative must
+    * provably differ). Approximation contract, same as every IVF path: a
+    * true negative in an unprobed list is missed; recall vs the brute
+    * miner tracks the probe fraction and is what q170 pins. Quantized
+    * indexes are detected by schema and scored via [[dequant]].
+    * Returns (anchor, id, cos, rk). */
+  def hardNegativesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, groups: DataFrame, gId: Column, gGroup: Column,
+      anchors: DataFrame, aId: Column, aVec: Column, aGroup: Column,
+      nProbe: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    ivfReadManifest(spark, path).foreach { m =>
+      val nc = m.path("nCentroids").asInt()
+      if (nProbe > nc) throw new graft.core.BadCallException(
+        s"nProbe=$nProbe exceeds the index's $nc inverted lists")
+    }
+    // group compares as string on both sides (a driver-portable common type)
+    val arows = anchors.select(aId.cast("long").as("anchor"), aVec.as("av"),
+        aGroup.cast("string").as("ag")).filter(col("ag").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getString(2)))
+    require(arows.nonEmpty, "hardNegativesFromIndex: empty anchor batch")
+    val probed = arows.map { case (aid, av, ag) =>
+      (aid, av, ag, nearestCentroids(cents, av, nProbe)) }
+    val allProbed = probed.flatMap(_._4).distinct.toSeq
+    import spark.implicits._
+    val adf = broadcast(probed.toSeq.toDF("anchor", "av", "ag", "probes"))
+    val table = spark.read.parquet(path)
+    val cand = table.filter(col("cluster").isin(allProbed: _*))
+      .join(adf, array_contains(col("probes"), col("cluster")))
+    val cos =
+      if (table.columns.contains("qvec"))
+        cosine(dequant(col("qvec"), col("qscale")), asDouble(col("av")))
+      else cosineNative(table, col("v"), col("av"))
+    cand
+      .join(groups.select(gId.cast("long").as("id"),
+        gGroup.cast("string").as("__g")).filter(col("__g").isNotNull), "id")
+      .filter(col("__g") =!= col("ag"))
+      .select(col("anchor"), col("id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("anchor"))
+          .orderBy(col("cos").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select(col("anchor"), col("id"), col("cos"), col("rk"))
+  }
+
   /** Scalar int8 quantization of an embedding column: adds a per-vector
     * `qscale` (max|x| / 127) and `qvec` (`array<tinyint>` codes) — the 4×
     * storage/shuffle shrink that makes 100 TB ANN serving fit executor

@@ -453,57 +453,103 @@ object TextAnalysis {
     * slots — never driver-side; N and V broadcast as one row. Docs shorter
     * than 3 tokens score `(0, null)` through the final left join. */
   def trigramStupidBackoff(docs: DataFrame, id: Column, text: Column,
-      ref: DataFrame, refText: Column, alpha: Double = 0.4): DataFrame = {
+      ref: DataFrame, refText: Column, alpha: Double = 0.4): DataFrame =
+    stupidBackoff(docs, id, text, ref, refText, order = 3, alpha = alpha)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
+
+  /** One row per n-gram slot, columns `w1..wn` (plus `cols` carried through).
+    * Shared slot constructor for the backoff-LM family. */
+  private def gramSlots(df: DataFrame, cols: Seq[Column], t: Column,
+      n: Int): DataFrame = {
+    val base = df.select(cols :+ tokens(t).as("__toks"): _*)
+    val keep = base.columns.dropRight(1).toIndexedSeq.map(col)
+    val ws = (1 to n).map(j => s"w$j")
+    val slotType = s"array<struct<${ws.map(w => s"$w:string").mkString(",")}>>"
+    base.select(keep :+ explode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => struct(ws.zipWithIndex.map { case (w, o) =>
+              element_at(col("__toks"), i + o).as(w) }: _*)))
+          .otherwise(array().cast(slotType))).as("__g"): _*)
+      .select(keep ++ ws.map(w => col(s"__g.$w").as(w)): _*)
+  }
+
+  /** Order-n STUPID BACKOFF LM scoring (Brants et al. 2007) — the general
+    * ladder [[trigramStupidBackoff]] is the n=3 instance of. `order = 5`
+    * is the CCNet-grade configuration (CCNet filters on a KenLM 5-gram;
+    * stupid backoff is the web-scale scoring rule that skips normalization
+    * because a quality filter only needs the ranking):
+    *
+    *   S(wₙ|w₁..wₙ₋₁) = c(w₁..wₙ)/c(w₁..wₙ₋₁)        highest seen order,
+    *                  = α   · c(w₂..wₙ)/c(w₂..wₙ₋₁)   one level down,
+    *                    ...                             (one α per level)
+    *                  = αⁿ⁻¹ · (c(wₙ)+1)/(N+V)         add-1 unigram floor.
+    *
+    * Every ln argument is an integer count (plus integer N+V), the CASE
+    * branches on integer comparisons, and the per-doc mean rounds to 6
+    * decimals — the same cross-engine-exact discipline as the trigram
+    * instance, replayable in DuckDB at any order. Whenever the level-L
+    * numerator (w_{n-L+1}..wₙ) was seen in ref, its (L−1)-prefix
+    * (w_{n-L+1}..wₙ₋₁) was too, so no branch ever takes ln(0).
+    *
+    * Scale shape: the "model" is `order` DISTRIBUTED count tables (the
+    * corpus n-gram tables, partial-aggregable — the q146 span-mining
+    * shuffle shape, one per order) joined to the document n-gram slots;
+    * 2·order−1 hash joins total, all on string-tuple keys, no windows, no
+    * driver state; N and V broadcast as one row. The count-table shuffle
+    * grows with corpus n-gram cardinality — at 100 TB prune the tables
+    * with a `HAVING count ≥ k` min-count threshold (KenLM's own pruning)
+    * before the join. Docs shorter than `order` tokens score `(0, null)`
+    * through the final left join. */
+  def stupidBackoff(docs: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column, order: Int = 5,
+      alpha: Double = 0.4): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
-    def grams(df: DataFrame, cols: Seq[Column], t: Column, n: Int): DataFrame = {
-      val base = df.select(cols :+ tokens(t).as("__toks"): _*)
-      val keep = base.columns.dropRight(1).toIndexedSeq.map(col)
-      val ws = (1 to n).map(j => s"w$j")
-      val slotType = s"array<struct<${ws.map(w => s"$w:string").mkString(",")}>>"
-      base.select(keep :+ explode(
-          when(size(col("__toks")) >= n,
-            transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-              i => struct(ws.zipWithIndex.map { case (w, o) =>
-                element_at(col("__toks"), i + o).as(w) }: _*)))
-            .otherwise(array().cast(slotType))).as("__g"): _*)
-        .select(keep ++ ws.map(w => col(s"__g.$w").as(w)): _*)
-    }
-    val uni = grams(ref, Seq.empty, refText, 1)
-      .groupBy("w1").agg(count(lit(1)).as("__c1"))
-    val bi = grams(ref, Seq.empty, refText, 2)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
-    val tri = grams(ref, Seq.empty, refText, 3)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c3"))
-    val totals = uni.agg(sum("__c1").cast("double").as("__n"),
+    // cnt(m): the ref m-gram count table, columns w1..wm, __c
+    val cnt: Map[Int, DataFrame] = (1 to order).map { m =>
+      m -> gramSlots(ref, Seq.empty, refText, m)
+        .groupBy((1 to m).map(j => col(s"w$j")): _*)
+        .agg(count(lit(1)).as("__c"))
+    }.toMap
+    val totals = cnt(1).agg(sum("__c").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
-    val slots = grams(docs, Seq(id.as("id")), text, 3)
+    val slots = gramSlots(docs, Seq(id.as("id")), text, order)
     val lnA = math.log(alpha)
-    val scored = slots
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(bi.select(col("w1"), col("w2"), col("__c2").as("__c12")),
-        Seq("w1", "w2"), "left")
-      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("__c2").as("__c23")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("w1").as("w2"), col("__c1").as("__cw2")),
-        Seq("w2"), "left")
-      .join(uni.select(col("w1").as("w3"), col("__c1").as("__cw3")),
-        Seq("w3"), "left")
+    // join cnt(m) against slot positions (from..from+m-1), count as `as`
+    def joined(df: DataFrame, m: Int, from: Int, as: String): DataFrame = {
+      val renamed = cnt(m).select((1 to m).map(j =>
+        col(s"w$j").as(s"w${from + j - 1}")) :+ col("__c").as(as): _*)
+      df.join(renamed, (0 until m).map(j => s"w${from + j}"), "left")
+    }
+    // level L (order down to 2): numerator cnt(L) at (order-L+1..order),
+    // denominator cnt(L-1) at (order-L+1..order-1); floor cnt(1) at order
+    val withCounts = (order to 2 by -1).foldLeft(slots) { (df, l) =>
+      joined(joined(df, l, order - l + 1, s"__n$l"),
+        l - 1, order - l + 1, s"__d$l")
+    }
+    // the floor needs c(w_order): cnt(1) at position `order` (__d2 sits at
+    // order-1, so it cannot serve) — join it explicitly as __f
+    val withFloor = joined(withCounts, 1, order, "__f")
       .crossJoin(broadcast(totals))
-      .select(col("id"),
-        when(coalesce(col("__c3"), lit(0L)) > 0L,
-          log(col("__c3").cast("double")) - log(col("__c12").cast("double")))
-        .when(coalesce(col("__c23"), lit(0L)) > 0L,
-          lit(lnA) + log(col("__c23").cast("double"))
-            - log(col("__cw2").cast("double")))
-        .otherwise(lit(2.0 * lnA)
-          + log(coalesce(col("__cw3"), lit(0L)).cast("double") + 1.0)
-          - log(col("__n") + col("__v"))).as("__lp"))
+    val lp = (order to 2 by -1).foldLeft(null.asInstanceOf[Column]) {
+      (acc, l) =>
+        val branch = lit((order - l) * lnA) +
+          log(col(s"__n$l").cast("double")) -
+          log(col(s"__d$l").cast("double"))
+        val cond = coalesce(col(s"__n$l"), lit(0L)) > 0L
+        if (acc == null) when(cond, branch) else acc.when(cond, branch)
+    }.otherwise(lit((order - 1) * lnA)
+      + log(coalesce(col("__f"), lit(0L)).cast("double") + 1.0)
+      - log(col("__n") + col("__v")))
+    val scored = withFloor
+      .select(col("id"), lp.as("__lp"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_trigrams"),
+      .agg(count(lit(1)).as("n_ngrams"),
         round(-sum(col("__lp")) / count(lit(1)), 6).as("cross_entropy"))
     docs.select(id.as("id"))
       .join(scored, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+      .select(col("id"), coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
         col("cross_entropy"))
   }
 

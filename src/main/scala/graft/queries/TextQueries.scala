@@ -150,6 +150,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-grade 5-gram stupid backoff: the full KenLM-order ladder —
+    // seen 5-gram ratio, else α·4-gram, α²·trigram, α³·bigram, else
+    // α⁴·add-1 unigram floor; 9 count-table joins, every ln argument an
+    // integer count so the whole ladder replays cross-engine exactly
+    "q169_lm_quality_5gram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
+          col("text"), docs, col("text"), order = 5)
+        .withColumn("bucket",
+          array(lit("head"), lit("middle"), lit("tail"))(
+            ntile(3).over(Window.orderBy(
+              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
+          col("cross_entropy"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -601,6 +620,70 @@ object TextQueries {
                ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
            FROM toks t LEFT JOIN sc USING (doc_id))
          SELECT doc_id, n_trigrams, cross_entropy, bucket FROM b
+         WHERE doc_id < 20 ORDER BY doc_id""",
+
+    // the full 5-gram ladder replayed: numerator/denominator count tables
+    // at every order, the same α=0.4 per-level offsets, the same add-1
+    // unigram floor and tercile assignment
+    "q169_lm_quality_5gram" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         g1 AS (SELECT ts[x.i] AS w1, count(*) AS c
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
+           GROUP BY 1),
+         g2 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+           WHERE len(ts) >= 2 GROUP BY 1, 2),
+         g3 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3, count(*) AS c
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3 GROUP BY 1, 2, 3),
+         g4 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+             ts[x.i+3] AS w4, count(*) AS c
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) x
+           WHERE len(ts) >= 4 GROUP BY 1, 2, 3, 4),
+         g5 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+             ts[x.i+3] AS w4, ts[x.i+4] AS w5, count(*) AS c
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5 GROUP BY 1, 2, 3, 4, 5),
+         tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM g1),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+             ts[x.i+3] AS w4, ts[x.i+4] AS w5
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+           WHERE len(ts) >= 5),
+         sc AS (SELECT dp.doc_id, count(*) AS nt,
+             round(-sum(CASE
+               WHEN coalesce(n5.c, 0) > 0
+                 THEN ln(n5.c::DOUBLE) - ln(d5.c::DOUBLE)
+               WHEN coalesce(n4.c, 0) > 0
+                 THEN ln(0.4) + ln(n4.c::DOUBLE) - ln(d4.c::DOUBLE)
+               WHEN coalesce(n3.c, 0) > 0
+                 THEN 2 * ln(0.4) + ln(n3.c::DOUBLE) - ln(d3.c::DOUBLE)
+               WHEN coalesce(n2.c, 0) > 0
+                 THEN 3 * ln(0.4) + ln(n2.c::DOUBLE) - ln(d2.c::DOUBLE)
+               ELSE 4 * ln(0.4) + ln(coalesce(f.c, 0)::DOUBLE + 1.0)
+                 - ln(tot.n + tot.v) END) / count(*), 6) AS xent
+           FROM dp
+           LEFT JOIN g5 n5 ON dp.w1 = n5.w1 AND dp.w2 = n5.w2
+             AND dp.w3 = n5.w3 AND dp.w4 = n5.w4 AND dp.w5 = n5.w5
+           LEFT JOIN g4 d5 ON dp.w1 = d5.w1 AND dp.w2 = d5.w2
+             AND dp.w3 = d5.w3 AND dp.w4 = d5.w4
+           LEFT JOIN g4 n4 ON dp.w2 = n4.w1 AND dp.w3 = n4.w2
+             AND dp.w4 = n4.w3 AND dp.w5 = n4.w4
+           LEFT JOIN g3 d4 ON dp.w2 = d4.w1 AND dp.w3 = d4.w2
+             AND dp.w4 = d4.w3
+           LEFT JOIN g3 n3 ON dp.w3 = n3.w1 AND dp.w4 = n3.w2
+             AND dp.w5 = n3.w3
+           LEFT JOIN g2 d3 ON dp.w3 = d3.w1 AND dp.w4 = d3.w2
+           LEFT JOIN g2 n2 ON dp.w4 = n2.w1 AND dp.w5 = n2.w2
+           LEFT JOIN g1 d2 ON dp.w4 = d2.w1
+           LEFT JOIN g1 f ON dp.w5 = f.w1
+           CROSS JOIN tot GROUP BY 1),
+         b AS (SELECT t.doc_id,
+             CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_ngrams,
+             sc.xent AS cross_entropy,
+             (['head', 'middle', 'tail'])[ntile(3) OVER (
+               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+           FROM toks t LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, n_ngrams, cross_entropy, bucket FROM b
          WHERE doc_id < 20 ORDER BY doc_id""",
 
     // identical plant, identical per-char counting (1-based substr series)

@@ -469,6 +469,34 @@ object VectorQueries {
         .select(col("anchor"), col("id").as("vec_id"),
           round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy("anchor", "rk")
+    }),
+
+    // serving-scale hard-negative mining: mine from the IVF-partitioned
+    // layout (scan = probed inverted lists only, partition-pruned) and pin
+    // per-anchor agreement with q164's brute miner — the recall-bound
+    // contract of q57/q125. nProbe=7 of 8 on unclustered testdata (the
+    // same budget q125 needs); group metadata joins in AFTER pruning
+    "q170_hard_negatives_ivf" -> ((s, d) => {
+      val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val e = emb(s, d).join(docsrc, col("vec_id") === col("doc_id"))
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val anchors = e.filter(col("vec_id").isin(1L, 2L, 3L))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-hnivf-${d.hashCode.toHexString}/emb"
+      Sim.ivfWritePartitioned(corpus, col("vec_id"), col("embedding"),
+        nCentroids = 8, dir, kmeansIters = 4)
+      val idx = Sim.hardNegativesFromIndex(s, dir,
+        docsrc, col("doc_id"), col("source"),
+        anchors, col("vec_id"), col("embedding"), col("source"),
+        nProbe = 7, k = 3)
+      val brute = Sim.hardNegatives(corpus, col("vec_id"), col("embedding"),
+        col("source"), anchors, col("vec_id"), col("embedding"), col("source"),
+        k = 3)
+      idx.join(broadcast(brute.select(col("anchor"), col("id"))),
+          Seq("anchor", "id"))
+        .groupBy("anchor").agg(count(lit(1)).as("n_hits"))
+        .select(col("anchor"), lit(3).as("k"),
+          (col("n_hits") >= 3L).as("agree_ok"))
+        .orderBy("anchor")
     })
   )
 
@@ -707,6 +735,14 @@ object VectorQueries {
                ORDER BY cos DESC, vec_id) AS rk
            FROM sc)
          SELECT anchor, vec_id, round(cos, 6) AS cos, rk
-         FROM rk WHERE rk <= 3 ORDER BY anchor, rk"""
+         FROM rk WHERE rk <= 3 ORDER BY anchor, rk""",
+
+    // the probed mining result is engine-specific (which lists the anchors
+    // probe); its agreement with the brute miner is not — same contract as
+    // q57/q125, one pinned-TRUE row per anchor
+    "q170_hard_negatives_ivf" ->
+      """SELECT CAST(1 AS BIGINT) AS anchor, 3 AS k, TRUE AS agree_ok
+         UNION ALL SELECT CAST(2 AS BIGINT), 3, TRUE
+         UNION ALL SELECT CAST(3 AS BIGINT), 3, TRUE ORDER BY anchor"""
   )
 }

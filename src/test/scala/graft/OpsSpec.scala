@@ -1453,4 +1453,33 @@ class OpsSpec extends AnyFunSuite {
     assert(fast === slow, "checkpointed single-pass must pick identical rows")
     assert(fast.nonEmpty)
   }
+
+  test("stupidBackoff order-5 ladder: every level's exact value on a " +
+    "handcrafted corpus (seen, α, α², α³, floor seen/unseen, short doc)") {
+    import spark.implicits._
+    // ref = one doc "a b c d e": N = 5 tokens, V = 5 distinct
+    val ref = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val probes = Seq(
+      1L -> "a b c d e", // 5-gram seen: ln(1/1) = 0
+      2L -> "z b c d e", // backoff to 4-gram bcde: lnα + ln(1/1)
+      3L -> "z y c d e", // backoff to trigram cde: 2lnα + ln(1/1)
+      4L -> "z y x d e", // backoff to bigram de: 3lnα + ln(1/1)
+      5L -> "z y x w e", // floor, e seen: 4lnα + ln(1+1) − ln(5+5)
+      6L -> "z y x w v", // floor, v unseen: 4lnα + ln(0+1) − ln(10)
+      7L -> "a b c"      // shorter than order: (0, null)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoff(probes, col("doc_id"), col("text"),
+        ref, col("text"), order = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    val lnA = math.log(0.4)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) === ((1L, 0.0)))
+    assert(got(2L) === ((1L, r6(-lnA))))
+    assert(got(3L) === ((1L, r6(-2 * lnA))))
+    assert(got(4L) === ((1L, r6(-3 * lnA))))
+    assert(got(5L) === ((1L, r6(-(4 * lnA + math.log(2.0) - math.log(10.0))))))
+    assert(got(6L) === ((1L, r6(-(4 * lnA - math.log(10.0))))))
+    assert(got(7L)._1 === 0L && got(7L)._2.isNaN)
+  }
 }

@@ -297,4 +297,16 @@ class PlanSpec extends AnyFunSuite {
     assert(cg.contains("mightContainBinary"),
       "generated code must carry the fused bloom probe call")
   }
+
+  test("IVF hard-negative mining scans only probed inverted lists — " +
+    "cluster IN (…) is a partition filter, not a data filter (q170)") {
+    val p = plan("q170_hard_negatives_ivf")
+    // the probe set must reach the hive-partitioned index as a PARTITION
+    // filter (unopened list files) — if it shows up in DataFilters the
+    // layout stopped pruning and every list is being read back
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined,
+      s"q170 probe set must prune index partitions:\n$p")
+    assert(!"DataFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined,
+      s"q170 cluster probe must not degrade to a data filter:\n$p")
+  }
 }
