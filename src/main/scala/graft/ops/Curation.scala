@@ -37,16 +37,16 @@ object Curation {
       sampleSeed: Int = 7,
       splitSeed: Int = 42,
       ffdPack: Boolean = false,
-      imageMaxHamming: Int = 4,
+      mediaMaxHamming: Int = 4,
       dsirBuckets: Int = 1 << 16,
       dsirSeed: Int = 7,
       dsirMinWeightU: Long = 0L)
 
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`.
-    * @param media optional image payloads keyed by doc id — when present,
-    *   perceptual image dedup runs as the FIRST stage (see
-    *   [[dedupByImageHash]]). */
+    * @param media optional media payloads (image/video/audio) keyed by doc
+    *   id — when present, kind-dispatched perceptual dedup runs as the
+    *   FIRST stage (see [[dedupByMediaHash]]). */
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
       media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
@@ -80,6 +80,30 @@ object Curation {
     docs.join(losers, id === col("__iloser"), "left_anti")
   }
 
+  /** Perceptual MEDIA dedup — [[dedupByImageHash]] generalized to every
+    * media kind via the kind-dispatched [[Multimodal.perceptualHashes]]
+    * column (image dHash / video first-frame dHash / audio envelope hash).
+    * Near-dup mining runs PER KIND — the three hash spaces are unrelated,
+    * so a video hash must never compete with an audio hash even when the
+    * 64-bit values collide — and each kind's mining is the same
+    * pigeonhole-banded [[Dedup.hammingPairs]] + greedy min-id keep as the
+    * image stage. Docs without a decodable media row pass through
+    * untouched. The hash table is 8 bytes + kind per doc; re-scanning it
+    * once per kind is noise next to the decode pass that built it. */
+  def dedupByMediaHash(docs: DataFrame, id: Column,
+      media: org.apache.spark.sql.Dataset[Multimodal.MediaRecord],
+      maxHamming: Int): DataFrame = {
+    val hashes = Multimodal.perceptualHashes(media).toDF()
+    val losers = Seq("image", "video", "audio").map { kind =>
+      Dedup.hammingPairs(
+          hashes.filter(col("kind") === kind)
+            .select(col("media_id").as("doc"), col("phash").as("simhash")),
+          bits = 64, maxHamming = maxHamming)
+        .select(col("j").as("__mloser"))
+    }.reduce(_ unionByName _).distinct()
+    docs.join(losers, id === col("__mloser"), "left_anti")
+  }
+
   /** The pipeline up to (but excluding) context packing: one row per chunk,
     * `doc, chunk_idx, chunk, n_tok, split`. This is the part that is a pure
     * composition of filters, stateless projections, and keyed dedups — the
@@ -90,7 +114,7 @@ object Curation {
       dsirTarget: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val base = media.map(m =>
-      dedupByImageHash(docs, id, m, cfg.imageMaxHamming)).getOrElse(docs)
+      dedupByMediaHash(docs, id, m, cfg.mediaMaxHamming)).getOrElse(docs)
     val quality = base.filter(TextAnalysis.qualityClass(text) === "ok")
     // optional DSIR data-selection stage: keep documents at least as
     // target-like as `dsirMinWeightU` micro-nats (0 = "more target-like

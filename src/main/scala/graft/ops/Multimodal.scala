@@ -328,6 +328,33 @@ object Multimodal {
         ImageHash(r.media_id, dHash64(img))))
     }
 
+  /** One perceptual hash per media row, KIND-dispatched — the single hash
+    * column the generalized media-dedup curation stage keys on:
+    * image → [[dHash64]], video → first-frame [[dHash64]] (demux + decode
+    * frame 0 only), audio → [[audioEnvelopeHash64]]. One pass,
+    * per-partition codec amortization; corrupt payloads and unknown kinds
+    * produce no row (the doc passes curation unhashed). The `kind` column
+    * rides along because the three hash spaces are UNRELATED — a video
+    * first-frame hash colliding with an audio envelope hash is
+    * coincidence, so near-dup mining must never compare across kinds. */
+  final case class MediaHash(media_id: Long, kind: String, phash: Long)
+  implicit val mediaHashEnc: Encoder[MediaHash] = Encoders.product[MediaHash]
+
+  def perceptualHashes(media: Dataset[MediaRecord]): Dataset[MediaHash] =
+    media.mapPartitions { rows =>
+      imageIoReady
+      rows.flatMap { r =>
+        (r.kind match {
+          case "image" => decodeImage(r.payload).map(dHash64)
+          case "video" =>
+            demuxAvi(r.payload).flatMap(_.decodeFrame(0)).map(dHash64)
+          case "audio" => decodeAudio(r.payload).map {
+            case (_, samples) => audioEnvelopeHash64(samples) }
+          case _ => None
+        }).map(h => MediaHash(r.media_id, r.kind, h))
+      }
+    }
+
   /** Deterministic horizontal-gradient frame: luma rises strictly left to
     * right (column x is the gray value `lo + x*step`), so for w ≥ 9 its
     * dHash is exactly -1L — the all-bits anchor fixture (image AND video

@@ -216,6 +216,52 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // the ALL-MEDIA capstone: q159 generalized to the kind-dispatched
+    // hash — three disjoint planted near-dup clusters run the three REAL
+    // codec paths (PNG decode → dHash; AVI demux → frame-0 decode → dHash,
+    // frame 1 deliberately different so any other frame breaks the
+    // cluster; WAV decode → rising-envelope hash), each collapsing to its
+    // min id BEFORE the text stages; the oracle replays all three drop
+    // sets as doc_id arithmetic then the full text pipeline
+    "q171_curation_media" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .filter(id => id % 31 == 0 || id % 37 == 0 || id % 41 == 0)
+        .map { id =>
+          if (id % 31 == 0)
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.syntheticGradientPng(16, 8, (id % 7).toInt * 10, 10),
+              "synth")
+          else if (id % 37 == 0) {
+            val solid = new java.awt.image.BufferedImage(16, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val v = (id % 200).toInt
+            for (y <- 0 until 8; x <- 0 until 16)
+              solid.setRGB(x, y, (v << 16) | (v << 8) | v)
+            Multimodal.MediaRecord(id, "video",
+              Multimodal.encodeAviRgb(Seq(
+                Multimodal.gradientImage(16, 8, (id % 5).toInt * 10, 10),
+                solid)),
+              "synth")
+          }
+          else
+            Multimodal.MediaRecord(id, "audio",
+              Multimodal.syntheticEnvelopeWav(650, lo = 50 + (id % 40).toInt,
+                slope = 2),
+              "synth")
+        }
+      Curation.curate(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("lang"), Curation.Config(langFracs = LangFracs),
+          media = Some(media))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
+    }),
+
     // the DSIR-selected pipeline: curate() with the data-selection stage
     // between the quality gate and the rebalance — target = quality-passing
     // src0 docs, keep weight >= 0 ("more target-like than not"). The whole
@@ -444,6 +490,50 @@ object SamplingQueries {
                  WHERE doc_id % 37 = 0 AND doc_id % 31 <> 0))),
          base AS (SELECT * FROM documents
            WHERE doc_id NOT IN (SELECT doc_id FROM idrop)),
+         q AS (SELECT * FROM base
+           WHERE ${TA.qualityClassSql("text")} = 'ok'
+             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+         e1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+         spl AS (SELECT *,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM e2),
+         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+         p AS (SELECT split, doc, n_tok,
+           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q171_curation_media" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH mdrop AS (
+           SELECT doc_id FROM documents
+           WHERE (doc_id % 31 = 0 AND doc_id > (SELECT min(doc_id)
+               FROM documents WHERE doc_id % 31 = 0))
+             OR (doc_id % 37 = 0 AND doc_id % 31 <> 0
+               AND doc_id > (SELECT min(doc_id) FROM documents
+                 WHERE doc_id % 37 = 0 AND doc_id % 31 <> 0))
+             OR (doc_id % 41 = 0 AND doc_id % 31 <> 0 AND doc_id % 37 <> 0
+               AND doc_id > (SELECT min(doc_id) FROM documents
+                 WHERE doc_id % 41 = 0 AND doc_id % 31 <> 0
+                   AND doc_id % 37 <> 0))),
+         base AS (SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
          q AS (SELECT * FROM base
            WHERE ${TA.qualityClassSql("text")} = 'ok'
              AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),

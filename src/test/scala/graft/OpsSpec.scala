@@ -1454,6 +1454,33 @@ class OpsSpec extends AnyFunSuite {
     assert(fast.nonEmpty)
   }
 
+  test("dedupByMediaHash never pairs across kinds: a video and an audio " +
+    "sharing hash -1 both survive; a same-kind twin drops") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // docs 1,3 = gradient-first-frame videos (both dHash -1); doc 2 =
+    // rising-envelope audio (envelope hash -1). Same 64-bit value across
+    // kinds — only the same-kind duplicate (doc 3) may drop.
+    val media = Seq(1L, 2L, 3L).toDS().map { id =>
+      if (id == 2L)
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.syntheticEnvelopeWav(650, lo = 50, slope = 2), "t")
+      else
+        Multimodal.MediaRecord(id, "video",
+          Multimodal.encodeAviRgb(Seq(
+            Multimodal.gradientImage(16, 8, (id % 5).toInt * 10, 10))), "t")
+    }
+    val hashes = Multimodal.perceptualHashes(media).collect()
+      .map(h => h.media_id -> ((h.kind, h.phash))).toMap
+    assert(hashes(1L) === (("video", -1L)) && hashes(2L) === (("audio", -1L))
+      && hashes(3L) === (("video", -1L)))
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val kept = Curation.dedupByMediaHash(docs, col("doc_id"), media,
+      maxHamming = 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L),
+      "cross-kind hash collision must not pair; same-kind twin must drop")
+  }
+
   test("stupidBackoff order-5 ladder: every level's exact value on a " +
     "handcrafted corpus (seen, α, α², α³, floor seen/unseen, short doc)") {
     import spark.implicits._
