@@ -26,7 +26,7 @@ object TextAnalysis {
     * The whitespace class is spelled out explicitly: Java's `\s` includes
     * vertical tab (\x0B) but RE2's does not, so a bare `\s` would make the
     * Spark and DuckDB (RE2) oracles diverge on documents containing \x0B. */
-  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
+  val BpeTokenPattern: String = graft.functions.BpeApply.TokenPatternString
 
   def tokensBpe(c: Column): Column =
     regexp_extract_all(c, lit(BpeTokenPattern), lit(0))
@@ -36,6 +36,67 @@ object TextAnalysis {
   /** DuckDB twin of [[tokenCountBpe]] (oracle construction). */
   def tokenCountBpeSql(col: String): String =
     s"len(regexp_extract_all($col, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))"
+
+  /** Subword tokens under a TRAINED BPE vocabulary — the native
+    * [[graft.functions.BpeApply]] merge loop (pre-tokenize, then merge the
+    * lowest-rank adjacent pair until none remains), built directly from
+    * the expression so it resolves on any session (same rule as
+    * [[rollingFingerprint]]). Where [[tokensBpe]] estimates token cost
+    * from the PRE-tokenizer alone, this is the production count: packing
+    * and budget admission metered with the same merges table the training
+    * tokenizer uses sees identical token totals. The merge list validates
+    * as well-formed at construction ([[graft.functions.BpeModel]]). */
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BpeApply(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        new graft.functions.BpeModel(merges.toArray)))
+
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(c, merges))
+
+  /** BPE TRAINING over a corpus — the classic learn loop (Sennrich et al.
+    * 2016), distributed: each round segments the distinct-word table under
+    * the merges so far (one [[bpeTokens]] projection — no shuffle), counts
+    * adjacent symbol pairs weighted by word frequency (one partial-
+    * aggregable groupBy), and collects exactly ONE row (the argmax pair,
+    * ties broken by pair text for determinism) to append to the merge
+    * list. `nMerges` rounds ⇒ `nMerges` passes over the distinct-word
+    * table — BPE training is inherently sequential in the merge list; the
+    * word table is distinct-word-sized (Heaps' law, ≪ corpus) and the
+    * only driver state is the merge list itself (the [[BpeModel]]
+    * driver-size contract). Words shorter than 2 symbols never pair and
+    * drop out of the scan via a cheap length filter. */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val words = df.select(explode(tokensBpe(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    words.cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var exhausted = false
+      while (merges.length < nMerges && !exhausted) {
+        // round 0 (empty merges) segments to codepoints — same expression,
+        // so trainer and apply can never disagree on symbol boundaries
+        val segmented =
+          words.select(col("wc"), bpeTokens(col("w"), merges.toSeq).as("syms"))
+        val top = segmented
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 

@@ -12,7 +12,30 @@ import QueryUtil._
   * built from the ops' documented SQL twins. */
 object TextQueries {
 
+  /** q172's planted trained vocabulary — rank-ordered merges exercising
+    * every apply-loop behavior: multi-level chains ((t,a)→(ta,b)→(tab,le)
+    * builds "table" in 4 steps), a merge whose operand is an earlier
+    * PRODUCT ((d,at) then (dat,a) — the well-formedness case), and rank
+    * priority races ((a,t) at rank 0 beats (t,a) at rank 1 inside "data"). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+    "s" -> "c", "sc" -> "a", "a" -> "n", "r" -> "o", "w" -> "i",
+    "e" -> "r", "d" -> "at", "dat" -> "a")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // trained-vocab BPE apply: the native merge-loop expression against
+    // the planted rank-ordered vocabulary — per-doc subword count and a
+    // byte-pinned fingerprint of the full subword stream (order included)
+    "q172_bpe_apply" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          TA.bpeTokens(col("text"), BpeMerges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
 
     "q40_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -551,6 +574,47 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+
+    // the merge loop replayed as a RECURSIVE CTE on a chr(31)-delimited
+    // symbol string: each step picks the lowest-rank pair PRESENT
+    // (position() probe, ORDER BY rk LIMIT 1) and replace() merges all
+    // its occurrences left-to-right — exactly the expression's loop; the
+    // fixpoint rows (no pattern present) are the final segmentations
+    "q172_bpe_apply" -> {
+      val vals = BpeMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      s"""WITH RECURSIVE
+         merges(rk, a, b) AS (SELECT * FROM (VALUES $vals) v(rk, a, b)),
+         base AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+         tl AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws FROM base),
+         toks AS (SELECT doc_id, x.i, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         words AS (SELECT DISTINCT w FROM toks),
+         enc AS (
+           SELECT w, regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq
+           FROM words
+           UNION ALL
+           SELECT e.w, replace(e.seq,
+               chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+               chr(31)||m.a||m.b||chr(31)) AS seq
+           FROM enc e, LATERAL (SELECT a, b FROM merges
+              WHERE position(chr(31)||merges.a||chr(31)||chr(31)||merges.b||chr(31)
+                IN e.seq) > 0
+              ORDER BY rk LIMIT 1) m(a, b)),
+         fin AS (SELECT w, seq FROM enc e WHERE NOT EXISTS (
+           SELECT 1 FROM merges m
+           WHERE position(chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)
+             IN e.seq) > 0)),
+         wtok AS (SELECT w,
+           (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS ntok,
+           trim(replace(seq, chr(31)||chr(31), ' '), chr(31)) AS wtoks
+           FROM fin)
+         SELECT t.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens,
+           md5(string_agg(wt.wtoks, ' ' ORDER BY t.i)) AS fp
+         FROM toks t JOIN wtok wt ON t.w = wt.w
+         GROUP BY 1 ORDER BY 1"""
+    },
 
     // identical LM counts, identical add-1 smoothed log-prob and tercile
     // window (ntile agrees cross-engine on the rounded score + id order)

@@ -1481,6 +1481,29 @@ class OpsSpec extends AnyFunSuite {
       "cross-kind hash collision must not pair; same-kind twin must drop")
   }
 
+  test("bpeTrain learns the classic corpus merges; bpeTokens applies " +
+    "them; ill-formed lists are rejected; empty list = codepoint split") {
+    import spark.implicits._
+    // Sennrich et al.'s running example: low×3 lower×2 newest×2.
+    // Weighted pair counts: (l,o)=5 (o,w)=5 tie → 'l'<'o'; then (lo,w)=5;
+    // then all-2 tie → smallest a then b: (e,r).
+    val corpus = Seq("low low low lower lower newest newest").toDF("text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("text"), 3)
+    assert(merges === Seq("l" -> "o", "lo" -> "w", "e" -> "r"))
+    val toks = Seq("lower newest low").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), merges).as("t"))
+      .head.getSeq[String](0)
+    assert(toks === Seq("low", "er", "n", "e", "w", "e", "s", "t", "low"))
+    // operand "ab" exists only via the LATER merge — must be rejected
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTokens(col("text"), Seq("x" -> "ab", "a" -> "b"))
+    }
+    val bare = Seq("ab c.").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), Seq.empty).as("t"))
+      .head.getSeq[String](0)
+    assert(bare === Seq("a", "b", "c", "."))
+  }
+
   test("stupidBackoff order-5 ladder: every level's exact value on a " +
     "handcrafted corpus (seen, α, α², α³, floor seen/unseen, short doc)") {
     import spark.implicits._

@@ -298,6 +298,20 @@ class PlanSpec extends AnyFunSuite {
       "generated code must carry the fused bloom probe call")
   }
 
+  test("BPE apply runs as a native codegen expression in the scan's " +
+    "projection — no UDF, no codegen fence (q172)") {
+    val df = SparkEntry.queries("q172_bpe_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bpe_apply"), s"native expression expected:\n$p")
+    assert(!p.contains("UDF") && !p.contains("ScalaUDF"),
+      s"no UDF may carry the merge loop:\n$p")
+    val cg = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(cg.contains("BpeApply.encode"),
+      "generated code must call the static merge-loop helper")
+  }
+
   test("IVF hard-negative mining scans only probed inverted lists — " +
     "cluster IN (…) is a partition filter, not a data filter (q170)") {
     val p = plan("q170_hard_negatives_ivf")
