@@ -37,6 +37,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // token-budget admission metered by the TRAINED tokenizer: q134's
+    // scale-safe hash-prefix budget take, with the cost column coming from
+    // the native BPE merge loop instead of the whitespace estimate — the
+    // budget now counts the tokens the training run will actually see
+    "q173_bpe_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ntok", TA.bpeTokenCount(col("text"), BpeMerges))
+      graft.ops.Sampling.budgetPerGroup(docs, col("doc_id"), col("ntok"),
+          col("source"), budget = 2000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("ntok").cast("long").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     "q40_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy("source")
@@ -614,6 +629,51 @@ object TextQueries {
            md5(string_agg(wt.wtoks, ' ' ORDER BY t.i)) AS fp
          FROM toks t JOIN wtok wt ON t.w = wt.w
          GROUP BY 1 ORDER BY 1"""
+    },
+
+    // same merge-loop replay building the per-doc cost column, then q134's
+    // exact hash-ordered cumulative budget take over it
+    "q173_bpe_budget" -> {
+      val vals = BpeMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      s"""WITH RECURSIVE
+         merges(rk, a, b) AS (SELECT * FROM (VALUES $vals) v(rk, a, b)),
+         tl AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         words AS (SELECT DISTINCT w FROM toks),
+         enc AS (
+           SELECT w, regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq
+           FROM words
+           UNION ALL
+           SELECT e.w, replace(e.seq,
+               chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+               chr(31)||m.a||m.b||chr(31)) AS seq
+           FROM enc e, LATERAL (SELECT a, b FROM merges
+              WHERE position(chr(31)||merges.a||chr(31)||chr(31)||merges.b||chr(31)
+                IN e.seq) > 0
+              ORDER BY rk LIMIT 1) m(a, b)),
+         fin AS (SELECT w, seq FROM enc e WHERE NOT EXISTS (
+           SELECT 1 FROM merges m
+           WHERE position(chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)
+             IN e.seq) > 0)),
+         wtok AS (SELECT w,
+           (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS ntok
+           FROM fin),
+         per AS (SELECT t.doc_id, sum(wt.ntok) AS nt
+           FROM toks t JOIN wtok wt ON t.w = wt.w GROUP BY 1),
+         dc AS (SELECT d.doc_id, d.source,
+             CAST(coalesce(p.nt, 0) AS BIGINT) AS ntok
+           FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id),
+         c AS (SELECT source, doc_id, ntok,
+           ${graft.ops.Sampling.budgetCumSql("doc_id", "ntok", "source")} AS cum
+           FROM dc)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(ntok) AS BIGINT) AS sum_tokens
+         FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1"""
     },
 
     // identical LM counts, identical add-1 smoothed log-prob and tercile
