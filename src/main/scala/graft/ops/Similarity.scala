@@ -1256,4 +1256,58 @@ object Similarity {
       .select(col("a.vid").as("i"), col("b.vid").as("j"),
         col("a.bucket").as("bucket"), cos.as("cos"))
   }
+
+  /** Cross-table approximate k-NN JOIN — for every LEFT row, its top-k
+    * most-similar RIGHT rows among sign-LSH bucket candidates: the
+    * retrieval join (query↔document matching, cross-corpus semantic
+    * enrichment, hard-negative mining between corpora) for when BOTH
+    * sides are too big to broadcast and per-query probing
+    * ([[ivfTopKBatch]]) stops scaling with the query side. Both sides
+    * bucket under the SAME deterministic hyperplanes ([[signBucket]] on
+    * the first `bits` dims), candidates come from a bucket-equality hash
+    * join — shuffle is by bucket key, never a cross product — and the
+    * per-left-row `row_number ≤ k` two-phases under
+    * InferWindowGroupLimit (the left id is high-cardinality).
+    *
+    * Fat-bucket valve, same trade as [[knnGraph]]: when `maxBucket` is
+    * set, any bucket whose COMBINED (left + right) population exceeds it
+    * re-buckets BOTH sides with `extraBits` extra sign bits (the
+    * refinement decision must agree across sides, so sizes are counted
+    * on the union and broadcast). Refinement only splits buckets, so the
+    * candidate set is a subset of the uncapped one — edges can only be
+    * lost, never invented (ScaleSpec-pinned). A left row alone in its
+    * bucket is absent from the output — union an IVF/brute fallback for
+    * totality. Same-id self-pairs are NOT filtered (the two tables are
+    * arbitrary); callers joining a table to itself filter `i =!= j`.
+    * Returns (i, j, cos, rk). */
+  def annJoin(left: DataFrame, lId: Column, lVec: Column,
+      right: DataFrame, rId: Column, rVec: Column, bits: Int, k: Int,
+      maxBucket: Long = Long.MaxValue, extraBits: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val lb = left.select(lId.as("i"), lVec.as("__lv"))
+      .withColumn("bucket", signBucket(col("__lv"), bits))
+    val rb = right.select(rId.as("j"), rVec.as("__rv"))
+      .withColumn("bucket", signBucket(col("__rv"), bits))
+    val (lf, rf) =
+      if (maxBucket == Long.MaxValue) (lb, rb)
+      else {
+        val sizes = lb.select("bucket").unionAll(rb.select("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+        def refine(df: DataFrame, v: Column): DataFrame =
+          df.join(broadcast(sizes), "bucket")
+            .withColumn("bucket",
+              when(col("__bn") > maxBucket,
+                signBucket(v, bits + extraBits) * 2 + 1)
+                .otherwise(col("bucket") * 2))
+            .drop("__bn")
+        (refine(lb, col("__lv")), refine(rb, col("__rv")))
+      }
+    lf.join(rf, "bucket")
+      .select(col("i"), col("j"),
+        cosineNative(left, col("__lv"), col("__rv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+  }
 }

@@ -497,6 +497,20 @@ object VectorQueries {
         .select(col("anchor"), lit(3).as("k"),
           (col("n_hits") >= 3L).as("agree_ok"))
         .orderBy("anchor")
+    }),
+
+    // cross-table ANN JOIN: per left (query) row, top-3 right (corpus)
+    // rows among shared-LSH-bucket candidates — the retrieval join when
+    // both sides are too big to broadcast; every edge and rank pinned
+    "q174_ann_join" -> ((s, d) => {
+      val e = emb(s, d)
+      Sim.annJoin(e.filter(col("vec_id") < 30), col("vec_id"),
+          col("embedding"),
+          e.filter(col("vec_id") >= 30), col("vec_id"), col("embedding"),
+          bits = 4, k = 3)
+        .filter(col("i") < 10)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy("i", "rk")
     })
   )
 
@@ -743,6 +757,20 @@ object VectorQueries {
     "q170_hard_negatives_ivf" ->
       """SELECT CAST(1 AS BIGINT) AS anchor, 3 AS k, TRUE AS agree_ok
          UNION ALL SELECT CAST(2 AS BIGINT), 3, TRUE
-         UNION ALL SELECT CAST(3 AS BIGINT), 3, TRUE ORDER BY anchor"""
+         UNION ALL SELECT CAST(3 AS BIGINT), 3, TRUE ORDER BY anchor""",
+
+    "q174_ann_join" ->
+      s"""WITH l AS (SELECT vec_id AS i, embedding, $bucket4 AS bucket
+           FROM embeddings WHERE vec_id < 30),
+         r AS (SELECT vec_id AS j, embedding, $bucket4 AS bucket
+           FROM embeddings WHERE vec_id >= 30),
+         p AS (SELECT l.i, r.j,
+             ${Sim.cosineSql("l.embedding", "r.embedding")} AS cos
+           FROM l JOIN r ON l.bucket = r.bucket),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM p)
+         SELECT i, j, round(cos, 6) AS cos, rk
+         FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk"""
   )
 }

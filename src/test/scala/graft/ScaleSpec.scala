@@ -726,4 +726,67 @@ class ScaleSpec extends AnyFunSuite {
     // candidate generation didn't already have
     assert(capped.subsetOf(uncapped))
   }
+
+  test("annJoin: cross-table top-k ≡ per-bucket brute replay; maxBucket " +
+      "valve bounds a fat bucket from EITHER side; capped ⊆ uncapped") {
+    import spark.implicits._
+    // left = 4 probes; right = 64-vector fat bucket (same geometry as the
+    // knnGraph spec: all-positive first 4 dims, id-sign dims 5..12) + one
+    // slim 3-vector bucket. At bits=4 every fat right row shares the
+    // left probes' bucket.
+    // probe extra-bit sign pattern (dims 4..11: − − − − − − + +) spells
+    // id 192 ≥ 64, so after refinement NO fat vector shares a probe's
+    // 12-bit bucket — the cap must empty the candidate set entirely
+    val probes = (200 until 204).map { i =>
+      val v = Array.tabulate(16)(d =>
+        if (d < 4) 1.0f
+        else if (d < 10) -0.01f * ((d + (i % 3)) % 3 + 1)
+        else if (d < 12) 0.01f
+        else 0.02f * ((i + d) % 5 - 2))
+      (i.toLong, v)
+    }
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val left = probes.toDF("vec_id", "embedding")
+    val right = (fat ++ slim).toDF("vec_id", "embedding")
+    def edges(d: org.apache.spark.sql.DataFrame) =
+      d.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Similarity.annJoin(left, col("vec_id"), col("embedding"),
+      right, col("vec_id"), col("embedding"), bits = 4, k = 3)
+    // every probe shares the fat bucket → exactly k candidates survive,
+    // and the brute per-bucket replay agrees on every rank
+    val got = uncapped.select("i", "j", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = {
+      val l = probes.toMap; val rset = fat.toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      l.flatMap { case (i, lv) =>
+        rset.toSeq.map { case (j, rv) => (j, cos(lv, rv)) }
+          .sortBy { case (j, c) => (-c, j) }.take(3).zipWithIndex
+          .map { case ((j, _), idx) => (i, j, idx + 1) }
+      }.toSet
+    }
+    assert(got === brute, s"got=$got")
+    // capped: the 64+4 fat bucket refines; the 8 extra sign bits separate
+    // the probes from every fat vector → fat candidates vanish (recall
+    // trade), nothing new appears
+    val capped = edges(Similarity.annJoin(left, col("vec_id"),
+      col("embedding"), right, col("vec_id"), col("embedding"),
+      bits = 4, k = 3, maxBucket = 10, extraBits = 8))
+    assert(capped.subsetOf(edges(uncapped)))
+    assert(capped.isEmpty,
+      s"fat-bucket candidates survived the cap: $capped")
+  }
 }

@@ -232,4 +232,27 @@ class StreamStaticSpec extends AnyFunSuite {
     val wantAdmitted = want.filter(_._2._2 >= 0L).keySet
     assert(admitted === wantAdmitted)
   }
+
+  test("streaming BPE token metering equals batch across microbatches " +
+    "(stateless projection; model reference survives microbatch planning)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Seq("t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le")
+    def meter(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ops.TextAnalysis.bpeTokenCount(col("text"), merges).as("nt"))
+    val want = meter(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dir = Files.createTempDirectory("graft-bpe-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(meter(stream), "bpe_stream",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.length === 2 * want.size, "both microbatches must meter")
+    got.foreach { case (id, n) =>
+      assert(want(id) === n, s"doc $id: stream $n != batch ${want(id)}")
+    }
+  }
 }
