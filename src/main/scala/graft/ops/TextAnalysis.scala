@@ -557,21 +557,33 @@ object TextAnalysis {
     * corpus n-gram tables, partial-aggregable — the q146 span-mining
     * shuffle shape, one per order) joined to the document n-gram slots;
     * 2·order−1 hash joins total, all on string-tuple keys, no windows, no
-    * driver state; N and V broadcast as one row. The count-table shuffle
-    * grows with corpus n-gram cardinality — at 100 TB prune the tables
-    * with a `HAVING count ≥ k` min-count threshold (KenLM's own pruning)
-    * before the join. Docs shorter than `order` tokens score `(0, null)`
-    * through the final left join. */
+    * driver state; N and V broadcast as one row.
+    *
+    * `minCount` is KenLM-style COUNT PRUNING, the knob that makes the
+    * count-table shuffle survive 100 TB: orders ≥ 2 keep only grams seen
+    * ≥ `minCount` times (on web corpora the singleton tail is the
+    * overwhelming majority of distinct n-grams — Brants et al. prune it
+    * for exactly this reason). A pruned-away gram simply backs off one
+    * level, which is stupid backoff's own semantics; the UNIGRAM table is
+    * never pruned (it is the floor, and its N/V totals are the true
+    * corpus totals either way). The no-ln(0) guarantee survives pruning:
+    * a surviving numerator's prefix has count ≥ the numerator's ≥
+    * minCount, so the same-threshold denominator table keeps it. */
   def stupidBackoff(docs: DataFrame, id: Column, text: Column,
       ref: DataFrame, refText: Column, order: Int = 5,
-      alpha: Double = 0.4): DataFrame = {
+      alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
-    // cnt(m): the ref m-gram count table, columns w1..wm, __c
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    // cnt(m): the ref m-gram count table, columns w1..wm, __c; orders >= 2
+    // prune AFTER the (map-side partial) aggregation — the prune reads the
+    // aggregated table, never the slot stream
     val cnt: Map[Int, DataFrame] = (1 to order).map { m =>
-      m -> gramSlots(ref, Seq.empty, refText, m)
+      val t = gramSlots(ref, Seq.empty, refText, m)
         .groupBy((1 to m).map(j => col(s"w$j")): _*)
         .agg(count(lit(1)).as("__c"))
+      m -> (if (m >= 2 && minCount > 1L) t.filter(col("__c") >= minCount)
+            else t)
     }.toMap
     val totals = cnt(1).agg(sum("__c").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))

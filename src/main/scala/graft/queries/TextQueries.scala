@@ -22,6 +22,74 @@ object TextQueries {
     "s" -> "c", "sc" -> "a", "a" -> "n", "r" -> "o", "w" -> "i",
     "e" -> "r", "d" -> "at", "dat" -> "a")
 
+  /** One builder for the q169/q175 oracles: the full 5-gram stupid-backoff
+    * ladder replay, with an optional KenLM-style `HAVING count(*) >=
+    * minCount` prune on every order ≥ 2 table (the unigram floor and its
+    * N/V totals never prune) — exactly [[graft.ops.TextAnalysis
+    * .stupidBackoff]]'s `minCount` semantics. */
+  private def fiveGramLadderSql(minCount: Int): String = {
+    val hv = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
+    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+       g1 AS (SELECT ts[x.i] AS w1, count(*) AS c
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
+         GROUP BY 1),
+       g2 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+         WHERE len(ts) >= 2 GROUP BY 1, 2$hv),
+       g3 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3, count(*) AS c
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+         WHERE len(ts) >= 3 GROUP BY 1, 2, 3$hv),
+       g4 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+           ts[x.i+3] AS w4, count(*) AS c
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) x
+         WHERE len(ts) >= 4 GROUP BY 1, 2, 3, 4$hv),
+       g5 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+           ts[x.i+3] AS w4, ts[x.i+4] AS w5, count(*) AS c
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+         WHERE len(ts) >= 5 GROUP BY 1, 2, 3, 4, 5$hv),
+       tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM g1),
+       dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+           ts[x.i+3] AS w4, ts[x.i+4] AS w5
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
+         WHERE len(ts) >= 5),
+       sc AS (SELECT dp.doc_id, count(*) AS nt,
+           round(-sum(CASE
+             WHEN coalesce(n5.c, 0) > 0
+               THEN ln(n5.c::DOUBLE) - ln(d5.c::DOUBLE)
+             WHEN coalesce(n4.c, 0) > 0
+               THEN ln(0.4) + ln(n4.c::DOUBLE) - ln(d4.c::DOUBLE)
+             WHEN coalesce(n3.c, 0) > 0
+               THEN 2 * ln(0.4) + ln(n3.c::DOUBLE) - ln(d3.c::DOUBLE)
+             WHEN coalesce(n2.c, 0) > 0
+               THEN 3 * ln(0.4) + ln(n2.c::DOUBLE) - ln(d2.c::DOUBLE)
+             ELSE 4 * ln(0.4) + ln(coalesce(f.c, 0)::DOUBLE + 1.0)
+               - ln(tot.n + tot.v) END) / count(*), 6) AS xent
+         FROM dp
+         LEFT JOIN g5 n5 ON dp.w1 = n5.w1 AND dp.w2 = n5.w2
+           AND dp.w3 = n5.w3 AND dp.w4 = n5.w4 AND dp.w5 = n5.w5
+         LEFT JOIN g4 d5 ON dp.w1 = d5.w1 AND dp.w2 = d5.w2
+           AND dp.w3 = d5.w3 AND dp.w4 = d5.w4
+         LEFT JOIN g4 n4 ON dp.w2 = n4.w1 AND dp.w3 = n4.w2
+           AND dp.w4 = n4.w3 AND dp.w5 = n4.w4
+         LEFT JOIN g3 d4 ON dp.w2 = d4.w1 AND dp.w3 = d4.w2
+           AND dp.w4 = d4.w3
+         LEFT JOIN g3 n3 ON dp.w3 = n3.w1 AND dp.w4 = n3.w2
+           AND dp.w5 = n3.w3
+         LEFT JOIN g2 d3 ON dp.w3 = d3.w1 AND dp.w4 = d3.w2
+         LEFT JOIN g2 n2 ON dp.w4 = n2.w1 AND dp.w5 = n2.w2
+         LEFT JOIN g1 d2 ON dp.w4 = d2.w1
+         LEFT JOIN g1 f ON dp.w5 = f.w1
+         CROSS JOIN tot GROUP BY 1),
+       b AS (SELECT t.doc_id,
+           CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_ngrams,
+           sc.xent AS cross_entropy,
+           (['head', 'middle', 'tail'])[ntile(3) OVER (
+             ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+         FROM toks t LEFT JOIN sc USING (doc_id))
+       SELECT doc_id, n_ngrams, cross_entropy, bucket FROM b
+       WHERE doc_id < 20 ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // trained-vocab BPE apply: the native merge-loop expression against
@@ -35,6 +103,29 @@ object TextQueries {
           size(col("toks")).cast("long").as("n_tokens"),
           md5(array_join(col("toks"), " ")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // tokenizer-evaluation report: per language, chars-per-token and
+    // FERTILITY (subword tokens per whitespace word) under the trained
+    // vocab — the two numbers a tokenizer/vocab choice is judged by
+    // (a high-fertility language pays more context budget per word).
+    // Sums are exact integers; each ratio is ONE deterministic division
+    // rounded to 6 (the revenue discipline)
+    "q176_tokenizer_fertility" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"),
+          length(regexp_replace(col("text"), lit(" "), lit(""))).as("nchars"),
+          TA.tokenCount(col("text")).as("nws"),
+          TA.bpeTokenCount(col("text"), BpeMerges).as("nbpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nchars").cast("long").as("sum_chars"),
+          sum("nws").cast("long").as("sum_words"),
+          sum("nbpe").cast("long").as("sum_bpe_tokens"),
+          round(sum("nchars").cast("double") / sum("nbpe"), 6)
+            .as("chars_per_token"),
+          round(sum("nbpe").cast("double") / sum("nws"), 6).as("fertility"))
+        .orderBy("lang")
     }),
 
     // token-budget admission metered by the TRAINED tokenizer: q134's
@@ -197,6 +288,25 @@ object TextQueries {
       val docs = t(s, d, "documents")
       graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
           col("text"), docs, col("text"), order = 5)
+        .withColumn("bucket",
+          array(lit("head"), lit("middle"), lit("tail"))(
+            ntile(3).over(Window.orderBy(
+              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+        .filter(col("id") < 20)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
+          col("cross_entropy"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // the PRUNED 5-gram ladder (KenLM-style minCount=2 on orders >= 2):
+    // the 100 TB configuration — singleton grams drop from every count
+    // table and scoring backs off through them; the oracle prunes with
+    // the same HAVING threshold and must land on identical scores
+    "q175_lm_5gram_pruned" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
+          col("text"), docs, col("text"), order = 5, minCount = 2L)
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(
             ntile(3).over(Window.orderBy(
@@ -631,6 +741,53 @@ object TextQueries {
          GROUP BY 1 ORDER BY 1"""
     },
 
+    // same merge-loop replay, aggregated to the per-lang report; ratios
+    // are single divisions of exact BIGINT sums
+    "q176_tokenizer_fertility" -> {
+      val vals = BpeMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      s"""WITH RECURSIVE
+         merges(rk, a, b) AS (SELECT * FROM (VALUES $vals) v(rk, a, b)),
+         tl AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         words AS (SELECT DISTINCT w FROM toks),
+         enc AS (
+           SELECT w, regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq
+           FROM words
+           UNION ALL
+           SELECT e.w, replace(e.seq,
+               chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+               chr(31)||m.a||m.b||chr(31)) AS seq
+           FROM enc e, LATERAL (SELECT a, b FROM merges
+              WHERE position(chr(31)||merges.a||chr(31)||chr(31)||merges.b||chr(31)
+                IN e.seq) > 0
+              ORDER BY rk LIMIT 1) m(a, b)),
+         fin AS (SELECT w, seq FROM enc e WHERE NOT EXISTS (
+           SELECT 1 FROM merges m
+           WHERE position(chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)
+             IN e.seq) > 0)),
+         wtok AS (SELECT w,
+           (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS ntok
+           FROM fin),
+         per AS (SELECT t.doc_id, sum(wt.ntok) AS nbpe
+           FROM toks t JOIN wtok wt ON t.w = wt.w GROUP BY 1),
+         dc AS (SELECT d.lang,
+             length(replace(d.text, ' ', '')) AS nchars,
+             len(str_split(d.text, ' ')) AS nws,
+             coalesce(p.nbpe, 0) AS nbpe
+           FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(nchars) AS BIGINT) AS sum_chars,
+           CAST(sum(nws) AS BIGINT) AS sum_words,
+           CAST(sum(nbpe) AS BIGINT) AS sum_bpe_tokens,
+           round(sum(nchars)::DOUBLE / sum(nbpe), 6) AS chars_per_token,
+           round(sum(nbpe)::DOUBLE / sum(nws), 6) AS fertility
+         FROM dc GROUP BY 1 ORDER BY 1"""
+    },
+
     // same merge-loop replay building the per-doc cost column, then q134's
     // exact hash-ordered cumulative budget take over it
     "q173_bpe_budget" -> {
@@ -749,66 +906,13 @@ object TextQueries {
     // the full 5-gram ladder replayed: numerator/denominator count tables
     // at every order, the same α=0.4 per-level offsets, the same add-1
     // unigram floor and tercile assignment
-    "q169_lm_quality_5gram" ->
-      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
-         g1 AS (SELECT ts[x.i] AS w1, count(*) AS c
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
-           GROUP BY 1),
-         g2 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
-           WHERE len(ts) >= 2 GROUP BY 1, 2),
-         g3 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3, count(*) AS c
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
-           WHERE len(ts) >= 3 GROUP BY 1, 2, 3),
-         g4 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
-             ts[x.i+3] AS w4, count(*) AS c
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 3)) AS i) x
-           WHERE len(ts) >= 4 GROUP BY 1, 2, 3, 4),
-         g5 AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
-             ts[x.i+3] AS w4, ts[x.i+4] AS w5, count(*) AS c
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
-           WHERE len(ts) >= 5 GROUP BY 1, 2, 3, 4, 5),
-         tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM g1),
-         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
-             ts[x.i+3] AS w4, ts[x.i+4] AS w5
-           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
-           WHERE len(ts) >= 5),
-         sc AS (SELECT dp.doc_id, count(*) AS nt,
-             round(-sum(CASE
-               WHEN coalesce(n5.c, 0) > 0
-                 THEN ln(n5.c::DOUBLE) - ln(d5.c::DOUBLE)
-               WHEN coalesce(n4.c, 0) > 0
-                 THEN ln(0.4) + ln(n4.c::DOUBLE) - ln(d4.c::DOUBLE)
-               WHEN coalesce(n3.c, 0) > 0
-                 THEN 2 * ln(0.4) + ln(n3.c::DOUBLE) - ln(d3.c::DOUBLE)
-               WHEN coalesce(n2.c, 0) > 0
-                 THEN 3 * ln(0.4) + ln(n2.c::DOUBLE) - ln(d2.c::DOUBLE)
-               ELSE 4 * ln(0.4) + ln(coalesce(f.c, 0)::DOUBLE + 1.0)
-                 - ln(tot.n + tot.v) END) / count(*), 6) AS xent
-           FROM dp
-           LEFT JOIN g5 n5 ON dp.w1 = n5.w1 AND dp.w2 = n5.w2
-             AND dp.w3 = n5.w3 AND dp.w4 = n5.w4 AND dp.w5 = n5.w5
-           LEFT JOIN g4 d5 ON dp.w1 = d5.w1 AND dp.w2 = d5.w2
-             AND dp.w3 = d5.w3 AND dp.w4 = d5.w4
-           LEFT JOIN g4 n4 ON dp.w2 = n4.w1 AND dp.w3 = n4.w2
-             AND dp.w4 = n4.w3 AND dp.w5 = n4.w4
-           LEFT JOIN g3 d4 ON dp.w2 = d4.w1 AND dp.w3 = d4.w2
-             AND dp.w4 = d4.w3
-           LEFT JOIN g3 n3 ON dp.w3 = n3.w1 AND dp.w4 = n3.w2
-             AND dp.w5 = n3.w3
-           LEFT JOIN g2 d3 ON dp.w3 = d3.w1 AND dp.w4 = d3.w2
-           LEFT JOIN g2 n2 ON dp.w4 = n2.w1 AND dp.w5 = n2.w2
-           LEFT JOIN g1 d2 ON dp.w4 = d2.w1
-           LEFT JOIN g1 f ON dp.w5 = f.w1
-           CROSS JOIN tot GROUP BY 1),
-         b AS (SELECT t.doc_id,
-             CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_ngrams,
-             sc.xent AS cross_entropy,
-             (['head', 'middle', 'tail'])[ntile(3) OVER (
-               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
-           FROM toks t LEFT JOIN sc USING (doc_id))
-         SELECT doc_id, n_ngrams, cross_entropy, bucket FROM b
-         WHERE doc_id < 20 ORDER BY doc_id""",
+    "q169_lm_quality_5gram" -> fiveGramLadderSql(minCount = 1),
+
+    // identical ladder with the identical KenLM-style HAVING prune on
+    // every order >= 2 table (unigram floor untouched)
+    "q175_lm_5gram_pruned" -> fiveGramLadderSql(minCount = 2),
+
+    // identical plant, identical per-char counting
 
     // identical plant, identical per-char counting (1-based substr series)
     // and the identical factored entropy formula

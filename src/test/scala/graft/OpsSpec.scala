@@ -1504,6 +1504,31 @@ class OpsSpec extends AnyFunSuite {
     assert(bare === Seq("a", "b", "c", "."))
   }
 
+  test("stupidBackoff minCount pruning: singleton grams back off to the " +
+    "floor; repeated grams keep their unpruned scores exactly") {
+    import spark.implicits._
+    // ref: "a b c d e" ONCE (every gram of order >= 2 is a singleton) and
+    // "x y z w v" TWICE (every gram survives minCount=2).
+    val ref = Seq((0L, "a b c d e"), (1L, "x y z w v"), (2L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val probes = Seq(3L -> "a b c d e", 4L -> "x y z w v").toDF("doc_id", "text")
+    def score(minCount: Long) =
+      TextAnalysis.stupidBackoff(probes, col("doc_id"), col("text"),
+          ref, col("text"), order = 5, minCount = minCount)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lnA = math.log(0.4)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val unpruned = score(1L)
+    // both docs' 5-grams are seen in ref: ln(c5/c4) = ln(1/1) or ln(2/2)
+    assert(unpruned(3L) === 0.0 && unpruned(4L) === 0.0)
+    val pruned = score(2L)
+    // the singleton doc falls through every pruned level to the add-1
+    // unigram floor: 4lnα + ln(1+1) − ln(N+V), N=15 tokens, V=10 distinct
+    assert(pruned(3L) === r6(-(4 * lnA + math.log(2.0) - math.log(25.0))))
+    // the repeated doc's counts are all ≥ 2 — pruning must not move it
+    assert(pruned(4L) === 0.0)
+  }
+
   test("stupidBackoff order-5 ladder: every level's exact value on a " +
     "handcrafted corpus (seen, α, α², α³, floor seen/unseen, short doc)") {
     import spark.implicits._
