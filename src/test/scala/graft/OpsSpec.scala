@@ -1481,6 +1481,34 @@ class OpsSpec extends AnyFunSuite {
       "cross-kind hash collision must not pair; same-kind twin must drop")
   }
 
+  test("hardNegativesFromIndex probes a QUANTIZED index via the " +
+    "schema-detected dequant path (full probe ≡ brute id set)") {
+    import spark.implicits._
+    // 20 unit vectors fanned 0.1 rad apart in the (d0,d1) plane, groups
+    // alternating — anchor 0's hard negatives from g1 are the nearest odd
+    // ids 1,3,5 with ≥ 2% cosine margins (int8 error is ~0.4%, so the
+    // quantized ranking cannot flip the set)
+    val data = (0 until 20).map { i =>
+      val th = i * 0.1
+      val v = Array.tabulate(8)(d =>
+        if (d == 0) math.cos(th).toFloat
+        else if (d == 1) math.sin(th).toFloat else 0f)
+      (i.toLong, v, s"g${i % 2}")
+    }
+    val df = data.toDF("vec_id", "embedding", "src")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnq")
+      .toString + "/emb"
+    Similarity.ivfWritePartitioned(df, col("vec_id"), col("embedding"),
+      nCentroids = 2, dir, kmeansIters = 2, quantize = true)
+    val anchors = df.filter(col("vec_id") === 0)
+    val got = Similarity.hardNegativesFromIndex(spark, dir,
+        df, col("vec_id"), col("src"),
+        anchors, col("vec_id"), col("embedding"), col("src"),
+        nProbe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === Set((0L, 1L, 1), (0L, 3L, 2), (0L, 5L, 3)), s"got=$got")
+  }
+
   test("bpeTrain learns the classic corpus merges; bpeTokens applies " +
     "them; ill-formed lists are rejected; empty list = codepoint split") {
     import spark.implicits._
