@@ -535,6 +535,38 @@ object TextAnalysis {
       .select(keep ++ ws.map(w => col(s"__g.$w").as(w)): _*)
   }
 
+  /** The `order` corpus n-gram count tables (columns `w1..wm`, `__c`).
+    * Direct mode: one gramSlots explode + groupBy per order (m corpus
+    * scans). Derived mode: ONE explode at the top order, then each lower
+    * table = prefix-aggregate of the one above + per-doc tail grams —
+    * identical counts (for a doc of L ≥ m+1 tokens the m-gram slots are
+    * the L−m prefixes of its (m+1)-grams plus the single tail at
+    * position L−m+1; for L = m the tail is the only slot). */
+  private[graft] def ngramCountTables(ref: DataFrame, refText: Column,
+      order: Int, derive: Boolean): Map[Int, DataFrame] = {
+    def direct(m: Int) = gramSlots(ref, Seq.empty, refText, m)
+      .groupBy((1 to m).map(j => col(s"w$j")): _*)
+      .agg(count(lit(1)).as("__c"))
+    if (!derive) (1 to order).map(m => m -> direct(m)).toMap
+    else {
+      val out = scala.collection.mutable.Map[Int, DataFrame](
+        order -> direct(order))
+      for (m <- (order - 1) to 1 by -1) {
+        val ws = (1 to m).map(j => s"w$j")
+        val fromAbove = out(m + 1)
+          .groupBy(ws.map(col): _*).agg(sum("__c").as("__c"))
+        val tails = ref.select(tokens(refText).as("__toks"))
+          .filter(size(col("__toks")) >= m)
+          .select((1 to m).map(j => element_at(col("__toks"),
+            size(col("__toks")) - m + j).as(s"w$j")): _*)
+          .groupBy(ws.map(col): _*).agg(count(lit(1)).as("__c"))
+        out(m) = fromAbove.unionByName(tails)
+          .groupBy(ws.map(col): _*).agg(sum("__c").as("__c"))
+      }
+      out.toMap
+    }
+  }
+
   /** Order-n STUPID BACKOFF LM scoring (Brants et al. 2007) — the general
     * ladder [[trigramStupidBackoff]] is the n=3 instance of. `order = 5`
     * is the CCNet-grade configuration (CCNet filters on a KenLM 5-gram;
@@ -568,23 +600,35 @@ object TextAnalysis {
     * never pruned (it is the floor, and its N/V totals are the true
     * corpus totals either way). The no-ln(0) guarantee survives pruning:
     * a surviving numerator's prefix has count ≥ the numerator's ≥
-    * minCount, so the same-threshold denominator table keeps it. */
+    * minCount, so the same-threshold denominator table keeps it.
+    *
+    * `deriveCounts = true` builds the lower-order tables FROM the
+    * top-order one instead of re-scanning the corpus per order: cnt(m) =
+    * prefix-aggregate of cnt(m+1) + the per-doc TAIL m-gram (the one slot
+    * no (m+1)-gram extends — exactly one per doc with ≥ m tokens).
+    * Counts are provably identical (OpsSpec pins table equality and
+    * score equality). The trade: `order−1` fewer full corpus
+    * scans+explodes — the dominant cost when the corpus is 100 TB and
+    * the count tables are Zipf-small — paid for with two extra
+    * aggregations per level over the (much smaller) count tables; at
+    * test scale, where gram tables are nearly slot-sized, the default
+    * direct mode is the faster plan. */
   def stupidBackoff(docs: DataFrame, id: Column, text: Column,
       ref: DataFrame, refText: Column, order: Int = 5,
-      alpha: Double = 0.4, minCount: Long = 1L): DataFrame = {
+      alpha: Double = 0.4, minCount: Long = 1L,
+      deriveCounts: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     // cnt(m): the ref m-gram count table, columns w1..wm, __c; orders >= 2
-    // prune AFTER the (map-side partial) aggregation — the prune reads the
-    // aggregated table, never the slot stream
-    val cnt: Map[Int, DataFrame] = (1 to order).map { m =>
-      val t = gramSlots(ref, Seq.empty, refText, m)
-        .groupBy((1 to m).map(j => col(s"w$j")): _*)
-        .agg(count(lit(1)).as("__c"))
-      m -> (if (m >= 2 && minCount > 1L) t.filter(col("__c") >= minCount)
-            else t)
-    }.toMap
+    // prune AFTER aggregation — the prune reads the aggregated table,
+    // never the slot stream. Built by [[ngramCountTables]] (derived mode
+    // scans the corpus once instead of `order` times).
+    val cnt: Map[Int, DataFrame] =
+      ngramCountTables(ref, refText, order, deriveCounts).map { case (m, t) =>
+        m -> (if (m >= 2 && minCount > 1L) t.filter(col("__c") >= minCount)
+              else t)
+      }
     val totals = cnt(1).agg(sum("__c").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
     val slots = gramSlots(docs, Seq(id.as("id")), text, order)

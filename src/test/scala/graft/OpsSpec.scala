@@ -1532,6 +1532,37 @@ class OpsSpec extends AnyFunSuite {
     assert(bare === Seq("a", "b", "c", "."))
   }
 
+  test("derived n-gram count tables ≡ direct per-order counting " +
+    "(every order, incl. short/empty docs), and scores agree exactly") {
+    import spark.implicits._
+    // corpus exercising every tail case: long docs, exactly-order docs,
+    // shorter-than-order docs, repeated grams, an empty text
+    val ref = Seq("a b c d e f g", "a b c d e", "b c d", "a", "",
+      "a b c d e f g", "c d").toDF("text")
+    val direct = TextAnalysis.ngramCountTables(ref, col("text"), 5, derive = false)
+    val derived = TextAnalysis.ngramCountTables(ref, col("text"), 5, derive = true)
+    for (m <- 1 to 5) {
+      val cols = (1 to m).map(j => s"w$j") :+ "__c"
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect()
+          .map(r => cols.indices.map(r.get).toVector).toSet
+      assert(rows(direct(m)) === rows(derived(m)), s"order $m diverged")
+    }
+    // and through the full ladder on real data: identical scores
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def score(dc: Boolean) =
+      TextAnalysis.stupidBackoff(docs, col("doc_id"), col("text"),
+          docs, col("text"), order = 5, deriveCounts = dc)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    val (a, b) = (score(false), score(true))
+    assert(a.length === b.length)
+    a.zip(b).foreach { case ((i1, n1, x1), (i2, n2, x2)) =>
+      assert(i1 === i2 && n1 === n2 &&
+        (x1 == x2 || (x1.isNaN && x2.isNaN)), s"doc $i1 diverged")
+    }
+  }
+
   test("stupidBackoff minCount pruning: singleton grams back off to the " +
     "floor; repeated grams keep their unpruned scores exactly") {
     import spark.implicits._
