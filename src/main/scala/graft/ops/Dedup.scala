@@ -1026,4 +1026,52 @@ object Dedup {
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** CCNet-style cross-corpus PARAGRAPH dedup with KEEP-FIRST semantics —
+    * the reference pipeline's first stage (CCNet dedups at paragraph
+    * granularity BEFORE any LM scoring: shared headers/footers/license
+    * blocks are the bulk of web duplication and they poison LM stats):
+    * every duplicated paragraph survives only at its canonical first
+    * occurrence `min(struct(id, pos))` and is dropped from every other
+    * document (and from later positions of the SAME document); unique
+    * paragraphs are their own canonical and always survive. This differs
+    * from [[graft.ops.TextAnalysis.removeBoilerplateLines]] on both
+    * sides of the trade: boilerplate removal drops frequent lines
+    * EVERYWHERE (no canonical survivor) and only above a frequency
+    * threshold, while this keeps exactly one copy of every repeated
+    * paragraph — the q168 span-cut keep rule, one granularity up.
+    *
+    * Scale shape, identical to q168's discipline: the canonical
+    * occurrence is a partial-aggregable `min(struct)` AGGREGATE keyed by
+    * paragraph content — never a per-paragraph rank, so a header
+    * repeated 10⁶× ships one struct per map task, not 10⁶ rows to one
+    * reducer; the join back is by the same content key; the ordered
+    * rebuild is the shared sort-structs aggregation. Join/agg key is the
+    * paragraph STRING — at 100 TB substitute `md5(para)` as the shuffle
+    * key (64-char cap vs unbounded paragraph bytes) and carry `para`
+    * only on the slot side. Documents whose every paragraph loses
+    * elsewhere come back as empty text, not missing.
+    * Returns (id, n_paras, n_kept, text). */
+  def dedupParagraphsKeepFirst(df: DataFrame, id: Column, text: Column,
+      sep: String = "\n"): DataFrame = {
+    val slots = df.select(id.as("id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val canon = slots.groupBy(col("para"))
+      .agg(min(struct(col("id"), col("pos"))).as("__c"))
+    val kept = slots.join(canon, Seq("para"))
+      .filter(struct(col("id"), col("pos")) === col("__c"))
+    kept.groupBy("id")
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("text"),
+        count(lit(1)).as("__kept"))
+      .join(df.select(id.as("id"),
+        size(split(text, java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("n_paras")), Seq("id"), "right")
+      .select(col("id"), col("n_paras"),
+        coalesce(col("__kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
 }

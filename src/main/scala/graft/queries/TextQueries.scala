@@ -105,6 +105,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style paragraph dedup, keep-first: documents re-segmented
+    // into 8-token paragraphs with a shared boilerplate header planted on
+    // every 4th doc — the header must survive ONLY at its globally first
+    // occurrence (doc 0, position 0) and vanish from every other doc;
+    // per-doc counts and a rebuilt-text fingerprint pin every decision
+    "q177_paragraph_dedup" -> ((s, d) => {
+      import graft.ops.Dedup
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val paras = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(array(lit("shared boilerplate header")), segs))
+        .otherwise(segs)
+      val planted = t(s, d, "documents")
+        .select(col("doc_id"), array_join(paras, "\n").as("text2"))
+      Dedup.dedupParagraphsKeepFirst(planted, col("doc_id"), col("text2"))
+        .filter(col("id") < 30)
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // tokenizer-evaluation report: per language, chars-per-token and
     // FERTILITY (subword tokens per whitespace word) under the trained
     // vocab — the two numbers a tokenizer/vocab choice is judged by
@@ -740,6 +763,32 @@ object TextQueries {
          FROM toks t JOIN wtok wt ON t.w = wt.w
          GROUP BY 1 ORDER BY 1"""
     },
+
+    // identical segmentation + plant, the keep rule replayed as a
+    // first-occurrence window (the oracle may window; the op's
+    // min-struct agg must land on the same canonical), identical
+    // order-restoring rebuild
+    "q177_paragraph_dedup" ->
+      """WITH base AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         segs AS (SELECT doc_id, list_transform(
+             generate_series(0, (len(ts) - 1) // 8),
+             i -> array_to_string(ts[i*8+1:i*8+8], ' ')) AS sg FROM base),
+         pl AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN list_concat(['shared boilerplate header'], sg)
+             ELSE sg END AS ps FROM segs),
+         slots AS (SELECT doc_id, x.i - 1 AS pos, ps[x.i] AS para FROM pl,
+           LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) x),
+         keep AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, pos) AS rn FROM slots),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(para, chr(10) ORDER BY pos)) AS fp
+           FROM keep WHERE rn = 1 GROUP BY 1)
+         SELECT p.doc_id, CAST(len(p.ps) AS BIGINT) AS n_paras,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.fp, md5('')) AS fp
+         FROM pl p LEFT JOIN reb r USING (doc_id)
+         WHERE p.doc_id < 30 ORDER BY p.doc_id""",
 
     // same merge-loop replay, aggregated to the per-lang report; ratios
     // are single divisions of exact BIGINT sums

@@ -1532,6 +1532,24 @@ class OpsSpec extends AnyFunSuite {
     assert(bare === Seq("a", "b", "c", "."))
   }
 
+  test("dedupParagraphsKeepFirst: canonical survives, cross-doc and " +
+    "within-doc copies drop, fully-duplicated doc comes back empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "H\nalpha\nH"),   // canonical H at (0,0); its (0,2) copy drops
+      (1L, "H\nbeta"),       // cross-doc H copy drops
+      (2L, "H"),             // fully duplicated -> empty text, kept 0
+      (3L, "gamma\nalpha")   // alpha's canonical is (0,1) -> drops here
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphsKeepFirst(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((3L, 2L, "H\nalpha")))
+    assert(got(1L) === ((2L, 1L, "beta")))
+    assert(got(2L) === ((1L, 0L, "")))
+    assert(got(3L) === ((2L, 1L, "gamma")))
+  }
+
   test("derived n-gram count tables ≡ direct per-order counting " +
     "(every order, incl. short/empty docs), and scores agree exactly") {
     import spark.implicits._

@@ -298,6 +298,16 @@ class PlanSpec extends AnyFunSuite {
       "generated code must carry the fused bloom probe call")
   }
 
+  test("paragraph dedup's canonical split is the min-struct agg — no " +
+    "window anywhere in the plan (q177)") {
+    // a row_number per paragraph would ship a hot header's 10⁶
+    // occurrences to one reducer; the keep rule must stay a
+    // partial-aggregable min (same discipline as the q168 pin)
+    val p = plan("q177_paragraph_dedup")
+    assert(!p.contains("Window"),
+      s"q177 must not plan any window operator:\n$p")
+  }
+
   test("BPE apply runs as a native codegen expression in the scan's " +
     "projection — no UDF, no codegen fence (q172)") {
     val df = SparkEntry.queries("q172_bpe_apply")(spark, sf)
