@@ -323,6 +323,52 @@ object TextAnalysis {
       graft.functions.NgramSlots(
         org.apache.spark.sql.GraftColumnBridge.expression(c), n))
 
+  /** WINNOWING fingerprint selection (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): hash every token k-gram, slide a w-wide window over
+    * the hash sequence, select each window's MINIMUM hash, dedup. The
+    * guarantee that makes it the partial-overlap primitive: any shared
+    * token run of length ≥ w+k−1 contributes at least one SHARED
+    * selected print, so overlap detection runs on the ~|grams|/w-sized
+    * print sets instead of full gram sets (spec-pinned on a planted
+    * shared run). Tie rule: value-min rather than Schleimer's
+    * rightmost-min — 60-bit md5-derived hashes tie with probability
+    * ~2⁻⁶⁰ and BOTH engines apply the same rule, so the cross-engine
+    * contract stays exact either way.
+    *
+    * Scale shape: one per-row projection — the gram array is the native
+    * `ngram_slots` expression, hashing and the window-min run as array
+    * lambdas over it (document-bounded O(grams·w) work, no shuffle, no
+    * explode). Fewer than k tokens → no grams → empty print set (the
+    * ngramSlots convention); w wider than the gram count → the global
+    * min (one print). */
+  def winnowedPrints(c: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val hs = transform(ngramSlots(c, k),
+      g => graft.functions.PortableHash.md5Long(g, 0))
+    val n = size(hs)
+    when(n === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(n - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+  }
+
+  /** DuckDB twin of [[winnowedPrints]] (oracle construction). */
+  def winnowedPrintsSql(col: String, k: Int, w: Int): String = {
+    val ts = s"str_split($col, ' ')"
+    val grams = s"CASE WHEN len($ts) >= $k THEN list_transform(" +
+      s"generate_series(1, len($ts) - ${k - 1}), " +
+      s"i -> array_to_string(($ts)[i:i+${k - 1}], ' ')) " +
+      s"ELSE [] END"
+    val hs = s"list_transform($grams, g -> " +
+      graft.functions.PortableHash.md5LongSql("g", 0) + ")"
+    s"""CASE WHEN len($hs) = 0 THEN CAST([] AS BIGINT[])
+       | ELSE list_distinct(list_transform(
+       |   generate_series(0, greatest(len($hs) - $w, 0)),
+       |   i -> list_min(($hs)[i+1:i+$w]))) END""".stripMargin
+      .replace("\n", "")
+  }
+
   /** Composable twin of [[ngramSlots]] — the executable spec (OpsSpec pins
     * bit-equality); NOT for pipelines (O(L²) re-split per slot). */
   def ngramSlotsComposable(c: Column, n: Int): Column = {

@@ -105,6 +105,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // winnowing fingerprints (MOSS): k=4-gram hashes, w=5 window-min
+    // selection — every print value pinned via count/min/max and an
+    // order-insensitive fingerprint of the sorted print set
+    "q178_winnowing" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          size(TA.ngramSlots(col("text"), 4)).cast("long").as("n_grams"),
+          TA.winnowedPrints(col("text"), k = 4, w = 5).as("pr"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("pr")).cast("long").as("n_prints"),
+          array_min(col("pr")).as("min_print"),
+          array_max(col("pr")).as("max_print"),
+          md5(array_join(transform(array_sort(col("pr")),
+            x => x.cast("string")), ",")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style paragraph dedup, keep-first: documents re-segmented
     // into 8-token paragraphs with a shared boilerplate header planted on
     // every 4th doc — the header must survive ONLY at its globally first
@@ -762,6 +779,21 @@ object TextQueries {
            md5(string_agg(wt.wtoks, ' ' ORDER BY t.i)) AS fp
          FROM toks t JOIN wtok wt ON t.w = wt.w
          GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical gram/hash/window-min arithmetic via the documented twin;
+    // the fp pins the full print SET, not just its extremes
+    "q178_winnowing" -> {
+      val pr = TA.winnowedPrintsSql("text", 4, 5)
+      s"""WITH w AS (SELECT doc_id, $pr AS pr,
+           CASE WHEN len(str_split(text, ' ')) >= 4
+             THEN len(str_split(text, ' ')) - 3 ELSE 0 END AS n_grams
+           FROM documents WHERE doc_id < 30)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(pr) AS BIGINT) AS n_prints,
+           list_min(pr) AS min_print, list_max(pr) AS max_print,
+           md5(array_to_string(list_sort(pr), ',')) AS fp
+         FROM w ORDER BY doc_id"""
     },
 
     // identical segmentation + plant, the keep rule replayed as a

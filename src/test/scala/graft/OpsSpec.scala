@@ -1532,6 +1532,32 @@ class OpsSpec extends AnyFunSuite {
     assert(bare === Seq("a", "b", "c", "."))
   }
 
+  test("winnowing coverage guarantee: docs sharing a >= w+k-1 token run " +
+    "share a print; prints ⊆ gram hashes; short docs empty") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"$shared red blue green yellow purple"),
+      (3L, "completely different words entirely here now today maybe"),
+      (4L, "a b c") // < k tokens -> no grams -> no prints
+    ).toDF("doc_id", "text")
+    def prints(idv: Long) = docs.filter(col("doc_id") === idv)
+      .select(TextAnalysis.winnowedPrints(col("text"), 4, 5).as("p"))
+      .head.getSeq[Long](0).toSet
+    val (p1, p2, p3, p4) = (prints(1L), prints(2L), prints(3L), prints(4L))
+    assert((p1 & p2).nonEmpty, "shared 8-token run must yield a shared print")
+    assert((p1 & p3).isEmpty && (p2 & p3).isEmpty,
+      "disjoint texts must not share prints (2^-60 hash collisions aside)")
+    assert(p4.isEmpty, "sub-k docs have no grams and no prints")
+    // prints are a subset of the doc's gram hashes, and at most |windows|
+    val hashes1 = docs.filter(col("doc_id") === 1L)
+      .select(transform(TextAnalysis.ngramSlots(col("text"), 4),
+        g => graft.functions.PortableHash.md5Long(g, 0)).as("h"))
+      .head.getSeq[Long](0).toSet
+    assert(p1.subsetOf(hashes1))
+  }
+
   test("dedupParagraphsKeepFirst: canonical survives, cross-doc and " +
     "within-doc copies drop, fully-duplicated doc comes back empty") {
     import spark.implicits._
