@@ -369,6 +369,39 @@ object TextAnalysis {
       .replace("\n", "")
   }
 
+  /** The MOSS overlap MINER over [[winnowedPrints]] — which document
+    * pairs share ≥ `minShared` selected prints: plagiarism/quote/mirror
+    * detection at print-set scale (~w× smaller than gram sets) instead
+    * of gram scale. Blocking is BY PRINT (exactly the LSH-bucket
+    * discipline: quadratic only within a print's posting list), and
+    * `maxDocsPerPrint` is the stop-print valve — a print appearing in
+    * more documents than that is boilerplate by definition and is
+    * dropped BEFORE pairing (the q145/q144 frequent-item rule; without
+    * it one viral footer pairs the whole corpus). The frequency filter
+    * joins on the same key the pairing shuffles on, so it adds no new
+    * exchange pattern. Returns (i, j, n_shared), i < j. */
+  def winnowedOverlapPairs(df: DataFrame, id: Column, text: Column,
+      k: Int, w: Int, minShared: Long = 1L,
+      maxDocsPerPrint: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val prints = df.select(id.as("doc"),
+      explode(winnowedPrints(text, k, w)).as("p"))
+    val keep =
+      if (maxDocsPerPrint == Long.MaxValue) prints
+      else {
+        // prints are distinct per doc (winnowedPrints dedups), so the
+        // count IS the document frequency
+        val freq = prints.groupBy("p").agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxDocsPerPrint).select("p")
+        prints.join(freq, "p")
+      }
+    keep.as("a").join(keep.as("b"),
+        col("a.p") === col("b.p") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Composable twin of [[ngramSlots]] — the executable spec (OpsSpec pins
     * bit-equality); NOT for pipelines (O(L²) re-split per slot). */
   def ngramSlotsComposable(c: Column, n: Int): Column = {

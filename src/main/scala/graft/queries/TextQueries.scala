@@ -105,6 +105,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the MOSS overlap miner end-to-end: planted shared runs on every
+    // 25th doc must pair up through print-blocked mining (never
+    // all-pairs); every surviving pair and its shared-print count pinned
+    "q179_winnow_overlap" -> ((s, d) => {
+      val planted = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(25)) === 0,
+            concat(col("text"),
+              lit(" shared overlap run alpha beta gamma delta epsilon")))
+            .otherwise(col("text")).as("text2"))
+      TA.winnowedOverlapPairs(planted, col("doc_id"), col("text2"),
+          k = 4, w = 5, minShared = 1L, maxDocsPerPrint = 50L)
+        .orderBy(col("n_shared").desc, col("i"), col("j"))
+        .limit(20)
+        .select(col("i"), col("j"), col("n_shared"))
+        .orderBy(col("n_shared").desc, col("i"), col("j"))
+    }),
+
     // winnowing fingerprints (MOSS): k=4-gram hashes, w=5 window-min
     // selection — every print value pinned via count/min/max and an
     // order-insensitive fingerprint of the sorted print set
@@ -779,6 +797,25 @@ object TextQueries {
            md5(string_agg(wt.wtoks, ' ' ORDER BY t.i)) AS fp
          FROM toks t JOIN wtok wt ON t.w = wt.w
          GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical plant, identical print selection, identical stop-print
+    // threshold and pair counting
+    "q179_winnow_overlap" -> {
+      val pr = TA.winnowedPrintsSql("text2", 4, 5)
+      s"""WITH pl AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0
+             THEN text || ' shared overlap run alpha beta gamma delta epsilon'
+             ELSE text END AS text2
+           FROM documents WHERE doc_id < 300),
+         pr AS (SELECT doc_id AS doc, unnest($pr) AS p FROM pl),
+         freq AS (SELECT p FROM pr GROUP BY p HAVING count(*) <= 50),
+         keep AS (SELECT pr.doc, pr.p FROM pr JOIN freq USING (p)),
+         pairs AS (SELECT a.doc AS i, b.doc AS j, count(*) AS n_shared
+           FROM keep a JOIN keep b ON a.p = b.p AND a.doc < b.doc
+           GROUP BY 1, 2 HAVING count(*) >= 1),
+         top AS (SELECT * FROM pairs
+           ORDER BY n_shared DESC, i, j LIMIT 20)
+         SELECT i, j, n_shared FROM top ORDER BY n_shared DESC, i, j"""
     },
 
     // identical gram/hash/window-min arithmetic via the documented twin;
