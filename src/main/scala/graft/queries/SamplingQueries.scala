@@ -262,6 +262,39 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // the CCNet-ordered capstone: paragraph dedup (keep-first, q177's
+    // rule) runs UPSTREAM of curate() — shared headers collapse to one
+    // canonical copy BEFORE quality/LM/dedup see them (the ordering CCNet
+    // uses so duplicated boilerplate can't poison corpus statistics);
+    // rebuilt text rejoins on spaces and flows through the whole q91
+    // pipeline, all replayed by one oracle
+    "q180_curation_paradedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val paras = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(array(lit("shared boilerplate header")), segs))
+        .otherwise(segs)
+      val planted = t(s, d, "documents")
+        .select(col("doc_id"), array_join(paras, "\n").as("text2"),
+          col("lang"))
+      val pd = Dedup.dedupParagraphsKeepFirst(planted, col("doc_id"),
+          col("text2"))
+        .select(col("id").as("doc_id"),
+          regexp_replace(col("text"), "\n", " ").as("text"))
+      val docs2 = pd.join(planted.select(col("doc_id"), col("lang")),
+        "doc_id")
+      Curation.curate(docs2, col("doc_id"), col("text"), col("lang"),
+          Curation.Config(langFracs = LangFracs))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
+    }),
+
     // the DSIR-selected pipeline: curate() with the data-selection stage
     // between the quality gate and the rebalance — target = quality-passing
     // src0 docs, keep weight >= 0 ("more target-like than not"). The whole
@@ -535,6 +568,54 @@ object SamplingQueries {
          base AS (SELECT * FROM documents
            WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
          q AS (SELECT * FROM base
+           WHERE ${TA.qualityClassSql("text")} = 'ok'
+             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+         e1 AS (SELECT * FROM q
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+         spl AS (SELECT *,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM e2),
+         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+         p AS (SELECT split, doc, n_tok,
+           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok
+         FROM p GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q180_curation_paradedup" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH base0 AS (SELECT doc_id, str_split(text, ' ') AS ts, lang
+           FROM documents),
+         segs AS (SELECT doc_id, lang, list_transform(
+             generate_series(0, (len(ts) - 1) // 8),
+             i -> array_to_string(ts[i*8+1:i*8+8], ' ')) AS sg FROM base0),
+         pl AS (SELECT doc_id, lang, CASE WHEN doc_id % 4 = 0
+             THEN list_concat(['shared boilerplate header'], sg)
+             ELSE sg END AS ps FROM segs),
+         slots AS (SELECT doc_id, x.i - 1 AS pos, ps[x.i] AS para FROM pl,
+           LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) x),
+         keepp AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, pos) AS rn FROM slots),
+         reb AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+           FROM keepp WHERE rn = 1 GROUP BY 1),
+         docs2 AS (SELECT p.doc_id, coalesce(r.text, '') AS text, p.lang
+           FROM pl p LEFT JOIN reb r USING (doc_id)),
+         q AS (SELECT * FROM docs2
            WHERE ${TA.qualityClassSql("text")} = 'ok'
              AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
          e1 AS (SELECT * FROM q
