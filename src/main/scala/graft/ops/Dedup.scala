@@ -149,6 +149,55 @@ object Dedup {
         (ratio >= threshold).as("contaminated"))
   }
 
+  /** MOSS-grade FUZZY decontamination flags: how many winnowed
+    * fingerprints ([[TextAnalysis.winnowedPrints]] — k-gram hashes,
+    * w-window min selection) each incoming document shares with the
+    * benchmark's print set. The exact-n-gram rule ([[ngramOverlap]],
+    * GPT-3's 13-gram filter) misses lightly-edited contamination; the
+    * winnowing guarantee (any shared token run ≥ w+k−1 contributes at
+    * least one shared print) catches a benchmark passage pasted into an
+    * otherwise-rewritten page, while comparing print sets ~w× smaller
+    * than gram sets.
+    *
+    * Scale shape: identical to [[ngramOverlap]] — the benchmark is small
+    * by definition, so its distinct print set BROADCASTS; the corpus side
+    * is one per-row print projection + explode + broadcast left join +
+    * one per-doc aggregation. The corpus text itself never shuffles.
+    * Prints are distinct per doc (winnowedPrints dedups), so `n_shared`
+    * counts distinct shared prints. Docs with fewer than k tokens have
+    * no prints and are ABSENT from the output (same convention as
+    * ngramOverlap — treat absent as clean). */
+  def printOverlap(incoming: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchText: Column, k: Int, w: Int,
+      minShared: Long, broadcastBench: Boolean = true): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val benchPrints = benchmark
+      .select(explode(TextAnalysis.winnowedPrints(benchText, k, w)).as("__p"))
+      .distinct().withColumn("__in", lit(1))
+    val bp = if (broadcastBench) broadcast(benchPrints) else benchPrints
+    incoming
+      .select(id.as("id"), explode(TextAnalysis.winnowedPrints(text, k, w)).as("__p"))
+      .join(bp, Seq("__p"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_prints"), count(col("__in")).as("n_shared"))
+      .select(col("id"), col("n_prints"), col("n_shared"),
+        (col("n_shared") >= minShared).as("contaminated"))
+  }
+
+  /** Survivor half of [[printOverlap]]: the incoming rows whose document
+    * does NOT share ≥ `minShared` winnowed prints with the benchmark.
+    * The flagged-id set is the anti-join's build side; it is bounded by
+    * the contamination rate, and AQE turns the anti join into a
+    * broadcast when it is small (the healthy case). */
+  def decontaminateByPrints(incoming: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchText: Column, k: Int, w: Int,
+      minShared: Long): DataFrame = {
+    val flagged = printOverlap(incoming, id, text, benchmark, benchText,
+        k, w, minShared)
+      .filter(col("contaminated")).select(col("id").as("__cid"))
+    incoming.join(flagged, id === col("__cid"), "left_anti")
+  }
+
   /** Word n-gram shingles of `text`, distinct — the native one-pass
     * [[graft.functions.WordShingles]] expression (first-occurrence dedup,
     * `<n`-token texts shingle to `[text]`). Built directly from the

@@ -1225,6 +1225,36 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Graph-based semantic clustering: connected components over the
+    * [[knnGraph]] thresholded at `minCos` — the grouping SemDeDup-style
+    * pipelines use when near-dup sets CHAIN (A≈B≈C with cos(A,C) below
+    * threshold still belong to one cluster; the pairwise-only dedup
+    * misses the chain). Edges are the graph's undirected pairs kept when
+    * EITHER endpoint ranks the other in its top-k; components come from
+    * [[Dedup.dupClusters]] (pointer-halving label propagation,
+    * checkpointable). Returns `(node, cluster)` with cluster = the
+    * component's minimum id; vectors with no qualifying edge are absent
+    * (singletons — callers left-join if totality matters).
+    *
+    * Scale shape: inherits knnGraph's bounded candidate generation (set
+    * `maxBucket` against degenerate regions); the edge list is ≤ k·|V|
+    * rows BY CONSTRUCTION, so the CC iterations shuffle a bounded graph,
+    * never the vectors. `minIter`/`checkpointDir` pass through to the CC
+    * loop for 100 TB runs. */
+  def semanticClusters(df: DataFrame, id: Column, vec: Column, bits: Int,
+      k: Int, minCos: Double, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
+    // canonicalize AFTER the rank filter (an i<j filter instead would drop
+    // edges where only the higher-id endpoint ranked the lower one top-k)
+    val edges = knnGraph(df, id, vec, bits, k,
+        maxBucket = maxBucket, extraBits = extraBits)
+      .filter(col("cos") >= minCos)
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct()
+    Dedup.dupClusters(edges, checkpointDir = checkpointDir)
+  }
+
   /** [[bucketedPairs]] with a per-bucket size cap: any bucket larger than
     * `maxBucket` is re-bucketed with `extraBits` additional sign bits, so a
     * single fat bucket (all-positive embeddings, a degenerate region of the

@@ -165,6 +165,61 @@ object TextAnalysis {
        | '$PhonePattern', '<phone>', 'g'),
        | '$SpaceRunPattern', ' ', 'g'))""".stripMargin.replace("\n", "")
 
+  // ---- C4-style rule-based line cleaning (Raffel et al., JMLR 2020 §2.2;
+  // the reference has no text surface at all — extension scope, same family
+  // as scrub/removeBoilerplateLines) -------------------------------------
+
+  private val TerminalPunctPattern = "[.!?\"]$"
+  private val C4LineBlockWord = "javascript"
+  private val C4DocBlockPhrase = "lorem ipsum"
+
+  /** C4's per-line retention rule: keep a line only if it ends in terminal
+    * punctuation ('.', '!', '?', '"'), carries at least `minWords`
+    * whitespace words, and does not mention "javascript" (the tell of
+    * scraped script/noscript bodies). Both tests run on the TRIMMED line
+    * (trailing-whitespace artifacts must not mask the punctuation); the
+    * kept line itself is returned verbatim. Pure per-line predicate. */
+  def c4KeepLine(line: Column, minWords: Int): Column =
+    trim(line).rlike(TerminalPunctPattern) &&
+      size(split(trim(line), " ")) >= minWords &&
+      !lower(line).contains(C4LineBlockWord)
+
+  /** C4's page-level rule: drop the whole document when it contains the
+    * "lorem ipsum" placeholder or a curly brace (the code-leak tell). */
+  def c4DocOk(text: Column): Column =
+    !lower(text).contains(C4DocBlockPhrase) && !text.contains("{")
+
+  /** Line-filtered rebuild: surviving lines in original order, joined with
+    * `sep`. A document can come back empty (every line failed); page-level
+    * drops are the caller's `c4DocOk` filter — kept separate so the query
+    * can report both counts.
+    *
+    * Scale shape: one per-row projection — split, lambda filter, join —
+    * fused into the scan, zero shuffle, zero state. The filter lambda
+    * evaluates interpreted per LINE (not per char/gram), a few dozen evals
+    * per document; unlike the per-gram HOF paths this is nowhere near the
+    * hot loop, so the composable form is the right trade vs a native
+    * expression. */
+  def c4CleanText(text: Column, minWords: Int = 3, sep: String = "\n"): Column =
+    array_join(
+      filter(split(text, java.util.regex.Pattern.quote(sep)),
+        l => c4KeepLine(l, minWords)),
+      sep)
+
+  /** DuckDB twins of the C4 rules (oracle construction). */
+  def c4KeepLineSql(l: String, minWords: Int): String =
+    s"""(regexp_matches(trim($l), '[.!?"]$$') AND
+       | len(str_split(trim($l), ' ')) >= $minWords AND
+       | NOT contains(lower($l), '$C4LineBlockWord'))"""
+      .stripMargin.replace("\n", "")
+
+  def c4DocOkSql(col: String): String =
+    s"(NOT contains(lower($col), '$C4DocBlockPhrase') AND NOT contains($col, '{'))"
+
+  def c4CleanTextSql(col: String, minWords: Int = 3): String =
+    s"array_to_string(list_filter(str_split($col, chr(10)), " +
+      s"l -> ${c4KeepLineSql("l", minWords)}), chr(10))"
+
   /** RefinedWeb/CCNet-style boilerplate removal: drop every line that
     * appears in at least `minDocs` DISTINCT documents (nav bars, cookie
     * banners, license footers — the lines that repeat verbatim across a
@@ -271,6 +326,143 @@ object TextAnalysis {
       s"CASE WHEN $s = $best AND $s > 0 THEN '$lang' ELSE $acc END"
     }
   }
+
+  // ---- trained hashed Naive Bayes classifier (the CCNet/LLaMA fastText
+  // gate re-expressed: supervised lang-ID / quality classification from a
+  // labeled seed — distinct from the marker heuristic [[langId]] and from
+  // DSIR's binary importance weights) --------------------------------------
+
+  /** Fitted model: per-class priors, per-(bucket,class) token
+    * log-likelihoods and per-class unseen-bucket scores, all rounded ONCE
+    * to integer micro-nats (the [[graft.ops.Sampling.dsirScoreTable]]
+    * discipline — document scores become exact BIGINT sums, order- and
+    * partition-independent; the residual ln-ulp hazard is the same and
+    * documented there). Driver-sized BY CONSTRUCTION: ≤ nBuckets·|classes|
+    * entries (feature hashing's fixed-size-model property; same contract
+    * as centroids/codebooks/DSIR tables). */
+  final case class NbModel(labels: Seq[String], priorsU: Map[String, Long],
+      scoresU: Map[Long, Map[String, Long]], missU: Map[String, Long],
+      nBuckets: Int, seed: Int)
+
+  /** Fit a hashed multinomial Naive Bayes classifier on a labeled corpus:
+    * tokens hash into `nBuckets` buckets; per class c and bucket b the
+    * model stores add-one-smoothed `ln((count(b,c)+1)/(N_c+B))`, plus the
+    * unseen-bucket score `ln(1/(N_c+B))` and the doc-frequency prior
+    * `ln(n_c/n)`.
+    *
+    * Scale shape: ONE corpus scan — the count aggregation collapses
+    * map-side into ≤ nBuckets·|classes| partial rows (the hashing cap is
+    * the driver-memory contract, enforced), plus a per-class doc count.
+    * Fit offline, then score batches ([[nbPredict]]) or streams (the
+    * model is a broadcast constant — stateless scoring, the
+    * [[graft.streaming.DsirStream]] shape). */
+  def nbFit(df: DataFrame, label: Column, text: Column,
+      nBuckets: Int = 1 << 18, seed: Int = 11): NbModel = {
+    require(nBuckets > 0 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [1, 2^22], got $nBuckets")
+    val B = nBuckets.toLong
+    def u(x: Double): Long =
+      BigDecimal(1e6 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val counts = df
+      .select(label.cast("string").as("__l"), explode(tokens(text)).as("__t"))
+      .groupBy(col("__l"),
+        pmod(PortableHash.md5Long(col("__t"), seed), lit(B)).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docCounts = df.groupBy(label.cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = docCounts.keys.toSeq.sorted
+    val nDocs = docCounts.valuesIterator.sum.toDouble
+    val totals = counts.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._3).sum }
+    val priorsU = docCounts.map { case (l, n) => l -> u(math.log(n / nDocs)) }
+    val missU = labels.map(l =>
+      l -> u(math.log(1.0 / (totals.getOrElse(l, 0L) + B)))).toMap
+    val scoresU = counts.groupBy(_._2).map { case (b, xs) =>
+      b -> xs.map { case (l, _, c) =>
+        l -> u(math.log((c + 1.0) / (totals(l) + B))) }.toMap
+    }
+    NbModel(labels, priorsU, scoresU, missU, nBuckets, seed)
+  }
+
+  /** Score + argmax under a fitted [[NbModel]]: per document,
+    * `prior(c) + Σ_tokens score(bucket, c)` (unseen buckets contribute the
+    * per-class miss score), predicted class = argmax with deterministic
+    * (score desc, label asc) tie-break. Returns `(id, pred)` — total: a
+    * token-free document gets the prior argmax.
+    *
+    * Scale shape: one scan — explode + broadcast model join + per-(doc,
+    * class) partial agg; the doc×class expansion is a broadcast nested
+    * loop over the constant-size class list, and the argmax is the
+    * partial-aggregable `min(struct(-score, label))`, never a window. */
+  def nbPredict(docs: DataFrame, id: Column, text: Column,
+      m: NbModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = m.nBuckets.toLong
+    val dense = m.scoresU.toSeq.flatMap { case (b, per) =>
+      m.labels.map(l => (b, l, per.getOrElse(l, m.missU(l)))) }
+    val model = broadcast(dense.toDF("__b", "__l", "__w"))
+    val labelsDf = broadcast(
+      m.labels.map(l => (l, m.priorsU(l), m.missU(l)))
+        .toDF("__l", "__prior", "__miss"))
+    val grams = docs.select(id.as("id"),
+        explode(tokens(text)).as("__t"))
+      .select(col("id"),
+        pmod(PortableHash.md5Long(col("__t"), m.seed), lit(B)).as("__b"))
+    val matched = grams.join(model, Seq("__b"))
+      .groupBy(col("id"), col("__l"))
+      .agg(sum("__w").as("__sw"), count(lit(1)).as("__mb"))
+    docs.select(id.as("id"), size(tokens(text)).cast("long").as("__ng"))
+      .crossJoin(labelsDf)
+      .join(matched, Seq("id", "__l"), "left")
+      .select(col("id"), col("__l"),
+        (col("__prior") + coalesce(col("__sw"), lit(0L)) +
+          (col("__ng") - coalesce(col("__mb"), lit(0L))) * col("__miss"))
+          .as("__score"))
+      .groupBy("id")
+      .agg(min(struct((-col("__score")).as("n"), col("__l").as("l"))).as("__best"))
+      .select(col("id"), col("__best").getField("l").as("pred"))
+  }
+
+  /** DuckDB twin of [[nbFit]] + [[nbPredict]] (oracle construction): a CTE
+    * chain ending in `nb_pred(id, pred)`. Identical count, smoothing,
+    * micro-nat rounding and (score desc, label asc) argmax arithmetic. */
+  def nbSql(trainTable: String, labelCol: String, textCol: String,
+      testTable: String, idCol: String, nBuckets: Int,
+      seed: Int = 11): String =
+    s"""__nbtt AS (SELECT $labelCol AS l, u.t AS t
+         FROM $trainTable,
+         LATERAL (SELECT unnest(str_split($textCol, ' ')) AS t) u),
+       __nbcnt AS (SELECT l, (${PortableHash.md5LongSql("t", seed)}) % $nBuckets AS b,
+           count(*) AS c
+         FROM __nbtt GROUP BY 1, 2),
+       __nbtot AS (SELECT l, sum(c) AS nc FROM __nbcnt GROUP BY 1),
+       __nbdc AS (SELECT $labelCol AS l, count(*) AS n
+         FROM $trainTable GROUP BY 1),
+       __nbn AS (SELECT sum(n) AS n FROM __nbdc),
+       __nblb AS (SELECT d.l,
+           CAST(round(1e6 * ln(d.n::DOUBLE
+             / (SELECT n FROM __nbn)::DOUBLE)) AS BIGINT) AS pu,
+           CAST(round(1e6 * ln(1::DOUBLE
+             / (coalesce(t.nc, 0) + $nBuckets)::DOUBLE)) AS BIGINT) AS mu
+         FROM __nbdc d LEFT JOIN __nbtot t USING (l)),
+       __nbw AS (SELECT c.b, c.l,
+           CAST(round(1e6 * ln((c.c + 1)::DOUBLE
+             / (t.nc + $nBuckets)::DOUBLE)) AS BIGINT) AS wu
+         FROM __nbcnt c JOIN __nbtot t USING (l)),
+       __nbtb AS (SELECT $idCol AS id,
+           (${PortableHash.md5LongSql("u.t", seed)}) % $nBuckets AS b
+         FROM $testTable,
+         LATERAL (SELECT unnest(str_split($textCol, ' ')) AS t) u),
+       __nbsc AS (SELECT tb.id, lb.l, lb.pu + sum(coalesce(w.wu, lb.mu)) AS score
+         FROM __nbtb tb CROSS JOIN __nblb lb
+         LEFT JOIN __nbw w ON w.b = tb.b AND w.l = lb.l
+         GROUP BY tb.id, lb.l, lb.pu),
+       nb_pred AS (SELECT id, l AS pred FROM (
+           SELECT id, l,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, l) AS rn
+           FROM __nbsc) WHERE rn = 1)"""
 
   /** Normalized-content fingerprint (exact-dup key): md5 of lowercased,
     * trimmed text. */

@@ -201,6 +201,82 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // C4 rule-based cleaning (Raffel et al. §2.2): documents re-segmented
+    // into 7-token lines with terminal punctuation planted on 2 of every 3
+    // lines, a "lorem ipsum" page on every 40th doc, a curly-brace code
+    // leak on every 50th, a javascript boilerplate line on every 7th —
+    // line retention (punctuation + ≥4 words + no "javascript") and
+    // page-level drops pinned per doc via counts and a cleaned-text md5
+    "q181_c4_line_filter" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 7).cast("int")),
+        i => concat(array_join(slice(toks, i * 7 + 1, lit(7)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, lit(""))
+            .otherwise(lit("."))))
+      val headed = when(pmod(col("doc_id"), lit(40)) === 0,
+          concat(array(lit("lorem ipsum dolor sit amet.")), segs))
+        .when(pmod(col("doc_id"), lit(50)) === 0,
+          concat(array(lit("if (x) { alert(1); }.")), segs))
+        .otherwise(segs)
+      val lines = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(headed, array(lit("please enable javascript to continue."))))
+        .otherwise(headed)
+      t(s, d, "documents")
+        .select(col("doc_id"), array_join(lines, "\n").as("text2"))
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          size(split(col("text2"), "\n")).cast("long").as("n_lines"),
+          TA.c4DocOk(col("text2")).as("doc_ok"),
+          size(filter(split(col("text2"), "\n"),
+            l => TA.c4KeepLine(l, minWords = 4))).cast("long").as("n_kept"),
+          md5(TA.c4CleanText(col("text2"), minWords = 4)).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // MOSS-grade fuzzy decontamination: a 15-token benchmark run planted
+    // into every eval doc (doc_id ≡ 0 mod 97) AND into corpus docs ≡ 0
+    // mod 31 — the winnowing guarantee (shared run ≥ w+k−1 ⇒ ≥1 shared
+    // print) must flag every planted corpus doc; survivors pinned per
+    // source via count + id-sum
+    "q183_winnow_decontam" -> ((s, d) => {
+      val run = " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(97)) === 0 ||
+            pmod(col("doc_id"), lit(31)) === 0,
+          concat(col("text"), lit(run))).otherwise(col("text")).as("text2"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val ev = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Dedup.decontaminateByPrints(corpus, col("doc_id"), col("text2"),
+          ev, col("text2"), k = 4, w = 5, minShared = 1L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
+    // trained hashed Naive Bayes classifier (the CCNet/LLaMA fastText
+    // gate): fit on the 4/5 train slice with `lang` as the label, predict
+    // the held-out 1/5. The corpus vocabulary is lang-independent word
+    // soup, so a class-indicative marker token is planted on 6 of every 7
+    // docs (both slices) — marked docs must classify by the learned
+    // marker likelihoods, unmarked ones fall back to shared-token/prior
+    // evidence; the full confusion matrix pinned (counts + id-sums per
+    // true×predicted cell)
+    "q184_nb_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7)) =!= 1,
+          concat(col("text"), lit(" lm_"), col("lang")))
+          .otherwise(col("text")).as("text2"))
+      val model = TA.nbFit(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("lang"), col("text2"), nBuckets = 64, seed = 11)
+      val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TA.nbPredict(test, col("doc_id"), col("text2"), model)
+        .join(test.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"), sum("id").as("sum_ids"))
+        .orderBy("lang", "pred")
+    }),
+
     "q40_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
         .groupBy("source")
@@ -1381,6 +1457,76 @@ object TextQueries {
          GROUP BY 1 ORDER BY 1""",
 
     // identical plant + identical fraction arithmetic
+    // identical segmentation + plants; line rule and page rule replayed
+    // through the documented SQL twins
+    "q181_c4_line_filter" -> {
+      val keep = TA.c4KeepLineSql("l", 4)
+      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents WHERE doc_id < 60),
+         segs AS (SELECT doc_id, list_transform(
+             generate_series(0, (len(ts) - 1) // 7),
+             i -> array_to_string(ts[i*7+1:i*7+7], ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS sg
+           FROM base),
+         headed AS (SELECT doc_id,
+             CASE WHEN doc_id % 40 = 0
+               THEN list_concat(['lorem ipsum dolor sit amet.'], sg)
+             WHEN doc_id % 50 = 0
+               THEN list_concat(['if (x) { alert(1); }.'], sg)
+             ELSE sg END AS lh FROM segs),
+         pl AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN list_concat(lh, ['please enable javascript to continue.'])
+             ELSE lh END AS ls FROM headed),
+         txt AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text2 FROM pl)
+         SELECT doc_id,
+           CAST(len(str_split(text2, chr(10))) AS BIGINT) AS n_lines,
+           ${TA.c4DocOkSql("text2")} AS doc_ok,
+           CAST(len(list_filter(str_split(text2, chr(10)), l -> $keep))
+             AS BIGINT) AS n_kept,
+           md5(${TA.c4CleanTextSql("text2", 4)}) AS fp
+         FROM txt ORDER BY doc_id"""
+    },
+
+    // identical plant; prints replayed through the documented winnowing
+    // twin on both sides, shared counts and the survivor anti-join exact
+    "q183_winnow_decontam" -> {
+      val pr = TA.winnowedPrintsSql("text2", 4, 5)
+      s"""WITH pl AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+               THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron'
+               ELSE text END AS text2
+           FROM documents),
+         corpus AS (SELECT * FROM pl WHERE doc_id % 97 <> 0),
+         ev AS (SELECT * FROM pl WHERE doc_id % 97 = 0),
+         bp AS (SELECT DISTINCT u.p FROM ev,
+           LATERAL (SELECT unnest($pr) AS p) u),
+         cp AS (SELECT doc_id, u.p FROM corpus,
+           LATERAL (SELECT unnest($pr) AS p) u),
+         flag AS (SELECT cp.doc_id FROM cp JOIN bp USING (p)
+           GROUP BY 1 HAVING count(*) >= 1)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM flag)
+         GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical hash/count/smoothing/micro-nat/argmax arithmetic via the
+    // documented nbSql twin; confusion cells pinned with id-sums
+    "q184_nb_classifier" ->
+      s"""WITH pl AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 <> 1 THEN text || ' lm_' || lang
+               ELSE text END AS text2
+           FROM documents),
+         tr AS (SELECT lang, text2 FROM pl WHERE doc_id % 5 <> 0),
+         te AS (SELECT doc_id, lang, text2 FROM pl WHERE doc_id % 5 = 0),
+         ${TA.nbSql("tr", "lang", "text2", "te", "doc_id", nBuckets = 64,
+            seed = 11)}
+         SELECT te.lang, p.pred, count(*) AS n,
+           CAST(sum(te.doc_id) AS BIGINT) AS sum_ids
+         FROM te JOIN nb_pred p ON te.doc_id = p.id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q127_dup_ngrams" -> {
       val frac = TA.dupNgramFractionSql("text", 3)
       """WITH planted AS (SELECT doc_id, source,

@@ -499,6 +499,26 @@ object VectorQueries {
         .orderBy("anchor")
     }),
 
+    // graph-based semantic clustering: connected components over the
+    // cos ≥ 0.95 edges of the k-NN graph — the grouping that closes
+    // near-dup CHAINS pairwise dedup misses. Planted contract like q143:
+    // two extra copies of each of the first 4 vectors (max organic
+    // cross-pair cosine is 0.51 at sf0.01 / 0.60 at sf0.1, so 0.95
+    // separates cleanly) must land in exactly 4 three-member components;
+    // every component's membership pinned via count + id-sum
+    "q182_semantic_clusters" -> ((s, d) => {
+      val base = emb(s, d)
+      def copies(off: Long) = base.filter(col("vec_id") < 4)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"),
+          col("label"))
+      Sim.semanticClusters(
+          base.unionByName(copies(100000L)).unionByName(copies(200000L)),
+          col("vec_id"), col("embedding"), bits = 8, k = 3, minCos = 0.95)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_nodes"))
+        .orderBy("cluster")
+    }),
+
     // cross-table ANN JOIN: per left (query) row, top-3 right (corpus)
     // rows among shared-LSH-bucket candidates — the retrieval join when
     // both sides are too big to broadcast; every edge and rank pinned
@@ -758,6 +778,37 @@ object VectorQueries {
       """SELECT CAST(1 AS BIGINT) AS anchor, 3 AS k, TRUE AS agree_ok
          UNION ALL SELECT CAST(2 AS BIGINT), 3, TRUE
          UNION ALL SELECT CAST(3 AS BIGINT), 3, TRUE ORDER BY anchor""",
+
+    // same bucket/cosine/rank replay as q165, then the edge set (kept when
+    // EITHER direction ranks ≤ k) canonicalized and closed transitively
+    "q182_semantic_clusters" ->
+      s"""WITH RECURSIVE
+         pe AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding
+             FROM embeddings WHERE vec_id < 4
+           UNION ALL SELECT vec_id + 200000, embedding
+             FROM embeddings WHERE vec_id < 4),
+         b AS (SELECT vec_id, embedding, $bucket8 bucket FROM pe),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         ed AS (SELECT least(i, j) AS a, greatest(i, j) AS b
+           FROM rk WHERE rk <= 3 AND cos >= 0.95 GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a)
+         SELECT cluster, count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_nodes
+         FROM cc GROUP BY 1 ORDER BY 1""",
 
     "q174_ann_join" ->
       s"""WITH l AS (SELECT vec_id AS i, embedding, $bucket4 AS bucket

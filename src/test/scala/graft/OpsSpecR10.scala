@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Round-10 operator specs: C4 line rules, winnowed-print decontamination,
+  * graph-based semantic clustering, the hashed Naive Bayes classifier. */
+class OpsSpecR10 extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- C4 line cleaning -------------------------------------------------
+
+  test("c4 line rules: punctuation, min words, javascript line, page-level drops (q181)") {
+    import spark.implicits._
+    val doc = Seq(
+      // (text, expected cleaned, expected docOk)
+      ("Good long sentence here.\nno punct line\nshort one.\n" +
+        "please enable javascript now.\nAnother fine sentence stays!",
+        "Good long sentence here.\nAnother fine sentence stays!", true),
+      ("lorem ipsum dolor sit amet.\nA perfectly fine sentence.",
+        "lorem ipsum dolor sit amet.\nA perfectly fine sentence.", false),
+      ("var f = function() { return 1; }\nGood long sentence here.",
+        "Good long sentence here.", false),
+      ("Ends with quote he said.\"\nBang ending three words!", // quote + bang both terminal
+        "Ends with quote he said.\"\nBang ending three words!", true),
+      ("", "", true)
+    ).toDF("text", "wantClean", "wantOk")
+    val got = doc.select(
+      TextAnalysis.c4CleanText(col("text"), minWords = 4).as("clean"),
+      TextAnalysis.c4DocOk(col("text")).as("ok"),
+      col("wantClean"), col("wantOk")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) === r.getString(2), s"clean mismatch: $r")
+      assert(r.getBoolean(1) === r.getBoolean(3), s"docOk mismatch: $r")
+    }
+  }
+
+  test("c4 keep-line counts words AFTER trim; short last segment drops") {
+    import spark.implicits._
+    val got = Seq("  one two three four.  \nx y.").toDF("t")
+      .select(size(filter(split(col("t"), "\n"),
+        l => TextAnalysis.c4KeepLine(l, minWords = 4))).as("n"))
+      .head.getInt(0)
+    assert(got === 1) // first line has 4 words after trim; second only 2
+  }
+
+  // ---- winnowed-print decontamination -----------------------------------
+
+  test("printOverlap flags a planted shared run, spares clean docs (q183)") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"totally unrelated words here now $run and a tail"),
+      (2L, "nothing shared with the benchmark at all in this document"),
+      (3L, "short")).toDF("id", "text")
+    val bench = Seq(s"benchmark question prefix $run suffix words").toDF("text")
+    val flags = Dedup.printOverlap(corpus, col("id"), col("text"),
+      bench, col("text"), k = 4, w = 5, minShared = 1L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // winnowing guarantee: the 8-token shared run (= w+k−1) yields ≥1
+    // shared print for doc 1; doc 2 shares nothing; doc 3 has no grams
+    // (absent from output — the ngramOverlap convention)
+    assert(flags(1L), "planted doc must be flagged")
+    assert(!flags(2L), "clean doc must not be flagged")
+    assert(!flags.contains(3L), "gram-free doc is absent")
+    val surv = Dedup.decontaminateByPrints(corpus, col("id"), col("text"),
+      bench, col("text"), k = 4, w = 5, minShared = 1L)
+      .select("id").as[Long].collect().sorted
+    assert(surv === Array(2L, 3L))
+  }
+
+  // ---- graph-based semantic clustering ----------------------------------
+
+  test("semanticClusters closes chains: A≈B≈C one component though cos(A,C) < τ") {
+    import spark.implicits._
+    // 2-D unit vectors at 0°, 17°, 34°: cos(17°)=0.956 ≥ 0.95 links the
+    // adjacent pairs, cos(34°)=0.829 < 0.95 — only transitive closure puts
+    // all three in one cluster. bits=1 on the positive arc keeps one bucket
+    // (deterministic hash projections; asserted via the edge set itself).
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val vecs = Seq((0L, v(0)), (1L, v(17)), (2L, v(34)),
+      (10L, v(200))).toDF("id", "vec")
+    val cc = Similarity.semanticClusters(vecs, col("id"), col("vec"),
+      bits = 1, k = 2, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.get(0L).contains(0L) && cc.get(1L).contains(0L) &&
+      cc.get(2L).contains(0L),
+      s"chain 0-1-2 must collapse to one component, got $cc")
+    assert(!cc.contains(10L), "far vector stays a singleton (absent)")
+  }
+
+  test("semanticClusters keeps edges ranked top-k by EITTHER endpoint") {
+    import spark.implicits._
+    // regression for the i<j-after-rank bug: identical copies pin edges
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 4)
+    val copies = base.select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val all = base.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val cc = Similarity.semanticClusters(all, col("vec_id"), col("embedding"),
+      bits = 4, k = 2, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 4L).foreach { i =>
+      assert(cc.get(i).contains(i) && cc.get(i + 100L).contains(i),
+        s"copy pair $i must form a component rooted at $i: $cc")
+    }
+  }
+
+  // ---- hashed Naive Bayes -----------------------------------------------
+
+  test("nbFit/nbPredict: learns class-indicative tokens, smoothing + priors exact") {
+    import spark.implicits._
+    val train = Seq(
+      ("spam", "buy cheap pills now"), ("spam", "cheap pills online buy"),
+      ("spam", "buy buy cheap offer"),
+      ("ham", "meeting notes for today"), ("ham", "notes about the meeting"))
+      .toDF("label", "text")
+    val m = TextAnalysis.nbFit(train, col("label"), col("text"),
+      nBuckets = 1 << 16, seed = 11)
+    assert(m.labels === Seq("ham", "spam"))
+    // priors: ln(2/5), ln(3/5) rounded to micro-nats
+    assert(m.priorsU("ham") ===
+      BigDecimal(1e6 * math.log(2.0 / 5)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val test = Seq((1L, "cheap pills"), (2L, "meeting today"),
+      (3L, "zz unseen tokens only")).toDF("id", "text")
+    val pred = TextAnalysis.nbPredict(test, col("id"), col("text"), m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(1L) === "spam")
+    assert(pred(2L) === "ham")
+    // all-unseen doc (4 tokens): per-token miss ln(1/(N_c+B)) differs only
+    // via N_c (ham 8 training tokens, spam 12), priors favor spam —
+    // verify the exact integer arithmetic picks the same winner
+    val wantU = {
+      def u(x: Double) = BigDecimal(1e6 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val b = (1 << 16).toLong
+      val sHam = u(math.log(2.0 / 5)) + 4 * u(math.log(1.0 / (8 + b)))
+      val sSpam = u(math.log(3.0 / 5)) + 4 * u(math.log(1.0 / (12 + b)))
+      if (sHam >= sSpam) "ham" else "spam"
+    }
+    assert(pred(3L) === wantU)
+  }
+
+  test("nbPredict tie-break is deterministic (score tie → label asc)") {
+    import spark.implicits._
+    // perfectly symmetric classes: identical token multisets per class
+    val train = Seq(("b", "x y"), ("a", "x y")).toDF("label", "text")
+    val m = TextAnalysis.nbFit(train, col("label"), col("text"),
+      nBuckets = 256, seed = 11)
+    val pred = TextAnalysis.nbPredict(Seq((1L, "x y")).toDF("id", "text"),
+      col("id"), col("text"), m).head.getString(1)
+    assert(pred === "a")
+  }
+
+  test("nbPredict is total: token-free doc gets the prior argmax") {
+    import spark.implicits._
+    val train = Seq(("big", "a b c"), ("big", "a c"), ("small", "d e"))
+      .toDF("label", "text")
+    val m = TextAnalysis.nbFit(train, col("label"), col("text"),
+      nBuckets = 256, seed = 11)
+    // "" tokenizes to [""], an UNSEEN token — still scored, never dropped
+    val pred = TextAnalysis.nbPredict(Seq((9L, "")).toDF("id", "text"),
+      col("id"), col("text"), m).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(pred.length === 1)
+    assert(pred.head._2 === "big")
+  }
+}
