@@ -27,9 +27,14 @@ object TextQueries {
     * minCount` prune on every order ≥ 2 table (the unigram floor and its
     * N/V totals never prune) — exactly [[graft.ops.TextAnalysis
     * .stupidBackoff]]'s `minCount` semantics. */
-  private def fiveGramLadderSql(minCount: Int): String = {
+  /** Table-parameterized core of the 5-gram ladder replay: CTE list (no
+    * leading WITH) over `$table(doc_id, $textCol)`, ending in
+    * `sc(doc_id, nt, xent)` — per-doc backoff cross-entropy, 6-decimal
+    * grid. Shared by the q169/q175 oracles and the q185 capstone. */
+  private def ladderXentCore(table: String, textCol: String,
+      minCount: Int): String = {
     val hv = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
-    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, str_split($textCol, ' ') AS ts FROM $table),
        g1 AS (SELECT ts[x.i] AS w1, count(*) AS c
          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
          GROUP BY 1),
@@ -79,7 +84,11 @@ object TextQueries {
          LEFT JOIN g2 n2 ON dp.w4 = n2.w1 AND dp.w5 = n2.w2
          LEFT JOIN g1 d2 ON dp.w4 = d2.w1
          LEFT JOIN g1 f ON dp.w5 = f.w1
-         CROSS JOIN tot GROUP BY 1),
+         CROSS JOIN tot GROUP BY 1)"""
+  }
+
+  private def fiveGramLadderSql(minCount: Int): String =
+    s"""WITH ${ladderXentCore("documents", "text", minCount)},
        b AS (SELECT t.doc_id,
            CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_ngrams,
            sc.xent AS cross_entropy,
@@ -88,7 +97,6 @@ object TextQueries {
          FROM toks t LEFT JOIN sc USING (doc_id))
        SELECT doc_id, n_ngrams, cross_entropy, bucket FROM b
        WHERE doc_id < 20 ORDER BY doc_id"""
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -232,6 +240,48 @@ object TextQueries {
             l => TA.c4KeepLine(l, minWords = 4))).cast("long").as("n_kept"),
           md5(TA.c4CleanText(col("text2"), minWords = 4)).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // the CCNet head pipeline in CCNet's own stage ORDER and output shape
+    // (Wenzek et al. 2020: paragraph dedup → lang-ID → per-language LM
+    // terciles): q177's paragraph plant + keep-first dedup, the q184 NB
+    // lang classifier (marker-planted, trained on the 4/5 slice, applied
+    // to ALL docs), the q169 5-gram backoff LM over the deduped text, and
+    // head/middle/tail terciles PER PREDICTED LANGUAGE — the (lang,
+    // bucket) cell counts CCNet actually publishes, id-sum-pinned
+    "q185_ccnet_head" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val paras = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(array(lit("shared boilerplate header")), segs))
+        .otherwise(segs)
+      val planted = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), array_join(paras, "\n").as("ptext"))
+      val deduped = Dedup.dedupParagraphsKeepFirst(planted, col("doc_id"),
+          col("ptext"))
+        .select(col("id").as("doc_id"), col("text").as("rb"))
+      val withLang = deduped
+        .join(planted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(7)) =!= 1,
+            concat(col("rb"), lit(" lm_"), col("lang")))
+            .otherwise(col("rb")).as("mtext"))
+      val model = TA.nbFit(withLang.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("lang"), col("mtext"), nBuckets = 64, seed = 11)
+      val pred = TA.nbPredict(withLang, col("doc_id"), col("mtext"), model)
+      val lm = TA.stupidBackoff(withLang, col("doc_id"), col("mtext"),
+        withLang, col("mtext"), order = 5)
+      pred.join(lm.select(col("id"), col("cross_entropy")), Seq("id"))
+        .withColumn("bucket",
+          array(lit("head"), lit("middle"), lit("tail"))(
+            ntile(3).over(Window.partitionBy(col("pred")).orderBy(
+              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+        .groupBy("pred", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("sum_ids"))
+        .orderBy("pred", "bucket")
     }),
 
     // MOSS-grade fuzzy decontamination: a 15-token benchmark run planted
@@ -1487,6 +1537,46 @@ object TextQueries {
            md5(${TA.c4CleanTextSql("text2", 4)}) AS fp
          FROM txt ORDER BY doc_id"""
     },
+
+    // identical paragraph plant/dedup (q177's CTEs), identical NB replay
+    // (nbSql twin), identical 5-gram ladder (the parameterized core) over
+    // the same rebuilt+marked text, identical per-language terciles
+    "q185_ccnet_head" ->
+      s"""WITH pbase AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         psegs AS (SELECT doc_id, list_transform(
+             generate_series(0, (len(ts) - 1) // 8),
+             i -> array_to_string(ts[i*8+1:i*8+8], ' ')) AS sg FROM pbase),
+         ppl AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN list_concat(['shared boilerplate header'], sg)
+             ELSE sg END AS ps FROM psegs),
+         pslots AS (SELECT doc_id, x.i - 1 AS pos, ps[x.i] AS para FROM ppl,
+           LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) x),
+         pkeep AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, pos) AS rn FROM pslots),
+         preb AS (SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY pos) AS rb
+           FROM pkeep WHERE rn = 1 GROUP BY 1),
+         pm AS (SELECT p.doc_id, d.lang,
+             CASE WHEN p.doc_id % 7 <> 1
+               THEN coalesce(r.rb, '') || ' lm_' || d.lang
+               ELSE coalesce(r.rb, '') END AS mtext
+           FROM ppl p JOIN documents d USING (doc_id)
+           LEFT JOIN preb r USING (doc_id)),
+         tr AS (SELECT lang, mtext FROM pm WHERE doc_id % 5 <> 0),
+         te AS (SELECT doc_id, lang, mtext FROM pm),
+         ${TA.nbSql("tr", "lang", "mtext", "te", "doc_id", nBuckets = 64,
+            seed = 11)},
+         ${ladderXentCore("pm", "mtext", minCount = 1)},
+         b AS (SELECT t.doc_id, p.pred,
+             (['head', 'middle', 'tail'])[ntile(3) OVER (
+               PARTITION BY p.pred
+               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+           FROM pm t JOIN nb_pred p ON t.doc_id = p.id
+           LEFT JOIN sc ON sc.doc_id = t.doc_id)
+         SELECT pred, bucket, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // identical plant; prints replayed through the documented winnowing
     // twin on both sides, shared counts and the survivor anti-join exact
