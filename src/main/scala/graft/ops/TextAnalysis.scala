@@ -388,13 +388,18 @@ object TextAnalysis {
   /** Score + argmax under a fitted [[NbModel]]: per document,
     * `prior(c) + Σ_tokens score(bucket, c)` (unseen buckets contribute the
     * per-class miss score), predicted class = argmax with deterministic
-    * (score desc, label asc) tie-break. Returns `(id, pred)` — total: a
-    * token-free document gets the prior argmax.
+    * (score desc, label asc) tie-break. Returns `(id, pred)`. Total for
+    * every non-NULL text (an empty string still tokenizes to one unseen
+    * token and scores by prior + miss); NULL-text rows produce no grams
+    * and are absent (the repo's standard convention).
     *
-    * Scale shape: one scan — explode + broadcast model join + per-(doc,
-    * class) partial agg; the doc×class expansion is a broadcast nested
-    * loop over the constant-size class list, and the argmax is the
-    * partial-aggregable `min(struct(-score, label))`, never a window. */
+    * Scale shape: one scan, ZERO non-broadcast joins — explode grams ×
+    * (broadcast constant-size class list), broadcast LEFT join against
+    * the dense model folds the miss score via coalesce, then two partial
+    * aggregations: per-(doc, class) score sum, per-doc argmax as the
+    * partial-aggregable `min(struct(-score, label))` — never a window,
+    * never a sort-merge join (PlanSpec-pinned). The shuffle carries at
+    * most |classes| partial rows per document. */
   def nbPredict(docs: DataFrame, id: Column, text: Column,
       m: NbModel): DataFrame = {
     val spark = docs.sparkSession
@@ -406,20 +411,16 @@ object TextAnalysis {
     val labelsDf = broadcast(
       m.labels.map(l => (l, m.priorsU(l), m.missU(l)))
         .toDF("__l", "__prior", "__miss"))
-    val grams = docs.select(id.as("id"),
-        explode(tokens(text)).as("__t"))
+    docs.select(id.as("id"), explode(tokens(text)).as("__t"))
       .select(col("id"),
         pmod(PortableHash.md5Long(col("__t"), m.seed), lit(B)).as("__b"))
-    val matched = grams.join(model, Seq("__b"))
-      .groupBy(col("id"), col("__l"))
-      .agg(sum("__w").as("__sw"), count(lit(1)).as("__mb"))
-    docs.select(id.as("id"), size(tokens(text)).cast("long").as("__ng"))
-      .crossJoin(labelsDf)
-      .join(matched, Seq("id", "__l"), "left")
+      .crossJoin(labelsDf.select("__l", "__miss"))
+      .join(model, Seq("__b", "__l"), "left")
+      .groupBy("id", "__l")
+      .agg(sum(coalesce(col("__w"), col("__miss"))).as("__sw"))
+      .join(labelsDf.select("__l", "__prior"), Seq("__l"))
       .select(col("id"), col("__l"),
-        (col("__prior") + coalesce(col("__sw"), lit(0L)) +
-          (col("__ng") - coalesce(col("__mb"), lit(0L))) * col("__miss"))
-          .as("__score"))
+        (col("__prior") + col("__sw")).as("__score"))
       .groupBy("id")
       .agg(min(struct((-col("__score")).as("n"), col("__l").as("l"))).as("__best"))
       .select(col("id"), col("__best").getField("l").as("pred"))

@@ -333,4 +333,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!"DataFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined,
       s"q170 cluster probe must not degrade to a data filter:\n$p")
   }
+
+  test("NB predict: model joins broadcast, argmax is the min-struct agg — " +
+    "no window, no sort-merge join (q184)") {
+    // the class argmax must stay a partial-aggregable min(struct): a
+    // row_number per doc would range-shuffle every (doc, class) score row
+    // to one reducer chain; the model and label tables are driver-sized
+    // broadcast constants by contract
+    val p = plan("q184_nb_classifier")
+    assert(!p.contains("Window"),
+      s"q184 argmax must not plan a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q184 model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q184 must not sort-merge-join the model:\n$p")
+  }
+
+  test("winnowed-print decontamination: benchmark print set broadcasts; " +
+    "corpus side shuffles one per-doc aggregation only (q183)") {
+    val p = plan("q183_winnow_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q183 benchmark prints must broadcast:\n$p")
+    // corpus prints → broadcast join → per-doc agg → anti join → final agg:
+    // the corpus text itself must never shuffle (no sort-merge join)
+    assert(!p.contains("SortMergeJoin"),
+      s"q183 must not sort-merge-join the corpus:\n$p")
+  }
+
+  test("C4 line cleaning is one fused per-row projection — no exchange " +
+    "before the final ordering (q181)") {
+    val p = plan("q181_c4_line_filter")
+    // split/filter/join run inside the scan's projection; the only
+    // exchange is the final ORDER BY's range partition
+    assert(shuffles(p) <= 1,
+      s"q181 must not shuffle before the final sort:\n$p")
+    assert(!p.contains("ScalaUDF"), s"no UDF in the line rules:\n$p")
+  }
 }
