@@ -426,6 +426,42 @@ object TextAnalysis {
       .select(col("id"), col("__best").getField("l").as("pred"))
   }
 
+  /** Per-row JVM twin of [[nbPredict]] for streaming scoring
+    * ([[graft.streaming.NbStream]]): identical bucket hashing, identical
+    * integer micro-nat sums (commutative BIGINT addition — order cannot
+    * matter), identical (score desc, label asc) argmax. Returns null for
+    * null text (the batch op's absent-row convention — stream callers
+    * filter). */
+  def nbPredictTextJvm(text: String, m: NbModel): String = {
+    if (text == null) return null
+    val labels = m.labels
+    val scores = new Array[Long](labels.length)
+    var i = 0
+    while (i < labels.length) { scores(i) = m.priorsU(labels(i)); i += 1 }
+    val miss = labels.map(m.missU).toArray
+    val toks = text.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val b = PortableHash.Jvm.md5Long60(toks(t), m.seed) % m.nBuckets
+      m.scoresU.get(b) match {
+        case Some(per) =>
+          var j = 0
+          while (j < labels.length) {
+            scores(j) += per.getOrElse(labels(j), miss(j)); j += 1
+          }
+        case None =>
+          var j = 0
+          while (j < labels.length) { scores(j) += miss(j); j += 1 }
+      }
+      t += 1
+    }
+    // labels are sorted asc; strict > keeps the first (asc) on ties
+    var best = 0
+    var j = 1
+    while (j < labels.length) { if (scores(j) > scores(best)) best = j; j += 1 }
+    labels(best)
+  }
+
   /** DuckDB twin of [[nbFit]] + [[nbPredict]] (oracle construction): a CTE
     * chain ending in `nb_pred(id, pred)`. Identical count, smoothing,
     * micro-nat rounding and (score desc, label asc) argmax arithmetic. */

@@ -233,6 +233,52 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(admitted === wantAdmitted)
   }
 
+  test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
+    "stateless across microbatch splits; class-gated admission") {
+    import graft.streaming.NbStream
+    import graft.ops.{TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // fit offline once on a marker-planted slice (the q184 setup)
+    val planted = docs.select(col("doc_id"), col("lang"),
+      when(pmod(col("doc_id"), lit(7)) =!= 1,
+        concat(col("text"), lit(" lm_"), col("lang")))
+        .otherwise(col("text")).as("text2"))
+    val m = TA.nbFit(planted.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("lang"), col("text2"), nBuckets = 64, seed = 11)
+    val want = TA.nbPredict(planted, col("doc_id"), col("text2"), m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stream the SAME planted frame from disk in two microbatches: a
+    // stateless classifier must emit each doc twice, identically
+    val dir = Files.createTempDirectory("graft-nb-stream")
+    planted.coalesce(1).write.parquet(dir.resolve("a").toString)
+    val aFile = Files.list(dir.resolve("a")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("y.parquet"))
+    val stream = spark.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(
+        NbStream.classifyDocs(stream, col("doc_id"), col("text2"), m).toDF(),
+        "nb_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 2 * want.size, "both microbatches must classify")
+    got.foreach { case (id, p) =>
+      assert(want(id) === p, s"doc $id: stream $p != batch ${want(id)}")
+    }
+    // admission keeps exactly the batch-predicted member set
+    val admitted = EventsStream.runToCompletion(
+        NbStream.admit(spark.readStream.schema(planted.schema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString),
+          col("doc_id"), col("text2"), m, allowed = Set("en", "zh")).toDF(),
+        "nb_admit", OutputMode.Append())
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val wantAdmitted = want.filter(kv => Set("en", "zh")(kv._2)).keySet
+    assert(admitted === wantAdmitted)
+  }
+
   test("streaming BPE token metering equals batch across microbatches " +
     "(stateless projection; model reference survives microbatch planning)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
