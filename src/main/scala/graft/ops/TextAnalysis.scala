@@ -279,6 +279,44 @@ object TextAnalysis {
         col("n_lines"), col("n_lines_kept"))
   }
 
+  // ---- encoding-damage (mojibake) detection ------------------------------
+
+  private val ReplacementChar = "�"
+  private val ControlCharPattern = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
+
+  /** U+FFFD replacement-character count — the tell of UTF-8 decode damage
+    * upstream (a crawler that transcoded lossily). Plain (non-regex)
+    * replace, length difference: one fused per-row expression. */
+  def replacementCharCount(c: Column): Column =
+    (length(c) - length(replace(c, lit(ReplacementChar), lit("")))).cast("long")
+
+  /** C0/DEL control characters (tab/newline/CR excluded) — binary garbage
+    * leaking into a text column. */
+  def controlCharCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, ControlCharPattern, ""))).cast("long")
+
+  /** Encoding gate: a document passes when replacement chars stay under
+    * `maxReplRatio` of its characters and it carries no control chars at
+    * all (the strict rule — any C0 byte means the column was never really
+    * text). Empty texts pass (nothing to be damaged). */
+  def encodingOk(c: Column, maxReplRatio: Double): Column =
+    (length(c) === 0) ||
+      (replacementCharCount(c).cast("double") <= lit(maxReplRatio) * length(c) &&
+        controlCharCount(c) === 0)
+
+  /** DuckDB twins (oracle construction). U+FFFD is spelled via chr() so
+    * the SQL stays 7-bit clean. */
+  def replacementCharCountSql(col: String): String =
+    s"CAST(length($col) - length(replace($col, chr(65533), '')) AS BIGINT)"
+
+  def controlCharCountSql(col: String): String =
+    s"CAST(length($col) - length(regexp_replace($col, " +
+      s"'$ControlCharPattern', '', 'g')) AS BIGINT)"
+
+  def encodingOkSql(col: String, maxReplRatio: Double): String =
+    s"(length($col) = 0 OR (${replacementCharCountSql(col)}::DOUBLE " +
+      s"<= $maxReplRatio * length($col) AND ${controlCharCountSql(col)} = 0))"
+
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))

@@ -284,6 +284,24 @@ object TextQueries {
         .orderBy("pred", "bucket")
     }),
 
+    // encoding-damage gate: U+FFFD runs planted on every 9th doc, C0
+    // control bytes on every 13th (both on 117) — replacement counts,
+    // control counts and the strict pass/fail verdict pinned per doc
+    "q186_encoding_filter" -> ((s, d) => {
+      val withRepl = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit(" \ufffd\ufffd\ufffd"))).otherwise(col("text"))
+      val damaged = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(withRepl, lit("\u0001\u0007"))).otherwise(withRepl)
+      t(s, d, "documents")
+        .select(col("doc_id"), damaged.as("t2"))
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          TA.replacementCharCount(col("t2")).as("n_repl"),
+          TA.controlCharCount(col("t2")).as("n_ctrl"),
+          TA.encodingOk(col("t2"), maxReplRatio = 0.005).as("ok"))
+        .orderBy("doc_id")
+    }),
+
     // MOSS-grade fuzzy decontamination: a 15-token benchmark run planted
     // into every eval doc (doc_id ≡ 0 mod 97) AND into corpus docs ≡ 0
     // mod 31 — the winnowing guarantee (shared run ≥ w+k−1 ⇒ ≥1 shared
@@ -1577,6 +1595,21 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical plant spelled via chr(); counts and the verdict replayed
+    // through the documented twins
+    "q186_encoding_filter" ->
+      s"""WITH pl AS (SELECT doc_id,
+           (CASE WHEN doc_id % 9 = 0
+              THEN text || ' ' || repeat(chr(65533), 3) ELSE text END)
+           || (CASE WHEN doc_id % 13 = 0 THEN chr(1) || chr(7) ELSE '' END)
+             AS t2
+           FROM documents WHERE doc_id < 120)
+         SELECT doc_id,
+           ${TA.replacementCharCountSql("t2")} AS n_repl,
+           ${TA.controlCharCountSql("t2")} AS n_ctrl,
+           ${TA.encodingOkSql("t2", 0.005)} AS ok
+         FROM pl ORDER BY doc_id""",
 
     // identical plant; prints replayed through the documented winnowing
     // twin on both sides, shared counts and the survivor anti-join exact
