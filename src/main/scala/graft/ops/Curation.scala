@@ -59,6 +59,28 @@ object Curation {
     else Chunking.pack(chunks, col("split"), cfg.ctx)
   }
 
+  /** C4 + encoding HYGIENE pre-stage — the crawl cleanup C4/CCNet run
+    * before any statistics ever see the text: encoding gate (strict C0 /
+    * U+FFFD-ratio rules, [[TextAnalysis.encodingOk]]) → page-level C4
+    * drops (lorem-ipsum / curly-brace pages, [[TextAnalysis.c4DocOk]]) →
+    * line-level C4 rewrite (terminal punctuation + min words + javascript,
+    * [[TextAnalysis.c4CleanText]]) → drop pages whose every line fell.
+    * Returns the surviving rows with the cleaned text in column `textOut`.
+    *
+    * Compose UPSTREAM of [[curate]] (the q180 pattern — a text-REWRITING
+    * stage must run before the pipeline fixes its text expression).
+    * Scale shape: every rule is a fused per-row expression over the scan —
+    * zero shuffle, zero state; the same projection composes on streams
+    * as-is. */
+  def hygiene(docs: DataFrame, text: Column, textOut: String,
+      minWordsPerLine: Int = 3, maxReplRatio: Double = 0.01,
+      sep: String = "\n"): DataFrame =
+    docs.filter(TextAnalysis.encodingOk(text, maxReplRatio) &&
+        TextAnalysis.c4DocOk(text))
+      .withColumn(textOut,
+        TextAnalysis.c4CleanText(text, minWordsPerLine, sep))
+      .filter(length(col(textOut)) > 0)
+
   /** Perceptual IMAGE dedup as a curation stage — drops every document
     * whose image is a near-duplicate (dHash Hamming ≤ `maxHamming`) of a
     * LOWER-id document's image; docs without a media row pass through

@@ -20,6 +20,42 @@ object SamplingQueries {
   private val LangFracs =
     Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1, "fr" -> 1.0)
 
+  /** The standard `curate()` replay, parameterized by the input relation
+    * (`doc_id, text, lang`): quality → stratified rebalance → exact dedup
+    * → 16-hash MinHash fuzzy dedup → split → chunk → pack, aggregated to
+    * the per-split report. CTE list (no leading WITH) + final SELECT —
+    * shared by the q91/q180/q187 capstone oracles. */
+  private def curationTailSql(inputTable: String): String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+      .mkString(", ")
+    val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+    s"""q AS (SELECT * FROM $inputTable
+         WHERE ${TA.qualityClassSql("text")} = 'ok'
+           AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
+       e1 AS (SELECT * FROM q
+         QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+           ORDER BY doc_id) = 1),
+       sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+       ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+       hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+       sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+       e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+         QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
+       spl AS (SELECT *,
+         ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+         FROM e2),
+       ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
+       j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
+       p AS (SELECT split, doc, n_tok,
+         sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
+           ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+       SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
+         count(DISTINCT (cum - n_tok) // 512) AS n_bins,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok
+       FROM p GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q77_hash_split" -> ((s, d) => {
@@ -268,6 +304,47 @@ object SamplingQueries {
     // uses so duplicated boilerplate can't poison corpus statistics);
     // rebuilt text rejoins on spaces and flows through the whole q91
     // pipeline, all replayed by one oracle
+    // hygiene-first curation: q181's planted C4 lines + q186's planted
+    // encoding damage, scrubbed by Curation.hygiene() UPSTREAM of the
+    // full curate() pipeline (C4/CCNet's actual stage order — crawl
+    // cleanup before any statistics); one composed oracle replays the
+    // gates, the line rewrite and every downstream stage
+    "q187_curation_hygiene" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 7).cast("int")),
+        i => concat(array_join(slice(toks, i * 7 + 1, lit(7)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, lit(""))
+            .otherwise(lit("."))))
+      val headed = when(pmod(col("doc_id"), lit(40)) === 0,
+          concat(array(lit("lorem ipsum dolor sit amet.")), segs))
+        .when(pmod(col("doc_id"), lit(50)) === 0,
+          concat(array(lit("if (x) { alert(1); }.")), segs))
+        .otherwise(segs)
+      val lines = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(headed, array(lit("please enable javascript to continue."))))
+        .otherwise(headed)
+      val joined = array_join(lines, "\n")
+      val withRepl = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(joined, lit(" \ufffd\ufffd\ufffd"))).otherwise(joined)
+      val damaged = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(withRepl, lit("\u0001\u0007"))).otherwise(withRepl)
+      val planted = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), damaged.as("text2"))
+      val clean = Curation.hygiene(planted, col("text2"), "text3",
+          minWordsPerLine = 4, maxReplRatio = 0.004)
+        .select(col("doc_id"), col("lang"),
+          regexp_replace(col("text3"), "\n", " ").as("text"))
+      Curation.curate(clean, col("doc_id"), col("text"), col("lang"),
+          Curation.Config(langFracs = LangFracs))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
+    }),
+
     "q180_curation_paradedup" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val segs = transform(
@@ -594,10 +671,6 @@ object SamplingQueries {
     },
 
     "q180_curation_paradedup" -> {
-      val mins = (0 until 16)
-        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
-        .mkString(", ")
-      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
       s"""WITH base0 AS (SELECT doc_id, str_split(text, ' ') AS ts, lang
            FROM documents),
          segs AS (SELECT doc_id, lang, list_transform(
@@ -615,61 +688,48 @@ object SamplingQueries {
            FROM keepp WHERE rn = 1 GROUP BY 1),
          docs2 AS (SELECT p.doc_id, coalesce(r.text, '') AS text, p.lang
            FROM pl p LEFT JOIN reb r USING (doc_id)),
-         q AS (SELECT * FROM docs2
-           WHERE ${TA.qualityClassSql("text")} = 'ok'
-             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
-         e1 AS (SELECT * FROM q
-           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
-             ORDER BY doc_id) = 1),
-         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
-         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
-         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
-         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
-         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
-           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
-         spl AS (SELECT *,
-           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
-           FROM e2),
-         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
-         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
-         p AS (SELECT split, doc, n_tok,
-           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
-             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
-         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
-           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
-           CAST(sum(n_tok) AS BIGINT) AS sum_tok
-         FROM p GROUP BY 1 ORDER BY 1"""
+         ${curationTailSql("docs2")}"""
     },
 
-    "q91_curation_pipeline" -> {
-      val mins = (0 until 16)
-        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
-        .mkString(", ")
-      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
-      s"""WITH q AS (SELECT * FROM documents
-           WHERE ${TA.qualityClassSql("text")} = 'ok'
-             AND (${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)})),
-         e1 AS (SELECT * FROM q
-           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
-             ORDER BY doc_id) = 1),
-         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
-         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
-         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
-         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
-         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
-           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1),
-         spl AS (SELECT *,
-           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
-           FROM e2),
-         ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48, table = "spl")}),
-         j AS (SELECT ch.*, spl.split FROM ch JOIN spl ON ch.doc = spl.doc_id),
-         p AS (SELECT split, doc, n_tok,
-           sum(n_tok) OVER (PARTITION BY split ORDER BY doc, chunk_idx
-             ROWS UNBOUNDED PRECEDING) AS cum FROM j)
-         SELECT split, count(DISTINCT doc) AS n_docs, count(*) AS n_chunks,
-           count(DISTINCT (cum - n_tok) // 512) AS n_bins,
-           CAST(sum(n_tok) AS BIGINT) AS sum_tok
-         FROM p GROUP BY 1 ORDER BY 1"""
+    "q91_curation_pipeline" ->
+      s"""WITH ${curationTailSql("documents")}""",
+
+    // identical line/damage plants; the hygiene gates and rewrite replay
+    // through the documented twins, then the standard curate() tail
+    "q187_curation_hygiene" -> {
+      val keep = TA.c4KeepLineSql("l", 4)
+      s"""WITH lbase AS (SELECT doc_id, lang, str_split(text, ' ') AS ts
+           FROM documents),
+         lsegs AS (SELECT doc_id, lang, list_transform(
+             generate_series(0, (len(ts) - 1) // 7),
+             i -> array_to_string(ts[i*7+1:i*7+7], ' ') ||
+               CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS sg
+           FROM lbase),
+         lheaded AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 40 = 0
+               THEN list_concat(['lorem ipsum dolor sit amet.'], sg)
+             WHEN doc_id % 50 = 0
+               THEN list_concat(['if (x) { alert(1); }.'], sg)
+             ELSE sg END AS lh FROM lsegs),
+         llines AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0
+               THEN list_concat(lh, ['please enable javascript to continue.'])
+             ELSE lh END AS ls FROM lheaded),
+         ltxt AS (SELECT doc_id, lang,
+             array_to_string(ls, chr(10))
+             || CASE WHEN doc_id % 9 = 0
+                  THEN ' ' || repeat(chr(65533), 3) ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN chr(1) || chr(7) ELSE '' END AS text2
+           FROM llines),
+         hg AS (SELECT doc_id, lang,
+             replace(array_to_string(list_filter(str_split(text2, chr(10)),
+               l -> $keep), chr(10)), chr(10), ' ') AS text
+           FROM ltxt
+           WHERE ${TA.encodingOkSql("text2", 0.004)}
+             AND ${TA.c4DocOkSql("text2")}),
+         h2 AS (SELECT * FROM hg WHERE length(text) > 0),
+         ${curationTailSql("h2")}"""
     },
 
     "q167_split_leakage" ->
