@@ -184,6 +184,24 @@ object Dedup {
         (col("n_shared") >= minShared).as("contaminated"))
   }
 
+  /** SEMANTIC decontamination — drop every incoming document whose
+    * EMBEDDING is ≥ `minCos` similar to any benchmark embedding: catches
+    * paraphrased/translated eval contamination that no lexical rule
+    * (exact 13-grams q130, winnowed prints q183) can see, at the cost of
+    * trusting the embedding space. The benchmark is small by definition,
+    * so the plan is ONE broadcast nested-loop ANTI join with the fused
+    * codegen cosine as its condition — the corpus streams through in a
+    * single pass, nothing shuffles, no index required. (For benchmark
+    * sets too big to broadcast, block both sides through
+    * [[graft.ops.Similarity.annJoin]] instead and anti-join its hits.) */
+  def semanticDecontaminate(incoming: DataFrame, vec: Column,
+      benchmark: DataFrame, benchVec: Column, minCos: Double): DataFrame = {
+    val bench = broadcast(benchmark.select(benchVec.as("__bv")))
+    incoming.join(bench,
+      Similarity.cosineNative(incoming, vec, col("__bv")) >= minCos,
+      "left_anti")
+  }
+
   /** Survivor half of [[printOverlap]]: the incoming rows whose document
     * does NOT share ≥ `minShared` winnowed prints with the benchmark.
     * The flagged-id set is the anti-join's build side; it is bounded by

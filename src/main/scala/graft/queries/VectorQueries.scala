@@ -519,6 +519,31 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // SEMANTIC decontamination: corpus rows whose embedding is ≥0.95
+    // similar to ANY benchmark embedding drop in one broadcast
+    // nested-loop anti join. Planted contract: every 37th corpus vector
+    // is overwritten with benchmark vector 0's embedding (cos ≈ 1) and
+    // must drop; organic cross-pairs top out at 0.51/0.60 cosine
+    // (q143-measured), so no innocent row is near the threshold.
+    // Survivors membership pinned per label (count + id-sum)
+    "q188_semantic_decontam" -> ((s, d) => {
+      import graft.ops.Dedup
+      val e = emb(s, d)
+      val b0 = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("b0")))
+      val corpus = e.filter(pmod(col("vec_id"), lit(101)) =!= 0)
+        .crossJoin(b0)
+        .select(col("vec_id"), col("label"),
+          when(pmod(col("vec_id"), lit(37)) === 0, col("b0"))
+            .otherwise(col("embedding")).as("v"))
+      val bench = e.filter(pmod(col("vec_id"), lit(101)) === 0)
+      Dedup.semanticDecontaminate(corpus, col("v"),
+          bench, col("embedding"), minCos = 0.95)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+        .orderBy("label")
+    }),
+
     // cross-table ANN JOIN: per left (query) row, top-3 right (corpus)
     // rows among shared-LSH-bucket candidates — the retrieval join when
     // both sides are too big to broadcast; every edge and rank pinned
@@ -809,6 +834,24 @@ object VectorQueries {
          SELECT cluster, count(*) AS n_nodes,
            CAST(sum(node) AS BIGINT) AS sum_nodes
          FROM cc GROUP BY 1 ORDER BY 1""",
+
+    // identical plant + cosine replay; the ≥0.95 decision has ≥0.34 of
+    // margin on every row (copies ≈1, organic ≤0.61), so a ulp of
+    // cross-engine dot-product noise cannot flip membership
+    "q188_semantic_decontam" ->
+      s"""WITH b0 AS (SELECT embedding AS b0 FROM embeddings WHERE vec_id = 0),
+         corpus AS (SELECT vec_id, label,
+             CASE WHEN vec_id % 37 = 0 THEN (SELECT b0 FROM b0)
+               ELSE embedding END AS v
+           FROM embeddings WHERE vec_id % 101 <> 0),
+         bench AS (SELECT embedding AS bv FROM embeddings
+           WHERE vec_id % 101 = 0),
+         flag AS (SELECT DISTINCT c.vec_id FROM corpus c JOIN bench b
+           ON ${Sim.cosineSql("c.v", "b.bv")} >= 0.95)
+         SELECT label, count(*) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM flag)
+         GROUP BY 1 ORDER BY 1""",
 
     "q174_ann_join" ->
       s"""WITH l AS (SELECT vec_id AS i, embedding, $bucket4 AS bucket

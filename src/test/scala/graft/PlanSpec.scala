@@ -360,6 +360,17 @@ class PlanSpec extends AnyFunSuite {
       s"q183 must not sort-merge-join the corpus:\n$p")
   }
 
+  test("semantic decontamination is one broadcast nested-loop anti join — " +
+    "the corpus never shuffles (q188)") {
+    val p = plan("q188_semantic_decontam")
+    assert("BroadcastNestedLoopJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"q188 must anti-join against the broadcast benchmark:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q188 must never shuffle or cartesian the corpus:\n$p")
+    // remaining exchanges belong to the final aggregate + sort only
+    assert(shuffles(p) <= 2, s"q188 corpus pass must be shuffle-free:\n$p")
+  }
+
   test("C4 line cleaning is one fused per-row projection — no exchange " +
     "before the final ordering (q181)") {
     val p = plan("q181_c4_line_filter")
