@@ -130,13 +130,18 @@ object Curation {
     * `doc, chunk_idx, chunk, n_tok, split`. This is the part that is a pure
     * composition of filters, stateless projections, and keyed dedups — the
     * shape that also runs on a stream ([[curateStream]]). */
-  def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
-      cfg: Config = Config(),
-      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
-      dsirTarget: Option[DataFrame] = None): DataFrame = {
+  /** The document-level stage chain of [[curateChunks]], each stage paired
+    * with its name in pipeline order — shared by the pipeline itself and
+    * the [[funnel]] yield report so the two can never drift. */
+  private def docStages(docs: DataFrame, id: Column, text: Column,
+      lang: Column, cfg: Config,
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]],
+      dsirTarget: Option[DataFrame]): Seq[(String, DataFrame)] = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val base = media.map(m =>
-      dedupByMediaHash(docs, id, m, cfg.mediaMaxHamming)).getOrElse(docs)
+    val input = Seq("input" -> docs)
+    val mediaStage = media.map(m =>
+      "media_dedup" -> dedupByMediaHash(docs, id, m, cfg.mediaMaxHamming))
+    val base = mediaStage.map(_._2).getOrElse(docs)
     val quality = base.filter(TextAnalysis.qualityClass(text) === "ok")
     // optional DSIR data-selection stage: keep documents at least as
     // target-like as `dsirMinWeightU` micro-nats (0 = "more target-like
@@ -146,24 +151,33 @@ object Curation {
     // target frame should be drawn from the same post-quality population
     // (or an external exemplar corpus) so the oracle can replay both
     // distributions from one table expression.
-    val selected = dsirTarget match {
-      case Some(tgt) =>
-        Sampling.dsirWeights(quality, id, text, tgt, text,
-            cfg.dsirBuckets, cfg.dsirSeed)
-          .filter(col("dsir_weight_u") >= cfg.dsirMinWeightU)
-          .drop("n_grams", "dsir_weight_u")
-      case None => quality
+    val dsirStage = dsirTarget.map { tgt =>
+      "dsir_select" -> Sampling.dsirWeights(quality, id, text, tgt, text,
+          cfg.dsirBuckets, cfg.dsirSeed)
+        .filter(col("dsir_weight_u") >= cfg.dsirMinWeightU)
+        .drop("n_grams", "dsir_weight_u")
     }
-    val rebalanced =
-      if (cfg.langFracs.isEmpty) selected
-      else Sampling.stratifiedSample(selected, id, lang, cfg.langFracs,
-        cfg.sampleSeed)
+    val selected = dsirStage.map(_._2).getOrElse(quality)
+    val rebalStage =
+      if (cfg.langFracs.isEmpty) None
+      else Some("rebalance" -> Sampling.stratifiedSample(selected, id, lang,
+        cfg.langFracs, cfg.sampleSeed))
+    val rebalanced = rebalStage.map(_._2).getOrElse(selected)
     val exact = Dedup.dedupExact(rebalanced,
       TextAnalysis.fingerprint(text), id)
     val fuzzy = Dedup.dedupExact(exact,
       call_function("minhash_signature", text,
         lit(cfg.shingleN), lit(cfg.sigK)),
       id)
+    input ++ mediaStage ++ Seq("quality" -> quality) ++ dsirStage ++
+      rebalStage ++ Seq("exact_dedup" -> exact, "fuzzy_dedup" -> fuzzy)
+  }
+
+  def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
+      cfg: Config = Config(),
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
+      dsirTarget: Option[DataFrame] = None): DataFrame = {
+    val fuzzy = docStages(docs, id, text, lang, cfg, media, dsirTarget).last._2
     // split is a pure hash of the id, so it is RE-DERIVED on the chunk
     // output (whose `doc` IS the id) instead of joined back — a join here
     // would re-evaluate the whole quality→sample→dedup lineage a second
@@ -174,6 +188,30 @@ object Curation {
         Sampling.splitColumn(col("doc"), cfg.splitNames, cfg.splitWeights,
           cfg.splitSeed))
   }
+
+  /** Stage-by-stage survivor FUNNEL — the yield report a production
+    * pipeline publishes next to every run (where did the corpus go?): one
+    * row per document-level stage in pipeline order,
+    * `(stage_idx, stage, n_docs)`. Built from the SAME stage chain the
+    * pipeline executes ([[docStages]]), so the report cannot drift from
+    * the code.
+    *
+    * Scale shape: one lazy union of per-stage count aggregates — a single
+    * job; each branch re-derives its lineage (the stages are deliberately
+    * uncached — counts don't justify materializing 100 TB intermediates),
+    * so the cost is one extra pipeline evaluation per stage counted. Run
+    * it beside the real pipeline, not inside it. */
+  def funnel(docs: DataFrame, id: Column, text: Column, lang: Column,
+      cfg: Config = Config(),
+      media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
+      dsirTarget: Option[DataFrame] = None): DataFrame =
+    docStages(docs, id, text, lang, cfg, media, dsirTarget).zipWithIndex
+      .map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"))
+      }
+      .reduce(_ unionByName _)
 
   /** [[curateChunks]] over an APPEND-MODE STREAM — continuous curation of
     * arriving documents. Every stage composes on a stream as-is: quality

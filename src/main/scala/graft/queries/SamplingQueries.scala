@@ -345,6 +345,15 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // the curation FUNNEL: per-stage survivor counts in pipeline order —
+    // the yield report built from the pipeline's own stage chain, so the
+    // oracle re-deriving each stage pins that report against the code
+    "q189_curation_funnel" -> ((s, d) => {
+      Curation.funnel(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("lang"), Curation.Config(langFracs = LangFracs))
+        .orderBy("stage_idx")
+    }),
+
     "q180_curation_paradedup" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val segs = transform(
@@ -693,6 +702,35 @@ object SamplingQueries {
 
     "q91_curation_pipeline" ->
       s"""WITH ${curationTailSql("documents")}""",
+
+    // each stage re-derived independently; the count chain pins every
+    // stage's survivor set size in order
+    "q189_curation_funnel" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH q0 AS (SELECT * FROM documents
+           WHERE ${TA.qualityClassSql("text")} = 'ok'),
+         rb AS (SELECT * FROM q0
+           WHERE ${Sampling.stratifiedSampleSql("doc_id", "lang", LangFracs)}),
+         e1 AS (SELECT * FROM rb
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${Dedup.shinglesSql("text", 3)} sgs FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1)
+         SELECT 0 AS stage_idx, 'input' AS stage,
+           (SELECT count(*) FROM documents) AS n_docs
+         UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q0)
+         UNION ALL SELECT 2, 'rebalance', (SELECT count(*) FROM rb)
+         UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM e1)
+         UNION ALL SELECT 4, 'fuzzy_dedup', (SELECT count(*) FROM e2)
+         ORDER BY stage_idx"""
+    },
 
     // identical line/damage plants; the hygiene gates and rewrite replay
     // through the documented twins, then the standard curate() tail
