@@ -40,6 +40,53 @@ object Similarity {
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
 
+  // ---- embedding preprocessing (the normalize/center/truncate steps
+  // SemDeDup- and MRL-style serving stacks run before any index sees a
+  // vector) ----------------------------------------------------------------
+
+  /** L2 normalization onto the unit sphere (double output) — SemDeDup's
+    * preprocessing contract (cosine ≡ dot product afterwards). The norm is
+    * LET-BOUND via the one-element outer transform (the repo's documented
+    * HOF trap: as a free expression inside the lambda it would re-reduce
+    * the whole vector per ELEMENT, O(d²)/row). Zero vectors stay zero. */
+  def l2Normalize(v: Column): Column =
+    element_at(transform(array(norm(asDouble(v))), n =>
+      when(n === 0.0, asDouble(v))
+        .otherwise(transform(v, x => x.cast("double") / n))), 1)
+
+  /** DuckDB twin of [[l2Normalize]]. */
+  def l2NormalizeSql(col: String): String = {
+    val n = s"sqrt(list_sum(list_transform($col, x -> x::DOUBLE * x::DOUBLE)))"
+    s"CASE WHEN $n = 0 THEN list_transform($col, x -> x::DOUBLE) " +
+      s"ELSE list_transform($col, x -> x::DOUBLE / $n) END"
+  }
+
+  /** Per-dimension corpus mean — the centering vector, collected to the
+    * driver (d doubles — driver-sized by definition) for broadcast
+    * subtraction in [[center]]. One explode + per-dimension avg. */
+  def meanVector(df: DataFrame, vec: Column): Array[Double] =
+    df.select(posexplode(asDouble(vec)).as(Seq("__p", "__x")))
+      .groupBy("__p").agg(avg("__x").as("__m"))
+      .orderBy("__p").collect().map(_.getDouble(1))
+
+  /** Mean-centering against a precomputed [[meanVector]] (broadcast as a
+    * literal array): removes the corpus-wide offset that makes every
+    * cosine look alike in anisotropic embedding spaces. */
+  def center(vec: Column, mean: Array[Double]): Column =
+    zip_with(asDouble(vec), array(mean.map(lit): _*), (x, m) => x - m)
+
+  /** Matryoshka-style dimension truncation: keep the leading `d`
+    * dimensions and re-normalize — the cheap-serving trade MRL-trained
+    * embeddings support (a prefix IS a valid embedding). Output is the
+    * unit-normalized double prefix. */
+  def truncateDims(vec: Column, d: Int): Column = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    l2Normalize(slice(vec, 1, d))
+  }
+
+  def truncateDimsSql(col: String, d: Int): String =
+    l2NormalizeSql(s"($col[1:$d])")
+
   /** Sign-LSH bucket: bit i set iff dimension i+1 is non-negative. A fixed
     * projection basis (the leading `bits` axes) keeps it deterministic and
     * engine-portable; swap in a seeded random basis for production skew

@@ -519,6 +519,26 @@ object VectorQueries {
         .orderBy("cluster")
     }),
 
+    // embedding preprocessing (SemDeDup normalize / anisotropy centering /
+    // MRL prefix truncation): raw norm, unit-norm proof, first centered
+    // coordinate against the corpus mean, and the renormalized 8-dim
+    // prefix (first coord + checksum) pinned per vector
+    "q190_embed_preprocess" -> ((s, d) => {
+      val e = emb(s, d)
+      val mean = Sim.meanVector(e, col("embedding"))
+      e.filter(col("vec_id") < 12)
+        .select(col("vec_id"),
+          round(Sim.norm(Sim.asDouble(col("embedding"))), 6).as("n6"),
+          round(Sim.norm(Sim.l2Normalize(col("embedding"))), 6).as("u6"),
+          round(element_at(Sim.center(col("embedding"), mean), 1), 6)
+            .as("c1"),
+          round(element_at(Sim.truncateDims(col("embedding"), 8), 1), 6)
+            .as("t1"),
+          round(aggregate(Sim.truncateDims(col("embedding"), 8), lit(0.0),
+            (a, x) => a + x), 6).as("tsum"))
+        .orderBy("vec_id")
+    }),
+
     // SEMANTIC decontamination: corpus rows whose embedding is ≥0.95
     // similar to ANY benchmark embedding drop in one broadcast
     // nested-loop anti join. Planted contract: every 37th corpus vector
@@ -834,6 +854,23 @@ object VectorQueries {
          SELECT cluster, count(*) AS n_nodes,
            CAST(sum(node) AS BIGINT) AS sum_nodes
          FROM cc GROUP BY 1 ORDER BY 1""",
+
+    // identical norm/center/truncate arithmetic via the documented twins;
+    // the corpus mean is an avg of doubles whose cross-engine summation
+    // noise (~1e-13) is far under the 6-decimal grid
+    "q190_embed_preprocess" -> {
+      val unitNorm =
+        s"sqrt(list_sum(list_transform(${Sim.l2NormalizeSql("embedding")}, x -> x * x)))"
+      s"""WITH m1 AS (SELECT avg(embedding[1]::DOUBLE) AS m FROM embeddings)
+         SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE))), 6) AS n6,
+           round($unitNorm, 6) AS u6,
+           round(embedding[1]::DOUBLE - (SELECT m FROM m1), 6) AS c1,
+           round((${Sim.truncateDimsSql("embedding", 8)})[1], 6) AS t1,
+           round(list_sum(${Sim.truncateDimsSql("embedding", 8)}), 6) AS tsum
+         FROM embeddings WHERE vec_id < 12 ORDER BY vec_id"""
+    },
 
     // identical plant + cosine replay; the ≥0.95 decision has ≥0.34 of
     // margin on every row (copies ≈1, organic ≤0.61), so a ulp of

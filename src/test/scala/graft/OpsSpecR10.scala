@@ -109,6 +109,30 @@ class OpsSpecR10 extends AnyFunSuite {
     }
   }
 
+  // ---- embedding preprocessing ------------------------------------------
+
+  test("l2Normalize/center/truncateDims: unit norms, zero-vector safety, exact centering") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(3f, 4f)),        // norm 5 → (0.6, 0.8)
+      (2L, Array(0f, 0f)),        // zero vector stays zero
+      (3L, Array(1f, 1f))).toDF("id", "vec")
+    val got = vecs.select(col("id"),
+        Similarity.l2Normalize(col("vec")).as("u"),
+        Similarity.center(col("vec"), Array(1.0, 2.0)).as("c"),
+        Similarity.truncateDims(col("vec"), 1).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getSeq[Double](3))).toMap
+    assert(got(1L)._1.map(x => math.round(x * 1e9) / 1e9) === Seq(0.6, 0.8))
+    assert(got(2L)._1 === Seq(0.0, 0.0))
+    assert(got(1L)._2 === Seq(2.0, 2.0)) // (3,4) − (1,2)
+    assert(got(1L)._3 === Seq(1.0))      // prefix (3) renormalized
+    assert(got(2L)._3 === Seq(0.0))      // zero prefix stays zero
+    // meanVector is the exact per-dimension average
+    val m = Similarity.meanVector(vecs, col("vec"))
+    assert(m.toSeq === Seq((3.0 + 0 + 1) / 3, (4.0 + 0 + 1) / 3))
+  }
+
   // ---- hashed Naive Bayes -----------------------------------------------
 
   test("nbFit/nbPredict: learns class-indicative tokens, smoothing + priors exact") {
