@@ -727,6 +727,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("semanticClusters inherits the maxBucket valve: a planted fat bucket " +
+      "cannot go quadratic under the CC build; slim components survive") {
+    import spark.implicits._
+    // same geometry as the knnGraph valve spec: the 64-vector degenerate
+    // region + a slim identical-triple bucket (cos exactly 1 within it)
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val embs2 = (fat ++ slim).toDF("vec_id", "embedding")
+    val capped = Similarity.semanticClusters(embs2, col("vec_id"),
+        col("embedding"), bits = 4, k = 2, minCos = 0.999,
+        maxBucket = 10, extraBits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refinement isolates every fat-bucket vector → no fat edges, no fat
+    // components (the documented subset/recall trade); the slim identical
+    // triple still collapses into one component rooted at its min id
+    assert(capped.keySet === Set(100L, 101L, 102L), s"capped=$capped")
+    assert(capped.values.toSet === Set(100L))
+  }
+
   test("annJoin: cross-table top-k ≡ per-bucket brute replay; maxBucket " +
       "valve bounds a fat bucket from EITHER side; capped ⊆ uncapped") {
     import spark.implicits._
