@@ -558,6 +558,26 @@ object Sampling {
   /** DuckDB twin of [[dsirWeights]] (oracle construction): a WITH-clause
     * body computing `dsir_w(id, n_grams, wu)` over `table`, with the
     * target slice selected by `targetPred`. Compose further CTEs after it. */
+  /** Quantile-gated filtering — the scale form of "drop the worst
+    * (1−p) tail" (CCNet's tercile cut globalized): keep rows whose score
+    * is ≤ the APPROXIMATE p-quantile of the score distribution. The
+    * threshold is ONE `percentile_approx` aggregate (GK sketch — rank
+    * error ≤ n/accuracy rows, mergeable map-side) broadcast into the
+    * filter as a single-row cross join; no global sort, no window, the
+    * data is scanned twice and shuffled never. An exact-percentile
+    * formulation would need a full sort (or the ntile window) on a
+    * 100 TB score column for a decision the sketch already makes within
+    * its documented rank band (q191 pins the band honestly, the q118
+    * discipline). */
+  def quantileGate(df: DataFrame, score: Column, p: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val thr = broadcast(df.agg(
+      percentile_approx(score, lit(p), lit(accuracy)).as("__thr")))
+    df.crossJoin(thr).filter(score <= col("__thr")).drop("__thr")
+  }
+
   def dsirSql(idCol: String, textCol: String, table: String,
       targetPred: String, nBuckets: Int, seed: Int = 7): String =
     s"""__toks AS (SELECT $idCol AS id, ($targetPred) AS tgt,

@@ -292,6 +292,40 @@ object TextQueries {
         .orderBy("pred", "bucket")
     }),
 
+    // quantile-gated quality filtering: keep docs at or below the approx
+    // 70th-percentile char entropy (one GK-sketch threshold, no global
+    // sort). Bound-check contract (the q118 discipline): the sketch
+    // threshold and the op's survivor count must land inside the exact
+    // p±0.02 rank band — booleans computed honestly Spark-side, pinned
+    // TRUE by the oracle next to the exact doc total
+    "q191_quantile_gate" -> ((s, d) => {
+      val scored = TA.charEntropy(t(s, d, "documents"), col("doc_id"),
+        col("text"))
+      val keptN = broadcast(
+        graft.ops.Sampling.quantileGate(scored, col("entropy"), p = 0.7,
+            accuracy = 1000)
+          .agg(count(lit(1)).as("n_kept")))
+      val thr = broadcast(scored.agg(
+        percentile_approx(col("entropy"), lit(0.7), lit(1000)).as("tv")))
+      val exact = broadcast(scored.agg(
+        expr("percentile(entropy, 0.68)").as("lov"),
+        expr("percentile(entropy, 0.72)").as("hiv")))
+      scored.crossJoin(thr).crossJoin(exact)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("entropy") <= col("lov"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("entropy") <= col("hiv"), 1L).otherwise(0L)).as("n_hi"),
+          first(col("tv")).as("tv"),
+          first(col("lov")).as("lov"), first(col("hiv")).as("hiv"))
+        .crossJoin(keptN)
+        .select(lit(0.7).as("p"),
+          (col("tv") >= col("lov") && col("tv") <= col("hiv"))
+            .as("thr_in_band"),
+          (col("n_kept") >= col("n_lo") && col("n_kept") <= col("n_hi"))
+            .as("kept_in_band"),
+          col("n_total"))
+    }),
+
     // encoding-damage gate: U+FFFD runs planted on every 9th doc, C0
     // control bytes on every 13th (both on 117) — replacement counts,
     // control counts and the strict pass/fail verdict pinned per doc
@@ -1603,6 +1637,13 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the estimates never reach the output — the oracle pins the honest
+    // band booleans TRUE and recomputes the exact population size
+    "q191_quantile_gate" ->
+      """SELECT CAST(0.7 AS DOUBLE) AS p, TRUE AS thr_in_band,
+         TRUE AS kept_in_band,
+         (SELECT count(*) FROM documents WHERE length(text) > 0) AS n_total""",
 
     // identical plant spelled via chr(); counts and the verdict replayed
     // through the documented twins
