@@ -578,6 +578,22 @@ object Sampling {
     df.crossJoin(thr).filter(score <= col("__thr")).drop("__thr")
   }
 
+  /** Per-group [[quantileGate]] — CCNet's actual cut is per LANGUAGE, not
+    * global: one grouped `percentile_approx` aggregate produces a
+    * threshold row per group (the group column is low-cardinality by the
+    * method's nature — languages, sources; the table broadcasts), joined
+    * back as a broadcast hash join into the filter. Same two-scan,
+    * zero-sort, zero-window shape as the global gate. */
+  def quantileGatePerGroup(df: DataFrame, score: Column, group: Column,
+      p: Double, accuracy: Int = 10000): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val thr = broadcast(df.groupBy(group.as("__g"))
+      .agg(percentile_approx(score, lit(p), lit(accuracy)).as("__thr")))
+    df.join(thr, group === col("__g"))
+      .filter(score <= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   def dsirSql(idCol: String, textCol: String, table: String,
       targetPred: String, nBuckets: Int, seed: Int = 7): String =
     s"""__toks AS (SELECT $idCol AS id, ($targetPred) AS tgt,

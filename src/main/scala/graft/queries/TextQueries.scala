@@ -326,6 +326,37 @@ object TextQueries {
           col("n_total"))
     }),
 
+    // CCNet's actual per-LANGUAGE cut: the q191 gate grouped by lang —
+    // per-group GK thresholds broadcast-joined into the filter; the same
+    // honest band booleans pinned TRUE per language
+    "q192_quantile_gate_per_lang" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TA.charEntropy(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      val keptN = graft.ops.Sampling.quantileGatePerGroup(scored,
+          col("entropy"), col("lang"), p = 0.7, accuracy = 1000)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      val thr = scored.groupBy("lang").agg(
+        percentile_approx(col("entropy"), lit(0.7), lit(1000)).as("tv"))
+      val exact = scored.groupBy("lang").agg(
+        expr("percentile(entropy, 0.68)").as("lov"),
+        expr("percentile(entropy, 0.72)").as("hiv"))
+      scored.join(broadcast(exact), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("entropy") <= col("lov"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("entropy") <= col("hiv"), 1L).otherwise(0L)).as("n_hi"),
+          first(col("lov")).as("lov"), first(col("hiv")).as("hiv"))
+        .join(broadcast(thr), "lang").join(broadcast(keptN), "lang")
+        .select(col("lang"),
+          (col("tv") >= col("lov") && col("tv") <= col("hiv"))
+            .as("thr_in_band"),
+          (col("n_kept") >= col("n_lo") && col("n_kept") <= col("n_hi"))
+            .as("kept_in_band"),
+          col("n_total"))
+        .orderBy("lang")
+    }),
+
     // encoding-damage gate: U+FFFD runs planted on every 9th doc, C0
     // control bytes on every 13th (both on 117) — replacement counts,
     // control counts and the strict pass/fail verdict pinned per doc
@@ -1637,6 +1668,11 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q192_quantile_gate_per_lang" ->
+      """SELECT lang, TRUE AS thr_in_band, TRUE AS kept_in_band,
+         count(*) AS n_total FROM documents WHERE length(text) > 0
+         GROUP BY lang ORDER BY lang""",
 
     // the estimates never reach the output — the oracle pins the honest
     // band booleans TRUE and recomputes the exact population size

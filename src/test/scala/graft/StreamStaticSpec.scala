@@ -233,6 +233,50 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(admitted === wantAdmitted)
   }
 
+  test("streaming hygiene: C4+encoding cleanup is a stateless projection — " +
+    "stream ≡ batch per document") {
+    import graft.ops.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // 6-token lines with punctuation on 2/3 of lines + U+FFFD damage on
+    // every 9th doc (a subset of the q187 plant)
+    val toks = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), ((size(toks) - 1) / 6).cast("int")),
+      i => concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "),
+        when(pmod(col("doc_id") + i, lit(3)) === 0, lit(""))
+          .otherwise(lit("."))))
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(array_join(lines, "\n"), lit(" \ufffd\ufffd\ufffd")))
+        .otherwise(array_join(lines, "\n")).as("text2"))
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      Curation.hygiene(df, col("text2"), "text3",
+          minWordsPerLine = 4, maxReplRatio = 0.004)
+        .select(col("doc_id"), md5(col("text3")).as("fp"))
+    val want = clean(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(want.nonEmpty && want.size < planted.count(),
+      "plant must drop some docs and keep some")
+    val dir = Files.createTempDirectory("graft-hyg-stream")
+    planted.coalesce(1).write.parquet(dir.resolve("a").toString)
+    val aFile = Files.list(dir.resolve("a")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("y.parquet"))
+    val stream = spark.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(clean(stream),
+        "hyg_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 2 * want.size, "both microbatches must clean")
+    got.foreach { case (id, fp) =>
+      assert(want(id) === fp, s"doc $id: stream text differs from batch")
+    }
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
