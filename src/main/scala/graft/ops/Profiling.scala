@@ -258,6 +258,33 @@ object Profiling {
         (col("max_b") > col("max_a")).as("max_breach"))
   }
 
+  /** Keyed SNAPSHOT diff between two corpus versions — the audit table a
+    * dataset release ships next to its manifest: per group, how many
+    * documents were ADDED (key only in v2), REMOVED (only in v1), CHANGED
+    * (both, different content fingerprint) and UNCHANGED. One full outer
+    * hash join on the document key (co-partitioned — neither snapshot is
+    * assumed broadcastable) followed by one partial-aggregable count
+    * rollup; the fingerprints travel instead of the texts, so the join
+    * carries two hashes per key, never the corpus. The group of an
+    * added/changed/unchanged doc comes from v2, a removed doc's from v1. */
+  def snapshotDiff(v1: DataFrame, id1: Column, fp1: Column, g1: Column,
+      v2: DataFrame, id2: Column, fp2: Column, g2: Column): DataFrame = {
+    val a = v1.select(id1.as("__k"), fp1.as("__f1"), g1.as("__g1"))
+    val b = v2.select(id2.as("__k"), fp2.as("__f2"), g2.as("__g2"))
+    a.join(b, Seq("__k"), "full_outer")
+      .select(coalesce(col("__g2"), col("__g1")).as("grp"),
+        when(col("__f1").isNull, "added")
+          .when(col("__f2").isNull, "removed")
+          .when(col("__f1") =!= col("__f2"), "changed")
+          .otherwise("unchanged").as("__st"))
+      .groupBy("grp")
+      .agg(
+        sum(when(col("__st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Pairwise Pearson correlations over numeric columns — the
     * feature-redundancy / leakage screen of a dataset profile. ONE
     * aggregation pass computes every pair's co-moments simultaneously

@@ -171,6 +171,23 @@ object MiscQueries {
         .orderBy("column")
     }),
 
+    // dataset release audit: keyed snapshot diff between two corpus
+    // versions — v1 = docs except ids ≡5 (mod 11), v2 = docs except ≡7
+    // with every 13th text edited; per-source added/removed/changed/
+    // unchanged counts pinned exactly
+    "q193_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      graft.ops.Profiling.snapshotDiff(
+          v1, col("doc_id"), md5(col("text")), col("source"),
+          v2, col("doc_id"), md5(col("text")), col("source"))
+        .orderBy("grp")
+    }),
+
     // the SQL entry point: temp views + spark.sql with a correlated EXISTS
     "q35_sql_exists" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("v_orders")
@@ -437,6 +454,28 @@ object MiscQueries {
            FROM lineitem""").mkString(" UNION ALL ")
       s"SELECT * FROM ($rows) ORDER BY col_a, col_b"
     },
+
+    // identical slices/edit plant; the diff replayed as the same full
+    // outer join on the key with md5 content compares
+    "q193_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS f
+           FROM documents WHERE doc_id % 11 <> 5),
+         v2 AS (SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+               ELSE text END) AS f
+           FROM documents WHERE doc_id % 11 <> 7),
+         st AS (SELECT coalesce(v2.source, v1.source) AS grp,
+             CASE WHEN v1.f IS NULL THEN 'added'
+               WHEN v2.f IS NULL THEN 'removed'
+               WHEN v1.f <> v2.f THEN 'changed'
+               ELSE 'unchanged' END AS s
+           FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+         SELECT grp,
+           CAST(sum(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN s = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN s = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         FROM st GROUP BY 1 ORDER BY 1""",
 
     // the deltas replay profile's own arithmetic: per-side rounded means
     // re-rounded on subtraction, exact-integer null rates, double compares
