@@ -563,6 +563,39 @@ object Dedup {
     verifyPairs(cands, docsigs.select("doc", "hs", "n"), minJaccard)
   }
 
+  /** LSH quality AUDIT — "measure, don't guess" for a (k, bands) choice:
+    * the exact Jaccard-pair truth set vs the banded candidate set, as one
+    * report row `(n_true, n_cand, n_tp, n_fn, n_fp, recall, precision)`.
+    * `n_fn` are real misses the banding trades away (S-curve tail);
+    * `precision` is the verify stage's hit rate — its join-size budget.
+    * Truth comes from the prefix-filtered exact join (never all-pairs);
+    * candidates from the very banding the production dedup runs, so the
+    * audit measures the shipped configuration. At 100 TB run it on a
+    * sampled slice — it is a config diagnostic, not a per-corpus pass. */
+  def lshAudit(df: DataFrame, id: Column, text: Column, n: Int, k: Int,
+      bands: Int, minJaccard: Double): DataFrame = {
+    val truth = jaccardPairs(df, id, text, n, minJaccard)
+      .select(col("i"), col("j")).withColumn("__t", lit(1))
+    val sig = shingleSets(df, id, text, n)
+      .select(col("doc"), PortableHash.baseHash(col("shingle")).as("h"))
+      .groupBy("doc")
+      .agg(min(PortableHash.derivedHash(col("h"), 0)).as("s0"),
+        (1 until k).map(j =>
+          min(PortableHash.derivedHash(col("h"), j)).as(s"s$j")): _*)
+    val cand = lshCandidates(sig, k, bands).withColumn("__c", lit(1))
+    truth.join(cand, Seq("i", "j"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0))).cast("long").as("n_true"),
+        sum(coalesce(col("__c"), lit(0))).cast("long").as("n_cand"),
+        sum(when(col("__t") === 1 && col("__c") === 1, 1L).otherwise(0L))
+          .as("n_tp"))
+      .select(col("n_true"), col("n_cand"), col("n_tp"),
+        (col("n_true") - col("n_tp")).as("n_fn"),
+        (col("n_cand") - col("n_tp")).as("n_fp"),
+        round(col("n_tp") / col("n_true"), 6).as("recall"),
+        round(col("n_tp") / col("n_cand"), 6).as("precision"))
+  }
+
   /** Embedding-cosine near-dup removal: mine within-LSH-bucket pairs with
     * cosine ≥ `minCosine` ([[Similarity.bucketedPairs]]), then keep the
     * lowest id of each near-dup pair. One greedy pass (drop any row that is

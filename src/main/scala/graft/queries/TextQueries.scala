@@ -292,6 +292,31 @@ object TextQueries {
         .orderBy("pred", "bucket")
     }),
 
+    // LSH banding audit: the q46 production configuration (k=16, 4 bands
+    // of 4) measured against exact Jaccard truth at τ=0.4, with PARTIAL
+    // near-dups planted (70% prefix kept + per-doc junk suffix ⇒
+    // jaccard ≈ 0.5 — squarely in the banding S-curve's miss zone, so
+    // the report shows REAL false negatives, not a degenerate 1.0/1.0);
+    // every count and both derived rates pinned exactly
+    "q194_lsh_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(col("text"), " ")
+      val keepN = ((size(toks) * 7) / 10).cast("int")
+      val junk = array_join(transform(sequence(lit(1), size(toks) - keepN),
+        i => concat(lit("zz"), (col("doc_id") + i).cast("string"))), " ")
+      // two steps, NOT one select: a single select list aliasing "doc_id"
+      // would make junk's col("doc_id") resolve to the LATERAL alias (the
+      // +500000 value) instead of the child column — Spark's implicit
+      // lateral-column-alias rule shadows same-name child attributes
+      val copies = docs.filter(pmod(col("doc_id"), lit(43)) === 0)
+        .withColumn("text",
+          concat(array_join(slice(toks, lit(1), keepN), " "), lit(" "), junk))
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(copies)
+      Dedup.lshAudit(planted, col("doc_id"), col("text"),
+        n = 3, k = 16, bands = 4, minJaccard = 0.4)
+    }),
+
     // quantile-gated quality filtering: keep docs at or below the approx
     // 70th-percentile char entropy (one GK-sketch threshold, no global
     // sort). Bound-check contract (the q118 discipline): the sketch
@@ -936,14 +961,16 @@ object TextQueries {
 
   private val sh3 = Dedup.shinglesSql("text", 3)
 
-  private def jaccardCte: String =
-    s"""WITH sh AS (SELECT doc_id, $sh3 s FROM documents),
+  private def jaccardCteBody(table: String): String =
+    s"""sh AS (SELECT doc_id, $sh3 s FROM $table),
        |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
        |sizes AS (SELECT doc_id AS doc, len(s) n FROM sh),
        |inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
        |  JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
        |pairs AS (SELECT i, j, ninter * 1.0 / (sa.n + sb.n - ninter) jaccard
        |  FROM inter JOIN sizes sa ON sa.doc = i JOIN sizes sb ON sb.doc = j)""".stripMargin
+
+  private def jaccardCte: String = "WITH " + jaccardCteBody("documents")
 
   private val minhashSig: String = {
     val mins = (0 until 16)
@@ -1668,6 +1695,31 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical plant, identical truth (pairs CTE over the planted
+    // table) and candidates (banding CTE); the report arithmetic is
+    // exact-count division rounded on the grid
+    "q194_lsh_audit" ->
+      s"""WITH pl AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 500000,
+             array_to_string((str_split(text, ' '))[1:(len(str_split(text, ' ')) * 7) // 10], ' ')
+             || ' ' ||
+             array_to_string(list_transform(
+               generate_series(1, len(str_split(text, ' '))
+                 - (len(str_split(text, ' ')) * 7) // 10),
+               i -> 'zz' || (doc_id + i)), ' ')
+           FROM documents WHERE doc_id % 43 = 0),
+         ${jaccardCteBody("pl")},
+         $minhashSig,
+         tr AS (SELECT i, j FROM pairs WHERE jaccard >= 0.4),
+         tp AS (SELECT count(*) AS c FROM tr JOIN cand USING (i, j)),
+         nt AS (SELECT count(*) AS c FROM tr),
+         nc AS (SELECT count(*) AS c FROM cand)
+         SELECT nt.c AS n_true, nc.c AS n_cand, tp.c AS n_tp,
+           nt.c - tp.c AS n_fn, nc.c - tp.c AS n_fp,
+           round(tp.c::DOUBLE / nt.c, 6) AS recall,
+           round(tp.c::DOUBLE / nc.c, 6) AS precision
+         FROM nt, nc, tp""",
 
     "q192_quantile_gate_per_lang" ->
       """SELECT lang, TRUE AS thr_in_band, TRUE AS kept_in_band,
