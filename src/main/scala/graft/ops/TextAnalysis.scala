@@ -317,6 +317,60 @@ object TextAnalysis {
     s"(length($col) = 0 OR (${replacementCharCountSql(col)}::DOUBLE " +
       s"<= $maxReplRatio * length($col) AND ${controlCharCountSql(col)} = 0))"
 
+  // ---- BM25 lexical retrieval --------------------------------------------
+
+  /** BM25 top-k retrieval (Robertson/Lucene form): for every query, the k
+    * highest-scoring corpus documents under
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))` — the lexical side of the
+    * retrieval stack (the vector side is [[Similarity]]), and the standard
+    * source of BM25-hard negatives for retriever training. Scores are
+    * rounded to 6 decimals and the rank orders by the ROUNDED score (doc
+    * id tie-break), so ranking is cross-engine deterministic.
+    *
+    * Scale shape: the query set is small by definition → its distinct
+    * term set BROADCASTS and prunes the corpus postings FIRST (only
+    * query-term postings are ever aggregated); document lengths and N /
+    * avgdl are one partial-agg pass; df comes from the pruned postings.
+    * The per-(query, doc) score sum partial-aggregates, and the top-k is
+    * a two-phase `row_number ≤ k` on the high-cardinality query key.
+    * Returns `(qid, doc, score, rk)`. */
+  def bm25TopK(corpus: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(qid.as("qid"), explode(tokens(qtext)).as("t"))
+      .distinct()
+    val qb = broadcast(q)
+    val qterms = broadcast(q.select("t").distinct())
+    // postings for query terms only: (t, doc, tf) — pruned BEFORE any agg
+    val postings = corpus.select(id.as("doc"), explode(tokens(text)).as("t"))
+      .join(qterms, Seq("t"))
+      .groupBy("t", "doc").agg(count(lit(1)).as("tf"))
+    val lens = corpus.select(id.as("doc"),
+      size(tokens(text)).cast("double").as("dl"))
+    val stats = broadcast(lens.agg(count(lit(1)).cast("double").as("nn"),
+      avg(col("dl")).as("avgdl")))
+    val dfreq = broadcast(postings.groupBy("t")
+      .agg(countDistinct(col("doc")).cast("double").as("df")))
+    val idf = log(lit(1.0) +
+      (col("nn") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    postings
+      .join(lens, Seq("doc"))
+      .crossJoin(stats)
+      .join(dfreq, Seq("t"))
+      .join(qb, Seq("t"))
+      .groupBy("qid", "doc")
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))

@@ -292,6 +292,18 @@ object TextQueries {
         .orderBy("pred", "bucket")
     }),
 
+    // BM25 lexical retrieval: 3 fixed queries against the corpus, top-5
+    // each — every score (6-decimal grid) and rank pinned; ranking orders
+    // by the ROUNDED score so the boundary is cross-engine deterministic
+    "q195_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "table scan fast"), ("q2", "merge join slow"),
+        ("q3", "vector spark stream")).toDF("qid", "qtext")
+      TA.bm25TopK(t(s, d, "documents"), col("doc_id"), col("text"),
+          qs, col("qid"), col("qtext"), k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // LSH banding audit: the q46 production configuration (k=16, 4 bands
     // of 4) measured against exact Jaccard truth at τ=0.4, with PARTIAL
     // near-dups planted (70% prefix kept + per-doc junk suffix ⇒
@@ -1695,6 +1707,35 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical postings/df/length/idf/tf-norm arithmetic; ranks order by
+    // the rounded score with doc tie-break on both sides
+    "q195_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES ('q1', 'table scan fast'),
+           ('q2', 'merge join slow'), ('q3', 'vector spark stream')),
+         qt AS (SELECT DISTINCT qid, unnest(str_split(qtext, ' ')) AS t FROM q),
+         terms AS (SELECT DISTINCT t FROM qt),
+         post AS (SELECT x.t, x.doc_id AS doc, count(*) AS tf
+           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             FROM documents) x
+           JOIN terms USING (t) GROUP BY 1, 2),
+         lens AS (SELECT doc_id AS doc,
+             len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM lens),
+         dfq AS (SELECT t, count(DISTINCT doc)::DOUBLE AS df
+           FROM post GROUP BY 1),
+         sc AS (SELECT qt.qid, post.doc,
+             round(sum(ln(1 + (stats.nn - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (post.tf * (1.2 + 1.0))
+               / (post.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 6)
+               AS score
+           FROM post JOIN lens USING (doc) JOIN dfq USING (t)
+           JOIN qt USING (t), stats
+           GROUP BY 1, 2),
+         rk AS (SELECT qid, doc, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc) AS rk FROM sc)
+         SELECT qid, doc, score, rk FROM rk WHERE rk <= 5
+         ORDER BY qid, rk""",
 
     // identical plant, identical truth (pairs CTE over the planted
     // table) and candidates (banding CTE); the report arithmetic is
