@@ -371,6 +371,31 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: given two ranked candidate lists per query (e.g.
+    * [[bm25TopK]] lexical and [[graft.ops.Similarity.annJoin]] vector),
+    * fuse by `Σ_lists 1/(c + rank)` and re-rank. Rank-based, so the two
+    * lists' incomparable score scales never meet; c=60 is the paper's
+    * constant. Both inputs carry `(qid, doc, rk)`; a doc present in one
+    * list only contributes that list's term (the standard convention).
+    * Fused scores are 6-decimal rounded and the final rank orders by the
+    * ROUNDED score (doc tie-break) — cross-engine deterministic.
+    *
+    * Scale shape: inputs are already top-k-per-query sized (k·|Q| rows);
+    * one union + one per-(query,doc) partial agg + the two-phase rank. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && c > 0, s"k and c must be positive, got k=$k c=$c")
+    def side(df: DataFrame) = df.select(col("qid"), col("doc"), col("rk"))
+    side(a).unionByName(side(b))
+      .groupBy("qid", "doc")
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rk"))), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Type-token ratio: vocabulary richness, low values = repetitive text. */
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))

@@ -304,6 +304,28 @@ object TextQueries {
         .orderBy("qid", "rk")
     }),
 
+    // hybrid retrieval: q195's BM25 lexical list fused with a sign-LSH
+    // vector list (anchors 1-3 ↔ q1-q3) by Reciprocal Rank Fusion —
+    // every fused score and rank pinned
+    "q196_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.{Similarity => Sim}
+      val qs = Seq(("q1", "table scan fast"), ("q2", "merge join slow"),
+        ("q3", "vector spark stream")).toDF("qid", "qtext")
+      val lex = TA.bm25TopK(t(s, d, "documents"), col("doc_id"), col("text"),
+        qs, col("qid"), col("qtext"), k = 5)
+      val e = t(s, d, "embeddings")
+      val vec = Sim.annJoin(
+          e.filter(col("vec_id").isin(1L, 2L, 3L)), col("vec_id"),
+          col("embedding"),
+          e.filter(!col("vec_id").isin(1L, 2L, 3L)), col("vec_id"),
+          col("embedding"), bits = 4, k = 5)
+        .select(concat(lit("q"), col("i").cast("string")).as("qid"),
+          col("j").as("doc"), col("rk"))
+      TA.rrfFuse(lex.select(col("qid"), col("doc"), col("rk")), vec, k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // LSH banding audit: the q46 production configuration (k=16, 4 bands
     // of 4) measured against exact Jaccard truth at τ=0.4, with PARTIAL
     // near-dups planted (70% prefix kept + per-doc junk suffix ⇒
@@ -1707,6 +1729,55 @@ object TextQueries {
          SELECT pred, bucket, count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_ids
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // lexical replay = the q195 chain; vector replay = the q174 bucket
+    // discipline; the fusion is exact-rank arithmetic on the grid
+    "q196_hybrid_rrf" -> {
+      val bucket4 = graft.ops.Similarity.signBucketSql("embedding", 4)
+      val cos = graft.ops.Similarity.cosineSql("a.embedding", "r.embedding")
+      """WITH q(qid, qtext) AS (VALUES ('q1', 'table scan fast'),
+           ('q2', 'merge join slow'), ('q3', 'vector spark stream')),
+         qt AS (SELECT DISTINCT qid, unnest(str_split(qtext, ' ')) AS t FROM q),
+         terms AS (SELECT DISTINCT t FROM qt),
+         post AS (SELECT x.t, x.doc_id AS doc, count(*) AS tf
+           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             FROM documents) x
+           JOIN terms USING (t) GROUP BY 1, 2),
+         lens AS (SELECT doc_id AS doc,
+             len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM lens),
+         dfq AS (SELECT t, count(DISTINCT doc)::DOUBLE AS df
+           FROM post GROUP BY 1),
+         sc AS (SELECT qt.qid, post.doc,
+             round(sum(ln(1 + (stats.nn - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (post.tf * (1.2 + 1.0))
+               / (post.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 6)
+               AS score
+           FROM post JOIN lens USING (doc) JOIN dfq USING (t)
+           JOIN qt USING (t), stats
+           GROUP BY 1, 2),
+         lrk AS (SELECT qid, doc, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc) AS rk FROM sc),
+         l AS (SELECT qid, doc, rk FROM lrk WHERE rk <= 5),
+         """ +
+      s"""va AS (SELECT vec_id AS i, embedding, $bucket4 AS b
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         vr0 AS (SELECT vec_id AS j, embedding, $bucket4 AS b
+           FROM embeddings WHERE vec_id NOT IN (1, 2, 3)),
+         p AS (SELECT a.i, r.j, $cos AS cos
+           FROM va a JOIN vr0 r ON a.b = r.b),
+         vrk AS (SELECT i, j, row_number() OVER (
+             PARTITION BY i ORDER BY cos DESC, j) AS rk FROM p),
+         v AS (SELECT 'q' || i AS qid, j AS doc, rk FROM vrk WHERE rk <= 5),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM v),
+         f AS (SELECT qid, doc,
+             round(sum(1.0::DOUBLE / (60 + rk)), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT qid, doc, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc) AS rk FROM f)
+         SELECT qid, doc, score, rk FROM fr WHERE rk <= 5
+         ORDER BY qid, rk"""
+    },
 
     // identical postings/df/length/idf/tf-norm arithmetic; ranks order by
     // the rounded score with doc tie-break on both sides
