@@ -1302,6 +1302,93 @@ object Similarity {
     Dedup.dupClusters(edges, checkpointDir = checkpointDir)
   }
 
+  /** One-hop k-NN label propagation — the semi-supervised labeling step
+    * of embedding-space curation (spread a small human/classifier-labeled
+    * seed set over the whole corpus by nearest-neighbor majority vote;
+    * the cheap alternative to training a classifier per taxonomy change).
+    * For every NON-seed vector: its `k` most-similar SEED vectors among
+    * the sign-LSH bucket candidates vote with their labels; the winner is
+    * the label with the most votes, ties broken by the smaller label
+    * (integer votes only — never a float score sum, which would be
+    * cross-engine summation-order-hazardous). Ranking happens AFTER the
+    * restriction to seed targets, so the contract is "k nearest LABELED
+    * neighbors", not "labeled members of the k nearest".
+    *
+    * Returns (id, label, votes, deg): winning label, its vote count, and
+    * deg = total seed votes cast (≤ k). Non-seeds with no seed candidate
+    * in their bucket are absent — callers union an IVF fallback if
+    * totality matters (same contract as [[knnGraph]] isolates).
+    *
+    * Scale shape: candidates are [[bucketedPairs]] (or the capped variant
+    * when `maxBucket` is set — same valve as [[knnGraph]]); the per-source
+    * `row_number ≤ k` two-phases under InferWindowGroupLimit on the
+    * high-cardinality key; the vote is a partial-aggregable count on ≤
+    * k·|V| rows. Label metadata joins onto the EDGE list (bounded), never
+    * fanned into the pair join. */
+  def labelPropagate(df: DataFrame, id: Column, vec: Column, label: Column,
+      isSeed: Column, bits: Int, k: Int, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8): DataFrame =
+    knnVote(df, id, vec, label, isSeed, bits, k, maxBucket, extraBits,
+      predictSeeds = false)
+
+  /** Leave-one-out k-NN confusion matrix — the standard label-free-ish
+    * audit of EMBEDDING quality: predict every labeled vector's label from
+    * its k nearest OTHER labeled vectors ([[labelPropagate]] machinery
+    * with every vector a seed; self-pairs never exist in the candidate
+    * set) and cross-tabulate truth vs prediction. A strong embedding
+    * concentrates mass on the diagonal; the off-diagonal cells name the
+    * label pairs the space confuses — the report that decides whether
+    * [[labelPropagate]] can be trusted before running it. Returns
+    * (true_label, pred_label, n) counts, partial-aggregable. */
+  def knnConfusion(df: DataFrame, id: Column, vec: Column, label: Column,
+      bits: Int, k: Int, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8): DataFrame = {
+    val preds = knnVote(df, id, vec, label, lit(true), bits, k, maxBucket,
+      extraBits, predictSeeds = true)
+    val truth = df.select(id.as("id"), label.as("true_label"))
+    preds.join(truth, "id")
+      .groupBy(col("true_label"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def knnVote(df: DataFrame, id: Column, vec: Column, label: Column,
+      isSeed: Column, bits: Int, k: Int, maxBucket: Long, extraBits: Int,
+      predictSeeds: Boolean): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cand =
+      if (maxBucket == Long.MaxValue) bucketedPairs(df, id, vec, bits)
+      else bucketedPairsCapped(df, id, vec, bits, maxBucket, extraBits)
+    val pairs = cand.select("i", "j", "cos")
+    val sym = pairs.union(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    val meta = df.select(id.as("__nid"), label.as("__lbl"),
+      isSeed.cast("boolean").as("__seed"))
+    // seed-target labels join on j; the non-seed source filter joins on i —
+    // both against the bounded edge list, metadata never enters the pair join
+    val dst = meta.filter(col("__seed"))
+      .select(col("__nid").as("j"), col("__lbl"))
+    val edges0 = sym.join(dst, "j")
+    val edges =
+      if (predictSeeds) edges0
+      else edges0.join(
+        meta.select(col("__nid").as("i"), col("__seed")), "i")
+        .filter(!col("__seed"))
+    val votes = edges
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("i"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("deg", sum(col("votes")).over(Window.partitionBy(col("i"))))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("votes").desc, col("__lbl"))))
+      .filter(col("vrk") === 1)
+      .select(col("i").as("id"), col("__lbl").as("label"),
+        col("votes"), col("deg"))
+  }
+
   /** [[bucketedPairs]] with a per-bucket size cap: any bucket larger than
     * `maxBucket` is re-bucketed with `extraBits` additional sign bits, so a
     * single fat bucket (all-positive embeddings, a degenerate region of the

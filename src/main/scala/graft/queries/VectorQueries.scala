@@ -456,6 +456,26 @@ object VectorQueries {
         .orderBy("i", "rk")
     }),
 
+    // one-hop k-NN label propagation: seeds = every 5th vector, each
+    // non-seed gets the majority label of its 5 nearest seed neighbors —
+    // every prediction, vote count, and degree pinned exactly
+    "q197_label_propagation" -> ((s, d) => {
+      Sim.labelPropagate(emb(s, d), col("vec_id"), col("embedding"),
+          col("label"), pmod(col("vec_id"), lit(5)) === 0, bits = 8, k = 5)
+        .select(col("id").as("vec_id"), col("label").as("pred_label"),
+          col("votes"), col("deg"))
+        .orderBy("vec_id")
+    }),
+
+    // leave-one-out k-NN confusion matrix: every labeled vector predicted
+    // from its 5 nearest others — the embedding-quality audit that decides
+    // whether q197's propagation can be trusted; every cell pinned
+    "q198_knn_confusion" -> ((s, d) => {
+      Sim.knnConfusion(emb(s, d), col("vec_id"), col("embedding"),
+          col("label"), bits = 8, k = 5)
+        .orderBy("true_label", "pred_label")
+    }),
+
     // hard-negative mining for contrastive training: per anchor, the 3
     // most-similar embeddings from a DIFFERENT source — every rank pinned
     "q164_hard_negatives" -> ((s, d) => {
@@ -800,6 +820,52 @@ object VectorQueries {
            FROM sym)
          SELECT i, j, round(cos, 6) AS cos, rk
          FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
+
+    "q197_label_propagation" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket, label,
+             vec_id % 5 = 0 AS seed FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         e AS (SELECT s.i, s.j, s.cos, d.label FROM sym s
+           JOIN b d ON s.j = d.vec_id AND d.seed
+           JOIN b o ON s.i = o.vec_id AND NOT o.seed),
+         rk AS (SELECT i, j, label, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM e),
+         v AS (SELECT i, label, count(*) AS votes FROM rk
+           WHERE rk <= 5 GROUP BY 1, 2),
+         w AS (SELECT i, label, votes,
+             CAST(sum(votes) OVER (PARTITION BY i) AS BIGINT) AS deg,
+             row_number() OVER (PARTITION BY i ORDER BY votes DESC, label)
+               AS vrk FROM v)
+         SELECT i AS vec_id, label AS pred_label, votes, deg
+         FROM w WHERE vrk = 1 ORDER BY vec_id""",
+
+    "q198_knn_confusion" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket, label
+           FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         e AS (SELECT s.i, s.j, s.cos, d.label FROM sym s
+           JOIN b d ON s.j = d.vec_id),
+         rk AS (SELECT i, j, label, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM e),
+         v AS (SELECT i, label, count(*) AS votes FROM rk
+           WHERE rk <= 5 GROUP BY 1, 2),
+         w AS (SELECT i, label, votes,
+             row_number() OVER (PARTITION BY i ORDER BY votes DESC, label)
+               AS vrk FROM v),
+         pred AS (SELECT i, label AS pred_label FROM w WHERE vrk = 1)
+         SELECT t.label AS true_label, pr.pred_label, count(*) AS n
+         FROM pred pr JOIN b t ON pr.i = t.vec_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q164_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding, source

@@ -190,4 +190,49 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(pred.length === 1)
     assert(pred.head._2 === "big")
   }
+
+  // ---- k-NN label propagation (q197/q198) -------------------------------
+
+  test("labelPropagate: majority vote over k nearest seeds, vote-count " +
+      "tie breaks to the smaller label, isolates absent, seeds never predicted") {
+    import spark.implicits._
+    // bits=2 bucket = sign of dims 1-2: all vectors below share (+,+) except
+    // the planted isolate. Seeds s1..s4; non-seeds u1,u2 + decoy u4 near u1
+    // (non-seed neighbors must never vote).
+    val rows = Seq(
+      (1L, Array(1f, 1f, 1f, 0f), 1, true),       // s1
+      (2L, Array(1f, 1f, 0.9f, 0.1f), 1, true),   // s2
+      (3L, Array(1f, 1f, 0f, 1f), 2, true),       // s3
+      (4L, Array(1f, 1f, 0.1f, 0.9f), 2, true),   // s4
+      (10L, Array(1f, 1f, 1f, 0.05f), 0, false),  // u1 → label-1 side
+      (11L, Array(1f, 1f, 0.05f, 1f), 0, false),  // u2 → label-2 side
+      (12L, Array(1f, 1f, 1f, 0.01f), 0, false),  // u4 decoy near u1
+      (20L, Array(-1f, 1f, 0f, 0f), 0, false))    // isolate: own bucket
+      .toDF("vec_id", "embedding", "label", "seed")
+    def run(k: Int) = Similarity.labelPropagate(rows, col("vec_id"),
+        col("embedding"), col("label"), col("seed"), bits = 2, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // k=3: u1 sees s1,s2,s4 → label 1 by 2/3; u2 sees s3,s4,s2 → label 2 by
+    // 2/3; the decoy u4 is u1's nearest neighbor but casts no vote
+    assert(run(3) === Seq((10L, 1, 2L, 3L), (11L, 2, 2L, 3L), (12L, 1, 2L, 3L)))
+    // k=4: all four seeds vote on u1 → 2/2 tie → smaller label wins
+    val k4 = run(4)
+    assert(k4.find(_._1 == 10L).get === ((10L, 1, 2L, 4L)))
+    // the isolate (20) and the seeds (1-4) never appear
+    assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
+  }
+
+  test("knnConfusion: well-separated label clusters land on the diagonal") {
+    import spark.implicits._
+    // two tight clusters in one (+,+) bucket, 3 vectors each
+    val rows = (0 until 3).map(i =>
+        (i.toLong, Array(1f, 1f, 1f, 0.01f * i), 7)) ++
+      (3 until 6).map(i =>
+        (i.toLong, Array(1f, 1f, -1f, 0.01f * i), 9))
+    val got = Similarity.knnConfusion(rows.toDF("vec_id", "embedding", "label"),
+        col("vec_id"), col("embedding"), col("label"), bits = 2, k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((7, 7, 3L), (9, 9, 3L)))
+  }
 }
