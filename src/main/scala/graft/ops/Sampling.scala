@@ -70,6 +70,43 @@ object Sampling {
       test: Double = 0.1, seed: Int = 42): Column =
     splitColumn(key, Seq("train", "val", "test"), Seq(train, valW, test), seed)
 
+  /** Deterministic global training shuffle: assign every row a shard and an
+    * in-shard position, both pure functions of `(id, seed)` — the "shuffle
+    * the corpus before training" step done the reproducible way (re-runs,
+    * engine swaps and cluster resizes all derive byte-identical order;
+    * `seed` doubles as the epoch number for per-epoch reshuffles).
+    * `shard = h mod nShards`, position = rank of `h` within the shard
+    * (id tie-break) — one md5 per row; ordering by the same hash that
+    * picked the shard is safe because the quotient bits are independent of
+    * the residue for a cryptographic digest.
+    *
+    * Scale shape: the per-shard `row_number` puts one shard in one task,
+    * which is exactly the write contract — `nShards` is chosen so a shard
+    * is one trainer-file-sized unit (~1 GB ⇒ ~100 k shards at 100 TB, so
+    * partition-key cardinality IS the parallelism); the window never sees
+    * more than one file's rows. Equivalent writer form:
+    * `repartition(nShards, shard).sortWithinPartitions(h)`. */
+  def trainingShards(df: DataFrame, id: Column, nShards: Int,
+      seed: Int = 42): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.md5Long(id.cast("string"), seed)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), id)) - 1)
+      .drop("__h")
+  }
+
+  /** DuckDB twin of [[trainingShards]]' (shard, pos) pair. */
+  def trainingShardsSql(idCol: String, nShards: Int, seed: Int = 42)
+      : (String, String) = {
+    val h = PortableHash.md5LongSql(s"$idCol::VARCHAR", seed)
+    (s"CAST(($h) % $nShards AS INTEGER)",
+      s"CAST(row_number() OVER (PARTITION BY ($h) % $nShards " +
+        s"ORDER BY $h, $idCol) - 1 AS INTEGER)")
+  }
+
   /** Per-stratum deterministic sampling: keep a `fracs(stratum)` share of
     * each stratum (strata absent from the map are dropped) — the downsample/
     * rebalance primitive for mixing corpus sources at target rates. */

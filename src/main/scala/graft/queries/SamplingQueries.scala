@@ -70,6 +70,15 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // deterministic training shuffle: every doc's shard + in-shard position
+    // is a pure function of (id, seed) — the full order pinned row-by-row
+    "q199_training_shards" -> ((s, d) => {
+      Sampling.trainingShards(t(s, d, "documents"), col("doc_id"),
+          nShards = 8, seed = 7)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     "q78_stratified_sample" -> ((s, d) => {
       Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"),
           col("lang"), LangFracs)
@@ -461,6 +470,12 @@ object SamplingQueries {
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q199_training_shards" -> {
+      val (shardSql, posSql) = Sampling.trainingShardsSql("doc_id", 8, 7)
+      s"""SELECT doc_id, $shardSql AS shard, $posSql AS pos
+         FROM documents ORDER BY shard, pos"""
+    },
 
     "q78_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_docs,

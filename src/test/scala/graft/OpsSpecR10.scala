@@ -223,6 +223,29 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
   }
 
+  // ---- deterministic training shuffle (q199) ----------------------------
+
+  test("trainingShards: positions dense per shard, invariant under " +
+      "repartitioning, epoch seed reshuffles") {
+    import spark.implicits._
+    val ids = (0L until 97L).toDF("id")
+    def runOn(df: org.apache.spark.sql.DataFrame, seed: Int) =
+      Sampling.trainingShards(df, col("id"), nShards = 4, seed = seed)
+        .select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+    val base = runOn(ids, seed = 1)
+    // total order: every row assigned, positions dense 0..n-1 within shard
+    assert(base.length === 97)
+    base.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted === (0 until rows.length),
+        s"shard $sh positions not dense")
+    }
+    // cluster-layout independence: same assignment after a repartition
+    assert(runOn(ids.repartition(7), seed = 1) === base)
+    // epoch reshuffle: a different seed produces a different order
+    assert(runOn(ids, seed = 2) !== base)
+  }
+
   test("knnConfusion: well-separated label clusters land on the diagonal") {
     import spark.implicits._
     // two tight clusters in one (+,+) bucket, 3 vectors each
