@@ -656,6 +656,68 @@ object TextAnalysis {
        |   / (len(str_split($col, ' ')) - ${n - 1}) END""".stripMargin
       .replace("\n", "")
 
+  /** Duplicate LINE fraction — Gopher's structural repetition signal (Rae
+    * et al. 2021, Table A1): the share of a document's lines that are
+    * repeats of an earlier line, `(n_lines − n_distinct) / n_lines`
+    * ("occurrences beyond the first" — a line appearing 3× contributes 2).
+    * Catches templated/scraped pages whose repetition is line-granular
+    * (navigation, headers, listings) and invisible to word-n-gram rules
+    * once the lines are long. Pure codegen'd projection; a text with no
+    * separator is one line and scores 0. */
+  def dupLineFraction(c: Column, sep: String = "\n"): Column = {
+    val lines = split(c, sep)
+    (size(lines) - size(array_distinct(lines))).cast("double") /
+      size(lines).cast("double")
+  }
+
+  /** DuckDB twin of [[dupLineFraction]]; `sepSql` is a SQL expression
+    * (default the newline char — DuckDB literals don't escape `\n`). */
+  def dupLineFractionSql(col: String, sepSql: String = "chr(10)"): String =
+    s"""(len(str_split($col, $sepSql)) -
+       | len(list_distinct(str_split($col, $sepSql))))::DOUBLE
+       | / len(str_split($col, $sepSql))""".stripMargin.replace("\n", "")
+
+  /** Duplicate line CHARACTER fraction — Gopher's char-weighted companion
+    * to [[dupLineFraction]]: chars inside repeated line occurrences over
+    * all line chars, `(Σ len(line) − Σ len(distinct lines)) / Σ len(line)`.
+    * Weighting by length separates a page that repeats one short divider
+    * (harmless) from one that repeats whole paragraphs (boilerplate). Text
+    * whose lines are all empty has no line chars and scores 0 by
+    * convention (both twins guard the 0/0). Integer sums, one final IEEE
+    * division — cross-engine exact. */
+  def dupLineCharFraction(c: Column, sep: String = "\n"): Column = {
+    val lines = split(c, sep)
+    val tot = aggregate(transform(lines, l => length(l).cast("long")),
+      lit(0L), _ + _)
+    val dis = aggregate(
+      transform(array_distinct(lines), l => length(l).cast("long")),
+      lit(0L), _ + _)
+    when(tot === 0, lit(0.0))
+      .otherwise((tot - dis).cast("double") / tot.cast("double"))
+  }
+
+  /** DuckDB twin of [[dupLineCharFraction]]. */
+  def dupLineCharFractionSql(col: String, sepSql: String = "chr(10)"): String = {
+    def chars(l: String) =
+      s"list_sum(list_transform($l, x -> length(x)::BIGINT))"
+    val tot = chars(s"str_split($col, $sepSql)")
+    val dis = chars(s"list_distinct(str_split($col, $sepSql))")
+    s"""CASE WHEN coalesce($tot, 0) = 0 THEN 0.0
+       | ELSE ($tot - $dis)::DOUBLE / $tot END""".stripMargin.replace("\n", "")
+  }
+
+  /** Gopher's line-repetition gate: keep when duplicate-line fraction ≤
+    * 0.30 AND duplicate-line char fraction ≤ 0.20 (the paper's removal
+    * thresholds). Composes with [[dupNgramFraction]] /
+    * [[topNgramCharFraction]] for the full repetition rule set. */
+  def gopherLineRepetitionOk(c: Column, sep: String = "\n"): Column =
+    dupLineFraction(c, sep) <= 0.30 && dupLineCharFraction(c, sep) <= 0.20
+
+  /** DuckDB twin of [[gopherLineRepetitionOk]]. */
+  def gopherLineRepetitionOkSql(col: String, sepSql: String = "chr(10)"): String =
+    s"(${dupLineFractionSql(col, sepSql)}) <= 0.30 AND " +
+      s"(${dupLineCharFractionSql(col, sepSql)}) <= 0.20"
+
   /** All word n-gram SLOTS of a text (with duplicates, in order) — the
     * occurrence-counting companion to [[graft.ops.Dedup.shingles]]' distinct
     * sets. Texts shorter than n tokens have no slots (empty array).

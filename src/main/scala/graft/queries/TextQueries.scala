@@ -171,6 +171,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher's line-repetition gate (Rae et al. 2021 Table A1): duplicate-
+    // line and duplicate-line-char fractions over a planted line structure —
+    // heavy repeats (every 7th doc: first 3 lines duplicated wholesale) fail
+    // the 0.30/0.20 thresholds, mild repeats (every 3rd doc: 2 lines
+    // re-appended) ride the boundary; every fraction and verdict pinned
+    "q200_gopher_line_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val segs = transform(
+        sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+        i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+      val paras = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(slice(segs, 1, 3), slice(segs, 1, 3)))
+        .otherwise(when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(segs, slice(segs, 1, 2))).otherwise(segs))
+      t(s, d, "documents")
+        .select(col("doc_id"), array_join(paras, "\n").as("text2"))
+        .select(col("doc_id"),
+          size(split(col("text2"), "\n")).as("n_lines"),
+          round(TA.dupLineFraction(col("text2")), 6).as("dup_line_frac"),
+          round(TA.dupLineCharFraction(col("text2")), 6).as("dup_char_frac"),
+          TA.gopherLineRepetitionOk(col("text2")).as("ok"))
+        .orderBy("doc_id")
+    }),
+
     // tokenizer-evaluation report: per language, chars-per-token and
     // FERTILITY (subword tokens per whitespace word) under the trained
     // vocab — the two numbers a tokenizer/vocab choice is judged by
@@ -1136,6 +1160,23 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    "q200_gopher_line_repetition" ->
+      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         segs AS (SELECT doc_id, list_transform(
+             generate_series(0, (len(ts) - 1) // 8),
+             i -> array_to_string(ts[i*8+1:i*8+8], ' ')) AS sg FROM base),
+         pl AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN list_concat(sg[1:3], sg[1:3])
+               WHEN doc_id % 3 = 0 THEN list_concat(sg, sg[1:2])
+               ELSE sg END AS ls FROM segs),
+         txt AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text2 FROM pl)
+         SELECT doc_id,
+           CAST(len(str_split(text2, chr(10))) AS INTEGER) AS n_lines,
+           round(${TA.dupLineFractionSql("text2")}, 6) AS dup_line_frac,
+           round(${TA.dupLineCharFractionSql("text2")}, 6) AS dup_char_frac,
+           ${TA.gopherLineRepetitionOkSql("text2")} AS ok
+         FROM txt ORDER BY doc_id""",
 
     // same merge-loop replay, aggregated to the per-lang report; ratios
     // are single divisions of exact BIGINT sums

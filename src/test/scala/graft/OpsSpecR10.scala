@@ -223,6 +223,36 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
   }
 
+  // ---- Gopher line repetition (q200) ------------------------------------
+
+  test("dupLineFraction / dupLineCharFraction: exact fractions, separator-free " +
+      "text scores 0, all-empty-lines text guards the 0/0") {
+    import spark.implicits._
+    val rows = Seq(
+      // 4 lines, "ab" repeated once → line frac 1/4; chars 2+1+2+3=8, dup 2 → 1/4
+      ("ab\nc\nab\nxyz", 0.25, 0.25),
+      // one long line repeated among short ones: line frac 1/4, char frac 6/14
+      ("abcdef\nx\nabcdef\ny", 0.25, 6.0 / 14.0),
+      ("no newline here", 0.0, 0.0),
+      ("\n\n", 0.6666666666666666, 0.0), // 3 empty lines: 2 dups, zero chars
+      ("", 0.0, 0.0))
+      .toDF("text", "wantLine", "wantChar")
+    rows.select(
+        TextAnalysis.dupLineFraction(col("text")).as("lf"),
+        TextAnalysis.dupLineCharFraction(col("text")).as("cf"),
+        col("wantLine"), col("wantChar"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) === r.getDouble(2), s"line frac: $r")
+        assert(r.getDouble(1) === r.getDouble(3), s"char frac: $r")
+      }
+    // gate: heavy repetition fails, clean text passes
+    val gate = Seq("para one\npara one\npara one\nunique", "a\nb\nc")
+      .toDF("text")
+      .select(TextAnalysis.gopherLineRepetitionOk(col("text")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(gate === Seq(false, true))
+  }
+
   // ---- deterministic training shuffle (q199) ----------------------------
 
   test("trainingShards: positions dense per shard, invariant under " +
