@@ -126,4 +126,81 @@ object Chunking {
       }
       .toDF()
   }
+
+  /** T5-style span corruption, the DETERMINISTIC variant — per-document
+    * masking statistics for denoising-pretraining target generation
+    * (Raffel et al. 2020 §3.1.4). Token slot `i` opens a corruption span
+    * iff a portable hash of `(id, i)` lands under `startRate` (so mask
+    * selection is a pure function of the row id — reproducible across
+    * runs, engines and repartitionings, the same contract as
+    * [[Sampling.splitColumn]]); each span covers `spanLen` slots and
+    * overlapping spans merge into islands, exactly T5's sentinel rule
+    * (one `<extra_id_k>` per contiguous masked run). Emits the quantities
+    * a target-generation budget is planned from:
+    * `(id, n_tokens, n_spans, n_masked, masked_pos_sum, input_len,
+    * target_len)` with `input_len = n − masked + spans` (unmasked tokens +
+    * one sentinel per island) and `target_len = masked + spans` (masked
+    * tokens + the sentinels) — `masked_pos_sum` pins the exact mask SET,
+    * not just its size, as one integer. Expected mask density ≈
+    * `startRate · spanLen` (boundary-clipped), T5's 15 % at the defaults.
+    *
+    * All-integer arithmetic — cross-engine exact. Pure per-row map (one
+    * md5 per token slot, arrays never leave the row): zero shuffle, the
+    * 100 TB shape; the island scan is O(n·spans-per-window) with spanLen a
+    * small constant. */
+  def spanCorruptionStats(df: DataFrame, id: Column, text: Column,
+      spanLen: Int = 3, startRate: Double = 0.05, seed: Int = 13): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    require(startRate > 0 && startRate <= 1, s"bad startRate $startRate")
+    val thr = math.round(startRate * Sampling.Buckets)
+    val n = col("__n")
+    df
+      .withColumn("__n", size(split(text, " ")))
+      .withColumn("__starts", filter(sequence(lit(1), n), i =>
+        Sampling.hashBucket(
+          concat(id.cast("string"), lit(":"), i.cast("string")), seed) < thr))
+      .withColumn("__masked", transform(sequence(lit(1), n), j =>
+        exists(col("__starts"), s => s <= j && s > j - spanLen)))
+      .select(
+        id.as("id"),
+        n.as("n_tokens"),
+        size(filter(sequence(lit(1), n), j =>
+          element_at(col("__masked"), j) &&
+            (j === 1 || !element_at(col("__masked"), j - 1)))).as("n_spans"),
+        size(filter(col("__masked"), m => m)).as("n_masked"),
+        aggregate(
+          zip_with(sequence(lit(1), n), col("__masked"),
+            (j, m) => when(m, j).otherwise(0).cast("long")),
+          lit(0L), (a, x) => a + x).as("masked_pos_sum"))
+      .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
+      .withColumn("target_len", col("n_masked") + col("n_spans"))
+  }
+
+  /** DuckDB twin of [[spanCorruptionStats]] (oracle construction): CTE
+    * list (no leading WITH) ending in relation `spanstats` with the same
+    * seven columns; `table` must expose `$idCol` and `$textCol`. */
+  def spanCorruptionSql(idCol: String, textCol: String, table: String,
+      spanLen: Int = 3, startRate: Double = 0.05, seed: Int = 13): String = {
+    val thr = math.round(startRate * Sampling.Buckets)
+    val slotHash = Sampling.hashBucketSql("(id::VARCHAR || ':' || i)", seed)
+    s"""__sc_n AS (SELECT $idCol AS id,
+         len(str_split($textCol, ' ')) AS n FROM $table),
+       __sc_st AS (SELECT id, n, list_filter(generate_series(1, n),
+           i -> ($slotHash) < $thr) AS starts FROM __sc_n),
+       __sc_mk AS (SELECT id, n, list_transform(generate_series(1, n),
+           j -> len(list_filter(starts,
+             s -> s <= j AND s > j - $spanLen)) > 0) AS masked FROM __sc_st),
+       __sc_agg AS (SELECT id, CAST(n AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, n),
+             j -> masked[j] AND (j = 1 OR NOT masked[j-1]))) AS INTEGER)
+             AS n_spans,
+           CAST(len(list_filter(masked, m -> m)) AS INTEGER) AS n_masked,
+           CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+             j -> CASE WHEN masked[j] THEN j ELSE 0 END)), 0) AS BIGINT)
+             AS masked_pos_sum
+         FROM __sc_mk),
+       spanstats AS (SELECT id, n_tokens, n_spans, n_masked, masked_pos_sum,
+           n_tokens - n_masked + n_spans AS input_len,
+           n_masked + n_spans AS target_len FROM __sc_agg)"""
+  }
 }

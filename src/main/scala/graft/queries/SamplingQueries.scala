@@ -156,6 +156,18 @@ object SamplingQueries {
     // overlapping token windows (width 64, stride 48): per window-index
     // stats + content fingerprints pin both the windowing arithmetic and
     // the chunk text byte-for-byte
+    // T5 span-corruption target budget: hash-seeded deterministic mask
+    // spans, overlaps merged into sentinel islands — every count AND the
+    // exact mask set (position checksum) pinned per document
+    "q201_span_corruption" -> ((s, d) => {
+      Chunking.spanCorruptionStats(t(s, d, "documents"), col("doc_id"),
+          col("text"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_masked"), col("masked_pos_sum"), col("input_len"),
+          col("target_len"))
+        .orderBy("doc_id")
+    }),
+
     "q86_chunk" -> ((s, d) => {
       Chunking.chunk(t(s, d, "documents"), col("doc_id"), col("text"),
           width = 64, stride = 48)
@@ -536,6 +548,11 @@ object SamplingQueries {
            CAST(sum(c.ntok) AS BIGINT) AS sum_tokens
          FROM c JOIN bud USING (source)
          WHERE c.cum <= bud.b GROUP BY 1 ORDER BY 1""",
+
+    "q201_span_corruption" ->
+      s"""WITH ${Chunking.spanCorruptionSql("doc_id", "text", "documents")}
+         SELECT id AS doc_id, n_tokens, n_spans, n_masked, masked_pos_sum,
+           input_len, target_len FROM spanstats ORDER BY doc_id""",
 
     "q86_chunk" ->
       s"""WITH ch AS (${Chunking.chunkSql("doc_id", "text", 64, 48)})

@@ -223,6 +223,49 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
   }
 
+  // ---- T5 span corruption (q201) ----------------------------------------
+
+  test("spanCorruptionStats: island accounting invariants, degenerate rates, " +
+      "layout independence") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until (5 + (i % 17).toInt)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def stats(rate: Double, len: Int, df: org.apache.spark.sql.DataFrame = docs) =
+      Chunking.spanCorruptionStats(df, col("doc_id"), col("text"),
+          spanLen = len, startRate = rate)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getLong(4), r.getInt(5), r.getInt(6))).toSeq.sorted
+    val base = stats(0.3, 3)
+    base.foreach { case (id, n, spans, masked, posSum, inLen, tgtLen) =>
+      // an island has ≥ 1 slot; merged islands may exceed spanLen, but the
+      // mask can never outgrow the document
+      assert(masked >= spans && masked <= n, s"doc $id")
+      assert(inLen === n - masked + spans && tgtLen === masked + spans)
+      // position checksum bounded by the full-mask sum
+      assert(posSum <= n.toLong * (n + 1) / 2)
+    }
+    // layout independence: identical output from a repartitioned input
+    assert(stats(0.3, 3, docs.repartition(7)) === base)
+    // spanLen=1: the mask IS the start set (islands still merge adjacent
+    // starts into one sentinel, so spans ≤ masked)
+    val thr = math.round(0.3 * Sampling.Buckets)
+    val startCounts = docs.select(col("doc_id"),
+        size(filter(sequence(lit(1), size(split(col("text"), " "))), i =>
+          Sampling.hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+            i.cast("string")), 13) < thr)).as("ns"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    stats(0.3, 1).foreach { case (id, _, spans, masked, _, _, _) =>
+      assert(masked === startCounts(id), s"doc $id")
+      assert(spans <= masked)
+    }
+    // startRate=1: every slot starts a span → one island covering the doc
+    stats(1.0, 3).foreach { case (_, n, spans, masked, posSum, _, _) =>
+      assert(spans === 1 && masked === n &&
+        posSum === n.toLong * (n + 1) / 2)
+    }
+  }
+
   // ---- Gopher line repetition (q200) ------------------------------------
 
   test("dupLineFraction / dupLineCharFraction: exact fractions, separator-free " +
