@@ -1351,6 +1351,59 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Fixed-iteration PageRank over a directed edge list, in INTEGER
+    * arithmetic — graph centrality for embedding-space data selection
+    * (rank corpus items by how often the neighborhood structure points at
+    * them: central items anchor diverse subsets, orphans are candidates
+    * for down-sampling). Scores live on an integer grid of `scale` units:
+    *
+    *   pr₀(v) = scale
+    *   prₜ₊₁(v) = scale·(100−dampPct) DIV 100
+    *              + dampPct · Σ_{u→v} (prₜ(u) DIV deg(u)) DIV 100
+    *
+    * Every operation is integer add / multiply / floor-divide, and the
+    * per-target Σ is a sum of integers — order-free, so the result is
+    * bit-identical across engines, partitionings and retries (float
+    * PageRank is NOT: its Σ is summation-order-dependent). The DIV-floor
+    * mass leak is deterministic and harmless for RANKING use. Input
+    * contract: every node that appears must have ≥ 1 outgoing edge
+    * ([[knnGraph]] output satisfies this by construction — a node enters
+    * the graph only via its own ranked neighbor list); in-degree-less
+    * nodes correctly decay toward the base term.
+    *
+    * Scale shape: each iteration is one join of the edge list (≤ k·|V| by
+    * construction when fed from [[knnGraph]]) against the score table plus
+    * one partial-aggregable sum — no window, no global sort; `iters` is a
+    * small constant. Long chains at 100 TB: persist/checkpoint between
+    * iterations via `checkpointDir` (same lineage discipline as
+    * [[Dedup.dupClusters]]). */
+  def pagerank(edges: DataFrame, iters: Int, dampPct: Long = 85,
+      scale: Long = 1000000L, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100")
+    val e = edges.select(col("i"), col("j"))
+    val deg = e.groupBy("i").agg(count(lit(1)).as("__dg"))
+    val nodes = e.select(col("i").as("v")).distinct()
+    val base = scale * (100 - dampPct) / 100
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (t <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("v", "i"), "i")
+        .join(deg, "i")
+        .select(col("j").as("v"), expr("pr DIV __dg").as("__sh"))
+        .groupBy("v").agg(sum("__sh").as("__s"))
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr(s"$dampPct * coalesce(__s, 0L) DIV 100"))
+            .as("pr"))
+      checkpointDir.foreach { dir =>
+        pr.sparkSession.sparkContext.setCheckpointDir(dir)
+        pr = pr.checkpoint(eager = false)
+      }
+    }
+    pr
+  }
+
   private def knnVote(df: DataFrame, id: Column, vec: Column, label: Column,
       isSeed: Column, bits: Int, k: Int, maxBucket: Long, extraBits: Int,
       predictSeeds: Boolean): DataFrame = {

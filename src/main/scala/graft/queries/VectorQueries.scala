@@ -456,6 +456,17 @@ object VectorQueries {
         .orderBy("i", "rk")
     }),
 
+    // integer-exact PageRank over the k-NN graph: neighborhood centrality
+    // for data selection — 2 rounds, every score on the 1e6 integer grid
+    // pinned bit-for-bit (float PageRank would be summation-order-hazardous)
+    "q202_graph_pagerank" -> ((s, d) => {
+      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      Sim.pagerank(g, iters = 2)
+        .select(col("v").as("vec_id"), col("pr"))
+        .orderBy("vec_id")
+    }),
+
     // one-hop k-NN label propagation: seeds = every 5th vector, each
     // non-seed gets the majority label of its 5 nearest seed neighbors —
     // every prediction, vote count, and degree pinned exactly
@@ -820,6 +831,32 @@ object VectorQueries {
            FROM sym)
          SELECT i, j, round(cos, 6) AS cos, rk
          FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
+
+    "q202_graph_pagerank" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         e AS (SELECT i, j FROM rk WHERE rk <= 3),
+         deg AS (SELECT i, count(*) AS dg FROM e GROUP BY 1),
+         nodes AS (SELECT DISTINCT i AS v FROM e),
+         c1 AS (SELECT e.j AS v, sum(p0.pr // d.dg) AS s FROM e
+           JOIN (SELECT v, 1000000::BIGINT AS pr FROM nodes) p0 ON e.i = p0.v
+           JOIN deg d ON e.i = d.i GROUP BY 1),
+         it1 AS (SELECT n.v,
+             CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN c1 ON n.v = c1.v),
+         c2 AS (SELECT e.j AS v, sum(it1.pr // d.dg) AS s FROM e
+           JOIN it1 ON e.i = it1.v JOIN deg d ON e.i = d.i GROUP BY 1),
+         it2 AS (SELECT n.v,
+             CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN c2 ON n.v = c2.v)
+         SELECT v AS vec_id, pr FROM it2 ORDER BY vec_id""",
 
     "q197_label_propagation" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket, label,

@@ -319,6 +319,21 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(runOn(ids, seed = 2) !== base)
   }
 
+  test("pagerank: hand-computed star graph, integer grid, two iterations") {
+    import spark.implicits._
+    // a,b,c → h and h → a; deg 1 everywhere; scale 1e6, damp 85
+    val edges = Seq((1L, 99L), (2L, 99L), (3L, 99L), (99L, 1L)).toDF("i", "j")
+    def prAt(iters: Int) = Similarity.pagerank(edges, iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // it1: h ← 3·1e6 → 150000 + 2550000; a ← 1e6 → 1e6; b,c base only
+    assert(prAt(1) === Map(1L -> 1000000L, 2L -> 150000L, 3L -> 150000L,
+      99L -> 2700000L))
+    // it2: h ← (1e6 + 150000 + 150000) = 1.3e6 → 150000 + 1105000;
+    //      a ← 2700000 → 150000 + 2295000
+    assert(prAt(2) === Map(1L -> 2445000L, 2L -> 150000L, 3L -> 150000L,
+      99L -> 1255000L))
+  }
+
   test("knnConfusion: well-separated label clusters land on the diagonal") {
     import spark.implicits._
     // two tight clusters in one (+,+) bucket, 3 vectors each
