@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.PortableHash
 
 /** Dataset profiling: per-column statistics (row/null/distinct counts,
   * numeric range and mean, string length range) computed in ONE aggregation
@@ -291,6 +292,73 @@ object Profiling {
     * (k·(k−1)/2 `corr` aggregates share the scan and partial-merge
     * map-side); emitted long-form `(col_a, col_b, corr)`, a < b. At 100 TB
     * this is a single map-side-combinable scan — never a per-pair job. */
+  /** Count-min sketch over a key column — the mergeable frequency-
+    * estimation sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` counters; every occurrence of key `x` increments cell
+    * `(r, h_r(x) mod width)` for each row r. Returns the sketch as a
+    * DataFrame of `(row, cell, cnt)` — a partial-aggregable groupBy-sum
+    * (the fan-out is the constant `depth`), so sketches of shards union +
+    * re-sum into the corpus sketch, the property that makes CMS the
+    * standard distributed frequency monitor. The hash family is the
+    * portable seeded chain ([[graft.functions.PortableHash]]), so the
+    * whole sketch — not just an error bound — is cross-engine
+    * reproducible: estimates are pure functions of the data.
+    *
+    * Scale shape: one explode-free pass when `key` is already one row per
+    * occurrence; sketch size `depth·width` is driver-tiny regardless of
+    * corpus size; point lookups broadcast the probe keys. */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"bad depth/width: $depth/$width")
+    val base = PortableHash.baseHash(key.cast("string"))
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("row"),
+        pmod(PortableHash.derivedHash(base, r), lit(width.toLong)).as("cell"))): _*)
+    df.select(explode(cells).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsBuild]] sketch: for each probe
+    * key, `min` over the sketch's `depth` cells it hashes to — the CMS
+    * upper-bound estimate (never under-counts; over-counts by collision
+    * mass ≤ N/width per row, min-reduced across rows). `probes` should be
+    * driver-sized (it broadcasts); the sketch side is `depth·width` rows.
+    * Returns (key, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: Column,
+      depth: Int, width: Int): DataFrame = {
+    val base = PortableHash.baseHash(key.cast("string"))
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("row"),
+        pmod(PortableHash.derivedHash(base, r), lit(width.toLong)).as("cell"))): _*)
+    val probeCells = probes.select(key.as("key"), explode(cells).as("rc"))
+      .select(col("key"), col("rc.row").as("row"), col("rc.cell").as("cell"))
+    broadcast(probeCells)
+      .join(sketch, Seq("row", "cell"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** DuckDB twin of the [[cmsBuild]]→[[cmsEstimate]] chain as CTE list (no
+    * leading WITH): relation `cms_est(key, est)` for the probe keys of
+    * `probeTable.$probeCol`, sketching `table.$keyCol`. */
+  def cmsSql(keyCol: String, table: String, probeCol: String,
+      probeTable: String, depth: Int, width: Int): String = {
+    def cellsOf(c: String) = (0 until depth).map { r =>
+      val h = PortableHash.derivedHashSql(PortableHash.baseHashSql(c), r)
+      s"($r, ($h) % $width)"
+    }.mkString(", ")
+    s"""__cms_occ AS (SELECT $keyCol AS k FROM $table),
+       __cms_cells AS (SELECT x.r AS row, x.c AS cell
+         FROM __cms_occ, LATERAL (VALUES ${cellsOf("k")}) x(r, c)),
+       __cms AS (SELECT row, cell, count(*) AS cnt FROM __cms_cells
+         GROUP BY 1, 2),
+       __cms_probe AS (SELECT $probeCol AS key FROM $probeTable),
+       __cms_pc AS (SELECT key, x.r AS row, x.c AS cell
+         FROM __cms_probe, LATERAL (VALUES ${cellsOf("key")}) x(r, c)),
+       cms_est AS (SELECT key, min(coalesce(cnt, 0)) AS est
+         FROM __cms_pc LEFT JOIN __cms USING (row, cell) GROUP BY 1)"""
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
     val pairs = for {

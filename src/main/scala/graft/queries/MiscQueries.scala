@@ -32,6 +32,29 @@ object MiscQueries {
     // one-pass per-column dataset profile (counts, nulls, exact distinct,
     // numeric range/mean, string lengths) — the pre-training data-quality
     // report, single scan + single aggregation
+    // count-min sketch: mergeable frequency monitor over the token stream.
+    // The portable hash family makes the ENTIRE sketch cross-engine
+    // reproducible, so estimates are pinned exactly — not just bounded —
+    // next to the exact counts and the never-undercounts guarantee
+    "q203_count_min" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Profiling
+      val words = Seq("table", "row", "value", "scan", "fast", "slow",
+        "agg", "join", "key", "window", "zzz_absent")
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val sketch = Profiling.cmsBuild(toks, col("w"), depth = 4, width = 256)
+      val est = Profiling.cmsEstimate(sketch, words.toDF("w"), col("w"),
+        depth = 4, width = 256)
+      val truth = toks.filter(col("w").isin(words: _*))
+        .groupBy("w").agg(count(lit(1)).as("true_n"))
+      est.join(truth, est("key") === truth("w"), "left")
+        .select(col("key").as("word"),
+          coalesce(col("true_n"), lit(0L)).as("true_n"), col("est"),
+          (col("est") >= coalesce(col("true_n"), lit(0L))).as("ge_ok"))
+        .orderBy("word")
+    }),
+
     "q114_profile" -> ((s, d) => {
       graft.ops.Profiling.profile(t(s, d, "lineitem"))
         .orderBy("column")
@@ -391,6 +414,22 @@ object MiscQueries {
          SELECT "column", CAST(rn AS INT) AS rank, value, c AS cnt,
            CAST(0 AS BIGINT) AS err
          FROM r WHERE rn <= 5 ORDER BY "column", rank""",
+
+    "q203_count_min" -> {
+      val words = Seq("table", "row", "value", "scan", "fast", "slow",
+        "agg", "join", "key", "window", "zzz_absent")
+      val vals = words.map(w => s"('$w')").mkString(", ")
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"""WITH ${graft.ops.Profiling.cmsSql("w",
+          "(SELECT unnest(str_split(text, ' ')) AS w FROM documents)",
+          "w", s"(VALUES $vals) pt(w)", 4, 256)},
+         truth AS (SELECT w, count(*) AS true_n
+           FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+           WHERE w IN ($inList) GROUP BY 1)
+         SELECT key AS word, coalesce(true_n, 0) AS true_n, est,
+           est >= coalesce(true_n, 0) AS ge_ok
+         FROM cms_est LEFT JOIN truth ON key = w ORDER BY word"""
+    },
 
     "q114_profile" -> {
       import graft.ops.Profiling.profileRowSql

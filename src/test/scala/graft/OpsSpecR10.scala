@@ -223,6 +223,29 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
   }
 
+  // ---- count-min sketch (q203) ------------------------------------------
+
+  test("count-min sketch: exact on collision-free widths, saturates to N at " +
+      "width 1, shard sketches merge into the corpus sketch") {
+    import spark.implicits._
+    val occ = Seq("a", "a", "a", "b", "b", "c").toDF("w")
+    def est(sk: org.apache.spark.sql.DataFrame, width: Int) =
+      Profiling.cmsEstimate(sk, Seq("a", "b", "c", "x").toDF("w"), col("w"),
+          depth = 3, width = width)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wide = Profiling.cmsBuild(occ, col("w"), depth = 3, width = 1024)
+    assert(est(wide, 1024) === Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "x" -> 0L))
+    // width 1: every key collides into the single cell → every estimate = N
+    val narrow = Profiling.cmsBuild(occ, col("w"), depth = 3, width = 1)
+    assert(est(narrow, 1) === Map("a" -> 6L, "b" -> 6L, "c" -> 6L, "x" -> 6L))
+    // mergeability: union of shard sketches re-summed ≡ corpus sketch
+    val s1 = Profiling.cmsBuild(occ.limit(3), col("w"), 3, 1024)
+    val s2 = Profiling.cmsBuild(occ.offset(3), col("w"), 3, 1024)
+    val merged = s1.union(s2).groupBy("row", "cell")
+      .agg(sum("cnt").as("cnt"))
+    assert(est(merged, 1024) === est(wide, 1024))
+  }
+
   // ---- T5 span corruption (q201) ----------------------------------------
 
   test("spanCorruptionStats: island accounting invariants, degenerate rates, " +
