@@ -107,6 +107,46 @@ object EventsQueries {
           sum("session_events").cast("long").as("n_events"),
           max("session_events").cast("long").as("max_session_events"))
         .orderBy("user_id")
+    }),
+
+    // cohort retention matrix — the standard product-analytics report:
+    // users grouped by first-activity week, counted in each later week
+    // they return. Weeks are integer 7-day buckets of epoch days (TZ-free
+    // integer arithmetic, never calendar-week trunc — engines disagree on
+    // week starts). Two partial-aggregable passes + one co-partitioned
+    // join on user_id; no window, no global sort.
+    "q204_retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        expr("unix_millis(ts) DIV 86400000 DIV 7").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cw"), (col("wk") - col("cw")).as("off"))
+        .distinct()
+        .groupBy(col("cw").as("cohort_week"), col("off").as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
+    // ordered conversion funnel signup → view → purchase: each stage's
+    // timestamp must STRICTLY follow the previous stage's (min-ts
+    // semantics, exact integer micros). Three co-partitioned user_id
+    // aggregations/joins — the textbook distributed funnel shape; per-user
+    // stage times then collapse to the stage report
+    "q205_event_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      val n1 = t1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_signup"))
+      val n2 = t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_view"))
+      val n3 = t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase"))
+      n1.union(n2).union(n3).select(col("stage"), col("n")).orderBy("stage")
     })
   )
 
@@ -182,6 +222,29 @@ object EventsQueries {
          SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
            CAST(sum(session_events) AS BIGINT) AS n_events,
            CAST(max(session_events) AS BIGINT) AS max_session_events
-         FROM per_session GROUP BY 1 ORDER BY 1"""
+         FROM per_session GROUP BY 1 ORDER BY 1""",
+
+    "q204_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+           (epoch_ms(ts) // 86400000) // 7 AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT e.user_id, c.cw, e.wk - c.cw AS off
+           FROM e JOIN c USING (user_id))
+         SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS offset_weeks, count(*) AS n_users
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q205_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+           WHERE event_type = 'view' AND us > t1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+         SELECT '1_signup' AS stage, count(*) AS n FROM t1
+         UNION ALL SELECT '2_view', count(*) FROM t2
+         UNION ALL SELECT '3_purchase', count(*) FROM t3
+         ORDER BY stage"""
   )
 }
