@@ -380,4 +380,30 @@ class PlanSpec extends AnyFunSuite {
       s"q181 must not shuffle before the final sort:\n$p")
     assert(!p.contains("ScalaUDF"), s"no UDF in the line rules:\n$p")
   }
+
+  test("label propagation ranks two-phase under WindowGroupLimit (q197)") {
+    val p = plan("q197_label_propagation")
+    // the k-nearest-seed rank must partial-limit on the map side: reducers
+    // see ≤ k·nMapTasks candidates per source, never the full edge list
+    assert(p.contains("WindowGroupLimit"),
+      s"q197 rank must two-phase:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("count-min estimate probes against the size-bounded sketch by " +
+    "broadcast — the corpus side only partial-aggregates (q203)") {
+    val p = plan("q203_count_min")
+    // sketch ≤ depth·width rows by construction → its join must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"sketch join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here may SMJ:\n$p")
+    assert(!p.contains("ScalaUDF"), s"portable hashes are expressions:\n$p")
+  }
+
+  test("integer PageRank inherits the graph's two-phase rank and adds " +
+    "only joins + partial aggs — no cartesian anywhere (q202)") {
+    val p = plan("q202_graph_pagerank")
+    assert(p.contains("WindowGroupLimit"),
+      s"the underlying k-NN rank must two-phase:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
