@@ -345,4 +345,27 @@ class StreamStaticSpec extends AnyFunSuite {
       assert(want(id) === n, s"doc $id: stream $n != batch ${want(id)}")
     }
   }
+
+  test("streaming count-min sketch: Complete-mode counters across " +
+    "microbatches equal the doubled-corpus batch sketch") {
+    // the live frequency monitor: CMS counters are a plain streaming
+    // groupBy-sum, so the state store IS the sketch (depth·width bounded)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("w"))
+    val dir = Files.createTempDirectory("graft-cms-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(
+        graft.ops.Profiling.cmsBuild(toks(stream), col("w"), 4, 64),
+        "cms_stream", OutputMode.Complete())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    // two identical files → every counter is exactly 2× the single-corpus
+    // sketch (linearity: CMS of a union is the sum of sketches)
+    val want = graft.ops.Profiling.cmsBuild(toks(docs), col("w"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), 2 * r.getLong(2))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
 }
