@@ -158,6 +158,22 @@ object TextAnalysis {
         PhonePattern, "<phone>"),
       SpaceRunPattern, " "))
 
+  /** PII incidence counters — the AUDIT side of [[scrub]]: how many
+    * redactable shapes a text contains, per pattern (the per-source PII
+    * rate report compliance reviews ask for before release). Same
+    * Java∩RE2 patterns as the scrub so "counted" and "redacted" can never
+    * disagree; pure codegen'd regexp projections. */
+  def emailCount(c: Column): Column = regexp_count(lower(c), lit(EmailPattern))
+
+  def phoneCount(c: Column): Column = regexp_count(lower(c), lit(PhonePattern))
+
+  /** DuckDB twins of [[emailCount]] / [[phoneCount]]. */
+  def emailCountSql(col: String): String =
+    s"len(regexp_extract_all(lower($col), '$EmailPattern'))"
+
+  def phoneCountSql(col: String): String =
+    s"len(regexp_extract_all(lower($col), '$PhonePattern'))"
+
   /** DuckDB twin of [[scrub]] (oracle construction). */
   def scrubSql(col: String): String =
     s"""trim(regexp_replace(regexp_replace(regexp_replace(lower($col),

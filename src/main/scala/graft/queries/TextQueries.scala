@@ -195,6 +195,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source PII incidence report — the compliance audit run before a
+    // release: email/phone shape counts per source over planted PII (every
+    // 5th doc gains an email, every 11th a phone), using the SAME patterns
+    // the scrub redacts so "counted" and "redacted" can never disagree
+    "q206_pii_report" -> ((s, d) => {
+      val planted = t(s, d, "documents")
+        .withColumn("t2", when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" contact bob@example.com now")))
+          .otherwise(col("text")))
+        .withColumn("t2", when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("t2"), lit(" call 555-123-4567 today")))
+          .otherwise(col("t2")))
+      planted.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TA.emailCount(col("t2"))).cast("long").as("n_emails"),
+          sum(TA.phoneCount(col("t2"))).cast("long").as("n_phones"),
+          sum(when(TA.emailCount(col("t2")) > 0 || TA.phoneCount(col("t2")) > 0,
+            1).otherwise(0)).cast("long").as("n_pii_docs"))
+        .orderBy("source")
+    }),
+
     // tokenizer-evaluation report: per language, chars-per-token and
     // FERTILITY (subword tokens per whitespace word) under the trained
     // vocab — the two numbers a tokenizer/vocab choice is judged by
@@ -1160,6 +1181,23 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    "q206_pii_report" ->
+      s"""WITH p1 AS (SELECT source, doc_id,
+           CASE WHEN doc_id % 5 = 0
+             THEN text || ' contact bob@example.com now' ELSE text END AS t1
+           FROM documents),
+         p2 AS (SELECT source,
+           CASE WHEN doc_id % 11 = 0
+             THEN t1 || ' call 555-123-4567 today' ELSE t1 END AS t2
+           FROM p1)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(${TA.emailCountSql("t2")}) AS BIGINT) AS n_emails,
+           CAST(sum(${TA.phoneCountSql("t2")}) AS BIGINT) AS n_phones,
+           CAST(sum(CASE WHEN ${TA.emailCountSql("t2")} > 0
+               OR ${TA.phoneCountSql("t2")} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pii_docs
+         FROM p2 GROUP BY 1 ORDER BY 1""",
 
     "q200_gopher_line_repetition" ->
       s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
