@@ -153,25 +153,35 @@ object Chunking {
     require(spanLen > 0, s"spanLen must be positive, got $spanLen")
     require(startRate > 0 && startRate <= 1, s"bad startRate $startRate")
     val thr = math.round(startRate * Sampling.Buckets)
-    val n = col("__n")
-    df
-      .withColumn("__n", size(split(text, " ")))
-      .withColumn("__starts", filter(sequence(lit(1), n), i =>
-        Sampling.hashBucket(
-          concat(id.cast("string"), lit(":"), i.cast("string")), seed) < thr))
-      .withColumn("__masked", transform(sequence(lit(1), n), j =>
-        exists(col("__starts"), s => s <= j && s > j - spanLen)))
-      .select(
-        id.as("id"),
-        n.as("n_tokens"),
-        size(filter(sequence(lit(1), n), j =>
-          element_at(col("__masked"), j) &&
-            (j === 1 || !element_at(col("__masked"), j - 1)))).as("n_spans"),
-        size(filter(col("__masked"), m => m)).as("n_masked"),
-        aggregate(
-          zip_with(sequence(lit(1), n), col("__masked"),
-            (j, m) => when(m, j).otherwise(0).cast("long")),
-          lit(0L), (a, x) => a + x).as("masked_pos_sum"))
+    // LET-BIND n → starts → masked via one-element transforms (the repo's
+    // documented higher-order-function trap: a free expression inside a
+    // lambda re-evaluates per element — unbound, the n-md5 `starts` array
+    // would rerun per masked slot, O(n²) digests per row; measured 46 s →
+    // sub-second on q201 at sf0.1). Lambda VARIABLES evaluate once.
+    val stats = element_at(transform(array(size(split(text, " "))), n =>
+      element_at(transform(array(filter(sequence(lit(1), n), i =>
+          Sampling.hashBucket(concat(id.cast("string"), lit(":"),
+            i.cast("string")), seed) < thr)), starts =>
+        element_at(transform(array(transform(sequence(lit(1), n), j =>
+            exists(starts, s => s <= j && s > j - spanLen))), masked =>
+          struct(
+            n.as("n_tokens"),
+            size(filter(sequence(lit(1), n), j =>
+              element_at(masked, j) &&
+                (j === 1 || !element_at(masked, j - 1)))).as("n_spans"),
+            size(filter(masked, m => m)).as("n_masked"),
+            aggregate(
+              zip_with(sequence(lit(1), n), masked,
+                (j, m) => when(m, j).otherwise(0).cast("long")),
+              lit(0L), (a, x) => a + x).as("masked_pos_sum"))),
+          1)), 1)), 1)
+    // explode of a one-element array is a Generate BARRIER: CollapseProject
+    // cannot inline the struct into the per-field extraction below, so the
+    // whole per-row computation runs exactly once per row
+    df.select(id.as("id"), explode(array(stats)).as("__st"))
+      .select(col("id"), col("__st.n_tokens").as("n_tokens"),
+        col("__st.n_spans").as("n_spans"), col("__st.n_masked").as("n_masked"),
+        col("__st.masked_pos_sum").as("masked_pos_sum"))
       .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
       .withColumn("target_len", col("n_masked") + col("n_spans"))
   }
