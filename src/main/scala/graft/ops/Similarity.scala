@@ -1351,6 +1351,58 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    * scoring rule): cross-side candidate pairs scored by the RATIO margin
+    *
+    *   margin(x,y) = cos(x,y) / ((nnavg(x) + nnavg(y)) / 2)
+    *
+    * where `nnavg(v)` averages v's k best cross-side candidate cosines —
+    * the normalization that kills hub vectors (a vector similar to
+    * EVERYTHING scores high raw cosine against anything; dividing by its
+    * neighborhood average restores contrast). `side` partitions the corpus
+    * (two languages for bitext, two snapshots for alignment); only
+    * cross-side pairs are candidates and each side's neighborhood is
+    * cross-side by construction, exactly the paper's setup.
+    *
+    * Returns undirected pairs (i, j, cos, margin) with margin on the
+    * 6-decimal grid (nnavg is one sum ÷ count per node; summation-order
+    * noise is ulps, far below the grid — the repo's standard ratio
+    * discipline). Callers threshold/rank on the ROUNDED margin.
+    *
+    * Scale shape: candidates are [[bucketedPairs]] (or capped via
+    * `maxBucket` — the [[knnGraph]] valve); the per-node top-k two-phases
+    * under WindowGroupLimit; nnavg is a partial-aggregable sum/count;
+    * metadata joins touch only the bounded edge list. */
+  def marginBitextPairs(df: DataFrame, id: Column, vec: Column, side: Column,
+      bits: Int, k: Int, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cand =
+      (if (maxBucket == Long.MaxValue) bucketedPairs(df, id, vec, bits)
+       else bucketedPairsCapped(df, id, vec, bits, maxBucket, extraBits))
+        .select("i", "j", "cos")
+    val meta = df.select(id.as("__nid"), side.cast("string").as("__side"))
+    val si = meta.select(col("__nid").as("i"), col("__side").as("__si"))
+    val sj = meta.select(col("__nid").as("j"), col("__side").as("__sj"))
+    val cross = cand.join(si, "i").join(sj, "j")
+      .filter(col("__si") =!= col("__sj"))
+      .select("i", "j", "cos")
+    val sym = cross.union(
+      cross.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    val nnavg = sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+      .groupBy("i")
+      .agg((sum("cos") / count(lit(1))).as("__avg"))
+    cross
+      .join(nnavg.select(col("i"), col("__avg").as("__ai")), "i")
+      .join(nnavg.select(col("i").as("j"), col("__avg").as("__aj")), "j")
+      .select(col("i"), col("j"), col("cos"),
+        round(col("cos") / ((col("__ai") + col("__aj")) / 2), 6).as("margin"))
+  }
+
   /** Fixed-iteration PageRank over a directed edge list, in INTEGER
     * arithmetic — graph centrality for embedding-space data selection
     * (rank corpus items by how often the neighborhood structure points at

@@ -456,6 +456,22 @@ object VectorQueries {
         .orderBy("i", "rk")
     }),
 
+    // margin-based bitext mining (CCMatrix rule): en↔de candidate pairs
+    // scored by ratio margin — raw cosine normalized by both endpoints'
+    // cross-side neighborhood averages; top-15 by the rounded margin
+    "q207_bitext_margin" -> ((s, d) => {
+      val e = emb(s, d).join(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+        .filter(col("lang").isin("en", "de"))
+      Sim.marginBitextPairs(e, col("vec_id"), col("embedding"), col("lang"),
+          bits = 4, k = 3)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"),
+          col("margin"))
+        .orderBy(col("margin").desc, col("i"), col("j"))
+        .limit(15)
+    }),
+
     // integer-exact PageRank over the k-NN graph: neighborhood centrality
     // for data selection — 2 rounds, every score on the 1e6 integer grid
     // pinned bit-for-bit (float PageRank would be summation-order-hazardous)
@@ -831,6 +847,27 @@ object VectorQueries {
            FROM sym)
          SELECT i, j, round(cos, 6) AS cos, rk
          FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
+
+    "q207_bitext_margin" ->
+      s"""WITH n0 AS (SELECT e.vec_id, e.embedding, d.lang, $bucket4 bucket
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+           WHERE d.lang IN ('en', 'de')),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM n0 a JOIN n0 c ON a.bucket = c.bucket
+             AND a.vec_id < c.vec_id AND a.lang <> c.lang),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         av AS (SELECT i, sum(cos) / count(*) AS avgc FROM rk
+           WHERE rk <= 3 GROUP BY 1),
+         m AS (SELECT p.i, p.j, p.cos,
+             round(p.cos / ((ai.avgc + aj.avgc) / 2), 6) AS margin
+           FROM p JOIN av ai ON p.i = ai.i JOIN av aj ON p.j = aj.i)
+         SELECT i, j, round(cos, 6) AS cos, margin
+         FROM m ORDER BY margin DESC, i, j LIMIT 15""",
 
     "q202_graph_pagerank" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),

@@ -342,6 +342,37 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(runOn(ids, seed = 2) !== base)
   }
 
+  test("marginBitextPairs: cross-side pairs only, ratio margin replays from " +
+      "the emitted cosines") {
+    import spark.implicits._
+    // six vectors in one (+,+) bucket, alternating sides
+    val rows = (0 until 6).map { i =>
+      (i.toLong, Array(1f, 1f, 0.2f * i - 0.5f, 1f - 0.15f * i),
+        if (i % 2 == 0) "A" else "B")
+    }
+    val df = rows.toDF("vec_id", "embedding", "side")
+    val got = Similarity.marginBitextPairs(df, col("vec_id"),
+        col("embedding"), col("side"), bits = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val sideOf = rows.map(r => r._1 -> r._3).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (i, j, _, _) =>
+      assert(sideOf(i) !== sideOf(j), s"same-side pair ($i,$j) emitted")
+    }
+    // replay the ratio margin from the emitted pair cosines themselves
+    val sym = got.flatMap { case (i, j, c, _) => Seq((i, j, c), (j, i, c)) }
+    val nnavg = sym.groupBy(_._1).map { case (v, es) =>
+      val top = es.sortBy(e => (-e._3, e._2)).take(2).map(_._3)
+      v -> top.sum / top.length
+    }
+    got.foreach { case (i, j, c, m) =>
+      val want = BigDecimal(c / ((nnavg(i) + nnavg(j)) / 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(m - want) < 1e-9, s"pair ($i,$j): $m vs $want")
+    }
+  }
+
   test("pagerank: hand-computed star graph, integer grid, two iterations") {
     import spark.implicits._
     // a,b,c → h and h → a; deg 1 everywhere; scale 1e6, damp 85
