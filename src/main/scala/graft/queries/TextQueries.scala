@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Dedup, TextAnalysis => TA}
+import graft.ops.{Dedup, Similarity => Sim, TextAnalysis => TA}
 import QueryUtil._
 
 /** Training-data text operators over the `documents` table: exact/fuzzy
@@ -347,6 +347,36 @@ object TextQueries {
       TA.bm25TopK(t(s, d, "documents"), col("doc_id"), col("text"),
           qs, col("qid"), col("qtext"), k = 5)
         .orderBy("qid", "rk")
+    }),
+
+    // two-stage retrieve-then-rerank (the standard serving shape next to
+    // q196's rank fusion): BM25 generates 20 lexical candidates per query,
+    // the query's anchor embedding reranks them by fused codegen cosine,
+    // top-5 survive — both stages' ranks pinned
+    "q208_retrieve_rerank" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.{Similarity => Sim}
+      val qs = Seq(("q1", "table scan fast", 1L), ("q2", "merge join slow", 2L),
+        ("q3", "vector spark stream", 3L)).toDF("qid", "qtext", "avid")
+      val lex = TA.bm25TopK(t(s, d, "documents"), col("doc_id"), col("text"),
+        qs, col("qid"), col("qtext"), k = 20)
+      val e = t(s, d, "embeddings")
+      val cand = lex.select(col("qid"), col("doc"), col("rk").as("lex_rk"))
+        .join(qs.select("qid", "avid"), "qid")
+        .join(e.select(col("vec_id").as("doc"), col("embedding").as("dvec")),
+          "doc")
+        .join(e.select(col("vec_id").as("avid"), col("embedding").as("qvec")),
+          "avid")
+      val scored = cand.withColumn("c",
+        Sim.cosineNative(cand, col("dvec"), col("qvec")))
+      scored
+        .withColumn("rrk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("c").desc, col("doc"))))
+        .filter(col("rrk") <= 5)
+        .select(col("qid"), col("doc"), col("lex_rk"),
+          round(col("c"), 6).as("cos"), col("rrk"))
+        .orderBy("qid", "rrk")
     }),
 
     // hybrid retrieval: q195's BM25 lexical list fused with a sign-LSH
@@ -1860,6 +1890,42 @@ object TextQueries {
 
     // identical postings/df/length/idf/tf-norm arithmetic; ranks order by
     // the rounded score with doc tie-break on both sides
+    // q195's BM25 chain widened to 20 candidates, then the cosine rerank
+    "q208_retrieve_rerank" ->
+      s"""WITH q(qid, qtext, avid) AS (VALUES ('q1', 'table scan fast', 1),
+           ('q2', 'merge join slow', 2), ('q3', 'vector spark stream', 3)),
+         qt AS (SELECT DISTINCT qid, unnest(str_split(qtext, ' ')) AS t FROM q),
+         terms AS (SELECT DISTINCT t FROM qt),
+         post AS (SELECT x.t, x.doc_id AS doc, count(*) AS tf
+           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             FROM documents) x
+           JOIN terms USING (t) GROUP BY 1, 2),
+         lens AS (SELECT doc_id AS doc,
+             len(str_split(text, ' '))::DOUBLE AS dl FROM documents),
+         stats AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl FROM lens),
+         dfq AS (SELECT t, count(DISTINCT doc)::DOUBLE AS df
+           FROM post GROUP BY 1),
+         sc AS (SELECT qt.qid, post.doc,
+             round(sum(ln(1 + (stats.nn - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (post.tf * (1.2 + 1.0))
+               / (post.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))), 6)
+               AS score
+           FROM post JOIN lens USING (doc) JOIN dfq USING (t)
+           JOIN qt USING (t), stats
+           GROUP BY 1, 2),
+         rk AS (SELECT qid, doc, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc) AS rk FROM sc),
+         cand AS (SELECT qid, doc, rk AS lex_rk FROM rk WHERE rk <= 20),
+         withv AS (SELECT c.qid, c.doc, c.lex_rk,
+             ${Sim.cosineSql("de.embedding", "qe.embedding")} AS c
+           FROM cand c JOIN q USING (qid)
+           JOIN embeddings de ON de.vec_id = c.doc
+           JOIN embeddings qe ON qe.vec_id = q.avid),
+         rr AS (SELECT qid, doc, lex_rk, c, row_number() OVER (
+             PARTITION BY qid ORDER BY c DESC, doc) AS rrk FROM withv)
+         SELECT qid, doc, lex_rk, round(c, 6) AS cos, rrk
+         FROM rr WHERE rrk <= 5 ORDER BY qid, rrk""",
+
     "q195_bm25" ->
       """WITH q(qid, qtext) AS (VALUES ('q1', 'table scan fast'),
            ('q2', 'merge join slow'), ('q3', 'vector spark stream')),
