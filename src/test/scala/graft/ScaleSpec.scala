@@ -754,6 +754,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(capped.values.toSet === Set(100L))
   }
 
+  test("labelPropagate and marginBitextPairs inherit the maxBucket valve: " +
+      "a planted fat bucket is refined away, slim-bucket results survive") {
+    import spark.implicits._
+    // knnGraph valve geometry: 64-vector degenerate region (one fat
+    // bits=4 bucket, id-sign dims 5..12 so extraBits=8 isolates each) +
+    // a slim 3-vector near-identical bucket
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val nodes = (fat ++ slim)
+      .map { case (id, v) => (id, v, (id % 3).toInt, id % 2 == 0) }
+      .toDF("vec_id", "embedding", "label", "seed")
+    val lpCapped = Similarity.labelPropagate(nodes, col("vec_id"),
+        col("embedding"), col("label"), col("seed"), bits = 4, k = 2,
+        maxBucket = 10, extraBits = 8)
+      .collect().map(_.getLong(0)).toSet
+    // every fat-bucket vector is refined into isolation → only slim-bucket
+    // non-seeds (101) can still be labeled by their seed neighbors
+    assert(lpCapped === Set(101L), s"capped propagation: $lpCapped")
+    val lpUncapped = Similarity.labelPropagate(nodes, col("vec_id"),
+        col("embedding"), col("label"), col("seed"), bits = 4, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(lpCapped.subsetOf(lpUncapped))
+    val sides = nodes.withColumn("side",
+      when(col("vec_id") % 2 === 0, "A").otherwise("B"))
+    val mbCapped = Similarity.marginBitextPairs(sides, col("vec_id"),
+        col("embedding"), col("side"), bits = 4, k = 2,
+        maxBucket = 10, extraBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // slim bucket: 100/102 are side A, 101 side B → its cross pairs
+    // survive; no fat-bucket pair may appear
+    assert(mbCapped.nonEmpty && mbCapped.forall(p => p._1 >= 100L && p._2 >= 100L),
+      s"capped margin pairs: $mbCapped")
+  }
+
   test("annJoin: cross-table top-k ≡ per-bucket brute replay; maxBucket " +
       "valve bounds a fat bucket from EITHER side; capped ⊆ uncapped") {
     import spark.implicits._
