@@ -359,6 +359,44 @@ object Profiling {
          FROM __cms_pc LEFT JOIN __cms USING (row, cell) GROUP BY 1)"""
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE
+    * alternative to HLL (`approx_count_distinct`, q34): with hashes from
+    * the portable md5 family, the k smallest distinct hash values — and
+    * therefore the estimate `(k−1)·M / h_(k)` (M = 2⁶⁰ hash space) — are
+    * identical in every engine, so the ESTIMATE itself is oracle-pinnable,
+    * not just its error bound. Fewer than k distinct values → the sketch
+    * holds them all and the answer is exact (the KMV small-cardinality
+    * convention). Returns one row `(n_seen, est)`; `n_seen` = values in
+    * the sketch (= k when saturated). Standard error ≈ 1/√(k−2).
+    *
+    * Scale shape: distinct-by-hash partial-aggregates; the k-smallest is a
+    * `TakeOrderedAndProject` heap (per-partition k-mins merge on the
+    * driver — KMV's mergeability IS this), never a global sort; the
+    * finishing agg sees k rows. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val M = math.pow(2, 60) // md5Long range — exact as a double
+    val mins = df.select(PortableHash.md5Long(key.cast("string"), 0).as("h"))
+      .distinct().orderBy("h").limit(k)
+    mins.agg(count(lit(1)).as("n_seen"), max("h").as("__hk"))
+      .select(col("n_seen"),
+        when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * M /
+            col("__hk").cast("double"), 4)).as("est"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]] as CTE list (no leading WITH) ending
+    * in `kmv(n_seen, est)`. */
+  def kmvDistinctSql(keyCol: String, table: String, k: Int): String = {
+    val h = PortableHash.md5LongSql(s"$keyCol::VARCHAR", 0)
+    s"""__kmv_m AS (SELECT DISTINCT $h AS h FROM $table ORDER BY h LIMIT $k),
+       kmv AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+           CASE WHEN count(*) < $k THEN count(*)::DOUBLE
+             ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)} /
+               max(h)::DOUBLE, 4) END AS est
+         FROM __kmv_m)"""
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
     val pairs = for {

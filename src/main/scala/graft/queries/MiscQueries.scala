@@ -55,6 +55,21 @@ object MiscQueries {
         .orderBy("word")
     }),
 
+    // KMV distinct sketch: the portable-hash alternative to q34's HLL —
+    // the ESTIMATE itself is cross-engine pinned (k smallest md5 values
+    // are engine-independent), next to the exact count and a relative
+    // error bound; the k-smallest runs as a TakeOrdered heap, never a sort
+    "q209_kmv_distinct" -> ((s, d) => {
+      import graft.ops.Profiling
+      val li = t(s, d, "lineitem")
+      val kmv = Profiling.kmvDistinct(li, col("l_orderkey"), k = 64)
+      val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      kmv.crossJoin(exact)
+        .select(col("n_seen"), col("est"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            lit(0.5) * col("exact_distinct")).as("bound_ok"))
+    }),
+
     "q114_profile" -> ((s, d) => {
       graft.ops.Profiling.profile(t(s, d, "lineitem"))
         .orderBy("column")
@@ -414,6 +429,14 @@ object MiscQueries {
          SELECT "column", CAST(rn AS INT) AS rank, value, c AS cnt,
            CAST(0 AS BIGINT) AS err
          FROM r WHERE rn <= 5 ORDER BY "column", rank""",
+
+    "q209_kmv_distinct" ->
+      s"""WITH ${graft.ops.Profiling.kmvDistinctSql("l_orderkey", "lineitem", 64)},
+         ex AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct
+           FROM lineitem)
+         SELECT n_seen, est, exact_distinct,
+           abs(est - exact_distinct) <= 0.5 * exact_distinct AS bound_ok
+         FROM kmv, ex""",
 
     "q203_count_min" -> {
       val words = Seq("table", "row", "value", "scan", "fast", "slow",

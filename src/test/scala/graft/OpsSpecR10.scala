@@ -246,6 +246,27 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(est(merged, 1024) === est(wide, 1024))
   }
 
+  // ---- KMV distinct sketch (q209) ---------------------------------------
+
+  test("kmvDistinct: exact below k, estimate within the standard-error band " +
+      "above k, duplicates never inflate, layout-independent") {
+    import spark.implicits._
+    val small = (0 until 10).flatMap(i => Seq(s"v$i", s"v$i")).toDF("x")
+    val sm = Profiling.kmvDistinct(small, col("x"), k = 64).collect().head
+    // 10 distinct values, each duplicated: sketch is exact
+    assert(sm.getLong(0) === 10L && sm.getDouble(1) === 10.0)
+    val big = (0 until 20000).map(i => s"item$i").toDF("x")
+    val bg = Profiling.kmvDistinct(big, col("x"), k = 256).collect().head
+    assert(bg.getLong(0) === 256L)
+    val est = bg.getDouble(1)
+    // 3σ at k=256 ≈ 19 %
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"est=$est")
+    // determinism across partitionings (heap merge ≡ single-task k-min)
+    val re = Profiling.kmvDistinct(big.repartition(13), col("x"), k = 256)
+      .collect().head
+    assert(re.getDouble(1) === est)
+  }
+
   // ---- T5 span corruption (q201) ----------------------------------------
 
   test("spanCorruptionStats: island accounting invariants, degenerate rates, " +
