@@ -397,6 +397,93 @@ object Profiling {
          FROM __kmv_m)"""
   }
 
+  /** Per-group [[kmvDistinct]] — distinct cardinality per key group (the
+    * "distinct users per day/source" monitor). The per-group k-min is a
+    * `row_number ≤ k` that two-phases under InferWindowGroupLimit (map
+    * tasks keep only their local k-mins — KMV mergeability expressed as a
+    * window group limit), then one k-row-per-group agg. Returns
+    * `(group, n_seen, est)` with the same exact-below-k convention. */
+  def kmvDistinctPerGroup(df: DataFrame, key: Column, group: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val M = math.pow(2, 60)
+    df.select(group.as("g"),
+        PortableHash.md5Long(key.cast("string"), 0).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_seen"), max("h").as("__hk"))
+      .select(col("g"), col("n_seen"),
+        when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * M /
+            col("__hk").cast("double"), 4)).as("est"))
+  }
+
+  /** KMV set-operation estimate: |A ∩ B| from the two key sets' sketches
+    * (Beyer et al. 2007) — the scale answer to "how many ids appear in
+    * BOTH splits/snapshots" when neither side fits anywhere: take the k
+    * minimum hash values of A ∪ B, count how many of those belong to both
+    * sides, and scale the union estimate by that fraction:
+    *
+    *   est_inter = (n_both / n_union_seen) · est(A ∪ B)
+    *
+    * Everything is portable-hash deterministic, so both estimates pin
+    * exactly cross-engine. Returns one row `(n_union_seen, est_union,
+    * n_both, est_inter)`; exact when the union has < k distinct keys.
+    * Scale shape: two distinct-by-hash partial aggs, one heap k-min, two
+    * semi joins of k rows against the (bounded, distinct-hash) sides. */
+  def kmvIntersection(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val M = math.pow(2, 60)
+    val ha = a.select(PortableHash.md5Long(keyA.cast("string"), 0).as("h"))
+      .distinct()
+    val hb = b.select(PortableHash.md5Long(keyB.cast("string"), 0).as("h"))
+      .distinct()
+    val mins = ha.union(hb).distinct().orderBy("h").limit(k)
+    val both = mins.join(ha, Seq("h"), "leftsemi").join(hb, Seq("h"), "leftsemi")
+    val u = mins.agg(count(lit(1)).as("n_union_seen"), max("h").as("__hk"))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+    u.select(col("n_union_seen"),
+        when(col("n_union_seen") < k, col("n_union_seen").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * M /
+            col("__hk").cast("double"), 4)).as("est_union"),
+        col("n_both"))
+      .withColumn("est_inter",
+        round(col("n_both").cast("double") / col("n_union_seen") *
+          col("est_union"), 4))
+  }
+
+  /** DuckDB twin of [[kmvIntersection]] as CTE list ending in
+    * `kmv_inter(n_union_seen, est_union, n_both, est_inter)`; `aRel` /
+    * `bRel` are relations (subqueries allowed) exposing `$aCol` / `$bCol`. */
+  def kmvIntersectionSql(aCol: String, aRel: String, bCol: String,
+      bRel: String, k: Int): String = {
+    val ha = PortableHash.md5LongSql(s"$aCol::VARCHAR", 0)
+    val hb = PortableHash.md5LongSql(s"$bCol::VARCHAR", 0)
+    s"""__ki_a AS (SELECT DISTINCT $ha AS h FROM $aRel),
+       __ki_b AS (SELECT DISTINCT $hb AS h FROM $bRel),
+       __ki_m AS (SELECT DISTINCT h FROM
+         (SELECT h FROM __ki_a UNION ALL SELECT h FROM __ki_b)
+         ORDER BY h LIMIT $k),
+       __ki_u AS (SELECT count(*) AS n_union_seen, max(h) AS hk FROM __ki_m),
+       __ki_n AS (SELECT count(*) AS n_both FROM __ki_m
+         WHERE h IN (SELECT h FROM __ki_a) AND h IN (SELECT h FROM __ki_b)),
+       kmv_inter AS (SELECT CAST(n_union_seen AS BIGINT) AS n_union_seen,
+           CASE WHEN n_union_seen < $k THEN n_union_seen::DOUBLE
+             ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)} /
+               hk::DOUBLE, 4) END AS est_union,
+           CAST(n_both AS BIGINT) AS n_both,
+           round(n_both::DOUBLE / n_union_seen *
+             CASE WHEN n_union_seen < $k THEN n_union_seen::DOUBLE
+               ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)} /
+                 hk::DOUBLE, 4) END, 4) AS est_inter
+         FROM __ki_u, __ki_n)"""
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
     val pairs = for {

@@ -70,6 +70,43 @@ object MiscQueries {
             lit(0.5) * col("exact_distinct")).as("bound_ok"))
     }),
 
+    // grouped KMV: distinct users per event type — the per-day/source
+    // cardinality monitor; per-group k-min two-phases under
+    // InferWindowGroupLimit (KMV mergeability as a window group limit)
+    "q210_kmv_per_group" -> ((s, d) => {
+      import graft.ops.Profiling
+      val ev = t(s, d, "events")
+      val kmv = Profiling.kmvDistinctPerGroup(ev, col("user_id"),
+        col("event_type"), k = 32)
+      val exact = ev.groupBy(col("event_type").as("g2"))
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      kmv.join(exact, col("g") === col("g2"))
+        .select(col("g").as("event_type"), col("n_seen"), col("est"),
+          col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            lit(0.6) * col("exact_distinct")).as("bound_ok"))
+        .orderBy("event_type")
+    }),
+
+    // KMV set intersection (Beyer et al.): |purchasers ∩ planted-id set|
+    // estimated from the union sketch's both-sides fraction — the "overlap
+    // between two 100 TB id sets" audit; estimates pinned exactly, the
+    // exact intersection alongside
+    "q211_kmv_intersection" -> ((s, d) => {
+      import graft.ops.Profiling
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val b = ev.filter(pmod(col("user_id"), lit(3)) === 0).select(col("user_id"))
+      val est = Profiling.kmvIntersection(a, col("user_id"), b, col("user_id"),
+        k = 64)
+      val exact = a.intersect(b).agg(count(lit(1)).as("exact_inter"))
+      est.crossJoin(exact)
+        .select(col("n_union_seen"), col("est_union"), col("n_both"),
+          col("est_inter"), col("exact_inter"),
+          (abs(col("est_inter") - col("exact_inter")) <=
+            lit(0.6) * col("exact_inter")).as("bound_ok"))
+    }),
+
     "q114_profile" -> ((s, d) => {
       graft.ops.Profiling.profile(t(s, d, "lineitem"))
         .orderBy("column")
@@ -437,6 +474,40 @@ object MiscQueries {
          SELECT n_seen, est, exact_distinct,
            abs(est - exact_distinct) <= 0.5 * exact_distinct AS bound_ok
          FROM kmv, ex""",
+
+    "q210_kmv_per_group" -> {
+      val h = graft.functions.PortableHash.md5LongSql("user_id::VARCHAR", 0)
+      val m = math.pow(2, 60)
+      s"""WITH hs AS (SELECT DISTINCT event_type AS g, $h AS h FROM events),
+         rk AS (SELECT g, h,
+             row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hs),
+         ag AS (SELECT g, count(*) AS n_seen, max(h) AS hk
+           FROM rk WHERE rk <= 32 GROUP BY 1),
+         ex AS (SELECT event_type AS g, count(DISTINCT user_id)
+             AS exact_distinct FROM events GROUP BY 1)
+         SELECT ag.g AS event_type, CAST(n_seen AS BIGINT) AS n_seen,
+           CASE WHEN n_seen < 32 THEN n_seen::DOUBLE
+             ELSE round(31.0 * $m / hk::DOUBLE, 4) END AS est,
+           exact_distinct,
+           abs(CASE WHEN n_seen < 32 THEN n_seen::DOUBLE
+             ELSE round(31.0 * $m / hk::DOUBLE, 4) END - exact_distinct)
+             <= 0.6 * exact_distinct AS bound_ok
+         FROM ag JOIN ex USING (g) ORDER BY event_type"""
+    },
+
+    "q211_kmv_intersection" ->
+      s"""WITH ${graft.ops.Profiling.kmvIntersectionSql("user_id",
+          "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+          "user_id", "(SELECT user_id FROM events WHERE user_id % 3 = 0)",
+          64)},
+         ex AS (SELECT count(*) AS exact_inter FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0))
+         SELECT n_union_seen, est_union, n_both, est_inter,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           abs(est_inter - exact_inter) <= 0.6 * exact_inter AS bound_ok
+         FROM kmv_inter, ex""",
 
     "q203_count_min" -> {
       val words = Seq("table", "row", "value", "scan", "fast", "slow",
