@@ -339,24 +339,26 @@ object Profiling {
   }
 
   /** DuckDB twin of the [[cmsBuild]]→[[cmsEstimate]] chain as CTE list (no
-    * leading WITH): relation `cms_est(key, est)` for the probe keys of
-    * `probeTable.$probeCol`, sketching `table.$keyCol`. */
+    * leading WITH): relation `${tag}_est(key, est)` for the probe keys of
+    * `probeTable.$probeCol`, sketching `table.$keyCol`. Distinct `tag`s
+    * let two sketch chains (e.g. two snapshots) share one oracle. */
   def cmsSql(keyCol: String, table: String, probeCol: String,
-      probeTable: String, depth: Int, width: Int): String = {
+      probeTable: String, depth: Int, width: Int,
+      tag: String = "cms"): String = {
     def cellsOf(c: String) = (0 until depth).map { r =>
       val h = PortableHash.derivedHashSql(PortableHash.baseHashSql(c), r)
       s"($r, ($h) % $width)"
     }.mkString(", ")
-    s"""__cms_occ AS (SELECT $keyCol AS k FROM $table),
-       __cms_cells AS (SELECT x.r AS row, x.c AS cell
-         FROM __cms_occ, LATERAL (VALUES ${cellsOf("k")}) x(r, c)),
-       __cms AS (SELECT row, cell, count(*) AS cnt FROM __cms_cells
+    s"""__${tag}_occ AS (SELECT $keyCol AS k FROM $table),
+       __${tag}_cells AS (SELECT x.r AS row, x.c AS cell
+         FROM __${tag}_occ, LATERAL (VALUES ${cellsOf("k")}) x(r, c)),
+       __$tag AS (SELECT row, cell, count(*) AS cnt FROM __${tag}_cells
          GROUP BY 1, 2),
-       __cms_probe AS (SELECT $probeCol AS key FROM $probeTable),
-       __cms_pc AS (SELECT key, x.r AS row, x.c AS cell
-         FROM __cms_probe, LATERAL (VALUES ${cellsOf("key")}) x(r, c)),
-       cms_est AS (SELECT key, min(coalesce(cnt, 0)) AS est
-         FROM __cms_pc LEFT JOIN __cms USING (row, cell) GROUP BY 1)"""
+       __${tag}_probe AS (SELECT $probeCol AS key FROM $probeTable),
+       __${tag}_pc AS (SELECT key, x.r AS row, x.c AS cell
+         FROM __${tag}_probe, LATERAL (VALUES ${cellsOf("key")}) x(r, c)),
+       ${tag}_est AS (SELECT key, min(coalesce(cnt, 0)) AS est
+         FROM __${tag}_pc LEFT JOIN __$tag USING (row, cell) GROUP BY 1)"""
   }
 
   /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE

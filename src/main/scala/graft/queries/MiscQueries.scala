@@ -107,6 +107,38 @@ object MiscQueries {
             lit(0.6) * col("exact_inter")).as("bound_ok"))
     }),
 
+    // CMS drift monitor: two release sketches (v2 drops every 10th doc and
+    // doubles every 7th's text), per-word delta = est_b − est_a by sketch
+    // linearity — the release-to-release token-distribution diff that
+    // never rescans either corpus exactly; deltas pinned next to truth
+    "q212_cms_drift" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Profiling
+      val words = Seq("table", "row", "value", "scan", "fast", "slow",
+        "agg", "join", "key", "window")
+      val docs = t(s, d, "documents")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat_ws(" ", col("text"), col("text"))).otherwise(col("text")))
+      def toks(df: DataFrame) =
+        df.select(explode(split(col("text"), " ")).as("w"))
+      def estOf(df: DataFrame, name: String) =
+        Profiling.cmsEstimate(
+            Profiling.cmsBuild(toks(df), col("w"), 4, 256),
+            words.toDF("w"), col("w"), 4, 256)
+          .select(col("key"), col("est").as(name))
+      def truthOf(df: DataFrame, name: String) =
+        toks(df).filter(col("w").isin(words: _*))
+          .groupBy(col("w")).agg(count(lit(1)).as(name))
+      estOf(docs, "est_a").join(estOf(v2, "est_b"), "key")
+        .join(truthOf(docs, "true_a"), col("key") === col("w")).drop("w")
+        .join(truthOf(v2, "true_b"), col("key") === col("w")).drop("w")
+        .select(col("key").as("word"),
+          col("est_a"), col("est_b"), (col("est_b") - col("est_a")).as("delta_est"),
+          (col("true_b") - col("true_a")).as("delta_true"))
+        .orderBy("word")
+    }),
+
     "q114_profile" -> ((s, d) => {
       graft.ops.Profiling.profile(t(s, d, "lineitem"))
         .orderBy("column")
@@ -474,6 +506,32 @@ object MiscQueries {
          SELECT n_seen, est, exact_distinct,
            abs(est - exact_distinct) <= 0.5 * exact_distinct AS bound_ok
          FROM kmv, ex""",
+
+    "q212_cms_drift" -> {
+      val words = Seq("table", "row", "value", "scan", "fast", "slow",
+        "agg", "join", "key", "window")
+      val vals = words.map(w => s"('$w')").mkString(", ")
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      val tokA = "(SELECT unnest(str_split(text, ' ')) AS w FROM documents)"
+      val v2 = """(SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        THEN text || ' ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 0)"""
+      val tokB = s"(SELECT unnest(str_split(text, ' ')) AS w FROM $v2 v2i)"
+      s"""WITH ${graft.ops.Profiling.cmsSql("w", tokA, "w",
+          s"(VALUES $vals) pa(w)", 4, 256, tag = "ca")},
+         ${graft.ops.Profiling.cmsSql("w", tokB, "w",
+          s"(VALUES $vals) pb(w)", 4, 256, tag = "cb")},
+         ta AS (SELECT w, count(*) AS true_a FROM $tokA x
+           WHERE w IN ($inList) GROUP BY 1),
+         tb AS (SELECT w, count(*) AS true_b FROM $tokB x
+           WHERE w IN ($inList) GROUP BY 1)
+         SELECT a.key AS word, a.est AS est_a, b.est AS est_b,
+           b.est - a.est AS delta_est,
+           CAST(tb.true_b - ta.true_a AS BIGINT) AS delta_true
+         FROM ca_est a JOIN cb_est b ON a.key = b.key
+         JOIN ta ON a.key = ta.w JOIN tb ON a.key = tb.w
+         ORDER BY word"""
+    },
 
     "q210_kmv_per_group" -> {
       val h = graft.functions.PortableHash.md5LongSql("user_id::VARCHAR", 0)
