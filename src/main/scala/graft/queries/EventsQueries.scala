@@ -147,6 +147,52 @@ object EventsQueries {
       val n2 = t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_view"))
       val n3 = t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase"))
       n1.union(n2).union(n3).select(col("stage"), col("n")).orderBy("stage")
+    }),
+
+    // date-spine gap filling: a sparse daily series (user 7's purchases)
+    // densified over the CORPUS date range with zero rows for silent days —
+    // the report-correctness op every BI layer needs; spine = generated
+    // integer epoch-day sequence (TZ-free), one left join
+    "q213_date_spine" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+          col("user_id"), col("event_type"), col("value"))
+      val sparse = ev.filter(col("user_id") === 7 &&
+          col("event_type") === "purchase")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val spine = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(sparse, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("day")
+    }),
+
+    // freshness-decayed activity score: step decay in weekly half-lives —
+    // weight 1/2^k with INTEGER k = age DIV 7 (pow with fractional
+    // exponents is transcendental and cross-engine hazardous; shifts are
+    // not). The sum is EXACT integer arithmetic: 2-decimal money values as
+    // cents, weights as left-shifts against a clamped budget (k ≤ 20), one
+    // final IEEE division — summation order cannot move the rounded score
+    // (a plain double Σ(value·w) flipped the r4 grid by 1 ulp at sf0.001).
+    // "now" is the corpus max ts (data-derived, reproducible); top-10
+    // users by the rounded score — recency weighting for sampling/ranking
+    "q214_freshness_decay" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("value"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val now = ev.agg(max("day").as("now_day"))
+      ev.crossJoin(broadcast(now))
+        .withColumn("sc", expr(
+          """shiftleft(CAST(round(value * 100) AS BIGINT),
+             20 - CAST(least((now_day - day) DIV 7, 20L) AS INT))"""))
+        .groupBy("user_id")
+        .agg(round(sum("sc") / lit(1048576 * 100.0), 4).as("score"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("score").desc, col("user_id"))
+        .limit(10)
     })
   )
 
@@ -245,6 +291,28 @@ object EventsQueries {
          SELECT '1_signup' AS stage, count(*) AS n FROM t1
          UNION ALL SELECT '2_view', count(*) FROM t2
          UNION ALL SELECT '3_purchase', count(*) FROM t3
-         ORDER BY stage"""
+         ORDER BY stage""",
+
+    "q213_date_spine" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+           event_type, value FROM events),
+         sp AS (SELECT day, count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM e WHERE user_id = 7 AND event_type = 'purchase' GROUP BY 1),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+         spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b)
+         SELECT s.day, coalesce(n, 0) AS n,
+           coalesce(sum_value, 0.0) AS sum_value
+         FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q214_freshness_decay" ->
+      """WITH e AS (SELECT user_id, value,
+           epoch_ms(ts) // 86400000 AS day FROM events),
+         nw AS (SELECT max(day) AS now_day FROM e)
+         SELECT user_id,
+           round(sum(CAST(round(value * 100) AS BIGINT)
+               << (20 - least((now_day - day) // 7, 20)))
+             / (1048576 * 100.0), 4) AS score,
+           count(*) AS n_events
+         FROM e, nw GROUP BY 1 ORDER BY score DESC, user_id LIMIT 10"""
   )
 }
