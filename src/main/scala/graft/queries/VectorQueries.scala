@@ -456,6 +456,25 @@ object VectorQueries {
         .orderBy("i", "rk")
     }),
 
+    // embedding-curation capstone: diverse + central data selection — the
+    // k-NN graph feeds BOTH integer PageRank (centrality) and semantic
+    // clustering (diversity); each cluster keeps its most central member
+    // via the partial-aggregable min-struct argmax (never a window)
+    "q215_central_select" -> ((s, d) => {
+      val e = emb(s, d)
+      val g = Sim.knnGraph(e, col("vec_id"), col("embedding"), bits = 8, k = 3)
+      val pr = Sim.pagerank(g, iters = 2)
+      val cl = Sim.semanticClusters(e, col("vec_id"), col("embedding"),
+        bits = 8, k = 3, minCos = 0.3)
+      cl.join(pr, cl("node") === pr("v"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(struct((-col("pr")).as("np"), col("node").as("nd"))).as("best"))
+        .select(col("cluster"), col("n_nodes"),
+          col("best.nd").as("kept"), (-col("best.np")).as("kept_pr"))
+        .orderBy("cluster")
+    }),
+
     // margin-based bitext mining (CCMatrix rule): en↔de candidate pairs
     // scored by ratio margin — raw cosine normalized by both endpoints'
     // cross-side neighborhood averages; top-15 by the rounded margin
@@ -847,6 +866,51 @@ object VectorQueries {
            FROM sym)
          SELECT i, j, round(cos, 6) AS cos, rk
          FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
+
+    // q202's PageRank chain + q182's recursive CC chain over ONE shared
+    // edge set; per-cluster argmax replayed as a (pr DESC, node) rank
+    "q215_central_select" ->
+      s"""WITH RECURSIVE
+         b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         e AS (SELECT i, j FROM rk WHERE rk <= 3),
+         deg AS (SELECT i, count(*) AS dg FROM e GROUP BY 1),
+         nodes AS (SELECT DISTINCT i AS v FROM e),
+         c1 AS (SELECT e.j AS v, sum(p0.pr // d.dg) AS s FROM e
+           JOIN (SELECT v, 1000000::BIGINT AS pr FROM nodes) p0 ON e.i = p0.v
+           JOIN deg d ON e.i = d.i GROUP BY 1),
+         it1 AS (SELECT n.v,
+             CAST(150000 + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN c1 ON n.v = c1.v),
+         c2 AS (SELECT e.j AS v, sum(it1.pr // d.dg) AS s FROM e
+           JOIN it1 ON e.i = it1.v JOIN deg d ON e.i = d.i GROUP BY 1),
+         it2 AS (SELECT n.v,
+             CAST(150000 + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS pr
+           FROM nodes n LEFT JOIN c2 ON n.v = c2.v),
+         ed AS (SELECT least(i, j) AS a, greatest(i, j) AS b
+           FROM rk WHERE rk <= 3 AND cos >= 0.3 GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+         jn AS (SELECT cc.cluster, cc.node, it2.pr,
+             row_number() OVER (PARTITION BY cc.cluster
+               ORDER BY it2.pr DESC, cc.node) AS prk
+           FROM cc JOIN it2 ON cc.node = it2.v)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(CASE WHEN prk = 1 THEN node END) AS BIGINT) AS kept,
+           CAST(min(CASE WHEN prk = 1 THEN pr END) AS BIGINT) AS kept_pr
+         FROM jn GROUP BY 1 ORDER BY 1""",
 
     "q207_bitext_margin" ->
       s"""WITH n0 AS (SELECT e.vec_id, e.embedding, d.lang, $bucket4 bucket
