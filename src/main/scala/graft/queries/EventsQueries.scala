@@ -170,6 +170,38 @@ object EventsQueries {
         .orderBy("day")
     }),
 
+    // per-type event-rate anomaly flags: each (event_type, day) count
+    // tested against its trailing-7-day mean ± 2σ — the ingest-volume
+    // monitor that catches a collapsed or runaway source. All moments
+    // derive from exact integer sums (Σn, Σn², counts) with one
+    // deterministic IEEE op chain per row, so the FLAG itself pins
+    // cross-engine; windows partition by the entity key (per-source
+    // monitors at scale), never a global sort
+    "q217_rate_anomaly" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("c", count(col("n")).over(w))
+        .withColumn("s1", sum(col("n")).over(w))
+        .withColumn("s2", sum(col("n") * col("n")).over(w))
+        .withColumn("mu", col("s1").cast("double") / col("c"))
+        .withColumn("sig", sqrt(greatest(
+          col("s2").cast("double") / col("c") - col("mu") * col("mu"),
+          lit(0.0))))
+        .withColumn("anomaly", col("c") >= 3 &&
+          abs(col("n") - col("mu")) > lit(2.0) * col("sig"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(coalesce(col("mu"), lit(0.0)), 4).as("mu"),
+          round(coalesce(col("sig"), lit(0.0)), 4).as("sigma"),
+          col("anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // freshness-decayed activity score: step decay in weekly half-lives —
     // weight 1/2^k with INTEGER k = age DIV 7 (pow with fractional
     // exponents is transcendental and cross-engine hazardous; shifts are
@@ -303,6 +335,27 @@ object EventsQueries {
          SELECT s.day, coalesce(n, 0) AS n,
            coalesce(sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q217_rate_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+           count(*) AS n FROM events GROUP BY 1, 2),
+         wd AS (SELECT event_type, day, n,
+             count(n) OVER w AS c,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         st AS (SELECT event_type, day, n, c,
+             s1::DOUBLE / c AS mu,
+             sqrt(greatest(s2::DOUBLE / c - (s1::DOUBLE / c) * (s1::DOUBLE / c),
+               0.0)) AS sig
+           FROM wd)
+         SELECT event_type, day, n,
+           round(coalesce(mu, 0.0), 4) AS mu,
+           round(coalesce(sig, 0.0), 4) AS sigma,
+           c >= 3 AND abs(n - mu) > 2.0 * sig AS anomaly
+         FROM st ORDER BY event_type, day""",
 
     "q214_freshness_decay" ->
       """WITH e AS (SELECT user_id, value,

@@ -79,6 +79,24 @@ object SamplingQueries {
         .orderBy("shard", "pos")
     }),
 
+    // group-integrity split (GroupKFold discipline): hash the SOURCE, not
+    // the doc, so a source can never straddle train/test — the structural
+    // fix for the near-dup leakage q167 audits. Per (split, source) rows
+    // pin every assignment; the distinct-splits-per-source maximum pins
+    // the no-straddle contract itself as a checkable 1
+    "q216_group_split" -> ((s, d) => {
+      val withSplit = t(s, d, "documents")
+        .withColumn("split",
+          Sampling.splitColumn(col("source"), SplitNames, SplitWeights))
+      val per = withSplit.groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"))
+      val integrity = per.groupBy("source")
+        .agg(countDistinct("split").as("k"))
+        .agg(max("k").cast("long").as("max_splits_per_source"))
+      per.crossJoin(broadcast(integrity))
+        .orderBy("split", "source")
+    }),
+
     "q78_stratified_sample" -> ((s, d) => {
       Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"),
           col("lang"), LangFracs)
@@ -482,6 +500,18 @@ object SamplingQueries {
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q216_group_split" ->
+      s"""WITH ws AS (SELECT source,
+           ${Sampling.splitSql("source", SplitNames, SplitWeights)} AS split
+           FROM documents),
+         per AS (SELECT split, source, count(*) AS n_docs
+           FROM ws GROUP BY 1, 2),
+         integ AS (SELECT CAST(max(k) AS BIGINT) AS max_splits_per_source
+           FROM (SELECT source, count(DISTINCT split) AS k
+             FROM per GROUP BY 1))
+         SELECT split, source, n_docs, max_splits_per_source
+         FROM per, integ ORDER BY split, source""",
 
     "q199_training_shards" -> {
       val (shardSql, posSql) = Sampling.trainingShardsSql("doc_id", 8, 7)
