@@ -177,9 +177,12 @@ object Chunking {
           1)), 1)), 1)
     // explode of a one-element array is a Generate BARRIER: CollapseProject
     // cannot inline the struct into the per-field extraction below, so the
-    // whole per-row computation runs exactly once per row
-    df.select(id.as("id"), explode(array(stats)).as("__st"))
-      .select(col("id"), col("__st.n_tokens").as("n_tokens"),
+    // whole per-row computation runs exactly once per row. The id travels
+    // under a temp alias: aliasing it to a name the `stats` expression also
+    // references (a caller whose id column IS named "id") would otherwise
+    // resolve laterally and crash plan resolution.
+    df.select(id.as("__sc_id"), explode(array(stats)).as("__st"))
+      .select(col("__sc_id").as("id"), col("__st.n_tokens").as("n_tokens"),
         col("__st.n_spans").as("n_spans"), col("__st.n_masked").as("n_masked"),
         col("__st.masked_pos_sum").as("masked_pos_sum"))
       .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))

@@ -234,4 +234,70 @@ class PropertySpec extends AnyFunSuite {
     assert(a === b && b === c,
       "survivor payload must not depend on partition layout")
   }
+
+  test("trainingShards: random nShards — full cover, dense positions, " +
+      "shard derived from the id alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = (0L until 300L).toDF("id")
+    (1 to 6).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val got = graft.ops.Sampling.trainingShards(ids, col("id"), n, seed = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      assert(got.length === 300)
+      assert(got.forall(x => x._2 >= 0 && x._2 < n))
+      got.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq === (0 until rs.length))
+      }
+      // subset stability: dropping rows never changes survivors' shards
+      val half = graft.ops.Sampling.trainingShards(
+          ids.filter(col("id") < 150), col("id"), n, seed = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val full = got.map(x => x._1 -> x._2).toMap
+      half.foreach { case (id, sh) => assert(full(id) === sh) }
+    }
+  }
+
+  test("count-min never undercounts on random multisets, any (depth, width)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val occ = Seq.fill(400)(s"k${rnd.nextInt(60)}").toDF("x")
+      val truth = occ.groupBy("x").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val d = 1 + rnd.nextInt(5)
+      val wd = 1 + rnd.nextInt(64)
+      val sk = graft.ops.Profiling.cmsBuild(occ, col("x"), d, wd)
+      val est = graft.ops.Profiling.cmsEstimate(sk,
+          truth.keys.toSeq.toDF("x"), col("x"), d, wd)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, t) =>
+        assert(est(k) >= t, s"undercount at $k (d=$d w=$wd)")
+        assert(est(k) <= 400L, "estimate cannot exceed stream length")
+      }
+    }
+  }
+
+  test("spanCorruptionStats invariants hold on random texts and parameters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(s"t${rnd.nextInt(9)}")
+        .mkString(" "))
+    }.toDF("id", "text")
+    (1 to 4).foreach { _ =>
+      val len = 1 + rnd.nextInt(5)
+      val rate = 0.05 + rnd.nextDouble() * 0.9
+      graft.ops.Chunking.spanCorruptionStats(docs, col("id"), col("text"),
+          spanLen = len, startRate = rate)
+        .collect().foreach { r =>
+          val (n, spans, masked) = (r.getInt(1), r.getInt(2), r.getInt(3))
+          val (pos, inLen, tgtLen) = (r.getLong(4), r.getInt(5), r.getInt(6))
+          assert(spans >= 0 && masked >= spans && masked <= n)
+          assert(inLen === n - masked + spans)
+          assert(tgtLen === masked + spans)
+          assert(pos >= masked.toLong && pos <= n.toLong * (n + 1) / 2)
+        }
+    }
+  }
 }
