@@ -170,6 +170,40 @@ object EventsQueries {
         .orderBy("day")
     }),
 
+    // event-transition matrix (user-flow analysis): P(next | current) from
+    // per-user ts-ordered event chains — lead() window on the user key,
+    // integer pair counts, one division per cell on the r6 grid
+    "q218_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead("event_type", 1).over(byUser))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum("n").over(Window.partitionBy("cur")), 6))
+        .orderBy("cur", "nxt")
+    }),
+
+    // time-to-convert histogram: whole days between a user's first signup
+    // and their first purchase AFTER it (q205's stage-1/2 chaining), exact
+    // integer micros bucketed by integer division
+    "q219_conversion_latency" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "purchase").join(t1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1m"))
+      t2.select(expr("(t2 - t1m) DIV 86400000000").as("days_to_convert"))
+        .groupBy("days_to_convert").agg(count(lit(1)).as("n_users"))
+        .orderBy("days_to_convert")
+    }),
+
     // per-type event-rate anomaly flags: each (event_type, day) count
     // tested against its trailing-7-day mean ± 2σ — the ingest-volume
     // monitor that catches a collapsed or runaway source. All moments
@@ -335,6 +369,29 @@ object EventsQueries {
          SELECT s.day, coalesce(n, 0) AS n,
            coalesce(sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q218_transition_matrix" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS us,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+         pairs AS (SELECT event_type AS cur, nxt, count(*) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         SELECT cur, nxt, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+         FROM pairs ORDER BY cur, nxt""",
+
+    "q219_conversion_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(us) AS t2, min(t1) AS t1m
+           FROM e JOIN t1 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t1 GROUP BY 1)
+         SELECT (t2 - t1m) // 86400000000 AS days_to_convert,
+           count(*) AS n_users
+         FROM t2 GROUP BY 1 ORDER BY 1""",
 
     "q217_rate_anomaly" ->
       """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
