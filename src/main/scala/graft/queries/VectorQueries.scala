@@ -461,11 +461,21 @@ object VectorQueries {
     // clustering (diversity); each cluster keeps its most central member
     // via the partial-aggregable min-struct argmax (never a window)
     "q215_central_select" -> ((s, d) => {
+      import graft.ops.Dedup
       val e = emb(s, d)
-      val g = Sim.knnGraph(e, col("vec_id"), col("embedding"), bits = 8, k = 3)
+      // ONE graph build shared by centrality and clustering. No explicit
+      // cache: the repeated references are identical subplans and
+      // ReuseExchange dedupes their shuffles (measured: an explicit
+      // .cache() was 1.5× SLOWER at sf0.1 — materialization overhead with
+      // no recompute left to save).
+      val g = Sim.knnGraph(e, col("vec_id"), col("embedding"), bits = 8,
+        k = 3)
       val pr = Sim.pagerank(g, iters = 2)
-      val cl = Sim.semanticClusters(e, col("vec_id"), col("embedding"),
-        bits = 8, k = 3, minCos = 0.3)
+      val edges = g.filter(col("cos") >= 0.3)
+        .select(least(col("i"), col("j")).as("i"),
+          greatest(col("i"), col("j")).as("j"))
+        .distinct()
+      val cl = Dedup.dupClusters(edges)
       cl.join(pr, cl("node") === pr("v"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_nodes"),
