@@ -195,6 +195,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // pure-SQL client surface: the quality gate expressed ENTIRELY in
+    // spark.sql over a temp view with the registered NATIVE expressions
+    // (char_entropy, simhash64) — a SQL-first user needs no Scala at all,
+    // and the natives keep the whole gate inside whole-stage codegen
+    "q220_sql_surface" -> ((s, d) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      t(s, d, "documents").createOrReplaceTempView("docs_v")
+      s.sql("""
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN round(char_entropy(text), 6) >= 3.5
+            AND size(split(text, ' ')) >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_keep,
+          CAST(sum(simhash64(text, 16)) AS BIGINT) AS sim_check
+        FROM docs_v GROUP BY source ORDER BY source""")
+    }),
+
     // per-source PII incidence report — the compliance audit run before a
     // release: email/phone shape counts per source over planted PII (every
     // 5th doc gains an email, every 11th a phone), using the SAME patterns
@@ -1211,6 +1227,40 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    // entropy chain = q153's CTEs over all docs; simhash = q47's vote
+    // assembly; gate + sum replayed per source
+    "q220_sql_surface" -> {
+      val votes = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) v$b")
+        .mkString(", ")
+      val assemble = (0 until 16)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
+           FROM documents, LATERAL (SELECT
+             unnest(generate_series(1, length(text))) AS i) x),
+         counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         eagg AS (SELECT doc_id, sum(c) AS n_chars,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS clc FROM counts GROUP BY 1),
+         ent AS (SELECT doc_id, CASE WHEN n_chars = 0 THEN 0.0
+             ELSE round((ln(n_chars::DOUBLE) - clc / n_chars) / ln(2.0), 6)
+           END AS e6 FROM eagg),
+         tk AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' ')))
+           AS tok FROM documents),
+         hh AS (SELECT doc_id, ${PortableHash.md5LongSql("tok", 0)} AS h
+           FROM tk),
+         vv AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+         sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM vv)
+         SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN ent.e6 >= 3.5
+             AND len(str_split(d.text, ' ')) >= 20 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_keep,
+           CAST(sum(sh.simhash) AS BIGINT) AS sim_check
+         FROM documents d JOIN ent ON d.doc_id = ent.doc_id
+         JOIN sh ON d.doc_id = sh.doc_id
+         GROUP BY 1 ORDER BY 1"""
+    },
 
     "q206_pii_report" ->
       s"""WITH p1 AS (SELECT source, doc_id,
