@@ -195,6 +195,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // near-dup EXPLANATION: every q45 pair decision made reviewable — the
+    // shared-shingle count plus a deterministic 3-fingerprint evidence
+    // sample (sorted md5s of the overlap). Texts join back onto the
+    // bounded PAIR list only; the explanation never touches non-candidates
+    "q221_dedup_explain" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, minJaccard = 0.8)
+        .select("i", "j", "jaccard")
+        .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+        .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+        .withColumn("sg", array_intersect(
+          Dedup.shingles(col("ta"), 3), Dedup.shingles(col("tb"), 3)))
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"),
+          size(col("sg")).as("n_shared"),
+          array_join(slice(sort_array(
+            transform(col("sg"), g => md5(g))), 1, 3), ",").as("evidence"))
+        .orderBy("i", "j")
+    }),
+
     // pure-SQL client surface: the quality gate expressed ENTIRELY in
     // spark.sql over a temp view with the registered NATIVE expressions
     // (char_entropy, simhash64) — a SQL-first user needs no Scala at all,
@@ -1227,6 +1247,19 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    "q221_dedup_explain" ->
+      s"""$jaccardCte,
+         shared AS (SELECT p.i, p.j, p.jaccard,
+             list_intersect(sa.s, sb.s) AS sg
+           FROM pairs p JOIN sh sa ON sa.doc_id = p.i
+           JOIN sh sb ON sb.doc_id = p.j
+           WHERE p.jaccard >= 0.8)
+         SELECT i, j, round(jaccard, 6) AS jaccard,
+           CAST(len(sg) AS INT) AS n_shared,
+           array_to_string(list_sort(list_transform(sg, g -> md5(g)))[1:3],
+             ',') AS evidence
+         FROM shared ORDER BY i, j""",
 
     // entropy chain = q153's CTEs over all docs; simhash = q47's vote
     // assembly; gate + sum replayed per source
