@@ -79,6 +79,34 @@ object SamplingQueries {
         .orderBy("shard", "pos")
     }),
 
+    // source-concentration report: Gini coefficient + top-source share of
+    // the corpus token mass — the diversity diagnostic behind mixture
+    // decisions (a Gini near 1 means one domain owns the corpus). Exact
+    // integer arithmetic until two final divisions: Σ(2·rank − n − 1)·x
+    // over ranked integer token sums. The rank window runs over the
+    // SOURCE-level aggregate (domains, not documents — a driver-sized
+    // relation by the same contract as every per-source broadcast here)
+    "q222_source_concentration" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, d, "documents")
+        .groupBy("source")
+        .agg(sum(TA.tokenCount(col("text"))).cast("long").as("ntok"))
+      val ranked = per.withColumn("rk",
+        row_number().over(Window.orderBy(col("ntok"), col("source"))))
+      ranked
+        .agg(count(lit(1)).as("n_sources"),
+          sum("ntok").as("total_tokens"),
+          sum((lit(2) * col("rk") - lit(1)) * col("ntok")).as("__num"),
+          max("ntok").as("__top"))
+        .select(col("n_sources"), col("total_tokens"),
+          round((col("__num") - col("n_sources") * col("total_tokens"))
+            .cast("double") /
+            (col("n_sources") * col("total_tokens")).cast("double"), 6)
+            .as("gini"),
+          round(col("__top").cast("double") /
+            col("total_tokens").cast("double"), 6).as("top_share"))
+    }),
+
     // group-integrity split (GroupKFold discipline): hash the SOURCE, not
     // the doc, so a source can never straddle train/test — the structural
     // fix for the near-dup leakage q167 audits. Per (split, source) rows
@@ -500,6 +528,22 @@ object SamplingQueries {
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q222_source_concentration" ->
+      """WITH per AS (SELECT source,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ntok
+           FROM documents GROUP BY 1),
+         ranked AS (SELECT ntok,
+             row_number() OVER (ORDER BY ntok, source) AS rk FROM per),
+         agg AS (SELECT count(*) AS n_sources,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             CAST(sum((2 * rk - 1) * ntok) AS BIGINT) AS num,
+             CAST(max(ntok) AS BIGINT) AS top FROM ranked)
+         SELECT n_sources, total_tokens,
+           round((num - n_sources * total_tokens)::DOUBLE
+             / (n_sources * total_tokens), 6) AS gini,
+           round(top::DOUBLE / total_tokens, 6) AS top_share
+         FROM agg""",
 
     "q216_group_split" ->
       s"""WITH ws AS (SELECT source,
