@@ -75,6 +75,46 @@ object EventsStream {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long, tsUs: Long,
+    event_type: String)
+  final case class LastEvent(tsUs: Long, eventId: Long, eventType: String)
+  final case class Transition(user_id: Long, cur: String, nxt: String)
+
+  /** Stateful event-transition extraction: per-user (current → next) pairs
+    * from the ts-ordered chain — the streaming feed of the q218 transition
+    * matrix (downstream `groupBy(cur, nxt).count` keeps the live Markov
+    * counts). State per key is ONE row: the user's last-seen event; each
+    * micro-batch sorts its own slice and emits the boundary transition
+    * from state plus the in-batch pairs. Exactly the batch `lead()`
+    * semantics when ingestion is event-time ordered across batches (the
+    * file/offset sources here replay in order; an out-of-order source
+    * needs an upstream watermark sort, same caveat [[sessionize]]
+    * documents for its gap rule). */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last.foreach(l => out += Transition(user, l.eventType, e.event_type))
+              last = Some(LastEvent(e.tsUs, e.event_id, e.event_type))
+            }
+            state.update(last.get)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop re-delivered events by key, with state
     * bounded by the watermark (the streaming twin of
     * [[graft.ops.Dedup.dedupExact]] — at-least-once sources become

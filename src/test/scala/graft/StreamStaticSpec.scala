@@ -346,6 +346,49 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming transitions: stateful per-user chains across ordered " +
+    "microbatches equal the batch lead() pair counts") {
+    import org.apache.spark.sql.functions.{lead => fLead}
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.queries.QueryUtil.events(spark, sf)
+    val cutUs = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head.getLong(0)
+    val dir = Files.createTempDirectory("graft-trans-stream")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-trans-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), dir.resolve(s"$name.parquet"))
+    }
+    // event-time ordered split: every batch-a event precedes every batch-b
+    // event, and the file mtimes make the source replay a before b
+    writeHalf(ev.filter(expr(s"unix_micros(ts) <= $cutUs")), "a")
+    Thread.sleep(1100)
+    writeHalf(ev.filter(expr(s"unix_micros(ts) > $cutUs")), "b")
+    val stored = spark.read.parquet(dir.toString).schema
+    val got = EventsStream.transitions(
+        spark.readStream.schema(stored)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+          .withColumn("ts",
+            graft.queries.QueryUtil.normalizeTs(stored("ts").dataType)))
+      .groupBy("cur", "nxt").count()
+    val gotRows = EventsStream.runToCompletion(got.toDF(), "trans_stream",
+        OutputMode.Complete())
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val want = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("nxt", fLead("event_type", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(gotRows === want)
+    assert(gotRows.values.sum > 0)
+  }
+
   test("streaming count-min sketch: Complete-mode counters across " +
     "microbatches equal the doubled-corpus batch sketch") {
     // the live frequency monitor: CMS counters are a plain streaming
