@@ -185,8 +185,11 @@ object TextQueries {
           concat(slice(segs, 1, 3), slice(segs, 1, 3)))
         .otherwise(when(pmod(col("doc_id"), lit(3)) === 0,
           concat(segs, slice(segs, 1, 2))).otherwise(segs))
+      // explode(array(...)) is a Generate barrier: the plant construction
+      // is referenced by 6 downstream expressions and would otherwise
+      // re-evaluate per reference after CollapseProject (the q201 trap)
       t(s, d, "documents")
-        .select(col("doc_id"), array_join(paras, "\n").as("text2"))
+        .select(col("doc_id"), explode(array(array_join(paras, "\n"))).as("text2"))
         .select(col("doc_id"),
           size(split(col("text2"), "\n")).as("n_lines"),
           round(TA.dupLineFraction(col("text2")), 6).as("dup_line_frac"),
