@@ -446,6 +446,34 @@ object TextQueries {
     // jaccard ≈ 0.5 — squarely in the banding S-curve's miss zone, so
     // the report shows REAL false negatives, not a degenerate 1.0/1.0);
     // every count and both derived rates pinned exactly
+    // LSH banding SWEEP: q194's audit across the (k=16, bands ∈ {2,4,8})
+    // S-curve family on the same planted mid-similarity corpus — the
+    // measured recall/precision trade that picks a production config
+    // instead of guessing it. One signature pass per config at test
+    // scale; at 100 TB run on a sampled slice like q194
+    "q223_lsh_sweep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(col("text"), " ")
+      val keepN = ((size(toks) * 7) / 10).cast("int")
+      val junk = array_join(transform(sequence(lit(1), size(toks) - keepN),
+        i => concat(lit("zz"), (col("doc_id") + i).cast("string"))), " ")
+      val copies = docs.filter(pmod(col("doc_id"), lit(43)) === 0)
+        .withColumn("text",
+          concat(array_join(slice(toks, lit(1), keepN), " "), lit(" "), junk))
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"), col("text")).unionByName(copies)
+      Seq(2, 4, 8).map { b =>
+        Dedup.lshAudit(planted, col("doc_id"), col("text"),
+            n = 3, k = 16, bands = b, minJaccard = 0.4)
+          .withColumn("bands", lit(b))
+      }.reduce(_ unionByName _)
+        .select(col("bands"), col("n_true"), col("n_cand"), col("n_tp"),
+          col("n_fn"), col("n_fp"), col("recall"),
+          when(col("n_cand") > 0, col("precision")).otherwise(lit(0.0))
+            .as("precision"))
+        .orderBy("bands")
+    }),
+
     "q194_lsh_audit" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = split(col("text"), " ")
@@ -2042,6 +2070,52 @@ object TextQueries {
     // identical plant, identical truth (pairs CTE over the planted
     // table) and candidates (banding CTE); the report arithmetic is
     // exact-count division rounded on the grid
+    "q223_lsh_sweep" -> {
+      def bandsCand(bands: Int): String = {
+        val r = 16 / bands
+        val sel = (0 until bands).map { b =>
+          val key = (b * r until b * r + r).map(j => s"s$j")
+            .mkString(" || ',' || ")
+          s"SELECT doc, $b band, $key bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""bands_$bands AS ($sel),
+           cand_$bands AS (SELECT DISTINCT a.doc i, b.doc j
+             FROM bands_$bands a JOIN bands_$bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)"""
+      }
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      def audit(bands: Int): String =
+        s"""SELECT $bands AS bands,
+           (SELECT count(*) FROM tr) AS n_true,
+           (SELECT count(*) FROM cand_$bands) AS n_cand,
+           (SELECT count(*) FROM tr JOIN cand_$bands USING (i, j)) AS n_tp"""
+      s"""WITH pl AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 500000,
+             array_to_string((str_split(text, ' '))[1:(len(str_split(text, ' ')) * 7) // 10], ' ')
+             || ' ' ||
+             array_to_string(list_transform(
+               generate_series(1, len(str_split(text, ' '))
+                 - (len(str_split(text, ' ')) * 7) // 10),
+               i -> 'zz' || (doc_id + i)), ' ')
+           FROM documents WHERE doc_id % 43 = 0),
+         ${jaccardCteBody("pl")},
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         ${bandsCand(2)},
+         ${bandsCand(4)},
+         ${bandsCand(8)},
+         tr AS (SELECT i, j FROM pairs WHERE jaccard >= 0.4),
+         raw AS (${audit(2)} UNION ALL ${audit(4)} UNION ALL ${audit(8)})
+         SELECT bands, n_true, n_cand, n_tp,
+           n_true - n_tp AS n_fn, n_cand - n_tp AS n_fp,
+           round(n_tp::DOUBLE / n_true, 6) AS recall,
+           CASE WHEN n_cand > 0 THEN round(n_tp::DOUBLE / n_cand, 6)
+             ELSE 0.0 END AS precision
+         FROM raw ORDER BY bands"""
+    },
+
     "q194_lsh_audit" ->
       s"""WITH pl AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 500000,
