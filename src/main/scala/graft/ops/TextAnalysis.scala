@@ -431,6 +431,98 @@ object TextAnalysis {
 
   val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  // ---- Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+  // non-repetition half; the repetition half is dupNgramFraction /
+  // dupLineFraction / topNgramCharFraction) ------------------------------
+
+  /** Occurrences of literal `sym` per word — Gopher's symbol-to-word rule
+    * (hash and ellipsis screens). Pure codegen'd counting: occurrence
+    * count = length delta / |sym|, one division. */
+  def symbolWordRatio(c: Column, sym: String): Column =
+    ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(sym), ""))) / lit(sym.length))
+      .cast("double") / size(tokens(c))
+
+  /** DuckDB twin of [[symbolWordRatio]] (non-regex replace — same count). */
+  def symbolWordRatioSql(col: String, sym: String): String =
+    s"""((length($col) - length(replace($col, '$sym', ''))) // ${sym.length})::DOUBLE
+       | / len(str_split($col, ' '))""".stripMargin.replace("\n", "")
+
+  /** Fraction of words containing at least one ASCII letter — Gopher's
+    * "80 % of words must have an alphabetic character" screen. */
+  def alphaWordFraction(c: Column): Column =
+    size(filter(tokens(c), w => w.rlike("[a-zA-Z]"))).cast("double") /
+      size(tokens(c))
+
+  def alphaWordFractionSql(col: String): String =
+    s"""len(list_filter(str_split($col, ' '),
+       | w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+       | / len(str_split($col, ' '))""".stripMargin.replace("\n", "")
+
+  /** Fraction of lines starting with a bullet glyph (Gopher: drop when
+    * > 90 % — listing pages). */
+  def bulletLineFraction(c: Column, sep: String = "\n"): Column =
+    size(filter(split(c, sep), l => trim(l).rlike("^[-*•]")))
+      .cast("double") / size(split(c, sep))
+
+  def bulletLineFractionSql(col: String, sepSql: String = "chr(10)"): String =
+    s"""len(list_filter(str_split($col, $sepSql),
+       | l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+       | / len(str_split($col, $sepSql))""".stripMargin.replace("\n", "")
+
+  /** Fraction of lines ending in an ellipsis (Gopher: drop when > 30 % —
+    * truncated-preview pages). */
+  def ellipsisLineFraction(c: Column, sep: String = "\n"): Column =
+    size(filter(split(c, sep), l => trim(l).rlike("(\\.\\.\\.|…)$")))
+      .cast("double") / size(split(c, sep))
+
+  def ellipsisLineFractionSql(col: String, sepSql: String = "chr(10)"): String =
+    s"""len(list_filter(str_split($col, $sepSql),
+       | l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE
+       | / len(str_split($col, $sepSql))""".stripMargin.replace("\n", "")
+
+  /** The composed Gopher document gate — every Table A1 non-repetition
+    * rule ANDed, thresholds parameterized (paper defaults; `minWords` is
+    * the knob test-scale corpora lower). Word count, mean word length,
+    * '#' and '…' symbol ratios, bullet/ellipsis line fractions, alphabetic
+    * word share, and the stop-word floor ([[countInSet]] over
+    * [[EnglishStopwords]]). Each input is a fused per-row expression, so
+    * the whole gate is one codegen'd CASE — zero shuffle. */
+  def gopherQualityOk(c: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopWords: Int = 2): Column =
+    tokenCount(c).between(minWords, maxWords) &&
+      avgWordLen(c).between(minMeanLen, maxMeanLen) &&
+      symbolWordRatio(c, "#") <= maxSymbolRatio &&
+      symbolWordRatio(c, "…") <= maxSymbolRatio &&
+      bulletLineFraction(c) <= maxBulletFrac &&
+      ellipsisLineFraction(c) <= maxEllipsisFrac &&
+      alphaWordFraction(c) >= minAlphaFrac &&
+      countInSet(c, EnglishStopwords) >= minStopWords
+
+  /** DuckDB twin of [[gopherQualityOk]]. */
+  def gopherQualityOkSql(col: String, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8, minStopWords: Int = 2): String = {
+    val n = s"len(str_split($col, ' '))"
+    val meanLen = s"(list_sum(list_transform(str_split($col, ' '), " +
+      s"w -> length(w)::BIGINT))::DOUBLE / $n)"
+    val stops = EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val nStop = s"len(list_filter(str_split($col, ' '), w -> w IN ($stops)))"
+    s"""($n BETWEEN $minWords AND $maxWords
+       | AND $meanLen BETWEEN $minMeanLen AND $maxMeanLen
+       | AND (${symbolWordRatioSql(col, "#")}) <= $maxSymbolRatio
+       | AND (${symbolWordRatioSql(col, "…")}) <= $maxSymbolRatio
+       | AND (${bulletLineFractionSql(col)}) <= $maxBulletFrac
+       | AND (${ellipsisLineFractionSql(col)}) <= $maxEllipsisFrac
+       | AND (${alphaWordFractionSql(col)}) >= $minAlphaFrac
+       | AND $nStop >= $minStopWords)""".stripMargin.replace("\n", "")
+  }
+
   /** Language markers for the n-gram/stopword language-ID heuristic. Order is
     * the deterministic tie-break (first wins). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

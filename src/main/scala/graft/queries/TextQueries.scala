@@ -198,6 +198,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the full Gopher document-quality gate (Rae et al. Table A1, the
+    // non-repetition half — q200 carries the repetition half): word-count
+    // band, mean word length, symbol ratios, alpha-word share, stop-word
+    // floor, all one codegen'd CASE. Plants flip specific rules: every 6th
+    // doc gains '#' symbols (symbol ratio), every 17th becomes digits-only
+    // (alpha + stop-word rules); signals AND the verdict pinned per doc
+    "q225_gopher_quality" -> ((s, d) => {
+      val digits = (1 to 21).mkString(" ")
+      val planted = t(s, d, "documents")
+        .withColumn("t2",
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            concat(col("text"), lit(" # # # # # # # #")))
+          .when(pmod(col("doc_id"), lit(17)) === 0, lit(digits))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          TA.tokenCount(col("t2")).as("n_words"),
+          round(TA.avgWordLen(col("t2")), 6).as("mean_word_len"),
+          round(TA.symbolWordRatio(col("t2"), "#"), 6).as("hash_ratio"),
+          round(TA.alphaWordFraction(col("t2")), 6).as("alpha_frac"),
+          TA.countInSet(col("t2"), TA.EnglishStopwords).as("n_stop"),
+          TA.gopherQualityOk(col("t2"), minWords = 20).as("ok"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup EXPLANATION: every q45 pair decision made reviewable — the
     // shared-shingle count plus a deterministic 3-fingerprint evidence
     // sample (sorted md5s of the overlap). Texts join back onto the
@@ -1278,6 +1302,27 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    "q225_gopher_quality" -> {
+      val digits = (1 to 21).mkString(" ")
+      val stops = TA.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH pl AS (SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN text || ' # # # # # # # #'
+             WHEN doc_id % 17 = 0 THEN '$digits'
+             ELSE text END AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(str_split(t2, ' ')) AS INT) AS n_words,
+           round(list_sum(list_transform(str_split(t2, ' '),
+             w -> length(w)::BIGINT))::DOUBLE
+             / len(str_split(t2, ' ')), 6) AS mean_word_len,
+           round(${TA.symbolWordRatioSql("t2", "#")}, 6) AS hash_ratio,
+           round(${TA.alphaWordFractionSql("t2")}, 6) AS alpha_frac,
+           CAST(len(list_filter(str_split(t2, ' '), w -> w IN ($stops)))
+             AS INT) AS n_stop,
+           ${TA.gopherQualityOkSql("t2", minWords = 20)} AS ok
+         FROM pl ORDER BY doc_id"""
+    },
 
     "q221_dedup_explain" ->
       s"""$jaccardCte,

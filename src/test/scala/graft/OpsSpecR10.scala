@@ -223,6 +223,39 @@ class OpsSpecR10 extends AnyFunSuite {
     assert(k4.map(_._1).toSet === Set(10L, 11L, 12L))
   }
 
+  // ---- Gopher document-quality gate (q225) ------------------------------
+
+  test("gopherQualityOk: each rule flips the gate independently; bullet and " +
+      "ellipsis line rules fire on planted line structure") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and runs to the " +
+      "hills in the morning light with great speed and then rests a while"
+    val rows = Seq(
+      (good, true),
+      ("short words only", false),                       // word-count floor
+      (good + " ####################", false),           // '#' symbol ratio
+      ((1 to 30).mkString(" "), false),                  // alpha + stop rules
+      // 10 lines, 10 bullet-started → fraction 1.0 > 0.9
+      ((1 to 10).map(_ => "- " + good).mkString("\n"), false),
+      // 10 lines, 4 ellipsis-ended → 0.4 > 0.3
+      (((1 to 4).map(_ => good + " ...") ++ (1 to 6).map(_ => good))
+        .mkString("\n"), false))
+      .toDF("text", "want")
+    rows.select(
+        TextAnalysis.gopherQualityOk(col("text"), minWords = 10).as("ok"),
+        col("want"))
+      .collect().foreach(r =>
+        assert(r.getBoolean(0) === r.getBoolean(1), s"row: $r"))
+    // the line-rule signals themselves
+    val fr = Seq(("- a\n- b\nplain", 1.0 / 3 * 2), ("x ...\ny", 0.5))
+      .toDF("text", "ignore")
+    val got = fr.select(
+        TextAnalysis.bulletLineFraction(col("text")),
+        TextAnalysis.ellipsisLineFraction(col("text")))
+      .collect()
+    assert(got(0).getDouble(0) === 2.0 / 3 && got(1).getDouble(1) === 0.5)
+  }
+
   // ---- count-min sketch (q203) ------------------------------------------
 
   test("count-min sketch: exact on collision-free widths, saturates to N at " +
