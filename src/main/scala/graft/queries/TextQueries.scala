@@ -222,6 +222,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-source duplication matrix: which sources copy from each other
+    // — near-dup pairs rolled up to unordered (source, source) cells with
+    // exact counts and mean overlap; the provenance diagnostic that
+    // decides which feeds to dedup against each other first
+    "q226_cross_source_dup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, minJaccard = 0.5)
+        .join(docs.select(col("doc_id").as("i"), col("source").as("src_i")),
+          "i")
+        .join(docs.select(col("doc_id").as("j"), col("source").as("src_j")),
+          "j")
+        .groupBy(least(col("src_i"), col("src_j")).as("src_a"),
+          greatest(col("src_i"), col("src_j")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("mean_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // near-dup EXPLANATION: every q45 pair decision made reviewable — the
     // shared-shingle count plus a deterministic 3-fingerprint evidence
     // sample (sorted md5s of the overlap). Texts join back onto the
@@ -1302,6 +1321,18 @@ object TextQueries {
            coalesce(r.fp, md5('')) AS fp
          FROM pl p LEFT JOIN reb r USING (doc_id)
          WHERE p.doc_id < 30 ORDER BY p.doc_id""",
+
+    "q226_cross_source_dup" ->
+      s"""$jaccardCte,
+         src AS (SELECT p.i, p.j, p.jaccard,
+             least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+           FROM pairs p JOIN documents da ON da.doc_id = p.i
+           JOIN documents db ON db.doc_id = p.j
+           WHERE p.jaccard >= 0.5)
+         SELECT src_a, src_b, count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS mean_jaccard
+         FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q225_gopher_quality" -> {
       val digits = (1 to 21).mkString(" ")
