@@ -346,6 +346,27 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Gopher quality gate: stateless projection equals batch " +
+    "across microbatches") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherQualityOk(col("text"), minWords = 20)
+          .as("ok"))
+    val want = gate(docs).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dir = Files.createTempDirectory("graft-gopher-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val got = EventsStream.runToCompletion(
+        gate(spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)),
+        "gopher_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.length === 2 * want.size)
+    got.foreach { case (id, ok) => assert(want(id) === ok, s"doc $id") }
+    assert(want.values.exists(identity) && want.values.exists(!_))
+  }
+
   test("streaming transitions: stateful per-user chains across ordered " +
     "microbatches equal the batch lead() pair counts") {
     import org.apache.spark.sql.functions.{lead => fLead}
