@@ -40,7 +40,9 @@ object Curation {
       mediaMaxHamming: Int = 4,
       dsirBuckets: Int = 1 << 16,
       dsirSeed: Int = 7,
-      dsirMinWeightU: Long = 0L)
+      dsirMinWeightU: Long = 0L,
+      gopherGate: Boolean = false,
+      gopherMinWords: Int = 50)
 
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`.
@@ -151,13 +153,22 @@ object Curation {
     // target frame should be drawn from the same post-quality population
     // (or an external exemplar corpus) so the oracle can replay both
     // distributions from one table expression.
+    // optional full Gopher gate (Table A1 quality + line-repetition rules)
+    // — a strictly per-row filter, so it commutes with the cheap quality
+    // class above (both run fused in one scan projection)
+    val gopherStage =
+      if (!cfg.gopherGate) None
+      else Some("gopher_quality" -> quality.filter(
+        TextAnalysis.gopherQualityOk(text, minWords = cfg.gopherMinWords) &&
+          TextAnalysis.gopherLineRepetitionOk(text)))
+    val gated = gopherStage.map(_._2).getOrElse(quality)
     val dsirStage = dsirTarget.map { tgt =>
-      "dsir_select" -> Sampling.dsirWeights(quality, id, text, tgt, text,
+      "dsir_select" -> Sampling.dsirWeights(gated, id, text, tgt, text,
           cfg.dsirBuckets, cfg.dsirSeed)
         .filter(col("dsir_weight_u") >= cfg.dsirMinWeightU)
         .drop("n_grams", "dsir_weight_u")
     }
-    val selected = dsirStage.map(_._2).getOrElse(quality)
+    val selected = dsirStage.map(_._2).getOrElse(gated)
     val rebalStage =
       if (cfg.langFracs.isEmpty) None
       else Some("rebalance" -> Sampling.stratifiedSample(selected, id, lang,
@@ -169,8 +180,9 @@ object Curation {
       call_function("minhash_signature", text,
         lit(cfg.shingleN), lit(cfg.sigK)),
       id)
-    input ++ mediaStage ++ Seq("quality" -> quality) ++ dsirStage ++
-      rebalStage ++ Seq("exact_dedup" -> exact, "fuzzy_dedup" -> fuzzy)
+    input ++ mediaStage ++ Seq("quality" -> quality) ++ gopherStage ++
+      dsirStage ++ rebalStage ++
+      Seq("exact_dedup" -> exact, "fuzzy_dedup" -> fuzzy)
   }
 
   def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,

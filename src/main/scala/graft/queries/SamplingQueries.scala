@@ -288,6 +288,22 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // q91's pipeline with the FULL Gopher gate wired in as a curate()
+    // stage (quality + line-repetition rules between the cheap class
+    // filter and rebalance) — the FineWeb-style rule stack as one Config
+    // flag; per-split report pinned through the whole chain
+    "q227_curation_gopher" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("lang"), Curation.Config(langFracs = LangFracs,
+            gopherGate = true, gopherMinWords = 20))
+        .groupBy("split")
+        .agg(countDistinct("doc").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct("bin").as("n_bins"),
+          sum("n_tok").cast("long").as("sum_tok"))
+        .orderBy("split")
+    }),
+
     // the multimodal capstone: q91's pipeline with the perceptual IMAGE
     // dedup stage in front. The planted media runs the REAL PNG decode →
     // dHash path: gradient images (every 31st doc, differing payloads,
@@ -808,6 +824,14 @@ object SamplingQueries {
 
     "q91_curation_pipeline" ->
       s"""WITH ${curationTailSql("documents")}""",
+
+    // gate prefilter commutes with the tail's per-row quality stage, so
+    // the replay applies it to the input table and reuses the shared chain
+    "q227_curation_gopher" ->
+      s"""WITH gg AS (SELECT * FROM documents
+           WHERE ${TA.gopherQualityOkSql("text", minWords = 20)}
+             AND ${TA.gopherLineRepetitionOkSql("text")}),
+         ${curationTailSql("gg")}""",
 
     // each stage re-derived independently; the count chain pins every
     // stage's survivor set size in order
