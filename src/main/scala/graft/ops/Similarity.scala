@@ -1272,6 +1272,43 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Incremental k-NN graph maintenance: fold a NEW batch of vectors into
+    * an existing [[knnGraph]] edge list without re-pairing the corpus.
+    * Candidate pairs touch the batch only — batch×(corpus ∪ batch) within
+    * shared LSH buckets — and re-ranking is EXACT by a subset argument: a
+    * true union-top-k neighbor of any node is either a batch vector (in
+    * the new candidates) or ranked ≤ k already (in the old edge list), so
+    * ranking `old edges ∪ new edges` per node reproduces
+    * `knnGraph(corpus ∪ batch)` bit-for-bit — the invariant the oracle
+    * pins. The corpus is re-SCANNED (one bucket projection) but never
+    * re-PAIRED: pair generation, the quadratic-risk stage, is
+    * batch-proportional, the q113/q158 incremental contract.
+    *
+    * `oldEdges` must be the (i, j, cos, rk) output of [[knnGraph]] with
+    * the same `bits`/`k`/cosine path over `corpus`. */
+  def knnGraphAppend(oldEdges: DataFrame, corpus: DataFrame, batch: DataFrame,
+      id: Column, vec: Column, bits: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def keyed(df: DataFrame) = df.select(id.as("vid"), vec.as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val all = keyed(corpus.select(id, vec).unionByName(batch.select(id, vec)))
+    val b = keyed(batch)
+    // batch×all bucket pairs, deduped of the batch×batch double match
+    val cos = cosineNative(all, col("a.v"), col("b.v"))
+    val newPairs = b.as("a").join(all.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") =!= col("b.vid"))
+      .select(least(col("a.vid"), col("b.vid")).as("i"),
+        greatest(col("a.vid"), col("b.vid")).as("j"), cos.as("cos"))
+      .distinct()
+    val newSym = newPairs.union(
+      newPairs.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    oldEdges.select("i", "j", "cos").union(newSym)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Graph-based semantic clustering: connected components over the
     * [[knnGraph]] thresholded at `minCos` — the grouping SemDeDup-style
     * pipelines use when near-dup sets CHAIN (A≈B≈C with cos(A,C) below

@@ -501,6 +501,22 @@ object VectorQueries {
         .limit(15)
     }),
 
+    // incremental k-NN graph maintenance: batch (vec_id < 50) folded into
+    // the corpus graph WITHOUT re-pairing the corpus — the oracle pins the
+    // exactness invariant by replaying the full-rebuild graph: incremental
+    // ≡ from-scratch, bit-for-bit, every edge and rank
+    "q228_knn_graph_append" -> ((s, d) => {
+      val all = emb(s, d)
+      val corpus = all.filter(col("vec_id") >= 50)
+      val batch = all.filter(col("vec_id") < 50)
+      val old = Sim.knnGraph(corpus, col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      Sim.knnGraphAppend(old, corpus, batch, col("vec_id"), col("embedding"),
+          bits = 8, k = 3)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy("i", "rk")
+    }),
+
     // integer-exact PageRank over the k-NN graph: neighborhood centrality
     // for data selection — 2 rounds, every score on the 1e6 integer grid
     // pinned bit-for-bit (float PageRank would be summation-order-hazardous)
@@ -1002,6 +1018,20 @@ object VectorQueries {
                AS vrk FROM v)
          SELECT i AS vec_id, label AS pred_label, votes, deg
          FROM w WHERE vrk = 1 ORDER BY vec_id""",
+
+    // the from-scratch graph over ALL vectors — incremental must equal it
+    "q228_knn_graph_append" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym)
+         SELECT i, j, round(cos, 6) AS cos, rk
+         FROM rk WHERE rk <= 3 ORDER BY i, rk""",
 
     "q224_label_prop_multiprobe" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket, label,
