@@ -198,6 +198,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source percentile-rank score normalization: heterogeneous
+    // quality scores (char entropy here) made comparable ACROSS sources by
+    // mapping each to its within-source percent_rank — the calibration
+    // step before any cross-source quality cut (a CCNet-style per-group
+    // discipline; absolute thresholds mean different things per domain).
+    // Window partitions by the source key — per-entity at scale, never a
+    // global sort; ranks ordered by the ROUNDED score (deterministic
+    // boundary), percentiles exact rational (rank−1)/(n−1)
+    "q229_score_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.ensureRegistered(s)
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          round(call_function("char_entropy", col("text")), 6).as("e6"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("e6"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .select(col("doc_id"), col("source"), col("e6"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise(round((col("rn") - 1).cast("double") / (col("n") - 1),
+              6)).as("pctl"))
+        .orderBy("doc_id")
+    }),
+
     // the full Gopher document-quality gate (Rae et al. Table A1, the
     // non-repetition half — q200 carries the repetition half): word-count
     // band, mean word length, symbol ratios, alpha-word share, stop-word
@@ -1333,6 +1358,28 @@ object TextQueries {
          SELECT src_a, src_b, count(*) AS n_pairs,
            round(avg(jaccard), 6) AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // entropy chain = q153's CTEs (rounded to the same grid the Spark rank
+    // orders by), then the exact rational percentile per source
+    "q229_score_normalize" ->
+      """WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
+           FROM documents, LATERAL (SELECT
+             unnest(generate_series(1, length(text))) AS i) x),
+         counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+         eagg AS (SELECT doc_id, sum(c) AS n_chars,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS clc FROM counts GROUP BY 1),
+         ent AS (SELECT doc_id,
+             round((ln(n_chars::DOUBLE) - clc / n_chars) / ln(2.0), 6) AS e6
+           FROM eagg),
+         j AS (SELECT d.doc_id, d.source, ent.e6
+           FROM documents d JOIN ent USING (doc_id)),
+         rk AS (SELECT doc_id, source, e6,
+             row_number() OVER (PARTITION BY source ORDER BY e6, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n FROM j)
+         SELECT doc_id, source, e6,
+           CASE WHEN n = 1 THEN 0.0
+             ELSE round((rn - 1)::DOUBLE / (n - 1), 6) END AS pctl
+         FROM rk ORDER BY doc_id""",
 
     "q225_gopher_quality" -> {
       val digits = (1 to 21).mkString(" ")
