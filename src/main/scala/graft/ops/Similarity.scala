@@ -1272,6 +1272,25 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Reciprocal (mutual) nearest neighbors: undirected pairs where EACH
+    * endpoint ranks the other in its top-k — the strict high-precision
+    * match rule (RNN bitext mining, exemplar dedup) that kills hub
+    * vectors structurally: a hub may rank many neighbors, but few rank it
+    * back. One self-join of the ≤ k·|V| [[knnGraph]] edge list on the
+    * reversed key — bounded by construction, no new pair generation.
+    * Returns (i, j, cos, rk_ij, rk_ji) with i < j. */
+  def mutualNearestNeighbors(df: DataFrame, id: Column, vec: Column,
+      bits: Int, k: Int, maxBucket: Long = Long.MaxValue,
+      extraBits: Int = 8): DataFrame = {
+    val g = knnGraph(df, id, vec, bits, k, maxBucket = maxBucket,
+      extraBits = extraBits)
+    g.as("a").join(g.as("b"),
+        col("a.i") === col("b.j") && col("a.j") === col("b.i"))
+      .filter(col("a.i") < col("a.j"))
+      .select(col("a.i").as("i"), col("a.j").as("j"), col("a.cos").as("cos"),
+        col("a.rk").as("rk_ij"), col("b.rk").as("rk_ji"))
+  }
+
   /** Incremental k-NN graph maintenance: fold a NEW batch of vectors into
     * an existing [[knnGraph]] edge list without re-pairing the corpus.
     * Candidate pairs touch the batch only — batch×(corpus ∪ batch) within

@@ -501,6 +501,17 @@ object VectorQueries {
         .limit(15)
     }),
 
+    // reciprocal nearest neighbors: pairs ranking EACH OTHER top-3 — the
+    // strict high-precision match rule that kills hubs structurally; one
+    // self-join of the bounded edge list, both direction ranks pinned
+    "q230_mutual_nn" -> ((s, d) => {
+      Sim.mutualNearestNeighbors(emb(s, d), col("vec_id"), col("embedding"),
+          bits = 8, k = 3)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"),
+          col("rk_ij"), col("rk_ji"))
+        .orderBy("i", "j")
+    }),
+
     // incremental k-NN graph maintenance: batch (vec_id < 50) folded into
     // the corpus graph WITHOUT re-pairing the corpus — the oracle pins the
     // exactness invariant by replaying the full-rebuild graph: incremental
@@ -1018,6 +1029,22 @@ object VectorQueries {
                AS vrk FROM v)
          SELECT i AS vec_id, label AS pred_label, votes, deg
          FROM w WHERE vrk = 1 ORDER BY vec_id""",
+
+    "q230_mutual_nn" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         e AS (SELECT i, j, cos, rk FROM rk WHERE rk <= 3)
+         SELECT a.i, a.j, round(a.cos, 6) AS cos,
+           a.rk AS rk_ij, bb.rk AS rk_ji
+         FROM e a JOIN e bb ON a.i = bb.j AND a.j = bb.i
+         WHERE a.i < a.j ORDER BY a.i, a.j""",
 
     // the from-scratch graph over ALL vectors — incremental must equal it
     "q228_knn_graph_append" ->
