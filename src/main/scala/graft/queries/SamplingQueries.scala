@@ -79,6 +79,28 @@ object SamplingQueries {
         .orderBy("shard", "pos")
     }),
 
+    // dataset release manifest: per split, the counts a release is
+    // reproduced against PLUS an order-free membership checksum (sum of
+    // portable id hashes — commutative integer arithmetic, so any engine,
+    // any partitioning, any row order re-derives the same fingerprint; a
+    // single membership change moves it). The release audit q193 diffs
+    // between snapshots, this PINS within one
+    "q231_release_manifest" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("split",
+          Sampling.splitColumn(col("doc_id"), SplitNames, SplitWeights))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+          // hashes reduced to a 1e12 grid before the Σ: the raw 60-bit
+          // values would overflow int64 after ~8 rows (Spark wraps, DuckDB
+          // widens to HUGEINT — a silent cross-engine divergence)
+          sum(pmod(graft.functions.PortableHash.md5Long(
+            col("doc_id").cast("string"), 99), lit(1000000000000L)))
+            .as("membership_checksum"))
+        .orderBy("split")
+    }),
+
     // source-concentration report: Gini coefficient + top-source share of
     // the corpus token mass — the diversity diagnostic behind mixture
     // decisions (a Gini near 1 means one domain owns the corpus). Exact
@@ -543,6 +565,16 @@ object SamplingQueries {
       s"""SELECT ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split,
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q231_release_manifest" ->
+      s"""SELECT ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)}
+           AS split,
+         count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         CAST(sum((${graft.functions.PortableHash.md5LongSql(
+        "doc_id::VARCHAR", 99)}) % 1000000000000) AS BIGINT)
+           AS membership_checksum
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q222_source_concentration" ->
