@@ -198,6 +198,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // word2vec negative-sampling distribution: p(w) ∝ count^(3/4) — the
+    // smoothing computed as n / sqrt(sqrt(n)), a chain of CORRECTLY-
+    // ROUNDED IEEE ops (sqrt is exact-rounded; pow(x, 0.75) is not and
+    // differs across libms), so every weight is cross-engine bit-identical
+    // before the rounding grid even matters
+    "q232_negative_sampling" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val weighted = toks.groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("wgt", col("n") / sqrt(sqrt(col("n"))))
+      weighted.crossJoin(broadcast(weighted.agg(sum("wgt").as("tot"))))
+        .select(col("w").as("word"), col("n"),
+          round(col("wgt"), 6).as("weight"),
+          round(col("wgt") / col("tot"), 6).as("p_neg"))
+        .orderBy("word")
+    }),
+
     // per-source percentile-rank score normalization: heterogeneous
     // quality scores (char entropy here) made comparable ACROSS sources by
     // mapping each to its within-source percent_rank — the calibration
@@ -1358,6 +1375,16 @@ object TextQueries {
          SELECT src_a, src_b, count(*) AS n_pairs,
            round(avg(jaccard), 6) AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q232_negative_sampling" ->
+      """WITH c AS (SELECT w, count(*) AS n FROM
+           (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         wt AS (SELECT w, n, n / sqrt(sqrt(n::DOUBLE)) AS wgt FROM c),
+         t AS (SELECT sum(wgt) AS tot FROM wt)
+         SELECT w AS word, n, round(wgt, 6) AS weight,
+           round(wgt / tot, 6) AS p_neg
+         FROM wt, t ORDER BY word""",
 
     // entropy chain = q153's CTEs (rounded to the same grid the Spark rank
     // orders by), then the exact rational percentile per source
