@@ -198,6 +198,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic DRAWS from q232's distribution: inverse-CDF sampling
+    // with a portable hash as the uniform — negatives are a pure function
+    // of (anchor, draw index), so every engine/run/retry draws the same
+    // words. The cumulative table is vocabulary-sized (driver-small by
+    // contract) and broadcasts into a range join; the running Σ's order is
+    // fixed by the window frame, so the CDF is cross-engine identical
+    "q233_negative_draws" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Sampling
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cum = toks.groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("wgt", col("n") / sqrt(sqrt(col("n"))))
+        .withColumn("cumw", sum("wgt").over(Window.orderBy("w")))
+        .withColumn("prev",
+          coalesce(lag("cumw", 1).over(Window.orderBy("w")), lit(0.0)))
+      val tot = cum.agg(max("cumw").as("tot"))
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(sequence(lit(1), lit(4))).as("draw"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u",
+          (Sampling.hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+            col("draw").cast("string")), 5) + 1).cast("double")
+            / lit(1000000.0) * col("tot"))
+        .join(broadcast(cum), col("u") > col("prev") && col("u") <= col("cumw"))
+        .select(col("doc_id"), col("draw"), col("w").as("word"))
+        .orderBy("doc_id", "draw")
+    }),
+
     // word2vec negative-sampling distribution: p(w) ∝ count^(3/4) — the
     // smoothing computed as n / sqrt(sqrt(n)), a chain of CORRECTLY-
     // ROUNDED IEEE ops (sqrt is exact-rounded; pow(x, 0.75) is not and
@@ -1375,6 +1404,28 @@ object TextQueries {
          SELECT src_a, src_b, count(*) AS n_pairs,
            round(avg(jaccard), 6) AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q233_negative_draws" -> {
+      import graft.ops.Sampling
+      val u = s"((${Sampling.hashBucketSql(
+        "(doc_id::VARCHAR || ':' || draw)", 5)}) + 1)::DOUBLE / 1000000.0"
+      s"""WITH c AS (SELECT w, count(*) AS n FROM
+           (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         wt AS (SELECT w, n, n / sqrt(sqrt(n::DOUBLE)) AS wgt FROM c),
+         cum0 AS (SELECT w, wgt,
+             sum(wgt) OVER (ORDER BY w) AS cumw FROM wt),
+         cum AS (SELECT w, wgt, cumw,
+             coalesce(lag(cumw, 1) OVER (ORDER BY w), 0.0) AS prev
+           FROM cum0),
+         t AS (SELECT max(cumw) AS tot FROM cum),
+         dr AS (SELECT doc_id, unnest(generate_series(1, 4)) AS draw
+           FROM documents WHERE doc_id < 20),
+         uu AS (SELECT doc_id, draw, ($u) * t.tot AS u FROM dr, t)
+         SELECT uu.doc_id, uu.draw, cum.w AS word
+         FROM uu JOIN cum ON uu.u > cum.prev AND uu.u <= cum.cumw
+         ORDER BY doc_id, draw"""
+    },
 
     "q232_negative_sampling" ->
       """WITH c AS (SELECT w, count(*) AS n FROM
