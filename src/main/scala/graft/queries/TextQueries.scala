@@ -198,6 +198,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // word2phrase mining (Mikolov et al. 2013 §4): bigram score
+    // (c_ab − δ)·N / (c_a·c_b) — ALL integer counts, one final division,
+    // so scores are cross-engine exact before rounding (the PMI twin q112
+    // needs ln; this is the rational formulation real word2vec ships).
+    // Adjacent-pair counts come from the native slot array; top-15 by the
+    // rounded score with min-count floors
+    "q234_word2phrase" -> ((s, d) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+      val bi = docs
+        .select(explode(call_function("ngram_slots", col("text"), lit(2)))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val n = toks.agg(count(lit(1)).as("nn"))
+      bi.withColumn("wa", split(col("bg"), " ").getItem(0))
+        .withColumn("wb", split(col("bg"), " ").getItem(1))
+        .join(uni.select(col("w").as("wa"), col("c1").as("ca")), "wa")
+        .join(uni.select(col("w").as("wb"), col("c1").as("cb")), "wb")
+        .crossJoin(broadcast(n))
+        .select(col("bg").as("bigram"), col("cab"), col("ca"), col("cb"),
+          round(((col("cab") - 3) * col("nn")).cast("double") /
+            (col("ca") * col("cb")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("bigram"))
+        .limit(15)
+    }),
+
     // deterministic DRAWS from q232's distribution: inverse-CDF sampling
     // with a portable hash as the uniform — negatives are a pure function
     // of (anchor, draw index), so every engine/run/retry draws the same
@@ -1404,6 +1433,21 @@ object TextQueries {
          SELECT src_a, src_b, count(*) AS n_pairs,
            round(avg(jaccard), 6) AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q234_word2phrase" ->
+      """WITH ts AS (SELECT str_split(text, ' ') AS t FROM documents),
+         bgs AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1])) AS bg FROM ts),
+         bgc AS (SELECT bg, count(*) AS cab FROM bgs GROUP BY 1
+           HAVING count(*) >= 5),
+         toks AS (SELECT unnest(t) AS w FROM ts),
+         uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS nn FROM toks)
+         SELECT bgc.bg AS bigram, cab, ua.c1 AS ca, ub.c1 AS cb,
+           round(((cab - 3) * nn)::DOUBLE / (ua.c1 * ub.c1), 6) AS score
+         FROM bgc JOIN uni ua ON ua.w = str_split(bgc.bg, ' ')[1]
+         JOIN uni ub ON ub.w = str_split(bgc.bg, ' ')[2], n
+         ORDER BY score DESC, bigram LIMIT 15""",
 
     "q233_negative_draws" -> {
       import graft.ops.Sampling
