@@ -170,6 +170,35 @@ object EventsQueries {
         .orderBy("day")
     }),
 
+    // RFM segmentation — the classic customer-value report: per user,
+    // recency (days since last purchase vs corpus max), frequency and
+    // 2-decimal monetary, each quintiled into a 3-digit segment code.
+    // Integer/money-grid inputs with user_id tie-breaks make every ntile
+    // boundary deterministic. The rank runs over the USER aggregate (a
+    // table orders of magnitude under the event log; at consumer scale
+    // partition the quintiles per region or swap in the GK-threshold
+    // gate, q191's shape)
+    "q235_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val now = ev.agg(max("day").as("now_day"))
+      ev.crossJoin(broadcast(now))
+        .groupBy("user_id")
+        .agg(min(col("now_day") - col("day")).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          round(sum("value"), 2).as("monetary"))
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+        .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+        .orderBy("user_id")
+    }),
+
     // event-transition matrix (user-flow analysis): P(next | current) from
     // per-user ts-ordered event chains — lead() window on the user key,
     // integer pair counts, one division per cell on the r6 grid
@@ -369,6 +398,26 @@ object EventsQueries {
          SELECT s.day, coalesce(n, 0) AS n,
            coalesce(sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q235_rfm_segments" ->
+      """WITH e AS (SELECT user_id, value,
+           epoch_ms(ts) // 86400000 AS day FROM events
+           WHERE event_type = 'purchase'),
+         nw AS (SELECT max(day) AS now_day FROM e),
+         rfm AS (SELECT user_id,
+             min(now_day - day) AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 2) AS monetary
+           FROM e, nw GROUP BY 1),
+         sc AS (SELECT user_id, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+           FROM rfm)
+         SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary, r, f, m,
+           r * 100 + f * 10 + m AS segment
+         FROM sc ORDER BY user_id""",
 
     "q218_transition_matrix" ->
       """WITH seq AS (SELECT user_id, event_id, event_type,
