@@ -32,6 +32,30 @@ object MiscQueries {
     // one-pass per-column dataset profile (counts, nulls, exact distinct,
     // numeric range/mean, string lengths) — the pre-training data-quality
     // report, single scan + single aggregation
+    // ABC / Pareto analysis: parts classed by cumulative revenue share
+    // (A ≤ 80 %, B ≤ 95 %, C rest) — the classic inventory concentration
+    // report. Revenue stays in EXACT integer 1e-4-dollar units through the
+    // ranking and cumulative sum; shares are one division rounded r6 and
+    // the class boundaries compare on that grid. The cumsum ranks the
+    // PART aggregate (entity table ≪ fact table; same note as q235)
+    "q237_abc_analysis" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rcExpr = expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+      val per = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(sum(rcExpr).as("rc"))
+      per.crossJoin(broadcast(per.agg(sum("rc").as("tot"))))
+        .withColumn("cum", sum("rc").over(
+          Window.orderBy(col("rc").desc, col("l_partkey"))))
+        .withColumn("share", round(col("cum").cast("double") / col("tot"), 6))
+        .withColumn("cls", when(col("share") <= 0.8, "A")
+          .when(col("share") <= 0.95, "B").otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum("rc").cast("double") / 10000.0, 2).as("revenue"))
+        .orderBy("cls")
+    }),
+
     // count-min sketch: mergeable frequency monitor over the token stream.
     // The portable hash family makes the ENTIRE sketch cross-engine
     // reproducible, so estimates are pinned exactly — not just bounded —
@@ -506,6 +530,26 @@ object MiscQueries {
          SELECT n_seen, est, exact_distinct,
            abs(est - exact_distinct) <= 0.5 * exact_distinct AS bound_ok
          FROM kmv, ex""",
+
+    "q237_abc_analysis" ->
+      """WITH per AS (SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rc
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(rc) AS BIGINT) AS tot FROM per),
+         cm AS (SELECT l_partkey, rc,
+             CAST(sum(rc) OVER (ORDER BY rc DESC, l_partkey) AS BIGINT)
+               AS cum
+           FROM per),
+         cl AS (SELECT rc,
+             CASE WHEN round(cum::DOUBLE / tot, 6) <= 0.8 THEN 'A'
+               WHEN round(cum::DOUBLE / tot, 6) <= 0.95 THEN 'B'
+               ELSE 'C' END AS cls
+           FROM cm, tot)
+         SELECT cls, count(*) AS n_parts,
+           round(sum(rc)::DOUBLE / 10000.0, 2) AS revenue
+         FROM cl GROUP BY 1 ORDER BY 1""",
 
     "q212_cms_drift" -> {
       val words = Seq("table", "row", "value", "scan", "fast", "slow",

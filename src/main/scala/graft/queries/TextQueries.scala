@@ -198,6 +198,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // pruned inverted-index build: per term, the top-3 postings by (tf,
+    // doc) — the impact-ordered index materialization behind serving-time
+    // BM25 (q195 builds postings per query; this PERSISTS the structure,
+    // champion-list pruning bounding each list). Two-phase rank on the
+    // term key; every surviving posting pinned for 8 probe terms
+    "q236_posting_lists" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("table", "row", "scan", "join", "key", "window",
+        "fast", "slow")
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w").orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("w").as("term"), col("doc_id"), col("tf"), col("rk"))
+        .orderBy("term", "rk")
+    }),
+
     // word2phrase mining (Mikolov et al. 2013 §4): bigram score
     // (c_ab − δ)·N / (c_a·c_b) — ALL integer counts, one final division,
     // so scores are cross-engine exact before rounding (the PMI twin q112
@@ -1433,6 +1453,19 @@ object TextQueries {
          SELECT src_a, src_b, count(*) AS n_pairs,
            round(avg(jaccard), 6) AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q236_posting_lists" -> {
+      val terms = Seq("table", "row", "scan", "join", "key", "window",
+        "fast", "slow").map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+           FROM documents),
+         tf AS (SELECT w, doc_id, count(*) AS tf FROM tk
+           WHERE w IN ($terms) GROUP BY 1, 2),
+         rk AS (SELECT w, doc_id, tf, row_number() OVER (
+             PARTITION BY w ORDER BY tf DESC, doc_id) AS rk FROM tf)
+         SELECT w AS term, doc_id, tf, rk FROM rk
+         WHERE rk <= 3 ORDER BY term, rk"""
+    },
 
     "q234_word2phrase" ->
       """WITH ts AS (SELECT str_split(text, ' ') AS t FROM documents),
