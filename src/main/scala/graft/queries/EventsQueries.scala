@@ -170,6 +170,47 @@ object EventsQueries {
         .orderBy("day")
     }),
 
+    // windowed conversion: q205's ordered funnel with a DEADLINE — the
+    // view must follow signup within 3 days, the purchase within 7 days
+    // of that view (exact integer micros; the report marketing actually
+    // asks for: "converted within N days", not "ever")
+    "q238_windowed_funnel" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + 3 * dayUs)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + 7 * dayUs)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      val n1 = t1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_signup"))
+      val n2 = t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_view_3d"))
+      val n3 = t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase_7d"))
+      n1.union(n2).union(n3).select(col("stage"), col("n")).orderBy("stage")
+    }),
+
+    // frequent event paths: per-user ts-ordered event-type 3-grams counted
+    // corpus-wide, top-10 — the "common journeys" report; two leads on the
+    // user window, partial-aggregable counts, heap top-k
+    "q239_frequent_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lead("event_type", 1).over(byUser))
+        .withColumn("e3", lead("event_type", 2).over(byUser))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // RFM segmentation — the classic customer-value report: per user,
     // recency (days since last purchase vs corpus max), frequency and
     // 2-decimal monetary, each quintiled into a 3-digit segment code.
@@ -398,6 +439,32 @@ object EventsQueries {
          SELECT s.day, coalesce(n, 0) AS n,
            coalesce(sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q238_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+           WHERE event_type = 'view' AND us > t1
+             AND us <= t1 + 3 * 86400000000 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2
+             AND us <= t2 + 7 * 86400000000 GROUP BY 1)
+         SELECT '1_signup' AS stage, count(*) AS n FROM t1
+         UNION ALL SELECT '2_view_3d', count(*) FROM t2
+         UNION ALL SELECT '3_purchase_7d', count(*) FROM t3
+         ORDER BY stage""",
+
+    "q239_frequent_paths" ->
+      """WITH seq AS (SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS us,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+         FROM seq WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
 
     "q235_rfm_segments" ->
       """WITH e AS (SELECT user_id, value,
