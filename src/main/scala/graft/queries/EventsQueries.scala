@@ -170,6 +170,25 @@ object EventsQueries {
         .orderBy("day")
     }),
 
+    // session-length distribution: q33's 30-minute sessionization rolled
+    // up to a histogram of events-per-session — the engagement-shape
+    // report (how long are visits?); exact integer buckets
+    "q240_session_histogram" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_session",
+          when(col("ms") - lag("ms", 1).over(byUser) > 1800000L, 1)
+            .when(lag("ms", 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy("session_events")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("session_events")
+    }),
+
     // windowed conversion: q205's ordered funnel with a DEADLINE — the
     // view must follow signup within 3 days, the purchase within 7 days
     // of that view (exact integer micros; the report marketing actually
@@ -439,6 +458,26 @@ object EventsQueries {
          SELECT s.day, coalesce(n, 0) AS n,
            coalesce(sum_value, 0.0) AS sum_value
          FROM spine s LEFT JOIN sp USING (day) ORDER BY day""",
+
+    "q240_session_histogram" ->
+      """WITH base AS (SELECT user_id, event_id,
+           epoch_ms(ts) AS ms FROM events),
+         flagged AS (SELECT user_id, event_id, ms,
+             CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id) IS NULL THEN 1
+               WHEN ms - lag(ms, 1) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id) > 1800000 THEN 1
+               ELSE 0 END AS new_session
+           FROM base),
+         sessions AS (SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         per AS (SELECT user_id, session_id, count(*) AS session_events
+           FROM sessions GROUP BY 1, 2)
+         SELECT CAST(session_events AS BIGINT) AS session_events,
+           count(*) AS n_sessions
+         FROM per GROUP BY 1 ORDER BY 1""",
 
     "q238_windowed_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
