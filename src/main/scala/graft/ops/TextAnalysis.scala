@@ -1107,10 +1107,11 @@ object TextAnalysis {
     *                                            keeps ln defined for unseen
     *                                            words, deterministically).
     *
-    * Every ln argument is an integer count (plus the integer N+V), so the
-    * score is cross-engine exact under the round-6 discipline exactly like
-    * [[pmiBigrams]]; α enters as `ln α` added per backoff level — the CASE
-    * picks a branch on integer comparisons, never on float thresholds.
+    * Every ln argument is an integer count (plus the integer N+V), and the
+    * per-slot micro-nat quantization is inherited from [[stupidBackoff]]
+    * (order-free BIGINT sums), so the score is cross-engine exact; α
+    * enters as `ln α` added per backoff level — the CASE picks a branch
+    * on integer comparisons, never on float thresholds.
     *
     * Scale shape, identical to the bigram pipeline: the "model" is three
     * distributed count tables (uni/bi/tri) joined to the document trigram
@@ -1182,9 +1183,12 @@ object TextAnalysis {
     *                  = αⁿ⁻¹ · (c(wₙ)+1)/(N+V)         add-1 unigram floor.
     *
     * Every ln argument is an integer count (plus integer N+V), the CASE
-    * branches on integer comparisons, and the per-doc mean rounds to 6
-    * decimals — the same cross-engine-exact discipline as the trigram
-    * instance, replayable in DuckDB at any order. Whenever the level-L
+    * branches on integer comparisons, each slot's log-prob quantizes to
+    * integer MICRO-NATS before the per-doc sum (order-free exact BIGINT —
+    * the [[klPerGroup]] discipline; the r10 driver proved a double Σ here
+    * flips the 6th decimal under scheduler reordering), and the mean is
+    * one IEEE division rounded to 6 decimals — replayable in DuckDB at
+    * any order. Whenever the level-L
     * numerator (w_{n-L+1}..wₙ) was seen in ref, its (L−1)-prefix
     * (w_{n-L+1}..wₙ₋₁) was too, so no branch ever takes ln(0).
     *
@@ -1262,11 +1266,19 @@ object TextAnalysis {
     }.otherwise(lit((order - 1) * lnA)
       + log(coalesce(col("__f"), lit(0L)).cast("double") + 1.0)
       - log(col("__n") + col("__v")))
+    // Each slot's log-prob quantizes ONCE to integer micro-nats (the
+    // [[klPerGroup]] discipline), so the per-doc sum is exact, order-free
+    // BIGINT arithmetic — a plain double Σ here is partition-/scheduler-
+    // order-dependent, and round-10's driver observed a real 6th-decimal
+    // flip vs the oracle from exactly that (q169). One IEEE division and
+    // one 6-decimal round at the end; the oracle replays the identical
+    // quantization so both engines do the same deterministic op chain.
     val scored = withFloor
-      .select(col("id"), lp.as("__lp"))
+      .select(col("id"), round(lit(1e6) * lp).cast("long").as("__lpu"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_ngrams"),
-        round(-sum(col("__lp")) / count(lit(1)), 6).as("cross_entropy"))
+        round(-sum(col("__lpu")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("cross_entropy"))
     docs.select(id.as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),

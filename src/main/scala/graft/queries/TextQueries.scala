@@ -29,8 +29,12 @@ object TextQueries {
     * .stupidBackoff]]'s `minCount` semantics. */
   /** Table-parameterized core of the 5-gram ladder replay: CTE list (no
     * leading WITH) over `$table(doc_id, $textCol)`, ending in
-    * `sc(doc_id, nt, xent)` — per-doc backoff cross-entropy, 6-decimal
-    * grid. Shared by the q169/q175 oracles and the q185 capstone. */
+    * `sc(doc_id, nt, xent)` — per-doc backoff cross-entropy. Each slot's
+    * log-prob quantizes to integer micro-nats before the per-doc sum
+    * (order-free exact BIGINT, mirroring [[graft.ops.TextAnalysis
+    * .stupidBackoff]] bit for bit), then one IEEE division onto the
+    * 6-decimal grid. Shared by the q169/q175 oracles and the q185
+    * capstone. */
   private def ladderXentCore(table: String, textCol: String,
       minCount: Int): String = {
     val hv = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
@@ -58,7 +62,7 @@ object TextQueries {
          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
          WHERE len(ts) >= 5),
        sc AS (SELECT dp.doc_id, count(*) AS nt,
-           round(-sum(CASE
+           round(-sum(CAST(round(1e6 * CASE
              WHEN coalesce(n5.c, 0) > 0
                THEN ln(n5.c::DOUBLE) - ln(d5.c::DOUBLE)
              WHEN coalesce(n4.c, 0) > 0
@@ -68,7 +72,8 @@ object TextQueries {
              WHEN coalesce(n2.c, 0) > 0
                THEN 3 * ln(0.4) + ln(n2.c::DOUBLE) - ln(d2.c::DOUBLE)
              ELSE 4 * ln(0.4) + ln(coalesce(f.c, 0)::DOUBLE + 1.0)
-               - ln(tot.n + tot.v) END) / count(*), 6) AS xent
+               - ln(tot.n + tot.v) END) AS BIGINT))::DOUBLE
+             / (count(*)::DOUBLE * 1e6), 6) AS xent
          FROM dp
          LEFT JOIN g5 n5 ON dp.w1 = n5.w1 AND dp.w2 = n5.w2
            AND dp.w3 = n5.w3 AND dp.w4 = n5.w4 AND dp.w5 = n5.w5
@@ -921,16 +926,20 @@ object TextQueries {
     // CCNet-grade 5-gram stupid backoff: the full KenLM-order ladder —
     // seen 5-gram ratio, else α·4-gram, α²·trigram, α³·bigram, else
     // α⁴·add-1 unigram floor; 9 count-table joins, every ln argument an
-    // integer count so the whole ladder replays cross-engine exactly
+    // integer count and every slot quantized to micro-nats so the whole
+    // ladder replays cross-engine exactly. The tercile is the SCALE-SAFE
+    // exact ntile (Sampling.ntileExact: range-repartition + partition-
+    // local rank + broadcast offsets — no single-partition window over
+    // the corpus-sized score table; the oracle keeps the ntile form as
+    // the executable spec and must agree bit for bit)
     "q169_lm_quality_5gram" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
-          col("text"), docs, col("text"), order = 5)
+      val scored = graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
+        col("text"), docs, col("text"), order = 5)
+      graft.ops.Sampling.ntileExact(scored,
+          Seq(col("cross_entropy").asc_nulls_last, col("id").asc), 3, "__t")
         .withColumn("bucket",
-          array(lit("head"), lit("middle"), lit("tail"))(
-            ntile(3).over(Window.orderBy(
-              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+          array(lit("head"), lit("middle"), lit("tail"))(col("__t") - 1))
         .filter(col("id") < 20)
         .select(col("id").as("doc_id"), col("n_ngrams"),
           col("cross_entropy"), col("bucket"))
@@ -940,16 +949,16 @@ object TextQueries {
     // the PRUNED 5-gram ladder (KenLM-style minCount=2 on orders >= 2):
     // the 100 TB configuration — singleton grams drop from every count
     // table and scoring backs off through them; the oracle prunes with
-    // the same HAVING threshold and must land on identical scores
+    // the same HAVING threshold and must land on identical scores.
+    // Tercile via the same scale-safe exact ntile as q169
     "q175_lm_5gram_pruned" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
-          col("text"), docs, col("text"), order = 5, minCount = 2L)
+      val scored = graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
+        col("text"), docs, col("text"), order = 5, minCount = 2L)
+      graft.ops.Sampling.ntileExact(scored,
+          Seq(col("cross_entropy").asc_nulls_last, col("id").asc), 3, "__t")
         .withColumn("bucket",
-          array(lit("head"), lit("middle"), lit("tail"))(
-            ntile(3).over(Window.orderBy(
-              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+          array(lit("head"), lit("middle"), lit("tail"))(col("__t") - 1))
         .filter(col("id") < 20)
         .select(col("id").as("doc_id"), col("n_ngrams"),
           col("cross_entropy"), col("bucket"))
@@ -1759,7 +1768,9 @@ object TextQueries {
          WHERE doc_id < 20 ORDER BY doc_id""",
 
     // the stupid backoff replayed: same integer-count CASE ladder, same
-    // α=0.4 ln offsets, same add-1 unigram floor and tercile assignment
+    // α=0.4 ln offsets, same add-1 unigram floor, the same per-slot
+    // micro-nat quantization (order-free BIGINT sums) and tercile
+    // assignment
     "q157_lm_quality_trigram" ->
       """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
          uni AS (SELECT ts[x.i] AS w1, count(*) AS c1
@@ -1777,13 +1788,14 @@ object TextQueries {
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
            WHERE len(ts) >= 3),
          sc AS (SELECT dp.doc_id, count(*) AS nt,
-             round(-sum(CASE
+             round(-sum(CAST(round(1e6 * CASE
                WHEN coalesce(tri.c3, 0) > 0
                  THEN ln(tri.c3::DOUBLE) - ln(b12.c2::DOUBLE)
                WHEN coalesce(b23.c2, 0) > 0
                  THEN ln(0.4) + ln(b23.c2::DOUBLE) - ln(u2.c1::DOUBLE)
                ELSE 2 * ln(0.4) + ln(coalesce(u3.c1, 0)::DOUBLE + 1.0)
-                 - ln(tot.n + tot.v) END) / count(*), 6) AS xent
+                 - ln(tot.n + tot.v) END) AS BIGINT))::DOUBLE
+               / (count(*)::DOUBLE * 1e6), 6) AS xent
            FROM dp
            LEFT JOIN tri USING (w1, w2, w3)
            LEFT JOIN bi b12 ON dp.w1 = b12.w1 AND dp.w2 = b12.w2

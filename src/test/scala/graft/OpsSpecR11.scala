@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Round-11 operator specs: the scale-safe exact ntile (distributed rank),
+  * the micro-nat-quantized backoff ladder, and the determinism/valve fixes
+  * prescribed by the r10 verdict. */
+class OpsSpecR11 extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- scale-safe exact ntile -------------------------------------------
+
+  test("ntileExact reproduces ntile() bit for bit: every k, ragged N%k, " +
+    "nulls-last order, N < k") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // scores with duplicates (tie-break on id makes the order total) and
+    // nulls (must rank last, exactly like ASC NULLS LAST)
+    val rows = (0L until 100L).map { i =>
+      (i, if (i % 13 == 0) None else Some((i * 37 % 11).toDouble))
+    }
+    val df = rows.toDF("id", "score")
+    val order = Seq(col("score").asc_nulls_last, col("id").asc)
+    for (k <- Seq(1, 3, 5, 7)) {
+      val want = df.withColumn("b", ntile(k).over(Window.orderBy(order: _*)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val got = Sampling.ntileExact(df, order, k, "b")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got === want, s"k=$k diverged from the ntile window")
+    }
+    // N < k: every row its own bucket in rank order
+    val tiny = Seq((10L, 2.0), (20L, 1.0)).toDF("id", "score")
+    val got = Sampling.ntileExact(tiny, order, 5, "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got === Map(20L -> 1, 10L -> 2))
+  }
+
+  test("globalRowNumber is the exact global row_number under a total order") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (0L until 57L).map(i => (i, i * 31 % 7)).toDF("id", "g")
+    val order = Seq(col("g").asc, col("id").desc)
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Sampling.globalRowNumber(df, order, "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  // ---- micro-nat quantized backoff ladder -------------------------------
+
+  test("stupidBackoff sums integer micro-nats per slot: a mixed-level doc " +
+    "lands exactly on round(Σ round(1e6·lp) / (n·1e6), 6)") {
+    import spark.implicits._
+    // ref "a b c d e f": the probe's first 5-gram (abcde) is seen
+    // (ln(1/1) − ln(1/1) = 0), its second (bcdez) backs off to the floor
+    // (z unseen: 4lnα + ln(0+1) − ln(N+V), N=6, V=6)
+    val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val probes = Seq((1L, "a b c d e z")).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoff(probes, col("doc_id"), col("text"),
+        ref, col("text"), order = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val lnA = math.log(0.4)
+    val slot1 = 0.0
+    val slot2 = 4 * lnA + math.log(1.0) - math.log(12.0)
+    // the exact arithmetic BOTH engines replay: per-slot HALF_UP micro-nat
+    // grid, exact integer sum, one IEEE division, one 6-decimal round
+    val u1 = BigDecimal(1e6 * slot1).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val u2 = BigDecimal(1e6 * slot2).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = BigDecimal(-(u1 + u2).toDouble / (2.0 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((2L, want)))
+  }
+}
