@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, prints the full per-query JSON line followed by a
+  * sub-1.5 KB summary line (totals, canary health, contamination verdict,
+  * 10 slowest queries) — the LAST line is complete within a ~2,000-char
+  * output-tail capture, which the full line outgrew at 240 queries.
   *
   * Each query is executed once untimed (JVM/codegen/scan warmup — otherwise
   * whichever query runs first absorbs ~5 s of cold-start and the numbers are
@@ -91,6 +94,28 @@ object Bench {
 
   /** In-session suspect re-time rounds (merged into the same artifact). */
   private val SuspectRetimes = 2
+
+  /** Cross-round quiet-box canary floor: every clean run since r8 has
+    * measured a 0.19–0.20 s canary on an idle box, so the floor is
+    * PERSISTED here as a constant rather than re-derived per session.
+    * It closes the r10 blind spot: sustained whole-session load shifts
+    * the session median AND the per-segment samples together, so the
+    * median-relative drift gate self-declared `contaminated: false`
+    * while the run's own canary said min 0.196 / median 0.409 — a ~2×
+    * loaded box for most of the run. */
+  private[graft] val QuietFloorSec = 0.19
+
+  /** Sustained-load detector, gated on the two signals the in-session
+    * median gate cannot fake: the canary MEDIAN against the same run's
+    * canary MIN (sustained load inflates the median long before the
+    * min — transient spikes are the segment gate's job), and against
+    * the cross-round [[QuietFloorSec]] (catches the whole-run-loaded
+    * case where even the min is inflated). Either beyond the drift
+    * ratio marks the artifact contaminated. */
+  private[graft] def sustainedLoad(canaryMin: Double,
+      canaryMedian: Double): Boolean =
+    canaryMedian > CanaryDriftRatio * canaryMin ||
+      canaryMedian > CanaryDriftRatio * QuietFloorSec
 
   /** Whole-process CPU seconds (all Spark threads) — the denominator that
     * ambient load CANNOT inflate: contention stretches wall time while
@@ -266,14 +291,37 @@ object Bench {
     // projection work a query's output columns carried (md5s, string ops);
     // noop-write times the FULL result, so projection-heavy queries read
     // higher here than in BENCH_r5 and earlier without having regressed.
+    val sustained = sustainedLoad(canaryAll.min, canaryMedian)
+    val contaminated =
+      suspect.nonEmpty || allQuarantined.nonEmpty || sustained
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2.wall)},""" +
       s""""queries_cpu":${jmap(_._2.cpu)},"cpu_total":$totalCpu,""" +
       s""""canary":{"min":${r3(canaryAll.min)},"median":${r3(canaryMedian)},"max_drift":${r3(canaryAll.max / canaryMedian)},"samples":${canaryAll.length},""" +
       s""""preprobe_sec":${preProbe.result().map(r3).mkString("[", ",", "]")},"preprobe_waits":$waits,""" +
-      s""""quarantined_segments":$quarantinedSegments,"drift_gate":$CanaryDriftRatio},""" +
-      s""""passes":${passes.length},"contaminated":${suspect.nonEmpty || allQuarantined.nonEmpty},""" +
+      s""""quarantined_segments":$quarantinedSegments,"drift_gate":$CanaryDriftRatio,""" +
+      s""""floor_sec":$QuietFloorSec,"sustained_load":$sustained},""" +
+      s""""passes":${passes.length},"contaminated":$contaminated,""" +
       s""""suspect":$suspectJson,"timing":"noop-write full materialization (r5 and earlier: count())",""" +
       s""""sf":"$sfDir"}""")
+    // Second, SUB-1.5 KB summary line: the driver's output capture keeps
+    // only the final ~2,000 chars, and the full per-query line above has
+    // outgrown that three rounds running (8.7 KB at 240 queries → the
+    // artifact recorded `parsed: null`). Everything a round-over-round
+    // comparison needs — totals, canary health, contamination verdict,
+    // the 10 slowest queries — re-prints compactly LAST so the tail
+    // window always contains one complete parseable JSON object.
+    val top10 = results.sortBy(-_._2.wall).take(10)
+    def jmapOf(xs: Seq[(String, QSample)], f: QSample => Double): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + r3(f(v)) }
+        .mkString("{", ",", "}")
+    val suspectCapped = suspect.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","cpu_total":$totalCpu,""" +
+      s""""n_queries":${names.length},"passes":${passes.length},""" +
+      s""""canary":{"min":${r3(canaryAll.min)},"median":${r3(canaryMedian)},"max_drift":${r3(canaryAll.max / canaryMedian)},""" +
+      s""""floor_sec":$QuietFloorSec,"sustained_load":$sustained,"preprobe_waits":$waits,"quarantined_segments":$quarantinedSegments},""" +
+      s""""contaminated":$contaminated,"n_suspect":${suspect.length},"suspect":$suspectCapped,""" +
+      s""""top10_wall":${jmapOf(top10, _.wall)},"top10_cpu":${jmapOf(top10, _.cpu)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -631,15 +631,6 @@ object Sampling {
       .drop("__g", "__thr")
   }
 
-  /** Core of [[globalRowNumber]] / [[ntileExact]]: range-repartition on
-    * the order key, per-partition row_number, cumulative per-partition
-    * offsets. Returns the ranked frame (input columns + `out`) and the
-    * total row count. The frame is `localCheckpoint`ed BEFORE the offset
-    * collect: range boundaries come from a sampling pass whose seed moves
-    * with the RDD id, so without pinning the partitioning the offsets
-    * could be counted against one placement and applied to another (at
-    * 100 TB, checkpoint to reliable storage instead — same lineage
-    * discipline as [[dsirResample]]). */
   /** The pre-checkpoint frame of [[rankedWithTotal]]: partition-LOCAL
     * 1-based rank after a range repartition on the order key. Exposed for
     * the PlanSpec pin (its one window partitions by `__pid` — never a
@@ -655,6 +646,14 @@ object Sampling {
           .cast("long"))
   }
 
+  /** Core of [[globalRowNumber]] / [[ntileExact]]: [[rankedLocal]] plus
+    * cumulative per-partition offsets. Returns the ranked frame (input
+    * columns + `out`) and the total row count. The frame is
+    * `localCheckpoint`ed BEFORE the offset collect: range boundaries come
+    * from a sampling pass whose seed moves with the RDD id, so without
+    * pinning the partitioning the offsets could be counted against one
+    * placement and applied to another (at 100 TB, checkpoint to reliable
+    * storage instead — same lineage discipline as [[dsirResample]]). */
   private def rankedWithTotal(df: DataFrame, order: Seq[Column],
       out: String): (DataFrame, Long) = {
     val spark = df.sparkSession

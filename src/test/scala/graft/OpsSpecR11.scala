@@ -50,6 +50,20 @@ class OpsSpecR11 extends AnyFunSuite {
     assert(got === want)
   }
 
+  // ---- bench sustained-load gate ----------------------------------------
+
+  test("bench sustained-load gate: flags the r10 signature and the " +
+    "whole-run-loaded box, passes a quiet session") {
+    // the r10 artifact: min 0.196 / median 0.409 self-declared clean —
+    // the median-relative segment gate shifted with the load
+    assert(Bench.sustainedLoad(0.196, 0.409))
+    // whole-run load inflates even the min; the cross-round floor catches it
+    assert(Bench.sustainedLoad(0.40, 0.42))
+    // quiet box: median within the drift ratio of both min and floor
+    assert(!Bench.sustainedLoad(0.19, 0.21))
+    assert(!Bench.sustainedLoad(0.20, 0.26))
+  }
+
   // ---- micro-nat quantized backoff ladder -------------------------------
 
   test("stupidBackoff sums integer micro-nats per slot: a mixed-level doc " +
