@@ -321,9 +321,13 @@ object Profiling {
   /** Point-frequency estimates from a [[cmsBuild]] sketch: for each probe
     * key, `min` over the sketch's `depth` cells it hashes to — the CMS
     * upper-bound estimate (never under-counts; over-counts by collision
-    * mass ≤ N/width per row, min-reduced across rows). `probes` should be
-    * driver-sized (it broadcasts); the sketch side is `depth·width` rows.
-    * Returns (key, est). */
+    * mass ≤ N/width per row, min-reduced across rows). The broadcast hint
+    * rides on the SKETCH: it is `depth·width`-bounded BY CONSTRUCTION
+    * regardless of corpus size, while the probe side may be arbitrarily
+    * large — and Spark cannot broadcast the left (probe) side of a left
+    * outer join anyway, so a left-side hint is silently ignored and at
+    * production depth·width the join would degrade to sort-merge once
+    * the sketch outgrew the auto-broadcast threshold. Returns (key, est). */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: Column,
       depth: Int, width: Int): DataFrame = {
     val base = PortableHash.baseHash(key.cast("string"))
@@ -332,8 +336,8 @@ object Profiling {
         pmod(PortableHash.derivedHash(base, r), lit(width.toLong)).as("cell"))): _*)
     val probeCells = probes.select(key.as("key"), explode(cells).as("rc"))
       .select(col("key"), col("rc.row").as("row"), col("rc.cell").as("cell"))
-    broadcast(probeCells)
-      .join(sketch, Seq("row", "cell"), "left")
+    probeCells
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

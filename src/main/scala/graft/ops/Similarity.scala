@@ -1304,15 +1304,45 @@ object Similarity {
     * batch-proportional, the q113/q158 incremental contract.
     *
     * `oldEdges` must be the (i, j, cos, rk) output of [[knnGraph]] with
-    * the same `bits`/`k`/cosine path over `corpus`. */
+    * the same `bits`/`k`/cosine path over `corpus`.
+    *
+    * Fat-bucket valve (`maxBucket`/`extraBits`, threaded from
+    * [[knnGraph]]): the batch×all candidate join refines any bucket
+    * whose UNION population exceeds the cap with extra sign bits — the
+    * identical rule a capped full rebuild applies, so the append path
+    * cannot re-open the quadratic fan-out the valve exists for. The
+    * bit-for-bit `append ≡ rebuild` invariant holds whenever NO bucket
+    * crosses the cap (then refinement is a no-op on both paths —
+    * `maxBucket = Long.MaxValue`, the default, always qualifies); when a
+    * bucket grew past the cap between the corpus build and the append,
+    * `oldEdges` was computed against pre-refinement buckets and the
+    * result degrades to the standard LSH subset/recall trade (candidates
+    * can only be lost, never invented — edges are a subset of the
+    * corresponding uncapped append, ScaleSpec-pinned). */
   def knnGraphAppend(oldEdges: DataFrame, corpus: DataFrame, batch: DataFrame,
-      id: Column, vec: Column, bits: Int, k: Int): DataFrame = {
+      id: Column, vec: Column, bits: Int, k: Int,
+      maxBucket: Long = Long.MaxValue, extraBits: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     def keyed(df: DataFrame) = df.select(id.as("vid"), vec.as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
-    val all = keyed(corpus.select(id, vec).unionByName(batch.select(id, vec)))
-    val b = keyed(batch)
+    val all0 = keyed(corpus.select(id, vec).unionByName(batch.select(id, vec)))
+    val b0 = keyed(batch)
+    val (all, b) =
+      if (maxBucket == Long.MaxValue) (all0, b0)
+      else {
+        // sizes over the UNION — the same census a capped rebuild takes,
+        // so both paths refine the same buckets the same way
+        val sizes = all0.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+        def refine(df: DataFrame): DataFrame =
+          df.join(broadcast(sizes), "bucket")
+            .withColumn("bucket",
+              when(col("__bn") > maxBucket,
+                signBucket(col("v"), bits + extraBits) * 2 + 1)
+                .otherwise(col("bucket") * 2))
+            .drop("__bn")
+        (refine(all0), refine(b0))
+      }
     // batch×all bucket pairs, deduped of the batch×batch double match
     val cos = cosineNative(all, col("a.v"), col("b.v"))
     val newPairs = b.as("a").join(all.as("b"),
@@ -1523,9 +1553,22 @@ object Similarity {
     * bucket key, never a scan of the seed set, and fully distributed
     * (nothing collects, unlike a driver-batched IVF probe). Vote
     * semantics, tie-break, and return shape are exactly
-    * [[labelPropagate]]'s. */
+    * [[labelPropagate]]'s.
+    *
+    * Fat-bucket valve (`maxBucket`, the [[knnGraph]] trade): the probe
+    * fan-out is `(bits + 1) probe keys × seeds in the probed bucket`, so
+    * a degenerate SEED region (one bucket holding a large share of the
+    * seed set) multiplies every nearby non-seed by that bucket's size.
+    * When set, any probe key whose SEED population exceeds `maxBucket`
+    * is refined with `extraBits` extra sign bits ON BOTH SIDES — the
+    * non-seed contributes the extra sign bits of its OWN vector, so a
+    * pair survives refinement only when the two vectors agree on them:
+    * the same only-ever-splits subset argument as
+    * [[bucketedPairsCapped]], ScaleSpec-pinned with a planted fat seed
+    * bucket. Seed-bucket sizes travel as one broadcast agg. */
   def labelPropagateMultiprobe(df: DataFrame, id: Column, vec: Column,
-      label: Column, isSeed: Column, bits: Int, k: Int): DataFrame = {
+      label: Column, isSeed: Column, bits: Int, k: Int,
+      maxBucket: Long = Long.MaxValue, extraBits: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val nodes = df.select(id.as("__nid"), vec.as("__v"), label.as("__lbl"),
@@ -1533,12 +1576,30 @@ object Similarity {
       .withColumn("__b", signBucket(col("__v"), bits))
     val probes = array(col("__b") +:
       (0 until bits).map(b => col("__b").bitwiseXOR(lit(1L << b))): _*)
-    val src = nodes.filter(!col("__seed"))
+    val src0 = nodes.filter(!col("__seed"))
       .select(col("__nid").as("i"), col("__v").as("__vi"),
         explode(probes).as("__pb"))
-    val dst = nodes.filter(col("__seed"))
+    val dst0 = nodes.filter(col("__seed"))
       .select(col("__nid").as("j"), col("__b").as("__pb"),
         col("__lbl"), col("__v").as("__vj"))
+    val (src, dst) =
+      if (maxBucket == Long.MaxValue) (src0, dst0)
+      else {
+        val sizes = dst0.groupBy("__pb").agg(count(lit(1)).as("__bn"))
+        // fat probe key → append the row's OWN extra sign bits (for a
+        // seed, __pb + extra ≡ signBucket(v, bits + extraBits)); the ×2
+        // level tag keeps refined keys from colliding with slim ones
+        def refine(d: DataFrame, v: Column): DataFrame =
+          d.join(broadcast(sizes.withColumnRenamed("__bn", "__sbn")),
+              Seq("__pb"), "left")
+            .withColumn("__pb",
+              when(coalesce(col("__sbn"), lit(0L)) > maxBucket,
+                (col("__pb") + signBucket(v, bits + extraBits)
+                  - signBucket(v, bits)) * 2 + 1)
+                .otherwise(col("__pb") * 2))
+            .drop("__sbn")
+        (refine(src0, col("__vi")), refine(dst0, col("__vj")))
+      }
     val edges = src.join(dst, "__pb")
       .select(col("i"), col("j"),
         cosineNative(df, col("__vi"), col("__vj")).as("cos"), col("__lbl"))

@@ -294,12 +294,17 @@ object EventsQueries {
     }),
 
     // per-type event-rate anomaly flags: each (event_type, day) count
-    // tested against its trailing-7-day mean ± 2σ — the ingest-volume
-    // monitor that catches a collapsed or runaway source. All moments
-    // derive from exact integer sums (Σn, Σn², counts) with one
-    // deterministic IEEE op chain per row, so the FLAG itself pins
-    // cross-engine; windows partition by the entity key (per-source
-    // monitors at scale), never a global sort
+    // tested against its trailing-7-CALENDAR-day mean ± 2σ — the
+    // ingest-volume monitor that catches a collapsed or runaway source.
+    // The window is RANGE-based on the integer day key, so silent days
+    // genuinely age out of the baseline (a ROWS frame would slide over
+    // OBSERVATIONS and compare a sparse source against a weeks-old
+    // baseline); a source must still have ≥ 3 observed days in the
+    // trailing week before it can flag. All moments derive from exact
+    // integer sums (Σn, Σn², counts) with one deterministic IEEE op
+    // chain per row, so the FLAG itself pins cross-engine; windows
+    // partition by the entity key (per-source monitors at scale), never
+    // a global sort
     "q217_rate_anomaly" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = events(s, d)
@@ -307,7 +312,7 @@ object EventsQueries {
           expr("unix_millis(ts) DIV 86400000").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(-7, -1)
+        .rangeBetween(-7, -1)
       daily
         .withColumn("c", count(col("n")).over(w))
         .withColumn("s1", sum(col("n")).over(w))
@@ -557,7 +562,7 @@ object EventsQueries {
              sum(n * n) OVER w AS s2
            FROM daily
            WINDOW w AS (PARTITION BY event_type ORDER BY day
-             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
          st AS (SELECT event_type, day, n, c,
              s1::DOUBLE / c AS mu,
              sqrt(greatest(s2::DOUBLE / c - (s1::DOUBLE / c) * (s1::DOUBLE / c),

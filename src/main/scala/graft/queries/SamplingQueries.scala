@@ -80,24 +80,26 @@ object SamplingQueries {
     }),
 
     // dataset release manifest: per split, the counts a release is
-    // reproduced against PLUS an order-free membership checksum (sum of
-    // portable id hashes — commutative integer arithmetic, so any engine,
-    // any partitioning, any row order re-derives the same fingerprint; a
-    // single membership change moves it). The release audit q193 diffs
-    // between snapshots, this PINS within one
+    // reproduced against PLUS an order-free membership checksum (XOR-fold
+    // of the portable id hashes — commutative, associative and CLOSED on
+    // int64, so any engine, any partitioning, any row order, any split
+    // SIZE re-derives the same fingerprint; a summation fold would
+    // saturate BIGINT after ~9.2M rows per split even on a 1e12 grid,
+    // at which point Spark wraps while DuckDB widens to HUGEINT — the
+    // silent cross-engine divergence XOR cannot have. A single
+    // membership change flips its hash's bits; ids are distinct by
+    // contract so changes cannot pairwise cancel). The release audit
+    // q193 diffs between snapshots, this PINS within one
     "q231_release_manifest" -> ((s, d) => {
       t(s, d, "documents")
         .withColumn("split",
           Sampling.splitColumn(col("doc_id"), SplitNames, SplitWeights))
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          col("doc_id").cast("string"), 99))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"),
-          // hashes reduced to a 1e12 grid before the Σ: the raw 60-bit
-          // values would overflow int64 after ~8 rows (Spark wraps, DuckDB
-          // widens to HUGEINT — a silent cross-engine divergence)
-          sum(pmod(graft.functions.PortableHash.md5Long(
-            col("doc_id").cast("string"), 99), lit(1000000000000L)))
-            .as("membership_checksum"))
+          expr("bit_xor(__h)").as("membership_checksum"))
         .orderBy("split")
     }),
 
@@ -572,8 +574,8 @@ object SamplingQueries {
            AS split,
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
-         CAST(sum((${graft.functions.PortableHash.md5LongSql(
-        "doc_id::VARCHAR", 99)}) % 1000000000000) AS BIGINT)
+         CAST(bit_xor(${graft.functions.PortableHash.md5LongSql(
+        "doc_id::VARCHAR", 99)}) AS BIGINT)
            AS membership_checksum
          FROM documents GROUP BY 1 ORDER BY 1""",
 

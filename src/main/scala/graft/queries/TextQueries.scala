@@ -309,7 +309,13 @@ object TextQueries {
     "q229_score_normalize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.GraftExtensions.ensureRegistered(s)
+      // empty texts are excluded IDENTICALLY on both sides: the oracle's
+      // per-char unnest yields no rows for '' (the doc would silently
+      // vanish from its source's rank denominator there while being
+      // scored 0.0 here — a latent divergence the generated corpus never
+      // exercises, flagged by the r10 advisor)
       val scored = t(s, d, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("source"),
           round(call_function("char_entropy", col("text")), 6).as("e6"))
       scored
@@ -393,13 +399,18 @@ object TextQueries {
     "q220_sql_surface" -> ((s, d) => {
       graft.GraftExtensions.ensureRegistered(s)
       t(s, d, "documents").createOrReplaceTempView("docs_v")
+      // length(text) > 0 mirrors the oracle, whose per-char unnest drops
+      // empty-text docs from its entropy CTE (and so from its inner
+      // join) while this side would score them — the r10-advisor latent
+      // divergence, closed by filtering identically on both engines
       s.sql("""
         SELECT source, count(*) AS n_docs,
           CAST(sum(CASE WHEN round(char_entropy(text), 6) >= 3.5
             AND size(split(text, ' ')) >= 20 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_keep,
           CAST(sum(simhash64(text, 16)) AS BIGINT) AS sim_check
-        FROM docs_v GROUP BY source ORDER BY source""")
+        FROM docs_v WHERE length(text) > 0
+        GROUP BY source ORDER BY source""")
     }),
 
     // per-source PII incidence report — the compliance audit run before a
@@ -1524,11 +1535,15 @@ object TextQueries {
          FROM wt, t ORDER BY word""",
 
     // entropy chain = q153's CTEs (rounded to the same grid the Spark rank
-    // orders by), then the exact rational percentile per source
+    // orders by), then the exact rational percentile per source; empty
+    // texts filtered identically to the Spark side (the char unnest
+    // yields no rows for them — they would otherwise vanish from the
+    // rank denominator here only)
     "q229_score_normalize" ->
       """WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
            FROM documents, LATERAL (SELECT
-             unnest(generate_series(1, length(text))) AS i) x),
+             unnest(generate_series(1, length(text))) AS i) x
+           WHERE length(text) > 0),
          counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
          eagg AS (SELECT doc_id, sum(c) AS n_chars,
              sum(c::DOUBLE * ln(c::DOUBLE)) AS clc FROM counts GROUP BY 1),
@@ -1536,7 +1551,8 @@ object TextQueries {
              round((ln(n_chars::DOUBLE) - clc / n_chars) / ln(2.0), 6) AS e6
            FROM eagg),
          j AS (SELECT d.doc_id, d.source, ent.e6
-           FROM documents d JOIN ent USING (doc_id)),
+           FROM documents d JOIN ent USING (doc_id)
+           WHERE length(d.text) > 0),
          rk AS (SELECT doc_id, source, e6,
              row_number() OVER (PARTITION BY source ORDER BY e6, doc_id) AS rn,
              count(*) OVER (PARTITION BY source) AS n FROM j)
@@ -1590,7 +1606,8 @@ object TextQueries {
         .mkString(" + ")
       s"""WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
            FROM documents, LATERAL (SELECT
-             unnest(generate_series(1, length(text))) AS i) x),
+             unnest(generate_series(1, length(text))) AS i) x
+           WHERE length(text) > 0),
          counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
          eagg AS (SELECT doc_id, sum(c) AS n_chars,
              sum(c::DOUBLE * ln(c::DOUBLE)) AS clc FROM counts GROUP BY 1),
@@ -1598,7 +1615,7 @@ object TextQueries {
              ELSE round((ln(n_chars::DOUBLE) - clc / n_chars) / ln(2.0), 6)
            END AS e6 FROM eagg),
          tk AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' ')))
-           AS tok FROM documents),
+           AS tok FROM documents WHERE length(text) > 0),
          hh AS (SELECT doc_id, ${PortableHash.md5LongSql("tok", 0)} AS h
            FROM tk),
          vv AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
@@ -1610,6 +1627,7 @@ object TextQueries {
            CAST(sum(sh.simhash) AS BIGINT) AS sim_check
          FROM documents d JOIN ent ON d.doc_id = ent.doc_id
          JOIN sh ON d.doc_id = sh.doc_id
+         WHERE length(d.text) > 0
          GROUP BY 1 ORDER BY 1"""
     },
 

@@ -796,6 +796,93 @@ class ScaleSpec extends AnyFunSuite {
       s"capped margin pairs: $mbCapped")
   }
 
+  test("labelPropagateMultiprobe maxBucket valve: a planted fat SEED bucket " +
+      "is refined on both sides; slim-bucket votes are untouched") {
+    import spark.implicits._
+    // knnGraph valve geometry: 64-vector degenerate region whose bits=4
+    // bucket (0b1111) holds 32 SEEDS — the multiprobe fan-out hazard is
+    // (bits+1) probe keys × seeds-per-bucket, so the SEED census drives
+    // the refinement; dims 5..12 carry id signs so extraBits=8 isolates
+    // each vector. The slim bucket (0b1110, Hamming-1 from the fat one)
+    // keeps 2 seeds — every fat non-seed probes INTO it and must still
+    // match there after the valve fires.
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    val nodes = (fat ++ slim)
+      .map { case (id, v) => (id, v, (id % 3).toInt, id % 2 == 0) }
+      .toDF("vec_id", "embedding", "label", "seed")
+    def run(cap: Long) = Similarity.labelPropagateMultiprobe(nodes,
+        col("vec_id"), col("embedding"), col("label"), col("seed"),
+        bits = 4, k = 2, maxBucket = cap, extraBits = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val capped = run(10L)
+    val uncapped = run(Long.MaxValue)
+    // capped labeled set ⊆ uncapped (refinement only splits buckets)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    // every fat non-seed is refined OUT of the fat seed bucket but still
+    // reaches the slim bucket through its Hamming-1 probe: its only two
+    // voters are slim seeds 100 (label 1) / 102 (label 0) → tie of 1 vote
+    // each, smaller label wins, deg 2. 32 fat non-seeds + slim 101.
+    assert(capped.keySet === ((1L until 64L by 2).toSet + 101L),
+      s"capped ids: ${capped.keySet}")
+    capped.filterKeys(_ < 100L).foreach { case (i, row) =>
+      assert(row === ((0, 1L, 2L)), s"fat non-seed $i: $row")
+    }
+    // slim-bucket query 101 is bit-identical under the valve (its own
+    // bucket is below the cap; its fat probe finds no same-extra seed)
+    assert(capped(101L) === uncapped(101L))
+  }
+
+  test("knnGraphAppend threads the maxBucket valve: capped append ≡ capped " +
+      "rebuild on the planted fat bucket, and ⊆ the uncapped append") {
+    import spark.implicits._
+    val fat = (0 until 64).map { i =>
+      val v = Array.tabulate(16) { d =>
+        if (d < 4) 1.0f
+        else if (d < 12) (if (((i >> (d - 4)) & 1) == 1) 1.0f else -1.0f)
+        else 0.1f * ((i * 7 + d) % 5 - 2)
+      }
+      (i.toLong, v)
+    }
+    val slim = (100 until 103).map(i =>
+      (i.toLong, Array.tabulate(16)(d => if (d == 0) -1.0f else 1.0f)))
+    // corpus = 60 fat + the slim triple; batch = the last 4 fat vectors
+    // (they land in the already-fat bucket — the degenerate-region append)
+    val corpus = (fat.take(60) ++ slim).toDF("vec_id", "embedding")
+    val batch = fat.drop(60).toDF("vec_id", "embedding")
+    val union = (fat ++ slim).toDF("vec_id", "embedding")
+    def edges(d: org.apache.spark.sql.DataFrame) =
+      d.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oldCapped = Similarity.knnGraph(corpus, col("vec_id"),
+      col("embedding"), bits = 4, k = 2, maxBucket = 10, extraBits = 8)
+    val appendCapped = edges(Similarity.knnGraphAppend(oldCapped, corpus,
+      batch, col("vec_id"), col("embedding"), bits = 4, k = 2,
+      maxBucket = 10, extraBits = 8))
+    val rebuildCapped = edges(Similarity.knnGraph(union, col("vec_id"),
+      col("embedding"), bits = 4, k = 2, maxBucket = 10, extraBits = 8))
+    // the fat bucket is over the cap in BOTH the corpus build and the
+    // union rebuild, so refinement agrees everywhere → bit-for-bit equal
+    assert(appendCapped === rebuildCapped,
+      s"capped append diverged: $appendCapped vs $rebuildCapped")
+    // and the valve only ever LOSES candidates vs the uncapped append
+    val oldUncapped = Similarity.knnGraph(corpus, col("vec_id"),
+      col("embedding"), bits = 4, k = 2)
+    val appendUncapped = edges(Similarity.knnGraphAppend(oldUncapped, corpus,
+      batch, col("vec_id"), col("embedding"), bits = 4, k = 2))
+    assert(appendCapped.subsetOf(appendUncapped))
+    // the uncapped append DID see the fat bucket (the hazard is real)
+    assert(appendUncapped.exists(_._1 < 100L))
+  }
+
   test("annJoin: cross-table top-k ≡ per-bucket brute replay; maxBucket " +
       "valve bounds a fat bucket from EITHER side; capped ⊆ uncapped") {
     import spark.implicits._
