@@ -76,12 +76,19 @@ object Curation {
     * as-is. */
   def hygiene(docs: DataFrame, text: Column, textOut: String,
       minWordsPerLine: Int = 3, maxReplRatio: Double = 0.01,
-      sep: String = "\n"): DataFrame =
-    docs.filter(TextAnalysis.encodingOk(text, maxReplRatio) &&
-        TextAnalysis.c4DocOk(text))
+      sep: String = "\n", nfc: Boolean = false): DataFrame = {
+    // `nfc` runs Unicode canonical composition FIRST (the one crawl
+    // cleanup C4/CCNet apply that the gates below don't): composed and
+    // decomposed encodings of a glyph must look identical to every rule
+    // and every downstream hash. Another fused per-row projection —
+    // the stage stays zero-shuffle, zero-state.
+    val t0 = if (nfc) TextAnalysis.normalizeText(text, "NFC") else text
+    docs.filter(TextAnalysis.encodingOk(t0, maxReplRatio) &&
+        TextAnalysis.c4DocOk(t0))
       .withColumn(textOut,
-        TextAnalysis.c4CleanText(text, minWordsPerLine, sep))
+        TextAnalysis.c4CleanText(t0, minWordsPerLine, sep))
       .filter(length(col(textOut)) > 0)
+  }
 
   /** Perceptual IMAGE dedup as a curation stage — drops every document
     * whose image is a near-duplicate (dHash Hamming ≤ `maxHamming`) of a

@@ -45,15 +45,21 @@ object TextAnalysis {
     * from the PRE-tokenizer alone, this is the production count: packing
     * and budget admission metered with the same merges table the training
     * tokenizer uses sees identical token totals. The merge list validates
-    * as well-formed at construction ([[graft.functions.BpeModel]]). */
-  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    * as well-formed at construction ([[graft.functions.BpeModel]]).
+    * `byteLevel = true` merges over GPT-2's byte alphabet instead of
+    * codepoints (the [[graft.functions.BpeApply.ByteAlphabet]] mapping) —
+    * the mode that matches real GPT-2/Llama tokenizer budgets on
+    * non-ASCII text. */
+  def bpeTokens(c: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.BpeApply(
         org.apache.spark.sql.GraftColumnBridge.expression(c),
-        new graft.functions.BpeModel(merges.toArray)))
+        new graft.functions.BpeModel(merges.toArray, byteLevel)))
 
-  def bpeTokenCount(c: Column, merges: Seq[(String, String)]): Column =
-    size(bpeTokens(c, merges))
+  def bpeTokenCount(c: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    size(bpeTokens(c, merges, byteLevel))
 
   /** BPE TRAINING over a corpus — the classic learn loop (Sennrich et al.
     * 2016), distributed: each round segments the distinct-word table under
@@ -66,21 +72,29 @@ object TextAnalysis {
     * word table is distinct-word-sized (Heaps' law, ≪ corpus) and the
     * only driver state is the merge list itself (the [[BpeModel]]
     * driver-size contract). Words shorter than 2 symbols never pair and
-    * drop out of the scan via a cheap length filter. */
-  def bpeTrain(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
+    * drop out of the scan via a cheap length filter (BYTE length in
+    * byte-level mode — a one-codepoint non-ASCII word still has ≥ 2 byte
+    * symbols to merge). `byteLevel` trains over GPT-2's byte alphabet;
+    * the trained list applies via `bpeTokens(_, merges, byteLevel =
+    * true)`. */
+  def bpeTrain(df: DataFrame, text: Column, nMerges: Int,
+      byteLevel: Boolean = false): Seq[(String, String)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val words = df.select(explode(tokensBpe(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .filter(length(col("w")) >= 2)
+      .filter(if (byteLevel) octet_length(col("w")) >= 2
+              else length(col("w")) >= 2)
     words.cache()
     try {
       val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
       var exhausted = false
       while (merges.length < nMerges && !exhausted) {
-        // round 0 (empty merges) segments to codepoints — same expression,
-        // so trainer and apply can never disagree on symbol boundaries
+        // round 0 (empty merges) segments to codepoints (bytes in
+        // byte-level mode) — same expression, so trainer and apply can
+        // never disagree on symbol boundaries
         val segmented =
-          words.select(col("wc"), bpeTokens(col("w"), merges.toSeq).as("syms"))
+          words.select(col("wc"),
+            bpeTokens(col("w"), merges.toSeq, byteLevel).as("syms"))
         val top = segmented
           .filter(size(col("syms")) >= 2)
           .select(col("wc"), explode(
@@ -97,6 +111,19 @@ object TextAnalysis {
       merges.toSeq
     } finally words.unpersist()
   }
+
+  /** Unicode normalization via the native [[graft.functions
+    * .UnicodeNormalize]] projection (NFC default — the web-canonical
+    * composed form with a DuckDB `nfc_normalize` twin; NFKC folds
+    * compatibility forms and is spec-pinned, DuckDB has no NFKC). Run it
+    * AHEAD of the hygiene/statistics stages ([[Curation.hygiene]]'s
+    * `nfc` flag): composed and decomposed encodings of one glyph must
+    * hash/shingle/dedup/count identically or every downstream gate sees
+    * phantom distinctions. */
+  def normalizeText(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), form))
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 

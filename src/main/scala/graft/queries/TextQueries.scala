@@ -22,6 +22,58 @@ object TextQueries {
     "s" -> "c", "sc" -> "a", "a" -> "n", "r" -> "o", "w" -> "i",
     "e" -> "r", "d" -> "at", "dat" -> "a")
 
+  /** The mapped char for byte `b` under GPT-2's byte alphabet — the
+    * symbol domain of q241's byte-level merges. */
+  private def bch(b: Int): String =
+    String.valueOf(graft.functions.BpeApply.byteChar(b))
+
+  /** q241's planted BYTE-LEVEL vocabulary: merges over the GPT-2 byte
+    * alphabet exercising the paths codepoint-level BPE cannot see — a
+    * 2-byte codepoint reassembled from its UTF-8 bytes (0xC3 0xA9 = é,
+    * 0xC3 0xBC = ü), a 3-byte codepoint built through a 2-step chain
+    * (0xE2 0x82 0xAC = €, with the second merge consuming the first's
+    * product), a codepoint left UNmerged (ß stays two byte symbols —
+    * the budget-drift case), and ASCII merges that ride through the
+    * identity half of the byte map. */
+  private val ByteMerges: Seq[(String, String)] = Seq(
+    bch(0xC3) -> bch(0xA9),               // "é" from its two bytes
+    bch(0xC3) -> bch(0xBC),               // "ü"
+    bch(0xE2) -> bch(0x82),               // "€" bytes 1-2
+    (bch(0xE2) + bch(0x82)) -> bch(0xAC), // full 3-byte "€" (chained)
+    "t" -> "a", "ta" -> "b",              // ASCII chain (bytes self-map)
+    "4" -> "2")
+
+  /** SQL single-quote escape for merge/alphabet literals (byte 0x27 maps
+    * to itself, so ' CAN appear in the byte map). */
+  private def sqlq(s: String): String = s.replace("'", "''")
+
+  /** A DuckDB string expression for `s` with every non-ASCII codepoint
+    * spelled as `chr(n)` — combining marks survive any tooling that
+    * would silently re-compose them in source or JSON transit. */
+  private def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += s"'${sqlq(run.toString)}'"; run.clear() }
+    s.foreach { ch =>
+      if (ch >= ' ' && ch < 127.toChar) run.append(ch)
+      else { flush(); parts += s"chr(${ch.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** The planted non-ASCII suffix shared by q241's Spark side and oracle:
+    * 2-byte merged (é, ü), 2-byte unmerged (ß), 3-byte chained (€),
+    * plus ASCII words hitting the t/a/b and 4/2 merges. */
+  private val BytePlant = " café über große table €42"
+
+  /** q242's canonical-equivalence twins: the same three glyphs (é ü Å ö)
+    * in DECOMPOSED (base char + combining mark) and COMPOSED (single
+    * codepoint) encodings — NFC must collapse both onto one byte stream. */
+  private val NfcDecomposed = " café über Ångström"
+  private val NfcComposed = " café über Ångström"
+
   /** One builder for the q169/q175 oracles: the full 5-gram stupid-backoff
     * ladder replay, with an optional KenLM-style `HAVING count(*) >=
     * minCount` prune on every order ≥ 2 table (the unigram floor and its
@@ -104,6 +156,48 @@ object TextQueries {
        WHERE doc_id < 20 ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Unicode NFC normalization gate: the same glyphs planted in
+    // DECOMPOSED (base + combining mark) and COMPOSED (single codepoint)
+    // encodings must collapse onto ONE byte stream — codepoint counts
+    // shrink on the decomposed rows, stay put elsewhere, and the
+    // normalized-suffix fingerprint is IDENTICAL across the two plant
+    // variants (the twin pin); native java.text.Normalizer projection vs
+    // DuckDB's nfc_normalize, full-text md5s hash-pinned
+    "q242_unicode_nfc" -> ((s, d) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val sfx = when(m3 === 0, lit(NfcDecomposed))
+        .when(m3 === 1, lit(NfcComposed)).otherwise(lit(""))
+      t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), concat(col("text"), sfx).as("t2"),
+          sfx.as("sfx"))
+        .select(col("doc_id"),
+          length(col("t2")).cast("long").as("n_raw"),
+          length(TA.normalizeText(col("t2"))).cast("long").as("n_nfc"),
+          md5(TA.normalizeText(col("t2"))).as("fp"),
+          md5(TA.normalizeText(col("sfx"))).as("sfx_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // BYTE-level BPE apply (GPT-2's actual alphabet): the same native
+    // merge loop with initial symbols = UTF-8 bytes mapped through the
+    // bytes-to-unicode table, against planted non-ASCII text — a 2-byte
+    // é/ü reassembled by merges, a 3-byte € built through a chained
+    // merge, an unmerged ß costing two symbols (the codepoint-mode
+    // budget drift this closes), ASCII merges riding the identity map.
+    // The oracle re-derives every word's byte sequence via hex(encode())
+    // against an embedded 256-row byte-to-char table and replays the
+    // identical rank-sweep merge loop (the q172 RECURSIVE-CTE discipline)
+    "q241_bpe_byte_level" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), concat(col("text"), lit(BytePlant)).as("t2"))
+        .select(col("doc_id"),
+          TA.bpeTokens(col("t2"), ByteMerges, byteLevel = true).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
 
     // trained-vocab BPE apply: the native merge-loop expression against
     // the planted rank-ordered vocabulary — per-doc subword count and a
@@ -1366,6 +1460,77 @@ object TextQueries {
     // (position() probe, ORDER BY rk LIMIT 1) and replace() merges all
     // its occurrences left-to-right — exactly the expression's loop; the
     // fixpoint rows (no pattern present) are the final segmentations
+    // identical plant (combining marks spelled chr(n) so nothing between
+    // here and DuckDB can re-compose them), nfc_normalize as the twin of
+    // the native Normalizer projection
+    "q242_unicode_nfc" -> {
+      val dec = sqlLit(NfcDecomposed)
+      val comp = sqlLit(NfcComposed)
+      s"""WITH p AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || $dec
+                WHEN doc_id % 3 = 1 THEN text || $comp ELSE text END AS t2,
+           CASE WHEN doc_id % 3 = 0 THEN $dec
+                WHEN doc_id % 3 = 1 THEN $comp ELSE '' END AS sfx
+         FROM documents WHERE doc_id < 30)
+         SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(t2)) AS BIGINT) AS n_nfc,
+           md5(nfc_normalize(t2)) AS fp,
+           md5(nfc_normalize(sfx)) AS sfx_fp
+         FROM p ORDER BY doc_id"""
+    },
+
+    // byte-level replay: every distinct word's UTF-8 bytes come back via
+    // hex(encode(w)) joined through an embedded 256-row byte→mapped-char
+    // table (the same GPT-2 bytes_to_unicode the native expression
+    // carries), then the identical chr(31)-sentinel rank-sweep loop as
+    // q172 — initial symbols are mapped BYTES, everything downstream is
+    // shared discipline
+    "q241_bpe_byte_level" -> {
+      val vals = ByteMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'${sqlq(a)}','${sqlq(b)}')" }
+        .mkString(",")
+      val bvals = (0 until 256)
+        .map(b => f"('$b%02X','${sqlq(bch(b))}')").mkString(",")
+      s"""WITH RECURSIVE
+         merges(rk, a, b) AS (SELECT * FROM (VALUES $vals) v(rk, a, b)),
+         bmap(hx, mc) AS (SELECT * FROM (VALUES $bvals) v(hx, mc)),
+         base AS (SELECT doc_id, text || '${sqlq(BytePlant)}' AS t2
+           FROM documents WHERE doc_id < 20),
+         tl AS (SELECT doc_id, regexp_extract_all(t2,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws FROM base),
+         toks AS (SELECT doc_id, x.i, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         words AS (SELECT DISTINCT w FROM toks),
+         wb AS (SELECT w, hex(encode(w)) AS hx FROM words),
+         seq0 AS (SELECT wb.w,
+             string_agg(chr(31)||bm.mc||chr(31), '' ORDER BY x.i) AS seq
+           FROM wb, LATERAL (SELECT
+             unnest(generate_series(1, length(wb.hx)//2)) AS i) x, bmap bm
+           WHERE bm.hx = substr(wb.hx, 2*x.i-1, 2)
+           GROUP BY wb.w),
+         enc AS (SELECT w, seq FROM seq0
+           UNION ALL
+           SELECT e.w, replace(e.seq,
+               chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+               chr(31)||m.a||m.b||chr(31)) AS seq
+           FROM enc e, LATERAL (SELECT a, b FROM merges
+              WHERE position(chr(31)||merges.a||chr(31)||chr(31)||merges.b||chr(31)
+                IN e.seq) > 0
+              ORDER BY rk LIMIT 1) m(a, b)),
+         fin AS (SELECT w, seq FROM enc e WHERE NOT EXISTS (
+           SELECT 1 FROM merges m
+           WHERE position(chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)
+             IN e.seq) > 0)),
+         wtok AS (SELECT w,
+           (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS ntok,
+           trim(replace(seq, chr(31)||chr(31), ' '), chr(31)) AS wtoks
+           FROM fin)
+         SELECT t.doc_id, CAST(sum(wt.ntok) AS BIGINT) AS n_tokens,
+           md5(string_agg(wt.wtoks, ' ' ORDER BY t.i)) AS fp
+         FROM toks t JOIN wtok wt ON t.w = wt.w
+         GROUP BY 1 ORDER BY 1"""
+    },
+
     "q172_bpe_apply" -> {
       val vals = BpeMerges.zipWithIndex
         .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")

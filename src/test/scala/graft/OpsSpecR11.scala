@@ -50,6 +50,86 @@ class OpsSpecR11 extends AnyFunSuite {
     assert(got === want)
   }
 
+  // ---- byte-level BPE -----------------------------------------------------
+
+  test("byte-level BPE: multi-byte codepoints split to mapped UTF-8 bytes, " +
+    "merges reassemble them, unmerged bytes stay split, ASCII self-maps") {
+    import spark.implicits._
+    def bch(b: Int) = String.valueOf(graft.functions.BpeApply.byteChar(b))
+    val merges = Seq(
+      bch(0xC3) -> bch(0xA9),               // é
+      bch(0xE2) -> bch(0x82),               // € bytes 1-2
+      (bch(0xE2) + bch(0x82)) -> bch(0xAC), // full €
+      "t" -> "a", "ta" -> "b")
+    val got = Seq("café table große €")
+      .toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), merges, byteLevel = true))
+      .head.getSeq[String](0)
+    assert(got === Seq(
+      "c", "a", "f", bch(0xC3) + bch(0xA9),          // é merged from bytes
+      "tab", "l", "e",                               // ASCII chain
+      "g", "r", "o", bch(0xC3), bch(0x9F), "e",      // ß stays 2 symbols
+      bch(0xE2) + bch(0x82) + bch(0xAC)))            // € via chained merge
+    // codepoint mode on the same text: é/ß/€ are ONE symbol each — the
+    // budget drift byte level exists to close
+    val cp = Seq("café große €").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), Seq("t" -> "a")))
+      .head.getSeq[String](0)
+    assert(cp.contains("é") && cp.contains("ß") && cp.contains("€"))
+  }
+
+  test("byte-level BPE training learns a cross-byte merge and applies " +
+    "back through the same expression") {
+    import spark.implicits._
+    val corpus = Seq("éé éé éé", "éé").toDF("text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("text"), nMerges = 1,
+      byteLevel = true)
+    def bch(b: Int) = String.valueOf(graft.functions.BpeApply.byteChar(b))
+    // the only repeated adjacent pair is é's own byte pair
+    assert(merges === Seq(bch(0xC3) -> bch(0xA9)))
+    val applied = Seq("é").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text"), merges, byteLevel = true))
+      .head.getSeq[String](0)
+    assert(applied === Seq(bch(0xC3) + bch(0xA9)))
+  }
+
+  // ---- Unicode normalization --------------------------------------------
+
+  test("unicode normalization: NFC composes decomposed twins, NFKC folds " +
+    "compatibility forms (ligature, superscript, full-width), NFC leaves them") {
+    import spark.implicits._
+    val dec = "café über Å"
+    val comp = "café über Å"
+    val compat = "ﬁle ² ＡＢ" // ﬁle ² ＡＢ
+    val got = Seq((dec, comp, compat)).toDF("d", "c", "k")
+      .select(TextAnalysis.normalizeText(col("d")).as("dn"),
+        TextAnalysis.normalizeText(col("c")).as("cn"),
+        TextAnalysis.normalizeText(col("k")).as("knfc"),
+        TextAnalysis.normalizeText(col("k"), "NFKC").as("knfkc"))
+      .head
+    assert(got.getString(0) === got.getString(1), "NFC twins must converge")
+    assert(got.getString(0) === comp)
+    // NFC preserves compatibility characters; NFKC folds them to ASCII
+    assert(got.getString(2) === compat)
+    assert(got.getString(3) === "file 2 AB")
+  }
+
+  test("Curation.hygiene nfc flag: decomposed and composed pages come out " +
+    "byte-identical; flag off preserves the raw encodings") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A fine long sentence here okay.\nSecond café line stays good."),
+      (1L, "A fine long sentence here okay.\nSecond café line stays good.")
+    ).toDF("doc_id", "text")
+    val on = Curation.hygiene(docs, col("text"), "t2", nfc = true)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(on(0L) === on(1L), "nfc=true must collapse the twins")
+    assert(on(0L).contains("café"))
+    val off = Curation.hygiene(docs, col("text"), "t2")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(off(0L) !== off(1L), "nfc=false must not rewrite encodings")
+  }
+
   // ---- bench sustained-load gate ----------------------------------------
 
   test("bench sustained-load gate: flags the r10 signature and the " +
