@@ -189,6 +189,98 @@ object Chunking {
       .withColumn("target_len", col("n_masked") + col("n_spans"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the code/infill
+    * pretraining objective), the DETERMINISTIC variant: a document is
+    * FIM-transformed iff a portable hash of its id lands under `rate`
+    * (the [[Sampling.splitColumn]] contract — the paper's "apply to 50 %
+    * of documents" coin becomes a pure function of the id), and the two
+    * cut points come from two derived id hashes over the n+1 token
+    * boundaries. The document splits into prefix `[1..lo]`, middle
+    * `(lo..hi]`, suffix `(hi..n]` and re-serializes in PSM order —
+    * `<|fim_pre|> prefix <|fim_suf|> suffix <|fim_mid|> middle` — the
+    * layout that teaches an autoregressive model to infill (the middle
+    * is predicted LAST, conditioned on both sides). Empty pieces are
+    * legal (boundary cuts), exactly as in the paper. Untransformed docs
+    * pass through with `applied = false` and the raw text.
+    *
+    * Returns `(id, n_tokens, applied, cut_lo, cut_hi, fim_text)`.
+    * All-integer cut arithmetic + codepoint-exact joins — cross-engine
+    * replayable; pure per-row projection, zero shuffle, zero state (the
+    * q199/q201 layout-independence contract). */
+  def fimTransform(df: DataFrame, id: Column, text: Column,
+      rate: Double = 0.5, seed: Int = 17,
+      pre: String = "<|fim_pre|>", suf: String = "<|fim_suf|>",
+      mid: String = "<|fim_mid|>"): DataFrame = {
+    require(rate > 0 && rate <= 1, s"bad rate $rate")
+    val thr = math.round(rate * Sampling.Buckets)
+    val applied =
+      Sampling.hashBucket(id.cast("string"), seed) < thr
+    // LET-BIND toks → (c1, c2) → (lo, hi) so the md5s evaluate once per
+    // row (the documented higher-order-function recompute trap)
+    val row = element_at(transform(array(split(text, " ")), toks =>
+      element_at(transform(array(struct(
+          pmod(graft.functions.PortableHash.md5Long(
+            concat(id.cast("string"), lit(":a")), seed),
+            (size(toks) + 1).cast("long")).as("c1"),
+          pmod(graft.functions.PortableHash.md5Long(
+            concat(id.cast("string"), lit(":b")), seed),
+            (size(toks) + 1).cast("long")).as("c2"))), cuts =>
+        element_at(transform(array(struct(
+            least(cuts("c1"), cuts("c2")).cast("int").as("lo"),
+            greatest(cuts("c1"), cuts("c2")).cast("int").as("hi"))), lh =>
+          struct(
+            size(toks).as("n_tokens"),
+            lh("lo").as("cut_lo"),
+            lh("hi").as("cut_hi"),
+            concat(
+              lit(pre + " "),
+              array_join(slice(toks, lit(1), lh("lo")), " "),
+              lit(" " + suf + " "),
+              array_join(slice(toks, lh("hi") + 1, size(toks) - lh("hi")), " "),
+              lit(" " + mid + " "),
+              array_join(slice(toks, lh("lo") + 1, lh("hi") - lh("lo")), " "))
+              .as("fim_text"))), 1)), 1)), 1)
+    df.select(id.as("__fim_id"), text.as("__fim_raw"),
+        applied.as("applied"), explode(array(row)).as("__f"))
+      .select(col("__fim_id").as("id"), col("__f.n_tokens").as("n_tokens"),
+        col("applied"),
+        when(col("applied"), col("__f.cut_lo")).otherwise(lit(null)).as("cut_lo"),
+        when(col("applied"), col("__f.cut_hi")).otherwise(lit(null)).as("cut_hi"),
+        when(col("applied"), col("__f.fim_text")).otherwise(col("__fim_raw"))
+          .as("fim_text"))
+  }
+
+  /** DuckDB twin of [[fimTransform]] (oracle construction): CTE list (no
+    * leading WITH) ending in `fim(id, n_tokens, applied, cut_lo, cut_hi,
+    * fim_text)` over `$table($idCol, $textCol)`. */
+  def fimTransformSql(idCol: String, textCol: String, table: String,
+      rate: Double = 0.5, seed: Int = 17,
+      pre: String = "<|fim_pre|>", suf: String = "<|fim_suf|>",
+      mid: String = "<|fim_mid|>"): String = {
+    val thr = math.round(rate * Sampling.Buckets)
+    val hb = Sampling.hashBucketSql("id::VARCHAR", seed)
+    def cut(tag: String) = graft.functions.PortableHash.md5LongSql(
+      s"(id::VARCHAR || ':$tag')", seed)
+    s"""__fim_t AS (SELECT $idCol AS id, $textCol AS raw,
+         str_split($textCol, ' ') AS ts,
+         ($hb) < $thr AS applied FROM $table),
+       __fim_c AS (SELECT id, raw, ts, applied,
+           (${cut("a")}) % (len(ts) + 1) AS c1,
+           (${cut("b")}) % (len(ts) + 1) AS c2 FROM __fim_t),
+       fim AS (SELECT id, CAST(len(ts) AS INTEGER) AS n_tokens, applied,
+           CASE WHEN applied THEN CAST(least(c1, c2) AS INTEGER) END AS cut_lo,
+           CASE WHEN applied THEN CAST(greatest(c1, c2) AS INTEGER) END AS cut_hi,
+           CASE WHEN applied THEN
+             '$pre' || ' '
+             || coalesce(array_to_string(ts[1:least(c1, c2)], ' '), '')
+             || ' ' || '$suf' || ' '
+             || coalesce(array_to_string(ts[greatest(c1, c2)+1:len(ts)], ' '), '')
+             || ' ' || '$mid' || ' '
+             || coalesce(array_to_string(ts[least(c1, c2)+1:greatest(c1, c2)], ' '), '')
+           ELSE raw END AS fim_text
+         FROM __fim_c)"""
+  }
+
   /** DuckDB twin of [[spanCorruptionStats]] (oracle construction): CTE
     * list (no leading WITH) ending in relation `spanstats` with the same
     * seven columns; `table` must expose `$idCol` and `$textCol`. */

@@ -125,6 +125,92 @@ object TextAnalysis {
       graft.functions.UnicodeNormalize(
         org.apache.spark.sql.GraftColumnBridge.expression(c), form))
 
+  /** Markup stripping — the boilerplate-removal step for crawl text that
+    * arrives as raw HTML: drop `<...>` tag spans, decode the six
+    * ubiquitous entities (`&amp;` LAST so `&amp;lt;` cannot double-
+    * decode), collapse runs of whitespace, trim. A rule chain, not a
+    * parser — the jusText/trafilatura class of extraction is a modeling
+    * choice; this is the deterministic, cross-engine-replayable floor
+    * both engines agree on byte for byte (the whitespace class is
+    * spelled `[ \t\n]` explicitly because Java's `\s` and RE2's
+    * disagree on \x0B). Pure per-row projection: zero shuffle. */
+  /** The three markup-span removal passes shared by [[stripMarkup]] and
+    * [[markupRatio]]: whole `<script>`/`<style>` ELEMENTS first (their
+    * text content is code, not prose — a tags-only pass would leak it),
+    * then any remaining `<...>` tag. Lowercase-tag rule, documented. */
+  private def dropMarkupSpans(c: Column, repl: String): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "(?s)<script[^>]*>.*?</script>", repl),
+      "(?s)<style[^>]*>.*?</style>", repl),
+      "<[^>]*>", repl)
+
+  private def dropMarkupSpansSql(col: String, repl: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($col,
+       | '(?s)<script[^>]*>.*?</script>', '$repl', 'g'),
+       | '(?s)<style[^>]*>.*?</style>', '$repl', 'g'),
+       | '<[^>]*>', '$repl', 'g')""".stripMargin
+
+  def stripMarkup(c: Column): Column = {
+    val noTags = dropMarkupSpans(c, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \t\n]+", " "))
+  }
+
+  def stripMarkupSql(col: String): String = {
+    val decoded = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&#39;" -> "chr(39)", "&nbsp;" -> "' '",
+      "&amp;" -> "'&'")
+      .foldLeft(dropMarkupSpansSql(col, " ")) {
+        case (acc, (e, r)) => s"replace($acc, '$e', $r)"
+      }
+    s"trim(regexp_replace($decoded, '[ \\t\\n]+', ' ', 'g'))"
+  }
+
+  /** Fraction of codepoints living inside markup spans (script/style
+    * elements + `<...>` tags) — the markup-heaviness gate (a page that
+    * is mostly tags is a script/nav shell, not prose; C4 drops
+    * curly-brace pages by the same logic). One deterministic division on
+    * the 6-decimal grid. */
+  def markupRatio(c: Column): Column = {
+    val tagless = dropMarkupSpans(c, "")
+    when(length(c) === 0, lit(0.0))
+      .otherwise(round((length(c) - length(tagless)).cast("double") /
+        length(c).cast("double"), 6))
+  }
+
+  def markupRatioSql(col: String): String =
+    s"""CASE WHEN length($col) = 0 THEN 0.0
+       | ELSE round((length($col) - length(${dropMarkupSpansSql(col, "")}))::DOUBLE
+       |   / length($col), 6) END""".stripMargin
+
+  /** Host of a URL (the `://`-to-delimiter span, lowercased; empty when
+    * the string is not a URL) and its REGISTRABLE domain (last two dot
+    * labels — the blocklist key C4-class curation filters on: a
+    * blocklist entry must catch every subdomain serving the same
+    * content). A public-suffix list refines multi-label TLDs; the
+    * two-label rule is the deterministic floor. */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+
+  def urlDomain(c: Column): Column = {
+    val parts = split(urlHost(c), "\\.")
+    when(size(parts) >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(urlHost(c))
+  }
+
+  def urlHostSql(col: String): String =
+    s"lower(regexp_extract($col, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))"
+
+  def urlDomainSql(col: String): String = {
+    val h = urlHostSql(col)
+    s"""CASE WHEN len(str_split($h, '.')) >= 2
+       | THEN str_split($h, '.')[-2] || '.' || str_split($h, '.')[-1]
+       | ELSE $h END""".stripMargin
+  }
+
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
   /** Collocation mining: pointwise mutual information of adjacent token

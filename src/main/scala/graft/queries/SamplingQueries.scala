@@ -70,6 +70,21 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // fill-in-the-middle transform (the code/infill pretraining
+    // objective): the apply coin and both cut points are pure functions
+    // of the doc id, the document re-serializes in PSM sentinel order,
+    // untransformed docs pass through raw — per-doc cuts and the full
+    // transformed byte stream pinned
+    "q244_fim_transform" -> ((s, d) => {
+      import graft.ops.Chunking
+      Chunking.fimTransform(
+          t(s, d, "documents").filter(col("doc_id") < 40),
+          col("doc_id"), col("text"), rate = 0.5, seed = 17)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("applied"),
+          col("cut_lo"), col("cut_hi"), md5(col("fim_text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic training shuffle: every doc's shard + in-shard position
     // is a pure function of (id, seed) — the full order pinned row-by-row
     "q199_training_shards" -> ((s, d) => {
@@ -568,6 +583,15 @@ object SamplingQueries {
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // identical apply coin, identical cut hashes, identical PSM assembly
+    "q244_fim_transform" ->
+      s"""WITH ${graft.ops.Chunking.fimTransformSql("doc_id", "text",
+          "(SELECT * FROM documents WHERE doc_id < 40)", rate = 0.5,
+          seed = 17)}
+         SELECT id AS doc_id, n_tokens, applied, cut_lo, cut_hi,
+           md5(fim_text) AS fp
+         FROM fim ORDER BY doc_id""",
 
     "q231_release_manifest" ->
       s"""SELECT ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)}

@@ -157,6 +157,58 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // HTML boilerplate stripping + markup-heaviness gate: every 3rd doc
+    // arrives wrapped in tags/entities, every 9th is a pure script/style
+    // shell (whole-element removal — a tags-only pass would leak the
+    // code as prose; the shell's ratio ≈ 1 trips the gate). Tag spans,
+    // six-entity decode (&amp; last), whitespace collapse — all fused
+    // per-row regexp/replace chains, zero shuffle, byte-pinned clean text
+    "q243_markup_strip" -> ((s, d) => {
+      val planted = t(s, d, "documents").filter(col("doc_id") < 40)
+        .withColumn("t2",
+          when(pmod(col("doc_id"), lit(9)) === 0, lit(
+            "<script>var x = 1;</script><style>.a{color:red}</style><div></div>"))
+          .when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("<html><body><p class=\"m\">"), col("text"),
+              lit("</p><div>footer&nbsp;&amp; <a href=\"/x\">link</a>" +
+                "&#39;s &lt;tag&gt;</div></body></html>")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          length(col("t2")).cast("long").as("n_raw"),
+          TA.stripMarkup(col("t2")).as("clean"),
+          TA.markupRatio(col("t2")).as("markup_ratio"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("clean")).cast("long").as("n_clean"),
+          col("markup_ratio"),
+          (col("markup_ratio") <= 0.9).as("keep"),
+          md5(col("clean")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // URL host/registrable-domain extraction + blocklist gate (the
+    // C4-class URL filter): synthesized per-doc URLs with rotating
+    // subdomains must collapse onto their registrable domain (the
+    // blocklist key — an entry must catch every subdomain), per-domain
+    // rollup + the block verdict pinned
+    "q245_url_blocklist" -> ((s, d) => {
+      val name = element_at(array(lit("adnet"), lit("goodnews"),
+        lit("blogger"), lit("spamco"), lit("docs")),
+        pmod(col("doc_id"), lit(5)).cast("int") + 1)
+      val sub = element_at(array(lit("www"), lit("cdn"), lit("m")),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1)
+      t(s, d, "documents").filter(col("doc_id") < 300)
+        .withColumn("url", concat(lit("https://"), sub, lit("."), name,
+          lit(".com/p/"), col("doc_id"), lit("?ref="), col("source")))
+        .withColumn("host", TA.urlHost(col("url")))
+        .withColumn("domain", TA.urlDomain(col("url")))
+        .groupBy("domain")
+        .agg(countDistinct("host").as("n_hosts"),
+          count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .withColumn("blocked",
+          col("domain").isin("adnet.com", "spamco.com"))
+        .orderBy("domain")
+    }),
+
     // Unicode NFC normalization gate: the same glyphs planted in
     // DECOMPOSED (base + combining mark) and COMPOSED (single codepoint)
     // encodings must collapse onto ONE byte stream — codepoint counts
@@ -1460,6 +1512,40 @@ object TextQueries {
     // (position() probe, ORDER BY rk LIMIT 1) and replace() merges all
     // its occurrences left-to-right — exactly the expression's loop; the
     // fixpoint rows (no pattern present) are the final segmentations
+    // identical plant, identical three-pass span removal / entity decode
+    // order / collapse, identical ratio arithmetic
+    "q243_markup_strip" ->
+      s"""WITH pl AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN
+             '<script>var x = 1;</script><style>.a{color:red}</style><div></div>'
+           WHEN doc_id % 3 = 0 THEN
+             '<html><body><p class="m">' || text ||
+             '</p><div>footer&nbsp;&amp; <a href="/x">link</a>' ||
+             '&#39;s &lt;tag&gt;</div></body></html>'
+           ELSE text END AS t2
+           FROM documents WHERE doc_id < 40)
+         SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_raw,
+           CAST(length(${TA.stripMarkupSql("t2")}) AS BIGINT) AS n_clean,
+           ${TA.markupRatioSql("t2")} AS markup_ratio,
+           ${TA.markupRatioSql("t2")} <= 0.9 AS keep,
+           md5(${TA.stripMarkupSql("t2")}) AS fp
+         FROM pl ORDER BY doc_id""",
+
+    // identical URL synthesis, identical host regexp and two-label
+    // registrable-domain rule, identical rollup
+    "q245_url_blocklist" ->
+      s"""WITH u AS (SELECT doc_id,
+           'https://' || (['www','cdn','m'])[doc_id % 3 + 1] || '.' ||
+           (['adnet','goodnews','blogger','spamco','docs'])[doc_id % 5 + 1] ||
+           '.com/p/' || doc_id || '?ref=' || source AS url
+           FROM documents WHERE doc_id < 300),
+         h AS (SELECT doc_id, ${TA.urlHostSql("url")} AS host,
+           ${TA.urlDomainSql("url")} AS domain FROM u)
+         SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           domain IN ('adnet.com', 'spamco.com') AS blocked
+         FROM h GROUP BY 1 ORDER BY 1""",
+
     // identical plant (combining marks spelled chr(n) so nothing between
     // here and DuckDB can re-compose them), nfc_normalize as the twin of
     // the native Normalizer projection

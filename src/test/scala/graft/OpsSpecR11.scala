@@ -130,6 +130,86 @@ class OpsSpecR11 extends AnyFunSuite {
     assert(off(0L) !== off(1L), "nfc=false must not rewrite encodings")
   }
 
+  // ---- markup / FIM / URL ops -------------------------------------------
+
+  test("stripMarkup: script/style elements drop whole, tags drop, entities " +
+    "decode in the documented order, whitespace collapses") {
+    import spark.implicits._
+    val got = Seq(
+      "<p>Hello <b>world</b></p>",
+      "<script>var x=1;</script>keep<style>.a{}</style>",
+      "a &amp;lt; b &lt;x&gt; &quot;q&quot; &#39;s &nbsp;end",
+      "no markup at all",
+      "").toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).as[String].collect()
+    assert(got(0) === "Hello world")
+    assert(got(1) === "keep", "element content must not leak as prose")
+    // &amp; decodes LAST: '&amp;lt;' becomes the literal '&lt;', never '<'
+    assert(got(2) === "a &lt; b <x> \"q\" 's end")
+    assert(got(3) === "no markup at all")
+    assert(got(4) === "")
+    val ratios = Seq("<script>var x=1;</script>", "half<b></b>", "text")
+      .toDF("t").select(TextAnalysis.markupRatio(col("t")))
+      .as[Double].collect()
+    assert(ratios(0) === 1.0 && ratios(2) === 0.0)
+    assert(ratios(1) > 0.0 && ratios(1) < 1.0)
+  }
+
+  test("fimTransform: pieces re-assemble the original token stream; cuts " +
+    "and the coin are pure functions of the id; boundary cuts legal") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, (0 until 6).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.fimTransform(docs, col("doc_id"), col("text"),
+        rate = 0.6, seed = 17)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), r.getString(5)))).toMap
+    val raw = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.exists(_._2) && out.values.exists(!_._2),
+      "rate=0.6 must leave both applied and raw docs at n=50")
+    out.foreach { case (id, (n, applied, lo, hi, text)) =>
+      if (!applied) assert(text === raw(id))
+      else {
+        val toks = raw(id).split(" ")
+        assert(n === toks.length && 0 <= lo && lo <= hi && hi <= n)
+        // PSM order: pre prefix suf suffix mid middle
+        val expected = (Seq("<|fim_pre|>") ++ toks.take(lo) ++
+          Seq("<|fim_suf|>") ++ toks.drop(hi) ++
+          Seq("<|fim_mid|>") ++ toks.slice(lo, hi)).mkString(" ")
+        // empty pieces collapse the double space exactly as array_join does
+        assert(text.split(" ").filter(_.nonEmpty).toSeq ===
+          expected.split(" ").filter(_.nonEmpty).toSeq, s"doc $id")
+      }
+    }
+    // determinism: a second run is bit-identical
+    val again = Chunking.fimTransform(docs, col("doc_id"), col("text"),
+        rate = 0.6, seed = 17)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(again === out.view.mapValues(_._5).toMap)
+  }
+
+  test("urlHost/urlDomain: scheme span, port/path/query delimiters, " +
+    "subdomain collapse, non-URL and single-label edge cases") {
+    import spark.implicits._
+    val got = Seq(
+      "https://www.Example.COM/path?q=1",
+      "http://cdn.img.shop.co:8080/x",
+      "ftp://host/x",
+      "not a url",
+      "https://localhost/admin").toDF("u")
+      .select(TextAnalysis.urlHost(col("u")),
+        TextAnalysis.urlDomain(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0) === (("www.example.com", "example.com")))
+    assert(got(1) === (("cdn.img.shop.co", "shop.co")))
+    assert(got(2) === (("host", "host")))
+    assert(got(3) === (("", "")))
+    assert(got(4) === (("localhost", "localhost")))
+  }
+
   // ---- bench sustained-load gate ----------------------------------------
 
   test("bench sustained-load gate: flags the r10 signature and the " +
