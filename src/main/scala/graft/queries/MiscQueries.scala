@@ -11,6 +11,67 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Zipf-slope vocabulary profile: OLS slope of ln(count) vs ln(rank)
+    // over the top-100 tokens — the one-number sanity check that a corpus
+    // (or a dedup/curation output) still looks like natural language
+    // (Zipf slope ≈ −1; a pipeline bug that mangles tokenization or
+    // drops the head shows up immediately). Top-100 is a heap top-k
+    // (TakeOrdered, no global sort); the rank window runs over those 100
+    // driver-tiny rows (the q222 documented regime). Every OLS term
+    // quantizes to a 1e-6 grid per row, so Σx, Σy, Σxy, Σx² are exact
+    // BIGINT — the slope is ONE integer-ratio division rounded to 6
+    "q248_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = t(s, d, "documents")
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)
+      val ranked = top.withColumn("r",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      val x = log(col("r").cast("double"))
+      val y = log(col("cnt").cast("double"))
+      def u(c: org.apache.spark.sql.Column) =
+        round(lit(1e6) * c).cast("long")
+      ranked
+        .select(u(x).as("xu"), u(y).as("yu"), u(x * y).as("xyu"),
+          u(x * x).as("xxu"))
+        .agg(count(lit(1)).as("n"), sum("xu").as("sx"), sum("yu").as("sy"),
+          sum("xyu").as("sxy"), sum("xxu").as("sxx"))
+        .select(col("n").as("n_terms"),
+          round((col("n") * col("sxy") * lit(1000000L) -
+              col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") * lit(1000000L) -
+              col("sx") * col("sx")).cast("double"), 6).as("zipf_slope"))
+    }),
+
+    // Heaps-law vocabulary growth: distinct-token count and total tokens
+    // at doc-count checkpoints — the profile that says how fast the
+    // vocabulary saturates (and budgets count-table sizes for the LM /
+    // BPE stages). "First appearance" is min(doc_id) per token — one
+    // partial-aggregable pass; each checkpoint is a filter against the
+    // broadcast constant-size checkpoint list, never a sort or window
+    "q249_vocab_growth" -> ((s, d) => {
+      val s2 = s; import s2.implicits._
+      val ck = Seq(10L, 50L, 100L, 500L, 1000L, 5000L).toDF("k")
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(ck)).filter(col("fd") < col("k"))
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"))
+        .crossJoin(broadcast(ck)).filter(col("doc_id") < col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_docs"),
+          sum("nt").cast("long").as("n_tokens"))
+        .join(vocab, Seq("k"), "left")
+        .select(col("k"), col("n_docs"), col("n_tokens"),
+          coalesce(col("vocab"), lit(0L)).as("vocab"),
+          round(coalesce(col("vocab"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"))
+        .orderBy("k")
+    }),
+
     // approx_count_distinct: the 100 TB-scalable sketch variant. The HLL
     // estimate itself is engine-specific, so the checkable contract is its
     // ERROR BOUND: |approx-exact|/exact <= 3×rsd (rsd=0.05 default → 15%,
@@ -495,6 +556,44 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical heap top-100, identical per-term 1e-6 quantization,
+    // identical integer-ratio slope
+    "q248_zipf_slope" ->
+      """WITH tf AS (SELECT w, count(*) AS cnt FROM
+           (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         top AS (SELECT w, cnt FROM tf ORDER BY cnt DESC, w LIMIT 100),
+         rk AS (SELECT w, cnt,
+             row_number() OVER (ORDER BY cnt DESC, w) AS r FROM top),
+         u AS (SELECT
+             CAST(round(1e6 * ln(r::DOUBLE)) AS BIGINT) AS xu,
+             CAST(round(1e6 * ln(cnt::DOUBLE)) AS BIGINT) AS yu,
+             CAST(round(1e6 * ln(r::DOUBLE) * ln(cnt::DOUBLE)) AS BIGINT) AS xyu,
+             CAST(round(1e6 * ln(r::DOUBLE) * ln(r::DOUBLE)) AS BIGINT) AS xxu
+           FROM rk),
+         agg AS (SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
+             sum(xyu) AS sxy, sum(xxu) AS sxx FROM u)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy * 1000000 - sx * sy)::DOUBLE
+             / (n * sxx * 1000000 - sx * sx)::DOUBLE, 6) AS zipf_slope
+         FROM agg""",
+
+    // identical first-appearance rule and checkpoint filters
+    "q249_vocab_growth" ->
+      """WITH ck AS (SELECT unnest([10, 50, 100, 500, 1000, 5000]) AS k),
+         tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+           FROM documents),
+         fs AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1),
+         v AS (SELECT k, count(*) AS vocab FROM fs, ck WHERE fd < k
+           GROUP BY 1),
+         tt AS (SELECT k, count(*) AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents, ck WHERE doc_id < k GROUP BY 1)
+         SELECT CAST(tt.k AS BIGINT) AS k, tt.n_docs, tt.n_tokens,
+           CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab,
+           round(coalesce(v.vocab, 0)::DOUBLE / tt.n_tokens, 6) AS ttr
+         FROM tt LEFT JOIN v USING (k) ORDER BY k""",
 
     // the estimate is engine-specific; the bound is not. TRUE is the
     // contract: Spark's side computes |approx-exact| <= 0.15*exact.

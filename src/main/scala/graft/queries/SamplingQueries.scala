@@ -70,6 +70,28 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // quality-phased curriculum schedule: phase 0 = clean docs, then
+    // repetitive, then short (train on the cleanest slice first — the
+    // curriculum canon); within a phase the order is a deterministic
+    // hash shuffle. The GLOBAL position comes from the scale-safe
+    // distributed rank (Sampling.globalRowNumber — range repartition +
+    // partition-local rank + broadcast offsets; the oracle's
+    // row_number() window is the executable spec it must match bit for
+    // bit, never the execution plan)
+    "q247_curriculum_order" -> ((s, d) => {
+      val qc = TA.qualityClass(col("text"))
+      val staged = t(s, d, "documents")
+        .withColumn("phase",
+          when(qc === "ok", 0).when(qc === "repetitive", 1).otherwise(2))
+        .withColumn("ord_hash", Sampling.hashBucket(col("doc_id"), 23))
+      Sampling.globalRowNumber(staged,
+          Seq(col("phase").asc, col("ord_hash").asc, col("doc_id").asc),
+          "pos")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("phase"), col("ord_hash"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // fill-in-the-middle transform (the code/infill pretraining
     // objective): the apply coin and both cut points are pure functions
     // of the doc id, the document re-serializes in PSM sentinel order,
@@ -583,6 +605,22 @@ object SamplingQueries {
          count(*) AS n_docs,
          CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // identical phase CASE, identical order hash, the ntile-free rank's
+    // executable spec as a plain window
+    "q247_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id,
+           CASE WHEN (${TA.qualityClassSql("text")}) = 'ok' THEN 0
+                WHEN (${TA.qualityClassSql("text")}) = 'repetitive' THEN 1
+                ELSE 2 END AS phase,
+           (${Sampling.hashBucketSql("doc_id::VARCHAR", 23)}) AS ord_hash
+           FROM documents),
+         r AS (SELECT doc_id, phase, ord_hash,
+             row_number() OVER (ORDER BY phase, ord_hash, doc_id) AS pos
+           FROM q)
+         SELECT doc_id, CAST(phase AS INTEGER) AS phase,
+           CAST(ord_hash AS BIGINT) AS ord_hash, CAST(pos AS BIGINT) AS pos
+         FROM r WHERE doc_id < 40 ORDER BY doc_id""",
 
     // identical apply coin, identical cut hashes, identical PSM assembly
     "q244_fim_transform" ->

@@ -157,6 +157,27 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // edit-distance VERIFY stage (the exact refinement every LSH/shingle
+    // candidate pipeline ends with): bounded candidate pairs from the
+    // jaccard miner, then true Levenshtein similarity 1 − d/max(|a|,|b|)
+    // on the pair list only — never all-pairs; the verdict compares the
+    // ROUNDED similarity so the boundary is cross-engine deterministic
+    "q246_edit_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val sim = round(lit(1.0) -
+        levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+      Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+          n = 3, minJaccard = 0.5)
+        .select("i", "j", "jaccard")
+        .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+        .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          sim.as("edit_sim"), (sim >= 0.8).as("verified"))
+        .orderBy("i", "j")
+    }),
+
     // HTML boilerplate stripping + markup-heaviness gate: every 3rd doc
     // arrives wrapped in tags/entities, every 9th is a pure script/style
     // shell (whole-element removal — a tags-only pass would leak the
@@ -1512,6 +1533,21 @@ object TextQueries {
     // (position() probe, ORDER BY rk LIMIT 1) and replace() merges all
     // its occurrences left-to-right — exactly the expression's loop; the
     // fixpoint rows (no pattern present) are the final segmentations
+    // identical candidate mining, DuckDB's levenshtein as the twin of
+    // Spark's, identical rounded-similarity verdict
+    "q246_edit_verify" -> {
+      val sim = "round(1.0 - levenshtein(da.text, db.text)::DOUBLE" +
+        " / greatest(length(da.text), length(db.text)), 6)"
+      s"""$jaccardCte
+         SELECT p.i, p.j, round(p.jaccard, 6) AS jaccard,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           $sim AS edit_sim,
+           $sim >= 0.8 AS verified
+         FROM pairs p JOIN documents da ON da.doc_id = p.i
+         JOIN documents db ON db.doc_id = p.j
+         WHERE p.jaccard >= 0.5 ORDER BY i, j"""
+    },
+
     // identical plant, identical three-pass span removal / entity decode
     // order / collapse, identical ratio arithmetic
     "q243_markup_strip" ->
