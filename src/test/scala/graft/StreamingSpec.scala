@@ -122,6 +122,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === want)
   }
 
+  test("r11 stateless gates compose on a stream unchanged: markup strip + " +
+    "NFC hygiene + FIM transform, batch-identical output") {
+    import graft.ops.{Chunking, Curation, TextAnalysis => TA}
+    val docDir = Files.createTempDirectory("graft-r11-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      docDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$sf/documents.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docDir.toString)
+    // the full r11 projection chain: wrap in markup → strip → NFC
+    // normalize → FIM — every stage a per-row expression, so the same
+    // code runs under readStream with zero changes (Curation.hygiene's
+    // C4 gates would drop the whole synthetic corpus — its streaming
+    // parity is the existing curation-stream tests' job)
+    def pipe(df: org.apache.spark.sql.DataFrame) = {
+      val wrapped = df.withColumn("t2",
+        concat(lit("<p>"), col("text"), lit("</p><script>x()</script>")))
+      Chunking.fimTransform(
+        wrapped.withColumn("t3",
+          TA.normalizeText(TA.stripMarkup(col("t2")), "NFC")),
+        col("doc_id"), col("t3"), rate = 0.5, seed = 17)
+        .select(col("id"), col("applied"), col("fim_text"))
+    }
+    val got = EventsStream.runToCompletion(pipe(stream), "r11_stream",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    val want = pipe(batchDocs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("streaming signature near-dup filter matches the batch filter") {
     import graft.ops.Dedup
     val docDir = Files.createTempDirectory("graft-dedup-stream")
