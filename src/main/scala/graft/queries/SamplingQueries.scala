@@ -70,6 +70,59 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // epoch/repeat mixture recipe (the LLaMA-class data card): target
+    // sampling weights per language + a fixed token budget → each
+    // group's target tokens, full epochs over its corpus, leftover
+    // tokens for the partial epoch, and a milli-precision repeat factor
+    // — ALL integer DIV arithmetic on exact token sums, so the recipe
+    // table pins bit-exact; the per-doc expansion composes from
+    // trainingShards/splitColumn downstream
+    "q250_epoch_mixture" -> ((s, d) => {
+      val wmap = Seq("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 2L,
+        "zh" -> 1L)
+      val sumW = wmap.map(_._2).sum
+      val budget = 1000000L
+      val wcol = wmap.tail.foldLeft(
+        when(col("lang") === wmap.head._1, wmap.head._2)) {
+        case (acc, (k, v)) => acc.when(col("lang") === k, v)
+      }.otherwise(lit(0L))
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).cast("long").as("tokens"))
+        .withColumn("weight", wcol)
+        .withColumn("target_tok", expr(s"weight * $budget DIV $sumW"))
+        .withColumn("full_epochs", expr("target_tok DIV tokens"))
+        .withColumn("rem_tok",
+          expr("target_tok - full_epochs * tokens"))
+        .withColumn("repeat_milli", expr("target_tok * 1000 DIV tokens"))
+        .orderBy("lang")
+    }),
+
+    // packed-batch sample offsets: where each chunk STARTS inside its
+    // q97 FFD bin — the attention-mask/sample-boundary table a trainer
+    // needs next to the packed batch. Offset = running token sum in the
+    // bin's INSERTION order (n_tok DESC, doc, chunk_idx — FFD's own
+    // order restricted to the bin); the window partitions by (grp, bin),
+    // a high-cardinality key
+    "q251_pack_offsets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Chunking.chunk(
+        t(s, d, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      val packed = Chunking.packFFD(chunks, pmod(col("doc"), lit(3)),
+        ctx = 128)
+      val w = Window.partitionBy("grp", "bin")
+        .orderBy(col("n_tok").desc, col("doc"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      packed
+        .withColumn("offset",
+          (sum("n_tok").over(w) - col("n_tok")).cast("int"))
+        .select(col("grp"), col("bin"), col("doc"), col("chunk_idx"),
+          col("n_tok"), col("offset"))
+        .orderBy("grp", "bin", "doc", "chunk_idx")
+    }),
+
     // quality-phased curriculum schedule: phase 0 = clean docs, then
     // repetitive, then short (train on the cleanest slice first — the
     // curriculum canon); within a phase the order is a deterministic
@@ -598,6 +651,36 @@ object SamplingQueries {
     })
   )
 
+  /** Shared recursive-CTE FFD replay (q97/q251): `ffd(grp, rn, doc,
+    * chunk_idx, n_tok, bin, loads)` in insertion order. */
+  private val FfdCte: String =
+    """WITH RECURSIVE chunks AS (
+           SELECT doc_id AS doc, (s - 1) // 32 AS chunk_idx,
+                  least(32, len(str_split(text, ' ')) - s + 1) AS n_tok,
+                  CAST(doc_id % 3 AS VARCHAR) AS grp
+           FROM documents, LATERAL (
+             SELECT unnest(generate_series(1, greatest(len(str_split(text, ' ')), 1), 32)) s)
+           WHERE doc_id < 60
+         ), ordered AS (
+           SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tok DESC, doc, chunk_idx) rn
+           FROM chunks
+         ), ffd AS (
+           SELECT grp, rn, doc, chunk_idx, n_tok,
+                  CAST(0 AS BIGINT) AS bin, [128 - n_tok] AS loads
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.grp, o.rn, o.doc, o.chunk_idx, o.n_tok,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN len(f.loads)
+                       ELSE list_position(list_transform(f.loads, b -> b >= o.n_tok), true) - 1 END,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN list_append(f.loads, 128 - o.n_tok)
+                       ELSE list_transform(f.loads, (b, i) ->
+                         CASE WHEN i = list_position(list_transform(f.loads, x -> x >= o.n_tok), true)
+                              THEN b - o.n_tok ELSE b END) END
+           FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
+         )"""
+
   val oracleSql: Map[String, String] = Map(
 
     "q77_hash_split" ->
@@ -765,35 +848,42 @@ object SamplingQueries {
     // n_tok DESC, doc, chunk_idx order) into the first bin with room
     // (list_position returns 0 when none fits → open a new bin)
     "q97_pack_ffd" ->
-      """WITH RECURSIVE chunks AS (
-           SELECT doc_id AS doc, (s - 1) // 32 AS chunk_idx,
-                  least(32, len(str_split(text, ' ')) - s + 1) AS n_tok,
-                  CAST(doc_id % 3 AS VARCHAR) AS grp
-           FROM documents, LATERAL (
-             SELECT unnest(generate_series(1, greatest(len(str_split(text, ' ')), 1), 32)) s)
-           WHERE doc_id < 60
-         ), ordered AS (
-           SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tok DESC, doc, chunk_idx) rn
-           FROM chunks
-         ), ffd AS (
-           SELECT grp, rn, doc, chunk_idx, n_tok,
-                  CAST(0 AS BIGINT) AS bin, [128 - n_tok] AS loads
-           FROM ordered WHERE rn = 1
-           UNION ALL
-           SELECT o.grp, o.rn, o.doc, o.chunk_idx, o.n_tok,
-                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
-                       THEN len(f.loads)
-                       ELSE list_position(list_transform(f.loads, b -> b >= o.n_tok), true) - 1 END,
-                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
-                       THEN list_append(f.loads, 128 - o.n_tok)
-                       ELSE list_transform(f.loads, (b, i) ->
-                         CASE WHEN i = list_position(list_transform(f.loads, x -> x >= o.n_tok), true)
-                              THEN b - o.n_tok ELSE b END) END
-           FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
-         )
+      s"""$FfdCte
          SELECT grp, bin, CAST(doc AS BIGINT) AS doc,
                 CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_tok AS INT) AS n_tok
          FROM ffd ORDER BY grp, bin, doc, chunk_idx""",
+
+    // the same FFD replay, plus the within-bin running token sum in
+    // insertion (rn) order — FFD's own order restricted to the bin
+    "q251_pack_offsets" ->
+      s"""$FfdCte
+         SELECT grp, bin, CAST(doc AS BIGINT) AS doc,
+                CAST(chunk_idx AS INT) AS chunk_idx,
+                CAST(n_tok AS INT) AS n_tok,
+                CAST(sum(n_tok) OVER (PARTITION BY grp, bin ORDER BY rn
+                  ROWS UNBOUNDED PRECEDING) - n_tok AS INT) AS "offset"
+         FROM ffd ORDER BY grp, bin, doc, chunk_idx""",
+
+    // identical per-language aggregates, weight CASE and integer-DIV
+    // recipe arithmetic
+    "q250_epoch_mixture" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_docs, tokens,
+             CAST(CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+               WHEN 'es' THEN 2 WHEN 'fr' THEN 2 WHEN 'zh' THEN 1
+               ELSE 0 END AS BIGINT) AS weight
+           FROM a),
+         t AS (SELECT lang, n_docs, tokens, weight,
+             weight * 1000000 // 12 AS target_tok FROM w)
+         SELECT lang, n_docs, tokens, weight,
+           CAST(target_tok AS BIGINT) AS target_tok,
+           CAST(target_tok // tokens AS BIGINT) AS full_epochs,
+           CAST(target_tok - (target_tok // tokens) * tokens AS BIGINT)
+             AS rem_tok,
+           CAST(target_tok * 1000 // tokens AS BIGINT) AS repeat_milli
+         FROM t ORDER BY lang""",
 
     "q92_zorder" -> {
       val z = Layout.zValueSql("a", "b")
