@@ -738,7 +738,10 @@ object TextAnalysis {
     * partial-aggregable `min(struct(-score, label))` — never a window,
     * never a sort-merge join (PlanSpec-pinned). The shuffle carries at
     * most |classes| partial rows per document. */
-  def nbPredict(docs: DataFrame, id: Column, text: Column,
+  /** Per-(doc, label) integer micro-nat scores — the shared scoring chain
+    * of [[nbPredict]] / [[nbPredictWithMargin]]. Returns (id, __l,
+    * __score). */
+  private def nbScores(docs: DataFrame, id: Column, text: Column,
       m: NbModel): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -759,10 +762,37 @@ object TextAnalysis {
       .join(labelsDf.select("__l", "__prior"), Seq("__l"))
       .select(col("id"), col("__l"),
         (col("__prior") + col("__sw")).as("__score"))
+  }
+
+  def nbPredict(docs: DataFrame, id: Column, text: Column,
+      m: NbModel): DataFrame =
+    nbScores(docs, id, text, m)
       .groupBy("id")
       .agg(min(struct((-col("__score")).as("n"), col("__l").as("l"))).as("__best"))
       .select(col("id"), col("__best").getField("l").as("pred"))
-  }
+
+  /** [[nbPredict]] plus the CONFIDENCE MARGIN — best minus second-best
+    * class score in exact integer micro-nats. This is the number CCNet's
+    * fastText gate thresholds (drop/route-to-"und" documents the
+    * classifier isn't sure about): unlike a softmax probability it needs
+    * no exp() (cross-engine transcendental hazard) and orders candidates
+    * identically. `margin_u` is NULL for a single-label model. The final
+    * agg collects |labels| structs per doc (labels are few by the
+    * model's contract — the same bound the broadcast model already
+    * assumes) and sorts them — partials combine by concatenation, no
+    * window. */
+  def nbPredictWithMargin(docs: DataFrame, id: Column, text: Column,
+      m: NbModel): DataFrame =
+    nbScores(docs, id, text, m)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct((-col("__score")).as("n"),
+        col("__l").as("l")))).as("__ss"))
+      .select(col("id"),
+        element_at(col("__ss"), 1).getField("l").as("pred"),
+        when(size(col("__ss")) >= 2,
+          element_at(col("__ss"), 2).getField("n")
+            - element_at(col("__ss"), 1).getField("n"))
+          .otherwise(lit(null).cast("long")).as("margin_u"))
 
   /** Per-row JVM twin of [[nbPredict]] for streaming scoring
     * ([[graft.streaming.NbStream]]): identical bucket hashing, identical

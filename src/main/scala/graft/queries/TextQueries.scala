@@ -68,6 +68,17 @@ object TextQueries {
     * plus ASCII words hitting the t/a/b and 4/2 merges. */
   private val BytePlant = " café über große table €42"
 
+  /** q255's planted eval run (q183's 15-token sequence) and its EDITED
+    * twin — one token inserted after the 10th, so the longest intact
+    * shared run (10 tokens) defeats the exact 13-gram rule while still
+    * clearing winnowing's w+k−1 = 8-token shared-print guarantee. */
+  private val DecontamRun =
+    " alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+  private val DecontamEdited = {
+    val tk = DecontamRun.trim.split(" ")
+    " " + (tk.take(10) ++ Array("edited") ++ tk.drop(10)).mkString(" ")
+  }
+
   /** q242's canonical-equivalence twins: the same three glyphs (é ü Å ö)
     * in DECOMPOSED (base char + combining mark) and COMPOSED (single
     * codepoint) encodings — NFC must collapse both onto one byte stream. */
@@ -942,6 +953,48 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // decontamination DASHBOARD: both lexical contamination rules run
+    // side-by-side per source — GPT-3's exact 13-gram collision rule and
+    // the MOSS winnowed-print rule — with the disagreement column
+    // (n_fuzzy_only) that justifies running the fuzzy pass at all. The
+    // plant makes the disagreement REAL: %31 docs carry the eval run
+    // verbatim (both rules hit), %41 docs carry it with one token
+    // inserted mid-run (the longest intact run is 10 < 13 tokens, so the
+    // exact rule goes blind while winnowing's ≥ w+k−1 guarantee still
+    // fires on the 10-token half)
+    "q255_decontam_dashboard" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(97)) === 0 ||
+            pmod(col("doc_id"), lit(31)) === 0,
+          concat(col("text"), lit(DecontamRun)))
+        .when(pmod(col("doc_id"), lit(41)) === 0,
+          concat(col("text"), lit(DecontamEdited)))
+        .otherwise(col("text")).as("text2"))
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val ev = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val exact = Dedup.ngramOverlap(corpus, col("doc_id"), col("text2"),
+          ev, col("text2"), n = 13, threshold = 1e-9)
+        .select(col("id"), col("contaminated").as("exact_hit"))
+      val fuzzy = Dedup.printOverlap(corpus, col("doc_id"), col("text2"),
+          ev, col("text2"), k = 4, w = 5, minShared = 1L)
+        .select(col("id"), col("contaminated").as("fuzzy_hit"))
+      corpus.select(col("doc_id").as("id"), col("source"))
+        .join(exact, Seq("id"), "left")
+        .join(fuzzy, Seq("id"), "left")
+        .select(col("source"),
+          coalesce(col("exact_hit"), lit(false)).as("e"),
+          coalesce(col("fuzzy_hit"), lit(false)).as("f"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("e"), 1).otherwise(0)).cast("long").as("n_exact"),
+          sum(when(col("f"), 1).otherwise(0)).cast("long").as("n_fuzzy"),
+          sum(when(col("f") && !col("e"), 1).otherwise(0)).cast("long")
+            .as("n_fuzzy_only"),
+          sum(when(col("e") || col("f"), 1).otherwise(0)).cast("long")
+            .as("n_flagged"))
+        .orderBy("source")
+    }),
+
     // trained hashed Naive Bayes classifier (the CCNet/LLaMA fastText
     // gate): fit on the 4/5 train slice with `lang` as the label, predict
     // the held-out 1/5. The corpus vocabulary is lang-independent word
@@ -963,6 +1016,27 @@ object TextQueries {
         .groupBy("lang", "pred")
         .agg(count(lit(1)).as("n"), sum("id").as("sum_ids"))
         .orderBy("lang", "pred")
+    }),
+
+    // language-ID CONFIDENCE gate (the CCNet/fastText rule the plain
+    // argmax lacks): per test doc, the best-vs-second-best margin in
+    // exact integer micro-nats — no exp()/softmax, so the gate is
+    // cross-engine exact; docs under the threshold route to review
+    // instead of silently taking a shaky label. Same plant/split as
+    // q184 (markers on 6/7 of docs → both confident and shaky rows)
+    "q254_langid_confidence" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(7)) =!= 1,
+          concat(col("text"), lit(" lm_"), col("lang")))
+          .otherwise(col("text")).as("text2"))
+      val model = TA.nbFit(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("lang"), col("text2"), nBuckets = 64, seed = 11)
+      val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      TA.nbPredictWithMargin(test, col("doc_id"), col("text2"), model)
+        .filter(col("id") < 200)
+        .select(col("id").as("doc_id"), col("pred"), col("margin_u"),
+          (col("margin_u") >= 500000L).as("confident"))
+        .orderBy("doc_id")
     }),
 
     "q40_dedup_exact" -> ((s, d) => {
@@ -2798,6 +2872,63 @@ object TextQueries {
            CAST(sum(te.doc_id) AS BIGINT) AS sum_ids
          FROM te JOIN nb_pred p ON te.doc_id = p.id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical plants, identical 13-gram sets and winnowed prints, the
+    // two hit sets intersected per source exactly as the Spark side does
+    "q255_decontam_dashboard" -> {
+      val pr = TA.winnowedPrintsSql("text2", 4, 5)
+      val sh13 = Dedup.shinglesSql("text2", 13)
+      s"""WITH pl AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+                 THEN text || '$DecontamRun'
+               WHEN doc_id % 41 = 0 THEN text || '$DecontamEdited'
+               ELSE text END AS text2
+           FROM documents),
+         corpus AS (SELECT * FROM pl WHERE doc_id % 97 <> 0),
+         ev AS (SELECT * FROM pl WHERE doc_id % 97 = 0),
+         bg AS (SELECT DISTINCT u.g FROM ev,
+           LATERAL (SELECT unnest($sh13) AS g) u),
+         eh AS (SELECT cg.doc_id FROM (SELECT doc_id, u.g FROM corpus,
+             LATERAL (SELECT unnest($sh13) AS g) u) cg
+           JOIN bg USING (g) GROUP BY 1),
+         bp AS (SELECT DISTINCT u.p FROM ev,
+           LATERAL (SELECT unnest($pr) AS p) u),
+         fh AS (SELECT cp.doc_id FROM (SELECT doc_id, u.p FROM corpus,
+             LATERAL (SELECT unnest($pr) AS p) u) cp
+           JOIN bp USING (p) GROUP BY 1 HAVING count(*) >= 1),
+         fl AS (SELECT c.source,
+             c.doc_id IN (SELECT doc_id FROM eh) AS e,
+             c.doc_id IN (SELECT doc_id FROM fh) AS f
+           FROM corpus c)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+           CAST(sum(CASE WHEN f AND NOT e THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fuzzy_only,
+           CAST(sum(CASE WHEN e OR f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+         FROM fl GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical plant/split/scoring chain; the margin ranks the per-doc
+    // score table (micro-nat integers) instead of taking only the argmax
+    "q254_langid_confidence" ->
+      s"""WITH pl AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 <> 1 THEN text || ' lm_' || lang
+               ELSE text END AS text2
+           FROM documents),
+         tr AS (SELECT lang, text2 FROM pl WHERE doc_id % 5 <> 0),
+         te AS (SELECT doc_id, lang, text2 FROM pl WHERE doc_id % 5 = 0),
+         ${TA.nbSql("tr", "lang", "text2", "te", "doc_id", nBuckets = 64,
+            seed = 11)},
+         __rk AS (SELECT id, l, score,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, l) AS rn
+           FROM __nbsc)
+         SELECT a.id AS doc_id, a.l AS pred,
+           CAST(a.score - b.score AS BIGINT) AS margin_u,
+           (a.score - b.score) >= 500000 AS confident
+         FROM __rk a JOIN __rk b ON b.id = a.id AND b.rn = 2
+         WHERE a.rn = 1 AND a.id < 200 ORDER BY doc_id""",
 
     "q127_dup_ngrams" -> {
       val frac = TA.dupNgramFractionSql("text", 3)

@@ -130,6 +130,35 @@ class OpsSpecR11 extends AnyFunSuite {
     assert(off(0L) !== off(1L), "nfc=false must not rewrite encodings")
   }
 
+  // ---- NB confidence margin ---------------------------------------------
+
+  test("nbPredictWithMargin: pred matches nbPredict, margin is the exact " +
+    "micro-nat best-vs-second gap, strong markers out-margin weak docs") {
+    import spark.implicits._
+    val train = Seq(
+      ("en", "the quick brown fox en_marker"),
+      ("en", "jumps over the lazy dog en_marker"),
+      ("de", "der schnelle braune fuchs de_marker"),
+      ("de", "springt ueber den faulen hund de_marker")).toDF("lang", "text")
+    val model = TextAnalysis.nbFit(train, col("lang"), col("text"),
+      nBuckets = 64, seed = 11)
+    val test = Seq(
+      (1L, "en_marker en_marker the fox"),  // strongly English
+      (2L, "the der over den")              // mixed evidence → small margin
+    ).toDF("id", "text")
+    val m = TextAnalysis.nbPredictWithMargin(test, col("id"), col("text"),
+        model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val p = TextAnalysis.nbPredict(test, col("id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.view.mapValues(_._1).toMap === p,
+      "argmax must agree with nbPredict exactly")
+    assert(m.values.forall(_._2 >= 0L), "margin is best minus second, >= 0")
+    assert(m(1L)._2 > m(2L)._2,
+      s"marker doc must out-margin the mixed doc: $m")
+  }
+
   // ---- markup / FIM / URL ops -------------------------------------------
 
   test("stripMarkup: script/style elements drop whole, tags drop, entities " +
