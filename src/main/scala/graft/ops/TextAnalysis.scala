@@ -830,6 +830,52 @@ object TextAnalysis {
     labels(best)
   }
 
+  /** Per-row JVM twin of [[nbPredictWithMargin]] — identical scoring to
+    * [[nbPredictTextJvm]] plus the best-vs-second micro-nat gap under the
+    * same (score desc, label asc) order; `None` margin for a single-label
+    * model, null text → null (the streaming caller filters). */
+  def nbPredictMarginTextJvm(text: String,
+      m: NbModel): (String, Option[Long]) = {
+    if (text == null) return null
+    val labels = m.labels
+    val scores = new Array[Long](labels.length)
+    var i = 0
+    while (i < labels.length) { scores(i) = m.priorsU(labels(i)); i += 1 }
+    val miss = labels.map(m.missU).toArray
+    val toks = text.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val b = PortableHash.Jvm.md5Long60(toks(t), m.seed) % m.nBuckets
+      m.scoresU.get(b) match {
+        case Some(per) =>
+          var j = 0
+          while (j < labels.length) {
+            scores(j) += per.getOrElse(labels(j), miss(j)); j += 1
+          }
+        case None =>
+          var j = 0
+          while (j < labels.length) { scores(j) += miss(j); j += 1 }
+      }
+      t += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < labels.length) { if (scores(j) > scores(best)) best = j; j += 1 }
+    if (labels.length < 2) (labels(best), None)
+    else {
+      // second = the (score desc, label asc) order's next element: strict >
+      // among the non-best keeps the smaller label on ties, matching the
+      // Column path's sorted struct array exactly
+      var second = if (best == 0) 1 else 0
+      j = 0
+      while (j < labels.length) {
+        if (j != best && scores(j) > scores(second)) second = j
+        j += 1
+      }
+      (labels(best), Some(scores(best) - scores(second)))
+    }
+  }
+
   /** DuckDB twin of [[nbFit]] + [[nbPredict]] (oracle construction): a CTE
     * chain ending in `nb_pred(id, pred)`. Identical count, smoothing,
     * micro-nat rounding and (score desc, label asc) argmax arithmetic. */

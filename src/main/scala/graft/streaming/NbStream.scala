@@ -6,6 +6,9 @@ import graft.ops.TextAnalysis
 /** A document classified under a fitted NB model. */
 final case class NbClassifiedDoc(id: Long, pred: String)
 
+/** A classified document with its confidence margin (micro-nats). */
+final case class NbScoredDoc(id: Long, pred: String, marginU: Option[Long])
+
 /** Streaming Naive Bayes classification — the online half of the
   * fit-offline / classify-online split ([[TextAnalysis.nbFit]] fits on the
   * batch seed; this applies it to ARRIVING documents): the streaming
@@ -43,4 +46,32 @@ object NbStream {
   def admit(docs: DataFrame, id: Column, text: Column,
       m: TextAnalysis.NbModel, allowed: Set[String]): Dataset[NbClassifiedDoc] =
     classifyDocs(docs, id, text, m).filter(d => allowed.contains(d.pred))
+
+  /** [[classifyDocs]] plus the best-vs-second CONFIDENCE MARGIN in exact
+    * integer micro-nats ([[TextAnalysis.nbPredictMarginTextJvm]], the
+    * bit-exact per-row twin of [[TextAnalysis.nbPredictWithMargin]]) —
+    * still stateless/Append; `marginU` is None for single-label models. */
+  def classifyDocsWithMargin(docs: DataFrame, id: Column, text: Column,
+      m: TextAnalysis.NbModel): Dataset[NbScoredDoc] = {
+    implicit val enc: Encoder[NbScoredDoc] = Encoders.product[NbScoredDoc]
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val b = docs.sparkSession.sparkContext.broadcast(m)
+    docs.select(id.cast("long"), text.cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (i, t) =>
+        Option(TextAnalysis.nbPredictMarginTextJvm(t, b.value))
+          .map { case (p, mu) => NbScoredDoc(i, p, mu) }
+      }
+  }
+
+  /** CCNet-at-ingest admission: class allowed AND margin ≥ `minMarginU`
+    * — the streaming form of the q254 confidence gate (a shaky label is
+    * as bad as a wrong one at ingest time; route those to review
+    * instead). */
+  def admitConfident(docs: DataFrame, id: Column, text: Column,
+      m: TextAnalysis.NbModel, allowed: Set[String],
+      minMarginU: Long): Dataset[NbScoredDoc] =
+    classifyDocsWithMargin(docs, id, text, m)
+      .filter(d => allowed.contains(d.pred) && d.marginU.exists(_ >= minMarginU))
 }

@@ -323,6 +323,55 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(admitted === wantAdmitted)
   }
 
+  test("streaming NB margin ≡ batch nbPredictWithMargin per doc; " +
+    "confidence-gated admission keeps the batch-derived member set") {
+    import graft.streaming.NbStream
+    import graft.ops.{TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val planted = docs.select(col("doc_id"), col("lang"),
+      when(pmod(col("doc_id"), lit(7)) =!= 1,
+        concat(col("text"), lit(" lm_"), col("lang")))
+        .otherwise(col("text")).as("text2"))
+    val m = TA.nbFit(planted.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("lang"), col("text2"), nBuckets = 64, seed = 11)
+    val want = TA.nbPredictWithMargin(planted, col("doc_id"), col("text2"), m)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val dir = Files.createTempDirectory("graft-nbm-stream")
+    planted.coalesce(1).write.parquet(dir.resolve("a").toString)
+    val aFile = Files.list(dir.resolve("a")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("x.parquet"))
+    val stream = spark.readStream.schema(planted.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(
+        NbStream.classifyDocsWithMargin(stream, col("doc_id"), col("text2"),
+          m).toDF(),
+        "nbm_stream", OutputMode.Append())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size === want.size)
+    got.foreach { case (id, pm) =>
+      assert(want(id) === pm, s"doc $id: stream $pm != batch ${want(id)}")
+    }
+    // confidence gate: exactly the batch rows with allowed class AND
+    // margin over the threshold
+    val thr = 500000L
+    val admitted = EventsStream.runToCompletion(
+        NbStream.admitConfident(spark.readStream.schema(planted.schema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString),
+          col("doc_id"), col("text2"), m, allowed = Set("en", "de"),
+          minMarginU = thr).toDF(),
+        "nbm_admit", OutputMode.Append())
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantAdmitted = want.filter { case (_, (p, mu)) =>
+      Set("en", "de")(p) && mu >= thr }.keySet
+    assert(admitted === wantAdmitted && admitted.nonEmpty
+        && admitted.size < want.size)
+  }
+
   test("streaming BPE token metering equals batch across microbatches " +
     "(stateless projection; model reference survives microbatch planning)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
