@@ -1242,8 +1242,10 @@ object TextAnalysis {
     * Returns per-doc scores only; tercile BUCKETING is the caller's
     * presentation step (q154 uses exact ntile for the oracle — at 100 TB
     * compute the two cutoffs with percentile_approx and CASE-assign
-    * instead, the q132/q133 exact-vs-sketch regime). Log arithmetic
-    * follows the q123/q153 float discipline (natural log, round-6). */
+    * instead, the q132/q133 exact-vs-sketch regime). Each slot's
+    * log-prob quantizes to integer micro-nats before the per-doc sum
+    * (order-free exact BIGINT — the [[stupidBackoff]]/[[klPerGroup]]
+    * discipline), then one IEEE division rounds to 6 decimals. */
   def bigramCrossEntropy(docs: DataFrame, id: Column, text: Column,
       ref: DataFrame, refText: Column, k: Double = 1.0): DataFrame = {
     def pairs(df: DataFrame, cols: Seq[Column], t: Column): DataFrame = {
@@ -1264,18 +1266,25 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
     val vocab = refUni.agg(count(lit(1)).cast("double").as("__v"))
     val docPairs = pairs(docs, Seq(id.as("id")), text)
+    // per-slot micro-nat quantization (the stupidBackoff/klPerGroup
+    // discipline): an order-free exact BIGINT sum replaces the raw
+    // double Σ whose 6th decimal could flip with partition scheduling —
+    // the exact hazard class that bit q169 (driver) and q157
+    // (in-session) in round 10/11
     val scored = docPairs
       .join(refBi, Seq("w1", "w2"), "left")
       .join(refUni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("id"),
-        (log(coalesce(col("__c2"), lit(0L)).cast("double") + k)
-          - log(coalesce(col("__c1"), lit(0L)).cast("double")
-            + lit(k) * col("__v")))
-          .as("__lp"))
+        round(lit(1e6) *
+          (log(coalesce(col("__c2"), lit(0L)).cast("double") + k)
+            - log(coalesce(col("__c1"), lit(0L)).cast("double")
+              + lit(k) * col("__v")))).cast("long")
+          .as("__lpu"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("__lp")) / count(lit(1)), 6).as("cross_entropy"))
+        round(-sum(col("__lpu")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("cross_entropy"))
     docs.select(id.as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -70,6 +70,30 @@ object SamplingQueries {
         .orderBy("split")
     }),
 
+    // SFT example assembly (the Alpaca-class template) + the LOSS-MASK
+    // boundary: each doc's tokens split at the midpoint into
+    // instruction/response, serialized as "### Instruction:\n{i}\n###
+    // Response: {r}"; resp_start_tok = whitespace tokens of the prompt
+    // segment — the index a trainer masks up to (prompt tokens carry no
+    // loss). The template glues its header onto adjacent words, so the
+    // boundary is COMPUTED from the serialized prompt, never assumed —
+    // pure per-row projection, byte-pinned example stream
+    "q252_sft_template" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val k = (size(toks) / lit(2)).cast("int")
+      val instr = array_join(slice(toks, lit(1), k), " ")
+      val resp = array_join(slice(toks, k + 1, size(toks) - k), " ")
+      val promptPart = concat(lit("### Instruction:\n"), instr,
+        lit("\n### Response:"))
+      t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          k.cast("long").as("n_instr_words"),
+          (size(toks) - k).cast("long").as("n_resp_words"),
+          size(split(promptPart, " ")).cast("long").as("resp_start_tok"),
+          md5(concat(promptPart, lit(" "), resp)).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // epoch/repeat mixture recipe (the LLaMA-class data card): target
     // sampling weights per language + a fixed token budget → each
     // group's target tokens, full epochs over its corpus, leftover
@@ -863,6 +887,24 @@ object SamplingQueries {
                 CAST(sum(n_tok) OVER (PARTITION BY grp, bin ORDER BY rn
                   ROWS UNBOUNDED PRECEDING) - n_tok AS INT) AS "offset"
          FROM ffd ORDER BY grp, bin, doc, chunk_idx""",
+
+    // identical midpoint split, template glue (chr(10) for the newlines)
+    // and serialized-prompt token count
+    "q252_sft_template" ->
+      """WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents WHERE doc_id < 30),
+         c AS (SELECT doc_id, len(ts) // 2 AS k, len(ts) AS n, ts FROM b),
+         p AS (SELECT doc_id, k, n,
+             '### Instruction:' || chr(10)
+               || coalesce(array_to_string(ts[1:k], ' '), '')
+               || chr(10) || '### Response:' AS pp,
+             coalesce(array_to_string(ts[k+1:n], ' '), '') AS resp
+           FROM c)
+         SELECT doc_id, CAST(k AS BIGINT) AS n_instr_words,
+           CAST(n - k AS BIGINT) AS n_resp_words,
+           CAST(len(str_split(pp, ' ')) AS BIGINT) AS resp_start_tok,
+           md5(pp || ' ' || resp) AS fp
+         FROM p ORDER BY doc_id""",
 
     // identical per-language aggregates, weight CASE and integer-DIV
     // recipe arithmetic

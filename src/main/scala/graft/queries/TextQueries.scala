@@ -953,6 +953,33 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // crawl-to-clean CAPSTONE: the round-11 hygiene chain end-to-end —
+    // every page arrives as markup (tags + a script element) with
+    // composed/decomposed encoding variants planted per doc, then
+    // stripMarkup → NFC → the Gopher quality verdict per source, with an
+    // order-free XOR content checksum (the q231 discipline) pinning the
+    // full cleaned byte stream; decomposed and composed plants MUST land
+    // on identical checksums or the NFC stage leaked
+    "q253_crawl_to_clean" -> ((s, d) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val raw = concat(lit("<html><p class=\"x\">"), col("text"),
+        when(m3 === 0, lit(NfcDecomposed))
+          .when(m3 === 1, lit(NfcComposed)).otherwise(lit("")),
+        lit("</p><script>track();</script></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TA.normalizeText(TA.stripMarkup(raw)).as("clean"))
+        .withColumn("__h",
+          graft.functions.PortableHash.md5Long(col("clean"), 7))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(TA.gopherQualityOk(col("clean"), minWords = 20), 1)
+            .otherwise(0)).cast("long").as("n_ok"),
+          sum(TA.tokenCount(col("clean"))).cast("long").as("sum_tokens"),
+          expr("bit_xor(__h)").as("content_xor"))
+        .orderBy("source")
+    }),
+
     // decontamination DASHBOARD: both lexical contamination rules run
     // side-by-side per source — GPT-3's exact 13-gram collision rule and
     // the MOSS winnowed-print rule — with the disagreement column
@@ -2118,8 +2145,10 @@ object TextQueries {
          FROM c WHERE cum <= 2000 GROUP BY 1 ORDER BY 1"""
     },
 
-    // identical LM counts, identical add-1 smoothed log-prob and tercile
-    // window (ntile agrees cross-engine on the rounded score + id order)
+    // identical LM counts, identical add-1 smoothed log-prob with the
+    // identical per-slot micro-nat quantization (order-free BIGINT sums)
+    // and tercile window (ntile agrees cross-engine on the rounded score
+    // + id order)
     "q154_lm_quality" ->
       """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
          uni AS (SELECT ts[x.i] AS w1, count(*) AS c1
@@ -2133,8 +2162,9 @@ object TextQueries {
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
            WHERE len(ts) >= 2),
          sc AS (SELECT dp.doc_id, count(*) AS nb,
-             round(-sum(ln(coalesce(bi.c2, 0) + 1.0)
-               - ln(coalesce(uni.c1, 0) + v.v)) / count(*), 6) AS xent
+             round(-sum(CAST(round(1e6 * (ln(coalesce(bi.c2, 0) + 1.0)
+               - ln(coalesce(uni.c1, 0) + v.v))) AS BIGINT))::DOUBLE
+               / (count(*)::DOUBLE * 1e6), 6) AS xent
            FROM dp LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
            CROSS JOIN v GROUP BY 1),
          b AS (SELECT t.doc_id,
@@ -2872,6 +2902,28 @@ object TextQueries {
            CAST(sum(te.doc_id) AS BIGINT) AS sum_ids
          FROM te JOIN nb_pred p ON te.doc_id = p.id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical plants (chr()-spelled combining marks), identical
+    // strip → nfc_normalize chain, identical Gopher CASE and XOR checksum
+    "q253_crawl_to_clean" -> {
+      val dec = sqlLit(NfcDecomposed)
+      val comp = sqlLit(NfcComposed)
+      s"""WITH pl AS (SELECT doc_id, source,
+           '<html><p class="x">' || text ||
+             CASE WHEN doc_id % 3 = 0 THEN $dec
+                  WHEN doc_id % 3 = 1 THEN $comp ELSE '' END ||
+             '</p><script>track();</script></html>' AS raw
+           FROM documents),
+         cl AS (SELECT doc_id, source,
+             nfc_normalize(${TA.stripMarkupSql("raw")}) AS clean FROM pl)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN ${TA.gopherQualityOkSql("clean", minWords = 20)}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(len(str_split(clean, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(bit_xor(${graft.functions.PortableHash.md5LongSql(
+        "clean", 7)}) AS BIGINT) AS content_xor
+         FROM cl GROUP BY 1 ORDER BY 1"""
+    },
 
     // identical plants, identical 13-gram sets and winnowed prints, the
     // two hit sets intersected per source exactly as the Spark side does
