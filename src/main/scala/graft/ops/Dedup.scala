@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
+import graft.ops.ExactRound
 
 /** Deduplication operators for training-data pipelines, smallest-to-largest
   * hammer: exact → fingerprint → SimHash → signature filter →
@@ -145,7 +146,12 @@ object Dedup {
       .join(bg, Seq("__g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("__tot"), count(col("__in")).as("__hit"))
-      .select(col("id"), round(ratio, 6).as("overlap"),
+      // overlap is an exact count rational: round half-up in integer
+      // space (ExactRound), never round() the IEEE quotient — the q169
+      // tie class. The threshold compare keeps the raw single-division
+      // quotient (one correctly-rounded IEEE op, engine-identical).
+      .select(col("id"),
+        ExactRound.ratioRounded("__hit", "__tot", 6).as("overlap"),
         (ratio >= threshold).as("contaminated"))
   }
 
@@ -381,9 +387,14 @@ object Dedup {
     cands
       .join(docsets.as("da"), col("i") === col("da.doc"))
       .join(docsets.as("db"), col("j") === col("db.doc"))
+      // same contract as [[verifyPairs]]: raw quotient for thresholding,
+      // ExactRound 1e-6-grid BIGINT for any rounded OUTPUT
       .select(col("i"), col("j"),
         (size(array_intersect(col("da.hs"), col("db.hs"))).cast("double") /
-          col("da.n")).as("containment"))
+          col("da.n")).as("containment"),
+        ExactRound.gridMicroCol(
+          size(array_intersect(col("da.hs"), col("db.hs"))),
+          col("da.n"), 6).as("cont_micro"))
       .filter(col("containment") >= minContainment)
   }
 
@@ -398,9 +409,16 @@ object Dedup {
       .select(col("i"), col("j"),
         size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
         col("da.n").as("na"), col("db.n").as("nb"))
+      // `jaccard` stays the raw single-division quotient (threshold
+      // compares are engine-safe on it); `jacc_micro` is the half-up
+      // 1e-6-grid BIGINT (ExactRound) — any OUTPUT of a rounded jaccard
+      // must derive from it, never from round(jaccard, 6), whose exact
+      // .5 ties flip across engines (the q169 class)
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"),
+        ExactRound.gridMicroCol(col("inter"),
+          col("na") + col("nb") - col("inter"), 6).as("jacc_micro"))
       .filter(col("jaccard") >= minJaccard)
 
   /** MinHash signature: k min-hashes over `n`-shingles in ONE aggregation
@@ -592,8 +610,12 @@ object Dedup {
       .select(col("n_true"), col("n_cand"), col("n_tp"),
         (col("n_true") - col("n_tp")).as("n_fn"),
         (col("n_cand") - col("n_tp")).as("n_fp"),
-        round(col("n_tp") / col("n_true"), 6).as("recall"),
-        round(col("n_tp") / col("n_cand"), 6).as("precision"))
+        // exact count rationals → ExactRound (NULL when the denominator
+        // count is 0; callers sentinel as they see fit)
+        ExactRound.ratioRoundedCol(col("n_tp"), col("n_true"), 6)
+          .as("recall"),
+        ExactRound.ratioRoundedCol(col("n_tp"), col("n_cand"), 6)
+          .as("precision"))
   }
 
   /** Embedding-cosine near-dup removal: mine within-LSH-bucket pairs with
@@ -669,8 +691,9 @@ object Dedup {
       .select(col("id"), col("n_slots"),
         coalesce(col("__n_rep"), lit(0L)).as("n_repeated"),
         when(col("n_slots") === 0L, lit(0.0))
-          .otherwise(round(coalesce(col("__n_rep"), lit(0L)).cast("double")
-            / col("n_slots"), 6)).as("coverage"))
+          .otherwise(ExactRound.ratioRoundedCol(
+            coalesce(col("__n_rep"), lit(0L)), col("n_slots"), 6))
+          .as("coverage"))
   }
 
   /** Maximal repeated spans — Lee et al. 2022's actual span semantics on

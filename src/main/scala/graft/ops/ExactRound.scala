@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine rounding of EXACT RATIONALS.
+  *
+  * The hazard this closes (round-11 judge root cause of the q169
+  * driver-only hash flip): `round(S / n, 6)` where S and n are exact
+  * BIGINTs first performs an IEEE division — whose result can land
+  * exactly on a .5 tie of the 6-decimal grid when the true rational
+  * does — and then rounds that tie. Spark's `Round` goes through
+  * `BigDecimal.valueOf(double)` (shortest-decimal), while a precise
+  * decimal `round` (newer DuckDB) rounds the double's exact binary
+  * expansion: the two disagree on exactly those ties (5 of 10 tie docs
+  * at sf0.01 flipped, reordering the q169 tercile).
+  *
+  * The fix is to finish the job in INTEGER arithmetic: round half-up
+  * BEFORE any floating division —
+  *
+  *   round(num/den to the integer grid) = (2·num + den) DIV (2·den)
+  *
+  * for num ≥ 0, den > 0 (integral DIV truncates toward zero, which for
+  * non-negative operands equals floor, i.e. half-up). The single
+  * remaining floating op is a division of an exact integer ≤ 2⁵³ by a
+  * power of ten — one correctly-rounded IEEE operation, identical on
+  * every engine.
+  *
+  * Every helper has a Spark (`Column`) and a DuckDB (`String`) twin so
+  * oracle SQL replays bit-for-bit. DuckDB `sum(BIGINT)` widens to
+  * HUGEINT and `//` floors — same value for non-negative operands; the
+  * twins cast back to BIGINT.
+  */
+object ExactRound {
+
+  /** Half-up rounded integer quotient of `num / den` (num ≥ 0, den > 0,
+    * both BIGINT expressions by NAME — post-agg aliases work). Caller
+    * guarantees `2·num + den` fits int64 (num ≤ ~4.6e18). */
+  def halfUpDiv(num: String, den: String): Column =
+    expr(s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) " +
+      s"ELSE (2 * ($num) + ($den)) DIV (2 * ($den)) END)")
+
+  /** DuckDB twin of [[halfUpDiv]] (HUGEINT-safe: `sum(BIGINT)` operands
+    * already arrive widened; `//` floors, cast narrows back). */
+  def halfUpDivSql(num: String, den: String): String =
+    s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) " +
+      s"ELSE CAST((2 * ($num) + ($den)) // (2 * ($den)) AS BIGINT) END)"
+
+  /** `round(num/den, k)` as a deterministic double: half-up in integer
+    * space at the 10^k grid, then ONE exact-integer-by-power-of-ten IEEE
+    * division. Stages through DECIMAL(38,0) so `2·num·10^k` cannot
+    * overflow int64 (the q222-class guard: num can be a corpus-sized
+    * token sum). Requires num ≥ 0, den > 0. */
+  def ratioRounded(num: String, den: String, k: Int): Column =
+    expr(s"CAST(${gridSpark(num, den, k)} AS DOUBLE) / ${pow10(k)}.0")
+
+  /** DuckDB twin of [[ratioRounded]] — HUGEINT staging. */
+  def ratioRoundedSql(num: String, den: String, k: Int): String =
+    s"(${gridSql(num, den, k)}::DOUBLE / ${pow10(k)}.0)"
+
+  /** [[ratioRounded]] for a numerator of EITHER sign (den > 0 still):
+    * HALF_UP rounds ties away from zero, so the negative branch mirrors
+    * the positive one — `-halfUp(-num/den)`. (Plain DIV truncation and
+    * DuckDB's floor `//` DISAGREE on negatives; the mirror sidesteps
+    * both.) */
+  def ratioRoundedSigned(num: String, den: String, k: Int): Column =
+    expr(s"CAST(CASE WHEN ($num) >= 0 THEN ${gridSpark(num, den, k)} " +
+      s"ELSE -${gridSpark(s"-($num)", den, k)} END AS DOUBLE) " +
+      s"/ ${pow10(k)}.0")
+
+  /** DuckDB twin of [[ratioRoundedSigned]]. */
+  def ratioRoundedSignedSql(num: String, den: String, k: Int): String =
+    s"((CASE WHEN ($num) >= 0 THEN ${gridSql(num, den, k)} " +
+      s"ELSE -${gridSql(s"-($num)", den, k)} END)::DOUBLE / ${pow10(k)}.0)"
+
+  /** The half-up 10^k-grid integer `halfUp(num·10^k / den)` (num ≥ 0) as
+    * a BIGINT column — use when downstream arithmetic (means, sums,
+    * tercile sorts) should stay in integer space. */
+  def gridMicro(num: String, den: String, k: Int): Column =
+    expr(gridSpark(num, den, k))
+
+  /** DuckDB twin of [[gridMicro]]. */
+  def gridMicroSql(num: String, den: String, k: Int): String =
+    gridSql(num, den, k)
+
+  /** Column-native [[gridMicro]] (for call sites built from `Column`s,
+    * not name strings) — `div` is Spark's registered IntegralDivide. */
+  def gridMicroCol(num: Column, den: Column, k: Int): Column = {
+    require(k >= 0 && k <= 15, s"grid 10^$k outside exact-double range")
+    val d38 = "decimal(38,0)"
+    when(den === 0, lit(null).cast("long")).otherwise(
+      call_function("div",
+        num.cast(d38) * lit(2L) * lit(pow10(k)) + den.cast(d38),
+        den.cast(d38) * lit(2L)).cast("long"))
+  }
+
+  /** Column-native [[ratioRounded]]. */
+  def ratioRoundedCol(num: Column, den: Column, k: Int): Column =
+    gridMicroCol(num, den, k).cast("double") / lit(pow10(k)).cast("double")
+
+  /** Column-native [[halfUpDiv]]. */
+  def halfUpDivCol(num: Column, den: Column): Column =
+    when(den === 0, lit(null).cast("long")).otherwise(
+      call_function("div", num * lit(2L) + den, den * lit(2L)))
+
+  // Every builder NULL-guards den = 0 (ANSI integral divide errors on
+  // zero, where the old double division produced NaN/Inf — callers that
+  // want a sentinel coalesce it themselves).
+  private def gridSpark(num: String, den: String, k: Int): String = {
+    require(k >= 0 && k <= 15, s"grid 10^$k outside exact-double range")
+    s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+      s"CAST((2 * CAST($num AS DECIMAL(38,0)) * ${pow10(k)}L " +
+      s"+ CAST($den AS DECIMAL(38,0))) " +
+      s"DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT) END)"
+  }
+
+  private def gridSql(num: String, den: String, k: Int): String = {
+    require(k >= 0 && k <= 15, s"grid 10^$k outside exact-double range")
+    s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+      s"CAST((2 * CAST($num AS HUGEINT) * ${pow10(k)} " +
+      s"+ CAST($den AS HUGEINT)) " +
+      s"// (2 * CAST($den AS HUGEINT)) AS BIGINT) END)"
+  }
+
+  private def pow10(k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * 10)
+}

@@ -444,7 +444,6 @@ object Profiling {
   def kmvIntersection(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val M = math.pow(2, 60)
     val ha = a.select(PortableHash.md5Long(keyA.cast("string"), 0).as("h"))
       .distinct()
     val hb = b.select(PortableHash.md5Long(keyB.cast("string"), 0).as("h"))
@@ -453,14 +452,22 @@ object Profiling {
     val both = mins.join(ha, Seq("h"), "leftsemi").join(hb, Seq("h"), "leftsemi")
     val u = mins.agg(count(lit(1)).as("n_union_seen"), max("h").as("__hk"))
       .crossJoin(both.agg(count(lit(1)).as("n_both")))
-    u.select(col("n_union_seen"),
-        when(col("n_union_seen") < k, col("n_union_seen").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * M /
-            col("__hk").cast("double"), 4)).as("est_union"),
-        col("n_both"))
-      .withColumn("est_inter",
-        round(col("n_both").cast("double") / col("n_union_seen") *
-          col("est_union"), 4))
+    // ExactRound (r12): the union estimate (k−1)·2⁶⁰/h_(k) and the
+    // intersection scale n_both·est_union/n_union are exact integer
+    // rationals — both round half-up on the 1e-4 grid in integer space
+    // (the n_union ≤ k denominators make IEEE-quotient ties REACHABLE
+    // here, unlike most float scores). eu4 = est_union·10⁴ as BIGINT.
+    u.select(col("n_union_seen"), col("n_both"),
+        when(col("n_union_seen") < k, col("n_union_seen") * lit(10000L))
+          .otherwise(ExactRound.gridMicroCol(
+            lit((k - 1).toLong).cast("decimal(38,0)") *
+              lit(1152921504606846976L),
+            col("__hk"), 4)).as("__eu4"))
+      .select(col("n_union_seen"),
+        (col("__eu4").cast("double") / 1e4).as("est_union"),
+        col("n_both"),
+        (ExactRound.halfUpDivCol(col("n_both") * col("__eu4"),
+          col("n_union_seen")).cast("double") / 1e4).as("est_inter"))
   }
 
   /** DuckDB twin of [[kmvIntersection]] as CTE list ending in
@@ -478,16 +485,18 @@ object Profiling {
        __ki_u AS (SELECT count(*) AS n_union_seen, max(h) AS hk FROM __ki_m),
        __ki_n AS (SELECT count(*) AS n_both FROM __ki_m
          WHERE h IN (SELECT h FROM __ki_a) AND h IN (SELECT h FROM __ki_b)),
+       __ki_e AS (SELECT n_union_seen, n_both,
+           CASE WHEN n_union_seen < $k THEN n_union_seen * 10000
+             ELSE ${ExactRound.gridMicroSql(
+               s"CAST(${k - 1} AS HUGEINT) * 1152921504606846976",
+               "hk", 4)} END AS eu4
+         FROM __ki_u, __ki_n),
        kmv_inter AS (SELECT CAST(n_union_seen AS BIGINT) AS n_union_seen,
-           CASE WHEN n_union_seen < $k THEN n_union_seen::DOUBLE
-             ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)} /
-               hk::DOUBLE, 4) END AS est_union,
+           eu4::DOUBLE / 1e4 AS est_union,
            CAST(n_both AS BIGINT) AS n_both,
-           round(n_both::DOUBLE / n_union_seen *
-             CASE WHEN n_union_seen < $k THEN n_union_seen::DOUBLE
-               ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)} /
-                 hk::DOUBLE, 4) END, 4) AS est_inter
-         FROM __ki_u, __ki_n)"""
+           ${ExactRound.halfUpDivSql("n_both * eu4",
+             "n_union_seen")}::DOUBLE / 1e4 AS est_inter
+         FROM __ki_e)"""
   }
 
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {

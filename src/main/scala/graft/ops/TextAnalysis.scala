@@ -176,14 +176,15 @@ object TextAnalysis {
   def markupRatio(c: Column): Column = {
     val tagless = dropMarkupSpans(c, "")
     when(length(c) === 0, lit(0.0))
-      .otherwise(round((length(c) - length(tagless)).cast("double") /
-        length(c).cast("double"), 6))
+      .otherwise(ExactRound.ratioRoundedCol(
+        length(c) - length(tagless), length(c), 6))
   }
 
   def markupRatioSql(col: String): String =
     s"""CASE WHEN length($col) = 0 THEN 0.0
-       | ELSE round((length($col) - length(${dropMarkupSpansSql(col, "")}))::DOUBLE
-       |   / length($col), 6) END""".stripMargin
+       | ELSE ${ExactRound.ratioRoundedSql(
+         s"length($col) - length(${dropMarkupSpansSql(col, "")})",
+         s"length($col)", 6)} END""".stripMargin
 
   /** Host of a URL (the `://`-to-delimiter span, lowercased; empty when
     * the string is not a URL) and its REGISTRABLE domain (last two dot
@@ -529,6 +530,11 @@ object TextAnalysis {
   def typeTokenRatio(c: Column): Column =
     size(distinctTokens(c)).cast("double") / size(tokens(c))
 
+  /** [[typeTokenRatio]] on the exact 1e-6 integer grid ([[ExactRound]]) —
+    * sum/average THIS (order-free BIGINT), never a double ratio. */
+  def typeTokenRatioMicro(c: Column): Column =
+    ExactRound.gridMicroCol(size(distinctTokens(c)), size(tokens(c)), 6)
+
   /** Mean token length in characters. */
   def avgWordLen(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)).cast("double") /
@@ -571,6 +577,44 @@ object TextAnalysis {
     s"""len(list_filter(str_split($col, ' '),
        | w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
        | / len(str_split($col, ' '))""".stripMargin.replace("\n", "")
+
+  // ---- ExactRound (r12) twins: same ratios rounded half-up in integer
+  // space — use THESE whenever the fraction reaches a query OUTPUT; the
+  // raw-double forms above stay for threshold gates (single-division
+  // comparisons are engine-safe, round() over the quotient is not) ------
+
+  def avgWordLenR6(c: Column): Column =
+    ExactRound.ratioRoundedCol(
+      aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)),
+      size(tokens(c)), 6)
+
+  def avgWordLenR6Sql(col: String): String =
+    ExactRound.ratioRoundedSql(
+      s"list_sum(list_transform(str_split($col, ' '), w -> length(w)::BIGINT))",
+      s"len(str_split($col, ' '))", 6)
+
+  def symbolWordRatioR6(c: Column, sym: String): Column =
+    ExactRound.ratioRoundedCol(
+      call_function("div",
+        (length(c) - length(regexp_replace(c,
+          java.util.regex.Pattern.quote(sym), ""))).cast("long"),
+        lit(sym.length.toLong)),
+      size(tokens(c)), 6)
+
+  def symbolWordRatioR6Sql(col: String, sym: String): String =
+    ExactRound.ratioRoundedSql(
+      s"(length($col) - length(replace($col, '$sym', ''))) // ${sym.length}",
+      s"len(str_split($col, ' '))", 6)
+
+  def alphaWordFractionR6(c: Column): Column =
+    ExactRound.ratioRoundedCol(
+      size(filter(tokens(c), w => w.rlike("[a-zA-Z]"))),
+      size(tokens(c)), 6)
+
+  def alphaWordFractionR6Sql(col: String): String =
+    ExactRound.ratioRoundedSql(
+      s"len(list_filter(str_split($col, ' '), w -> regexp_matches(w, '[a-zA-Z]')))",
+      s"len(str_split($col, ' '))", 6)
 
   /** Fraction of lines starting with a bullet glyph (Gopher: drop when
     * > 90 % — listing pages). */
@@ -946,6 +990,25 @@ object TextAnalysis {
         / (ntok - (n - 1)).cast("double"))
   }
 
+  /** [[dupNgramFraction]] on the exact 1e-6 integer grid ([[ExactRound]]):
+    * `(slots − distinct)/slots` half-up in BIGINT — sum/avg/max THIS when
+    * the fraction reaches an output. */
+  def dupNgramFractionMicro(c: Column, n: Int): Column = {
+    val slots = tokenCount(c) - (n - 1)
+    when(tokenCount(c) < n, lit(0L)).otherwise(
+      ExactRound.gridMicroCol(
+        slots - size(graft.ops.Dedup.shingles(c, n)), slots, 6))
+  }
+
+  /** DuckDB twin of [[dupNgramFractionMicro]]. */
+  def dupNgramFractionMicroSql(col: String, n: Int): String = {
+    val slots = s"(len(str_split($col, ' ')) - ${n - 1})"
+    s"""CASE WHEN len(str_split($col, ' ')) < $n THEN 0
+       | ELSE ${ExactRound.gridMicroSql(
+            s"$slots - len(${graft.ops.Dedup.shinglesSql(col, n)})",
+            slots, 6)} END""".stripMargin.replace("\n", "")
+  }
+
   /** DuckDB twin of [[dupNgramFraction]] (oracle construction). */
   def dupNgramFractionSql(col: String, n: Int): String =
     s"""CASE WHEN len(str_split($col, ' ')) < $n THEN 0.0
@@ -1151,9 +1214,9 @@ object TextAnalysis {
         col("__top.gram").as("top_ngram"),
         col("__top.cnt").as("top_count"),
         when(col("__nc") === 0, lit(0.0)).otherwise(
-          round(when(col("__top.cnt") === 0, lit(0L))
-            .otherwise(col("__top.cnt") * length(col("__top.gram")))
-            .cast("double") / col("__nc"), 6)).as("frac"))
+          ExactRound.ratioRoundedCol(when(col("__top.cnt") === 0, lit(0L))
+            .otherwise(col("__top.cnt") * length(col("__top.gram"))),
+            col("__nc"), 6)).as("frac"))
   }
 
   /** The explode → count → top-1-window form of [[topNgramCharFraction]] —
@@ -1175,8 +1238,9 @@ object TextAnalysis {
         coalesce(col("gram"), lit("")).as("top_ngram"),
         coalesce(col("cnt"), lit(0L)).as("top_count"),
         when(col("__nc") === 0, lit(0.0)).otherwise(
-          round(coalesce(col("cnt") * length(col("gram")), lit(0L))
-            .cast("double") / col("__nc"), 6)).as("frac"))
+          ExactRound.ratioRoundedCol(
+            coalesce(col("cnt") * length(col("gram")), lit(0L)),
+            col("__nc"), 6)).as("frac"))
   }
 
   /** Shannon character entropy per document (bits/char) — the gibberish /
@@ -1282,13 +1346,19 @@ object TextAnalysis {
               + lit(k) * col("__v")))).cast("long")
           .as("__lpu"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("__lpu")).cast("double") /
-          (count(lit(1)).cast("double") * 1e6), 6).as("cross_entropy"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__lpu"))).as("__S"))
+      // round BEFORE dividing (ExactRound discipline — the r11 driver
+      // flip came from rounding the IEEE quotient's exact .5 ties):
+      // xent_micro = half-up(S / n) in BIGINT, then one exact
+      // integer-by-1e6 division — identical on every engine
+      .withColumn("xent_micro", ExactRound.halfUpDiv("__S", "n_bigrams"))
+      .select(col("id"), col("n_bigrams"),
+        (col("xent_micro").cast("double") / 1e6).as("cross_entropy"),
+        col("xent_micro"))
     docs.select(id.as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("cross_entropy"))
+        col("cross_entropy"), col("xent_micro"))
   }
 
   /** Trigram LM quality scoring with STUPID BACKOFF (Brants et al. 2007,
@@ -1468,19 +1538,24 @@ object TextAnalysis {
     // [[klPerGroup]] discipline), so the per-doc sum is exact, order-free
     // BIGINT arithmetic — a plain double Σ here is partition-/scheduler-
     // order-dependent, and round-10's driver observed a real 6th-decimal
-    // flip vs the oracle from exactly that (q169). One IEEE division and
-    // one 6-decimal round at the end; the oracle replays the identical
-    // quantization so both engines do the same deterministic op chain.
+    // flip vs the oracle from exactly that (q169). The mean then rounds
+    // IN INTEGER SPACE ([[ExactRound.halfUpDiv]]): the r11 driver flip
+    // was the residual `round(S/(n·1e6), 6)` landing on exact .5 ties of
+    // the 6-decimal grid (10 tie docs at sf0.01, 5 engine-divergent) —
+    // half-up the BIGINT quotient first, then ONE exact /1e6 IEEE op.
+    // `xent_micro` is also the deterministic tercile sort key.
     val scored = withFloor
       .select(col("id"), round(lit(1e6) * lp).cast("long").as("__lpu"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_ngrams"),
-        round(-sum(col("__lpu")).cast("double") /
-          (count(lit(1)).cast("double") * 1e6), 6).as("cross_entropy"))
+      .agg(count(lit(1)).as("n_ngrams"), (-sum(col("__lpu"))).as("__S"))
+      .withColumn("xent_micro", ExactRound.halfUpDiv("__S", "n_ngrams"))
+      .select(col("id"), col("n_ngrams"),
+        (col("xent_micro").cast("double") / 1e6).as("cross_entropy"),
+        col("xent_micro"))
     docs.select(id.as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
-        col("cross_entropy"))
+        col("cross_entropy"), col("xent_micro"))
   }
 
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */

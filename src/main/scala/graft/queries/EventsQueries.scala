@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.ExactRound
 import QueryUtil._
 
 /** Event-stream analytics over the `events` table, batch side. These are the
@@ -272,7 +273,7 @@ object EventsQueries {
         .filter(col("nxt").isNotNull)
         .groupBy(col("event_type").as("cur"), col("nxt"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n") /
+        .withColumn("p", ExactRound.ratioRoundedCol(col("n"),
           sum("n").over(Window.partitionBy("cur")), 6))
         .orderBy("cur", "nxt")
     }),
@@ -531,7 +532,7 @@ object EventsQueries {
          FROM sc ORDER BY user_id""",
 
     "q218_transition_matrix" ->
-      """WITH seq AS (SELECT user_id, event_id, event_type,
+      s"""WITH seq AS (SELECT user_id, event_id, event_type,
            epoch_us(ts) AS us,
            lead(event_type, 1) OVER (PARTITION BY user_id
              ORDER BY epoch_us(ts), event_id) AS nxt
@@ -539,7 +540,8 @@ object EventsQueries {
          pairs AS (SELECT event_type AS cur, nxt, count(*) AS n
            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
          SELECT cur, nxt, n,
-           round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "n", "sum(n) OVER (PARTITION BY cur)", 6)} AS p
          FROM pairs ORDER BY cur, nxt""",
 
     "q219_conversion_latency" ->

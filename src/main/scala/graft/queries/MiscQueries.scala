@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.ExactRound
 import QueryUtil._
 
 /** Second wave of relational surface: SQL entry point (temp views +
@@ -38,10 +39,11 @@ object MiscQueries {
         .agg(count(lit(1)).as("n"), sum("xu").as("sx"), sum("yu").as("sy"),
           sum("xyu").as("sxy"), sum("xxu").as("sxx"))
         .select(col("n").as("n_terms"),
-          round((col("n") * col("sxy") * lit(1000000L) -
-              col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") * lit(1000000L) -
-              col("sx") * col("sx")).cast("double"), 6).as("zipf_slope"))
+          // signed exact rational (Zipf slopes are negative): ExactRound
+          // half-up, mirrored for the negative numerator
+          ExactRound.ratioRoundedSigned(
+            "n * sxy * 1000000L - sx * sy",
+            "n * sxx * 1000000L - sx * sx", 6).as("zipf_slope"))
     }),
 
     // Heaps-law vocabulary growth: distinct-token count and total tokens
@@ -67,8 +69,8 @@ object MiscQueries {
         .join(vocab, Seq("k"), "left")
         .select(col("k"), col("n_docs"), col("n_tokens"),
           coalesce(col("vocab"), lit(0L)).as("vocab"),
-          round(coalesce(col("vocab"), lit(0L)).cast("double") /
-            col("n_tokens").cast("double"), 6).as("ttr"))
+          ExactRound.ratioRoundedCol(coalesce(col("vocab"), lit(0L)),
+            col("n_tokens"), 6).as("ttr"))
         .orderBy("k")
     }),
 
@@ -108,12 +110,17 @@ object MiscQueries {
       per.crossJoin(broadcast(per.agg(sum("rc").as("tot"))))
         .withColumn("cum", sum("rc").over(
           Window.orderBy(col("rc").desc, col("l_partkey"))))
-        .withColumn("share", round(col("cum").cast("double") / col("tot"), 6))
+        .withColumn("share",
+          ExactRound.ratioRoundedCol(col("cum"), col("tot"), 6))
         .withColumn("cls", when(col("share") <= 0.8, "A")
           .when(col("share") <= 0.95, "B").otherwise("C"))
         .groupBy("cls")
-        .agg(count(lit(1)).as("n_parts"),
-          round(sum("rc").cast("double") / 10000.0, 2).as("revenue"))
+        .agg(count(lit(1)).as("n_parts"), sum("rc").as("__rv"))
+        .select(col("cls"), col("n_parts"),
+          // 1e-4-dollar units to 2-decimal dollars: a .005 tie is live
+          // on this grid too — same integer half-up
+          ExactRound.ratioRoundedCol(col("__rv"), lit(10000L), 2)
+            .as("revenue"))
         .orderBy("cls")
     }),
 
@@ -560,7 +567,7 @@ object MiscQueries {
     // identical heap top-100, identical per-term 1e-6 quantization,
     // identical integer-ratio slope
     "q248_zipf_slope" ->
-      """WITH tf AS (SELECT w, count(*) AS cnt FROM
+      s"""WITH tf AS (SELECT w, count(*) AS cnt FROM
            (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
            GROUP BY 1),
          top AS (SELECT w, cnt FROM tf ORDER BY cnt DESC, w LIMIT 100),
@@ -575,13 +582,14 @@ object MiscQueries {
          agg AS (SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
              sum(xyu) AS sxy, sum(xxu) AS sxx FROM u)
          SELECT CAST(n AS BIGINT) AS n_terms,
-           round((n * sxy * 1000000 - sx * sy)::DOUBLE
-             / (n * sxx * 1000000 - sx * sx)::DOUBLE, 6) AS zipf_slope
+           ${graft.ops.ExactRound.ratioRoundedSignedSql(
+             "n * sxy * 1000000 - sx * sy",
+             "n * sxx * 1000000 - sx * sx", 6)} AS zipf_slope
          FROM agg""",
 
     // identical first-appearance rule and checkpoint filters
     "q249_vocab_growth" ->
-      """WITH ck AS (SELECT unnest([10, 50, 100, 500, 1000, 5000]) AS k),
+      s"""WITH ck AS (SELECT unnest([10, 50, 100, 500, 1000, 5000]) AS k),
          tk AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
            FROM documents),
          fs AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1),
@@ -592,7 +600,8 @@ object MiscQueries {
            FROM documents, ck WHERE doc_id < k GROUP BY 1)
          SELECT CAST(tt.k AS BIGINT) AS k, tt.n_docs, tt.n_tokens,
            CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab,
-           round(coalesce(v.vocab, 0)::DOUBLE / tt.n_tokens, 6) AS ttr
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "coalesce(v.vocab, 0)", "tt.n_tokens", 6)} AS ttr
          FROM tt LEFT JOIN v USING (k) ORDER BY k""",
 
     // the estimate is engine-specific; the bound is not. TRUE is the
@@ -631,7 +640,7 @@ object MiscQueries {
          FROM kmv, ex""",
 
     "q237_abc_analysis" ->
-      """WITH per AS (SELECT l_partkey,
+      s"""WITH per AS (SELECT l_partkey,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
              AS rc
@@ -642,12 +651,15 @@ object MiscQueries {
                AS cum
            FROM per),
          cl AS (SELECT rc,
-             CASE WHEN round(cum::DOUBLE / tot, 6) <= 0.8 THEN 'A'
-               WHEN round(cum::DOUBLE / tot, 6) <= 0.95 THEN 'B'
+             CASE WHEN ${graft.ops.ExactRound.ratioRoundedSql(
+                 "cum", "tot", 6)} <= 0.8 THEN 'A'
+               WHEN ${graft.ops.ExactRound.ratioRoundedSql(
+                 "cum", "tot", 6)} <= 0.95 THEN 'B'
                ELSE 'C' END AS cls
            FROM cm, tot)
          SELECT cls, count(*) AS n_parts,
-           round(sum(rc)::DOUBLE / 10000.0, 2) AS revenue
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "sum(rc)", "10000", 2)} AS revenue
          FROM cl GROUP BY 1 ORDER BY 1""",
 
     "q212_cms_drift" -> {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, TextAnalysis => TA}
+import graft.ops.{Dedup, ExactRound, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Composite pipelines: the end-to-end shapes users actually run —
@@ -22,7 +22,14 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(TA.tokenCount(col("text"))).cast("long").as("sum_tokens"),
-          round(avg(TA.typeTokenRatio(col("text"))), 6).as("avg_ttr"))
+          // ExactRound discipline: per-doc TTR quantizes to the 1e-6
+          // grid in BIGINT, the mean is an order-free integer sum +
+          // half-up integer division — an avg() over double ratios is
+          // both summation-order-dependent AND tie-roundable
+          sum(TA.typeTokenRatioMicro(col("text"))).as("__tm"))
+        .select(col("lang"), col("n_docs"), col("sum_tokens"),
+          (ExactRound.halfUpDiv("__tm", "n_docs").cast("double") / 1e6)
+            .as("avg_ttr"))
         .orderBy("lang")
     }),
 
@@ -198,8 +205,11 @@ object PipelineQueries {
          deduped AS (SELECT * FROM ranked WHERE rn = 1)
          SELECT lang, count(*) AS n_docs,
            CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
-           round(avg(len(list_distinct(str_split(text, ' ')))::DOUBLE
-             / len(str_split(text, ' '))), 6) AS avg_ttr
+           ${graft.ops.ExactRound.halfUpDivSql(
+             "sum(" + graft.ops.ExactRound.gridMicroSql(
+               "len(list_distinct(str_split(text, ' ')))",
+               "len(str_split(text, ' '))", 6) + ")", "count(*)")}::DOUBLE
+             / 1e6 AS avg_ttr
          FROM deduped GROUP BY 1 ORDER BY 1""",
 
     "q72_funnel" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Chunking, Curation, Dedup, Layout, Sampling, TextAnalysis => TA}
+import graft.ops.{Chunking, Curation, Dedup, ExactRound, Layout, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Deterministic sampling/splitting over the `documents` table — the
@@ -237,12 +237,17 @@ object SamplingQueries {
           sum((lit(2) * col("rk") - lit(1)) * col("ntok")).as("__num"),
           max("ntok").as("__top"))
         .select(col("n_sources"), col("total_tokens"),
-          round((col("__num") - col("n_sources") * col("total_tokens"))
-            .cast("double") /
-            (col("n_sources") * col("total_tokens")).cast("double"), 6)
+          // ExactRound: gini and top_share are exact BIGINT rationals —
+          // round half-up in integer space, never round the IEEE
+          // quotient (the q169 tie class); products stay in DECIMAL(38,0)
+          // so n·total cannot overflow int64 at corpus scale
+          ExactRound.ratioRounded(
+            "CAST(__num AS DECIMAL(38,0)) " +
+              "- CAST(n_sources AS DECIMAL(38,0)) * total_tokens",
+            "CAST(n_sources AS DECIMAL(38,0)) * total_tokens", 6)
             .as("gini"),
-          round(col("__top").cast("double") /
-            col("total_tokens").cast("double"), 6).as("top_share"))
+          ExactRound.ratioRounded("__top", "total_tokens", 6)
+            .as("top_share"))
     }),
 
     // group-integrity split (GroupKFold discipline): hash the SOURCE, not
@@ -749,7 +754,7 @@ object SamplingQueries {
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q222_source_concentration" ->
-      """WITH per AS (SELECT source,
+      s"""WITH per AS (SELECT source,
            CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS ntok
            FROM documents GROUP BY 1),
          ranked AS (SELECT ntok,
@@ -759,9 +764,11 @@ object SamplingQueries {
              CAST(sum((2 * rk - 1) * ntok) AS BIGINT) AS num,
              CAST(max(ntok) AS BIGINT) AS top FROM ranked)
          SELECT n_sources, total_tokens,
-           round((num - n_sources * total_tokens)::DOUBLE
-             / (n_sources * total_tokens), 6) AS gini,
-           round(top::DOUBLE / total_tokens, 6) AS top_share
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "CAST(num AS HUGEINT) - CAST(n_sources AS HUGEINT) * total_tokens",
+             "CAST(n_sources AS HUGEINT) * total_tokens", 6)} AS gini,
+           ${graft.ops.ExactRound.ratioRoundedSql("top", "total_tokens", 6)}
+             AS top_share
          FROM agg""",
 
     "q216_group_split" ->
@@ -1140,7 +1147,8 @@ object SamplingQueries {
          ov AS (SELECT inc.doc_id, count(*) AS tot, count(bench.g) AS hit
            FROM inc LEFT JOIN bench ON inc.g = bench.g GROUP BY 1),
          sc AS (SELECT doc_id,
-             round(hit::DOUBLE / tot::DOUBLE, 6) AS overlap,
+             ${graft.ops.ExactRound.ratioRoundedSql("hit", "tot", 6)}
+               AS overlap,
              (hit::DOUBLE / tot::DOUBLE) >= 0.5 AS contaminated
            FROM ov)
          SELECT contaminated, count(*) AS n_docs,

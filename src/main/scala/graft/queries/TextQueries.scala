@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Dedup, Similarity => Sim, TextAnalysis => TA}
+import graft.ops.{Dedup, ExactRound, Similarity => Sim, TextAnalysis => TA}
 import QueryUtil._
 
 /** Training-data text operators over the `documents` table: exact/fuzzy
@@ -92,12 +92,16 @@ object TextQueries {
     * .stupidBackoff]]'s `minCount` semantics. */
   /** Table-parameterized core of the 5-gram ladder replay: CTE list (no
     * leading WITH) over `$table(doc_id, $textCol)`, ending in
-    * `sc(doc_id, nt, xent)` — per-doc backoff cross-entropy. Each slot's
-    * log-prob quantizes to integer micro-nats before the per-doc sum
-    * (order-free exact BIGINT, mirroring [[graft.ops.TextAnalysis
-    * .stupidBackoff]] bit for bit), then one IEEE division onto the
-    * 6-decimal grid. Shared by the q169/q175 oracles and the q185
-    * capstone. */
+    * `sc(doc_id, nt, xm)` — per-doc backoff cross-entropy in integer
+    * MICRO-NATS. Each slot's log-prob quantizes to integer micro-nats
+    * before the per-doc sum (order-free exact BIGINT, mirroring
+    * [[graft.ops.TextAnalysis.stupidBackoff]] bit for bit), and the mean
+    * rounds IN INTEGER SPACE ([[graft.ops.ExactRound.halfUpDivSql]] —
+    * never `round()` over an IEEE quotient, whose exact .5 ties flip
+    * across engines; the r11 driver's q169 red row). Consumers divide
+    * `xm` by 1e6 once (exact-int-by-power-of-ten — one correctly-rounded
+    * IEEE op) and ORDER terciles BY `xm`. Shared by the q169/q175
+    * oracles and the q185 capstone. */
   private def ladderXentCore(table: String, textCol: String,
       minCount: Int): String = {
     val hv = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
@@ -125,7 +129,8 @@ object TextQueries {
          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 4)) AS i) x
          WHERE len(ts) >= 5),
        sc AS (SELECT dp.doc_id, count(*) AS nt,
-           round(-sum(CAST(round(1e6 * CASE
+           ${graft.ops.ExactRound.halfUpDivSql(
+             """-sum(CAST(round(1e6 * CASE
              WHEN coalesce(n5.c, 0) > 0
                THEN ln(n5.c::DOUBLE) - ln(d5.c::DOUBLE)
              WHEN coalesce(n4.c, 0) > 0
@@ -135,8 +140,7 @@ object TextQueries {
              WHEN coalesce(n2.c, 0) > 0
                THEN 3 * ln(0.4) + ln(n2.c::DOUBLE) - ln(d2.c::DOUBLE)
              ELSE 4 * ln(0.4) + ln(coalesce(f.c, 0)::DOUBLE + 1.0)
-               - ln(tot.n + tot.v) END) AS BIGINT))::DOUBLE
-             / (count(*)::DOUBLE * 1e6), 6) AS xent
+               - ln(tot.n + tot.v) END) AS BIGINT))""", "count(*)")} AS xm
          FROM dp
          LEFT JOIN g5 n5 ON dp.w1 = n5.w1 AND dp.w2 = n5.w2
            AND dp.w3 = n5.w3 AND dp.w4 = n5.w4 AND dp.w5 = n5.w5
@@ -159,9 +163,9 @@ object TextQueries {
     s"""WITH ${ladderXentCore("documents", "text", minCount)},
        b AS (SELECT t.doc_id,
            CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_ngrams,
-           sc.xent AS cross_entropy,
+           sc.xm::DOUBLE / 1e6 AS cross_entropy,
            (['head', 'middle', 'tail'])[ntile(3) OVER (
-             ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+             ORDER BY sc.xm ASC NULLS LAST, t.doc_id)] AS bucket
          FROM toks t LEFT JOIN sc USING (doc_id))
        SELECT doc_id, n_ngrams, cross_entropy, bucket FROM b
        WHERE doc_id < 20 ORDER BY doc_id"""
@@ -175,15 +179,16 @@ object TextQueries {
     // ROUNDED similarity so the boundary is cross-engine deterministic
     "q246_edit_verify" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val sim = round(lit(1.0) -
-        levenshtein(col("ta"), col("tb")).cast("double") /
-          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+      val m = greatest(length(col("ta")), length(col("tb")))
+      val sim = ExactRound.ratioRoundedCol(
+        m - levenshtein(col("ta"), col("tb")), m, 6)
       Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
           n = 3, minJaccard = 0.5)
-        .select("i", "j", "jaccard")
+        .select("i", "j", "jacc_micro")
         .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
         .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"),
+        .select(col("i"), col("j"),
+          (col("jacc_micro").cast("double") / 1e6).as("jaccard"),
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           sim.as("edit_sim"), (sim >= 0.8).as("verified"))
         .orderBy("i", "j")
@@ -424,8 +429,9 @@ object TextQueries {
         .join(uni.select(col("w").as("wb"), col("c1").as("cb")), "wb")
         .crossJoin(broadcast(n))
         .select(col("bg").as("bigram"), col("cab"), col("ca"), col("cb"),
-          round(((col("cab") - 3) * col("nn")).cast("double") /
-            (col("ca") * col("cb")).cast("double"), 6).as("score"))
+          ExactRound.ratioRoundedCol(
+            (col("cab") - lit(3L)).cast("decimal(38,0)") * col("nn"),
+            col("ca").cast("decimal(38,0)") * col("cb"), 6).as("score"))
         .orderBy(col("score").desc, col("bigram"))
         .limit(15)
     }),
@@ -502,8 +508,8 @@ object TextQueries {
         .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
         .select(col("doc_id"), col("source"), col("e6"),
           when(col("n") === 1, lit(0.0))
-            .otherwise(round((col("rn") - 1).cast("double") / (col("n") - 1),
-              6)).as("pctl"))
+            .otherwise(ExactRound.ratioRoundedCol(
+              col("rn") - 1, col("n") - 1, 6)).as("pctl"))
         .orderBy("doc_id")
     }),
 
@@ -523,9 +529,9 @@ object TextQueries {
           .otherwise(col("text")))
       planted.select(col("doc_id"),
           TA.tokenCount(col("t2")).as("n_words"),
-          round(TA.avgWordLen(col("t2")), 6).as("mean_word_len"),
-          round(TA.symbolWordRatio(col("t2"), "#"), 6).as("hash_ratio"),
-          round(TA.alphaWordFraction(col("t2")), 6).as("alpha_frac"),
+          TA.avgWordLenR6(col("t2")).as("mean_word_len"),
+          TA.symbolWordRatioR6(col("t2"), "#").as("hash_ratio"),
+          TA.alphaWordFractionR6(col("t2")).as("alpha_frac"),
           TA.countInSet(col("t2"), TA.EnglishStopwords).as("n_stop"),
           TA.gopherQualityOk(col("t2"), minWords = 20).as("ok"))
         .orderBy("doc_id")
@@ -545,8 +551,10 @@ object TextQueries {
           "j")
         .groupBy(least(col("src_i"), col("src_j")).as("src_a"),
           greatest(col("src_i"), col("src_j")).as("src_b"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jaccard")), 6).as("mean_jaccard"))
+        .agg(count(lit(1)).as("n_pairs"), sum("jacc_micro").as("__jm"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          (ExactRound.halfUpDiv("__jm", "n_pairs").cast("double") / 1e6)
+            .as("mean_jaccard"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -558,12 +566,13 @@ object TextQueries {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
           n = 3, minJaccard = 0.8)
-        .select("i", "j", "jaccard")
+        .select("i", "j", "jacc_micro")
         .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
         .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
         .withColumn("sg", array_intersect(
           Dedup.shingles(col("ta"), 3), Dedup.shingles(col("tb"), 3)))
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"),
+        .select(col("i"), col("j"),
+          (col("jacc_micro").cast("double") / 1e6).as("jaccard"),
           size(col("sg")).as("n_shared"),
           array_join(slice(sort_array(
             transform(col("sg"), g => md5(g))), 1, 3), ",").as("evidence"))
@@ -628,10 +637,13 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("nchars").cast("long").as("sum_chars"),
           sum("nws").cast("long").as("sum_words"),
-          sum("nbpe").cast("long").as("sum_bpe_tokens"),
-          round(sum("nchars").cast("double") / sum("nbpe"), 6)
+          sum("nbpe").cast("long").as("sum_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_bpe_tokens"),
+          ExactRound.ratioRounded("sum_chars", "sum_bpe_tokens", 6)
             .as("chars_per_token"),
-          round(sum("nbpe").cast("double") / sum("nws"), 6).as("fertility"))
+          ExactRound.ratioRounded("sum_bpe_tokens", "sum_words", 6)
+            .as("fertility"))
         .orderBy("lang")
     }),
 
@@ -723,11 +735,11 @@ object TextQueries {
       val pred = TA.nbPredict(withLang, col("doc_id"), col("mtext"), model)
       val lm = TA.stupidBackoff(withLang, col("doc_id"), col("mtext"),
         withLang, col("mtext"), order = 5)
-      pred.join(lm.select(col("id"), col("cross_entropy")), Seq("id"))
+      pred.join(lm.select(col("id"), col("xent_micro")), Seq("id"))
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(
             ntile(3).over(Window.partitionBy(col("pred")).orderBy(
-              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+              col("xent_micro").asc_nulls_last, col("id"))) - 1))
         .groupBy("pred", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("id").as("sum_ids"))
         .orderBy("pred", "bucket")
@@ -1119,7 +1131,8 @@ object TextQueries {
     "q45_shingle_jaccard" -> ((s, d) => {
       Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, minJaccard = 0.8)
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("i"), col("j"),
+          (col("jacc_micro").cast("double") / 1e6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("i"), col("j"))
     }),
 
@@ -1176,7 +1189,7 @@ object TextQueries {
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(
             ntile(3).over(Window.orderBy(
-              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+              col("xent_micro").asc_nulls_last, col("id"))) - 1))
         .filter(col("id") < 20)
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("cross_entropy"), col("bucket"))
@@ -1195,7 +1208,7 @@ object TextQueries {
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(
             ntile(3).over(Window.orderBy(
-              col("cross_entropy").asc_nulls_last, col("id"))) - 1))
+              col("xent_micro").asc_nulls_last, col("id"))) - 1))
         .filter(col("id") < 20)
         .select(col("id").as("doc_id"), col("n_trigrams"),
           col("cross_entropy"), col("bucket"))
@@ -1216,7 +1229,7 @@ object TextQueries {
       val scored = graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
         col("text"), docs, col("text"), order = 5)
       graft.ops.Sampling.ntileExact(scored,
-          Seq(col("cross_entropy").asc_nulls_last, col("id").asc), 3, "__t")
+          Seq(col("xent_micro").asc_nulls_last, col("id").asc), 3, "__t")
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(col("__t") - 1))
         .filter(col("id") < 20)
@@ -1235,7 +1248,7 @@ object TextQueries {
       val scored = graft.ops.TextAnalysis.stupidBackoff(docs, col("doc_id"),
         col("text"), docs, col("text"), order = 5, minCount = 2L)
       graft.ops.Sampling.ntileExact(scored,
-          Seq(col("cross_entropy").asc_nulls_last, col("id").asc), 3, "__t")
+          Seq(col("xent_micro").asc_nulls_last, col("id").asc), 3, "__t")
         .withColumn("bucket",
           array(lit("head"), lit("middle"), lit("tail"))(col("__t") - 1))
         .filter(col("id") < 20)
@@ -1400,7 +1413,8 @@ object TextQueries {
     "q46_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, k = 16, bands = 4, minJaccard = 0.9)
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("i"), col("j"),
+          (col("jacc_micro").cast("double") / 1e6).as("jaccard"))
         .orderBy("i", "j")
     }),
 
@@ -1487,13 +1501,18 @@ object TextQueries {
           concat(col("text"), lit(" "), col("text")))
           .otherwise(col("text")).as("text"))
       planted.select(col("source"),
-          TA.dupNgramFraction(col("text"), 3).as("f"))
+          TA.dupNgramFraction(col("text"), 3).as("f"),
+          TA.dupNgramFractionMicro(col("text"), 3).as("fm"))
         .groupBy("source")
         .agg(count(lit(1)).as("n"),
-          round(avg("f"), 6).as("avg_dup3"),
-          round(max("f"), 6).as("max_dup3"),
+          sum("fm").as("__fs"), max("fm").as("__fx"),
           sum(when(col("f") > 0.2, 1).otherwise(0)).cast("long")
             .as("n_repetitive"))
+        .select(col("source"), col("n"),
+          (ExactRound.halfUpDiv("__fs", "n").cast("double") / 1e6)
+            .as("avg_dup3"),
+          (col("__fx").cast("double") / 1e6).as("max_dup3"),
+          col("n_repetitive"))
         .orderBy("source")
     }),
 
@@ -1528,7 +1547,8 @@ object TextQueries {
     "q83_containment" -> ((s, d) => {
       Dedup.containmentPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, minContainment = 0.9)
-        .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+        .select(col("i"), col("j"),
+          (col("cont_micro").cast("double") / 1e6).as("containment"))
         .orderBy(col("containment").desc, col("i"), col("j"))
     }),
 
@@ -1594,7 +1614,9 @@ object TextQueries {
        |sizes AS (SELECT doc_id AS doc, len(s) n FROM sh),
        |inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
        |  JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
-       |pairs AS (SELECT i, j, ninter * 1.0 / (sa.n + sb.n - ninter) jaccard
+       |pairs AS (SELECT i, j, ninter * 1.0 / (sa.n + sb.n - ninter) jaccard,
+       |  ${graft.ops.ExactRound.gridMicroSql("ninter",
+           "sa.n + sb.n - ninter", 6)} jacc_micro
        |  FROM inter JOIN sizes sa ON sa.doc = i JOIN sizes sb ON sb.doc = j)""".stripMargin
 
   private def jaccardCte: String = "WITH " + jaccardCteBody("documents")
@@ -1637,10 +1659,12 @@ object TextQueries {
     // identical candidate mining, DuckDB's levenshtein as the twin of
     // Spark's, identical rounded-similarity verdict
     "q246_edit_verify" -> {
-      val sim = "round(1.0 - levenshtein(da.text, db.text)::DOUBLE" +
-        " / greatest(length(da.text), length(db.text)), 6)"
+      val sim = graft.ops.ExactRound.ratioRoundedSql(
+        "greatest(length(da.text), length(db.text))" +
+          " - levenshtein(da.text, db.text)",
+        "greatest(length(da.text), length(db.text))", 6)
       s"""$jaccardCte
-         SELECT p.i, p.j, round(p.jaccard, 6) AS jaccard,
+         SELECT p.i, p.j, p.jacc_micro::DOUBLE / 1e6 AS jaccard,
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
            $sim AS edit_sim,
            $sim >= 0.8 AS verified
@@ -1852,14 +1876,15 @@ object TextQueries {
 
     "q226_cross_source_dup" ->
       s"""$jaccardCte,
-         src AS (SELECT p.i, p.j, p.jaccard,
+         src AS (SELECT p.i, p.j, p.jacc_micro,
              least(da.source, db.source) AS src_a,
              greatest(da.source, db.source) AS src_b
            FROM pairs p JOIN documents da ON da.doc_id = p.i
            JOIN documents db ON db.doc_id = p.j
            WHERE p.jaccard >= 0.5)
          SELECT src_a, src_b, count(*) AS n_pairs,
-           round(avg(jaccard), 6) AS mean_jaccard
+           ${graft.ops.ExactRound.halfUpDivSql("sum(jacc_micro)",
+             "count(*)")}::DOUBLE / 1e6 AS mean_jaccard
          FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q236_posting_lists" -> {
@@ -1885,7 +1910,10 @@ object TextQueries {
          uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY 1),
          n AS (SELECT count(*) AS nn FROM toks)
          SELECT bgc.bg AS bigram, cab, ua.c1 AS ca, ub.c1 AS cb,
-           round(((cab - 3) * nn)::DOUBLE / (ua.c1 * ub.c1), 6) AS score
+           (CAST((2 * CAST((cab - 3) AS HUGEINT) * nn * 1000000
+             + CAST(ua.c1 AS HUGEINT) * ub.c1)
+             // (2 * CAST(ua.c1 AS HUGEINT) * ub.c1) AS BIGINT)::DOUBLE
+             / 1000000.0) AS score
          FROM bgc JOIN uni ua ON ua.w = str_split(bgc.bg, ' ')[1]
          JOIN uni ub ON ub.w = str_split(bgc.bg, ' ')[2], n
          ORDER BY score DESC, bigram LIMIT 15""",
@@ -1928,7 +1956,7 @@ object TextQueries {
     // yields no rows for them — they would otherwise vanish from the
     // rank denominator here only)
     "q229_score_normalize" ->
-      """WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
+      s"""WITH chars AS (SELECT doc_id, substr(text, x.i, 1) AS ch
            FROM documents, LATERAL (SELECT
              unnest(generate_series(1, length(text))) AS i) x
            WHERE length(text) > 0),
@@ -1946,7 +1974,8 @@ object TextQueries {
              count(*) OVER (PARTITION BY source) AS n FROM j)
          SELECT doc_id, source, e6,
            CASE WHEN n = 1 THEN 0.0
-             ELSE round((rn - 1)::DOUBLE / (n - 1), 6) END AS pctl
+             ELSE ${graft.ops.ExactRound.ratioRoundedSql(
+               "rn - 1", "n - 1", 6)} END AS pctl
          FROM rk ORDER BY doc_id""",
 
     "q225_gopher_quality" -> {
@@ -1959,11 +1988,9 @@ object TextQueries {
            FROM documents)
          SELECT doc_id,
            CAST(len(str_split(t2, ' ')) AS INT) AS n_words,
-           round(list_sum(list_transform(str_split(t2, ' '),
-             w -> length(w)::BIGINT))::DOUBLE
-             / len(str_split(t2, ' ')), 6) AS mean_word_len,
-           round(${TA.symbolWordRatioSql("t2", "#")}, 6) AS hash_ratio,
-           round(${TA.alphaWordFractionSql("t2")}, 6) AS alpha_frac,
+           ${TA.avgWordLenR6Sql("t2")} AS mean_word_len,
+           ${TA.symbolWordRatioR6Sql("t2", "#")} AS hash_ratio,
+           ${TA.alphaWordFractionR6Sql("t2")} AS alpha_frac,
            CAST(len(list_filter(str_split(t2, ' '), w -> w IN ($stops)))
              AS INT) AS n_stop,
            ${TA.gopherQualityOkSql("t2", minWords = 20)} AS ok
@@ -1972,12 +1999,12 @@ object TextQueries {
 
     "q221_dedup_explain" ->
       s"""$jaccardCte,
-         shared AS (SELECT p.i, p.j, p.jaccard,
+         shared AS (SELECT p.i, p.j, p.jacc_micro,
              list_intersect(sa.s, sb.s) AS sg
            FROM pairs p JOIN sh sa ON sa.doc_id = p.i
            JOIN sh sb ON sb.doc_id = p.j
            WHERE p.jaccard >= 0.8)
-         SELECT i, j, round(jaccard, 6) AS jaccard,
+         SELECT i, j, jacc_micro::DOUBLE / 1e6 AS jaccard,
            CAST(len(sg) AS INT) AS n_shared,
            array_to_string(list_sort(list_transform(sg, g -> md5(g)))[1:3],
              ',') AS evidence
@@ -2095,8 +2122,10 @@ object TextQueries {
            CAST(sum(nchars) AS BIGINT) AS sum_chars,
            CAST(sum(nws) AS BIGINT) AS sum_words,
            CAST(sum(nbpe) AS BIGINT) AS sum_bpe_tokens,
-           round(sum(nchars)::DOUBLE / sum(nbpe), 6) AS chars_per_token,
-           round(sum(nbpe)::DOUBLE / sum(nws), 6) AS fertility
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "sum(nchars)", "sum(nbpe)", 6)} AS chars_per_token,
+           ${graft.ops.ExactRound.ratioRoundedSql(
+             "sum(nbpe)", "sum(nws)", 6)} AS fertility
          FROM dc GROUP BY 1 ORDER BY 1"""
     },
 
@@ -2162,16 +2191,16 @@ object TextQueries {
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
            WHERE len(ts) >= 2),
          sc AS (SELECT dp.doc_id, count(*) AS nb,
-             round(-sum(CAST(round(1e6 * (ln(coalesce(bi.c2, 0) + 1.0)
-               - ln(coalesce(uni.c1, 0) + v.v))) AS BIGINT))::DOUBLE
-               / (count(*)::DOUBLE * 1e6), 6) AS xent
+             CAST((2 * (-sum(CAST(round(1e6 * (ln(coalesce(bi.c2, 0) + 1.0)
+               - ln(coalesce(uni.c1, 0) + v.v))) AS BIGINT))) + count(*))
+               // (2 * count(*)) AS BIGINT) AS xm
            FROM dp LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
            CROSS JOIN v GROUP BY 1),
          b AS (SELECT t.doc_id,
              CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
-             sc.xent AS cross_entropy,
+             sc.xm::DOUBLE / 1e6 AS cross_entropy,
              (['head', 'middle', 'tail'])[ntile(3) OVER (
-               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+               ORDER BY sc.xm ASC NULLS LAST, t.doc_id)] AS bucket
            FROM toks t LEFT JOIN sc USING (doc_id))
          SELECT doc_id, n_bigrams, cross_entropy, bucket FROM b
          WHERE doc_id < 20 ORDER BY doc_id""",
@@ -2197,14 +2226,14 @@ object TextQueries {
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
            WHERE len(ts) >= 3),
          sc AS (SELECT dp.doc_id, count(*) AS nt,
-             round(-sum(CAST(round(1e6 * CASE
+             CAST((2 * (-sum(CAST(round(1e6 * CASE
                WHEN coalesce(tri.c3, 0) > 0
                  THEN ln(tri.c3::DOUBLE) - ln(b12.c2::DOUBLE)
                WHEN coalesce(b23.c2, 0) > 0
                  THEN ln(0.4) + ln(b23.c2::DOUBLE) - ln(u2.c1::DOUBLE)
                ELSE 2 * ln(0.4) + ln(coalesce(u3.c1, 0)::DOUBLE + 1.0)
-                 - ln(tot.n + tot.v) END) AS BIGINT))::DOUBLE
-               / (count(*)::DOUBLE * 1e6), 6) AS xent
+                 - ln(tot.n + tot.v) END) AS BIGINT))) + count(*))
+               // (2 * count(*)) AS BIGINT) AS xm
            FROM dp
            LEFT JOIN tri USING (w1, w2, w3)
            LEFT JOIN bi b12 ON dp.w1 = b12.w1 AND dp.w2 = b12.w2
@@ -2214,9 +2243,9 @@ object TextQueries {
            CROSS JOIN tot GROUP BY 1),
          b AS (SELECT t.doc_id,
              CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_trigrams,
-             sc.xent AS cross_entropy,
+             sc.xm::DOUBLE / 1e6 AS cross_entropy,
              (['head', 'middle', 'tail'])[ntile(3) OVER (
-               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+               ORDER BY sc.xm ASC NULLS LAST, t.doc_id)] AS bucket
            FROM toks t LEFT JOIN sc USING (doc_id))
          SELECT doc_id, n_trigrams, cross_entropy, bucket FROM b
          WHERE doc_id < 20 ORDER BY doc_id""",
@@ -2345,7 +2374,7 @@ object TextQueries {
     // identical slot construction; the mined span set and the per-doc
     // containment join replayed
     "q148_span_coverage" ->
-      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+      s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
          grams AS (SELECT doc_id, array_to_string(ts[x.i:x.i+2], ' ') AS gram
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
            WHERE len(ts) >= 3),
@@ -2359,7 +2388,8 @@ object TextQueries {
          SELECT b.doc_id, b.n_slots,
            CAST(coalesce(h.n_rep, 0) AS BIGINT) AS n_repeated,
            CASE WHEN b.n_slots = 0 THEN 0.0
-             ELSE round(coalesce(h.n_rep, 0)::DOUBLE / b.n_slots, 6) END AS coverage
+             ELSE ${graft.ops.ExactRound.ratioRoundedSql(
+               "coalesce(h.n_rep, 0)", "b.n_slots", 6)} END AS coverage
          FROM base b LEFT JOIN hits h USING (doc_id)
          WHERE b.doc_id < 20 ORDER BY b.doc_id""",
 
@@ -2380,7 +2410,7 @@ object TextQueries {
     // identical slot construction (1-based inclusive list slice ≡ Spark's
     // slice+concat_ws), identical (count DESC, gram ASC) top-1
     "q145_top_ngram_frac" ->
-      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts,
+      s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts,
              length(text) AS nc FROM documents WHERE doc_id < 20),
          grams AS (SELECT doc_id, nc, array_to_string(ts[x.i:x.i+1], ' ') AS gram
            FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
@@ -2393,7 +2423,8 @@ object TextQueries {
          SELECT t.doc_id, coalesce(p.gram, '') AS top_ngram,
            CAST(coalesce(p.cnt, 0) AS BIGINT) AS top_count,
            CASE WHEN t.nc = 0 THEN 0.0
-             ELSE round(coalesce(p.cnt * length(p.gram), 0)::DOUBLE / t.nc, 6)
+             ELSE ${graft.ops.ExactRound.ratioRoundedSql(
+               "coalesce(p.cnt * length(p.gram), 0)", "t.nc", 6)}
            END AS frac
          FROM toks t LEFT JOIN (SELECT * FROM top WHERE rn = 1) p USING (doc_id)
          ORDER BY t.doc_id""",
@@ -2454,7 +2485,9 @@ object TextQueries {
          |hit AS (SELECT doc_id, count(*) h FROM ig
          |  WHERE g IN (SELECT g FROM bg) GROUP BY 1),
          |tot AS (SELECT doc_id, len(s) t FROM inc)
-         |SELECT tot.doc_id AS id, round(coalesce(h, 0) / t, 6) AS overlap,
+         |SELECT tot.doc_id AS id,
+         |  ${graft.ops.ExactRound.ratioRoundedSql("coalesce(h, 0)", "t", 6)}
+         |  AS overlap,
          |  (coalesce(h, 0) / t) >= 0.5 AS contaminated
          |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
          |ORDER BY id""".stripMargin,
@@ -2495,8 +2528,9 @@ object TextQueries {
 
     "q45_shingle_jaccard" ->
       s"""$jaccardCte
-         SELECT i, j, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.8
-         ORDER BY round(jaccard, 6) DESC, i, j""",
+         SELECT i, j, jacc_micro::DOUBLE / 1e6 AS jaccard
+         FROM pairs WHERE jaccard >= 0.8
+         ORDER BY jacc_micro DESC, i, j""",
 
     "q115_heavy_hitters" ->
       """WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) tok FROM documents),
@@ -2536,7 +2570,7 @@ object TextQueries {
     "q46_minhash_lsh" ->
       s"""$jaccardCte,
          $minhashSig
-         SELECT c.i, c.j, round(p.jaccard, 6) AS jaccard FROM cand c
+         SELECT c.i, c.j, p.jacc_micro::DOUBLE / 1e6 AS jaccard FROM cand c
          JOIN pairs p ON p.i = c.i AND p.j = c.j
          WHERE p.jaccard >= 0.9 ORDER BY c.i, c.j""",
 
@@ -2645,7 +2679,7 @@ object TextQueries {
          b AS (SELECT t.doc_id, p.pred,
              (['head', 'middle', 'tail'])[ntile(3) OVER (
                PARTITION BY p.pred
-               ORDER BY sc.xent ASC NULLS LAST, t.doc_id)] AS bucket
+               ORDER BY sc.xm ASC NULLS LAST, t.doc_id)] AS bucket
            FROM pm t JOIN nb_pred p ON t.doc_id = p.id
            LEFT JOIN sc ON sc.doc_id = t.doc_id)
          SELECT pred, bucket, count(*) AS n_docs,
@@ -2809,8 +2843,10 @@ object TextQueries {
          raw AS (${audit(2)} UNION ALL ${audit(4)} UNION ALL ${audit(8)})
          SELECT bands, n_true, n_cand, n_tp,
            n_true - n_tp AS n_fn, n_cand - n_tp AS n_fp,
-           round(n_tp::DOUBLE / n_true, 6) AS recall,
-           CASE WHEN n_cand > 0 THEN round(n_tp::DOUBLE / n_cand, 6)
+           ${graft.ops.ExactRound.ratioRoundedSql("n_tp", "n_true", 6)}
+             AS recall,
+           CASE WHEN n_cand > 0 THEN
+             ${graft.ops.ExactRound.ratioRoundedSql("n_tp", "n_cand", 6)}
              ELSE 0.0 END AS precision
          FROM raw ORDER BY bands"""
     },
@@ -2833,8 +2869,10 @@ object TextQueries {
          nc AS (SELECT count(*) AS c FROM cand)
          SELECT nt.c AS n_true, nc.c AS n_cand, tp.c AS n_tp,
            nt.c - tp.c AS n_fn, nc.c - tp.c AS n_fp,
-           round(tp.c::DOUBLE / nt.c, 6) AS recall,
-           round(tp.c::DOUBLE / nc.c, 6) AS precision
+           ${graft.ops.ExactRound.ratioRoundedSql("tp.c", "nt.c", 6)}
+             AS recall,
+           ${graft.ops.ExactRound.ratioRoundedSql("tp.c", "nc.c", 6)}
+             AS precision
          FROM nt, nc, tp""",
 
     "q192_quantile_gate_per_lang" ->
@@ -2984,13 +3022,16 @@ object TextQueries {
 
     "q127_dup_ngrams" -> {
       val frac = TA.dupNgramFractionSql("text", 3)
+      val fracM = TA.dupNgramFractionMicroSql("text", 3)
       """WITH planted AS (SELECT doc_id, source,
            CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text ELSE text END AS text
            FROM documents),
-         f AS (SELECT source, """ + frac + """ AS f FROM planted)
+         f AS (SELECT source, """ + frac + """ AS f, """ + fracM +
+        """ AS fm FROM planted)
          SELECT source, count(*) AS n,
-           round(avg(f), 6) AS avg_dup3,
-           round(max(f), 6) AS max_dup3,
+           """ + graft.ops.ExactRound.halfUpDivSql("sum(fm)", "count(*)") +
+        """::DOUBLE / 1e6 AS avg_dup3,
+           max(fm)::DOUBLE / 1e6 AS max_dup3,
            CAST(sum(CASE WHEN f > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
          FROM f GROUP BY 1 ORDER BY 1"""
     },
@@ -3045,13 +3086,16 @@ object TextQueries {
          inter AS (SELECT a.doc i, b.doc j, count(*) ninter FROM e a
            JOIN e b ON a.sg = b.sg AND a.doc < b.doc GROUP BY 1, 2),
          cont AS (
-           SELECT i, j, ninter * 1.0 / sa.n c FROM inter
-             JOIN sizes sa ON sa.doc = i
+           SELECT i, j, ninter * 1.0 / sa.n c,
+             ${graft.ops.ExactRound.gridMicroSql("ninter", "sa.n", 6)} cm
+           FROM inter JOIN sizes sa ON sa.doc = i
            UNION ALL
-           SELECT j, i, ninter * 1.0 / sb.n c FROM inter
-             JOIN sizes sb ON sb.doc = j)
-         SELECT i, j, round(c, 6) AS containment FROM cont WHERE c >= 0.9
-         ORDER BY round(c, 6) DESC, i, j""",
+           SELECT j, i, ninter * 1.0 / sb.n c,
+             ${graft.ops.ExactRound.gridMicroSql("ninter", "sb.n", 6)} cm
+           FROM inter JOIN sizes sb ON sb.doc = j)
+         SELECT i, j, cm::DOUBLE / 1e6 AS containment
+         FROM cont WHERE c >= 0.9
+         ORDER BY cm DESC, i, j""",
 
     "q80_tfidf_top" ->
       """WITH toks AS (SELECT doc_id AS doc, unnest(str_split(text, ' ')) tok

@@ -320,9 +320,9 @@ object TpchQueries {
         .withColumn("sq", sum(col("l_quantity").cast("long")).over(w))
         .withColumn("cq", count(lit(1)).over(w))
         .filter(col("l_quantity").cast("long") * 5 * col("cq") < col("sq"))
-        .agg((sum(cents(col("l_extendedprice"))).cast("double") / 700.0)
-          .as("avg_yearly"))
-        .select(round(col("avg_yearly"), 4).as("avg_yearly"))
+        .agg(sum(cents(col("l_extendedprice"))).as("__cs"))
+        .select(graft.ops.ExactRound.ratioRoundedCol(
+          col("__cs"), lit(700L), 4).as("avg_yearly"))
     }),
 
     // TPC-H Q18: large-volume customers (orders above a quantity sum
@@ -626,15 +626,16 @@ object TpchQueries {
          GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3""",
 
     "q108_tpch_q17" ->
-      """WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+      s"""WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'),
          w AS (SELECT *,
              sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sq,
              count(*) OVER (PARTITION BY l_partkey) AS cq
            FROM lp)
-         SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-             AS DOUBLE) / 700.0, 4) AS avg_yearly
+         SELECT ${graft.ops.ExactRound.ratioRoundedSql(
+             "sum(CAST(round(l_extendedprice * 100) AS BIGINT))", "700", 4)}
+           AS avg_yearly
          FROM w WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq""",
 
     "q109_tpch_q18" ->

@@ -274,8 +274,10 @@ class OpsSpecR11 extends AnyFunSuite {
     // grid, exact integer sum, one IEEE division, one 6-decimal round
     val u1 = BigDecimal(1e6 * slot1).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val u2 = BigDecimal(1e6 * slot2).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val want = BigDecimal(-(u1 + u2).toDouble / (2.0 * 1e6))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r12 ExactRound discipline: half-up the BIGINT mean FIRST — never
+    // round an IEEE quotient (its exact .5 ties are engine-dependent)
+    val s = -(u1 + u2)
+    val want = ((2 * s + 2L) / (2 * 2L)).toDouble / 1e6
     assert(got(1L) === ((2L, want)))
   }
 }
