@@ -103,7 +103,16 @@ object Bench {
     * median-relative drift gate self-declared `contaminated: false`
     * while the run's own canary said min 0.196 / median 0.409 — a ~2×
     * loaded box for most of the run. */
-  private[graft] val QuietFloorSec = 0.19
+  /** (r12, advisor) The floor is this box's measured constant, not a
+    * universal one — on a slower host every run would read as
+    * contaminated and the gate would lose all signal, so it is
+    * overridable via GRAFT_BENCH_QUIET_FLOOR_SEC (calibrate once on an
+    * idle target box with the canary, then export). */
+  private[graft] val QuietFloorSec: Double =
+    sys.env.get("GRAFT_BENCH_QUIET_FLOOR_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(f => f > 0 && f < 60)
+      .getOrElse(0.19)
 
   /** Sustained-load detector, gated on the two signals the in-session
     * median gate cannot fake: the canary MEDIAN against the same run's
@@ -316,12 +325,25 @@ object Bench {
         .mkString("{", ",", "}")
     val suspectCapped = suspect.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","cpu_total":$totalCpu,""" +
+    val summary =
+      s"""{"metric":"summary","value":$total,"unit":"sec","cpu_total":$totalCpu,""" +
       s""""n_queries":${names.length},"passes":${passes.length},""" +
       s""""canary":{"min":${r3(canaryAll.min)},"median":${r3(canaryMedian)},"max_drift":${r3(canaryAll.max / canaryMedian)},""" +
       s""""floor_sec":$QuietFloorSec,"sustained_load":$sustained,"preprobe_waits":$waits,"quarantined_segments":$quarantinedSegments},""" +
       s""""contaminated":$contaminated,"n_suspect":${suspect.length},"suspect":$suspectCapped,""" +
-      s""""top10_wall":${jmapOf(top10, _.wall)},"top10_cpu":${jmapOf(top10, _.cpu)},"sf":"$sfDir"}""")
+      s""""top10_wall":${jmapOf(top10, _.wall)},"top10_cpu":${jmapOf(top10, _.cpu)},"sf":"$sfDir"}"""
+    println(summary)
+    // Belt and suspenders against the driver's tail-capture parsing
+    // (BENCH_r11 `parsed: null`: the line survived the tail but wore
+    // sbt's "[info] " prefix and was followed by "[success] ..."): the
+    // identical JSON lands in BENCH_SUMMARY.json at the repo root, and
+    // goes out once more over stderr — which sbt passes through
+    // UNPREFIXED — as this process's very last words.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    System.err.println(summary)
+    System.err.flush()
   }
 }

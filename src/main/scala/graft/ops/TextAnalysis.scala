@@ -754,7 +754,21 @@ object TextAnalysis {
     val docCounts = df.groupBy(label.cast("string").as("__l"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val labels = docCounts.keys.toSeq.sorted
+    // UTF-8 BYTE order, not Java's UTF-16 code-unit sort: the batch twin
+    // tie-breaks via sort_array over UTF8String structs (binary UTF-8
+    // comparison), and the two orders disagree for labels containing
+    // U+E000..U+FFFF vs supplementary-plane characters — one collation
+    // for every path (advisor, r11)
+    val labels = docCounts.keys.toSeq.sortWith { (a, b) =>
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < x.length && i < y.length) {
+        r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+      }
+      if (r != 0) r < 0 else x.length < y.length
+    }
     val nDocs = docCounts.valuesIterator.sum.toDouble
     val totals = counts.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._3).sum }
     val priorsU = docCounts.map { case (l, n) => l -> u(math.log(n / nDocs)) }

@@ -3016,8 +3016,9 @@ object TextQueries {
            FROM __nbsc)
          SELECT a.id AS doc_id, a.l AS pred,
            CAST(a.score - b.score AS BIGINT) AS margin_u,
-           (a.score - b.score) >= 500000 AS confident
-         FROM __rk a JOIN __rk b ON b.id = a.id AND b.rn = 2
+           CASE WHEN b.score IS NULL THEN NULL
+             ELSE (a.score - b.score) >= 500000 END AS confident
+         FROM __rk a LEFT JOIN __rk b ON b.id = a.id AND b.rn = 2
          WHERE a.rn = 1 AND a.id < 200 ORDER BY doc_id""",
 
     "q127_dup_ngrams" -> {
