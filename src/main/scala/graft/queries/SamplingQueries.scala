@@ -94,6 +94,82 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // DPO/RLHF preference-pair assembly: DETERMINISTIC pairing key
+    // (pair i = docs 2i/2i+1), the shared prompt from the even doc's
+    // first half, candidate responses from both docs' second halves,
+    // chosen = higher vocabulary-richness reward (distinct response
+    // tokens; tie keeps the even doc — total order). Every 7th pair
+    // gets a PLANTED template prompt so prompt-level dedup ACROSS pairs
+    // (dedupExact on the prompt fingerprint, keep lowest pair_id)
+    // provably fires. Pure per-row projections + one keep-first window
+    // on the prompt hash; the surviving pair stream is byte-pinned
+    "q256_preference_pairs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val base = t(s, d, "documents").select(col("doc_id"),
+        array_join(slice(toks, lit(1), half), " ").as("fh"),
+        array_join(slice(toks, half + 1, size(toks) - half), " ").as("sh"))
+      val a = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(expr("doc_id DIV 2").as("pair_id"),
+          col("doc_id").as("src_a"), col("fh"), col("sh").as("resp_a"))
+        .withColumn("prompt",
+          when(pmod(col("pair_id"), lit(7)) === 0,
+            lit("write a short story about data")).otherwise(col("fh")))
+      val b = base.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(expr("doc_id DIV 2").as("pair_id"),
+          col("doc_id").as("src_b"), col("sh").as("resp_b"))
+      def reward(c: org.apache.spark.sql.Column) =
+        size(array_distinct(split(c, " "))).cast("long")
+      val paired = a.join(b, "pair_id")
+        .withColumn("ra", reward(col("resp_a")))
+        .withColumn("rb", reward(col("resp_b")))
+        .withColumn("chosen",
+          when(col("rb") > col("ra"), col("resp_b")).otherwise(col("resp_a")))
+        .withColumn("rejected",
+          when(col("rb") > col("ra"), col("resp_a")).otherwise(col("resp_b")))
+        .withColumn("chosen_src",
+          when(col("rb") > col("ra"), col("src_b")).otherwise(col("src_a")))
+      Dedup.dedupExact(paired, md5(col("prompt")), col("pair_id"))
+        .filter(col("pair_id") < 40)
+        .select(col("pair_id"), md5(col("prompt")).as("prompt_fp"),
+          col("chosen_src"),
+          (col("src_a") + col("src_b") - col("chosen_src"))
+            .as("rejected_src"),
+          greatest(col("ra"), col("rb")).as("reward_chosen"),
+          abs(col("ra") - col("rb")).as("reward_margin"),
+          md5(concat_ws(" ||| ", col("prompt"), col("chosen"),
+            col("rejected"))).as("fp"))
+        .orderBy("pair_id")
+    }),
+
+    // leakage audit of the q256 PROMPTS against the eval splits (q167's
+    // shape pointed at the pair table): a prompt whose 5-grams overlap a
+    // non-train document >= 50 % would leak eval content into reward
+    // training. Prompts derive from even docs, the split is hash-based,
+    // so genuinely contaminated prompts exist (their source doc landed
+    // in val/test); the planted template prompts never hit. The census
+    // pins every pair's verdict (counts + pair-id sums + overlap range)
+    "q257_preference_leakage" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val docs = t(s, d, "documents").withColumn("split",
+        Sampling.splitColumn(col("doc_id"), SplitNames, SplitWeights))
+      val prompts = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(expr("doc_id DIV 2").as("pair_id"),
+          array_join(slice(toks, lit(1), half), " ").as("__fh"))
+        .select(col("pair_id"),
+          when(pmod(col("pair_id"), lit(7)) === 0,
+            lit("write a short story about data")).otherwise(col("__fh"))
+            .as("prompt"))
+      val bench = docs.filter(col("split") =!= "train").select(col("text"))
+      Dedup.ngramOverlap(prompts, col("pair_id"), col("prompt"),
+          bench, col("text"), n = 5, threshold = 0.5)
+        .groupBy("contaminated")
+        .agg(count(lit(1)).as("n_pairs"), sum("id").as("sum_pair_ids"),
+          min("overlap").as("min_overlap"), max("overlap").as("max_overlap"))
+        .orderBy("contaminated")
+    }),
+
     // epoch/repeat mixture recipe (the LLaMA-class data card): target
     // sampling weights per language + a fixed token budget → each
     // group's target tokens, full epochs over its corpus, leftover
@@ -912,6 +988,72 @@ object SamplingQueries {
            CAST(len(str_split(pp, ' ')) AS BIGINT) AS resp_start_tok,
            md5(pp || ' ' || resp) AS fp
          FROM p ORDER BY doc_id""",
+
+    // identical pairing arithmetic (doc_id // 2), identical planted
+    // template prompt, reward and tie-break, and the identical
+    // keep-lowest-pair_id dedup window on the prompt hash
+    "q256_preference_pairs" ->
+      """WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         c AS (SELECT doc_id, len(ts) // 2 AS k, len(ts) AS n, ts FROM b),
+         h AS (SELECT doc_id,
+             coalesce(array_to_string(ts[1:k], ' '), '') AS fh,
+             coalesce(array_to_string(ts[k+1:n], ' '), '') AS sh FROM c),
+         a AS (SELECT doc_id // 2 AS pair_id, doc_id AS src_a,
+             CASE WHEN (doc_id // 2) % 7 = 0
+               THEN 'write a short story about data' ELSE fh END AS prompt,
+             sh AS resp_a FROM h WHERE doc_id % 2 = 0),
+         bb AS (SELECT doc_id // 2 AS pair_id, doc_id AS src_b,
+             sh AS resp_b FROM h WHERE doc_id % 2 = 1),
+         p AS (SELECT a.pair_id, a.src_a, bb.src_b, a.prompt,
+             a.resp_a, bb.resp_b,
+             len(list_distinct(str_split(a.resp_a, ' '))) AS ra,
+             len(list_distinct(str_split(bb.resp_b, ' '))) AS rb
+           FROM a JOIN bb USING (pair_id)),
+         ch AS (SELECT *,
+             CASE WHEN rb > ra THEN resp_b ELSE resp_a END AS chosen,
+             CASE WHEN rb > ra THEN resp_a ELSE resp_b END AS rejected,
+             CASE WHEN rb > ra THEN src_b ELSE src_a END AS chosen_src
+           FROM p),
+         dd AS (SELECT *, row_number() OVER (
+             PARTITION BY md5(prompt) ORDER BY pair_id) AS rn FROM ch)
+         SELECT CAST(pair_id AS BIGINT) AS pair_id,
+           md5(prompt) AS prompt_fp,
+           CAST(chosen_src AS BIGINT) AS chosen_src,
+           CAST(src_a + src_b - chosen_src AS BIGINT) AS rejected_src,
+           CAST(greatest(ra, rb) AS BIGINT) AS reward_chosen,
+           CAST(abs(ra - rb) AS BIGINT) AS reward_margin,
+           md5(prompt || ' ||| ' || chosen || ' ||| ' || rejected) AS fp
+         FROM dd WHERE rn = 1 AND pair_id < 40 ORDER BY pair_id""",
+
+    // identical prompt construction, identical 5-gram benchmark set from
+    // the non-train splits, identical overlap rational on the integer
+    // grid and raw-quotient threshold
+    "q257_preference_leakage" ->
+      s"""WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts, text,
+           ${Sampling.splitSql("doc_id", SplitNames, SplitWeights)} AS split
+           FROM documents),
+         pr AS (SELECT doc_id // 2 AS pair_id,
+             CASE WHEN (doc_id // 2) % 7 = 0
+               THEN 'write a short story about data'
+               ELSE coalesce(array_to_string(ts[1:len(ts) // 2], ' '), '')
+               END AS prompt
+           FROM b WHERE doc_id % 2 = 0),
+         bench AS (SELECT DISTINCT g FROM (SELECT
+             unnest(${Dedup.shinglesSql("text", 5)}) AS g
+           FROM b WHERE split <> 'train') t),
+         inc AS (SELECT pair_id,
+             unnest(${Dedup.shinglesSql("prompt", 5)}) AS g FROM pr),
+         ov AS (SELECT inc.pair_id, count(*) AS tot, count(bench.g) AS hit
+           FROM inc LEFT JOIN bench ON inc.g = bench.g GROUP BY 1),
+         sc AS (SELECT pair_id,
+             ${graft.ops.ExactRound.ratioRoundedSql("hit", "tot", 6)}
+               AS overlap,
+             (hit::DOUBLE / tot::DOUBLE) >= 0.5 AS contaminated
+           FROM ov)
+         SELECT contaminated, count(*) AS n_pairs,
+           CAST(sum(pair_id) AS BIGINT) AS sum_pair_ids,
+           min(overlap) AS min_overlap, max(overlap) AS max_overlap
+         FROM sc GROUP BY 1 ORDER BY 1""",
 
     // identical per-language aggregates, weight CASE and integer-DIV
     // recipe arithmetic

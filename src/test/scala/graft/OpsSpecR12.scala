@@ -86,6 +86,33 @@ class OpsSpecR12 extends AnyFunSuite {
     assert(got(1L)._3 === 1206629L && got(1L)._2 === 1.206629)
   }
 
+  // ---- preference-pair assembly invariants ------------------------------
+
+  test("q256 preference pairs: template prompts collapse to ONE survivor " +
+    "(lowest pair_id), chosen always carries the max reward, and " +
+    "chosen/rejected sources partition the pair") {
+    val spark0 = spark
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q256_preference_pairs")(spark0, sf)
+      .collect()
+    // every 7th pair shares the planted template prompt -> dedupExact
+    // must keep exactly one of them, and it must be pair 0
+    val byFp = out.groupBy(_.getAs[String]("prompt_fp"))
+    byFp.foreach { case (fp, rows) =>
+      assert(rows.length === 1, s"prompt_fp $fp survived ${rows.length}×")
+    }
+    val ids = out.map(_.getAs[Long]("pair_id")).toSet
+    assert(ids.contains(0L), "template family must keep pair 0")
+    assert(!ids.exists(i => i != 0L && i % 7 == 0 && i < 40),
+      "all later template pairs must dedup away")
+    out.foreach { r =>
+      val (c, rj) = (r.getAs[Long]("chosen_src"), r.getAs[Long]("rejected_src"))
+      val p = r.getAs[Long]("pair_id")
+      assert(Set(c, rj) === Set(2 * p, 2 * p + 1), s"pair $p sources")
+      assert(r.getAs[Long]("reward_margin") >= 0L)
+    }
+  }
+
   test("stupidBackoff exposes xent_micro and cross_entropy = xm/1e6 " +
     "exactly (one exact-int-by-1e6 division, no round())") {
     import spark.implicits._
