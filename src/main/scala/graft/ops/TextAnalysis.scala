@@ -112,6 +112,38 @@ object TextAnalysis {
     } finally words.unpersist()
   }
 
+  /** Persist a trained BPE as a VERSIONED ARTIFACT TABLE
+    * `(rank, left, right, byte_level)` via [[graft.core.Ingest
+    * .atomicPublish]] — the serving shape a real pipeline needs around
+    * [[bpeTrain]]: the trainer runs once, then every apply/metering job
+    * (and every retry, on any cluster) cold-loads the SAME artifact
+    * instead of holding merges in one driver's memory. Re-publishing a
+    * retrained model flips readers atomically (the moveparquet barrier
+    * semantics); the artifact is merge-list-sized, i.e. driver-small by
+    * the [[graft.functions.BpeModel]] contract. Returns the version id. */
+  def bpeSave(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], byteLevel: Boolean,
+      tableDir: String): String = {
+    import spark.implicits._
+    val df = merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b, byteLevel) }
+      .toDF("rank", "left", "right", "byte_level")
+    graft.core.Ingest.atomicPublish(df.coalesce(1), tableDir)
+  }
+
+  /** Cold-reload the published BPE artifact: resolve the manifest, read
+    * the current version, rebuild `(merges in rank order, byteLevel)` —
+    * [[bpeTokens]] on the result is bit-equal to the trainer's own
+    * in-memory list (ServiceSpec pins the round trip). */
+  def bpeLoad(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): (Seq[(String, String)], Boolean) = {
+    val rows = graft.core.Ingest.readPublished(spark, tableDir)
+      .orderBy("rank").collect()
+    (rows.map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+       .toSeq,
+     rows.headOption.exists(_.getAs[Boolean]("byte_level")))
+  }
+
   /** Unicode normalization via the native [[graft.functions
     * .UnicodeNormalize]] projection (NFC default — the web-canonical
     * composed form with a DuckDB `nfc_normalize` twin; NFKC folds

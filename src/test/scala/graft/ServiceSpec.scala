@@ -380,6 +380,34 @@ class ServiceSpec extends AnyFunSuite {
     assert(OpsApi.hasPoolMonitor(appId))
   }
 
+  test("BPE artifact round-trip: train -> versioned publish -> cold " +
+    "reload -> bit-equal tokenization; re-publish flips atomically") {
+    import spark.implicits._
+    import graft.ops.{TextAnalysis => TA}
+    val dir = Files.createTempDirectory("graft-bpe").toString + "/bpe"
+    val corpus = Seq("low lower lowest", "low low slow slower",
+      "newer newest lower low", "café ueber café").toDF("text")
+    val merges = TA.bpeTrain(corpus, col("text"), nMerges = 6,
+      byteLevel = true)
+    assert(merges.nonEmpty)
+    TA.bpeSave(spark, merges, byteLevel = true, dir)
+    val (loaded, byteLevel) = TA.bpeLoad(spark, dir)
+    assert(loaded === merges && byteLevel)
+    // the reloaded artifact must tokenize EVERY probe bit-identically to
+    // the trainer's in-memory list (q173's metering contract)
+    val probes = Seq("lowest slow café zz", "newer low", "").toDF("t")
+    val both = probes.select(
+      TA.bpeTokens(col("t"), merges, byteLevel = true).as("mem"),
+      TA.bpeTokens(col("t"), loaded, byteLevel).as("cold")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // retrain deeper, re-publish: readers flip to the new version whole
+    val merges2 = TA.bpeTrain(corpus, col("text"), nMerges = 10,
+      byteLevel = true)
+    TA.bpeSave(spark, merges2, byteLevel = true, dir)
+    val (loaded2, _) = TA.bpeLoad(spark, dir)
+    assert(loaded2 === merges2 && loaded2.length > loaded.length)
+  }
+
   test("arrow result round-trips every wire type including nulls") {
     val df = spark.sql(
       """SELECT * FROM VALUES
