@@ -379,8 +379,10 @@ object TextAnalysis {
     s"(NOT contains(lower($col), '$C4DocBlockPhrase') AND NOT contains($col, '{'))"
 
   def c4CleanTextSql(col: String, minWords: Int = 3): String =
-    s"array_to_string(list_filter(str_split($col, chr(10)), " +
-      s"l -> ${c4KeepLineSql("l", minWords)}), chr(10))"
+    // coalesce: DuckDB array_to_string([]) is NULL where Spark
+    // array_join([]) is '' — bit at sf0.001, where a doc loses every line
+    s"coalesce(array_to_string(list_filter(str_split($col, chr(10)), " +
+      s"l -> ${c4KeepLineSql("l", minWords)}), chr(10)), '')"
 
   /** RefinedWeb/CCNet-style boilerplate removal: drop every line that
     * appears in at least `minDocs` DISTINCT documents (nav bars, cookie

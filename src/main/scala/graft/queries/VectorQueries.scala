@@ -587,9 +587,13 @@ object VectorQueries {
 
     // serving-scale hard-negative mining: mine from the IVF-partitioned
     // layout (scan = probed inverted lists only, partition-pruned) and pin
-    // per-anchor agreement with q164's brute miner — the recall-bound
-    // contract of q57/q125. nProbe=7 of 8 on unclustered testdata (the
-    // same budget q125 needs); group metadata joins in AFTER pruning
+    // per-anchor agreement with q164's brute miner. nProbe = nCentroids
+    // (full coverage) makes the agreement a THEOREM rather than a recall
+    // bet — at sf0.001 the 7-of-8 budget genuinely missed a neighbor in
+    // the unprobed list and the pinned-TRUE oracle went red; partial-probe
+    // recall economics stay covered by q125/q156, while this query pins
+    // the partitioned write→prune→read-back→residual-score plumbing.
+    // Group metadata joins in AFTER pruning
     "q170_hard_negatives_ivf" -> ((s, d) => {
       val docsrc = t(s, d, "documents").select(col("doc_id"), col("source"))
       val e = emb(s, d).join(docsrc, col("vec_id") === col("doc_id"))
@@ -601,7 +605,7 @@ object VectorQueries {
       val idx = Sim.hardNegativesFromIndex(s, dir,
         docsrc, col("doc_id"), col("source"),
         anchors, col("vec_id"), col("embedding"), col("source"),
-        nProbe = 7, k = 3)
+        nProbe = 8, k = 3)
       val brute = Sim.hardNegatives(corpus, col("vec_id"), col("embedding"),
         col("source"), anchors, col("vec_id"), col("embedding"), col("source"),
         k = 3)
@@ -1120,9 +1124,10 @@ object VectorQueries {
          SELECT anchor, vec_id, round(cos, 6) AS cos, rk
          FROM rk WHERE rk <= 3 ORDER BY anchor, rk""",
 
-    // the probed mining result is engine-specific (which lists the anchors
-    // probe); its agreement with the brute miner is not — same contract as
-    // q57/q125, one pinned-TRUE row per anchor
+    // full-coverage probing (nProbe = nCentroids) makes index-vs-brute
+    // agreement exact BY CONSTRUCTION at every SF — one pinned-TRUE row
+    // per anchor is the honest contract (partial-probe recall is q125/
+    // q156's bound-checked territory)
     "q170_hard_negatives_ivf" ->
       """SELECT CAST(1 AS BIGINT) AS anchor, 3 AS k, TRUE AS agree_ok
          UNION ALL SELECT CAST(2 AS BIGINT), 3, TRUE
