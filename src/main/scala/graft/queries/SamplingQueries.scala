@@ -170,6 +170,37 @@ object SamplingQueries {
         .orderBy("contaminated")
     }),
 
+    // group-integrity split for the PAIR table (q216's GroupKFold
+    // discipline keyed on the PROMPT): reward-model train/eval must
+    // split by prompt fingerprint, never by pair id — two pairs sharing
+    // a prompt (the q256 template family, pre-dedup) on opposite sides
+    // would leak the prompt into eval. Split hashes md5(prompt); the
+    // per-(split, family) census pins every assignment and the
+    // max-splits-per-prompt = 1 row pins the no-straddle contract
+    "q258_pair_group_split" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val pairs = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(expr("doc_id DIV 2").as("pair_id"),
+          array_join(slice(toks, lit(1), half), " ").as("__fh"))
+        .select(col("pair_id"),
+          when(pmod(col("pair_id"), lit(7)) === 0,
+            lit("write a short story about data")).otherwise(col("__fh"))
+            .as("prompt"))
+      val withSplit = pairs.withColumn("split",
+        Sampling.splitColumn(md5(col("prompt")), SplitNames, SplitWeights))
+      val integrity = withSplit.groupBy(md5(col("prompt")).as("__fp"))
+        .agg(countDistinct("split").as("k"))
+        .agg(max("k").as("max_splits_per_prompt"))
+      withSplit.groupBy("split")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(md5(col("prompt"))).as("n_prompts"),
+          sum("pair_id").as("sum_pair_ids"))
+        .crossJoin(broadcast(integrity))
+        .orderBy("split")
+    }),
+
     // epoch/repeat mixture recipe (the LLaMA-class data card): target
     // sampling weights per language + a fixed token budget → each
     // group's target tokens, full epochs over its corpus, leftover
@@ -1054,6 +1085,31 @@ object SamplingQueries {
            CAST(sum(pair_id) AS BIGINT) AS sum_pair_ids,
            min(overlap) AS min_overlap, max(overlap) AS max_overlap
          FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // identical prompt construction and md5-keyed split CASE; the
+    // no-straddle max replayed over the same distinct-split census
+    "q258_pair_group_split" ->
+      s"""WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents WHERE doc_id % 2 = 0),
+         pr AS (SELECT doc_id // 2 AS pair_id,
+             CASE WHEN (doc_id // 2) % 7 = 0
+               THEN 'write a short story about data'
+               ELSE coalesce(array_to_string(ts[1:len(ts) // 2], ' '), '')
+               END AS prompt
+           FROM b),
+         ws AS (SELECT pair_id, prompt,
+             ${Sampling.splitSql("md5(prompt)", SplitNames, SplitWeights)}
+               AS split
+           FROM pr),
+         integ AS (SELECT CAST(max(k) AS BIGINT) AS max_splits_per_prompt
+           FROM (SELECT md5(prompt) AS fp, count(DISTINCT split) AS k
+             FROM ws GROUP BY 1))
+         SELECT split, count(*) AS n_pairs,
+           CAST(count(DISTINCT md5(prompt)) AS BIGINT) AS n_prompts,
+           CAST(sum(pair_id) AS BIGINT) AS sum_pair_ids,
+           max_splits_per_prompt
+         FROM ws, integ GROUP BY split, max_splits_per_prompt
+         ORDER BY split""",
 
     // identical per-language aggregates, weight CASE and integer-DIV
     // recipe arithmetic

@@ -16,9 +16,14 @@ sf <= 0.1, so sf1.0 is synthesized from sf0.1 as 10 replicas with:
     instead of 10x organic growth. Distinct-gram tables therefore grow
     ~linearly with the corpus — the pessimistic (upper-bound) regime
     for count-table shuffles vs Heaps-law sublinearity on real data;
-  - embeddings perturbed per (replica, dimension) with a deterministic
-    +/-0.15 lattice offset so replicas are not bitwise-identical
-    vectors (same artificial-near-dup argument, vector side);
+  - embeddings perturbed with a deterministic ZERO-MEAN per
+    (vector, dimension, replica) jitter of +/-~0.12 — large enough
+    that cross-replica cosines drop well below the 0.95 near-dup
+    thresholds (replicas are independent vectors, 10x organic
+    growth), zero-mean so no shared drift direction emerges (a
+    CONSTANT shift made every high-replica vector near-parallel to
+    the all-ones direction: one giant cosine clique, and the
+    connected-components queries degenerated — measured, then fixed);
   - events/timestamps kept in-window (10x density, same span).
 
 Everything is pure arithmetic on the base tables — no RNG — so the
@@ -91,8 +96,10 @@ def main(src, dst, reps):
         FROM {base('documents')}""")
     gen("embeddings", lambda r: f"""
         SELECT vec_id + {r * OFF} AS vec_id,
-               list_transform(embedding,
-                 x -> (x + {r} * 0.037)::FLOAT) AS embedding,
+               CASE WHEN {r} = 0 THEN embedding
+                 ELSE list_transform(embedding, (x, i) ->
+                   (x + (((vec_id * 37 + i * 101 + {r} * 53) % 19) - 9)
+                    * 0.013)::FLOAT) END AS embedding,
                label FROM {base('embeddings')}""")
 
 
