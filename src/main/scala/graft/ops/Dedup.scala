@@ -985,16 +985,26 @@ object Dedup {
     val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     try {
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
-    val edges = snap(pairs.select(col("i").as("a"), col("j").as("b"))
+    // withFreshStats: checkpoint PROPAGATES the child plan's Statistics,
+    // and in this loop round N's estimate is a product over round N−1's —
+    // the inherited sizeInBytes BigInt squares per generation and the
+    // driver's stats walk goes exponential (measured 0.6→1.9→7.4→43.5 s
+    // per snap at 10× bench scale before the reset; see
+    // GraftColumnBridge.withFreshStats). snap returns (plan frame, RAW
+    // checkpointed frame): the raw one is what releaseCheckpoint can
+    // find the persisted blocks through.
+    def snap(df: DataFrame): (DataFrame, DataFrame) = {
+      val ck = if (checkpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(true)
+      (org.apache.spark.sql.GraftColumnBridge.withFreshStats(ck), ck)
+    }
+    val (edges, edgesCk) = snap(pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct())
     // init = identity labels with the first neighbour-min round fused in
     // (one groupBy): pair-shaped clusters are already final here and the
     // loop only has to confirm convergence
-    var labels = snap(edges.groupBy(col("a").as("node"))
+    var (labels, labelsCk) = snap(edges.groupBy(col("a").as("node"))
       .agg(min("b").as("nbr_min"))
       .select(col("node"), least(col("node"), col("nbr_min")).as("cluster")))
     var converged = false
@@ -1018,7 +1028,7 @@ object Dedup {
           least(col("mid"), coalesce(col("rmid"), col("mid"))).as("mid2"))
       val clusterExpr =
         least(col("mid2"), coalesce(col("r2mid"), col("mid2")))
-      val next = snap(hop1.as("h")
+      val (next, nextCk) = snap(hop1.as("h")
         .join(hop1.select(col("node").as("r2node"), col("mid2").as("r2mid")).as("r2"),
           col("mid2") === col("r2node"), "left")
         .select(col("node"), clusterExpr.as("cluster"),
@@ -1028,11 +1038,12 @@ object Dedup {
           // here would silently not tally and could converge prematurely
           tally(coalesce(col("prev") =!= clusterExpr, lit(true))).as("chg")))
       converged = changed.value == 0L
-      releaseCheckpoint(labels)
+      releaseCheckpoint(labelsCk)
       labels = next.select("node", "cluster")
+      labelsCk = nextCk
       iter += 1
     }
-    releaseCheckpoint(edges)
+    releaseCheckpoint(edgesCk)
     labels
     } finally {
       if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)

@@ -748,10 +748,15 @@ object Similarity {
       val qn = normalizeDriver(qv)
       val anchorMap = spark.read.parquet(s"$path.anchors")
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
-      val lutDf = broadcast(probe.map { cid =>
-        val an = anchorMap(cid)
-        val qres = Array.tabulate(qn.length)(i => qn(i) - an(i))
-        (cid, adcLuts(model, qres).map(_.toSeq).toSeq)
+      // a probed cluster can be EMPTY (k-means drops a centroid when no
+      // vector assigns to it — routinely at scale): it has no anchor row
+      // and nothing to scan, so it simply contributes no LUT (a hard
+      // lookup here failed the 10× bench run with `key not found`)
+      val lutDf = broadcast(probe.flatMap { cid =>
+        anchorMap.get(cid).map { an =>
+          val qres = Array.tabulate(qn.length)(i => qn(i) - an(i))
+          (cid, adcLuts(model, qres).map(_.toSeq).toSeq)
+        }
       }.toSeq.toDF("cluster", "__luts"))
       pruned.join(lutDf, Seq("cluster"))
         .select(col("id"), (0 until model.m).map { j =>
