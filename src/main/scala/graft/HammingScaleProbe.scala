@@ -1,0 +1,28 @@
+package graft
+// Dev scaling probe (r12): measures simhash pair mining at the
+// production signature width (60 bits — the portable-hash maximum)
+// vs the 16-bit oracle-replayable configuration, at two SFs. Evidence
+// behind README's scaling-table row for q93: the 16-bit keyspace
+// saturates by the birthday bound (same-value collisions go
+// quadratic); the wide signature scales sublinearly.
+import org.apache.spark.sql.functions._
+object HammingScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create("graft-h64")
+    for (dir <- args) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def run(bits: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.simhashPairs(docs, col("doc_id"),
+          col("text"), bits = bits, maxHamming = 3).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      run(60) // warmup
+      val (n64, t64) = run(60)
+      val (n16, t16) = run(16)
+      println(f"[h64] $dir bits=60: $n64 pairs in $t64%.2f s; " +
+        f"bits=16: $n16 pairs in $t16%.2f s")
+    }
+    spark.stop()
+  }
+}
