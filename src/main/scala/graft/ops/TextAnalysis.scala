@@ -551,9 +551,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && c > 0, s"k and c must be positive, got k=$k c=$c")
     def side(df: DataFrame) = df.select(col("qid"), col("doc"), col("rk"))
+    // each 1/(c+rank) term quantizes to the 1e-6 integer grid BEFORE the
+    // sum (ExactRound): the raw double Σ is summation-order-dependent
+    // (the q157/q169 hazard class) and rounding it rounds an IEEE sum —
+    // the integer path is order-free and engine-exact
     side(a).unionByName(side(b))
       .groupBy("qid", "doc")
-      .agg(round(sum(lit(1.0) / (lit(c) + col("rk"))), 6).as("score"))
+      .agg(sum(ExactRound.gridMicroCol(lit(1L), lit(c.toLong) + col("rk"), 6))
+        .as("__su"))
+      .select(col("qid"), col("doc"),
+        (col("__su").cast("double") / 1e6).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc"))))

@@ -2727,7 +2727,8 @@ object TextQueries {
          v AS (SELECT 'q' || i AS qid, j AS doc, rk FROM vrk WHERE rk <= 5),
          u AS (SELECT * FROM l UNION ALL SELECT * FROM v),
          f AS (SELECT qid, doc,
-             round(sum(1.0::DOUBLE / (60 + rk)), 6) AS score
+             sum(${graft.ops.ExactRound.gridMicroSql("1", "60 + rk", 6)}
+               )::DOUBLE / 1e6 AS score
            FROM u GROUP BY 1, 2),
          fr AS (SELECT qid, doc, score, row_number() OVER (
              PARTITION BY qid ORDER BY score DESC, doc) AS rk FROM f)

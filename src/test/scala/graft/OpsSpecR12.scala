@@ -86,6 +86,35 @@ class OpsSpecR12 extends AnyFunSuite {
     assert(got(1L)._3 === 1206629L && got(1L)._2 === 1.206629)
   }
 
+  // ---- checkpoint statistics hygiene -------------------------------------
+
+  test("withFreshStats bounds checkpoint-generation statistics: an " +
+    "iterative snap loop keeps a constant-size estimate instead of " +
+    "squaring it every round (the q215 10x-scale driver hang)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    def sz(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    var df = (0L until 50L).map(i => (i, i % 7)).toDF("a", "b")
+    var sizes = Vector.empty[BigInt]
+    for (_ <- 1 to 4) {
+      val joined = df.as("x")
+        .join(df.select(col("a").as("a2"), col("b").as("b2")).as("y"),
+          col("b") === col("b2"))
+        .groupBy("a").agg(min("b2").as("b"))
+      df = GraftColumnBridge.withFreshStats(joined.localCheckpoint(true))
+      sizes = sizes :+ sz(df)
+    }
+    // every generation reports the same bounded leaf estimate — without
+    // the reset, generation N's estimate multiplies generation N-1's
+    // (localCheckpoint inherits child-plan Statistics) and the BigInt
+    // digit count grows geometrically
+    assert(sizes.distinct.size === 1,
+      s"checkpoint stats drifted across generations: $sizes")
+    // and the data itself round-trips the re-wrap untouched
+    assert(df.count() === 50L)
+  }
+
   // ---- preference-pair assembly invariants ------------------------------
 
   test("q256 preference pairs: template prompts collapse to ONE survivor " +
