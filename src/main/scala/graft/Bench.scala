@@ -339,9 +339,24 @@ object Bench {
     // identical JSON lands in BENCH_SUMMARY.json at the repo root, and
     // goes out once more over stderr — which sbt passes through
     // UNPREFIXED — as this process's very last words.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
-    catch { case _: Throwable => () }
+    // Path resolution (r13 / ADVICE): the JVM working directory is the
+    // launcher's choice, not ours — honor GRAFT_BENCH_SUMMARY_PATH when
+    // set, else walk up from cwd to the nearest directory holding
+    // build.sbt (the repo root) so `sbt runMain` from a subproject or a
+    // wrapper script still lands the artifact where the driver reads it.
+    // A failed write is WARNED on stderr, never fatal (the same JSON
+    // already went to stdout and goes to stderr below).
+    val summaryPath = sys.env.get("GRAFT_BENCH_SUMMARY_PATH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get("").toAbsolutePath
+        Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .getOrElse(cwd).resolve("BENCH_SUMMARY.json")
+      }
+    try java.nio.file.Files.writeString(summaryPath, summary + "\n")
+    catch { case t: Throwable => System.err.println(
+      s"[bench] WARN could not write $summaryPath: ${t.getMessage}") }
     spark.stop()
     System.err.println(summary)
     System.err.flush()

@@ -34,17 +34,24 @@ import org.apache.spark.sql.functions._
 object ExactRound {
 
   /** Half-up rounded integer quotient of `num / den` (num ≥ 0, den > 0,
-    * both BIGINT expressions by NAME — post-agg aliases work). Caller
-    * guarantees `2·num + den` fits int64 (num ≤ ~4.6e18). */
+    * both BIGINT expressions by NAME — post-agg aliases work). Staged
+    * through DECIMAL(38,0) like [[gridMicro]]: `2·num + den` can exceed
+    * int64 when num is a PRODUCT of counts (kmvIntersection's
+    * `n_both · eu4`), and non-ANSI Spark would wrap silently where
+    * DuckDB's HUGEINT arithmetic stays exact — the staging keeps both
+    * twins exact up to 10^38. The rounded QUOTIENT must still fit
+    * BIGINT (callers' quotients are grid values ≪ 2^63). */
   def halfUpDiv(num: String, den: String): Column =
     expr(s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) " +
-      s"ELSE (2 * ($num) + ($den)) DIV (2 * ($den)) END)")
+      s"ELSE CAST((2 * CAST($num AS DECIMAL(38,0)) + CAST($den AS DECIMAL(38,0))) " +
+      s"DIV (2 * CAST($den AS DECIMAL(38,0))) AS BIGINT) END)")
 
-  /** DuckDB twin of [[halfUpDiv]] (HUGEINT-safe: `sum(BIGINT)` operands
-    * already arrive widened; `//` floors, cast narrows back). */
+  /** DuckDB twin of [[halfUpDiv]] (explicit HUGEINT staging, mirroring
+    * the Spark twin's DECIMAL(38,0); `//` floors, cast narrows back). */
   def halfUpDivSql(num: String, den: String): String =
     s"(CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) " +
-      s"ELSE CAST((2 * ($num) + ($den)) // (2 * ($den)) AS BIGINT) END)"
+      s"ELSE CAST((2 * CAST($num AS HUGEINT) + CAST($den AS HUGEINT)) " +
+      s"// (2 * CAST($den AS HUGEINT)) AS BIGINT) END)"
 
   /** `round(num/den, k)` as a deterministic double: half-up in integer
     * space at the 10^k grid, then ONE exact-integer-by-power-of-ten IEEE
@@ -84,7 +91,19 @@ object ExactRound {
     gridSql(num, den, k)
 
   /** Column-native [[gridMicro]] (for call sites built from `Column`s,
-    * not name strings) — `div` is Spark's registered IntegralDivide. */
+    * not name strings) — `div` is Spark's registered IntegralDivide.
+    *
+    * Bound contract (shared by every grid builder here): the DECIMAL(38,0)
+    * staging keeps the INTERMEDIATE `2·num·10^k + den` exact, but the
+    * final grid value `halfUp(num·10^k / den)` must itself fit int64 —
+    * i.e. `num/den ≤ ~9.2e18 / 10^k`. Past that bound the engines
+    * DIVERGE IN FAILURE MODE, not in value: non-ANSI Spark's
+    * `cast(decimal as long)` returns NULL silently while DuckDB's
+    * `CAST(... AS BIGINT)` raises. All call sites are ratios (≤ 1),
+    * shares, or per-row means whose quotients sit ~12 orders of
+    * magnitude under the k=6 bound; a new caller with an unbounded
+    * ratio (e.g. an estimator with a vanishing denominator) must clamp
+    * the ratio first. */
   def gridMicroCol(num: Column, den: Column, k: Int): Column = {
     require(k >= 0 && k <= 15, s"grid 10^$k outside exact-double range")
     val d38 = "decimal(38,0)"
@@ -98,10 +117,14 @@ object ExactRound {
   def ratioRoundedCol(num: Column, den: Column, k: Int): Column =
     gridMicroCol(num, den, k).cast("double") / lit(pow10(k)).cast("double")
 
-  /** Column-native [[halfUpDiv]]. */
-  def halfUpDivCol(num: Column, den: Column): Column =
+  /** Column-native [[halfUpDiv]] — DECIMAL(38,0)-staged like the string
+    * twin (the kmvIntersection guard: num is a product of counts). */
+  def halfUpDivCol(num: Column, den: Column): Column = {
+    val d38 = "decimal(38,0)"
     when(den === 0, lit(null).cast("long")).otherwise(
-      call_function("div", num * lit(2L) + den, den * lit(2L)))
+      call_function("div", num.cast(d38) * lit(2L) + den.cast(d38),
+        den.cast(d38) * lit(2L)).cast("long"))
+  }
 
   // Every builder NULL-guards den = 0 (ANSI integral divide errors on
   // zero, where the old double division produced NaN/Inf — callers that

@@ -466,7 +466,12 @@ object Profiling {
       .select(col("n_union_seen"),
         (col("__eu4").cast("double") / 1e4).as("est_union"),
         col("n_both"),
-        (ExactRound.halfUpDivCol(col("n_both") * col("__eu4"),
+        // the product is widened BEFORE multiplying (r13 / ADVICE): n_both
+        // and __eu4 are both BIGINT and a raw int64 product would wrap
+        // silently in non-ANSI Spark where DuckDB raises — DECIMAL(38,0)
+        // staging keeps both engines exact
+        (ExactRound.halfUpDivCol(
+          col("n_both").cast("decimal(38,0)") * col("__eu4"),
           col("n_union_seen")).cast("double") / 1e4).as("est_inter"))
   }
 
@@ -494,7 +499,7 @@ object Profiling {
        kmv_inter AS (SELECT CAST(n_union_seen AS BIGINT) AS n_union_seen,
            eu4::DOUBLE / 1e4 AS est_union,
            CAST(n_both AS BIGINT) AS n_both,
-           ${ExactRound.halfUpDivSql("n_both * eu4",
+           ${ExactRound.halfUpDivSql("CAST(n_both AS HUGEINT) * eu4",
              "n_union_seen")}::DOUBLE / 1e4 AS est_inter
          FROM __ki_e)"""
   }

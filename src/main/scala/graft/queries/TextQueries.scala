@@ -818,8 +818,8 @@ object TextQueries {
     // LSH banding SWEEP: q194's audit across the (k=16, bands ∈ {2,4,8})
     // S-curve family on the same planted mid-similarity corpus — the
     // measured recall/precision trade that picks a production config
-    // instead of guessing it. One signature pass per config at test
-    // scale; at 100 TB run on a sampled slice like q194
+    // instead of guessing it. One SHARED truth+signature pass for all
+    // configs (r13); at 100 TB run on a sampled slice like q194
     "q223_lsh_sweep" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = split(col("text"), " ")
@@ -831,15 +831,13 @@ object TextQueries {
           concat(array_join(slice(toks, lit(1), keepN), " "), lit(" "), junk))
         .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
       val planted = docs.select(col("doc_id"), col("text")).unionByName(copies)
-      Seq(2, 4, 8).map { b =>
-        Dedup.lshAudit(planted, col("doc_id"), col("text"),
-            n = 3, k = 16, bands = b, minJaccard = 0.4)
-          .withColumn("bands", lit(b))
-      }.reduce(_ unionByName _)
-        .select(col("bands"), col("n_true"), col("n_cand"), col("n_tp"),
-          col("n_fn"), col("n_fp"), col("recall"),
-          when(col("n_cand") > 0, col("precision")).otherwise(lit(0.0))
-            .as("precision"))
+      // r13: ONE truth pass + ONE signature pass shared across the three
+      // bandings (lshAuditSweep) — was three full lshAudit calls, whose
+      // repeated exact-Jaccard truth join made q223 the suite's most
+      // linear scaler (10.6× at 10× data); the 0.0 sentinel for empty
+      // denominators now lives inside the op, not this caller
+      Dedup.lshAuditSweep(planted, col("doc_id"), col("text"),
+          n = 3, k = 16, bandsList = Seq(2, 4, 8), minJaccard = 0.4)
         .orderBy("bands")
     }),
 
@@ -2844,11 +2842,10 @@ object TextQueries {
          raw AS (${audit(2)} UNION ALL ${audit(4)} UNION ALL ${audit(8)})
          SELECT bands, n_true, n_cand, n_tp,
            n_true - n_tp AS n_fn, n_cand - n_tp AS n_fp,
-           ${graft.ops.ExactRound.ratioRoundedSql("n_tp", "n_true", 6)}
-             AS recall,
-           CASE WHEN n_cand > 0 THEN
-             ${graft.ops.ExactRound.ratioRoundedSql("n_tp", "n_cand", 6)}
-             ELSE 0.0 END AS precision
+           COALESCE(${graft.ops.ExactRound.ratioRoundedSql(
+             "n_tp", "n_true", 6)}, 0.0) AS recall,
+           COALESCE(${graft.ops.ExactRound.ratioRoundedSql(
+             "n_tp", "n_cand", 6)}, 0.0) AS precision
          FROM raw ORDER BY bands"""
     },
 
@@ -2870,10 +2867,10 @@ object TextQueries {
          nc AS (SELECT count(*) AS c FROM cand)
          SELECT nt.c AS n_true, nc.c AS n_cand, tp.c AS n_tp,
            nt.c - tp.c AS n_fn, nc.c - tp.c AS n_fp,
-           ${graft.ops.ExactRound.ratioRoundedSql("tp.c", "nt.c", 6)}
-             AS recall,
-           ${graft.ops.ExactRound.ratioRoundedSql("tp.c", "nc.c", 6)}
-             AS precision
+           COALESCE(${graft.ops.ExactRound.ratioRoundedSql(
+             "tp.c", "nt.c", 6)}, 0.0) AS recall,
+           COALESCE(${graft.ops.ExactRound.ratioRoundedSql(
+             "tp.c", "nc.c", 6)}, 0.0) AS precision
          FROM nt, nc, tp""",
 
     "q192_quantile_gate_per_lang" ->
