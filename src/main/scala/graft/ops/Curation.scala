@@ -64,7 +64,9 @@ object Curation {
   /** C4 + encoding HYGIENE pre-stage — the crawl cleanup C4/CCNet run
     * before any statistics ever see the text: encoding gate (strict C0 /
     * U+FFFD-ratio rules, [[TextAnalysis.encodingOk]]) → page-level C4
-    * drops (lorem-ipsum / curly-brace pages, [[TextAnalysis.c4DocOk]]) →
+    * drops (lorem-ipsum / curly-brace pages, [[TextAnalysis.c4DocOk]];
+    * plus the §2.2 badword blocklist when `blockPhrases` is non-empty —
+    * one Aho–Corasick pass, [[TextAnalysis.blockedByPhrases]]) →
     * line-level C4 rewrite (terminal punctuation + min words + javascript,
     * [[TextAnalysis.c4CleanText]]) → drop pages whose every line fell.
     * Returns the surviving rows with the cleaned text in column `textOut`.
@@ -76,15 +78,23 @@ object Curation {
     * as-is. */
   def hygiene(docs: DataFrame, text: Column, textOut: String,
       minWordsPerLine: Int = 3, maxReplRatio: Double = 0.01,
-      sep: String = "\n", nfc: Boolean = false): DataFrame = {
+      sep: String = "\n", nfc: Boolean = false,
+      blockPhrases: Seq[String] = Nil): DataFrame = {
     // `nfc` runs Unicode canonical composition FIRST (the one crawl
     // cleanup C4/CCNet apply that the gates below don't): composed and
     // decomposed encodings of a glyph must look identical to every rule
     // and every downstream hash. Another fused per-row projection —
     // the stage stays zero-shuffle, zero-state.
     val t0 = if (nfc) TextAnalysis.normalizeText(text, "NFC") else text
+    // `blockPhrases` adds C4 §2.2's FIRST page rule — drop any page
+    // containing a blocklisted phrase (case-insensitive, word-boundary) —
+    // as one Aho–Corasick pass fused into the same scan as the other
+    // page gates ([[TextAnalysis.blockedByPhrases]]); empty list = off.
+    val notBlocked =
+      if (blockPhrases.isEmpty) lit(true)
+      else !TextAnalysis.blockedByPhrases(t0, blockPhrases)
     docs.filter(TextAnalysis.encodingOk(t0, maxReplRatio) &&
-        TextAnalysis.c4DocOk(t0))
+        TextAnalysis.c4DocOk(t0) && notBlocked)
       .withColumn(textOut,
         TextAnalysis.c4CleanText(t0, minWordsPerLine, sep))
       .filter(length(col(textOut)) > 0)

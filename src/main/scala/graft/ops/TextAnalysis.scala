@@ -384,6 +384,47 @@ object TextAnalysis {
     s"coalesce(array_to_string(list_filter(str_split($col, chr(10)), " +
       s"l -> ${c4KeepLineSql("l", minWords)}), chr(10)), '')"
 
+  // ---- content blocklist (C4 §2.2 badword gate) ---------------------------
+
+  /** Every blocklist phrase occurring in `text`, as `array<string>` of
+    * DISTINCT matches in blocklist order — ONE Aho–Corasick pass
+    * ([[graft.functions.PhraseMatches]]) instead of N `contains` scans.
+    * Matching is case-exact with ASCII word-boundary semantics (see the
+    * automaton's Scaladoc); pass `lower(text)` + lowercase phrases for the
+    * C4 case-insensitive rule, or [[blockedByPhrases]] which does so. */
+  def phraseMatches(text: Column, phrases: Seq[String],
+      wordBoundary: Boolean = true): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PhraseMatches(
+        org.apache.spark.sql.GraftColumnBridge.expression(text),
+        new graft.functions.PhraseAutomaton(phrases.toArray, wordBoundary)))
+
+  /** C4 §2.2's first page rule ("contains any word on the blocklist"):
+    * TRUE when the document matches ANY phrase case-insensitively on word
+    * boundaries. Phrases must arrive lowercase `[a-z0-9 ]` (validated) so
+    * the lowercase fold happens exactly once, on the text — and so the
+    * DuckDB twin needs no regex escaping. */
+  def blockedByPhrases(text: Column, phrases: Seq[String]): Column = {
+    phrases.foreach(p => require(p.matches("[a-z0-9 ]+"),
+      s"blocklist phrase must be lowercase [a-z0-9 ]: '$p'"))
+    size(phraseMatches(lower(text), phrases)) > 0
+  }
+
+  /** DuckDB twin of [[blockedByPhrases]] — one RE2 word-boundary test per
+    * phrase, OR-composed (the N-pass shape the native expression replaces;
+    * fine at oracle scale). Same `[a-z0-9 ]` phrase contract. */
+  def blockedByPhrasesSql(col: String, phrases: Seq[String]): String = {
+    phrases.foreach(p => require(p.matches("[a-z0-9 ]+"),
+      s"blocklist phrase must be lowercase [a-z0-9 ]: '$p'"))
+    phrases.map(p => phraseHitSql(col, p)).mkString("(", " OR ", ")")
+  }
+
+  /** DuckDB word-boundary containment test for ONE lowercase phrase over
+    * an already-lowercased text expression — the RE2 predicate the
+    * automaton's boundary rule mirrors char-for-char. */
+  def phraseHitSql(col: String, phrase: String): String =
+    s"regexp_matches($col, '(^|[^a-z0-9])$phrase($$|[^a-z0-9])')"
+
   /** RefinedWeb/CCNet-style boilerplate removal: drop every line that
     * appears in at least `minDocs` DISTINCT documents (nav bars, cookie
     * banners, license footers — the lines that repeat verbatim across a

@@ -79,6 +79,10 @@ object TextQueries {
     " " + (tk.take(10) ++ Array("edited") ++ tk.drop(10)).mkString(" ")
   }
 
+  /** q259's blocklist — deliberately NOT alphabetical, so the result
+    * array's blocklist-order contract is pinned (≠ lexicographic). */
+  private val BlockPhrases = Seq("zzqx", "dark pattern", "forbidden fruit")
+
   /** q242's canonical-equivalence twins: the same three glyphs (é ü Å ö)
     * in DECOMPOSED (base char + combining mark) and COMPOSED (single
     * codepoint) encodings — NFC must collapse both onto one byte stream. */
@@ -244,6 +248,38 @@ object TextQueries {
         .withColumn("blocked",
           col("domain").isin("adnet.com", "spamco.com"))
         .orderBy("domain")
+    }),
+
+    // content blocklist gate (C4 §2.2's first page rule): ONE native
+    // Aho–Corasick pass reports every blocked phrase per page. Plants
+    // cover case-folding (Dark PATTERN.), string-edge and punctuation
+    // boundaries, multi-phrase pages (the blocklist-ORDER array contract
+    // — the list is deliberately non-alphabetical), duplicate occurrences
+    // (distinctness), and EMBEDDED occurrences (xforbidden fruit /
+    // forbidden fruitx) that the word-boundary rule must reject even when
+    // two rejected spans sit adjacent; DuckDB replays each phrase as one
+    // RE2 word-boundary regexp over the identical plant
+    "q259_blocklist_filter" -> ((s, d) => {
+      val t2 = concat(
+        when(pmod(col("doc_id"), lit(19)) === 0, lit("zzqx "))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" Dark PATTERN."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(" xforbidden fruit"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(" forbidden fruitx"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" and zzqx"))
+          .otherwise(lit("")))
+      t(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          TA.phraseMatches(lower(t2), BlockPhrases).as("__m"))
+        .select(col("doc_id"),
+          array_join(col("__m"), "|").as("matched"),
+          size(col("__m")).cast("long").as("n_matched"),
+          (size(col("__m")) > 0).as("blocked"))
+        .orderBy("doc_id")
     }),
 
     // Unicode NFC normalization gate: the same glyphs planted in
@@ -1704,6 +1740,29 @@ object TextQueries {
            count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            domain IN ('adnet.com', 'spamco.com') AS blocked
          FROM h GROUP BY 1 ORDER BY 1""",
+
+    // identical plant; the automaton's word-boundary rule replays as one
+    // RE2 regexp per phrase (the N-pass shape the native expression
+    // replaces), re-assembled in blocklist order via the idx join key
+    "q259_blocklist_filter" ->
+      s"""WITH pl AS (SELECT doc_id, lower(
+           CASE WHEN doc_id % 19 = 0 THEN 'zzqx ' ELSE '' END || text
+           || CASE WHEN doc_id % 11 = 0 THEN ' Dark PATTERN.' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' xforbidden fruit' ELSE '' END
+           || CASE WHEN doc_id % 17 = 0 THEN ' forbidden fruitx' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' and zzqx' ELSE '' END) AS t
+           FROM documents WHERE doc_id < 150),
+         ph(idx, p) AS (VALUES ${BlockPhrases.zipWithIndex
+            .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")}),
+         m AS (SELECT pl.doc_id, ph.idx, ph.p FROM pl JOIN ph
+           ON regexp_matches(pl.t,
+             '(^|[^a-z0-9])' || ph.p || '($$|[^a-z0-9])')),
+         ag AS (SELECT doc_id, string_agg(p, '|' ORDER BY idx) AS matched,
+           count(*) AS n_matched FROM m GROUP BY doc_id)
+         SELECT pl.doc_id, coalesce(ag.matched, '') AS matched,
+           CAST(coalesce(ag.n_matched, 0) AS BIGINT) AS n_matched,
+           ag.n_matched IS NOT NULL AS blocked
+         FROM pl LEFT JOIN ag USING (doc_id) ORDER BY pl.doc_id""",
 
     // identical plant (combining marks spelled chr(n) so nothing between
     // here and DuckDB can re-compose them), nfc_normalize as the twin of

@@ -277,6 +277,47 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming blocklist hygiene: the Aho–Corasick page gate is a " +
+    "stateless predicate — stream ≡ batch survivors and texts") {
+    import graft.ops.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // 6-token punctuated lines + a blocklisted phrase on every 5th doc
+    val toks = split(col("text"), " ")
+    val lines = transform(
+      sequence(lit(0), ((size(toks) - 1) / 6).cast("int")),
+      i => concat(array_join(slice(toks, i * 6 + 1, lit(6)), " "), lit(".")))
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(array_join(lines, "\n"), lit("\nHas a Dark PATTERN here.")))
+        .otherwise(array_join(lines, "\n")).as("text2"))
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      Curation.hygiene(df, col("text2"), "text3", minWordsPerLine = 4,
+          blockPhrases = Seq("dark pattern"))
+        .select(col("doc_id"), md5(col("text3")).as("fp"))
+    val want = clean(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(want.nonEmpty && !want.keySet.exists(_ % 5 == 0),
+      "every blocklisted page must drop, others survive")
+    val dir = Files.createTempDirectory("graft-block-stream")
+    planted.coalesce(1).write.parquet(dir.resolve("a").toString)
+    val aFile = Files.list(dir.resolve("a")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("y.parquet"))
+    val stream = spark.readStream.schema(planted.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(clean(stream),
+        "block_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 2 * want.size, "both microbatches must gate")
+    got.foreach { case (id, fp) =>
+      assert(want(id) === fp, s"doc $id: stream text differs from batch")
+    }
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
