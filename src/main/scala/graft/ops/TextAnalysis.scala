@@ -144,6 +144,220 @@ object TextAnalysis {
      rows.headOption.exists(_.getAs[Boolean]("byte_level")))
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer --------------------------
+
+  /** Viterbi subword tokens under a trained [[graft.functions
+    * .UnigramModel]] — the unigram-LM counterpart of [[bpeTokens]], same
+    * pre-tokenizer, same zero-shuffle native-projection shape (see
+    * [[graft.functions.UnigramApply]] for the exact argmax and tie-break
+    * contract the DuckDB twin replays). Real pipelines choose between BPE
+    * and unigram; with both native, the choice is one column swap. */
+  def unigramTokens(c: Column, model: graft.functions.UnigramModel): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UnigramApply(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), model))
+
+  def unigramTokenCount(c: Column, model: graft.functions.UnigramModel): Column =
+    size(unigramTokens(c, model))
+
+  private def unigramEStepCol(c: Column,
+      model: graft.functions.UnigramModel): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UnigramEStep(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), model))
+
+  /** Unigram-LM TRAINING (Kudo 2018, SentencePiece's unigram mode),
+    * distributed in the [[bpeTrain]] shape — every stage is one scan over
+    * the distinct-word table and the only driver state is the vocab:
+    *
+    *  1. SEED: all ≤ `maxPieceLen`-char substrings of the distinct words,
+    *     weighted by word frequency; every single corpus char enters the
+    *     vocab unconditionally (they are never pruned — the connectivity
+    *     guarantee), plus the `seedSize` best multi-char substrings by
+    *     the paper's `freq · len` heuristic (ties by piece text).
+    *  2. EM: `emRounds` rounds of expectation–maximization. The E-step is
+    *     ONE native projection per round ([[graft.functions.UnigramEStep]]
+    *     — per-word lattice forward–backward, expected counts quantized
+    *     to the 1e-6 grid inside the word) followed by an ORDER-FREE
+    *     BIGINT aggregation; the M-step renormalizes on the driver with
+    *     `StrictMath.log` over the collected vocab-sized count table.
+    *     Everything is deterministic: integer sums, strict math, total
+    *     ordering at every selection point — retrain on any cluster
+    *     layout and the model is bit-identical (OpsSpecR13 pins this).
+    *  3. PRUNE: drop the weakest multi-char pieces (lowest expected
+    *     count, ties by piece text) down to `max(vocabSize_target,
+    *     shrink · current)`, re-run EM, repeat until `vocabSize` holds.
+    *     This expected-count ranking is a documented simplification of
+    *     the paper's per-piece likelihood-loss ranking (§3.2 step 3) —
+    *     same monotone signal on the lattice, one aggregation instead of
+    *     a second Viterbi pass per candidate.
+    *
+    * Final scores are log-probs on the micro-nat grid; `unk` prices 10
+    * nats below the weakest piece. Returns a canonical model (pieces
+    * sorted, so artifacts and retrains compare byte-for-byte). */
+  def unigramTrain(df: DataFrame, text: Column, vocabSize: Int,
+      seedSize: Int = 1000, emRounds: Int = 2, shrink: Double = 0.75,
+      maxPieceLen: Int = 4): graft.functions.UnigramModel = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 1 &&
+      maxPieceLen <= graft.functions.UnigramApply.MaxPieceLen,
+      s"maxPieceLen must be in [1, ${graft.functions.UnigramApply.MaxPieceLen}]")
+    require(shrink > 0 && shrink < 1, s"shrink must be in (0,1), got $shrink")
+    val words = df.select(explode(tokensBpe(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.cache()
+    try {
+      // seed: substring explosion — one scan, partial-agg groupBy
+      val subs = words.select(col("wc"), explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("p"))
+        .groupBy("p").agg(sum("wc").as("c"))
+      val singles = subs.filter(length(col("p")) === 1)
+        .orderBy("p").collect().map(r => (r.getString(0), r.getLong(1)))
+      val multis = subs.filter(length(col("p")) >= 2)
+        .orderBy((col("c") * length(col("p"))).desc, col("p"))
+        .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1)))
+      require(singles.nonEmpty, "empty corpus: no characters to seed from")
+      // counts → canonical log-prob micro scores
+      def mStep(counts: Seq[(String, Long)]): graft.functions.UnigramModel = {
+        val total = counts.map(_._2).sum.max(1L)
+        // a zero-count piece (possible after EM starves it) keeps a floor
+        // price of half a count — stays segmentable, sorts to the bottom
+        def micro(c: Long): Long = StrictMath.round(
+          StrictMath.log(math.max(c.toDouble, 0.5) / total.toDouble) * 1e6)
+        val sorted = counts.sortBy(_._1)
+        val scores = sorted.map(kv => micro(kv._2))
+        new graft.functions.UnigramModel(sorted.map(_._1).toArray,
+          scores.toArray, unkScoreMicro = scores.min - 10_000_000L)
+      }
+      var model = mStep((singles ++ multis).toSeq)
+      val singleSet = singles.map(_._1).toSet
+      def emPass(m: graft.functions.UnigramModel): Seq[(String, Long)] = {
+        // DECIMAL(38,0)-staged product: micro-count × word-frequency can
+        // brush int64 on a crawl-scale corpus; the M-step only needs the
+        // table driver-side, where longValueExact fails LOUDLY (never
+        // wraps) if a corpus ever outgrows the grid
+        val got = words
+          .select(col("wc"), explode(unigramEStepCol(col("w"), m)).as("e"))
+          .groupBy(col("e.piece").as("p"))
+          .agg(sum(col("e.cmicro").cast("decimal(38,0)") * col("wc"))
+            .as("cm"))
+          .collect()
+          .map(r => (r.getString(0),
+            r.getDecimal(1).toBigInteger.longValueExact())).toMap
+        // micro expected counts stand in for counts; absent pieces -> 0
+        m.pieces.toSeq.map(p => (p, got.getOrElse(p, 0L)))
+      }
+      var done = false
+      while (!done) {
+        var counts: Seq[(String, Long)] = Seq.empty
+        (1 to emRounds).foreach { _ =>
+          counts = emPass(model)
+          model = mStep(counts)
+        }
+        val nMulti = model.pieces.count(p => !singleSet(p))
+        val targetMulti = math.max(vocabSize - singleSet.size,
+          0).min(nMulti)
+        if (nMulti <= targetMulti || model.pieces.length <= vocabSize) {
+          done = true
+        } else {
+          val keepMulti = math.max(targetMulti,
+            StrictMath.ceil(nMulti * shrink).toInt.min(nMulti - 1))
+          val byCount = counts.toMap
+          val kept = model.pieces.toSeq.filter(p => !singleSet(p))
+            .sortBy(p => (-byCount.getOrElse(p, 0L), p)).take(keepMulti)
+          val next = (singleSet.toSeq ++ kept).map(p =>
+            (p, byCount.getOrElse(p, 0L)))
+          model = mStep(next)
+        }
+      }
+      model
+    } finally { words.unpersist(); () }
+  }
+
+  /** Persist a trained unigram model as a VERSIONED ARTIFACT TABLE
+    * `(piece, score_micro, unk_score_micro)` through the same
+    * [[graft.core.Ingest.atomicPublish]] barrier as [[bpeSave]]; the
+    * artifact is vocab-sized (driver-small by the [[graft.functions
+    * .UnigramModel]] contract). Returns the version id. */
+  def unigramSave(spark: org.apache.spark.sql.SparkSession,
+      model: graft.functions.UnigramModel, tableDir: String): String = {
+    import spark.implicits._
+    val df = model.pieces.zip(model.scoresMicro)
+      .map { case (p, sm) => (p, sm, model.unkScoreMicro) }.toSeq
+      .toDF("piece", "score_micro", "unk_score_micro")
+    graft.core.Ingest.atomicPublish(df.coalesce(1), tableDir)
+  }
+
+  /** Cold-reload the published unigram artifact — canonical piece order,
+    * so the round trip is bit-equal to the trainer's model. */
+  def unigramLoad(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): graft.functions.UnigramModel = {
+    val rows = graft.core.Ingest.readPublished(spark, tableDir)
+      .orderBy("piece").collect()
+    new graft.functions.UnigramModel(
+      rows.map(_.getAs[String]("piece")),
+      rows.map(_.getAs[Long]("score_micro")),
+      rows.head.getAs[Long]("unk_score_micro"))
+  }
+
+  /** DuckDB twin of the Viterbi segmentation: CTE list over `wordsRel`
+    * (a relation exposing DISTINCT words in column `w`, none longer than
+    * `maxWordLen` chars) ending in `useg(w, ntok, wtoks)` — `wtoks` is
+    * the piece sequence space-joined. The DP unrolls one CTE per char
+    * position (bounded corpora only — this is an ORACLE device; the
+    * production path is the native expression): dp_j keeps, per word,
+    * the best `(score, seg)` reaching position j under exactly the
+    * native tie-break (`ORDER BY sc DESC, seg DESC` on the US-separated
+    * seg string — binary vs Java char comparison agree on ASCII). */
+  def unigramViterbiSql(wordsRel: String, pieces: Seq[(String, Long)],
+      unkScoreMicro: Long, maxWordLen: Int): String = {
+    require(pieces.nonEmpty && maxWordLen >= 1)
+    val maxPl = pieces.map(_._1.length).max
+    val vals = pieces.sortBy(_._1)
+      .map { case (p, sm) => s"('$p', CAST($sm AS BIGINT))" }.mkString(", ")
+    val dps = (1 to maxWordLen).map { j =>
+      val branches = (math.max(0, j - maxPl) until j).map { i =>
+        s"""SELECT d.w, d.sc + c.sm AS sc,
+           CASE WHEN d.seg = '' THEN c.piece
+             ELSE d.seg || chr(31) || c.piece END AS seg
+           FROM __u_d$i d JOIN __u_cand c
+             ON c.w = d.w AND c.i = ${i + 1} AND c.pl = ${j - i}"""
+      }.mkString(" UNION ALL ")
+      s"""__u_d$j AS (SELECT w, sc, seg FROM (
+           SELECT w, sc, seg, row_number() OVER (
+             PARTITION BY w ORDER BY sc DESC, seg DESC) AS rn
+           FROM ($branches)) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val allDp = (1 to maxWordLen)
+      .map(j => s"SELECT $j AS pos, w, seg FROM __u_d$j")
+      .mkString(" UNION ALL ")
+    s"""__u_p(piece, sm) AS (VALUES $vals),
+       __u_w AS (SELECT DISTINCT w FROM $wordsRel),
+       __u_cand AS (
+         SELECT w, i, piece, sm, length(piece) AS pl FROM (
+           SELECT uw.w, x.i, up.piece, up.sm
+           FROM __u_w uw,
+             LATERAL (SELECT unnest(generate_series(1, length(uw.w))) AS i) x
+           JOIN __u_p up ON up.piece = substr(uw.w, x.i, length(up.piece))
+           UNION ALL
+           SELECT uw.w, x.i, substr(uw.w, x.i, 1) AS piece,
+             CAST($unkScoreMicro AS BIGINT) AS sm
+           FROM __u_w uw,
+             LATERAL (SELECT unnest(generate_series(1, length(uw.w))) AS i) x
+           WHERE NOT EXISTS (SELECT 1 FROM __u_p p2
+             WHERE p2.piece = substr(uw.w, x.i, 1)))),
+       __u_d0 AS (SELECT w, CAST(0 AS BIGINT) AS sc, '' AS seg FROM __u_w),
+       $dps,
+       useg AS (SELECT a.w,
+           (length(a.seg) - length(replace(a.seg, chr(31), ''))) + 1 AS ntok,
+           replace(a.seg, chr(31), ' ') AS wtoks
+         FROM ($allDp) a JOIN __u_w uw
+           ON uw.w = a.w AND length(uw.w) = a.pos)"""
+  }
+
   /** Unicode normalization via the native [[graft.functions
     * .UnicodeNormalize]] projection (NFC default — the web-canonical
     * composed form with a DuckDB `nfc_normalize` twin; NFKC folds

@@ -83,6 +83,30 @@ object TextQueries {
     * array's blocklist-order contract is pinned (≠ lexicographic). */
   private val BlockPhrases = Seq("zzqx", "dark pattern", "forbidden fruit")
 
+  /** q260/q261's handcrafted unigram vocabulary (micro-nat scores),
+    * planted to exercise every Viterbi behavior on the corpus words:
+    * an EXACT tie ("join" = "jo"+"in" = −2.0 nats — the tie-break must
+    * pick the single piece), a chained tie inside "data" ({da,ta} =
+    * {dat,a} = −3.0 — longer-first wins: dat|a), a strict split win
+    * ("scan" −3.0 loses to "sc"+"an" −2.4), and unk fallback (digits
+    * carry no pieces). Singles cover a–z so only plants hit unk. */
+  private val UniPieces: Seq[(String, Long)] = Seq(
+    "join" -> -2000000L, "jo" -> -1000000L, "in" -> -1000000L,
+    "scan" -> -3000000L, "sc" -> -1200000L, "an" -> -1200000L,
+    "da" -> -1500000L, "ta" -> -1500000L, "dat" -> -2200000L,
+    "a" -> -800000L, "b" -> -1500000L, "c" -> -1350000L, "d" -> -1450000L,
+    "e" -> -900000L, "f" -> -1600000L, "g" -> -1650000L, "h" -> -1300000L,
+    "i" -> -1020000L, "j" -> -1800000L, "k" -> -1850000L, "l" -> -1150000L,
+    "m" -> -1250000L, "n" -> -1050000L, "o" -> -1100000L, "p" -> -1900000L,
+    "q" -> -1750000L, "r" -> -900000L, "s" -> -1200000L, "t" -> -1000000L,
+    "u" -> -1400000L, "v" -> -1700000L, "w" -> -1550000L, "x" -> -1950000L,
+    "y" -> -1990000L, "z" -> -1995000L)
+
+  private val UniUnkMicro = -20000000L
+
+  private lazy val UniModel = new graft.functions.UnigramModel(
+    UniPieces.map(_._1).toArray, UniPieces.map(_._2).toArray, UniUnkMicro)
+
   /** q242's canonical-equivalence twins: the same three glyphs (é ü Å ö)
     * in DECOMPOSED (base char + combining mark) and COMPOSED (single
     * codepoint) encodings — NFC must collapse both onto one byte stream. */
@@ -248,6 +272,48 @@ object TextQueries {
         .withColumn("blocked",
           col("domain").isin("adnet.com", "spamco.com"))
         .orderBy("domain")
+    }),
+
+    // unigram-LM (SentencePiece-style) Viterbi segmentation under the
+    // handcrafted tie-exercising vocabulary: max-score subword split per
+    // pre-token, exact integer-tie resolution (join / dat|a), a strict
+    // split win (sc|an), and digit plants through the unk fallback —
+    // per-doc token counts + the ordered full-token fingerprint, replayed
+    // in DuckDB by an unrolled per-position DP with the identical
+    // (score DESC, seg DESC) tie rule
+    "q260_unigram_viterbi" -> ((s, d) => {
+      val t2 = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" data77 join"))).otherwise(col("text"))
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), TA.unigramTokens(t2, UniModel).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // the q176 fertility report under the UNIGRAM tokenizer — chars and
+    // whitespace words per language against Viterbi subword counts, the
+    // BPE-vs-unigram comparison a real pipeline runs before picking its
+    // tokenizer; same exact-rational rounding discipline
+    "q261_unigram_fertility" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"),
+          length(regexp_replace(col("text"), lit(" "), lit(""))).as("nchars"),
+          TA.tokenCount(col("text")).as("nws"),
+          TA.unigramTokenCount(col("text"), UniModel).as("nuni"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nchars").cast("long").as("sum_chars"),
+          sum("nws").cast("long").as("sum_words"),
+          sum("nuni").cast("long").as("sum_uni_tokens"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          col("sum_words"), col("sum_uni_tokens"),
+          ExactRound.ratioRounded("sum_chars", "sum_uni_tokens", 6)
+            .as("chars_per_token"),
+          ExactRound.ratioRounded("sum_uni_tokens", "sum_words", 6)
+            .as("fertility"))
+        .orderBy("lang")
     }),
 
     // content blocklist gate (C4 §2.2's first page rule): ONE native
@@ -1740,6 +1806,52 @@ object TextQueries {
            count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            domain IN ('adnet.com', 'spamco.com') AS blocked
          FROM h GROUP BY 1 ORDER BY 1""",
+
+    // identical plant; the Viterbi DP replays position-by-position with
+    // the identical integer scores and (score DESC, seg DESC) tie rule,
+    // then reassembles each doc's ordered token stream like q172
+    "q260_unigram_viterbi" ->
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || ' data77 join' ELSE text END AS t2
+           FROM documents WHERE doc_id < 20),
+         tl AS (SELECT doc_id, regexp_extract_all(t2,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM base),
+         toks AS (SELECT doc_id, x.i, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         ${TA.unigramViterbiSql("toks", UniPieces, UniUnkMicro,
+            maxWordLen = 8)}
+         SELECT t.doc_id, CAST(sum(u.ntok) AS BIGINT) AS n_tokens,
+           md5(string_agg(u.wtoks, ' ' ORDER BY t.i)) AS fp
+         FROM toks t JOIN useg u ON t.w = u.w
+         GROUP BY 1 ORDER BY 1""",
+
+    // the q176 oracle shape with the merge-loop CTE swapped for the
+    // Viterbi DP CTE; per-word subword counts join back onto every doc
+    "q261_unigram_fertility" ->
+      s"""WITH tl AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         ${TA.unigramViterbiSql("toks", UniPieces, UniUnkMicro,
+            maxWordLen = 8)},
+         per AS (SELECT t.doc_id, sum(u.ntok) AS nuni
+           FROM toks t JOIN useg u ON t.w = u.w GROUP BY 1),
+         dc AS (SELECT d.lang,
+             length(replace(d.text, ' ', '')) AS nchars,
+             len(str_split(d.text, ' ')) AS nws,
+             coalesce(p.nuni, 0) AS nuni
+           FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(nchars) AS BIGINT) AS sum_chars,
+           CAST(sum(nws) AS BIGINT) AS sum_words,
+           CAST(sum(nuni) AS BIGINT) AS sum_uni_tokens,
+           ${graft.ops.ExactRound.ratioRoundedSql("sum(nchars)",
+              "sum(nuni)", 6)} AS chars_per_token,
+           ${graft.ops.ExactRound.ratioRoundedSql("sum(nuni)",
+              "sum(nws)", 6)} AS fertility
+         FROM dc GROUP BY 1 ORDER BY 1""",
 
     // identical plant; the automaton's word-boundary rule replays as one
     // RE2 regexp per phrase (the N-pass shape the native expression

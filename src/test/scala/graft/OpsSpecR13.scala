@@ -75,6 +75,113 @@ class OpsSpecR13 extends AnyFunSuite {
     assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  // ---- unigram-LM tokenizer ----------------------------------------------
+
+  private def uniModel(pieces: (String, Long)*): graft.functions.UnigramModel =
+    new graft.functions.UnigramModel(pieces.map(_._1).toArray,
+      pieces.map(_._2).toArray, unkScoreMicro = -20_000_000L)
+
+  private def viterbi(w: String, m: graft.functions.UnigramModel) =
+    graft.functions.UnigramApply.segmentWord(w, m).toSeq
+
+  test("unigram Viterbi: max-score segmentation; exact ties break to the " +
+    "lexicographically greatest US-joined seg (= longer piece first)") {
+    // "ab" exactly ties "a"+"b" — the tie rule must pick the single piece
+    val tie = uniModel("a" -> -500000L, "b" -> -500000L, "ab" -> -1000000L)
+    assert(viterbi("ab", tie) === Seq("ab"))
+    // make the split strictly better and it must win instead
+    val split = uniModel("a" -> -400000L, "b" -> -400000L, "ab" -> -1000000L)
+    assert(viterbi("ab", split) === Seq("a", "b"))
+    // chained: "abc" via {ab,c} vs {a,bc} — equal sums, tie prefers the
+    // seg string "ab<US>c" > "a<US>bc"
+    val chain = uniModel("a" -> -500000L, "b" -> -500000L, "c" -> -500000L,
+      "ab" -> -1000000L, "bc" -> -1000000L)
+    assert(viterbi("abc", chain) === Seq("ab", "c"))
+    // unk fallback prices unseen chars; segmentation never fails
+    assert(viterbi("axb", tie) === Seq("a", "x", "b"))
+  }
+
+  test("unigram trainer: deterministic across runs, keeps every corpus " +
+    "char, hits the vocab target, and learns the dominant bigram") {
+    import spark.implicits._
+    val docs = (Seq.fill(40)("abab dede abab") ++ Seq.fill(10)("fg fg hh"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val singles = Set("a", "b", "d", "e", "f", "g", "h")
+    def train() = TA.unigramTrain(docs, col("text"), vocabSize = 10,
+      seedSize = 20, emRounds = 2, maxPieceLen = 4)
+    val m1 = train()
+    val m2 = train()
+    assert(m1.pieces.toSeq === m2.pieces.toSeq, "retrain must be bit-equal")
+    assert(m1.scoresMicro.toSeq === m2.scoresMicro.toSeq)
+    assert(m1.unkScoreMicro === m2.unkScoreMicro)
+    assert(singles.subsetOf(m1.pieces.toSet), "single chars never pruned")
+    assert(m1.pieces.length <= 10, s"vocab target: ${m1.pieces.toSeq}")
+    // the corpus is mostly "abab": the trained model must tokenize it in
+    // fewer pieces than characters (a multi-char piece survived + won)
+    assert(viterbi("abab", m1).length < 4,
+      s"expected a learned multi-char piece: ${m1.pieces.toSeq}")
+  }
+
+  test("unigram artifact round-trip: save -> atomic publish -> cold load " +
+    "is bit-equal and tokenizes identically") {
+    import spark.implicits._
+    val docs = Seq.fill(30)((1L, "zq zq zqzq")).toDF("id", "text")
+    val m = TA.unigramTrain(docs, col("text"), vocabSize = 6, seedSize = 8,
+      emRounds = 2, maxPieceLen = 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-uni-artifact").toString
+    TA.unigramSave(spark, m, dir)
+    val loaded = TA.unigramLoad(spark, dir)
+    assert(loaded.pieces.toSeq === m.pieces.toSeq)
+    assert(loaded.scoresMicro.toSeq === m.scoresMicro.toSeq)
+    assert(loaded.unkScoreMicro === m.unkScoreMicro)
+    val t1 = docs.select(TA.unigramTokens(col("text"), m).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val t2 = docs.select(TA.unigramTokens(col("text"), loaded).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(t1.toSeq === t2.toSeq)
+  }
+
+  test("unigram EM: corpus likelihood under the trained model never falls " +
+    "across EM rounds (measured on the word table)") {
+    import spark.implicits._
+    val docs = (Seq.fill(25)("toktok tok") ++ Seq.fill(5)("kot"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // likelihood proxy: total Viterbi score of the corpus words under the
+    // model after k EM rounds, k = 1 vs 3
+    def score(rounds: Int): Long = {
+      val m = TA.unigramTrain(docs, col("text"), vocabSize = 8,
+        seedSize = 12, emRounds = rounds, maxPieceLen = 3)
+      docs.select(explode(TA.unigramTokens(col("text"), m)).as("p"))
+        .collect().map { r =>
+          val p = r.getString(0)
+          val i = m.pieces.indexOf(p)
+          if (i >= 0) m.scoresMicro(i) else m.unkScoreMicro
+        }.sum
+    }
+    assert(score(3) >= score(1),
+      "more EM rounds must not hurt corpus likelihood")
+  }
+
+  test("unigram trainer on the real corpus: learned vocab segments every " +
+    "document, beats the char baseline on fertility, and keeps singles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = TA.unigramTrain(docs, col("text"), vocabSize = 45,
+      seedSize = 60, emRounds = 2, maxPieceLen = 4)
+    val singles = m.pieces.filter(_.length == 1).toSet
+    assert(m.pieces.length <= 45 && singles.nonEmpty)
+    assert(m.pieces.exists(_.length >= 2),
+      "a 31-word corpus must earn multi-char pieces")
+    val agg = docs.select(
+        sum(length(regexp_replace(col("text"), lit(" "), lit(""))))
+          .cast("long").as("chars"),
+        sum(TA.unigramTokenCount(col("text"), m)).cast("long").as("uni"))
+      .head()
+    // subword tokens are never more numerous than chars, and the learned
+    // multi-char pieces must actually be USED (strictly fewer tokens)
+    assert(agg.getLong(1) > 0 && agg.getLong(1) < agg.getLong(0))
+  }
+
   test("Curation.hygiene blockPhrases: a blocklisted page drops, the same " +
     "page passes with the gate off, and the other gates are untouched") {
     import spark.implicits._
