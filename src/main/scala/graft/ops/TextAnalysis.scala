@@ -1376,6 +1376,49 @@ object TextAnalysis {
        | ELSE ($tot - $dis)::DOUBLE / $tot END""".stripMargin.replace("\n", "")
   }
 
+  /** [[dupLineFraction]] ROUNDED on the 10^k grid in integer space
+    * (ExactRound — the count rationals must never round an IEEE quotient;
+    * r13 census migration of q200). `str_split` never returns an empty
+    * list, so the denominator is always positive. */
+  def dupLineFractionRounded(c: Column, sep: String = "\n",
+      k: Int = 6): Column = {
+    val lines = split(c, sep)
+    ExactRound.ratioRoundedCol(
+      (size(lines) - size(array_distinct(lines))).cast("long"),
+      size(lines).cast("long"), k)
+  }
+
+  /** DuckDB twin of [[dupLineFractionRounded]]. */
+  def dupLineFractionRoundedSql(col: String, sepSql: String = "chr(10)",
+      k: Int = 6): String =
+    ExactRound.ratioRoundedSql(
+      s"(len(str_split($col, $sepSql)) - " +
+        s"len(list_distinct(str_split($col, $sepSql))))",
+      s"len(str_split($col, $sepSql))", k)
+
+  /** [[dupLineCharFraction]] ROUNDED on the 10^k grid in integer space;
+    * the all-empty-lines 0/0 keeps the op's 0.0 convention. */
+  def dupLineCharFractionRounded(c: Column, sep: String = "\n",
+      k: Int = 6): Column = {
+    val lines = split(c, sep)
+    val tot = aggregate(transform(lines, l => length(l).cast("long")),
+      lit(0L), _ + _)
+    val dis = aggregate(
+      transform(array_distinct(lines), l => length(l).cast("long")),
+      lit(0L), _ + _)
+    coalesce(ExactRound.ratioRoundedCol(tot - dis, tot, k), lit(0.0))
+  }
+
+  /** DuckDB twin of [[dupLineCharFractionRounded]]. */
+  def dupLineCharFractionRoundedSql(col: String,
+      sepSql: String = "chr(10)", k: Int = 6): String = {
+    def chars(l: String) =
+      s"coalesce(list_sum(list_transform($l, x -> length(x)::BIGINT)), 0)"
+    val tot = chars(s"str_split($col, $sepSql)")
+    val dis = chars(s"list_distinct(str_split($col, $sepSql))")
+    s"COALESCE(${ExactRound.ratioRoundedSql(s"($tot - $dis)", tot, k)}, 0.0)"
+  }
+
   /** Gopher's line-repetition gate: keep when duplicate-line fraction ≤
     * 0.30 AND duplicate-line char fraction ≤ 0.20 (the paper's removal
     * thresholds). Composes with [[dupNgramFraction]] /

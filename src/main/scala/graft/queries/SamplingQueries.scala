@@ -118,27 +118,11 @@ object SamplingQueries {
       val b = base.filter(pmod(col("doc_id"), lit(2)) === 1)
         .select(expr("doc_id DIV 2").as("pair_id"),
           col("doc_id").as("src_b"), col("sh").as("resp_b"))
-      def reward(c: org.apache.spark.sql.Column) =
-        size(array_distinct(split(c, " "))).cast("long")
-      val paired = a.join(b, "pair_id")
-        .withColumn("ra", reward(col("resp_a")))
-        .withColumn("rb", reward(col("resp_b")))
-        .withColumn("chosen",
-          when(col("rb") > col("ra"), col("resp_b")).otherwise(col("resp_a")))
-        .withColumn("rejected",
-          when(col("rb") > col("ra"), col("resp_a")).otherwise(col("resp_b")))
-        .withColumn("chosen_src",
-          when(col("rb") > col("ra"), col("src_b")).otherwise(col("src_a")))
-      Dedup.dedupExact(paired, md5(col("prompt")), col("pair_id"))
+      // score/orient/dedup via the shared batch-or-stream gate (r13:
+      // graft.streaming.PreferenceStream — StreamStaticSpec pins the
+      // streaming twin against exactly this batch path)
+      graft.streaming.PreferenceStream.gate(a.join(b, "pair_id"))
         .filter(col("pair_id") < 40)
-        .select(col("pair_id"), md5(col("prompt")).as("prompt_fp"),
-          col("chosen_src"),
-          (col("src_a") + col("src_b") - col("chosen_src"))
-            .as("rejected_src"),
-          greatest(col("ra"), col("rb")).as("reward_chosen"),
-          abs(col("ra") - col("rb")).as("reward_margin"),
-          md5(concat_ws(" ||| ", col("prompt"), col("chosen"),
-            col("rejected"))).as("fp"))
         .orderBy("pair_id")
     }),
 

@@ -482,8 +482,10 @@ object TextQueries {
         .select(col("doc_id"), explode(array(array_join(paras, "\n"))).as("text2"))
         .select(col("doc_id"),
           size(split(col("text2"), "\n")).as("n_lines"),
-          round(TA.dupLineFraction(col("text2")), 6).as("dup_line_frac"),
-          round(TA.dupLineCharFraction(col("text2")), 6).as("dup_char_frac"),
+          // exact-count rationals round IN INTEGER SPACE (r13 census —
+          // the InventorySpec sweep flagged the old round(frac, 6) here)
+          TA.dupLineFractionRounded(col("text2")).as("dup_line_frac"),
+          TA.dupLineCharFractionRounded(col("text2")).as("dup_char_frac"),
           TA.gopherLineRepetitionOk(col("text2")).as("ok"))
         .orderBy("doc_id")
     }),
@@ -2244,8 +2246,8 @@ object TextQueries {
          txt AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text2 FROM pl)
          SELECT doc_id,
            CAST(len(str_split(text2, chr(10))) AS INTEGER) AS n_lines,
-           round(${TA.dupLineFractionSql("text2")}, 6) AS dup_line_frac,
-           round(${TA.dupLineCharFractionSql("text2")}, 6) AS dup_char_frac,
+           ${TA.dupLineFractionRoundedSql("text2")} AS dup_line_frac,
+           ${TA.dupLineCharFractionRoundedSql("text2")} AS dup_char_frac,
            ${TA.gopherLineRepetitionOkSql("text2")} AS ok
          FROM txt ORDER BY doc_id""",
 

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The q256 preference-pair (DPO) gate in a form that runs UNCHANGED on a
+  * batch frame or an append-mode stream — the continuous-assembly shape a
+  * live feedback pipeline needs (preference records arrive as
+  * `(pair_id, prompt, resp_a, resp_b)` events; the gate scores, orients
+  * chosen/rejected, and deduplicates prompts online).
+  *
+  * Every scoring/orientation column is a stateless per-row projection
+  * (shared verbatim between modes, so the twins cannot drift). The one
+  * stateful stage is prompt dedup:
+  *  - batch: [[graft.ops.Dedup.dedupExact]] keeps the MINIMUM pair_id per
+  *    prompt fingerprint (deterministic, oracle-replayable);
+  *  - stream: state-store `dropDuplicates` keeps each fingerprint's FIRST
+  *    ARRIVAL — the [[graft.ops.Curation.curateStream]] keep-policy
+  *    difference, identical when arrival order is id order (the spec's
+  *    setup) and same survivor COUNT per prompt group always. With
+  *    `eventTime` set, state is watermark-bounded
+  *    (`dropDuplicatesWithinWatermark`) — the unbounded-feed mode; one
+  *    fingerprint per distinct prompt otherwise.
+  *
+  * Scale shape: zero shuffle for the projections; the dedup state is one
+  * md5 per distinct prompt. */
+object PreferenceStream {
+
+  /** Vocabulary-richness reward — distinct whitespace tokens (the q256
+    * reward; swap for a learned scorer column at will). */
+  def reward(resp: Column): Column =
+    size(array_distinct(split(resp, " "))).cast("long")
+
+  /** Score + orient + dedup. Input must expose `pair_id, prompt, resp_a,
+    * resp_b, src_a, src_b`; output is the q256 pair-table shape. */
+  def gate(pairs: DataFrame,
+      eventTime: Option[(Column, String)] = None): DataFrame = {
+    val scored = pairs
+      .withColumn("ra", reward(col("resp_a")))
+      .withColumn("rb", reward(col("resp_b")))
+      .withColumn("chosen",
+        when(col("rb") > col("ra"), col("resp_b")).otherwise(col("resp_a")))
+      .withColumn("rejected",
+        when(col("rb") > col("ra"), col("resp_a")).otherwise(col("resp_b")))
+      .withColumn("chosen_src",
+        when(col("rb") > col("ra"), col("src_b")).otherwise(col("src_a")))
+      .withColumn("prompt_fp", md5(col("prompt")))
+    val deduped =
+      if (!pairs.isStreaming)
+        graft.ops.Dedup.dedupExact(scored, col("prompt_fp"), col("pair_id"))
+      else eventTime match {
+        case Some((ts, delay)) =>
+          scored.withColumn("__ts", ts).withWatermark("__ts", delay)
+            .dropDuplicatesWithinWatermark("prompt_fp").drop("__ts")
+        case None => scored.dropDuplicates("prompt_fp")
+      }
+    deduped.select(col("pair_id"), col("prompt_fp"), col("chosen_src"),
+      (col("src_a") + col("src_b") - col("chosen_src")).as("rejected_src"),
+      greatest(col("ra"), col("rb")).as("reward_chosen"),
+      abs(col("ra") - col("rb")).as("reward_margin"),
+      md5(concat_ws(" ||| ", col("prompt"), col("chosen"),
+        col("rejected"))).as("fp"))
+  }
+}

@@ -30,6 +30,48 @@ class InventorySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
   }
 
+  test("rounded-rational census: no query output is round() over an IEEE " +
+    "division of exact integers — the q169 class; use ExactRound") {
+    // Freezes the r12 ExactRound discipline against regression: a future
+    // query writing round(intA / intB, k) re-introduces the cross-engine
+    // half-tie flip that kept q169 red for two rounds. The census walks
+    // every analyzed plan and flags DIRECT round-over-Divide compositions
+    // whose both operands are exact integers (possibly behind casts);
+    // quotients laundered through an intermediate projection are out of
+    // its reach — the dual-SF oracle gate stays the backstop for those.
+    import SparkTestSession._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Round}
+    import org.apache.spark.sql.types._
+    def intExact(e: Expression): Boolean = e match {
+      case c: Cast => intExact(c.child)
+      case other => other.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 => true
+        case _ => false
+      }
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.analyzed
+      plan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case r: Round => r.child match {
+            case d: Divide if intExact(d.left) && intExact(d.right) =>
+              offenders += s"$name: ${r.sql}"
+            case _ =>
+          }
+          case _ =>
+        })
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    assert(offenders.isEmpty,
+      s"round() over an exact-integer quotient (use ExactRound):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("query names are unique across the contributing modules") {
     // Map ++ silently overwrites duplicates — count entries per source map
     val perModule = Seq(

@@ -318,6 +318,50 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming preference-pair gate: score/orient projections are " +
+    "stateless and prompt dedup is state-store-backed — stream ≡ batch " +
+    "on the surviving pair set") {
+    import graft.streaming.PreferenceStream
+    // 20 pairs; the template prompt repeats ONCE PER MICROBATCH (pair 3
+    // in the first file, pair 13 in the second) so the stream's
+    // first-arrival keep provably equals the batch's min-id keep
+    val pairs = spark.range(20).select(col("id").as("pair_id"),
+      when(col("id").isin(3L, 13L), lit("the shared template prompt"))
+        .otherwise(concat(lit("prompt "), col("id"))).as("prompt"),
+      concat(lit("alpha beta gamma resp "), col("id")).as("resp_a"),
+      concat(lit("delta resp delta delta "), col("id")).as("resp_b"),
+      (col("id") * 2).as("src_a"), (col("id") * 2 + 1).as("src_b"))
+    val want = PreferenceStream.gate(pairs).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(want.length === 19 && !want.map(_.head).contains(13L),
+      "batch keeps the min-id template pair only")
+    val dir = Files.createTempDirectory("graft-pref-stream")
+    pairs.filter(col("pair_id") < 10).coalesce(1)
+      .write.parquet(dir.resolve("a").toString)
+    pairs.filter(col("pair_id") >= 10).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    // the file source orders batches by MODIFICATION TIME, and two copies
+    // can land in the same millisecond — pin x strictly earlier so the
+    // min-id template pair genuinely arrives first
+    Files.setLastModifiedTime(srcDir.resolve("x.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(PreferenceStream.gate(stream),
+        "pref_stream", OutputMode.Append())
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(got.map(_.toList).toList === want.map(_.toList).toList,
+      "stream and batch must keep byte-identical pair rows")
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
