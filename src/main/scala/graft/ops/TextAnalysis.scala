@@ -358,6 +358,180 @@ object TextAnalysis {
            ON uw.w = a.w AND length(uw.w) = a.pos)"""
   }
 
+  // ---- WordPiece (BERT-style) tokenizer ------------------------------------
+
+  /** Subword tokens under a TRAINED WordPiece vocabulary — the native
+    * [[graft.functions.WordPieceApply]] greedy longest-match-first pass
+    * (the unigram/BPE counterpart: same pre-tokenizer, so all three meter
+    * the same word stream and a tokenizer bakeoff is one column swap). */
+  def wordPieceTokens(c: Column, model: graft.functions.WordPieceModel): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordPieceApply(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), model))
+
+  def wordPieceTokenCount(c: Column, model: graft.functions.WordPieceModel): Column =
+    size(wordPieceTokens(c, model))
+
+  private def wordPieceSegCol(c: Column,
+      merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordPieceSegment(
+        org.apache.spark.sql.GraftColumnBridge.expression(c),
+        new graft.functions.WordPieceMergeModel(merges.toArray)))
+
+  /** WordPiece TRAINING (Schuster & Nakajima 2012; the HuggingFace
+    * `WordPieceTrainer` algorithm): the [[bpeTrain]] merge loop over the
+    * MARKED alphabet (`c₀, ##c₁ …` — [[graft.functions.WordPieceSegment]]),
+    * but each round's winner maximizes the LIKELIHOOD score
+    * `count(ab) / (count(a)·count(b))` instead of raw pair count. Each
+    * round: one segmentation projection over the distinct-word table (no
+    * shuffle), one partial-aggregable pair count, one symbol count, a
+    * broadcast-sized join of the two, and exactly ONE collected row.
+    *
+    * Determinism: the score is ranked as `(n_ab·10¹²) / (n_a·n_b)` in
+    * DECIMAL(38,0)-staged arithmetic (products bounded: counts ≤ 10¹² at
+    * 100 TB keep every intermediate under 38 digits) — a fixed-grid
+    * quantization of the exact rational, with ties broken by
+    * `(n_ab DESC, a, b)`; retrains are bit-identical. The trainer is
+    * spec-pinned (like [[bpeTrain]]), not oracle-replayed — only the
+    * APPLY path needs the cross-engine twin ([[wordPieceSql]]).
+    *
+    * Returns the finished [[graft.functions.WordPieceModel]]: round-0
+    * alphabet (sorted) ++ merge products in rank order, with `[UNK]`.
+    * Merges whose product would span more than [[graft.functions
+    * .WordPieceApply.MaxPieceSpan]] raw chars are never candidates (the
+    * cap that bounds serving-side scans and the oracle's unroll). */
+  def wordPieceTrain(df: DataFrame, text: Column, nMerges: Int):
+      graft.functions.WordPieceModel = {
+    require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    val words = df.select(explode(tokensBpe(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words.cache()
+    try {
+      val alphabet = words
+        .select(explode(wordPieceSegCol(col("w"), Nil)).as("s"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var exhausted = false
+      while (merges.length < nMerges && !exhausted) {
+        val segmented = words.filter(length(col("w")) >= 2)
+          .select(col("wc"), wordPieceSegCol(col("w"), merges.toSeq).as("syms"))
+        val pairs = segmented
+          .filter(size(col("syms")) >= 2)
+          .select(col("wc"), explode(
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("n_ab"))
+          // the merged product's raw span must stay under the serving cap
+          .filter(length(col("a"))
+            - when(col("a").startsWith("##"), lit(2)).otherwise(lit(0))
+            + length(col("b")) - lit(2)
+            <= graft.functions.WordPieceApply.MaxPieceSpan)
+        val syms = segmented
+          .select(col("wc"), explode(col("syms")).as("s"))
+          .groupBy("s").agg(sum(col("wc")).as("n_s"))
+        val top = pairs
+          .join(broadcast(syms.select(col("s").as("a"), col("n_s").as("n_a"))), "a")
+          .join(broadcast(syms.select(col("s").as("b"), col("n_s").as("n_b"))), "b")
+          .withColumn("score", expr(
+            """(CAST(n_ab AS DECIMAL(38,0)) * 1000000000000)
+               / (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))"""))
+          .orderBy(col("score").desc, col("n_ab").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges += ((top(0).getAs[String]("a"), top(0).getAs[String]("b")))
+      }
+      // distinct products: two different pairs can build the same string
+      // (("a","##bc") and ("ab","##c") both yield "abc")
+      val products = merges.map { case (a, b) => a + b.substring(2) }.distinct
+      new graft.functions.WordPieceModel(
+        (alphabet ++ products.filterNot(alphabet.contains)).toArray, "[UNK]")
+    } finally words.unpersist()
+  }
+
+  /** Persist a trained WordPiece vocab as a VERSIONED ARTIFACT TABLE
+    * `(rank, piece)` (+ the unk token at rank −1) via
+    * [[graft.core.Ingest.atomicPublish]] — same serving contract as
+    * [[bpeSave]]/[[unigramSave]]. Returns the version id. */
+  def wordPieceSave(spark: org.apache.spark.sql.SparkSession,
+      model: graft.functions.WordPieceModel, tableDir: String): String = {
+    import spark.implicits._
+    val rows = (-1L, model.unkToken) +:
+      model.pieces.zipWithIndex.map { case (p, r) => (r.toLong, p) }.toSeq
+    graft.core.Ingest.atomicPublish(
+      rows.toDF("rank", "piece").coalesce(1), tableDir)
+  }
+
+  /** Cold-reload the published WordPiece artifact — canonical piece
+    * order, bit-equal apply (ServiceSpec pins the round trip). */
+  def wordPieceLoad(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): graft.functions.WordPieceModel = {
+    val rows = graft.core.Ingest.readPublished(spark, tableDir)
+      .orderBy("rank").collect()
+    new graft.functions.WordPieceModel(
+      rows.tail.map(_.getAs[String]("piece")),
+      rows.head.getAs[String]("piece"))
+  }
+
+  /** DuckDB twin of the greedy WordPiece segmentation: CTE list over
+    * `wordsRel` (DISTINCT words in column `w`, none longer than
+    * `maxWordLen` chars) ending in `wpseg(w, ntok, wtoks)`. The greedy
+    * cursor unrolls one CTE per step (each step consumes ≥ 1 char, so
+    * `maxWordLen` steps always finish) — at each position the LONGEST
+    * matching candidate is unique (equal-length candidates at one
+    * position are the same substring), words that get stuck drop out of
+    * the chain and resurface as one `unkToken`. An ORACLE device, like
+    * [[unigramViterbiSql]]; the production path is the native
+    * expression. */
+  def wordPieceSql(wordsRel: String, pieces: Seq[String], unkToken: String,
+      maxWordLen: Int): String = {
+    require(pieces.nonEmpty && maxWordLen >= 1)
+    val vals = pieces.sorted.map(p => s"('$p')").mkString(", ")
+    val steps = (1 to maxWordLen).map { t =>
+      s"""__wp_c$t AS (
+           SELECT c.w,
+             CASE WHEN c.pos > length(c.w) THEN c.pos
+               ELSE c.pos + b.pl END AS pos,
+             CASE WHEN c.pos > length(c.w) THEN c.seg
+               WHEN c.seg = '' THEN b.piece
+               ELSE c.seg || chr(31) || b.piece END AS seg
+           FROM __wp_c${t - 1} c
+           LEFT JOIN __wp_best b ON b.w = c.w AND b.i = c.pos
+           WHERE c.pos > length(c.w) OR b.piece IS NOT NULL)"""
+    }.mkString(",\n         ")
+    s"""__wp_p(piece) AS (VALUES $vals),
+       __wp_w AS (SELECT DISTINCT w FROM $wordsRel),
+       __wp_cand AS (
+         SELECT uw.w, 1 AS i, p.piece, length(p.piece) AS pl
+         FROM __wp_w uw JOIN __wp_p p
+           ON p.piece NOT LIKE '##%'
+          AND p.piece = substr(uw.w, 1, length(p.piece))
+         UNION ALL
+         SELECT uw.w, x.i, p.piece, length(p.piece) - 2 AS pl
+         FROM __wp_w uw,
+           LATERAL (SELECT unnest(generate_series(2, length(uw.w))) AS i) x
+         JOIN __wp_p p
+           ON p.piece LIKE '##%'
+          AND substr(p.piece, 3) = substr(uw.w, x.i, length(p.piece) - 2)),
+       __wp_best AS (SELECT w, i, piece, pl FROM (
+         SELECT w, i, piece, pl,
+           row_number() OVER (PARTITION BY w, i ORDER BY pl DESC) AS rn
+         FROM __wp_cand) WHERE rn = 1),
+       __wp_c0 AS (SELECT w, 1 AS pos, '' AS seg FROM __wp_w),
+       $steps,
+       __wp_fin AS (SELECT w, seg FROM __wp_c$maxWordLen
+         WHERE pos = length(w) + 1),
+       wpseg AS (SELECT uw.w,
+           CASE WHEN f.w IS NULL THEN 1
+             ELSE (length(f.seg) - length(replace(f.seg, chr(31), ''))) + 1
+           END AS ntok,
+           CASE WHEN f.w IS NULL THEN '$unkToken'
+             ELSE replace(f.seg, chr(31), ' ') END AS wtoks
+         FROM __wp_w uw LEFT JOIN __wp_fin f ON f.w = uw.w)"""
+  }
+
   /** Unicode normalization via the native [[graft.functions
     * .UnicodeNormalize]] projection (NFC default — the web-canonical
     * composed form with a DuckDB `nfc_normalize` twin; NFKC folds

@@ -107,6 +107,30 @@ object TextQueries {
   private lazy val UniModel = new graft.functions.UnigramModel(
     UniPieces.map(_._1).toArray, UniPieces.map(_._2).toArray, UniUnkMicro)
 
+  /** q262/q263's handcrafted WordPiece vocabulary, planted to exercise
+    * every greedy behavior on the corpus words: longest-match-first at
+    * position 0 ("join" beats "jo", "the" beats "th") and mid-word
+    * ("line" → l|##in|##e via "##in" over "##i"), multi-piece chains
+    * ("batch" → b|##at|##ch, "table" → ta|##ble), the greedy-not-optimal
+    * contract ("value" → val|##u|##e, 3 pieces, even though va|##lue
+    * would be 2 — greedy commits to "val" and never sees "##lue"), and
+    * the all-or-nothing unk rule three ways: no initial match ("query" —
+    * 'q' is the one missing initial single), STUCK MID-WORD after
+    * partial progress ("row"/"slow"/"window" — '##w' is the one missing
+    * continuation single), and unpriced digit runs. */
+  private val WpPieces: Seq[String] = {
+    val initials = ('a' to 'z').filterNot(_ == 'q').map(_.toString) ++
+      Seq("jo", "join", "sc", "th", "the", "ta", "va", "val", "dat")
+    val conts = ('a' to 'z').filterNot(_ == 'w').map(c => "##" + c) ++
+      Seq("##in", "##an", "##ash", "##at", "##ch", "##ble", "##lue")
+    initials ++ conts
+  }
+
+  private val WpUnk = "[UNK]"
+
+  private lazy val WpModel =
+    new graft.functions.WordPieceModel(WpPieces.toArray, WpUnk)
+
   /** q242's canonical-equivalence twins: the same three glyphs (é ü Å ö)
     * in DECOMPOSED (base char + combining mark) and COMPOSED (single
     * codepoint) encodings — NFC must collapse both onto one byte stream. */
@@ -313,6 +337,50 @@ object TextQueries {
             .as("chars_per_token"),
           ExactRound.ratioRounded("sum_uni_tokens", "sum_words", 6)
             .as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // WordPiece (BERT-style) greedy longest-match segmentation under the
+    // handcrafted vocabulary: longest-match wins at word start and
+    // mid-word, the greedy-not-optimal case is pinned (value → val ##u
+    // ##e), and the all-or-nothing [UNK] rule fires three ways (no
+    // initial match, stuck mid-word, digit plants) — per-doc token
+    // counts + the ordered full-token fingerprint, replayed in DuckDB by
+    // an unrolled greedy-cursor chain with the identical vocab
+    "q262_wordpiece_apply" -> ((s, d) => {
+      val t2 = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" value42 table"))).otherwise(col("text"))
+      t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), TA.wordPieceTokens(t2, WpModel).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          md5(array_join(col("toks"), " ")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // the tokenizer BAKEOFF a real pipeline runs before committing a
+    // vocab: the SAME word stream (shared pre-tokenizer) metered under
+    // all three trained tokenizers — BPE merge loop, unigram Viterbi,
+    // WordPiece greedy — per-lang totals and fertility side by side; one
+    // fused projection per doc, zero shuffle until the final per-lang agg
+    "q263_tokenizer_bakeoff" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"),
+          TA.tokenCount(col("text")).as("nws"),
+          TA.bpeTokenCount(col("text"), BpeMerges).as("nbpe"),
+          TA.unigramTokenCount(col("text"), UniModel).as("nuni"),
+          TA.wordPieceTokenCount(col("text"), WpModel).as("nwp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nws").cast("long").as("sum_words"),
+          sum("nbpe").cast("long").as("sum_bpe"),
+          sum("nuni").cast("long").as("sum_uni"),
+          sum("nwp").cast("long").as("sum_wp"))
+        .select(col("lang"), col("n_docs"), col("sum_words"),
+          col("sum_bpe"), col("sum_uni"), col("sum_wp"),
+          ExactRound.ratioRounded("sum_bpe", "sum_words", 6).as("fert_bpe"),
+          ExactRound.ratioRounded("sum_uni", "sum_words", 6).as("fert_uni"),
+          ExactRound.ratioRounded("sum_wp", "sum_words", 6).as("fert_wp"))
         .orderBy("lang")
     }),
 
@@ -1854,6 +1922,85 @@ object TextQueries {
            ${graft.ops.ExactRound.ratioRoundedSql("sum(nuni)",
               "sum(nws)", 6)} AS fertility
          FROM dc GROUP BY 1 ORDER BY 1""",
+
+    // identical plant; the greedy cursor replays step-by-step (longest
+    // candidate per position is unique, stuck words resurface as [UNK]),
+    // then each doc's ordered token stream reassembles like q260
+    "q262_wordpiece_apply" ->
+      s"""WITH base AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             THEN text || ' value42 table' ELSE text END AS t2
+           FROM documents WHERE doc_id < 20),
+         tl AS (SELECT doc_id, regexp_extract_all(t2,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM base),
+         toks AS (SELECT doc_id, x.i, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         ${TA.wordPieceSql("toks", WpPieces, WpUnk, maxWordLen = 8)}
+         SELECT t.doc_id, CAST(sum(wp.ntok) AS BIGINT) AS n_tokens,
+           md5(string_agg(wp.wtoks, ' ' ORDER BY t.i)) AS fp
+         FROM toks t JOIN wpseg wp ON t.w = wp.w
+         GROUP BY 1 ORDER BY 1""",
+
+    // all three per-word machines — the q172 BPE rank-sweep, the q260
+    // unigram Viterbi DP, the q262 greedy cursor — run over ONE shared
+    // word table and join back per doc; totals and fertility per lang
+    "q263_tokenizer_bakeoff" -> {
+      val vals = BpeMerges.zipWithIndex
+        .map { case ((a, b), i) => s"($i,'$a','$b')" }.mkString(",")
+      s"""WITH RECURSIVE
+         merges(rk, a, b) AS (SELECT * FROM (VALUES $vals) v(rk, a, b)),
+         tl AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, ws[x.i] AS w FROM tl,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) x),
+         words AS (SELECT DISTINCT w FROM toks),
+         enc AS (
+           SELECT w, regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS seq
+           FROM words
+           UNION ALL
+           SELECT e.w, replace(e.seq,
+               chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31),
+               chr(31)||m.a||m.b||chr(31)) AS seq
+           FROM enc e, LATERAL (SELECT a, b FROM merges
+              WHERE position(chr(31)||merges.a||chr(31)||chr(31)||merges.b||chr(31)
+                IN e.seq) > 0
+              ORDER BY rk LIMIT 1) m(a, b)),
+         fin AS (SELECT w, seq FROM enc e WHERE NOT EXISTS (
+           SELECT 1 FROM merges m
+           WHERE position(chr(31)||m.a||chr(31)||chr(31)||m.b||chr(31)
+             IN e.seq) > 0)),
+         wtok AS (SELECT w,
+           (length(seq) - length(replace(seq, chr(31), ''))) // 2 AS ntok
+           FROM fin),
+         ${TA.unigramViterbiSql("toks", UniPieces, UniUnkMicro,
+            maxWordLen = 8)},
+         ${TA.wordPieceSql("toks", WpPieces, WpUnk, maxWordLen = 8)},
+         per AS (SELECT t.doc_id, sum(wt.ntok) AS nbpe,
+             sum(u.ntok) AS nuni, sum(wp.ntok) AS nwp
+           FROM toks t JOIN wtok wt ON t.w = wt.w
+             JOIN useg u ON t.w = u.w
+             JOIN wpseg wp ON t.w = wp.w
+           GROUP BY 1),
+         dc AS (SELECT d.lang,
+             len(str_split(d.text, ' ')) AS nws,
+             coalesce(p.nbpe, 0) AS nbpe,
+             coalesce(p.nuni, 0) AS nuni,
+             coalesce(p.nwp, 0) AS nwp
+           FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(nws) AS BIGINT) AS sum_words,
+           CAST(sum(nbpe) AS BIGINT) AS sum_bpe,
+           CAST(sum(nuni) AS BIGINT) AS sum_uni,
+           CAST(sum(nwp) AS BIGINT) AS sum_wp,
+           ${graft.ops.ExactRound.ratioRoundedSql("sum(nbpe)",
+              "sum(nws)", 6)} AS fert_bpe,
+           ${graft.ops.ExactRound.ratioRoundedSql("sum(nuni)",
+              "sum(nws)", 6)} AS fert_uni,
+           ${graft.ops.ExactRound.ratioRoundedSql("sum(nwp)",
+              "sum(nws)", 6)} AS fert_wp
+         FROM dc GROUP BY 1 ORDER BY 1"""
+    },
 
     // identical plant; the automaton's word-boundary rule replays as one
     // RE2 regexp per phrase (the N-pass shape the native expression

@@ -199,4 +199,116 @@ class OpsSpecR13 extends AnyFunSuite {
     // phrase only hit on a boundary: "zzq" never fires on "zzqx" pages
     assert(ids(Seq("zzq")) === Set(1L, 2L))
   }
+
+  // ---- WordPiece tokenizer ------------------------------------------------
+
+  private def wpModel(pieces: String*): graft.functions.WordPieceModel =
+    new graft.functions.WordPieceModel(pieces.toArray, "[UNK]")
+
+  private def wpSeg(w: String, m: graft.functions.WordPieceModel) =
+    graft.functions.WordPieceApply.segmentWord(w, m).toSeq
+
+  test("wordpiece greedy: longest-match-first at word start and mid-word; " +
+    "greedy is NOT globally optimal and that is the pinned contract") {
+    val m = wpModel("t", "th", "the", "##e", "##h", "va", "val",
+      "##lue", "##u", "##l")
+    assert(wpSeg("the", m) === Seq("the"))        // longest beats th/t
+    assert(wpSeg("thee", m) === Seq("the", "##e"))
+    // greedy commits to "val" and pays 3 pieces; va|##lue (2) is never seen
+    assert(wpSeg("value", m) === Seq("val", "##u", "##e"))
+    assert(wpSeg("valu", m) === Seq("val", "##u"))
+  }
+
+  test("wordpiece greedy: all-or-nothing [UNK] — no initial match, stuck " +
+    "mid-word after progress, and the empty/single-char edges") {
+    val m = wpModel("a", "ab", "##b", "##c")
+    assert(wpSeg("abc", m) === Seq("ab", "##c"))
+    assert(wpSeg("abcd", m) === Seq("[UNK]"))     // stuck at 'd' after 2 pieces
+    assert(wpSeg("xab", m) === Seq("[UNK]"))      // no initial match
+    assert(wpSeg("a", m) === Seq("a"))
+    assert(wpSeg("", m) === Seq())
+  }
+
+  test("wordpiece model validation: rejects empties, duplicates, bare-## " +
+    "continuations, and over-span pieces") {
+    intercept[IllegalArgumentException](wpModel())
+    intercept[IllegalArgumentException](wpModel("a", "a"))
+    intercept[IllegalArgumentException](wpModel(""))
+    intercept[IllegalArgumentException](wpModel("##"))
+    intercept[IllegalArgumentException](wpModel("a" * 17))
+    wpModel("a" * 16, "##" + "b" * 16) // at the cap: fine
+  }
+
+  test("wordpiece trainer segmentation: marked-char init + min-rank merge " +
+    "loop with ##-stripping products, and merge-list validation") {
+    import graft.functions.{WordPieceMergeModel, WordPieceSegment}
+    val m = new WordPieceMergeModel(Array(
+      "##a" -> "##b", "c" -> "##ab"))             // c+##ab needs rank-0's product
+    def seg(w: String) = WordPieceSegment.segmentWord(w, m).toSeq
+    assert(seg("cab") === Seq("cab"))             // both merges fire in order
+    assert(seg("dab") === Seq("d", "##ab"))       // rank-0 only
+    assert(seg("ca") === Seq("c", "##a"))         // no pair present
+    intercept[IllegalArgumentException](new WordPieceMergeModel(
+      Array("a" -> "b")))                         // right operand must be ##
+    intercept[IllegalArgumentException](new WordPieceMergeModel(
+      Array("c" -> "##ab")))                      // operand from no earlier merge
+  }
+
+  test("wordpiece trainer: deterministic, likelihood-ranked (the dominant " +
+    "LOW-frequency-symbol pair wins over the raw-count argmax), and the " +
+    "vocab round-trips through apply") {
+    import spark.implicits._
+    // 'ab' pair count 30 with n_a=n_b=30 -> score 1/30; 'xe' count 25 but
+    // e also ends every "we"/"ze" word (n_e=75) -> 25/(25*75) = 1/75.
+    // A raw-count trainer at equal counts would also pick ab; tilt it:
+    // make xe the COUNT argmax (35) yet still the likelihood loser.
+    val docs = (Seq.fill(30)("ab") ++ Seq.fill(35)("xe") ++
+        Seq.fill(20)("we") ++ Seq.fill(20)("ze"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val m1 = TA.wordPieceTrain(docs, col("text"), nMerges = 1)
+    val m2 = TA.wordPieceTrain(docs, col("text"), nMerges = 1)
+    assert(m1.pieces.toSeq === m2.pieces.toSeq, "retrain must be bit-equal")
+    // score(a,##b) = 30/(30*30) = 1/30 > score(x,##e) = 35/(35*75) = 1/75
+    assert(m1.pieces.contains("ab") && !m1.pieces.contains("xe"),
+      s"likelihood argmax must pick ab: ${m1.pieces.toSeq}")
+    assert(wpSeg("ab", m1) === Seq("ab"))
+    assert(wpSeg("xe", m1) === Seq("x", "##e"))
+  }
+
+  test("wordpiece trainer on the real corpus: vocab segments every word " +
+    "with zero [UNK], and learned merges strictly cut the token count") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = TA.wordPieceTrain(docs, col("text"), nMerges = 8)
+    assert(m.pieces.exists(p => (if (p.startsWith("##")) p.length - 2
+      else p.length) >= 2), "8 merges must earn multi-char pieces")
+    val agg = docs.select(
+        sum(TA.wordPieceTokenCount(col("text"), m)).cast("long").as("wp"),
+        sum(length(regexp_replace(col("text"), lit(" "), lit(""))))
+          .cast("long").as("chars"),
+        sum(size(filter(TA.wordPieceTokens(col("text"), m),
+          t => t === lit("[UNK]")))).cast("long").as("unks"))
+      .head()
+    assert(agg.getLong(2) === 0L,
+      "training keeps every corpus char: nothing can be [UNK]")
+    assert(agg.getLong(0) > 0 && agg.getLong(0) < agg.getLong(1),
+      "learned pieces must be used (fewer tokens than chars)")
+  }
+
+  test("wordpiece artifact round-trip: save -> atomic publish -> cold load " +
+    "is bit-equal and tokenizes identically") {
+    import spark.implicits._
+    val docs = Seq.fill(30)((1L, "zq zq zqzq")).toDF("id", "text")
+    val m = TA.wordPieceTrain(docs, col("text"), nMerges = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wp-artifact").toString
+    TA.wordPieceSave(spark, m, dir)
+    val loaded = TA.wordPieceLoad(spark, dir)
+    assert(loaded.pieces.toSeq === m.pieces.toSeq)
+    assert(loaded.unkToken === m.unkToken)
+    val t1 = docs.select(TA.wordPieceTokens(col("text"), m).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val t2 = docs.select(TA.wordPieceTokens(col("text"), loaded).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(t1.toSeq === t2.toSeq)
+  }
 }
