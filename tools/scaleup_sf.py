@@ -29,14 +29,31 @@ sf <= 0.1, so sf1.0 is synthesized from sf0.1 as 10 replicas with:
 Everything is pure arithmetic on the base tables — no RNG — so the
 scaled directory is bit-reproducible.
 
+Every output file is re-encoded through pyarrow with the testdata
+writer profile (RLE_DICTIONARY + snappy, 1Mi-row row groups — what
+parquet-cpp writes by default). DuckDB's COPY emits PLAIN-encoded
+pages in ~120k-row row groups; measured against dictionary-encoded
+sf0.1 files that skews scan-bound queries to ~2-3x their true cpu
+factor (TPC-H Q14 read 34.6x instead of ~11x) — the factor table
+must compare like-encoded inputs or it measures the writer, not the
+query.
+
 Usage: python3 tools/scaleup_sf.py /root/testdata/sf0.1 /tmp/sf1.0 10
 """
 import os
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 OFF = 10_000_000
+
+
+def reencode(path):
+    """Rewrite in the testdata writer profile (pyarrow defaults)."""
+    tmp = path + ".reenc"
+    pq.write_table(pq.read_table(path), tmp)
+    os.replace(tmp, path)
 
 
 def main(src, dst, reps):
@@ -48,6 +65,7 @@ def main(src, dst, reps):
         q = " UNION ALL ".join(parts)
         out = f"{dst}/{table}.parquet"
         con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+        reencode(out)
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows")
 
@@ -57,6 +75,7 @@ def main(src, dst, reps):
     for t in ("region", "nation"):
         con.execute(
             f"COPY (SELECT * FROM {base(t)}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        reencode(f"{dst}/{t}.parquet")
         print(f"{t}: copied 1x")
 
     gen("customer", lambda r: f"""
