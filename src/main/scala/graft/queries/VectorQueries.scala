@@ -694,6 +694,44 @@ object VectorQueries {
         .filter(col("i") < 10)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy("i", "rk")
+    }),
+
+    // online embedding admission (streaming.EmbedStream.gate, batch leg):
+    // arrivals = organic vectors ∪ planted exact dups (replayed organics
+    // under +1e6 ids — must lose the min-id dedup) ∪ planted near-dups of
+    // the FROZEN reference (refs scaled by 1.0001 in double then cast back
+    // to float: cosine ≈ 1 and the sign pattern — hence the LSH bucket —
+    // is provably unchanged, so the single-probe anti join MUST kill them).
+    // Census per plant category: every organic admits, every plant dies
+    "q264_embed_admission" -> ((s, d) => {
+      val all = emb(s, d)
+      val ref = all.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select("embedding")
+      val organic = all.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val dupPlants = organic.filter(pmod(col("vec_id"), lit(11)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val nearPlants = all.filter(pmod(col("vec_id"), lit(7)) === 0 &&
+          pmod(col("vec_id"), lit(3)) === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.0001)).cast("float"))
+            .as("embedding"))
+      val arrivals = organic.unionByName(dupPlants).unionByName(nearPlants)
+      val admitted = graft.streaming.EmbedStream.gate(arrivals, ref,
+        bits = 8, minCosine = 0.95)
+      arrivals.select(col("vec_id"),
+          when(col("vec_id") >= 2000000L, lit("near_plant"))
+            .when(col("vec_id") >= 1000000L, lit("dup_plant"))
+            .otherwise(lit("organic")).as("category"))
+        .join(admitted.select(col("vec_id"), lit(1L).as("__adm")),
+          Seq("vec_id"), "left")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__adm"), lit(0L))).as("n_admitted"),
+          coalesce(sum(when(col("__adm").isNotNull, col("vec_id"))), lit(0L))
+            .cast("long").as("sum_admitted_ids"))
+        .orderBy("category")
     })
   )
 
@@ -1211,6 +1249,44 @@ object VectorQueries {
              row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
            FROM p)
          SELECT i, j, round(cos, 6) AS cos, rk
-         FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk"""
+         FROM rk WHERE rk <= 3 AND i < 10 ORDER BY i, rk""",
+
+    // identical plant; exact dedup replays as min-id GROUP BY the vector
+    // LIST, the reference anti join as NOT EXISTS over the same bucket
+    // equality + cosine threshold (double-product summation order shared
+    // with the Spark side's native expression)
+    "q264_embed_admission" ->
+      s"""WITH ref AS (SELECT embedding FROM embeddings WHERE vec_id % 7 = 0),
+         organic AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 7 <> 0),
+         dupp AS (SELECT vec_id + 1000000 AS vec_id, embedding
+           FROM organic WHERE vec_id % 11 = 0),
+         nearp AS (SELECT vec_id + 2000000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(x::DOUBLE * 1.0001 AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id % 7 = 0 AND vec_id % 3 = 0),
+         arr AS (SELECT * FROM organic UNION ALL SELECT * FROM dupp
+           UNION ALL SELECT * FROM nearp),
+         surv AS (SELECT min(vec_id) AS vec_id, embedding
+           FROM arr GROUP BY embedding),
+         survb AS (SELECT vec_id, embedding,
+             ${Sim.signBucketSql("embedding", 8)} AS sb FROM surv),
+         refb AS (SELECT ${Sim.signBucketSql("embedding", 8)} AS rb,
+             embedding AS rvec FROM ref),
+         hits AS (SELECT DISTINCT s.vec_id FROM survb s
+           JOIN refb r ON s.sb = r.rb
+           WHERE ${Sim.cosineSql("s.embedding", "r.rvec")} >= 0.95),
+         adm AS (SELECT vec_id FROM survb
+           WHERE vec_id NOT IN (SELECT vec_id FROM hits))
+         SELECT CASE WHEN a.vec_id >= 2000000 THEN 'near_plant'
+             WHEN a.vec_id >= 1000000 THEN 'dup_plant'
+             ELSE 'organic' END AS category,
+           count(*) AS n_in,
+           CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_admitted,
+           CAST(coalesce(sum(CASE WHEN m.vec_id IS NOT NULL
+             THEN a.vec_id END), 0) AS BIGINT) AS sum_admitted_ids
+         FROM arr a LEFT JOIN adm m ON a.vec_id = m.vec_id
+         GROUP BY 1 ORDER BY 1"""
   )
 }

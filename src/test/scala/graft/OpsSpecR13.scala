@@ -311,4 +311,49 @@ class OpsSpecR13 extends AnyFunSuite {
       .collect().map(_.getSeq[String](0))
     assert(t1.toSeq === t2.toSeq)
   }
+
+  // ---- embedding admission gate (EmbedStream.gate, batch leg) -------------
+
+  private def vecDf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embed admission: same-bucket near-dup of the reference dies, " +
+    "different-bucket and low-cosine arrivals admit, exact dup keeps min id") {
+    val ref = vecDf(0L -> Seq(1f, 0f)).select("embedding")
+    val arrivals = vecDf(
+      1L -> Seq(0.9f, 0.1f),   // cos .9939 >= .95, bucket (+,+) = ref's → dies
+      2L -> Seq(-1f, 0.5f),    // different bucket → admitted
+      3L -> Seq(0.9f, 0.1f),   // exact dup of 1 — dedup drops it first
+      4L -> Seq(0.5f, 0.866f)) // same bucket, cos 0.5 < .95 → admitted
+    val got = graft.streaming.EmbedStream
+      .gate(arrivals, ref, bits = 2, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(2L, 4L))
+  }
+
+  test("embed admission: exact dup of an ADMITTED arrival dies in the " +
+    "dedup stage even when far from every reference vector") {
+    val ref = vecDf(0L -> Seq(1f, 0f)).select("embedding")
+    val arrivals = vecDf(
+      7L -> Seq(-0.6f, 0.8f),
+      9L -> Seq(-0.6f, 0.8f)) // identical — only min id 7 survives
+    val got = graft.streaming.EmbedStream
+      .gate(arrivals, ref, bits = 2, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(7L))
+  }
+
+  test("embed admission: a near-dup whose sign pattern differs ESCAPES the " +
+    "single-probe bucket join — the documented recall contract (q224's " +
+    "multiprobe is the recall lever, not this gate)") {
+    val ref = vecDf(0L -> Seq(1f, 0.0001f)).select("embedding")
+    // cosine ≈ 1.0 but dim-2 sign flips the bucket: admitted by contract
+    val arrivals = vecDf(5L -> Seq(1f, -0.0001f))
+    val got = graft.streaming.EmbedStream
+      .gate(arrivals, ref, bits = 2, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(5L))
+  }
 }

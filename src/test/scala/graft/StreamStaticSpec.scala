@@ -566,4 +566,54 @@ class StreamStaticSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), 2 * r.getLong(2))).sorted
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming embedding admission: near-dup rejection vs the frozen " +
+    "reference is a stateless stream-static anti join and exact-arrival " +
+    "dedup is state-store-backed — stream ≡ batch on the admitted set, " +
+    "with the exact dup SPLIT across microbatches") {
+    import graft.streaming.EmbedStream
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ref = all.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("embedding")
+    val organic = all.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    // near plants of the reference (sign-preserving 1.0001 scale — same
+    // bucket, cosine ≈ 1) land in the SECOND microbatch; the exact dup of
+    // vec 1 (id 900000) lands there too, so the state store must remember
+    // batch 1 across the trigger boundary
+    val nearPlants = all
+      .filter(pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 40)
+      .select((col("vec_id") + 800000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0001)).cast("float")).as("embedding"))
+    val dupOfOne = organic.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val arrivals = organic.unionByName(nearPlants).unionByName(dupOfOne)
+    val want = EmbedStream.gate(arrivals, ref, bits = 8, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(want.nonEmpty && !want.contains(900001L))
+    val dir = Files.createTempDirectory("graft-embed-stream")
+    organic.coalesce(1).write.parquet(dir.resolve("a").toString)
+    nearPlants.unionByName(dupOfOne).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    // pin x strictly earlier so vec 1 provably arrives before its dup
+    Files.setLastModifiedTime(srcDir.resolve("x.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(
+        EmbedStream.gate(stream, ref, bits = 8, minCosine = 0.95),
+        "embed_admission_stream", OutputMode.Append())
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq,
+      "stream and batch must admit the identical vector set")
+  }
 }
