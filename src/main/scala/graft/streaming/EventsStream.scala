@@ -159,4 +159,19 @@ object EventsStream {
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Drain the currently-available input through a durable FILE sink with a
+    * checkpoint — the production shape (exactly-once output via the sink's
+    * _spark_metadata log; offsets + state-store snapshots under `ckptDir`).
+    * Calling this again after a stop — new files pending, same checkpoint —
+    * is a crash-recovery resume: processed batches never replay and
+    * stateful operators (dropDuplicates, flatMapGroupsWithState) continue
+    * from their recovered state. Read `outDir` for everything emitted
+    * across all lifetimes. */
+  def drainCheckpointed(df: DataFrame, outDir: String, ckptDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckptDir).start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -616,4 +616,90 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq,
       "stream and batch must admit the identical vector set")
   }
+
+  test("checkpoint crash-recovery: an admission stream killed between " +
+    "microbatches resumes from the state-store snapshot — the recovered " +
+    "dedup state suppresses a post-restart duplicate and processed " +
+    "batches never replay") {
+    import graft.streaming.EmbedStream
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ref = all.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("embedding")
+    val organic = all.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val dupOfOne = organic.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val want = EmbedStream.gate(organic.unionByName(dupOfOne), ref,
+        bits = 8, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(!want.contains(900001L))
+    val dir = Files.createTempDirectory("graft-embed-recover")
+    organic.coalesce(1).write.parquet(dir.resolve("a").toString)
+    dupOfOne.coalesce(1).write.parquet(dir.resolve("b").toString)
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    val outDir = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def gateStream() = EmbedStream.gate(
+      spark.readStream.schema(organic.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString),
+      ref, bits = 8, minCosine = 0.95)
+    // LIFETIME 1: only the organic file exists; drain, checkpoint, stop
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    EventsStream.drainCheckpointed(gateStream(), outDir, ckpt)
+    val after1 = spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0))
+    // the CRASH WINDOW: the duplicate of vec 1 lands while nothing runs
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    // LIFETIME 2: a FRESH query object on the same checkpoint — only the
+    // new file processes, and the RECOVERED dropDuplicates state must
+    // remember vec 1's vector from before the kill
+    EventsStream.drainCheckpointed(gateStream(), outDir, ckpt)
+    val after2 = spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(after2.length === after1.length,
+      "the post-restart duplicate must be suppressed by recovered state " +
+        "and lifetime-1 batches must not replay")
+    assert(after2.sorted.toSeq === want.toSeq,
+      "rows emitted across both lifetimes must equal the batch op")
+  }
+
+  test("checkpoint crash-recovery: budget admission's running spend " +
+    "survives the restart — a post-restart row that fits the ORIGINAL " +
+    "budget but not the remainder is rejected") {
+    import graft.streaming.{Admission, BudgetRow}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-budget-recover")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    val outDir = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = Seq(BudgetRow("g", 0L, 0L)).toDS().schema
+    def admitStream() = Admission.budgetAdmit(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString).as[BudgetRow],
+      budget = 10L).toDF()
+    // lifetime 1: two rows cost 4+4 → spent 8 of 10
+    Seq(BudgetRow("g", 1L, 4L), BudgetRow("g", 2L, 4L)).toDS()
+      .coalesce(1).write.parquet(dir.resolve("a").toString)
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    EventsStream.drainCheckpointed(admitStream(), outDir, ckpt)
+    assert(spark.read.parquet(outDir).count() === 2)
+    // crash window; then a cost-3 row arrives: fits the original budget
+    // (3 ≤ 10) but NOT the recovered remainder (8 + 3 > 10)
+    Seq(BudgetRow("g", 3L, 3L)).toDS()
+      .coalesce(1).write.parquet(dir.resolve("b").toString)
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    EventsStream.drainCheckpointed(admitStream(), outDir, ckpt)
+    val got = spark.read.parquet(outDir).as[BudgetRow].collect()
+      .map(_.key).sorted
+    assert(got.toSeq === Seq(1L, 2L),
+      "recovered spend must reject the row a fresh state would admit")
+  }
 }
