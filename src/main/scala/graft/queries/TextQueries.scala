@@ -1771,6 +1771,45 @@ object TextQueries {
           col("simhash"), k = 2)
         .agg(count(lit(1)).as("n_kept"), sum("doc").as("sum_ids"),
           countDistinct("simhash").as("n_buckets"))
+    }),
+
+    // data-capacity ladder — the planning table a token-budget decision
+    // reads ("how many tokens survive at quality ≥ X, after dedup?"):
+    // docs band by type-token ratio on the 10⁶ integer grid (fixed 0.1-wide
+    // bands, NOT data-adaptive deciles — absolute quality levels, no global
+    // sort), exact-dedup survivors (md5 min-id) counted next to raw, and
+    // dedup-surviving tokens accumulate from the best band DOWN. The one
+    // unpartitioned window runs over the ≤10-row band aggregate, never the
+    // corpus
+    "q265_data_ladder" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      // every 13th doc is replayed under a fresh id (a crawl-overlap
+      // plant) so the raw and dedup-surviving columns provably diverge
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+          base.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("ttr_micro", ExactRound.gridMicroCol(
+          size(array_distinct(toks)).cast("long"),
+          size(toks).cast("long"), 6))
+        .withColumn("band", least(
+          call_function("div", col("ttr_micro"), lit(100000L)), lit(9L)))
+      val surv = Dedup.dedupExact(docs.select(col("doc_id"),
+            md5(col("text")).as("fp")), col("fp"), col("doc_id"))
+        .select(col("doc_id"), lit(1L).as("__surv"))
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(surv, Seq("doc_id"), "left")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(coalesce(col("__surv"), lit(0L))).as("n_docs_dedup"),
+          sum(when(col("__surv").isNotNull, col("n_tokens")).otherwise(0L))
+            .as("n_tokens_dedup"))
+        .withColumn("cum_tokens_dedup", sum("n_tokens_dedup").over(w))
+        .orderBy(col("band").desc)
     })
   )
 
@@ -3455,7 +3494,35 @@ object TextQueries {
            FROM s)
          SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            count(DISTINCT simhash) AS n_buckets
-         FROM r WHERE rn <= 2"""
+         FROM r WHERE rn <= 2""",
+
+    // identical integer-grid TTR banding; dedup survivors replay as md5
+    // min-id; the cumulative runs over the same ≤10-row band table
+    "q265_data_ladder" ->
+      s"""WITH feed AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 500000, text FROM documents
+           WHERE doc_id % 13 = 0),
+         sc AS (SELECT doc_id, md5(text) AS fp,
+             len(str_split(text, ' '))::BIGINT AS n_tokens,
+             ${ExactRound.gridMicroSql(
+               "len(list_distinct(str_split(text, ' ')))",
+               "len(str_split(text, ' '))", 6)} AS ttr_micro
+           FROM feed),
+         b AS (SELECT doc_id, n_tokens, fp,
+             least(ttr_micro // 100000, 9) AS band FROM sc),
+         surv AS (SELECT min(doc_id) AS doc_id FROM b GROUP BY fp),
+         per AS (SELECT band, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_dedup,
+             CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN n_tokens
+               ELSE 0 END) AS BIGINT) AS n_tokens_dedup
+           FROM b LEFT JOIN surv s USING (doc_id) GROUP BY 1)
+         SELECT band, n_docs, n_tokens, n_docs_dedup, n_tokens_dedup,
+           CAST(sum(n_tokens_dedup) OVER (ORDER BY band DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens_dedup
+         FROM per ORDER BY band DESC"""
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the
