@@ -1858,6 +1858,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("sum_tokens"))
         .orderBy("source", "format")
+    }),
+
+    // q93's PRODUCTION-WIDTH twin: the same Manku banding at bits = 60
+    // (the portable-hash max — 15-bit band keys at maxHamming 3), now
+    // ORACLE-PINNED instead of probe-measured: the brute-force all-pairs
+    // replay proves the pigeonhole blocking is lossless at the width the
+    // 100 TB config runs (README's q93 outlier row points here). Exact
+    // copies planted every 31st doc make the ≤3 census non-empty at a
+    // width where organic 0.5-jaccard pairs sit far outside the budget
+    "q267_simhash_pairs_wide" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      Dedup.simhashPairs(planted, col("doc_id"), col("text"),
+          bits = 60, maxHamming = 3)
+        .groupBy(col("hamming").cast("int").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("i").as("min_i"), max("j").as("max_j"))
+        .orderBy("hamming")
     })
   )
 
@@ -1892,19 +1912,26 @@ object TextQueries {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)""".stripMargin
   }
 
-  private val simhashSql: String = {
-    val votes = (0 until 16)
+  /** CTE body computing `(doc_id, simhash)` at `bits` width over `table`
+    * — the vote loop is width-parametric so the 16-bit oracle config
+    * (q47/q85/q93) and the production 60-bit width (q267) share one
+    * builder. */
+  private def simhashCte(bits: Int, table: String): String = {
+    val votes = (0 until bits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) v$b")
       .mkString(", ")
-    val assemble = (0 until 16)
+    val assemble = (0 until bits)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id AS doc, unnest(list_distinct(str_split(text, ' '))) tok
-       |  FROM documents),
+    s"""tk AS (SELECT doc_id AS doc, unnest(list_distinct(str_split(text, ' '))) tok
+       |  FROM $table),
        |h AS (SELECT doc, ${PortableHash.md5LongSql("tok", 0)} h FROM tk),
-       |v AS (SELECT doc, $votes FROM h GROUP BY doc)
-       |SELECT doc AS doc_id, CAST($assemble AS BIGINT) AS simhash FROM v
-       |ORDER BY doc_id""".stripMargin
+       |v AS (SELECT doc, $votes FROM h GROUP BY doc),
+       |sh AS (SELECT doc AS doc_id, CAST($assemble AS BIGINT) AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"""WITH ${simhashCte(16, "documents")}
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -3606,7 +3633,21 @@ object TextQueries {
          SELECT source, format, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM cls GROUP BY 1, 2 ORDER BY 1, 2"""
-    }
+    },
+
+    // identical plant; the oracle is BRUTE-FORCE all-pairs at 60 bits —
+    // any pair the banding misses or invents shifts a census count
+    "q267_simhash_pairs_wide" ->
+      s"""WITH feed AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 700000, text FROM documents
+           WHERE doc_id % 31 = 0),
+         ${simhashCte(60, "feed")},
+         p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         SELECT hamming, count(*) AS n_pairs, min(i) AS min_i, max(j) AS max_j
+         FROM p GROUP BY 1 ORDER BY 1"""
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the
