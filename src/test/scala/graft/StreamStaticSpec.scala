@@ -480,6 +480,40 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming unigram + WordPiece token metering equals batch across " +
+    "microbatches (stateless native expressions; both model references " +
+    "survive microbatch planning, the BpeApply property)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val uni = new graft.functions.UnigramModel(
+      (('a' to 'z').map(_.toString) ++ Seq("th", "the", "in", "data"))
+        .toArray,
+      (('a' to 'z').map(_ => -2500000L) ++
+        Seq(-4000000L, -4200000L, -3900000L, -5000000L)).toArray,
+      -11000000L)
+    val wp = new graft.functions.WordPieceModel(
+      (('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => "##" + c)
+        ++ Seq("th", "the", "##in", "##at")).toArray, "[UNK]")
+    def meter(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ops.TextAnalysis.unigramTokenCount(col("text"), uni).as("nu"),
+        graft.ops.TextAnalysis.wordPieceTokenCount(col("text"), wp).as("nw"))
+    val want = meter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val dir = Files.createTempDirectory("graft-tok-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(meter(stream), "tok_stream",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length === 2 * want.size, "both microbatches must meter")
+    got.foreach { case (id, nu, nw) =>
+      assert(want(id) === ((nu, nw)),
+        s"doc $id: stream ($nu,$nw) != batch ${want(id)}")
+    }
+  }
+
   test("streaming Gopher quality gate: stateless projection equals batch " +
     "across microbatches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
