@@ -2086,6 +2086,49 @@ object TextAnalysis {
   }
 
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
+  /** Format-mix tag — code / prose / table from deterministic char-class
+    * signals on the 10⁶ integer grid (q266; format is a first-class
+    * mixture axis next to source/lang): code-punct (`{};`) density per
+    * char ≥ 0.008, else pipe-table lines (≥ 2 `|`) ≥ 30 % of lines, else
+    * indented lines ≥ 50 %, else prose. CASE order is part of the
+    * contract. Pure stateless projection — batch and stream share it. */
+  def formatClass(c: Column): Column = {
+    def nChar(x: Column, ch: String): Column =
+      (length(x) - length(translate(x, ch, ""))).cast("long")
+    val lines = split(c, "\n")
+    val nLines = size(lines).cast("long")
+    val codePunct = nChar(c, "{") + nChar(c, "}") + nChar(c, ";")
+    val nIndent = size(filter(lines,
+      l => substring(l, 1, 2) === "  ")).cast("long")
+    val nPipe = size(filter(lines, l => nChar(l, "|") >= 2)).cast("long")
+    when(ExactRound.gridMicroCol(codePunct, length(c).cast("long"), 6)
+        >= 8000L, lit("code"))
+      .when(ExactRound.gridMicroCol(nPipe, nLines, 6) >= 300000L,
+        lit("table"))
+      .when(ExactRound.gridMicroCol(nIndent, nLines, 6) >= 500000L,
+        lit("code"))
+      .otherwise(lit("prose"))
+  }
+
+  /** DuckDB twin of [[formatClass]]. */
+  def formatClassSql(col: String): String = {
+    def nc(x: String, ch: String) =
+      s"(length($x) - length(replace($x, '$ch', '')))::BIGINT"
+    val nLines = s"len(str_split($col, chr(10)))::BIGINT"
+    val codePunct = s"${nc(col, "{")} + ${nc(col, "}")} + ${nc(col, ";")}"
+    val nIndent = s"len(list_filter(str_split($col, chr(10)), " +
+      s"l -> substring(l, 1, 2) = '  '))::BIGINT"
+    val nPipe = s"len(list_filter(str_split($col, chr(10)), " +
+      s"l -> length(l) - length(replace(l, '|', '')) >= 2))::BIGINT"
+    s"""CASE WHEN ${ExactRound.gridMicroSql(codePunct,
+          s"length($col)::BIGINT", 6)} >= 8000 THEN 'code'
+       | WHEN ${ExactRound.gridMicroSql(nPipe, nLines, 6)} >= 300000
+       |   THEN 'table'
+       | WHEN ${ExactRound.gridMicroSql(nIndent, nLines, 6)} >= 500000
+       |   THEN 'code'
+       | ELSE 'prose' END""".stripMargin.replace("\n", "")
+  }
+
   def qualityClass(c: Column): Column =
     when(tokenCount(c) < 30, "short")
       .when(typeTokenRatio(c) < 0.35, "repetitive")

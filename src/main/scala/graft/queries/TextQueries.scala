@@ -1828,32 +1828,12 @@ object TextQueries {
         .when(pmod(col("doc_id"), lit(19)) === 0,
           concat(col("text"), lit(tableTail)))
         .otherwise(col("text"))
-      def nChar(c: org.apache.spark.sql.Column,
-          ch: String): org.apache.spark.sql.Column =
-        (length(c) - length(translate(c, ch, ""))).cast("long")
       t(s, d, "documents")
         .select(col("doc_id"), col("source"),
           explode(array(t2)).as("t2"))
-        .select(col("doc_id"), col("source"), col("t2"),
-          split(col("t2"), "\n").as("lines"))
-        .select(col("doc_id"), col("source"),
+        .select(col("source"),
           size(split(col("t2"), " ")).cast("long").as("n_tokens"),
-          (nChar(col("t2"), "{") + nChar(col("t2"), "}")
-            + nChar(col("t2"), ";")).as("n_code_punct"),
-          length(col("t2")).cast("long").as("n_chars"),
-          size(col("lines")).cast("long").as("n_lines"),
-          size(filter(col("lines"),
-            l => substring(l, 1, 2) === "  ")).cast("long").as("n_indent"),
-          size(filter(col("lines"),
-            l => nChar(l, "|") >= 2)).cast("long").as("n_pipe"))
-        .select(col("source"), col("n_tokens"),
-          when(ExactRound.gridMicroCol(col("n_code_punct"),
-              col("n_chars"), 6) >= 8000L, lit("code"))
-            .when(ExactRound.gridMicroCol(col("n_pipe"),
-              col("n_lines"), 6) >= 300000L, lit("table"))
-            .when(ExactRound.gridMicroCol(col("n_indent"),
-              col("n_lines"), 6) >= 500000L, lit("code"))
-            .otherwise(lit("prose")).as("format"))
+          TA.formatClass(col("t2")).as("format"))
         .groupBy("source", "format")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("sum_tokens"))
@@ -3601,39 +3581,19 @@ object TextQueries {
 
     // identical plants and signals; single-char counts replay as
     // length-diff under replace, line filters as list_filter lambdas
-    "q266_format_mix" -> {
-      def nc(x: String, ch: String) =
-        s"(length($x) - length(replace($x, '$ch', '')))::BIGINT"
+    "q266_format_mix" ->
       s"""WITH p AS (SELECT doc_id, source,
              CASE WHEN doc_id % 17 = 0 THEN text || e'\\nif (x) { y = 1; z = 2; }\\nwhile (k) { n = n + 1; }'
                WHEN doc_id % 19 = 0 THEN text || e'\\n| col_a | col_b |\\n| 1 | 2 |\\n| 3 | 4 |'
                ELSE text END AS t2
            FROM documents),
-         sig AS (SELECT source,
+         cls AS (SELECT source,
              len(str_split(t2, ' '))::BIGINT AS n_tokens,
-             ${nc("t2", "{")} + ${nc("t2", "}")} + ${nc("t2", ";")}
-               AS n_code_punct,
-             length(t2)::BIGINT AS n_chars,
-             len(str_split(t2, chr(10)))::BIGINT AS n_lines,
-             len(list_filter(str_split(t2, chr(10)),
-               l -> substring(l, 1, 2) = '  '))::BIGINT AS n_indent,
-             len(list_filter(str_split(t2, chr(10)),
-               l -> length(l) - length(replace(l, '|', '')) >= 2))::BIGINT
-               AS n_pipe
-           FROM p),
-         cls AS (SELECT source, n_tokens,
-             CASE WHEN ${ExactRound.gridMicroSql(
-                 "n_code_punct", "n_chars", 6)} >= 8000 THEN 'code'
-               WHEN ${ExactRound.gridMicroSql(
-                 "n_pipe", "n_lines", 6)} >= 300000 THEN 'table'
-               WHEN ${ExactRound.gridMicroSql(
-                 "n_indent", "n_lines", 6)} >= 500000 THEN 'code'
-               ELSE 'prose' END AS format
-           FROM sig)
+             ${TA.formatClassSql("t2")} AS format
+           FROM p)
          SELECT source, format, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         FROM cls GROUP BY 1, 2 ORDER BY 1, 2"""
-    },
+         FROM cls GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // identical plant; the oracle is BRUTE-FORCE all-pairs at 60 bits —
     // any pair the banding misses or invents shifts a census count

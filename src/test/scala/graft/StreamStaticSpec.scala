@@ -514,6 +514,29 @@ class StreamStaticSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming format-mix tagging: the code/prose/table classifier is " +
+    "a stateless projection — stream ≡ batch per document") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def tag(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.ops.TextAnalysis.formatClass(
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(col("text"), lit("\nif (x) { y = 1; z = 2; }")))
+            .otherwise(col("text"))).as("fmt"))
+    val want = tag(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(want.values.toSet.contains("code"), "plant must fire")
+    val dir = Files.createTempDirectory("graft-fmt-stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventsStream.runToCompletion(tag(stream), "fmt_stream",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 2 * want.size)
+    got.foreach { case (id, f) => assert(want(id) === f) }
+  }
+
   test("streaming Gopher quality gate: stateless projection equals batch " +
     "across microbatches") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
