@@ -73,9 +73,20 @@ object Chunking {
     * in (how GPT-style pretraining concatenates-and-cuts). Deterministic,
     * and one window cumsum per group: pack groups (source/shard/date) run
     * in parallel, no global sort. */
-  def pack(chunks: DataFrame, group: Column, ctx: Int): DataFrame = {
+  def pack(chunks: DataFrame, group: Column, ctx: Int): DataFrame =
+    packOrdered(chunks, group, ctx, Seq(col("doc"), col("chunk_idx")))
+
+  /** [[pack]] with an explicit within-group layout order — the hook the
+    * semantic-coherent packer ([[Assembly.semanticWalk]]) plugs its walk
+    * position into so graph neighbors become stream neighbors before the
+    * cut. Same scale shape as [[pack]]: one window cumsum per pack group,
+    * no global sort. The order columns must be a deterministic total
+    * order within the group (walk pos is; it is unique per doc). */
+  def packOrdered(chunks: DataFrame, group: Column, ctx: Int,
+      order: Seq[Column]): DataFrame = {
     require(ctx >= 1, s"context length must be >= 1, got $ctx")
-    val w = Window.partitionBy(group).orderBy(col("doc"), col("chunk_idx"))
+    require(order.nonEmpty, "packOrdered needs at least one order column")
+    val w = Window.partitionBy(group).orderBy(order: _*)
     chunks
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .withColumn("bin",

@@ -402,6 +402,24 @@ object Similarity {
       struct(cosineNative(df, vec, typedlit(cv)).as("ccos"),
         lit(cid).as("cid")) }: _*)).getField("cid")
 
+  /** Public nearest-centroid (topic/cluster) assignment against a FIXED
+    * centroid table: `(id, topic)` with topic = argmax-cosine centroid,
+    * ties to the LOWEST centroid id (the repo's min-struct total order —
+    * [[assignExpr]]'s internal tie prefers the highest id, which is fine
+    * for IVF routing but not for an oracle-pinned report). One per-row
+    * projection over centroid LITERALS — no join, no shuffle; the
+    * centroid table is driver-sized by the same contract as
+    * [[kmeansCentroids]] (whose output plugs in here directly at
+    * production; a planted lattice plugs in for cross-engine pins). */
+  def assignCentroids(df: DataFrame, id: Column, vec: Column,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignCentroids needs at least one centroid")
+    val arg = array_min(array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct((-cosineNative(df, vec, typedlit(cv))).as("nc"),
+        lit(cid).as("cid")) }: _*)).getField("cid")
+    df.select(id.as("id"), arg.as("topic"))
+  }
+
   /** Exactly-one-row query vector, with a clear error instead of head()'s
     * NoSuchElementException (empty) or a partition-order-dependent pick
     * (several rows). */

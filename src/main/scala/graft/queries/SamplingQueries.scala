@@ -126,6 +126,35 @@ object SamplingQueries {
         .orderBy("pair_id")
     }),
 
+    // best-of-n / rejection-sampling assembly (q256's pairing generalized
+    // to n = 4 candidates per prompt): keep the argmax by reward with the
+    // established total tie-break (reward DESC, src ASC), margin =
+    // best − second best. Every 5th prompt plants an exact TOP tie: two
+    // candidates share a 40-distinct-token response (organic rewards top
+    // out at 28 at both SFs), so the argmax TIE-BREAK provably decides
+    // the winner; the chosen (prompt, response) pair is byte-pinned
+    "q270_best_of_n" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val base = t(s, d, "documents").select(col("doc_id"),
+        array_join(slice(toks, lit(1), half), " ").as("fh"),
+        array_join(slice(toks, half + 1, size(toks) - half), " ").as("sh"))
+      val anchors = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(expr("doc_id DIV 4").as("prompt_id"), col("fh").as("prompt"))
+      val cands = base
+        .select(expr("doc_id DIV 4").as("prompt_id"),
+          col("doc_id").as("src"), col("sh").as("resp"))
+        .join(anchors, "prompt_id")
+        .withColumn("resp",
+          when(pmod(col("prompt_id"), lit(5)) === 0 &&
+              pmod(col("src"), lit(4)).isin(1, 2),
+            array_join(transform(sequence(lit(1), lit(40)),
+              i => concat(lit("tok"), i)), " "))
+            .otherwise(col("resp")))
+      graft.streaming.PreferenceStream.bestOfN(cands)
+        .orderBy("prompt_id")
+    }),
+
     // leakage audit of the q256 PROMPTS against the eval splits (q167's
     // shape pointed at the pair table): a prompt whose 5-grams overlap a
     // non-train document >= 50 % would leak eval content into reward
@@ -1039,6 +1068,42 @@ object SamplingQueries {
            CAST(abs(ra - rb) AS BIGINT) AS reward_margin,
            md5(prompt || ' ||| ' || chosen || ' ||| ' || rejected) AS fp
          FROM dd WHERE rn = 1 AND pair_id < 40 ORDER BY pair_id""",
+
+    // identical grouping arithmetic (doc_id // 4), identical anchor
+    // prompt, planted tie and reward; the argmax and the margin replayed
+    // as rank-1/rank-2 rows of the identical (reward DESC, src) window
+    "q270_best_of_n" ->
+      """WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+         c AS (SELECT doc_id, len(ts) // 2 AS k, len(ts) AS n, ts FROM b),
+         h AS (SELECT doc_id,
+             coalesce(array_to_string(ts[1:k], ' '), '') AS fh,
+             coalesce(array_to_string(ts[k+1:n], ' '), '') AS sh FROM c),
+         anchors AS (SELECT doc_id // 4 AS prompt_id, fh AS prompt
+           FROM h WHERE doc_id % 4 = 0),
+         cand AS (SELECT c0.prompt_id, c0.src,
+             CASE WHEN c0.prompt_id % 5 = 0 AND (c0.src % 4) IN (1, 2)
+               THEN array_to_string(list_transform(generate_series(1, 40),
+                 i -> 'tok' || i), ' ')
+               ELSE c0.resp END AS resp, a.prompt
+           FROM (SELECT doc_id // 4 AS prompt_id, doc_id AS src, sh AS resp
+             FROM h) c0 JOIN anchors a USING (prompt_id)),
+         scored AS (SELECT *,
+             CAST(len(list_distinct(str_split(resp, ' '))) AS BIGINT) AS r
+           FROM cand),
+         rk AS (SELECT *,
+             row_number() OVER (PARTITION BY prompt_id
+               ORDER BY r DESC, src) AS rk,
+             count(*) OVER (PARTITION BY prompt_id) AS n,
+             lead(r) OVER (PARTITION BY prompt_id
+               ORDER BY r DESC, src) AS r2
+           FROM scored)
+         SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+           CAST(n AS BIGINT) AS n_candidates,
+           CAST(src AS BIGINT) AS chosen_src,
+           r AS reward_chosen,
+           CAST(r - coalesce(r2, r) AS BIGINT) AS reward_margin,
+           md5(prompt || ' ||| ' || resp) AS fp
+         FROM rk WHERE rk = 1 ORDER BY prompt_id""",
 
     // identical prompt construction, identical 5-gram benchmark set from
     // the non-train splits, identical overlap rational on the integer

@@ -212,9 +212,14 @@ object TpchQueries {
         .join(broadcast(amCust), col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0L))
-          .cast("double") / sum(rev).cast("double")).as("share"))
-        .select(col("o_year"), round(col("share"), 6).as("mkt_share"))
+        // exact-integer cent sums → ExactRound half-up grid (the r14
+        // laundered-quotient census flagged the old round(num/den, 6):
+        // an IEEE quotient whose .5 ties may flip across engines)
+        .agg(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(0L))
+          .as("__num"), sum(rev).as("__den"))
+        .select(col("o_year"),
+          graft.ops.ExactRound.ratioRoundedCol(col("__num"), col("__den"), 6)
+            .as("mkt_share"))
         .orderBy("o_year")
     }),
 
@@ -544,14 +549,15 @@ object TpchQueries {
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q102_tpch_q8" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         round(CAST(sum(CASE WHEN n_name = 'NATION_5'
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         ${graft.ops.ExactRound.ratioRoundedSql(
+        """sum(CASE WHEN n_name = 'NATION_5'
              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
-             ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE),
-           6) AS mkt_share
+             ELSE 0 END)""",
+        """sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))""",
+        6)} AS mkt_share
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN orders ON l_orderkey = o_orderkey

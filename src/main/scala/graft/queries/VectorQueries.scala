@@ -732,8 +732,114 @@ object VectorQueries {
           coalesce(sum(when(col("__adm").isNotNull, col("vec_id"))), lit(0L))
             .cast("long").as("sum_admitted_ids"))
         .orderBy("category")
+    }),
+
+    // semantic-coherent context packing (in-context pretraining): the k-NN
+    // graph's within-source edges define a deterministic greedy walk (move
+    // to the best-RANKED unvisited neighbor, else jump to the min unvisited
+    // id), and the concat-and-cut packer runs in WALK order so graph
+    // neighbors share context windows — the pack-order layer q97/q251 were
+    // missing. Walk position, chunk census and bin span pinned per doc.
+    "q268_semantic_pack" -> ((s, d) => {
+      import graft.ops.{Assembly, Chunking}
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      // same-source restriction: the walk's edge list joins the group key
+      // onto BOTH endpoints (broadcast-sized dims; the edge list itself is
+      // bounded at k·|V| by knnGraph's construction)
+      val edges = g
+        .join(broadcast(src.select(col("doc_id").as("i"),
+          col("source").as("g"))), "i")
+        .join(broadcast(src.select(col("doc_id").as("j"),
+          col("source").as("__gj"))), "j")
+        .filter(col("g") === col("__gj"))
+        .select(col("g"), col("i"), col("j"), col("rk"))
+      val order = Assembly.semanticWalk(
+        docs.select(col("source"), col("doc_id")), col("source"),
+        col("doc_id"), edges)
+      val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
+        width = 32, stride = 32)
+      val packed = Chunking.packOrdered(chunks.join(order, "doc"),
+        col("g"), ctx = 128, Seq(col("pos"), col("chunk_idx")))
+      packed.groupBy("g", "pos", "doc")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tok").cast("long").as("sum_tok"),
+          min("bin").cast("long").as("bin_first"),
+          max("bin").cast("long").as("bin_last"))
+        .orderBy("g", "pos")
+    }),
+
+    // q65's embedding near-dup removal at the PRODUCTION index width
+    // (bits=12 — the config the 100 TB recipe runs, measured 1.2× at 10×
+    // data by EmbedScaleProbe; this is its missing correctness half).
+    // Near-dup plants are positive scalings, so their sign pattern — and
+    // hence their bucket at ANY width — is preserved exactly, while
+    // organic pairs top out at cos ≈ 0.51 at both SFs. The oracle is
+    // BRUTE-FORCE all-pairs (no bucket anywhere in the twin): the query
+    // pins that production-width bucketing loses NOTHING vs exhaustive
+    // search on this corpus. Survivor SET pinned by the order-free XOR
+    // membership checksum (the q231 fold), not just counts.
+    "q269_embed_dedup_prod" -> ((s, d) => {
+      import graft.ops.Dedup
+      val all = emb(s, d)
+      val plants = all.filter(pmod(col("vec_id"), lit(9)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.0001)).cast("float"))
+            .as("embedding"))
+      val corpus = all.select(col("vec_id"), col("embedding"))
+        .unionByName(plants)
+      val kept = Dedup.dedupByEmbedding(corpus, col("vec_id"),
+        col("embedding"), bits = 12, minCosine = 0.9)
+      corpus.select(col("vec_id"),
+          when(col("vec_id") >= 1000000L, lit("plant"))
+            .otherwise(lit("organic")).as("category"))
+        .join(kept.select(col("vec_id"), lit(1L).as("__k")),
+          Seq("vec_id"), "left")
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          col("vec_id").cast("string"), 99))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__k"), lit(0L))).as("n_kept"),
+          coalesce(expr("bit_xor(CASE WHEN __k IS NOT NULL THEN __h END)"),
+            lit(0L)).as("kept_checksum"))
+        .orderBy("category")
+    }),
+
+    // per-source TOPIC mixture — the third composition axis next to
+    // format (q266) and language (q44/q254), feeding the q250 recipe:
+    // nearest-centroid assignment against a FIXED planted-lattice
+    // centroid table (the [[Sim.assignCentroids]] projection; in
+    // production the table comes from kmeansCentroids — same shape,
+    // driver-sized by design) so DuckDB replays the argmax exactly;
+    // shares on the integer permille grid (ExactRound discipline)
+    "q271_topic_mix" -> ((s, d) => {
+      import graft.ops.ExactRound
+      val assigned = Sim.assignCentroids(emb(s, d), col("vec_id"),
+        col("embedding"), TopicCentroids)
+      val withSrc = assigned.join(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("source")),
+        "id")
+      val per = withSrc.groupBy("source", "topic")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = withSrc.groupBy("source")
+        .agg(count(lit(1)).as("__tot"))
+      per.join(broadcast(tot), "source")
+        .select(col("source"), col("topic"), col("n_docs"),
+          ExactRound.halfUpDivCol(col("n_docs") * lit(1000L), col("__tot"))
+            .as("share_permille"))
+        .orderBy("source", "topic")
     })
   )
+
+  /** Planted-lattice topic centroids for q271: centroid t is +1 on its own
+    * 16-dim block and −0.25 elsewhere — four well-separated directions
+    * whose float literals the oracle regenerates arithmetically. */
+  private[queries] val TopicCentroids: Seq[(Long, Array[Float])] =
+    (0 until 4).map(t =>
+      (t.toLong, Array.tabulate(64)(i => if (i / 16 == t) 1.0f else -0.25f)))
 
   /** Deterministic synthetic image table: one solid-fill PNG per document,
     * dims 4+(id%8) × 4+(id%5), RGB (id%256, id*7%256, id*11%256). Built in a
@@ -1287,6 +1393,95 @@ object VectorQueries {
            CAST(coalesce(sum(CASE WHEN m.vec_id IS NOT NULL
              THEN a.vec_id END), 0) AS BIGINT) AS sum_admitted_ids
          FROM arr a LEFT JOIN adm m ON a.vec_id = m.vec_id
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // the walk replay carries the visited set as a LIST in a recursive CTE
+    // (the q97 FFD technique); the edge list is the q165 bucket/cosine/rank
+    // replay restricted to same-source pairs, the packer the q87 window
+    "q268_semantic_pack" ->
+      s"""WITH RECURSIVE
+         b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+         p AS (SELECT a.vec_id i, c.vec_id j,
+             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         sym AS (SELECT i, j, cos FROM p
+           UNION ALL SELECT j AS i, i AS j, cos FROM p),
+         rk AS (SELECT i, j, cos,
+             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+           FROM sym),
+         kne AS (SELECT i, j, rk FROM rk WHERE rk <= 3),
+         e AS (SELECT da.source AS g, k.i, k.j, k.rk FROM kne k
+           JOIN documents da ON da.doc_id = k.i
+           JOIN documents db ON db.doc_id = k.j
+           WHERE da.source = db.source),
+         __wk_nbr AS (SELECT g, i, list(j ORDER BY rk, j) AS nb
+           FROM e GROUP BY 1, 2),
+         __wk_docs AS (SELECT source AS g,
+             list(doc_id ORDER BY doc_id) AS docs, count(*) AS n
+           FROM documents GROUP BY 1),
+         ${graft.ops.Assembly.semanticWalkCte},
+         ch AS (${graft.ops.Chunking.chunkSql("doc_id", "text", 32, 32)}),
+         jc AS (SELECT w.g, w.pos, ch.doc, ch.chunk_idx, ch.n_tok
+           FROM ch JOIN walk w ON ch.doc = w.doc),
+         pk AS (SELECT g, pos, doc, n_tok,
+             sum(n_tok) OVER (PARTITION BY g ORDER BY pos, chunk_idx
+               ROWS UNBOUNDED PRECEDING) AS cum FROM jc)
+         SELECT g, pos, doc, count(*) AS n_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(min((cum - n_tok) // 128) AS BIGINT) AS bin_first,
+           CAST(max((cum - n_tok) // 128) AS BIGINT) AS bin_last
+         FROM pk GROUP BY 1, 2, 3 ORDER BY g, pos""",
+
+    // BRUTE-FORCE twin — no bucket anywhere: every all-pairs near-dup must
+    // be found by the production-width (bits=12) bucketed op or the census
+    // and checksum split
+    "q269_embed_dedup_prod" ->
+      s"""WITH pl AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(x::DOUBLE * 1.0001 AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id % 9 = 0),
+         corpus AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id, embedding FROM pl),
+         losers AS (SELECT DISTINCT c.vec_id AS l
+           FROM corpus a JOIN corpus c ON a.vec_id < c.vec_id
+           WHERE ${Sim.cosineSql("a.embedding", "c.embedding")} >= 0.9),
+         kept AS (SELECT vec_id FROM corpus
+           WHERE vec_id NOT IN (SELECT l FROM losers))
+         SELECT CASE WHEN c.vec_id >= 1000000 THEN 'plant'
+             ELSE 'organic' END AS category,
+           count(*) AS n_in,
+           CAST(sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(coalesce(bit_xor(CASE WHEN k.vec_id IS NOT NULL THEN
+             ${graft.functions.PortableHash.md5LongSql("c.vec_id::VARCHAR", 99)}
+             END), 0) AS BIGINT) AS kept_checksum
+         FROM corpus c LEFT JOIN kept k ON c.vec_id = k.vec_id
+         GROUP BY 1 ORDER BY 1""",
+
+    // the lattice regenerates arithmetically (centroid t: +1 on its own
+    // 16-dim block, -0.25 elsewhere); argmax replayed as a rank window
+    // with the identical (cos DESC, cid) total order
+    "q271_topic_mix" ->
+      s"""WITH cents AS (SELECT t AS cid,
+             list_transform(generate_series(1, 64),
+               i -> CAST(CASE WHEN (i - 1) // 16 = t THEN 1.0 ELSE -0.25 END
+                 AS FLOAT)) AS cvec
+           FROM (SELECT unnest(generate_series(0, 3)) AS t)),
+         a AS (SELECT e.vec_id AS id, c.cid,
+             ${Sim.cosineSql("e.embedding", "c.cvec")} AS cos
+           FROM embeddings e, cents c),
+         r AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, cid) AS rk FROM a),
+         asg AS (SELECT id, cid AS topic FROM r WHERE rk = 1),
+         ws AS (SELECT d.source, g.topic FROM asg g
+           JOIN documents d ON d.doc_id = g.id),
+         per AS (SELECT source, topic, count(*) AS n_docs
+           FROM ws GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS tt FROM ws GROUP BY 1)
+         SELECT p.source, p.topic, p.n_docs,
+           ${graft.ops.ExactRound.halfUpDivSql("p.n_docs * 1000", "t.tt")}
+             AS share_permille
+         FROM per p JOIN tot t ON p.source = t.source
+         ORDER BY p.source, p.topic"""
   )
 }

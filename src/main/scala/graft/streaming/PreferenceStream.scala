@@ -61,4 +61,40 @@ object PreferenceStream {
       md5(concat_ws(" ||| ", col("prompt"), col("chosen"),
         col("rejected"))).as("fp"))
   }
+
+  /** Best-of-n / rejection-sampling assembly — [[gate]]'s pairing
+    * generalized to n candidates per prompt: keep the argmax by [[reward]]
+    * with the established total tie-break (highest reward, tie → lowest
+    * `src`), emit `(prompt_id, n_candidates, chosen_src, reward_chosen,
+    * reward_margin, fp)` where the margin is best-minus-second-best (the
+    * rejection-sampling confidence signal; 0 when n = 1 or on a planted
+    * tie) and `fp` fingerprints the (prompt, chosen response) pair.
+    *
+    * Input must expose `prompt_id, prompt, resp, src`. Scoring is the
+    * same stateless per-row projection batch or stream (one code path —
+    * the [[gate]] discipline); the argmax is ONE groupBy whose
+    * `sort_array(collect_list(...))` buffer holds n small structs per
+    * prompt — bounded by the SAMPLER's candidate budget (n is 4–64 in any
+    * best-of-n recipe, never data-sized), so the aggregation state is
+    * n·(reward, src, fp) per open prompt and partial-aggregable across
+    * partitions. Streaming runs it as a state-store aggregation
+    * (update/complete mode; StreamStaticSpec pins stream ≡ batch with a
+    * prompt's candidates split across microbatches). */
+  def bestOfN(cands: DataFrame): DataFrame = {
+    val scored = cands
+      .withColumn("__r", reward(col("resp")))
+      .withColumn("__fp", md5(concat_ws(" ||| ", col("prompt"), col("resp"))))
+    scored.groupBy("prompt_id")
+      .agg(sort_array(collect_list(struct(
+        (-col("__r")).as("nr"), col("src").as("src"), col("__fp").as("fp"))))
+        .as("__c"))
+      .select(col("prompt_id"),
+        size(col("__c")).cast("long").as("n_candidates"),
+        col("__c")(0).getField("src").as("chosen_src"),
+        (-col("__c")(0).getField("nr")).as("reward_chosen"),
+        when(size(col("__c")) > 1,
+          col("__c")(1).getField("nr") - col("__c")(0).getField("nr"))
+          .otherwise(lit(0L)).as("reward_margin"),
+        col("__c")(0).getField("fp").as("fp"))
+  }
 }

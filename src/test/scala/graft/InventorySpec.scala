@@ -30,17 +30,19 @@ class InventorySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
   }
 
-  test("rounded-rational census: no query output is round() over an IEEE " +
-    "division of exact integers — the q169 class; use ExactRound") {
-    // Freezes the r12 ExactRound discipline against regression: a future
-    // query writing round(intA / intB, k) re-introduces the cross-engine
-    // half-tie flip that kept q169 red for two rounds. The census walks
-    // every analyzed plan and flags DIRECT round-over-Divide compositions
-    // whose both operands are exact integers (possibly behind casts);
-    // quotients laundered through an intermediate projection are out of
-    // its reach — the dual-SF oracle gate stays the backstop for those.
-    import SparkTestSession._
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Round}
+  /** Rounded-rational census walker (the q169 guard): flags every
+    * `round()` whose argument is an IEEE division of exact integers —
+    * DIRECTLY, or LAUNDERED through Project/Alias chains (r14: a bottom-up
+    * attribute-lineage walk taints the exprId of any alias whose child is
+    * an exact-integer quotient or a reference to one, so
+    * `withColumn("r", intA/intB)` + a later `round(r)` is caught too).
+    * Remaining blind spot: taint does not survive intermediate ARITHMETIC
+    * (`round(q * 1.0)`, a quotient summed then rounded) — those are
+    * different failure classes (mean-of-ratios has its own grid rule) and
+    * the dual-SF oracle gate stays the backstop. */
+  private def roundedRationalOffenders(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
     def intExact(e: Expression): Boolean = e match {
       case c: Cast => intExact(c.child)
@@ -50,19 +52,43 @@ class InventorySpec extends AnyFunSuite {
         case _ => false
       }
     }
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    val tainted = scala.collection.mutable.Set[ExprId]()
+    def taintedExpr(e: Expression): Boolean = stripCast(e) match {
+      case d: Divide if intExact(d.left) && intExact(d.right) => true
+      case a: AttributeReference => tainted.contains(a.exprId)
+      case _ => false
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    plan.foreachUp { node =>
+      // aliases first, so a lateral `round` over a same-node alias resolves
+      node.expressions.foreach(_.foreach {
+        case al: Alias if taintedExpr(al.child) => tainted += al.exprId
+        case _ =>
+      })
+      node.expressions.foreach(_.foreach {
+        case r: Round if taintedExpr(r.child) => out += r.sql
+        case _ =>
+      })
+    }
+    out.toSeq
+  }
+
+  test("rounded-rational census: no query output is round() over an IEEE " +
+    "division of exact integers, direct OR laundered — the q169 class; " +
+    "use ExactRound") {
+    // Freezes the r12 ExactRound discipline against regression: a future
+    // query writing round(intA / intB, k) — or hiding the quotient behind
+    // a withColumn/select alias chain — re-introduces the cross-engine
+    // half-tie flip that kept q169 red for two rounds.
+    import SparkTestSession._
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.analyzed
-      plan.foreach { node =>
-        node.expressions.foreach(_.foreach {
-          case r: Round => r.child match {
-            case d: Divide if intExact(d.left) && intExact(d.right) =>
-              offenders += s"$name: ${r.sql}"
-            case _ =>
-          }
-          case _ =>
-        })
-      }
+      roundedRationalOffenders(fn(spark, sf).queryExecution.analyzed)
+        .foreach(o => offenders += s"$name: $o")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -70,6 +96,30 @@ class InventorySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"round() over an exact-integer quotient (use ExactRound):\n" +
         offenders.mkString("\n"))
+  }
+
+  test("the census walker catches a quotient LAUNDERED through alias " +
+    "chains, and does not flag double-derived ratios") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = Seq((1L, 3L)).toDF("a", "b")
+    // the r13 verdict's documented escape: quotient aliased, projected
+    // through a second Project, THEN rounded
+    val laundered = base
+      .withColumn("r", col("a") / col("b"))
+      .select(col("r"), col("a"))
+      .withColumn("rr", round(col("r"), 2))
+    assert(roundedRationalOffenders(laundered.queryExecution.analyzed).nonEmpty,
+      "the laundered round(int/int) must be flagged")
+    // direct form still caught
+    val direct = base.select(round(col("a") / col("b"), 2).as("rr"))
+    assert(roundedRationalOffenders(direct.queryExecution.analyzed).nonEmpty)
+    // a genuinely-double ratio is NOT the q169 class — no false positive
+    val fine = base
+      .withColumn("r", col("a") * lit(0.5) / col("b"))
+      .withColumn("rr", round(col("r"), 2))
+    assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty)
   }
 
   test("query names are unique across the contributing modules") {

@@ -362,6 +362,51 @@ class StreamStaticSpec extends AnyFunSuite {
       "stream and batch must keep byte-identical pair rows")
   }
 
+  test("streaming best-of-n: the argmax is a state-store aggregation — " +
+    "stream ≡ batch with a prompt's candidates (incl. its reward-tie " +
+    "pair) split ACROSS microbatches") {
+    import graft.streaming.PreferenceStream
+    // 6 prompts × 4 candidates; prompt 2 plants a reward TIE (srcs 8 and
+    // 10 share a 10-distinct-token response that beats every organic
+    // reward of 1 + src % 7 ≤ 7) and the split below puts src 8 in the
+    // first microbatch, src 10 in the second — the state-store must merge
+    // partial candidate lists before the tie-break fires
+    val cands = spark.range(24).select(
+      expr("id DIV 4").as("prompt_id"), col("id").as("src"),
+      when(col("id").isin(8L, 10L),
+        lit("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+        .otherwise(array_join(transform(
+          sequence(lit(1), lit(1) + pmod(col("id"), lit(7)).cast("int")),
+          i => concat(lit("w"), i)), " ")).as("resp"),
+      concat(lit("prompt "), expr("id DIV 4")).as("prompt"))
+    val want = PreferenceStream.bestOfN(cands).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(want.find(_.head == 2L).get(2) === 8L,
+      "batch tie must keep the min src or the parity pin is vacuous")
+    val dir = Files.createTempDirectory("graft-bon-stream")
+    cands.filter(col("src") < 10).coalesce(1)
+      .write.parquet(dir.resolve("a").toString)
+    cands.filter(col("src") >= 10).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    Files.setLastModifiedTime(srcDir.resolve("x.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema(cands.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(PreferenceStream.bestOfN(stream),
+        "bon_stream", OutputMode.Complete())
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(got.map(_.toList).toList === want.map(_.toList).toList,
+      "stream and batch best-of-n must agree row for row")
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
