@@ -362,7 +362,13 @@ object TextQueries {
     // vocab: the SAME word stream (shared pre-tokenizer) metered under
     // all three trained tokenizers — BPE merge loop, unigram Viterbi,
     // WordPiece greedy — per-lang totals and fertility side by side; one
-    // fused projection per doc, zero shuffle until the final per-lang agg
+    // fused projection per doc, zero shuffle until the final per-lang agg.
+    // 100 TB note (the q194/q223 rule): this is char-linear ×3 tokenizers
+    // (measured 10.7× at 10× data — three full-corpus applies). It is a
+    // CONFIG diagnostic, not a per-corpus pass: a vocab decision needs
+    // fertility on a representative slice, so at 100 TB run it on a
+    // hash-sampled slice (Sampling.splitColumn at ~0.1%) — the per-lang
+    // ratios it reports converge long before the corpus does.
     "q263_tokenizer_bakeoff" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("lang"),
