@@ -328,6 +328,69 @@ object Sampling {
       .drop("__h", "__c", "__g", "__b", "__N", "__cut", "__cum")
   }
 
+  /** Epoch/repeat expansion — the q250 mixture recipe composed into the
+    * per-document training-stream MULTIPLICITY (the step q250's scaladoc
+    * promised "composes downstream"): given target sampling `weights` per
+    * group and a fixed token `totalBudget`, every document receives
+    *
+    *   n_copies = full_epochs(group) + (1 if it makes the partial epoch)
+    *
+    * where `full_epochs = target DIV tokens(group)` replays the whole
+    * group and the partial epoch takes the deterministic hash-priority
+    * prefix of the group whose cumulative cost fits the leftover
+    * `target − full_epochs · tokens` — [[budgetPerGroup]]'s exact prefix
+    * rule, so membership is a pure function of (key, seed): reproducible
+    * across engines, reruns and partitionings, and oracle-replayable with
+    * [[budgetCumSql]]. Groups without a weight get weight 0 → 0 copies
+    * (excluded from the mix, q250's rule). All-integer arithmetic
+    * (`target = w·budget DIV Σw`), so the recipe pins bit-exact.
+    *
+    * Returns the input columns + `(full_epochs, in_partial, n_copies)`.
+    * Scale shape: one driver-sized group plan (groups are languages/
+    * sources by contract), broadcast back; the partial take runs through
+    * [[budgetPerGroup]]'s hash-cutoff prefilter engine, so the window
+    * sorts ~leftover-sized prefixes, never whole groups; one key-hash
+    * join marks membership. The EXPANSION itself (materializing n_copies
+    * physical rows) belongs to the shard writer — emitting multiplicity
+    * instead of rows keeps this operator linear in documents, not in
+    * epochs. Assumes unique keys per group (the [[budgetPerGroup]]
+    * precondition). */
+  def epochExpansion(df: DataFrame, key: Column, cost: Column, group: Column,
+      weights: Seq[(String, Long)], totalBudget: Long,
+      seed: Int = 11): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-empty and non-negative")
+    val sumW = weights.map(_._2).sum
+    require(sumW > 0, "at least one weight must be positive")
+    def wcol(g: Column): Column = weights.tail.foldLeft(
+      when(g === weights.head._1, lit(weights.head._2))) {
+      case (acc, (k, v)) => acc.when(g === k, lit(v))
+    }.otherwise(lit(0L)).cast("long")
+    def planCols(stats: DataFrame): DataFrame = stats
+      .withColumn("__w", wcol(col("__g")))
+      .withColumn("__tgt", expr(s"__w * ${totalBudget}L DIV ${sumW}L"))
+      .withColumn("__fe", when(col("__T") === 0L, lit(0L))
+        .otherwise(expr("__tgt DIV __T")))
+      .withColumn("__b", col("__tgt") - col("__fe") * col("__T"))
+    // partial-epoch membership through the shared prefix-take engine; the
+    // projection renames avoid any caller-column collision
+    val partialKeys = budgetPrefixTake(
+      df.select(key.as("__ek"), cost.as("__ec"), group.as("__eg")),
+      col("__ek"), col("__ec"), col("__eg"), planCols, seed)
+      .select(col("__ek"), lit(true).as("__inp"))
+    val plan = planCols(df.groupBy(group.as("__g"))
+        .agg(sum(cost.cast("long")).as("__T")))
+      .select(col("__g"), col("__fe"))
+    df.join(broadcast(plan), group <=> col("__g"))
+      .join(partialKeys, key === col("__ek"), "left")
+      .withColumn("full_epochs", col("__fe"))
+      .withColumn("in_partial", coalesce(col("__inp"), lit(false)))
+      .withColumn("n_copies",
+        col("__fe") + col("in_partial").cast("long"))
+      .drop("__g", "__fe", "__ek", "__inp")
+  }
+
   /** Deterministic pre-training shuffle: a reproducible global permutation —
     * every training run needs its corpus in a "random" order that is
     * nevertheless IDENTICAL across reruns, engines and partition layouts

@@ -243,6 +243,36 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // epoch/repeat EXPANSION — q250's recipe composed into the per-doc
+    // training-stream multiplicity: full epochs replay the whole group,
+    // the partial epoch takes the deterministic hash-priority prefix of
+    // the leftover budget (budgetPerGroup's exact rule), weightless
+    // groups get 0 copies. Census pins the plan integers, the partial
+    // SET (XOR checksum) and the copy totals per lang
+    "q272_epoch_expansion" -> ((s, d) => {
+      val wmap = Seq("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 2L,
+        "zh" -> 1L)
+      val ex = Sampling.epochExpansion(
+        t(s, d, "documents")
+          .withColumn("__ntok", TA.tokenCount(col("text")).cast("long")),
+        col("doc_id"), col("__ntok"), col("lang"), wmap,
+        totalBudget = 1000000L)
+      ex.withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 99))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("__ntok").cast("long").as("tokens"),
+          min("full_epochs").as("fe_min"),
+          max("full_epochs").as("fe_max"),
+          sum(col("in_partial").cast("long")).as("n_partial"),
+          sum(when(col("in_partial"), col("__ntok")).otherwise(0L))
+            .cast("long").as("partial_tok"),
+          coalesce(expr("bit_xor(CASE WHEN in_partial THEN __h END)"),
+            lit(0L)).as("partial_checksum"),
+          sum("n_copies").cast("long").as("sum_copies"))
+        .orderBy("lang")
+    }),
+
     // packed-batch sample offsets: where each chunk STARTS inside its
     // q97 FFD bin — the attention-mask/sample-boundary table a trainer
     // needs next to the packed batch. Offset = running token sum in the
@@ -968,6 +998,43 @@ object SamplingQueries {
            CAST(sum(c.ntok) AS BIGINT) AS sum_tokens
          FROM c JOIN bud USING (source)
          WHERE c.cum <= bud.b GROUP BY 1 ORDER BY 1""",
+
+    // identical integer plan arithmetic (w·budget // Σw, tgt // T), the
+    // partial prefix replayed with the budgetCum window (identical hash
+    // order + tie), membership pinned by the XOR fold
+    "q272_epoch_expansion" ->
+      s"""WITH c AS (SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS T
+           FROM c GROUP BY 1),
+         pl AS (SELECT lang, T,
+             CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+               WHEN 'fr' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END AS w
+           FROM tot),
+         pl3 AS (SELECT lang, T, CAST(w * 1000000 // 12 AS BIGINT) AS tgt,
+             CAST(CASE WHEN T = 0 THEN 0
+               ELSE (w * 1000000 // 12) // T END AS BIGINT) AS fe
+           FROM pl),
+         pl4 AS (SELECT lang, T, tgt, fe, tgt - fe * T AS rem FROM pl3),
+         cm AS (SELECT doc_id, lang, ntok,
+             ${Sampling.budgetCumSql("doc_id", "ntok", "lang")} AS cum
+           FROM c),
+         mk AS (SELECT m.doc_id, m.lang, m.ntok, (m.cum <= p.rem) AS inp,
+             p.fe
+           FROM cm m JOIN pl4 p USING (lang))
+         SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens,
+           CAST(min(fe) AS BIGINT) AS fe_min,
+           CAST(max(fe) AS BIGINT) AS fe_max,
+           CAST(sum(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN inp THEN ntok ELSE 0 END) AS BIGINT)
+             AS partial_tok,
+           CAST(coalesce(bit_xor(CASE WHEN inp THEN
+             ${PortableHash.md5LongSql("doc_id::VARCHAR", 99)} END), 0)
+             AS BIGINT) AS partial_checksum,
+           CAST(sum(fe) + sum(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT)
+             AS sum_copies
+         FROM mk GROUP BY 1 ORDER BY 1""",
 
     "q201_span_corruption" ->
       s"""WITH ${Chunking.spanCorruptionSql("doc_id", "text", "documents")}

@@ -142,6 +142,43 @@ class OpsSpecR14 extends AnyFunSuite {
       Seq(2L, 1L, 30L, 3L, 0L)))
   }
 
+  test("epochExpansion: full epochs + hash-prefix partial epoch; a " +
+    "weightless group gets 0 copies; the take never overshoots target") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // group a: T=60; w=3, budget 100, Σw=4 → tgt=75, fe=1, rem=15
+    // group b: T=40; w=1 → tgt=25, fe=0, rem=25
+    // group c: unweighted → 0 copies
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 15L), ("b", 5L, 25L),
+      ("c", 6L, 10L))
+      .toDF("g", "id", "ntok")
+    val ex = Sampling.epochExpansion(docs, col("id"), col("ntok"), col("g"),
+        Seq("a" -> 3L, "b" -> 1L), totalBudget = 100L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("full_epochs"), r.getAs[Boolean]("in_partial"),
+          r.getAs[Long]("n_copies"))).toMap
+    assert(ex(6L) === ((0L, false, 0L)), "weightless group: 0 copies")
+    assert(Seq(1L, 2L, 3L).forall(ex(_)._1 === 1L), "a: one full epoch")
+    assert(Seq(4L, 5L).forall(ex(_)._1 === 0L), "b: no full epoch")
+    // the partial take must replay budgetPerGroup's exact prefix rule
+    def prefix(ids: Seq[Long], budget: Long): Set[Long] = {
+      val sub = docs.filter(col("id").isin(ids: _*))
+      Sampling.budgetPerGroup(sub, col("id"), col("ntok"), col("g"), budget)
+        .collect().map(_.getAs[Long]("id")).toSet
+    }
+    assert(ex.filter(_._2._2).keySet ===
+      prefix(Seq(1L, 2L, 3L), 15L) ++ prefix(Seq(4L, 5L), 25L))
+    // and the expanded token mass never overshoots the integer target
+    val aTok = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      .map { case (i, t) => ex(i)._3 * t }.sum
+    val bTok = Seq(4L -> 15L, 5L -> 25L)
+      .map { case (i, t) => ex(i)._3 * t }.sum
+    assert(aTok <= 75L && aTok > 75L - 60L, s"a expanded $aTok vs target 75")
+    assert(bTok <= 25L, s"b expanded $bTok vs target 25")
+  }
+
   test("bestOfN: duplicate-token responses score by DISTINCT vocabulary " +
     "(the shared reward projection), matching gate()'s scorer") {
     import spark.implicits._
