@@ -391,6 +391,29 @@ object Sampling {
       .drop("__g", "__fe", "__ek", "__inp")
   }
 
+  /** Materialize [[epochExpansion]]'s multiplicity into physical rows: one
+    * output row per (input row, copy 1..n_copies); rows with 0 copies
+    * vanish. Pure per-row explode — zero shuffle, linear in OUTPUT rows
+    * (which is the training stream's own size, so nothing is amplified
+    * beyond what must be written anyway). The `maxCopies` valve FAILS the
+    * job loudly when any row asks for more (a recipe bug — a near-empty
+    * group under a big weight — would otherwise quietly explode one doc
+    * into millions of rows; the no-silent-caps rule wants an error, not a
+    * truncation). The n>0 guard matters: Spark's two-arg `sequence(1, 0)`
+    * infers step −1 and yields [1, 0], not the empty sequence DuckDB's
+    * `generate_series(1, 0)` gives. */
+  def expandCopies(df: DataFrame, nCopies: Column,
+      maxCopies: Int = 10000): DataFrame = {
+    require(maxCopies > 0, s"maxCopies must be positive, got $maxCopies")
+    val n = when(nCopies > maxCopies,
+        raise_error(concat(lit(s"expandCopies: valve $maxCopies exceeded: "),
+          nCopies.cast("string"))))
+      .otherwise(nCopies.cast("long"))
+    df.withColumn("copy",
+      explode(when(n > 0L, sequence(lit(1L), n))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Deterministic pre-training shuffle: a reproducible global permutation —
     * every training run needs its corpus in a "random" order that is
     * nevertheless IDENTICAL across reruns, engines and partition layouts

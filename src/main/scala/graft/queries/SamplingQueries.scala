@@ -273,6 +273,36 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // the ASSEMBLY CAPSTONE: recipe → training stream. epochExpansion's
+    // multiplicity materializes through expandCopies (valved explode) and
+    // every (doc, copy) lands a deterministic shard + in-shard position
+    // via trainingShards keyed on the copy key — the complete path from
+    // mixture weights to shardable stream, every row's (shard, pos)
+    // pinned by one XOR fold over (key, shard, pos) triples
+    "q273_mixture_stream" -> ((s, d) => {
+      val wmap = Seq("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 2L,
+        "zh" -> 1L)
+      val ex = Sampling.epochExpansion(
+        t(s, d, "documents")
+          .withColumn("__ntok", TA.tokenCount(col("text")).cast("long")),
+        col("doc_id"), col("__ntok"), col("lang"), wmap,
+        totalBudget = 300000L)
+      val copies = Sampling.expandCopies(
+        ex.select(col("doc_id"), col("lang"), col("__ntok"),
+          col("n_copies")), col("n_copies"))
+        .withColumn("ckey",
+          concat(col("doc_id"), lit("#"), col("copy")))
+      Sampling.trainingShards(copies, col("ckey"), nShards = 8, seed = 7)
+        .withColumn("__rh", PortableHash.md5Long(
+          concat_ws("|", col("ckey"), col("shard"), col("pos")), 99))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("__ntok").cast("long").as("stream_tokens"),
+          expr("bit_xor(__rh)").as("placement_checksum"))
+        .orderBy("shard")
+    }),
+
     // packed-batch sample offsets: where each chunk STARTS inside its
     // q97 FFD bin — the attention-mask/sample-boundary table a trainer
     // needs next to the packed batch. Offset = running token sum in the
@@ -998,6 +1028,50 @@ object SamplingQueries {
            CAST(sum(c.ntok) AS BIGINT) AS sum_tokens
          FROM c JOIN bud USING (source)
          WHERE c.cum <= bud.b GROUP BY 1 ORDER BY 1""",
+
+    // the q272 plan replay at budget 300000, copies materialized via a
+    // correlated LATERAL generate_series (empty when n_copies = 0 — the
+    // Spark side guards sequence(1,0) explicitly), then the identical
+    // shard/pos hash window over the copy key; every row's placement
+    // pinned by the XOR fold over (ckey, shard, pos)
+    "q273_mixture_stream" -> {
+      val (shardSql, posSql) = Sampling.trainingShardsSql("ckey", 8, 7)
+      s"""WITH c AS (SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS T
+           FROM c GROUP BY 1),
+         pl AS (SELECT lang, T,
+             CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+               WHEN 'fr' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END AS w
+           FROM tot),
+         pl3 AS (SELECT lang, T, CAST(w * 300000 // 12 AS BIGINT) AS tgt,
+             CAST(CASE WHEN T = 0 THEN 0
+               ELSE (w * 300000 // 12) // T END AS BIGINT) AS fe
+           FROM pl),
+         pl4 AS (SELECT lang, T, tgt, fe, tgt - fe * T AS rem FROM pl3),
+         cm AS (SELECT doc_id, lang, ntok,
+             ${Sampling.budgetCumSql("doc_id", "ntok", "lang")} AS cum
+           FROM c),
+         mk AS (SELECT m.doc_id, m.lang, m.ntok,
+             p.fe + CASE WHEN m.cum <= p.rem THEN 1 ELSE 0 END AS nc
+           FROM cm m JOIN pl4 p USING (lang)),
+         cp AS (SELECT m.doc_id, m.ntok,
+             m.doc_id || '#' || cc.copy AS ckey
+           FROM mk m, LATERAL (SELECT unnest(generate_series(1, m.nc))
+             AS copy) cc),
+         sh AS (SELECT doc_id, ntok, ckey, $shardSql AS shard, $posSql AS pos
+           FROM cp),
+         hx AS (SELECT shard, doc_id, ntok,
+             ${PortableHash.md5LongSql(
+        "(ckey || '|' || shard || '|' || pos)", 99)} AS rh
+           FROM sh)
+         SELECT shard, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS stream_tokens,
+           CAST(bit_xor(rh) AS BIGINT) AS placement_checksum
+         FROM hx GROUP BY 1 ORDER BY 1"""
+    },
 
     // identical integer plan arithmetic (w·budget // Σw, tgt // T), the
     // partial prefix replayed with the budgetCum window (identical hash

@@ -121,6 +121,21 @@ class OpsSpecR14 extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
   }
 
+  test("expandCopies: one row per copy, zero-copy rows vanish (the " +
+    "sequence(1,0) step trap), and the valve FAILS loudly, not silently") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = Seq((1L, 3L), (2L, 0L), (3L, 1L)).toDF("id", "nc")
+    val got = Sampling.expandCopies(df, col("nc"))
+      .select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 1L), (1L, 2L), (1L, 3L), (3L, 1L)))
+    val boom = intercept[Exception] {
+      Sampling.expandCopies(df, col("nc"), maxCopies = 2).collect()
+    }
+    assert(boom.getMessage.contains("valve"), s"got: ${boom.getMessage}")
+  }
+
   test("bestOfN: argmax by reward, tie to the lowest src; margin is " +
     "best-minus-second-best and 0 for a single candidate") {
     import spark.implicits._
