@@ -46,6 +46,26 @@ class PlanSpec extends AnyFunSuite {
   private def shuffles(plan: String): Int =
     "(?m)(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(plan).length
 
+  test("r14 assembly plans keep their scale shapes: knn top-k pushdown " +
+    "and no unbounded join (q268), map-side partial candidate buffers " +
+    "(q270), broadcast-only joins (q271), broadcast plan table (q272)") {
+    val p268 = plan("q268_semantic_pack")
+    assert(p268.contains("WindowGroupLimit"),
+      s"the knn rank must push its k limit below the exchange:\n$p268")
+    assert(!p268.contains("CartesianProduct") &&
+      !p268.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded join may hide in the walk pipeline:\n$p268")
+    val p270 = plan("q270_best_of_n")
+    assert(p270.contains("partial_collect_list"),
+      s"the bounded candidate buffer must partial-aggregate map-side:\n$p270")
+    val p271 = plan("q271_topic_mix")
+    assert(!p271.contains("SortMergeJoin"),
+      s"topic-mix joins are dim-sized and must broadcast:\n$p271")
+    val p272 = plan("q272_epoch_expansion")
+    assert(p272.contains("BroadcastHashJoin"),
+      s"the per-group plan table must broadcast back:\n$p272")
+  }
+
   test("space-saving sketch aggregates map-side: one exchange, partial " +
     "summaries on the map side (q115)") {
     val p = plan("q115_heavy_hitters")
