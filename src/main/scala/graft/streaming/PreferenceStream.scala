@@ -80,21 +80,50 @@ object PreferenceStream {
     * partitions. Streaming runs it as a state-store aggregation
     * (update/complete mode; StreamStaticSpec pins stream ≡ batch with a
     * prompt's candidates split across microbatches). */
-  def bestOfN(cands: DataFrame): DataFrame = {
-    val scored = cands
-      .withColumn("__r", reward(col("resp")))
-      .withColumn("__fp", md5(concat_ws(" ||| ", col("prompt"), col("resp"))))
-    scored.groupBy("prompt_id")
+  def bestOfN(cands: DataFrame): DataFrame =
+    bestSelect(scoreCands(cands).groupBy(col("prompt_id")), Seq("prompt_id"))
+
+  /** [[bestOfN]] for an UNBOUNDED feed: candidates carry an event time,
+    * prompts aggregate within tumbling `windowDur` windows behind a
+    * `delay` watermark — so the state store holds only open windows'
+    * candidate buffers and the sink can run in APPEND mode (a window's
+    * winner emits exactly once, when the watermark passes its end). The
+    * contract is the sampler's own: one prompt's n candidates are
+    * generated together, so they land in one window; a candidate arriving
+    * later than `delay` is dropped by the watermark (counted by Spark's
+    * streaming metrics), never silently mis-grouped. Identical scoring
+    * projections — the batch twin is the same code path on a static
+    * frame, spec-pinned window for window. */
+  def bestOfNWindowed(cands: DataFrame, ts: Column, delay: String,
+      windowDur: String): DataFrame = {
+    val staged = cands.withColumn("__ts", ts)
+    val marked =
+      if (staged.isStreaming) staged.withWatermark("__ts", delay) else staged
+    bestSelect(scoreCands(marked)
+        .groupBy(window(col("__ts"), windowDur).as("win"), col("prompt_id")),
+      Seq("win", "prompt_id"))
+  }
+
+  /** Shared scoring projections (stateless, batch ≡ stream by
+    * construction). */
+  private def scoreCands(cands: DataFrame): DataFrame = cands
+    .withColumn("__r", reward(col("resp")))
+    .withColumn("__fp", md5(concat_ws(" ||| ", col("prompt"), col("resp"))))
+
+  /** Shared argmax tail: the sorted bounded candidate buffer → winner,
+    * margin, fingerprint (see [[bestOfN]] for the state-size contract). */
+  private def bestSelect(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      keyNames: Seq[String]): DataFrame =
+    grouped
       .agg(sort_array(collect_list(struct(
         (-col("__r")).as("nr"), col("src").as("src"), col("__fp").as("fp"))))
         .as("__c"))
-      .select(col("prompt_id"),
+      .select(keyNames.map(col) ++ Seq(
         size(col("__c")).cast("long").as("n_candidates"),
         col("__c")(0).getField("src").as("chosen_src"),
         (-col("__c")(0).getField("nr")).as("reward_chosen"),
         when(size(col("__c")) > 1,
           col("__c")(1).getField("nr") - col("__c")(0).getField("nr"))
           .otherwise(lit(0L)).as("reward_margin"),
-        col("__c")(0).getField("fp").as("fp"))
-  }
+        col("__c")(0).getField("fp").as("fp")): _*)
 }

@@ -407,6 +407,65 @@ class StreamStaticSpec extends AnyFunSuite {
       "stream and batch best-of-n must agree row for row")
   }
 
+  test("windowed best-of-n: watermark-bounded candidate buffers — " +
+    "complete mode equals the batch twin window for window; append mode " +
+    "emits only watermark-closed windows, each matching batch") {
+    import graft.streaming.PreferenceStream
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    // three one-minute windows, ~2 prompts each; later files carry later
+    // timestamps so each microbatch advances the watermark past the
+    // previous file's windows
+    val cands = spark.range(24).select(
+      expr("id DIV 4").as("prompt_id"), col("id").as("src"),
+      array_join(transform(
+        sequence(lit(1), lit(1) + pmod(col("id"), lit(5)).cast("int")),
+        i => concat(lit("w"), i)), " ").as("resp"),
+      concat(lit("prompt "), expr("id DIV 4")).as("prompt"),
+      timestamp_millis(lit(base) + expr("id DIV 8") * 60000L +
+        pmod(col("id"), lit(8)) * 1000L).as("ts"))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      PreferenceStream.bestOfNWindowed(df, col("ts"), "5 seconds",
+          "1 minute")
+        .select(col("win.start").as("wstart"), col("prompt_id"),
+          col("n_candidates"), col("chosen_src"), col("reward_chosen"),
+          col("reward_margin"), col("fp"))
+    val want = windowed(cands).collect().map(_.toSeq)
+      .sortBy(r => (r(0).toString, r(1).asInstanceOf[Long]))
+    assert(want.length === 6, "three windows × two prompts")
+    val dir = Files.createTempDirectory("graft-bonw-stream")
+    Seq(0, 1, 2).foreach { k =>
+      cands.filter(expr(s"id DIV 8") === k).coalesce(1)
+        .write.parquet(dir.resolve(s"f$k").toString)
+    }
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Seq(0, 1, 2).foreach { k =>
+      val part = Files.list(dir.resolve(s"f$k")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), srcDir.resolve(s"x$k.parquet"))
+      Files.setLastModifiedTime(srcDir.resolve(s"x$k.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000 + k * 10000))
+    }
+    def stream = spark.readStream.schema(cands.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val complete = EventsStream.runToCompletion(windowed(stream),
+        "bonw_complete", OutputMode.Complete())
+      .collect().map(_.toSeq)
+      .sortBy(r => (r(0).toString, r(1).asInstanceOf[Long]))
+    assert(complete.map(_.toList).toList === want.map(_.toList).toList,
+      "complete mode must equal the batch twin window for window")
+    val appended = EventsStream.runToCompletion(windowed(stream),
+        "bonw_append", OutputMode.Append())
+      .collect().map(_.toSeq)
+    val wantSet = want.map(_.toList).toSet
+    assert(appended.nonEmpty && appended.length < want.length,
+      s"append must emit only closed windows, got ${appended.length}")
+    assert(appended.forall(r => wantSet.contains(r.toList)),
+      "every append-mode emission must match the batch twin")
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
