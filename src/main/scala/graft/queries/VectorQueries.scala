@@ -831,6 +831,64 @@ object VectorQueries {
           ExactRound.halfUpDivCol(col("n_docs") * lit(1000L), col("__tot"))
             .as("share_permille"))
         .orderBy("source", "topic")
+    }),
+
+    // does the q268 walk actually BUY coherence? Whole docs packed into
+    // 256-token bins two ways — walk order vs id order — and every
+    // within-bin pair's cosine summed on the micro grid per source. The
+    // numbers are MEASURED, not a pinned bet (both twins replay both
+    // strategies). On THIS corpus the honest reading: embeddings are
+    // near-orthogonal organics (max pair cos ≈ 0.51), so the per-source
+    // effect is noise-level (sem beats id on 8/20 sources at sf0.01)
+    // while the corpus-wide mean still moves the right way (−0.0024 vs
+    // −0.0058); the clustered-data win is pinned structurally by
+    // OpsSpecR14's planted-cluster same-bin test. Pair joins are
+    // within-(source, bin) — bins hold a few docs by the token budget,
+    // so the pair set is bounded, never quadratic in the source
+    "q274_pack_coherence" -> ((s, d) => {
+      import graft.ops.{Assembly, TextAnalysis => TA}
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TA.tokenCount(col("text")).cast("long").as("__ntok"))
+      val src = docs.select(col("doc_id"), col("source"))
+      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      val edges = g
+        .join(broadcast(src.select(col("doc_id").as("i"),
+          col("source").as("g"))), "i")
+        .join(broadcast(src.select(col("doc_id").as("j"),
+          col("source").as("__gj"))), "j")
+        .filter(col("g") === col("__gj"))
+        .select(col("g"), col("i"), col("j"), col("rk"))
+      val order = Assembly.semanticWalk(
+        docs.select(col("source"), col("doc_id")), col("source"),
+        col("doc_id"), edges)
+      val base = docs.join(order, docs("doc_id") === order("doc"))
+        .select(col("g"), col("doc"), col("pos"), col("__ntok"))
+      def bins(orderCols: Seq[org.apache.spark.sql.Column]) = {
+        val w = Window.partitionBy("g").orderBy(orderCols: _*)
+        base.withColumn("__cum", sum(col("__ntok")).over(w))
+          .withColumn("bin", floor((col("__cum") - col("__ntok")) / 256))
+          .select(col("g"), col("doc"), col("bin"))
+      }
+      val ev = emb(s, d).select(col("vec_id"), col("embedding"))
+      def coherence(b: DataFrame, tag: String) = {
+        val withV = b.join(ev, b("doc") === ev("vec_id"))
+          .select(col("g"), col("bin"), col("doc"), col("embedding"))
+        val pr = withV.as("a").join(withV.as("b"),
+          col("a.g") === col("b.g") && col("a.bin") === col("b.bin") &&
+            col("a.doc") < col("b.doc"))
+        pr.select(col("a.g").as("source"),
+            Sim.cosineNative(pr, col("a.embedding"), col("b.embedding"))
+              .as("__cos"))
+          .groupBy("source")
+          .agg(count(lit(1)).as(s"n_pairs_$tag"),
+            sum(round(col("__cos") * lit(1e6)).cast("long"))
+              .as(s"cos_micro_$tag"))
+      }
+      coherence(bins(Seq(col("pos"))), "sem")
+        .join(coherence(bins(Seq(col("doc"))), "id"), "source")
+        .orderBy("source")
     })
   )
 
@@ -880,6 +938,32 @@ object VectorQueries {
   private val cosQ = Sim.cosineSql("embedding", "qe")
   private val bucket8 = Sim.signBucketSql("embedding", 8)
   private val bucket4 = Sim.signBucketSql("embedding", 4)
+
+  /** Shared q268/q274 oracle prefix: the q165 knn replay restricted to
+    * same-source edges, neighbor/doc lists, and the recursive walk CTE
+    * ([[graft.ops.Assembly.semanticWalkCte]]) ending in `walk(g, pos,
+    * doc)`. Callers must open with WITH RECURSIVE. */
+  private lazy val SemWalkCtes: String =
+    s"""b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
+       p AS (SELECT a.vec_id i, c.vec_id j,
+           ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
+         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       sym AS (SELECT i, j, cos FROM p
+         UNION ALL SELECT j AS i, i AS j, cos FROM p),
+       rk AS (SELECT i, j, cos,
+           row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+         FROM sym),
+       kne AS (SELECT i, j, rk FROM rk WHERE rk <= 3),
+       e AS (SELECT da.source AS g, k.i, k.j, k.rk FROM kne k
+         JOIN documents da ON da.doc_id = k.i
+         JOIN documents db ON db.doc_id = k.j
+         WHERE da.source = db.source),
+       __wk_nbr AS (SELECT g, i, list(j ORDER BY rk, j) AS nb
+         FROM e GROUP BY 1, 2),
+       __wk_docs AS (SELECT source AS g,
+           list(doc_id ORDER BY doc_id) AS docs, count(*) AS n
+         FROM documents GROUP BY 1),
+       ${graft.ops.Assembly.semanticWalkCte}"""
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1400,26 +1484,7 @@ object VectorQueries {
     // replay restricted to same-source pairs, the packer the q87 window
     "q268_semantic_pack" ->
       s"""WITH RECURSIVE
-         b AS (SELECT vec_id, embedding, $bucket8 bucket FROM embeddings),
-         p AS (SELECT a.vec_id i, c.vec_id j,
-             ${Sim.cosineSql("a.embedding", "c.embedding")} AS cos
-           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
-         sym AS (SELECT i, j, cos FROM p
-           UNION ALL SELECT j AS i, i AS j, cos FROM p),
-         rk AS (SELECT i, j, cos,
-             row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
-           FROM sym),
-         kne AS (SELECT i, j, rk FROM rk WHERE rk <= 3),
-         e AS (SELECT da.source AS g, k.i, k.j, k.rk FROM kne k
-           JOIN documents da ON da.doc_id = k.i
-           JOIN documents db ON db.doc_id = k.j
-           WHERE da.source = db.source),
-         __wk_nbr AS (SELECT g, i, list(j ORDER BY rk, j) AS nb
-           FROM e GROUP BY 1, 2),
-         __wk_docs AS (SELECT source AS g,
-             list(doc_id ORDER BY doc_id) AS docs, count(*) AS n
-           FROM documents GROUP BY 1),
-         ${graft.ops.Assembly.semanticWalkCte},
+         $SemWalkCtes,
          ch AS (${graft.ops.Chunking.chunkSql("doc_id", "text", 32, 32)}),
          jc AS (SELECT w.g, w.pos, ch.doc, ch.chunk_idx, ch.n_tok
            FROM ch JOIN walk w ON ch.doc = w.doc),
@@ -1482,6 +1547,47 @@ object VectorQueries {
            ${graft.ops.ExactRound.halfUpDivSql("p.n_docs * 1000", "t.tt")}
              AS share_permille
          FROM per p JOIN tot t ON p.source = t.source
-         ORDER BY p.source, p.topic"""
+         ORDER BY p.source, p.topic""",
+
+    // both packings replayed (walk order via the shared recursive CTE, id
+    // order as a plain window), every within-bin pair's cosine summed on
+    // the micro grid — identical round-half-away semantics on identical
+    // doubles
+    "q274_pack_coherence" ->
+      s"""WITH RECURSIVE
+         $SemWalkCtes,
+         nt AS (SELECT doc_id, source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         bs AS (SELECT w.g, w.doc, nt.ntok,
+             sum(nt.ntok) OVER (PARTITION BY w.g ORDER BY w.pos
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM walk w JOIN nt ON nt.doc_id = w.doc),
+         bsem AS (SELECT g, doc, (cum - ntok) // 256 AS bin FROM bs),
+         bi AS (SELECT source AS g, doc_id AS doc, ntok,
+             sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM nt),
+         bid AS (SELECT g, doc, (cum - ntok) // 256 AS bin FROM bi),
+         psem AS (SELECT a.g AS source, count(*) AS n_pairs_sem,
+             CAST(sum(CAST(round(
+               ${Sim.cosineSql("ea.embedding", "eb.embedding")} * 1e6)
+               AS BIGINT)) AS BIGINT) AS cos_micro_sem
+           FROM bsem a JOIN bsem b
+             ON a.g = b.g AND a.bin = b.bin AND a.doc < b.doc
+           JOIN embeddings ea ON ea.vec_id = a.doc
+           JOIN embeddings eb ON eb.vec_id = b.doc
+           GROUP BY 1),
+         pid AS (SELECT a.g AS source, count(*) AS n_pairs_id,
+             CAST(sum(CAST(round(
+               ${Sim.cosineSql("ea.embedding", "eb.embedding")} * 1e6)
+               AS BIGINT)) AS BIGINT) AS cos_micro_id
+           FROM bid a JOIN bid b
+             ON a.g = b.g AND a.bin = b.bin AND a.doc < b.doc
+           JOIN embeddings ea ON ea.vec_id = a.doc
+           JOIN embeddings eb ON eb.vec_id = b.doc
+           GROUP BY 1)
+         SELECT source, n_pairs_sem, cos_micro_sem, n_pairs_id, cos_micro_id
+         FROM psem JOIN pid USING (source)
+         ORDER BY source"""
   )
 }
