@@ -355,9 +355,11 @@ object Sampling {
     * instead of rows keeps this operator linear in documents, not in
     * epochs. Assumes unique keys per group (the [[budgetPerGroup]]
     * precondition). */
-  def epochExpansion(df: DataFrame, key: Column, cost: Column, group: Column,
-      weights: Seq[(String, Long)], totalBudget: Long,
-      seed: Int = 11): DataFrame = {
+  /** Shared integer plan arithmetic of [[epochPlan]]/[[epochExpansion]]:
+    * attaches `__w, __tgt, __fe, __b` (weight, target tokens, full epochs,
+    * leftover budget) to a stats frame carrying `__g, __T`. */
+  private def epochPlanCols(weights: Seq[(String, Long)],
+      totalBudget: Long): DataFrame => DataFrame = {
     require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
     require(weights.nonEmpty && weights.forall(_._2 >= 0),
       "weights must be non-empty and non-negative")
@@ -367,12 +369,43 @@ object Sampling {
       when(g === weights.head._1, lit(weights.head._2))) {
       case (acc, (k, v)) => acc.when(g === k, lit(v))
     }.otherwise(lit(0L)).cast("long")
-    def planCols(stats: DataFrame): DataFrame = stats
+    stats => stats
       .withColumn("__w", wcol(col("__g")))
       .withColumn("__tgt", expr(s"__w * ${totalBudget}L DIV ${sumW}L"))
       .withColumn("__fe", when(col("__T") === 0L, lit(0L))
         .otherwise(expr("__tgt DIV __T")))
       .withColumn("__b", col("__tgt") - col("__fe") * col("__T"))
+  }
+
+  /** The [[epochExpansion]] recipe as a driver-sized DATA-CARD table —
+    * `(group, tokens, weight, target_tok, full_epochs, rem_tok)` per
+    * group, the exact integers the expansion runs on (same arithmetic by
+    * construction: one shared builder). Publish it with [[epochPlanSave]]
+    * next to a release, the way the tokenizer artifacts ship — a recipe a
+    * training run can be reproduced from or audited against. */
+  def epochPlan(df: DataFrame, cost: Column, group: Column,
+      weights: Seq[(String, Long)], totalBudget: Long): DataFrame =
+    epochPlanCols(weights, totalBudget)(
+      df.groupBy(group.as("__g")).agg(sum(cost.cast("long")).as("__T")))
+      .select(col("__g").as("group"), col("__T").as("tokens"),
+        col("__w").as("weight"), col("__tgt").as("target_tok"),
+        col("__fe").as("full_epochs"), col("__b").as("rem_tok"))
+
+  /** Publish the [[epochPlan]] through the atomic manifest barrier
+    * ([[graft.core.Ingest.atomicPublish]] — the bpeSave discipline):
+    * readers flip to the complete new plan or keep the old one. */
+  def epochPlanSave(plan: DataFrame, tableDir: String): String =
+    graft.core.Ingest.atomicPublish(plan.coalesce(1), tableDir)
+
+  /** Cold-reload the published plan (manifest → current version). */
+  def epochPlanLoad(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    graft.core.Ingest.readPublished(spark, tableDir)
+
+  def epochExpansion(df: DataFrame, key: Column, cost: Column, group: Column,
+      weights: Seq[(String, Long)], totalBudget: Long,
+      seed: Int = 11): DataFrame = {
+    val planCols = epochPlanCols(weights, totalBudget)
     // partial-epoch membership through the shared prefix-take engine; the
     // projection renames avoid any caller-column collision
     val partialKeys = budgetPrefixTake(

@@ -136,6 +136,42 @@ class OpsSpecR14 extends AnyFunSuite {
     assert(boom.getMessage.contains("valve"), s"got: ${boom.getMessage}")
   }
 
+  test("epochPlan: the data-card integers round-trip the atomic publish " +
+    "barrier and agree with what epochExpansion actually runs") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 15L), ("b", 5L, 25L), ("c", 6L, 10L))
+      .toDF("g", "id", "ntok")
+    val w = Seq("a" -> 3L, "b" -> 1L)
+    val plan = Sampling.epochPlan(docs, col("ntok"), col("g"), w, 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // hand-computed: a: T=60, w=3 → tgt=75, fe=1, rem=15; b: T=40, w=1 →
+    // tgt=25, fe=0, rem=25; c: unweighted → all zero
+    assert(plan === Map(
+      "a" -> ((60L, 3L, 75L, 1L, 15L)),
+      "b" -> ((40L, 1L, 25L, 0L, 25L)),
+      "c" -> ((10L, 0L, 0L, 0L, 0L))))
+    // the plan's full_epochs are the expansion's, by shared construction
+    val fe = Sampling.epochExpansion(docs, col("id"), col("ntok"), col("g"),
+        w, 100L)
+      .select("g", "full_epochs").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fe === plan.view.mapValues(_._4).toMap)
+    // publish → reload through the manifest barrier, bit-identical
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-epochplan").toString
+    Sampling.epochPlanSave(
+      Sampling.epochPlan(docs, col("ntok"), col("g"), w, 100L), dir)
+    val reloaded = Sampling.epochPlanLoad(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(reloaded === plan)
+  }
+
   test("bestOfN: argmax by reward, tie to the lowest src; margin is " +
     "best-minus-second-best and 0 for a single candidate") {
     import spark.implicits._
