@@ -771,6 +771,44 @@ object VectorQueries {
         .orderBy("g", "pos")
     }),
 
+    // the trainer-facing boundary table for the SEMANTIC packing — q251's
+    // offsets for the q268 stream: where each chunk starts inside its
+    // concat-and-cut context window (offset = running-sum-before-chunk
+    // mod ctx; a chunk may straddle windows — bin is where it STARTS,
+    // exactly GPT-style concat-and-cut). Same one-window shape as q268
+    "q275_semantic_pack_offsets" -> ((s, d) => {
+      import graft.ops.{Assembly, Chunking}
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      val edges = g
+        .join(broadcast(src.select(col("doc_id").as("i"),
+          col("source").as("g"))), "i")
+        .join(broadcast(src.select(col("doc_id").as("j"),
+          col("source").as("__gj"))), "j")
+        .filter(col("g") === col("__gj"))
+        .select(col("g"), col("i"), col("j"), col("rk"))
+      val order = Assembly.semanticWalk(
+        docs.select(col("source"), col("doc_id")), col("source"),
+        col("doc_id"), edges)
+      val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
+        width = 32, stride = 32)
+      val packed = Chunking.packOrdered(chunks.join(order, "doc"),
+        col("g"), ctx = 128, Seq(col("pos"), col("chunk_idx")))
+      val w = Window.partitionBy("g").orderBy("pos", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      packed
+        .withColumn("__cum", sum("n_tok").over(w))
+        .withColumn("offset",
+          pmod(col("__cum") - col("n_tok"), lit(128)).cast("int"))
+        .filter(col("doc") < 60)
+        .select(col("g"), col("pos"), col("doc"), col("chunk_idx"),
+          col("n_tok"), col("bin").cast("long").as("bin"), col("offset"))
+        .orderBy("g", "pos", "chunk_idx")
+    }),
+
     // q65's embedding near-dup removal at the PRODUCTION index width
     // (bits=12 — the config the 100 TB recipe runs, measured 1.2× at 10×
     // data by EmbedScaleProbe; this is its missing correctness half).
@@ -1496,6 +1534,23 @@ object VectorQueries {
            CAST(min((cum - n_tok) // 128) AS BIGINT) AS bin_first,
            CAST(max((cum - n_tok) // 128) AS BIGINT) AS bin_last
          FROM pk GROUP BY 1, 2, 3 ORDER BY g, pos""",
+
+    // the same walk + window replay as q268, plus the intra-window offset
+    // ((cum − n_tok) mod ctx) per chunk
+    "q275_semantic_pack_offsets" ->
+      s"""WITH RECURSIVE
+         $SemWalkCtes,
+         ch AS (${graft.ops.Chunking.chunkSql("doc_id", "text", 32, 32)}),
+         jc AS (SELECT w.g, w.pos, ch.doc, ch.chunk_idx, ch.n_tok
+           FROM ch JOIN walk w ON ch.doc = w.doc),
+         pk AS (SELECT g, pos, doc, chunk_idx, n_tok,
+             sum(n_tok) OVER (PARTITION BY g ORDER BY pos, chunk_idx
+               ROWS UNBOUNDED PRECEDING) AS cum FROM jc)
+         SELECT g, pos, doc, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tok AS INT) AS n_tok,
+           CAST((cum - n_tok) // 128 AS BIGINT) AS bin,
+           CAST((cum - n_tok) % 128 AS INT) AS "offset"
+         FROM pk WHERE doc < 60 ORDER BY g, pos, chunk_idx""",
 
     // BRUTE-FORCE twin — no bucket anywhere: every all-pairs near-dup must
     // be found by the production-width (bits=12) bucketed op or the census
