@@ -93,7 +93,11 @@ object Assembly {
     * `__wk_docs(g, docs, n)` — per-group sorted doc-id LIST + count. The
     * recursion carries the visited set as a LIST (the q97 FFD-replay
     * technique); each step takes the first unvisited neighbor of the
-    * current doc, else the first unvisited doc id. */
+    * current doc, else the first unvisited doc id. The neighbor pick
+    * filters against `s.docs`, matching [[semanticWalk]]'s dangling-edge
+    * rule exactly: a neighbor id that is not in the group's doc set is
+    * IGNORED, never walked to (so the twin stays bit-equal even when the
+    * caller's `__wk_nbr` lists carry ids outside the doc set). */
   val semanticWalkCte: String =
     """walk AS (
        SELECT g, CAST(1 AS BIGINT) AS pos, docs[1] AS doc,
@@ -102,10 +106,12 @@ object Assembly {
        UNION ALL
        SELECT w.g, w.pos + 1,
               coalesce(
-                list_filter(n.nb, x -> NOT list_contains(w.visited, x))[1],
+                list_filter(n.nb, x -> list_contains(s.docs, x)
+                  AND NOT list_contains(w.visited, x))[1],
                 list_filter(s.docs, x -> NOT list_contains(w.visited, x))[1]),
               list_append(w.visited, coalesce(
-                list_filter(n.nb, x -> NOT list_contains(w.visited, x))[1],
+                list_filter(n.nb, x -> list_contains(s.docs, x)
+                  AND NOT list_contains(w.visited, x))[1],
                 list_filter(s.docs, x -> NOT list_contains(w.visited, x))[1]))
        FROM walk w
        JOIN __wk_docs s ON s.g = w.g

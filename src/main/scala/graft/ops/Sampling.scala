@@ -408,20 +408,24 @@ object Sampling {
     val planCols = epochPlanCols(weights, totalBudget)
     // partial-epoch membership through the shared prefix-take engine; the
     // projection renames avoid any caller-column collision
+    // membership join carries the GROUP alongside the key: the documented
+    // precondition is only per-group key uniqueness (budgetPerGroup's), so
+    // the same key value may appear in two weighted groups — joining on the
+    // key alone would fan out and bleed membership across groups
     val partialKeys = budgetPrefixTake(
       df.select(key.as("__ek"), cost.as("__ec"), group.as("__eg")),
       col("__ek"), col("__ec"), col("__eg"), planCols, seed)
-      .select(col("__ek"), lit(true).as("__inp"))
+      .select(col("__ek"), col("__eg"), lit(true).as("__inp"))
     val plan = planCols(df.groupBy(group.as("__g"))
         .agg(sum(cost.cast("long")).as("__T")))
       .select(col("__g"), col("__fe"))
     df.join(broadcast(plan), group <=> col("__g"))
-      .join(partialKeys, key === col("__ek"), "left")
+      .join(partialKeys, key === col("__ek") && group <=> col("__eg"), "left")
       .withColumn("full_epochs", col("__fe"))
       .withColumn("in_partial", coalesce(col("__inp"), lit(false)))
       .withColumn("n_copies",
         col("__fe") + col("in_partial").cast("long"))
-      .drop("__g", "__fe", "__ek", "__inp")
+      .drop("__g", "__fe", "__ek", "__eg", "__inp")
   }
 
   /** Materialize [[epochExpansion]]'s multiplicity into physical rows: one

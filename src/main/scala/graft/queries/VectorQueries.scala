@@ -14,6 +14,55 @@ object VectorQueries {
   private def queryVec(s: SparkSession, d: String) =
     emb(s, d).filter(col("vec_id") === 0)
 
+  /** Session-scoped semantic-walk memo (the `Similarity.centroidsFor`
+    * precedent): q268/q274/q275 all consume the IDENTICAL knnGraph(bits=8,
+    * k=3) → same-source edge restriction → greedy walk over (documents,
+    * embeddings), so the walk ORDER is memoized as a persisted DataFrame
+    * keyed by (session, canonicalized input plans) and the suite builds
+    * the graph once. Unlike the centroid memo the cached value is
+    * corpus-sized (one `(g, pos, doc)` row per document), so it stays
+    * DISTRIBUTED — `persist(MEMORY_AND_DISK)`, never a driver collect.
+    * The session participates in the key because a persisted frame from a
+    * stopped session must never be reused; same stale-on-rewrite caveat
+    * as `Similarity.clearCentroidCache`. Bounded (whole-map reset beyond
+    * 16 entries, unpersisting evictees). */
+  private val walkCache =
+    new java.util.concurrent.ConcurrentHashMap[Any, DataFrame]()
+
+  private[graft] def clearWalkCache(): Unit = {
+    walkCache.values.forEach(df => { df.unpersist(false); () })
+    walkCache.clear()
+  }
+
+  /** The q268/q274/q275 shared prefix: knnGraph edges restricted to
+    * same-source pairs, walked by [[graft.ops.Assembly.semanticWalk]].
+    * The same-source restriction joins the group key onto BOTH endpoints
+    * as plain HASH joins — the documents projection is corpus-sized (one
+    * row per document), so broadcasting it would break at 100 TB; the
+    * edge side is already bounded at k·|V| by knnGraph's construction,
+    * and a shuffle join on the endpoint id is the scale shape. */
+  private def semWalkOrder(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Assembly
+    val docs = t(s, d, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val ev = emb(s, d).select(col("vec_id"), col("embedding"))
+    val key = (s, src.queryExecution.analyzed.canonicalized,
+      ev.queryExecution.analyzed.canonicalized)
+    if (walkCache.size > 16) clearWalkCache()
+    walkCache.computeIfAbsent(key, _ => {
+      val g = Sim.knnGraph(ev, col("vec_id"), col("embedding"),
+        bits = 8, k = 3)
+      val edges = g
+        .join(src.select(col("doc_id").as("i"), col("source").as("g")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("__gj")), "j")
+        .filter(col("g") === col("__gj"))
+        .select(col("g"), col("i"), col("j"), col("rk"))
+      Assembly.semanticWalk(docs.select(col("source"), col("doc_id")),
+          col("source"), col("doc_id"), edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brute-force cosine top-k — the ANN correctness baseline
@@ -741,24 +790,11 @@ object VectorQueries {
     // neighbors share context windows — the pack-order layer q97/q251 were
     // missing. Walk position, chunk census and bin span pinned per doc.
     "q268_semantic_pack" -> ((s, d) => {
-      import graft.ops.{Assembly, Chunking}
+      import graft.ops.Chunking
       val docs = t(s, d, "documents")
-      val src = docs.select(col("doc_id"), col("source"))
-      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
-        bits = 8, k = 3)
-      // same-source restriction: the walk's edge list joins the group key
-      // onto BOTH endpoints (broadcast-sized dims; the edge list itself is
-      // bounded at k·|V| by knnGraph's construction)
-      val edges = g
-        .join(broadcast(src.select(col("doc_id").as("i"),
-          col("source").as("g"))), "i")
-        .join(broadcast(src.select(col("doc_id").as("j"),
-          col("source").as("__gj"))), "j")
-        .filter(col("g") === col("__gj"))
-        .select(col("g"), col("i"), col("j"), col("rk"))
-      val order = Assembly.semanticWalk(
-        docs.select(col("source"), col("doc_id")), col("source"),
-        col("doc_id"), edges)
+      // knn edges + greedy walk from the session memo (shared with
+      // q274/q275 — the graph is built once per session per input)
+      val order = semWalkOrder(s, d)
       val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
         width = 32, stride = 32)
       val packed = Chunking.packOrdered(chunks.join(order, "doc"),
@@ -777,22 +813,10 @@ object VectorQueries {
     // mod ctx; a chunk may straddle windows — bin is where it STARTS,
     // exactly GPT-style concat-and-cut). Same one-window shape as q268
     "q275_semantic_pack_offsets" -> ((s, d) => {
-      import graft.ops.{Assembly, Chunking}
+      import graft.ops.Chunking
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      val src = docs.select(col("doc_id"), col("source"))
-      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
-        bits = 8, k = 3)
-      val edges = g
-        .join(broadcast(src.select(col("doc_id").as("i"),
-          col("source").as("g"))), "i")
-        .join(broadcast(src.select(col("doc_id").as("j"),
-          col("source").as("__gj"))), "j")
-        .filter(col("g") === col("__gj"))
-        .select(col("g"), col("i"), col("j"), col("rk"))
-      val order = Assembly.semanticWalk(
-        docs.select(col("source"), col("doc_id")), col("source"),
-        col("doc_id"), edges)
+      val order = semWalkOrder(s, d)
       val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
         width = 32, stride = 32)
       val packed = Chunking.packOrdered(chunks.join(order, "doc"),
@@ -884,23 +908,11 @@ object VectorQueries {
     // within-(source, bin) — bins hold a few docs by the token budget,
     // so the pair set is bounded, never quadratic in the source
     "q274_pack_coherence" -> ((s, d) => {
-      import graft.ops.{Assembly, TextAnalysis => TA}
+      import graft.ops.{TextAnalysis => TA}
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
         TA.tokenCount(col("text")).cast("long").as("__ntok"))
-      val src = docs.select(col("doc_id"), col("source"))
-      val g = Sim.knnGraph(emb(s, d), col("vec_id"), col("embedding"),
-        bits = 8, k = 3)
-      val edges = g
-        .join(broadcast(src.select(col("doc_id").as("i"),
-          col("source").as("g"))), "i")
-        .join(broadcast(src.select(col("doc_id").as("j"),
-          col("source").as("__gj"))), "j")
-        .filter(col("g") === col("__gj"))
-        .select(col("g"), col("i"), col("j"), col("rk"))
-      val order = Assembly.semanticWalk(
-        docs.select(col("source"), col("doc_id")), col("source"),
-        col("doc_id"), edges)
+      val order = semWalkOrder(s, d)
       val base = docs.join(order, docs("doc_id") === order("doc"))
         .select(col("g"), col("doc"), col("pos"), col("__ntok"))
       def bins(orderCols: Seq[org.apache.spark.sql.Column]) = {

