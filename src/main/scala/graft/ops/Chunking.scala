@@ -94,6 +94,67 @@ object Chunking {
       .drop("__cum")
   }
 
+  /** SFT/loss-mask-aware packing — [[packOrdered]]'s concat-and-cut rule
+    * applied to whole INSTRUCTION-TUNING examples, emitting the per-window
+    * mask-span table an SFT loader consumes: each input row is one
+    * serialized example carrying `n_tok` (tokens of the full serialized
+    * text) and `resp_start` (0-based index of its first RESPONSE token —
+    * prompt tokens carry no loss, so the trainer masks `[0, resp_start)`
+    * of the example). The example stream is laid out in `order` within
+    * each `group` and cut at `ctx`-token window boundaries; an example may
+    * STRADDLE windows, so the output has one row per (example, window it
+    * overlaps) with window-local spans:
+    *
+    *  - `win`       — the context window index (window w covers stream
+    *                  tokens `[w·ctx, (w+1)·ctx)`)
+    *  - `seg_start/seg_end` — the example's token span inside this window
+    *                  (end exclusive; `[0, ctx]` coordinates)
+    *  - `mask_start/mask_end` — the LOSS span (response tokens only)
+    *                  clipped to this window; NULL/NULL when the window
+    *                  holds only prompt tokens of the example
+    *
+    * plus [[packOrdered]]'s `bin` (= the window the example STARTS in, so
+    * `bin = win` on each example's first row — the composition pin). All
+    * spans are exact integer arithmetic on the window cumsum; the same
+    * one-window-per-group scale shape as [[packOrdered]] followed by a
+    * bounded per-row explode (an example of `n` tokens overlaps at most
+    * `n/ctx + 1` windows — output is linear in stream tokens, the size a
+    * trainer must materialize anyway). */
+  def sftMaskWindows(examples: DataFrame, group: Column, ctx: Int,
+      order: Seq[Column]): DataFrame = {
+    require(ctx >= 1, s"context length must be >= 1, got $ctx")
+    require(examples.columns.contains("n_tok") &&
+      examples.columns.contains("resp_start"),
+      "sftMaskWindows needs n_tok and resp_start columns")
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    // same window spec as packOrdered's cumsum → Catalyst collapses both
+    // into ONE Window operator; __start is the example's 0-based stream
+    // offset. n_tok >= 1 (a serialized example is never empty), so the
+    // window sequence is always ascending — Spark's sequence(a, b) with
+    // b < a would infer step -1 (the documented expandCopies trap).
+    val d = (c: Column) => call_function("div", c, lit(ctx.toLong))
+    val packed = packOrdered(examples, group, ctx, order)
+      .withColumn("__start",
+        sum(col("n_tok").cast("long")).over(w) - col("n_tok"))
+      .withColumn("win", explode(sequence(
+        d(col("__start")),
+        d(col("__start") + col("n_tok") - 1))))
+      .withColumn("__w0", col("win") * ctx)
+      .withColumn("__ms",
+        greatest(col("__start") + col("resp_start"), col("__w0")) - col("__w0"))
+      .withColumn("__me",
+        least(col("__start") + col("n_tok"), col("__w0") + ctx) - col("__w0"))
+    packed
+      .withColumn("seg_start",
+        (greatest(col("__start"), col("__w0")) - col("__w0")).cast("int"))
+      .withColumn("seg_end", col("__me").cast("int"))
+      .withColumn("mask_start",
+        when(col("__ms") < col("__me"), col("__ms").cast("int")))
+      .withColumn("mask_end",
+        when(col("__ms") < col("__me"), col("__me").cast("int")))
+      .drop("__start", "__w0", "__ms", "__me")
+  }
+
   // not private: Spark's codegen'd encoder projections need access
   final case class FfdIn(g: String, doc: Long, chunk_idx: Int,
       chunk: String, n_tok: Int)

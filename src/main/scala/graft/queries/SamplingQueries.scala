@@ -94,6 +94,35 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // SFT/loss-mask-aware PACKING — q252's serialized examples composed
+    // through packOrdered's concat-and-cut into ctx=128 windows, emitting
+    // the per-window (mask_start, mask_end) span table an instruction-
+    // tuning loader consumes. The response boundary is COMPUTED from the
+    // serialized prompt (template glue accounted), examples straddle
+    // windows (one row per overlapped window, spans clipped), and a
+    // window segment holding only prompt tokens carries NULL mask. Every
+    // span is integer arithmetic on the window cumsum — byte-pinned
+    "q276_sft_pack_mask" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val k = (size(toks) / lit(2)).cast("int")
+      val instr = array_join(slice(toks, lit(1), k), " ")
+      val resp = array_join(slice(toks, k + 1, size(toks) - k), " ")
+      val promptPart = concat(lit("### Instruction:\n"), instr,
+        lit("\n### Response:"))
+      val fullText = concat(promptPart, lit(" "), resp)
+      val ex = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(fullText, " ")).cast("long").as("n_tok"),
+          size(split(promptPart, " ")).cast("long").as("resp_start"))
+      Chunking.sftMaskWindows(ex, col("source"), ctx = 128,
+          Seq(col("doc_id")))
+        .select(col("source"), col("win").cast("long").as("win"),
+          col("doc_id"), col("bin").cast("long").as("bin"),
+          col("n_tok"), col("seg_start"), col("seg_end"),
+          col("mask_start"), col("mask_end"))
+        .orderBy("source", "win", "seg_start")
+    }),
+
     // DPO/RLHF preference-pair assembly: DETERMINISTIC pairing key
     // (pair i = docs 2i/2i+1), the shared prompt from the even doc's
     // first half, candidate responses from both docs' second halves,
@@ -1173,6 +1202,42 @@ object SamplingQueries {
            CAST(len(str_split(pp, ' ')) AS BIGINT) AS resp_start_tok,
            md5(pp || ' ' || resp) AS fp
          FROM p ORDER BY doc_id""",
+
+    // identical serialization (chr(10) newlines), identical per-source
+    // cumsum in doc_id order, windows via LATERAL generate_series over
+    // the straddle range, spans as the identical clip arithmetic
+    "q276_sft_pack_mask" ->
+      """WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS ts
+           FROM documents),
+         c AS (SELECT doc_id, source, len(ts) // 2 AS k, len(ts) AS n, ts
+           FROM b),
+         p AS (SELECT doc_id, source,
+             '### Instruction:' || chr(10)
+               || coalesce(array_to_string(ts[1:k], ' '), '')
+               || chr(10) || '### Response:' AS pp,
+             coalesce(array_to_string(ts[k+1:n], ' '), '') AS resp
+           FROM c),
+         s AS (SELECT doc_id, source AS g,
+             CAST(len(str_split(pp, ' ')) AS BIGINT) AS rs,
+             CAST(len(str_split(pp || ' ' || resp, ' ')) AS BIGINT) AS nt
+           FROM p),
+         cum AS (SELECT *, CAST(sum(nt) OVER (PARTITION BY g ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS st FROM s),
+         w AS (SELECT cum.*, win FROM cum, LATERAL (SELECT
+             unnest(generate_series(st // 128, (st + nt - 1) // 128)) AS win) ww)
+         SELECT g AS source, CAST(win AS BIGINT) AS win, doc_id,
+           CAST(st // 128 AS BIGINT) AS bin, nt AS n_tok,
+           CAST(greatest(st, win * 128) - win * 128 AS INT) AS seg_start,
+           CAST(least(st + nt, (win + 1) * 128) - win * 128 AS INT) AS seg_end,
+           CAST(CASE WHEN greatest(st + rs, win * 128)
+               < least(st + nt, (win + 1) * 128)
+             THEN greatest(st + rs, win * 128) - win * 128 END AS INT)
+             AS mask_start,
+           CAST(CASE WHEN greatest(st + rs, win * 128)
+               < least(st + nt, (win + 1) * 128)
+             THEN least(st + nt, (win + 1) * 128) - win * 128 END AS INT)
+             AS mask_end
+         FROM w ORDER BY source, win, seg_start""",
 
     // identical pairing arithmetic (doc_id // 2), identical planted
     // template prompt, reward and tie-break, and the identical

@@ -41,6 +41,47 @@ class OpsSpecR15 extends AnyFunSuite {
     taken.get("b").foreach(s => assert(s <= 25L))
   }
 
+  test("sftMaskWindows: straddling example splits across windows with " +
+    "clipped spans; a prompt-only segment carries NULL mask; bin = first " +
+    "window") {
+    import spark.implicits._
+    import graft.ops.Chunking
+    // ctx=10; doc 2 (8 tokens, response from token 5) starts at stream
+    // offset 6 → its window-0 segment holds prompt tokens only
+    val ex = Seq(("s", 1L, 6L, 4L), ("s", 2L, 8L, 5L), ("s", 3L, 5L, 4L))
+      .toDF("g", "doc_id", "n_tok", "resp_start")
+    val got = Chunking.sftMaskWindows(ex, col("g"), ctx = 10,
+        Seq(col("doc_id")))
+      .orderBy("win", "seg_start")
+      .select("doc_id", "win", "bin", "seg_start", "seg_end",
+        "mask_start", "mask_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4),
+        if (r.isNullAt(5)) null else r.getInt(5),
+        if (r.isNullAt(6)) null else r.getInt(6))).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0, 6, 4, 6),      // whole example + mask in window 0
+      (2L, 0L, 0L, 6, 10, null, null), // straddler's prompt-only head
+      (2L, 1L, 0L, 0, 4, 1, 4),      // straddler's tail: mask clipped
+      (3L, 1L, 1L, 4, 9, 8, 9)))     // starts (and masks) inside window 1
+  }
+
+  test("SFT template glue: the response boundary is computed from the " +
+    "SERIALIZED prompt — the header glues onto adjacent words, so a " +
+    "naive header-tokens + instr-words count would be wrong") {
+    import spark.implicits._
+    val df = Seq("a b c d").toDF("text")
+    val toks = split(col("text"), " ")
+    val k = (size(toks) / lit(2)).cast("int")
+    val promptPart = concat(lit("### Instruction:\n"),
+      array_join(slice(toks, lit(1), k), " "), lit("\n### Response:"))
+    val rs = df.select(size(split(promptPart, " ")).as("rs"))
+      .collect().head.getInt(0)
+    // serialized: ["###", "Instruction:\na", "b\n###", "Response:"] = 4;
+    // the naive count (3 header tokens + 2 instruction words) would be 5
+    assert(rs === 4)
+  }
+
   test("semantic-walk memo: warm (memoized) and cold (rebuilt) runs of " +
     "q268 are bit-identical") {
     val q = graft.queries.VectorQueries.queries("q268_semantic_pack")
