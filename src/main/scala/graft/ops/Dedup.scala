@@ -527,6 +527,37 @@ object Dedup {
     incoming.join(dropped, id === col("i"), "left_anti")
   }
 
+  /** Symmetric RELEASE MERGE — the composition a quarterly re-crawl runs:
+    * union two already-internally-deduped releases, resolving CROSS-release
+    * (near-)duplicates by keeping the EARLIER release's canonical (the
+    * keep-first discipline at release granularity). `earlier` survives
+    * unconditionally; a row of `later` survives iff no LSH-banded
+    * candidate in `earlier` agrees on ≥ ⌈t·k⌉ MinHash components —
+    * exactly [[dedupAgainstCorpus]] with the earlier release as the
+    * corpus, so the contract carries over: the earlier release
+    * participates ONLY through its signature index (`earlierIndex`, built
+    * once at release-write time by any bit-equal signature formulation
+    * and stored — its text is never re-read, never re-paired), the later
+    * release computes its own signatures in a map stage, and banding
+    * bounds the candidate join. Later-vs-later pairs are NOT examined:
+    * internal dedup of each input is the stated precondition (run
+    * [[nearDupFilterBySignature]]/[[dedupFuzzy]] per release first).
+    *
+    * Both frames must share the output schema (`unionByName`) and ids
+    * must be globally unique across releases (offset one side if the
+    * release pipelines number independently). Scale shape: the merged
+    * output is written once per release cycle; nothing here shuffles more
+    * than the banded candidate set, so the merge costs one incremental
+    * dedup of the SMALLER (new) release — never a re-dedup of the
+    * accumulated corpus. */
+  def mergeReleases(earlier: DataFrame, later: DataFrame, id: Column,
+      text: Column, earlierIndex: DataFrame, n: Int, k: Int, bands: Int,
+      minEstJaccard: Double): DataFrame = {
+    val keptLater = dedupAgainstCorpus(later, id, text, earlierIndex,
+      n, k, bands, minEstJaccard)
+    earlier.unionByName(keptLater)
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -1342,6 +1342,43 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // symmetric RELEASE MERGE (q113's incremental dedup at release
+    // granularity): release A = even ids (earlier), release B = odd ids
+    // + PLANTED exact copies of every 10th A doc under +1e6 ids. The
+    // merge keeps all of A and drops B rows that near-dup A — resolved
+    // against A's SIGNATURE INDEX only (its text never re-paired, the
+    // q158 contract); plants agree on all 16 MinHash components so the
+    // keep-earlier rule provably fires, and the survivor SET per release
+    // category is pinned by the order-free XOR membership checksum
+    "q277_release_merge" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val relA = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val plants = relA.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text"))
+      val relB = base.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .unionByName(plants)
+      val aIdx = Dedup.minhashSignaturesRowwise(relA, col("doc_id"),
+        col("text"), n = 3, k = 16)
+      val merged = Dedup.mergeReleases(relA, relB, col("doc_id"),
+        col("text"), aIdx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      relA.unionByName(relB).select(col("doc_id"),
+          when(col("doc_id") >= 1000000L, lit("plant_b"))
+            .when(pmod(col("doc_id"), lit(2)) === 0, lit("release_a"))
+            .otherwise(lit("organic_b")).as("category"))
+        .join(merged.select(col("doc_id"), lit(1L).as("__k")),
+          Seq("doc_id"), "left")
+        .withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 99))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__k"), lit(0L))).as("n_kept"),
+          coalesce(expr("bit_xor(CASE WHEN __k IS NOT NULL THEN __h END)"),
+            lit(0L)).as("kept_checksum"))
+        .orderBy("category")
+    }),
+
     // cross-document repeated 5-gram spans (Lee et al. exact-substring
     // dedup signal): the most widely shared verbatim windows in the corpus
     "q146_repeated_spans" -> ((s, d) => {
@@ -2983,6 +3020,48 @@ object TextQueries {
          |FROM documents WHERE doc_id % 3 <> 0
          |  AND doc_id NOT IN (SELECT i FROM dropped)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q277_release_merge" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
+      val bandsSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4).map(j => s"s$j").mkString(" || ',' || ")
+        s"SELECT doc, $b band, $key bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(j => s"CASE WHEN ai.s$j = ci.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      val hid = PortableHash.md5LongSql("doc_id::VARCHAR", 99)
+      s"""WITH rel AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 10 = 0),
+         |sh AS (SELECT doc_id, $sh3 s FROM rel),
+         |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         |hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+         |sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         |bands AS ($bandsSel),
+         |cand AS (SELECT DISTINCT a.doc i, b.doc j FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE (a.doc >= 1000000 OR a.doc % 2 = 1)
+         |    AND (b.doc < 1000000 AND b.doc % 2 = 0)),
+         |dropped AS (SELECT DISTINCT c.i FROM cand c
+         |  JOIN sig ai ON ai.doc = c.i JOIN sig ci ON ci.doc = c.j
+         |  WHERE $agree >= 8),
+         |cat AS (SELECT doc_id,
+         |  CASE WHEN doc_id >= 1000000 THEN 'plant_b'
+         |    WHEN doc_id % 2 = 0 THEN 'release_a'
+         |    ELSE 'organic_b' END AS category,
+         |  CASE WHEN (doc_id % 2 = 0 AND doc_id < 1000000)
+         |      OR doc_id NOT IN (SELECT i FROM dropped)
+         |    THEN 1 ELSE 0 END AS kept
+         |  FROM rel)
+         |SELECT category, count(*) AS n_in,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(bit_xor(CASE WHEN kept = 1 THEN $hid END), 0)
+         |    AS BIGINT) AS kept_checksum
+         |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q46_minhash_lsh" ->

@@ -82,6 +82,32 @@ class OpsSpecR15 extends AnyFunSuite {
     assert(rs === 4)
   }
 
+  test("mergeReleases: later dup of an earlier doc dies via the INDEX " +
+    "alone (earlier text never re-read); later-vs-later pairs are never " +
+    "examined") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val earlier = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashSignaturesRowwise(earlier, col("doc_id"),
+      col("text"), n = 3, k = 16)
+    // 11 = exact copy of earlier doc 1 → must die (keep-earlier rule);
+    // 12/13 = identical NEW docs → BOTH survive (internal dedup of each
+    // release is the caller's precondition; B×B is structurally unpaired)
+    val later = Seq((11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "seven eight nine ten eleven twelve"),
+      (13L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    // corrupt the earlier release's TEXT before merging: resolution must
+    // run entirely against the signature index, so the result is unchanged
+    val earlierArchived = earlier.withColumn("text", lit("<archived>"))
+    val merged = Dedup.mergeReleases(earlierArchived, later, col("doc_id"),
+      col("text"), idx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+    assert(merged.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 12L, 13L))
+  }
+
   test("semantic-walk memo: warm (memoized) and cold (rebuilt) runs of " +
     "q268 are bit-identical") {
     val q = graft.queries.VectorQueries.queries("q268_semantic_pack")
