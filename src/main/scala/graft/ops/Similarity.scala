@@ -420,6 +420,42 @@ object Similarity {
     df.select(id.as("id"), arg.as("topic"))
   }
 
+  /** Per-group topic-share DRIFT between two release snapshots — the
+    * monitoring composition next to [[assignCentroids]]: given two
+    * row-level `(g, topic)` frames (one row per document; typically each
+    * snapshot's [[assignCentroids]] output joined to its source column),
+    * emits one row per `(g, topic)` seen in EITHER release with both
+    * releases' doc counts, both shares on the integer permille grid
+    * ([[ExactRound.halfUpDivCol]] — the q271 discipline, so the deltas
+    * replay cross-engine exactly), and `delta_permille = share_b −
+    * share_a`. A topic absent from one release reports 0 there (full
+    * outer join), so appearing/vanishing topics are visible, not dropped.
+    *
+    * Scale shape: two hash aggregations per snapshot (per-(g, topic) and
+    * per-g totals, both partial-aggregable) + one join on the
+    * groups×topics-sized result — the group axis is sources/languages by
+    * contract (driver-sized totals, broadcast), so nothing here scales
+    * with documents beyond the two counting passes. */
+  def shareDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def shares(df: DataFrame, nCol: String, sCol: String): DataFrame = {
+      val per = df.groupBy("g", "topic").agg(count(lit(1)).as(nCol))
+      val tot = df.groupBy("g").agg(count(lit(1)).as("__tot"))
+      per.join(broadcast(tot), "g")
+        .select(col("g"), col("topic"), col(nCol),
+          ExactRound.halfUpDivCol(col(nCol) * lit(1000L), col("__tot"))
+            .as(sCol))
+    }
+    shares(a, "n_a", "__sa")
+      .join(shares(b, "n_b", "__sb"), Seq("g", "topic"), "full_outer")
+      .select(col("g"), col("topic"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("__sa"), lit(0L)).as("share_a_permille"),
+        coalesce(col("__sb"), lit(0L)).as("share_b_permille"),
+        (coalesce(col("__sb"), lit(0L)) - coalesce(col("__sa"), lit(0L)))
+          .as("delta_permille"))
+  }
+
   /** Exactly-one-row query vector, with a clear error instead of head()'s
     * NoSuchElementException (empty) or a partition-order-dependent pick
     * (several rows). */

@@ -895,6 +895,35 @@ object VectorQueries {
         .orderBy("source", "topic")
     }),
 
+    // topic-DRIFT monitor between two release snapshots (q271's topic
+    // axis under q193/q212's two-release diff discipline): release A =
+    // the embeddings as-is; release B = the same corpus with a PLANTED
+    // drifted source — src7's docs re-embedded onto centroid 2's exact
+    // lattice direction, so its whole mass provably lands on topic 2.
+    // Per-(source, topic) share deltas on the integer permille grid; a
+    // topic absent from one release reports 0 (appearing/vanishing
+    // topics visible). src7 shows the full drift, every other source's
+    // delta is exactly 0 — both pinned by the DuckDB replay
+    "q278_topic_drift" -> ((s, d) => {
+      val docsrc = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val e = emb(s, d)
+      def assigned(vecs: DataFrame) =
+        Sim.assignCentroids(vecs, col("vec_id"), col("embedding"),
+            TopicCentroids)
+          .join(docsrc, "id")
+          .select(col("source").as("g"), col("topic"))
+      val snapB = e.join(docsrc, e("vec_id") === docsrc("id"))
+        .select(col("vec_id"),
+          when(col("source") === "src7", typedlit(TopicCentroids(2)._2))
+            .otherwise(col("embedding")).as("embedding"))
+      Sim.shareDrift(assigned(e), assigned(snapB))
+        .select(col("g").as("source"), col("topic"), col("n_a"), col("n_b"),
+          col("share_a_permille"), col("share_b_permille"),
+          col("delta_permille"))
+        .orderBy("source", "topic")
+    }),
+
     // does the q268 walk actually BUY coherence? Whole docs packed into
     // 256-token bins two ways — walk order vs id order — and every
     // within-bin pair's cosine summed on the micro grid per source. The
@@ -1615,6 +1644,57 @@ object VectorQueries {
              AS share_permille
          FROM per p JOIN tot t ON p.source = t.source
          ORDER BY p.source, p.topic""",
+
+    // identical lattice regeneration, identical argmax window per
+    // snapshot (snapshot B substitutes centroid 2's cvec for src7 rows),
+    // shares via the identical halfUpDiv integer grid, diffed FULL OUTER
+    "q278_topic_drift" ->
+      s"""WITH cents AS (SELECT t AS cid,
+             list_transform(generate_series(1, 64),
+               i -> CAST(CASE WHEN (i - 1) // 16 = t THEN 1.0 ELSE -0.25 END
+                 AS FLOAT)) AS cvec
+           FROM (SELECT unnest(generate_series(0, 3)) AS t)),
+         ds AS (SELECT doc_id AS id, source FROM documents),
+         a1 AS (SELECT e.vec_id AS id, c.cid,
+             ${Sim.cosineSql("e.embedding", "c.cvec")} AS cos
+           FROM embeddings e, cents c),
+         r1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, cid) AS rk FROM a1),
+         g1 AS (SELECT d.source AS g, r.cid AS topic
+           FROM r1 r JOIN ds d ON d.id = r.id WHERE r.rk = 1),
+         eb AS (SELECT e.vec_id,
+             CASE WHEN d.source = 'src7'
+               THEN (SELECT cvec FROM cents WHERE cid = 2)
+               ELSE e.embedding END AS embedding
+           FROM embeddings e JOIN ds d ON d.id = e.vec_id),
+         a2 AS (SELECT e.vec_id AS id, c.cid,
+             ${Sim.cosineSql("e.embedding", "c.cvec")} AS cos
+           FROM eb e, cents c),
+         r2 AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, cid) AS rk FROM a2),
+         g2 AS (SELECT d.source AS g, r.cid AS topic
+           FROM r2 r JOIN ds d ON d.id = r.id WHERE r.rk = 1),
+         p1 AS (SELECT g, topic, count(*) AS n FROM g1 GROUP BY 1, 2),
+         t1 AS (SELECT g, count(*) AS tt FROM g1 GROUP BY 1),
+         s1 AS (SELECT p.g, p.topic, p.n,
+             ${graft.ops.ExactRound.halfUpDivSql("p.n * 1000", "t.tt")} AS sh
+           FROM p1 p JOIN t1 t ON p.g = t.g),
+         p2 AS (SELECT g, topic, count(*) AS n FROM g2 GROUP BY 1, 2),
+         t2 AS (SELECT g, count(*) AS tt FROM g2 GROUP BY 1),
+         s2 AS (SELECT p.g, p.topic, p.n,
+             ${graft.ops.ExactRound.halfUpDivSql("p.n * 1000", "t.tt")} AS sh
+           FROM p2 p JOIN t2 t ON p.g = t.g)
+         SELECT coalesce(s1.g, s2.g) AS source,
+           CAST(coalesce(s1.topic, s2.topic) AS BIGINT) AS topic,
+           CAST(coalesce(s1.n, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(s2.n, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(s1.sh, 0) AS BIGINT) AS share_a_permille,
+           CAST(coalesce(s2.sh, 0) AS BIGINT) AS share_b_permille,
+           CAST(coalesce(s2.sh, 0) - coalesce(s1.sh, 0) AS BIGINT)
+             AS delta_permille
+         FROM s1 FULL OUTER JOIN s2
+           ON s1.g = s2.g AND s1.topic = s2.topic
+         ORDER BY source, topic""",
 
     // both packings replayed (walk order via the shared recursive CTE, id
     // order as a plain window), every within-bin pair's cosine summed on

@@ -82,6 +82,23 @@ class OpsSpecR15 extends AnyFunSuite {
     assert(rs === 4)
   }
 
+  test("shareDrift: full-outer topic diff — absent topics report 0, " +
+    "shares and deltas sit on the exact permille grid") {
+    import spark.implicits._
+    import graft.ops.{Similarity => Sim}
+    // release a: g1 = {0, 0, 1}; release b: g1 = {0, 2} — topic 1
+    // vanishes, topic 2 appears
+    val a = Seq(("g1", 0L), ("g1", 0L), ("g1", 1L)).toDF("g", "topic")
+    val b = Seq(("g1", 0L), ("g1", 2L)).toDF("g", "topic")
+    val got = Sim.shareDrift(a, b).orderBy("topic")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("g1", 0L, 2L, 1L, 667L, 500L, -167L), // 2000/3 half-up = 667
+      ("g1", 1L, 1L, 0L, 333L, 0L, -333L),   // vanished → b side 0
+      ("g1", 2L, 0L, 1L, 0L, 500L, 500L)))   // appeared → a side 0
+  }
+
   test("mergeReleases: later dup of an earlier doc dies via the INDEX " +
     "alone (earlier text never re-read); later-vs-later pairs are never " +
     "examined") {
