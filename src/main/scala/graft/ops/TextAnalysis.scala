@@ -1053,6 +1053,26 @@ object TextAnalysis {
   // raw-double forms above stay for threshold gates (single-division
   // comparisons are engine-safe, round() over the quotient is not) ------
 
+  /** [[avgWordLen]] on the exact 1e-6 integer grid ([[ExactRound]]) —
+    * sum/average THIS (order-free BIGINT), never a double ratio; the
+    * per-row twin of [[typeTokenRatioMicro]]. */
+  def avgWordLenMicro(c: Column): Column =
+    ExactRound.gridMicroCol(
+      aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)),
+      size(tokens(c)), 6)
+
+  /** DuckDB twin of [[avgWordLenMicro]]. */
+  def avgWordLenMicroSql(col: String): String =
+    ExactRound.gridMicroSql(
+      s"list_sum(list_transform(str_split($col, ' '), w -> length(w)::BIGINT))",
+      s"len(str_split($col, ' '))", 6)
+
+  /** DuckDB twin of [[typeTokenRatioMicro]]. */
+  def typeTokenRatioMicroSql(col: String): String =
+    ExactRound.gridMicroSql(
+      s"len(list_distinct(str_split($col, ' ')))",
+      s"len(str_split($col, ' '))", 6)
+
   def avgWordLenR6(c: Column): Column =
     ExactRound.ratioRoundedCol(
       aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)),

@@ -1285,14 +1285,21 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // mean-of-ratios on the exact micro grid (r15: the extended census
+    // flagged the old avg(double ratio) — the q102 class): per-row ttr/awl
+    // quantize to 1e-6 BIGINTs, the group mean is an order-free integer
+    // sum + one halfUpDiv, and ONE final IEEE division emits the double
     "q43_quality" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("source"), TA.qualityClass(col("text")).as("qclass"),
-          TA.typeTokenRatio(col("text")).as("ttr"),
-          TA.avgWordLen(col("text")).as("awl"))
+          TA.typeTokenRatioMicro(col("text")).as("__ttr_u"),
+          TA.avgWordLenMicro(col("text")).as("__awl_u"))
         .groupBy("source", "qclass")
-        .agg(count(lit(1)).as("n"), round(avg("ttr"), 6).as("avg_ttr"),
-          round(avg("awl"), 6).as("avg_awl"))
+        .agg(count(lit(1)).as("n"),
+          (ExactRound.halfUpDivCol(sum("__ttr_u"), count(lit(1)))
+            .cast("double") / 1e6).as("avg_ttr"),
+          (ExactRound.halfUpDivCol(sum("__awl_u"), count(lit(1)))
+            .cast("double") / 1e6).as("avg_awl"))
         .orderBy("source", "qclass")
     }),
 
@@ -2967,14 +2974,18 @@ object TextQueries {
          CAST(max(len(str_split(text, ' '))) AS INT) AS max_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
 
+    // identical per-row micro-grid quantization, integer mean, one final
+    // IEEE division (the r15 mean-of-ratios migration)
     "q43_quality" ->
       s"""WITH m AS (SELECT source, ${TA.qualityClassSql("text")} qclass,
-         len(list_distinct(str_split(text, ' ')))::DOUBLE / len(str_split(text, ' ')) ttr,
-         list_sum(list_transform(str_split(text, ' '), w -> length(w)))::DOUBLE
-           / len(str_split(text, ' ')) awl
+         ${TA.typeTokenRatioMicroSql("text")} ttr_u,
+         ${TA.avgWordLenMicroSql("text")} awl_u
          FROM documents)
-         SELECT source, qclass, count(*) AS n, round(avg(ttr), 6) AS avg_ttr,
-         round(avg(awl), 6) AS avg_awl
+         SELECT source, qclass, count(*) AS n,
+         ${ExactRound.halfUpDivSql("sum(ttr_u)", "count(*)")}::DOUBLE / 1e6
+           AS avg_ttr,
+         ${ExactRound.halfUpDivSql("sum(awl_u)", "count(*)")}::DOUBLE / 1e6
+           AS avg_awl
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q44_langid" ->

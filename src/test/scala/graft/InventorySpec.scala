@@ -32,17 +32,23 @@ class InventorySpec extends AnyFunSuite {
 
   /** Rounded-rational census walker (the q169 guard): flags every
     * `round()` whose argument is an IEEE division of exact integers —
-    * DIRECTLY, or LAUNDERED through Project/Alias chains (r14: a bottom-up
+    * DIRECTLY, LAUNDERED through Project/Alias chains (r14: a bottom-up
     * attribute-lineage walk taints the exprId of any alias whose child is
     * an exact-integer quotient or a reference to one, so
-    * `withColumn("r", intA/intB)` + a later `round(r)` is caught too).
-    * Remaining blind spot: taint does not survive intermediate ARITHMETIC
-    * (`round(q * 1.0)`, a quotient summed then rounded) — those are
-    * different failure classes (mean-of-ratios has its own grid rule) and
-    * the dual-SF oracle gate stays the backstop. */
+    * `withColumn("r", intA/intB)` + a later `round(r)` is caught too), or
+    * PASSED THROUGH literal arithmetic (r15: `q * 1.0`, `q + 0.0`,
+    * `q * 100` keep the taint — a foldable operand only rescales the same
+    * IEEE quotient, its half-ties still sit on engine-dependent bits).
+    * r15 also flags `Average` over a tainted child: avg of an
+    * integer-ratio column is the mean-of-ratios class (quantize per-row
+    * to the micro grid, integer-sum, halfUpDiv — never avg the double).
+    * Remaining blind spot: taint through NON-literal arithmetic
+    * (`q * some_double_col`) and a quotient Summed then rounded — the
+    * dual-SF oracle gate stays the backstop there. */
   private def roundedRationalOffenders(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
     import org.apache.spark.sql.types._
     def intExact(e: Expression): Boolean = e match {
       case c: Cast => intExact(c.child)
@@ -60,6 +66,17 @@ class InventorySpec extends AnyFunSuite {
     def taintedExpr(e: Expression): Boolean = stripCast(e) match {
       case d: Divide if intExact(d.left) && intExact(d.right) => true
       case a: AttributeReference => tainted.contains(a.exprId)
+      // literal arithmetic does not wash the quotient: either operand
+      // foldable + the other tainted → still the q169 class
+      case m: Multiply =>
+        (m.left.foldable && taintedExpr(m.right)) ||
+          (m.right.foldable && taintedExpr(m.left))
+      case ad: Add =>
+        (ad.left.foldable && taintedExpr(ad.right)) ||
+          (ad.right.foldable && taintedExpr(ad.left))
+      case su: Subtract =>
+        (su.left.foldable && taintedExpr(su.right)) ||
+          (su.right.foldable && taintedExpr(su.left))
       case _ => false
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -71,6 +88,7 @@ class InventorySpec extends AnyFunSuite {
       })
       node.expressions.foreach(_.foreach {
         case r: Round if taintedExpr(r.child) => out += r.sql
+        case av: Average if taintedExpr(av.child) => out += av.sql
         case _ =>
       })
     }
@@ -120,6 +138,39 @@ class InventorySpec extends AnyFunSuite {
       .withColumn("r", col("a") * lit(0.5) / col("b"))
       .withColumn("rr", round(col("r"), 2))
     assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty)
+  }
+
+  test("the census walker tracks taint through LITERAL arithmetic and " +
+    "flags Average over a tainted child — the r14-documented escapes") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, col, lit, round}
+    val base = Seq((1L, 3L)).toDF("a", "b")
+    // escape #1 (pre-r15): the quotient laundered through a no-op
+    // multiply — round(q * 1.0) — walked straight past the alias taint
+    val mulEscape = base
+      .withColumn("r", col("a") / col("b"))
+      .withColumn("rr", round(col("r") * lit(1.0), 2))
+    assert(roundedRationalOffenders(mulEscape.queryExecution.analyzed).nonEmpty,
+      "round over quotient * literal must be flagged")
+    // literal add and a scale chain, laundered through an alias too
+    val addEscape = base
+      .withColumn("r", (col("a") / col("b")) + lit(0.0))
+      .withColumn("rr", round(col("r") * lit(100), 2))
+    assert(roundedRationalOffenders(addEscape.queryExecution.analyzed).nonEmpty,
+      "round over (quotient + literal) * literal must be flagged")
+    // escape #2 (pre-r15): avg of an integer-ratio column — the
+    // mean-of-ratios class (per-row micro grid + integer sum instead)
+    val avgEscape = base
+      .withColumn("r", col("a") / col("b"))
+      .agg(avg(col("r")).as("m"))
+    assert(roundedRationalOffenders(avgEscape.queryExecution.analyzed).nonEmpty,
+      "avg over an exact-integer quotient must be flagged")
+    // avg of a genuinely-double ratio is not the class — no false positive
+    val avgFine = base
+      .withColumn("r", col("a") * lit(0.5) / col("b"))
+      .agg(avg(col("r")).as("m"))
+    assert(roundedRationalOffenders(avgFine.queryExecution.analyzed).isEmpty)
   }
 
   test("query names are unique across the contributing modules") {
