@@ -49,6 +49,12 @@ object VectorQueries {
     val key = (s, src.queryExecution.analyzed.canonicalized,
       ev.queryExecution.analyzed.canonicalized)
     if (walkCache.size > 16) clearWalkCache()
+    // persist ONCE at creation. If an external purge (Bench/ScaleCpu drop
+    // all storage between queries — their per-query isolation contract)
+    // unpersists it, respect that: the query then recomputes storage-cold,
+    // exactly what those harnesses mean to measure. Sessions that do not
+    // purge (Verify's 278-query pass, production multi-query sessions,
+    // the spec suite) build the graph+walk once and reuse it.
     walkCache.computeIfAbsent(key, _ => {
       val g = Sim.knnGraph(ev, col("vec_id"), col("embedding"),
         bits = 8, k = 3)
