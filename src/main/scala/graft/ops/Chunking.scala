@@ -199,6 +199,46 @@ object Chunking {
       .toDF()
   }
 
+  /** Packing-efficiency sweep — the decision table for CHOOSING a context
+    * length: [[packFFD]] run at each candidate `ctx`, reduced to one row
+    * per ctx with the numbers a trainer trades off — bin count, total
+    * tokens, utilization on the exact integer permille grid
+    * (`total_tok·1000 halfUpDiv n_bins·ctx` — [[ExactRound]], so the
+    * report replays cross-engine bit-exactly), absolute padding waste,
+    * and the fullest/emptiest bin. All-integer arithmetic end to end.
+    * A chunk alone larger than `ctx` opens an overflow bin (packFFD's
+    * rule), which can push `max_bin_fill` past ctx and understate waste —
+    * sweep with ctx ≥ the chunk width to avoid that regime.
+    *
+    * Scale shape: one packFFD pass per candidate ctx (|ctxs| hash
+    * shuffles on the pack-group key), then two tiny aggregations. Like
+    * [[Dedup.lshAuditSweep]] this is a CONFIG diagnostic, not a
+    * per-corpus pass — at 100 TB run it on a sampled slice; utilization
+    * converges long before the full corpus. */
+  def packEfficiency(chunks: DataFrame, group: Column,
+      ctxs: Seq[Int]): DataFrame = {
+    require(ctxs.nonEmpty, "packEfficiency needs at least one ctx")
+    ctxs.map { ctx =>
+      val bins = packFFD(chunks, group, ctx)
+        .groupBy("grp", "bin")
+        .agg(sum("n_tok").cast("long").as("__bt"),
+          count(lit(1)).as("__bc"))
+      bins.agg(
+          count(lit(1)).as("n_bins"),
+          sum("__bc").cast("long").as("n_chunks"),
+          sum("__bt").cast("long").as("total_tok"),
+          ExactRound.halfUpDivCol(sum("__bt") * lit(1000L),
+            count(lit(1)) * lit(ctx.toLong)).as("util_permille"),
+          (count(lit(1)) * lit(ctx.toLong) - sum("__bt")).cast("long")
+            .as("waste_tok"),
+          max("__bt").as("max_bin_fill"),
+          min("__bt").as("min_bin_fill"))
+        .select(lit(ctx).as("ctx"), col("n_bins"), col("n_chunks"),
+          col("total_tok"), col("util_permille"), col("waste_tok"),
+          col("max_bin_fill"), col("min_bin_fill"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** T5-style span corruption, the DETERMINISTIC variant — per-document
     * masking statistics for denoising-pretraining target generation
     * (Raffel et al. 2020 §3.1.4). Token slot `i` opens a corruption span

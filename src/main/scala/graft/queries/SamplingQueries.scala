@@ -332,6 +332,20 @@ object SamplingQueries {
         .orderBy("shard")
     }),
 
+    // context-length DECISION table: the q97 FFD packing swept over three
+    // candidate bin capacities, one all-integer report row per ctx —
+    // bins, utilization on the exact permille grid, padding waste,
+    // fullest/emptiest bin. The numbers a trainer picks ctx from; every
+    // cell replayed by three side-by-side recursive FFD CTEs
+    "q279_pack_efficiency" -> ((s, d) => {
+      val chunks = Chunking.chunk(
+        t(s, d, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      Chunking.packEfficiency(chunks, pmod(col("doc"), lit(3)),
+          ctxs = Seq(64, 128, 256))
+        .orderBy("ctx")
+    }),
+
     // packed-batch sample offsets: where each chunk STARTS inside its
     // q97 FFD bin — the attention-mask/sample-boundary table a trainer
     // needs next to the packed batch. Offset = running token sum in the
@@ -891,33 +905,42 @@ object SamplingQueries {
 
   /** Shared recursive-CTE FFD replay (q97/q251): `ffd(grp, rn, doc,
     * chunk_idx, n_tok, bin, loads)` in insertion order. */
-  private val FfdCte: String =
-    """WITH RECURSIVE chunks AS (
+  /** The q97 FFD replay as a parameterized CTE LIST (no leading WITH;
+    * caller opens WITH RECURSIVE): relations `chunks$sfx / ordered$sfx /
+    * ffd$sfx` with bin capacity `ctx` — the state row carries per-bin
+    * remaining capacities as a LIST, each step places the next chunk (in
+    * n_tok DESC, doc, chunk_idx order) into the first bin with room
+    * (list_position = 0 → open a new bin). Suffixing lets q279 replay
+    * several capacities side by side in ONE recursive WITH. */
+  private def ffdCtes(ctx: Int, sfx: String): String =
+    s"""chunks$sfx AS (
            SELECT doc_id AS doc, (s - 1) // 32 AS chunk_idx,
                   least(32, len(str_split(text, ' ')) - s + 1) AS n_tok,
                   CAST(doc_id % 3 AS VARCHAR) AS grp
            FROM documents, LATERAL (
              SELECT unnest(generate_series(1, greatest(len(str_split(text, ' ')), 1), 32)) s)
            WHERE doc_id < 60
-         ), ordered AS (
+         ), ordered$sfx AS (
            SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_tok DESC, doc, chunk_idx) rn
-           FROM chunks
-         ), ffd AS (
+           FROM chunks$sfx
+         ), ffd$sfx AS (
            SELECT grp, rn, doc, chunk_idx, n_tok,
-                  CAST(0 AS BIGINT) AS bin, [128 - n_tok] AS loads
-           FROM ordered WHERE rn = 1
+                  CAST(0 AS BIGINT) AS bin, [$ctx - n_tok] AS loads
+           FROM ordered$sfx WHERE rn = 1
            UNION ALL
            SELECT o.grp, o.rn, o.doc, o.chunk_idx, o.n_tok,
                   CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
                        THEN len(f.loads)
                        ELSE list_position(list_transform(f.loads, b -> b >= o.n_tok), true) - 1 END,
                   CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
-                       THEN list_append(f.loads, 128 - o.n_tok)
+                       THEN list_append(f.loads, $ctx - o.n_tok)
                        ELSE list_transform(f.loads, (b, i) ->
                          CASE WHEN i = list_position(list_transform(f.loads, x -> x >= o.n_tok), true)
                               THEN b - o.n_tok ELSE b END) END
-           FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1
+           FROM ffd$sfx f JOIN ordered$sfx o ON o.grp = f.grp AND o.rn = f.rn + 1
          )"""
+
+  private val FfdCte: String = "WITH RECURSIVE " + ffdCtes(128, "")
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1173,6 +1196,28 @@ object SamplingQueries {
          SELECT grp, bin, CAST(doc AS BIGINT) AS doc,
                 CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_tok AS INT) AS n_tok
          FROM ffd ORDER BY grp, bin, doc, chunk_idx""",
+
+    // the identical FFD recursion replayed at each capacity (suffixed
+    // relations in ONE recursive WITH), reduced by the identical
+    // integer-grid report arithmetic
+    "q279_pack_efficiency" -> {
+      def rep(ctx: Int): String =
+        s"""SELECT $ctx AS ctx, CAST(count(*) AS BIGINT) AS n_bins,
+           |  CAST(sum(bc) AS BIGINT) AS n_chunks,
+           |  CAST(sum(bt) AS BIGINT) AS total_tok,
+           |  ${graft.ops.ExactRound.halfUpDivSql("sum(bt) * 1000", s"count(*) * $ctx")}
+           |    AS util_permille,
+           |  CAST(count(*) * $ctx - sum(bt) AS BIGINT) AS waste_tok,
+           |  CAST(max(bt) AS BIGINT) AS max_bin_fill,
+           |  CAST(min(bt) AS BIGINT) AS min_bin_fill
+           |FROM (SELECT grp, bin, CAST(sum(n_tok) AS BIGINT) bt, count(*) bc
+           |  FROM ffd$ctx GROUP BY 1, 2)""".stripMargin
+      s"""WITH RECURSIVE ${ffdCtes(64, "64")},
+         ${ffdCtes(128, "128")},
+         ${ffdCtes(256, "256")}
+         SELECT * FROM (${rep(64)} UNION ALL ${rep(128)} UNION ALL ${rep(256)})
+         ORDER BY ctx"""
+    },
 
     // the same FFD replay, plus the within-bin running token sum in
     // insertion (rn) order — FFD's own order restricted to the bin

@@ -125,6 +125,25 @@ class OpsSpecR15 extends AnyFunSuite {
       === Array(1L, 2L, 12L, 13L))
   }
 
+  test("packEfficiency: hand-computed FFD utilization/waste at two " +
+    "capacities, permille on the exact half-up grid") {
+    import spark.implicits._
+    import graft.ops.Chunking
+    val chunks = Seq(("g", 1L, 0, "a b c", 3), ("g", 2L, 0, "d e f", 3),
+      ("g", 3L, 0, "g h", 2))
+      .toDF("grp0", "doc", "chunk_idx", "chunk", "n_tok")
+    val got = Chunking.packEfficiency(chunks, col("grp0"), Seq(4, 8))
+      .orderBy("ctx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    // ctx=4: FFD(3,3,2) opens three bins -> util 8000/12 half-up = 667
+    // ctx=8: all three fit one bin -> util 1000, zero waste
+    assert(got === Seq(
+      (4, 3L, 3L, 8L, 667L, 4L, 3L, 2L),
+      (8, 1L, 3L, 8L, 1000L, 0L, 8L, 8L)))
+  }
+
   test("semantic-walk memo: warm (memoized) and cold (rebuilt) runs of " +
     "q268 are bit-identical") {
     val q = graft.queries.VectorQueries.queries("q268_semantic_pack")
