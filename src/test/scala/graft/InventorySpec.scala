@@ -42,13 +42,15 @@ class InventorySpec extends AnyFunSuite {
     * r15 also flags `Average` over a tainted child: avg of an
     * integer-ratio column is the mean-of-ratios class (quantize per-row
     * to the micro grid, integer-sum, halfUpDiv — never avg the double).
+    * r15 also flags `Sum` over a DOUBLE tainted child — summing IEEE
+    * quotients is order-dependent across engines even unrounded.
     * Remaining blind spot: taint through NON-literal arithmetic
-    * (`q * some_double_col`) and a quotient Summed then rounded — the
-    * dual-SF oracle gate stays the backstop there. */
+    * (`q * some_double_col`) — the dual-SF oracle gate stays the
+    * backstop there. */
   private def roundedRationalOffenders(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
     import org.apache.spark.sql.types._
     def intExact(e: Expression): Boolean = e match {
       case c: Cast => intExact(c.child)
@@ -89,6 +91,11 @@ class InventorySpec extends AnyFunSuite {
       node.expressions.foreach(_.foreach {
         case r: Round if taintedExpr(r.child) => out += r.sql
         case av: Average if taintedExpr(av.child) => out += av.sql
+        // r15: Sum over an IEEE quotient of exact integers is the same
+        // mean-of-ratios class — the double summation ORDER is engine-
+        // dependent, so a pinned output over it is fragile even unrounded
+        case sm: Sum if sm.child.dataType == DoubleType &&
+          taintedExpr(sm.child) => out += sm.sql
         case _ =>
       })
     }
@@ -171,6 +178,17 @@ class InventorySpec extends AnyFunSuite {
       .withColumn("r", col("a") * lit(0.5) / col("b"))
       .agg(avg(col("r")).as("m"))
     assert(roundedRationalOffenders(avgFine.queryExecution.analyzed).isEmpty)
+    // Sum over a double quotient of exact integers: summation order is
+    // engine-dependent, so a pinned output over it is the same class
+    import org.apache.spark.sql.functions.{sum => sqlSum}
+    val sumEscape = base
+      .withColumn("r", col("a") / col("b"))
+      .agg(sqlSum(col("r")).as("s"))
+    assert(roundedRationalOffenders(sumEscape.queryExecution.analyzed).nonEmpty,
+      "sum over an exact-integer quotient must be flagged")
+    // sum of exact-integer (non-quotient) columns stays unflagged
+    val sumFine = base.agg(sqlSum(col("a")).as("s"))
+    assert(roundedRationalOffenders(sumFine.queryExecution.analyzed).isEmpty)
   }
 
   test("query names are unique across the contributing modules") {
