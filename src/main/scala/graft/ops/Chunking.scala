@@ -127,15 +127,21 @@ object Chunking {
       examples.columns.contains("resp_start"),
       "sftMaskWindows needs n_tok and resp_start columns")
     val w = Window.partitionBy(group).orderBy(order: _*)
-    // same window spec as packOrdered's cumsum → Catalyst collapses both
-    // into ONE Window operator; __start is the example's 0-based stream
-    // offset. n_tok >= 1 (a serialized example is never empty), so the
-    // window sequence is always ascending — Spark's sequence(a, b) with
-    // b < a would infer step -1 (the documented expandCopies trap).
+    // [[packOrdered]]'s concat-and-cut rule INLINED (identical formula:
+    // bin = floor((cum − n_tok)/ctx)) so the bin and the mask-span offset
+    // derive from ONE window cumsum — two separate Window nodes would
+    // re-sort the same partitions (PlanSpec pins the single operator).
+    // __start is the example's 0-based stream offset. n_tok >= 1 (a
+    // serialized example is never empty), so the window sequence is
+    // always ascending — Spark's sequence(a, b) with b < a would infer
+    // step -1 (the documented expandCopies trap).
     val d = (c: Column) => call_function("div", c, lit(ctx.toLong))
-    val packed = packOrdered(examples, group, ctx, order)
+    val packed = examples
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("__cum") - col("n_tok")) / ctx))
       .withColumn("__start",
-        sum(col("n_tok").cast("long")).over(w) - col("n_tok"))
+        (col("__cum") - col("n_tok")).cast("long"))
+      .drop("__cum")
       .withColumn("win", explode(sequence(
         d(col("__start")),
         d(col("__start") + col("n_tok") - 1))))

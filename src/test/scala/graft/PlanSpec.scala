@@ -66,6 +66,32 @@ class PlanSpec extends AnyFunSuite {
       s"the per-group plan table must broadcast back:\n$p272")
   }
 
+  test("r15 additions keep their scale shapes: ONE window operator + " +
+    "bounded straddle explode (q276), no unbounded join in the release " +
+    "merge (q277), no unbounded join in the drift diff (q278), no " +
+    "cartesian in the capacity sweep (q279)") {
+    // q276: packOrdered's bin and the mask cumsum share one Window spec —
+    // Catalyst must collapse them into a single Window operator
+    val p276 = plan("q276_sft_pack_mask")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p276).length <= 1,
+      s"the bin + cumsum windows must collapse into ONE operator:\n$p276")
+    assert(p276.contains("Generate explode"),
+      s"the straddle explode must be a Generate, not a join:\n$p276")
+    val p277 = plan("q277_release_merge")
+    assert(!p277.contains("CartesianProduct") &&
+      !p277.contains("BroadcastNestedLoopJoin"),
+      s"banding bounds the candidate join — no unbounded join:\n$p277")
+    val p278 = plan("q278_topic_drift")
+    assert(!p278.contains("CartesianProduct") &&
+      !p278.contains("BroadcastNestedLoopJoin"),
+      s"the drift diff joins on (g, topic) — no unbounded join:\n$p278")
+    assert(p278.contains("BroadcastHashJoin"),
+      s"the groups-sized share totals must broadcast:\n$p278")
+    val p279 = plan("q279_pack_efficiency")
+    assert(!p279.contains("CartesianProduct") &&
+      !p279.contains("BroadcastNestedLoopJoin"), p279)
+  }
+
   test("space-saving sketch aggregates map-side: one exchange, partial " +
     "summaries on the map side (q115)") {
     val p = plan("q115_heavy_hitters")
