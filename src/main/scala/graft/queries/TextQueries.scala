@@ -1349,6 +1349,40 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // online text-admission gate (q113's corpus dedup as an INGESTION
+    // gate, batch≡stream from one code path — TextStream.corpusGate):
+    // within-arrival dedup on the row-wise MinHash signature (planted
+    // exact-dup arrivals under +1e6 ids provably lose to their min-id
+    // organics) + per-band anti joins against the corpus signature index
+    // (corpus text never read). Census pins the admitted SET by category
+    "q280_text_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusIdx = Dedup.minhashSignaturesRowwise(
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+        n = 3, k = 16)
+      val organic = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      val plants = organic.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text"))
+      val arrivals = organic.unionByName(plants)
+      val admitted = graft.streaming.TextStream.corpusGate(arrivals,
+        corpusIdx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      arrivals.select(col("doc_id"),
+          when(col("doc_id") >= 1000000L, lit("dup_plant"))
+            .otherwise(lit("organic")).as("category"))
+        .join(admitted.select(col("doc_id"), lit(1L).as("__a")),
+          Seq("doc_id"), "left")
+        .withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 99))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__a"), lit(0L))).as("n_admitted"),
+          coalesce(expr("bit_xor(CASE WHEN __a IS NOT NULL THEN __h END)"),
+            lit(0L)).as("admitted_checksum"))
+        .orderBy("category")
+    }),
+
     // symmetric RELEASE MERGE (q113's incremental dedup at release
     // granularity): release A = even ids (earlier), release B = odd ids
     // + PLANTED exact copies of every 10th A doc under +1e6 ids. The
@@ -3031,6 +3065,54 @@ object TextQueries {
          |FROM documents WHERE doc_id % 3 <> 0
          |  AND doc_id NOT IN (SELECT i FROM dropped)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q280_text_admission" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j").mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      val bandsSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4).map(j => s"s$j").mkString(" || ',' || ")
+        s"SELECT doc, $b band, $key bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(j => s"CASE WHEN ai.s$j = ci.s$j THEN 1 ELSE 0 END").mkString(" + ")
+      val hid = PortableHash.md5LongSql("doc_id::VARCHAR", 99)
+      // arrival ids: doc_id % 3 <> 0 under 1e6, or >= 1e6 (the plants)
+      val isArr = "(doc >= 1000000 OR doc % 3 <> 0)"
+      s"""WITH rel AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 8 = 0),
+         |allr AS (SELECT doc_id, text FROM rel
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |sh AS (SELECT doc_id, $sh3 s FROM allr),
+         |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         |hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+         |sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         |surv AS (SELECT doc FROM (SELECT doc, row_number() OVER (
+         |    PARTITION BY $sigCols ORDER BY doc) rn
+         |  FROM sig WHERE $isArr) WHERE rn = 1),
+         |bands AS ($bandsSel),
+         |cand AS (SELECT DISTINCT a.doc i, b.doc j FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc IN (SELECT doc FROM surv)
+         |    AND (b.doc < 1000000 AND b.doc % 3 = 0)),
+         |dropped AS (SELECT DISTINCT c.i FROM cand c
+         |  JOIN sig ai ON ai.doc = c.i JOIN sig ci ON ci.doc = c.j
+         |  WHERE $agree >= 8),
+         |adm AS (SELECT doc FROM surv
+         |  WHERE doc NOT IN (SELECT i FROM dropped)),
+         |cat AS (SELECT doc_id,
+         |  CASE WHEN doc_id >= 1000000 THEN 'dup_plant'
+         |    ELSE 'organic' END AS category,
+         |  CASE WHEN doc_id IN (SELECT doc FROM adm) THEN 1 ELSE 0 END AS a
+         |  FROM rel)
+         |SELECT category, count(*) AS n_in,
+         |  CAST(sum(a) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(bit_xor(CASE WHEN a = 1 THEN $hid END), 0)
+         |    AS BIGINT) AS admitted_checksum
+         |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q277_release_merge" -> {

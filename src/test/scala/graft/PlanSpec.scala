@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
     val p279 = plan("q279_pack_efficiency")
     assert(!p279.contains("CartesianProduct") &&
       !p279.contains("BroadcastNestedLoopJoin"), p279)
+    // q280: the per-band anti joins must stay EQUI (hash) joins — the
+    // agree-count verify rides as a residual condition, never an
+    // OR-of-bands nested loop
+    val p280 = plan("q280_text_admission")
+    assert(!p280.contains("CartesianProduct") &&
+      !p280.contains("BroadcastNestedLoopJoin"),
+      s"banded anti joins must be hash joins:\n$p280")
+    assert(p280.contains("LeftAnti"), p280)
   }
 
   test("space-saving sketch aggregates map-side: one exchange, partial " +

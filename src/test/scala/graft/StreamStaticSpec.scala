@@ -863,4 +863,49 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L),
       "recovered spend must reject the row a fresh state would admit")
   }
+
+  test("text corpus-admission gate: stream and batch admit the identical " +
+    "doc set with a signature-duplicate split ACROSS microbatches") {
+    import graft.streaming.TextStream
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusIdx = Dedup.minhashSignaturesRowwise(
+      docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+      n = 3, k = 16)
+    val organic = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    // exact-dup plants land in the SECOND microbatch, so the signature
+    // state store must remember batch 1 across the trigger boundary
+    val plants = organic.filter(pmod(col("doc_id"), lit(8)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val arrivals = organic.unionByName(plants)
+    val want = TextStream.corpusGate(arrivals, corpusIdx,
+        n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(want.nonEmpty && !want.exists(_ >= 1000000L),
+      "every planted duplicate must lose to its earlier organic")
+    val dir = Files.createTempDirectory("graft-text-gate")
+    organic.coalesce(1).write.parquet(dir.resolve("a").toString)
+    plants.coalesce(1).write.parquet(dir.resolve("b").toString)
+    def onePart(sub: String) = Files.list(dir.resolve(sub)).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(onePart("a")), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(onePart("b")), srcDir.resolve("y.parquet"))
+    // pin x strictly earlier so organics provably arrive before their dups
+    Files.setLastModifiedTime(srcDir.resolve("x.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(
+        TextStream.corpusGate(stream, corpusIdx,
+          n = 3, k = 16, bands = 4, minEstJaccard = 0.5),
+        "text_admission_stream", OutputMode.Append())
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq,
+      "stream and batch must admit the identical document set")
+  }
 }
