@@ -131,12 +131,14 @@ object Chunking {
     // bin = floor((cum − n_tok)/ctx)) so the bin and the mask-span offset
     // derive from ONE window cumsum — two separate Window nodes would
     // re-sort the same partitions (PlanSpec pins the single operator).
-    // __start is the example's 0-based stream offset. n_tok >= 1 (a
-    // serialized example is never empty), so the window sequence is
-    // always ascending — Spark's sequence(a, b) with b < a would infer
-    // step -1 (the documented expandCopies trap).
+    // __start is the example's 0-based stream offset. n_tok >= 1 is a
+    // CONTRACT, enforced loudly ([[guardNtok]]): a zero-token example whose
+    // stream offset is a multiple of ctx would make sequence(a, a-1) infer
+    // step -1 and emit a DESCENDING 2-element range — a spurious row in the
+    // PREVIOUS window (the documented expandCopies trap), silent corruption
+    // instead of a failure.
     val d = (c: Column) => call_function("div", c, lit(ctx.toLong))
-    val packed = examples
+    val packed = guardNtok(examples, "sftMaskWindows")
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .withColumn("bin", floor((col("__cum") - col("n_tok")) / ctx))
       .withColumn("__start",
@@ -159,6 +161,85 @@ object Chunking {
       .withColumn("mask_end",
         when(col("__ms") < col("__me"), col("__me").cast("int")))
       .drop("__start", "__w0", "__ms", "__me")
+  }
+
+  /** Loud n_tok >= 1 valve shared by the SFT packers (mirrors
+    * [[Sampling.expandCopies]]' n > 0 guard): replaces `n_tok` with a
+    * runtime-checked copy so a zero/negative-token example FAILS the job
+    * with a named error instead of silently corrupting the window explode
+    * (the descending-sequence trap documented at the call sites). */
+  private def guardNtok(examples: DataFrame, op: String): DataFrame =
+    examples.withColumn("n_tok",
+      when(col("n_tok") >= 1, col("n_tok")).otherwise(raise_error(concat(
+        lit(s"$op: n_tok must be >= 1, got "), col("n_tok").cast("string")))))
+
+  /** Multi-turn (chat-SFT) loss-mask-aware packing — [[sftMaskWindows]]
+    * generalized from ONE response boundary to a per-example LIST of loss
+    * spans: each input row is one serialized conversation carrying `n_tok`
+    * and `spans`, an array of `(s, e)` structs — the example-local
+    * half-open token spans of its ASSISTANT turns (user/tool turns carry
+    * no loss). The conversation stream is laid out in `order` within each
+    * `group` and cut at `ctx`-token boundaries exactly as
+    * [[sftMaskWindows]]; the output has one row per (example, window it
+    * overlaps) carrying [[packOrdered]]'s `bin`, the window-local segment
+    * `seg_start/seg_end`, and `mask_spans` — EVERY loss span clipped to
+    * this window, preserving input order:
+    *
+    *  - a turn STRADDLING a window boundary contributes its clipped piece
+    *    to both windows;
+    *  - a window holding only user/tool tokens of the example gets an
+    *    EMPTY `mask_spans` (a no-loss window — the trainer still packs
+    *    the segment, it just masks everything);
+    *  - adjacent assistant turns stay SEPARATE entries (span identity is
+    *    turn identity — a trainer may weight turns independently), and
+    *    spans that clip to nothing (or were empty) vanish.
+    *
+    * Contract on `spans`: sorted by `s`, non-overlapping, each within
+    * `[0, n_tok]` — violations raise loudly (same valve as the n_tok
+    * guard). Scale shape identical to [[sftMaskWindows]]: ONE window
+    * cumsum per group (PlanSpec pins the single Window operator), one
+    * bounded explode (n/ctx + 1 windows per example), and the span clip
+    * is a per-row array transform over the handful of turns — output
+    * linear in stream tokens. */
+  def sftMaskSpans(examples: DataFrame, group: Column, ctx: Int,
+      order: Seq[Column]): DataFrame = {
+    require(ctx >= 1, s"context length must be >= 1, got $ctx")
+    require(examples.columns.contains("n_tok") &&
+      examples.columns.contains("spans"),
+      "sftMaskSpans needs n_tok and spans columns")
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    val d = (c: Column) => call_function("div", c, lit(ctx.toLong))
+    val spansOk = when(
+      exists(col("spans"), sp => sp("s") < 0 || sp("e") > col("n_tok") ||
+        sp("s") > sp("e")),
+      raise_error(lit("sftMaskSpans: span outside [0, n_tok] or s > e")))
+      .otherwise(col("spans"))
+    val packed = guardNtok(examples, "sftMaskSpans")
+      .withColumn("spans", spansOk)
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("__cum") - col("n_tok")) / ctx))
+      .withColumn("__start",
+        (col("__cum") - col("n_tok")).cast("long"))
+      .drop("__cum")
+      .withColumn("win", explode(sequence(
+        d(col("__start")),
+        d(col("__start") + col("n_tok") - 1))))
+      .withColumn("__w0", col("win") * ctx)
+    packed
+      .withColumn("seg_start",
+        (greatest(col("__start"), col("__w0")) - col("__w0")).cast("int"))
+      .withColumn("seg_end",
+        (least(col("__start") + col("n_tok"), col("__w0") + ctx)
+          - col("__w0")).cast("int"))
+      .withColumn("mask_spans",
+        filter(
+          transform(col("spans"), sp => struct(
+            (greatest(col("__start") + sp("s"), col("__w0")) - col("__w0"))
+              .cast("int").as("ms"),
+            (least(col("__start") + sp("e"), col("__w0") + ctx) - col("__w0"))
+              .cast("int").as("me"))),
+          cl => cl("ms") < cl("me")))
+      .drop("__start", "__w0")
   }
 
   // not private: Spark's codegen'd encoder projections need access

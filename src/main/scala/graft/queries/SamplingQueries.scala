@@ -123,6 +123,43 @@ object SamplingQueries {
         .orderBy("source", "win", "seg_start")
     }),
 
+    // multi-turn (chat-SFT) loss-mask packing — q276 generalized from ONE
+    // response boundary to a per-example LIST of assistant-turn loss
+    // spans: each doc becomes a 2/4/6-turn conversation (turn count from
+    // doc_id, boundaries on the exact integer grid i·n DIV T), assistant
+    // = odd turns, packed concat-and-cut at ctx=128. One row per
+    // (example, window) with EVERY span clipped to the window — a turn
+    // straddling the cut contributes to both windows, a user-only window
+    // carries an EMPTY span list (mask_str ''), adjacent spans never
+    // merge. Spans serialize to an exact integer string — byte-pinned
+    "q281_sft_multiturn_mask" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          (lit(2L) * (lit(1L) + pmod(col("doc_id"), lit(3)))).as("nt"))
+      val ex = base.withColumn("spans", transform(
+          filter(sequence(lit(0L), col("nt") - 1),
+            i => pmod(i, lit(2L)) === 1),
+          i => struct(
+            call_function("div", i * col("n_tok"), col("nt")).as("s"),
+            call_function("div", (i + lit(1L)) * col("n_tok"), col("nt"))
+              .as("e"))))
+        .drop("nt")
+      Chunking.sftMaskSpans(ex, col("source"), ctx = 128,
+          Seq(col("doc_id")))
+        .select(col("source"), col("win").cast("long").as("win"),
+          col("doc_id"), col("bin").cast("long").as("bin"),
+          col("n_tok"), col("seg_start"), col("seg_end"),
+          size(col("mask_spans")).as("n_mask_spans"),
+          aggregate(col("mask_spans"), lit(0L),
+            (a, y) => a + y("me").cast("long") - y("ms").cast("long"))
+            .as("mask_tok"),
+          concat_ws(";", transform(col("mask_spans"),
+            y => concat(y("ms").cast("string"), lit("-"),
+              y("me").cast("string")))).as("mask_str"))
+        .orderBy("source", "win", "seg_start")
+    }),
+
     // DPO/RLHF preference-pair assembly: DETERMINISTIC pairing key
     // (pair i = docs 2i/2i+1), the shared prompt from the even doc's
     // first half, candidate responses from both docs' second halves,
@@ -1283,6 +1320,41 @@ object SamplingQueries {
              THEN least(st + nt, (win + 1) * 128) - win * 128 END AS INT)
              AS mask_end
          FROM w ORDER BY source, win, seg_start""",
+
+    // identical turn-boundary grid (i·n // nt), identical per-source
+    // cumsum and LATERAL window range, spans clipped by the identical
+    // greatest/least arithmetic and serialized to the same string
+    // (array_to_string coalesced — DuckDB returns NULL on empty lists)
+    "q281_sft_multiturn_mask" ->
+      """WITH b AS (SELECT doc_id, source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+             CAST(2 * (1 + doc_id % 3) AS BIGINT) AS nt FROM documents),
+         sp AS (SELECT doc_id, source, n,
+             list_transform(
+               list_filter(generate_series(0, nt - 1), i -> i % 2 = 1),
+               i -> {'s': (i * n) // nt, 'e': ((i + 1) * n) // nt}) AS spans
+           FROM b),
+         cum AS (SELECT *, CAST(sum(n) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS st
+           FROM sp),
+         w AS (SELECT cum.*, win FROM cum, LATERAL (SELECT
+             unnest(generate_series(st // 128, (st + n - 1) // 128)) AS win) ww),
+         cl AS (SELECT doc_id, source, n, st, win,
+             list_filter(list_transform(spans, x ->
+               {'ms': greatest(st + x.s, win * 128) - win * 128,
+                'me': least(st + x.e, (win + 1) * 128) - win * 128}),
+               y -> y.ms < y.me) AS mspans FROM w)
+         SELECT source, CAST(win AS BIGINT) AS win, doc_id,
+           CAST(st // 128 AS BIGINT) AS bin, n AS n_tok,
+           CAST(greatest(st, win * 128) - win * 128 AS INT) AS seg_start,
+           CAST(least(st + n, (win + 1) * 128) - win * 128 AS INT) AS seg_end,
+           CAST(len(mspans) AS INT) AS n_mask_spans,
+           CAST(coalesce(list_sum(list_transform(mspans, y -> y.me - y.ms)), 0)
+             AS BIGINT) AS mask_tok,
+           coalesce(array_to_string(list_transform(mspans, y ->
+             CAST(y.ms AS INT) || '-' || CAST(y.me AS INT)), ';'), '')
+             AS mask_str
+         FROM cl ORDER BY source, win, seg_start""",
 
     // identical pairing arithmetic (doc_id // 2), identical planted
     // template prompt, reward and tie-break, and the identical

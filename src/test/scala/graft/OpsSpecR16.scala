@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Chunking
+
+/** Round-16 operator specs: multi-turn (chat-SFT) loss-mask packing and
+  * the loud n_tok/span guards on the SFT packers. */
+class OpsSpecR16 extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def spansDf(rows: Seq[(String, Long, Long, Seq[(Long, Long)])]) = {
+    import spark.implicits._
+    rows.toDF("g", "doc_id", "n_tok", "__sp")
+      .withColumn("spans", transform(col("__sp"),
+        p => struct(p("_1").as("s"), p("_2").as("e"))))
+      .drop("__sp")
+  }
+
+  private def runMask(ex: org.apache.spark.sql.DataFrame, ctx: Int) =
+    Chunking.sftMaskSpans(ex, col("g"), ctx, Seq(col("doc_id")))
+      .orderBy("doc_id", "win")
+      .select(col("doc_id"), col("win"), col("bin"),
+        col("seg_start"), col("seg_end"),
+        transform(col("mask_spans"),
+          y => concat(y("ms").cast("string"), lit("-"),
+            y("me").cast("string"))).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getSeq[String](5).toList))
+
+  test("sftMaskSpans: an assistant turn STRADDLING a window boundary is " +
+    "clipped into both windows; a user-only window carries an EMPTY span " +
+    "list; bin = first window") {
+    // ctx=10. doc 1: 12 tokens, assistant turn [4, 9) — entirely inside
+    // window 0; its window-1 segment [10, 12) holds user tokens only.
+    // doc 2: 8 tokens starting at stream offset 12, assistant turn [2, 8)
+    // = stream [14, 20) — STRADDLES the window-1/2 cut at stream 20? No:
+    // stream [14, 20) ends exactly at the cut; use [2, 8) over a doc
+    // placed at offset 12 spanning stream [12, 20) → assistant stream
+    // [14, 20) clips to window 1 only. Make it straddle: turn [2, 8) on
+    // doc 2 gives stream [14, 20); the doc itself ends at 20 = window
+    // boundary. Shift: doc 2 n_tok=9, turn [2, 9) → stream [14, 21):
+    // window 1 gets [14, 20) → local [4, 10), window 2 gets [20, 21) →
+    // local [0, 1).
+    val ex = spansDf(Seq(
+      ("s", 1L, 12L, Seq(4L -> 9L)),
+      ("s", 2L, 9L, Seq(2L -> 9L))))
+    val got = runMask(ex, 10)
+    assert(got === Seq(
+      // doc 1 spans stream [0, 12): window 0 seg [0, 10) with the turn,
+      // window 1 seg [0, 2) user-only → EMPTY mask list (row kept!)
+      (1L, 0L, 0L, 0, 10, List("4-9")),
+      (1L, 1L, 0L, 0, 2, List()),
+      // doc 2 spans stream [12, 21): window 1 seg [2, 10), turn clipped
+      // to [4, 10); window 2 seg [0, 1), turn tail [0, 1)
+      (2L, 1L, 1L, 2, 10, List("4-10")),
+      (2L, 2L, 1L, 0, 1, List("0-1"))))
+  }
+
+  test("sftMaskSpans: ADJACENT assistant turns stay separate entries — " +
+    "span identity is turn identity, [3,5)+[5,8) never merges to [3,8)") {
+    val ex = spansDf(Seq(("s", 1L, 10L, Seq(3L -> 5L, 5L -> 8L))))
+    val got = runMask(ex, 16)
+    assert(got === Seq((1L, 0L, 0L, 0, 10, List("3-5", "5-8"))))
+  }
+
+  test("sftMaskSpans: multiple turns clip INDEPENDENTLY per window and " +
+    "empty spans vanish") {
+    // ctx=6, one 14-token doc, turns [1,3), [5,5) (empty), [4,9), [12,14)
+    // — window 0 = [0,6): [1,3) whole + [4,9)→[4,6); window 1 = [6,12):
+    // [4,9)→[0,3) local; window 2 = [12,14): [12,14)→[0,2)
+    val ex = spansDf(Seq(
+      ("s", 1L, 14L, Seq(1L -> 3L, 5L -> 5L, 4L -> 9L, 12L -> 14L))))
+    val got = runMask(ex, 6)
+    assert(got === Seq(
+      (1L, 0L, 0L, 0, 6, List("1-3", "4-6")),
+      (1L, 1L, 0L, 0, 6, List("0-3")),
+      (1L, 2L, 0L, 0, 2, List("0-2"))))
+  }
+
+  private def msgChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) {
+      sb.append(Option(cur.getMessage).getOrElse("")).append(" | ")
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
+  test("SFT packers fail LOUDLY on n_tok < 1 and out-of-range spans " +
+    "instead of silently corrupting the window explode") {
+    import spark.implicits._
+    val bad = Seq(("s", 1L, 10L, 4L), ("s", 2L, 0L, 0L))
+      .toDF("g", "doc_id", "n_tok", "resp_start")
+    val e1 = intercept[Exception] {
+      Chunking.sftMaskWindows(bad, col("g"), ctx = 10,
+        Seq(col("doc_id"))).collect()
+    }
+    assert(msgChain(e1).contains("n_tok must be >= 1"),
+      s"unexpected error: ${msgChain(e1)}")
+    val badSpan = spansDf(Seq(("s", 1L, 10L, Seq(4L -> 12L))))
+    val e2 = intercept[Exception] {
+      Chunking.sftMaskSpans(badSpan, col("g"), ctx = 10,
+        Seq(col("doc_id"))).collect()
+    }
+    assert(msgChain(e2).contains("span outside"),
+      s"unexpected error: ${msgChain(e2)}")
+    val badSpan2 = spansDf(Seq(("s", 1L, 10L, Seq(6L -> 4L))))
+    val e3 = intercept[Exception] {
+      Chunking.sftMaskSpans(badSpan2, col("g"), ctx = 10,
+        Seq(col("doc_id"))).collect()
+    }
+    assert(msgChain(e3).contains("span outside"),
+      s"unexpected error: ${msgChain(e3)}")
+  }
+
+  test("sftMaskSpans degenerates to sftMaskWindows when every example " +
+    "has ONE span [resp_start, n_tok)") {
+    import spark.implicits._
+    val base = Seq(("s", 1L, 6L, 4L), ("s", 2L, 8L, 5L), ("s", 3L, 5L, 4L))
+      .toDF("g", "doc_id", "n_tok", "resp_start")
+    val single = Chunking.sftMaskWindows(base, col("g"), ctx = 10,
+        Seq(col("doc_id")))
+      .select(col("doc_id"), col("win"), col("seg_start"), col("seg_end"),
+        col("mask_start"), col("mask_end"))
+      .orderBy("doc_id", "win").collect().toSeq
+    val multi = Chunking.sftMaskSpans(
+        base.withColumn("spans",
+          array(struct(col("resp_start").as("s"), col("n_tok").as("e")))),
+        col("g"), ctx = 10, Seq(col("doc_id")))
+      .select(col("doc_id"), col("win"), col("seg_start"), col("seg_end"),
+        get(col("mask_spans"), lit(0))("ms").as("mask_start"),
+        get(col("mask_spans"), lit(0))("me").as("mask_end"))
+      .orderBy("doc_id", "win").collect().toSeq
+    assert(single === multi)
+  }
+}

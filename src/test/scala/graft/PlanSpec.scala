@@ -100,6 +100,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p280.contains("LeftAnti"), p280)
   }
 
+  test("r16 additions keep their scale shapes: ONE window operator + " +
+    "bounded straddle explode, span clip in-row (q281)") {
+    // q281: sftMaskSpans inherits the q276 lesson — the bin and the mask
+    // offsets derive from one cumsum, and the span clip is a per-row
+    // array transform, never a second explode/join
+    val p281 = plan("q281_sft_multiturn_mask")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p281).length <= 1,
+      s"the bin + cumsum windows must collapse into ONE operator:\n$p281")
+    assert(p281.contains("Generate explode"),
+      s"the straddle explode must be a Generate, not a join:\n$p281")
+    assert("Generate".r.findAllIn(p281).length <= 1,
+      s"the span clip must stay in-row — exactly one Generate:\n$p281")
+  }
+
   test("space-saving sketch aggregates map-side: one exchange, partial " +
     "summaries on the map side (q115)") {
     val p = plan("q115_heavy_hitters")
