@@ -116,6 +116,48 @@ class OpsSpecR16 extends AnyFunSuite {
       s"unexpected error: ${msgChain(e3)}")
   }
 
+  test("n-gram count-table memo: cold ≡ warm ≡ re-cold bit-equality, one " +
+    "cache entry for two FRESH read plans of the same corpus, and a " +
+    "REWRITTEN corpus is rescanned (fingerprint invalidation), never " +
+    "served stale") {
+    import graft.ops.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("gramMemo").toString
+    val path = s"$dir/docs.parquet"
+    import spark.implicits._
+    Seq((1L, "a b c a b"), (2L, "b c a"), (3L, "c c a b a"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    def score() = TextAnalysis.stupidBackoff(
+        spark.read.parquet(path), col("doc_id"), col("text"),
+        spark.read.parquet(path), col("text"), order = 2)
+      .orderBy("id").collect().toSeq
+    TextAnalysis.clearGramCache()
+    assert(TextAnalysis.gramCacheSize === 0)
+    val cold = score()
+    val sizeAfterCold = TextAnalysis.gramCacheSize
+    val warm = score()
+    // two scoring passes, each building its OWN spark.read plans, share
+    // one memo entry — the canonicalized-plan + fingerprint key matches
+    assert(sizeAfterCold === 1 && TextAnalysis.gramCacheSize === 1)
+    assert(cold === warm)
+    TextAnalysis.clearGramCache()
+    val recold = score()
+    assert(cold === recold)
+    // REWRITE the corpus in place: same path, different content — the
+    // file fingerprint (lengths/mtimes/names) changes, so the memo must
+    // MISS and rescan; serving the old tables would score doc 9 against
+    // the stale corpus
+    Seq((9L, "x y x y"), (10L, "y x"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val rewritten = score()
+    assert(TextAnalysis.gramCacheSize === 2,
+      "the rewritten corpus must key a NEW entry, not hit the stale one")
+    assert(rewritten.map(_.getLong(0)) === Seq(9L, 10L))
+    assert(rewritten !== cold)
+    TextAnalysis.clearGramCache()
+  }
+
   test("sftMaskSpans degenerates to sftMaskWindows when every example " +
     "has ONE span [resp_start, n_tok)") {
     import spark.implicits._

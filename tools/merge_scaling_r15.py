@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
 """Build SCALING_r15.json: SCALING_r14 rows carried VERBATIM for unchanged
-queries; the eight r15-new/changed queries (q43 mean-of-ratios rewrite,
+queries; the ten r15-new/changed queries (q43 mean-of-ratios rewrite,
 q268/q274/q275 walk-memo + hash-join edge restriction, q272's previously
-missing row, q276/q277/q278 new) take per-side MIN across all r15 ScaleCpu
-artifacts (subset runs + one full-suite pass per SF, the r13/r14
-discipline).
+missing row, q276/q277/q278/q279/q280 new) take per-side MIN across all
+r15 ScaleCpu artifacts (subset runs + one full-suite pass per SF, the
+r13/r14 discipline).
 
 Usage: python3 tools/merge_scaling_r15.py sf01a.json,sf01b.json,...  \
            sf10a.json,sf10b.json,...
@@ -16,6 +16,7 @@ TARGETS = [
     "q43_quality", "q268_semantic_pack", "q272_epoch_expansion",
     "q274_pack_coherence", "q275_semantic_pack_offsets",
     "q276_sft_pack_mask", "q277_release_merge", "q278_topic_drift",
+    "q279_pack_efficiency", "q280_text_admission",
 ]
 
 
@@ -54,10 +55,10 @@ def main(p01, p10):
     out["suite_cpu_sf10"] = round(suite10, 1)
     out["suite_factor"] = round(suite10 / suite01, 2)
     out["method"] = (
-        "SCALING_r14 carried verbatim for unchanged queries; the eight "
+        "SCALING_r14 carried verbatim for unchanged queries; the ten "
         "r15-new/changed queries (q43 mean-of-ratios rewrite, q268/q274/"
         "q275 walk-memo + hash-join edge restriction, q272's missing row, "
-        "q276/q277/q278 new) measured under the identical graft.ScaleCpu "
+        "q276/q277/q278/q279/q280 new) measured under the identical graft.ScaleCpu "
         "harness - multiple runs per side including one full-suite pass "
         "per SF (fully JIT-warmed, the context the r13/r14 rows were "
         "measured in), per-query MIN per side")
