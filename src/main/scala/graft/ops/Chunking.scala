@@ -286,6 +286,69 @@ object Chunking {
       .toDF()
   }
 
+  /** Interleaved multimodal sequence packing — the MMC4/OBELICS-style
+    * assembly step between the media-codec layer and the packing layer:
+    * documents are sequences of ITEMS (text chunks interleaved with image
+    * slots), an image slot costs a FIXED patch budget (e.g. 64 tokens of
+    * context for a vision encoder's patches), and whole documents pack
+    * into `ctx`-token training windows so an image is NEVER split across
+    * windows (the reason this is not [[pack]]'s concat-and-cut: cutting
+    * mid-image is meaningless — the window either holds the whole patch
+    * block or doesn't hold the image).
+    *
+    * `items`: one row per (doc, item_idx) with `modality` ('text' or
+    * 'image'), `n_tok` (text token count; ignored for images) and
+    * `media_id` (null for text). `doc` must be unique across groups (a
+    * document belongs to exactly one pack group). Emits one row per item
+    * with the FFD `bin` it landed in and WINDOW-LOCAL `span_start/span_end`
+    * token coordinates — the (modality, span, media_id) table a multimodal
+    * trainer's collator consumes directly.
+    *
+    * Deterministic end to end: document placement is [[packFFD]] over the
+    * per-doc interleaved token totals (first-fit-decreasing, total order),
+    * the within-bin document offset replays FFD's placement order
+    * (n_tok DESC, doc) as a window cumsum, and item offsets are the
+    * within-doc prefix sums — so every span is oracle-pinnable integer
+    * arithmetic. A document alone larger than `ctx` gets packFFD's
+    * overflow bin (spans past ctx — size docs or choose ctx to avoid it).
+    *
+    * Scale shape: one packFFD pass at DOC granularity (hash shuffle on
+    * the group key, per-group sequential first-fit — bound group size by
+    * source/shard/date exactly as [[packFFD]] states), plus two window
+    * cumsums ((grp, bin) and doc partitions — both fine-grained) and one
+    * hash join of the doc-offset table (one row per doc) back to items.
+    * Nothing scales beyond the item stream itself. */
+  def packInterleaved(items: DataFrame, group: Column, ctx: Int,
+      patchBudget: Int): DataFrame = {
+    require(ctx >= 1, s"context length must be >= 1, got $ctx")
+    require(patchBudget >= 1 && patchBudget <= ctx,
+      s"need 1 <= patchBudget <= ctx, got $patchBudget")
+    val sized = items.withColumn("__len",
+      when(col("modality") === "image", lit(patchBudget.toLong))
+        .otherwise(col("n_tok").cast("long")))
+    val docSizes = sized.groupBy(group.as("__g"), col("doc"))
+      .agg(sum("__len").as("n_tok"))
+    val packed = packFFD(docSizes
+        .withColumn("chunk_idx", lit(0)).withColumn("chunk", lit("")),
+      col("__g"), ctx)
+    // FFD placement order within a group is (n_tok DESC, doc) — replaying
+    // it per (grp, bin) gives each doc's offset inside its window
+    val wBin = Window.partitionBy(col("grp"), col("bin"))
+      .orderBy(col("n_tok").desc, col("doc"))
+    val docOff = packed
+      .withColumn("__doff", sum("n_tok").over(wBin) - col("n_tok"))
+      .select(col("grp"), col("bin"), col("doc"), col("__doff"))
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("item_idx"))
+    sized
+      .withColumn("__icum", sum("__len").over(wDoc))
+      .join(docOff, "doc")
+      .select(col("grp"), col("bin"), col("doc"), col("item_idx"),
+        col("modality"), col("media_id"),
+        (col("__doff") + col("__icum") - col("__len")).cast("long")
+          .as("span_start"),
+        (col("__doff") + col("__icum")).cast("long").as("span_end"))
+  }
+
   /** Packing-efficiency sweep — the decision table for CHOOSING a context
     * length: [[packFFD]] run at each candidate `ctx`, reduced to one row
     * per ctx with the numbers a trainer trades off — bin count, total

@@ -160,6 +160,55 @@ object SamplingQueries {
         .orderBy("source", "win", "seg_start")
     }),
 
+    // interleaved MULTIMODAL sequence packing (the MMC4/OBELICS assembly
+    // step): each doc becomes text chunks interleaved with doc_id%3
+    // image slots (image k after chunk k, media_id = doc*4+k), an image
+    // costs a fixed 64-token patch budget, and whole docs FFD-pack into
+    // ctx=512 windows so no image ever splits across a window. Every
+    // span is integer arithmetic (FFD replayed recursively, offsets via
+    // cumsums); the image rows carry the REAL decoded pixel count of
+    // their synthetic PNG (the q94 codec path), which the oracle replays
+    // as pure media_id arithmetic — byte-pinned
+    "q282_interleaved_pack" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60)
+      val chunks = Chunking.chunk(docs, col("doc_id"), col("text"),
+        width = 32, stride = 32)
+      val textItems = chunks.select(col("doc"),
+        (col("chunk_idx").cast("long") +
+          least(col("chunk_idx").cast("long"), pmod(col("doc"), lit(3L))))
+          .as("item_idx"),
+        lit("text").as("modality"), col("n_tok"),
+        lit(null).cast("long").as("media_id"))
+      val imgItems = docs
+        .select(col("doc_id").as("doc"),
+          explode(when(pmod(col("doc_id"), lit(3L)) > 0,
+            sequence(lit(0L), pmod(col("doc_id"), lit(3L)) - 1))
+            .otherwise(array().cast("array<bigint>"))).as("k"))
+        .select(col("doc"), (lit(2L) * col("k") + 1).as("item_idx"),
+          lit("image").as("modality"), lit(null).cast("int").as("n_tok"),
+          (col("doc") * 4 + col("k")).as("media_id"))
+      val items = textItems.unionByName(imgItems)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      val packedItems = Chunking.packInterleaved(items, col("source"),
+        ctx = 512, patchBudget = 64)
+      val media = imgItems.select(col("media_id")).as[Long].map { m =>
+        Multimodal.MediaRecord(m, "image", Multimodal.syntheticPng(
+          4 + (m % 8).toInt, 4 + (m % 5).toInt,
+          (m % 256).toInt, ((m * 7) % 256).toInt, ((m * 11) % 256).toInt),
+          "synth")
+      }
+      val px = Multimodal.decodeImageStats(media).toDF()
+        .select(col("media_id"), col("n_pixels"))
+      packedItems.join(px, Seq("media_id"), "left")
+        .select(col("grp").as("source"), col("bin"), col("doc"),
+          col("item_idx").cast("long").as("item_idx"), col("modality"),
+          col("media_id"), col("span_start"), col("span_end"),
+          col("n_pixels").as("px"))
+        .orderBy("source", "bin", "span_start")
+    }),
+
     // DPO/RLHF preference-pair assembly: DETERMINISTIC pairing key
     // (pair i = docs 2i/2i+1), the shared prompt from the even doc's
     // first half, candidate responses from both docs' second halves,
@@ -1355,6 +1404,69 @@ object SamplingQueries {
              CAST(y.ms AS INT) || '-' || CAST(y.me AS INT)), ';'), '')
              AS mask_str
          FROM cl ORDER BY source, win, seg_start""",
+
+    // identical doc-level FFD recursion (size DESC, doc order; first-fit
+    // over a remaining-capacity list), identical interleave arithmetic
+    // (chunk c -> item c + min(c, nimg); image k -> 2k+1), offsets as the
+    // identical window cumsums, px as pure media_id arithmetic (solid
+    // PNGs decode to exactly w*h pixels — the q94 pin)
+    "q282_interleaved_pack" ->
+      """WITH RECURSIVE
+         b AS (SELECT doc_id AS doc, source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS L,
+             CAST(doc_id % 3 AS BIGINT) AS nimg
+           FROM documents WHERE doc_id < 60),
+         ds AS (SELECT doc, source AS grp, L + 64 * nimg AS n_tok, L, nimg
+           FROM b),
+         ordered AS (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY n_tok DESC, doc) rn FROM ds),
+         ffd AS (
+           SELECT grp, rn, doc, n_tok, CAST(0 AS BIGINT) AS bin,
+                  [512 - n_tok] AS loads
+           FROM ordered WHERE rn = 1
+           UNION ALL
+           SELECT o.grp, o.rn, o.doc, o.n_tok,
+                  CASE WHEN list_position(list_transform(f.loads,
+                         x -> x >= o.n_tok), true) = 0
+                       THEN len(f.loads)
+                       ELSE list_position(list_transform(f.loads,
+                         x -> x >= o.n_tok), true) - 1 END,
+                  CASE WHEN list_position(list_transform(f.loads,
+                         x -> x >= o.n_tok), true) = 0
+                       THEN list_append(f.loads, 512 - o.n_tok)
+                       ELSE list_transform(f.loads, (x, i) ->
+                         CASE WHEN i = list_position(list_transform(f.loads,
+                           y -> y >= o.n_tok), true)
+                         THEN x - o.n_tok ELSE x END) END
+           FROM ffd f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1),
+         doff AS (SELECT grp, bin, doc,
+             CAST(sum(n_tok) OVER (PARTITION BY grp, bin
+               ORDER BY n_tok DESC, doc ROWS UNBOUNDED PRECEDING) - n_tok
+               AS BIGINT) AS doff
+           FROM ffd),
+         titems AS (SELECT doc, c + least(c, nimg) AS item_idx,
+             'text' AS modality, least(32, L - 32 * c) AS ilen,
+             CAST(NULL AS BIGINT) AS media_id
+           FROM b, LATERAL (SELECT
+             unnest(generate_series(0, (greatest(L, 1) - 1) // 32)) AS c) cc),
+         iitems AS (SELECT doc, 2 * k + 1 AS item_idx, 'image' AS modality,
+             CAST(64 AS BIGINT) AS ilen, doc * 4 + k AS media_id
+           FROM b, LATERAL (SELECT
+             unnest(generate_series(0, nimg - 1)) AS k) kk
+           WHERE nimg > 0),
+         items AS (SELECT * FROM titems UNION ALL SELECT * FROM iitems),
+         icum AS (SELECT *, CAST(sum(ilen) OVER (PARTITION BY doc
+             ORDER BY item_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ic
+           FROM items)
+         SELECT d.grp AS source, CAST(d.bin AS BIGINT) AS bin, i.doc,
+           CAST(i.item_idx AS BIGINT) AS item_idx, i.modality, i.media_id,
+           CAST(d.doff + i.ic - i.ilen AS BIGINT) AS span_start,
+           CAST(d.doff + i.ic AS BIGINT) AS span_end,
+           CASE WHEN i.modality = 'image' THEN
+             CAST((4 + i.media_id % 8) * (4 + i.media_id % 5) AS BIGINT)
+           END AS px
+         FROM icum i JOIN doff d ON i.doc = d.doc
+         ORDER BY source, bin, span_start""",
 
     // identical pairing arithmetic (doc_id // 2), identical planted
     // template prompt, reward and tie-break, and the identical

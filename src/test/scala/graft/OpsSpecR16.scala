@@ -158,6 +158,44 @@ class OpsSpecR16 extends AnyFunSuite {
     TextAnalysis.clearGramCache()
   }
 
+  test("packInterleaved: whole docs FFD-pack (no image ever straddles a " +
+    "window), image slots cost the patch budget, spans replay placement " +
+    "order, groups pack independently") {
+    import spark.implicits._
+    // ctx=16, patch=4. Group s: doc 1 = text(3), image(m=11), text(5) —
+    // size 12; doc 2 = text(4) — size 4; doc 3 = text(10), image(m=31) —
+    // size 14. FFD (size DESC, doc): doc3→bin0 (room 2), doc1→bin1
+    // (room 4), doc2→bin1 (fits exactly). Group t: doc 4 = text(2)→bin0.
+    val items = Seq(
+      ("s", 1L, 0L, "text", Some(3), None: Option[Long]),
+      ("s", 1L, 1L, "image", None, Some(11L)),
+      ("s", 1L, 2L, "text", Some(5), None),
+      ("s", 2L, 0L, "text", Some(4), None),
+      ("s", 3L, 0L, "text", Some(10), None),
+      ("s", 3L, 1L, "image", None, Some(31L)),
+      ("t", 4L, 0L, "text", Some(2), None))
+      .toDF("g", "doc", "item_idx", "modality", "n_tok", "media_id")
+    val got = graft.ops.Chunking.packInterleaved(items, col("g"),
+        ctx = 16, patchBudget = 4)
+      .orderBy("grp", "bin", "span_start")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === Seq(
+      ("s", 0L, 3L, "text", None, 0L, 10L),
+      ("s", 0L, 3L, "image", Some(31L), 10L, 14L),
+      ("s", 1L, 1L, "text", None, 0L, 3L),
+      ("s", 1L, 1L, "image", Some(11L), 3L, 7L),
+      ("s", 1L, 1L, "text", None, 7L, 12L),
+      ("s", 1L, 2L, "text", None, 12L, 16L),
+      ("t", 0L, 4L, "text", None, 0L, 2L)))
+    // no span crosses the window boundary and no image is ever split —
+    // every span lies inside [0, ctx]
+    assert(got.forall { case (_, _, _, _, _, s0, e0) =>
+      s0 >= 0 && e0 <= 16 && s0 < e0 })
+  }
+
   test("sftMaskSpans degenerates to sftMaskWindows when every example " +
     "has ONE span [resp_start, n_tok)") {
     import spark.implicits._

@@ -112,6 +112,12 @@ class PlanSpec extends AnyFunSuite {
       s"the straddle explode must be a Generate, not a join:\n$p281")
     assert("Generate".r.findAllIn(p281).length <= 1,
       s"the span clip must stay in-row — exactly one Generate:\n$p281")
+    // q282: doc-granularity FFD + cumsum offsets + hash joins only — the
+    // doc-offset and pixel-stat joins must never degrade to a nested loop
+    val p282 = plan("q282_interleaved_pack")
+    assert(!p282.contains("CartesianProduct") &&
+      !p282.contains("BroadcastNestedLoopJoin"),
+      s"interleaved packing joins are equi joins on doc/media_id:\n$p282")
   }
 
   test("space-saving sketch aggregates map-side: one exchange, partial " +
