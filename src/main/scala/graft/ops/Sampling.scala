@@ -473,6 +473,56 @@ object Sampling {
       .sortWithinPartitions(col("shuffle_ord"), key.cast("string"))
   }
 
+  /** Deterministic PER-EPOCH reshuffle: epoch `e`'s stream order over the
+    * SAME multiset is the rank of `md5(key + "#e", seed)` — deriving the
+    * epoch into the hash INPUT gives each epoch an independent
+    * deterministic permutation (multi-epoch training must not replay one
+    * fixed order, and must not use `rand()` — resumable jobs re-derive
+    * the identical order from the id alone, the [[splitColumn]]
+    * contract). Appends `epoch`, `ord_hash` and a 0-based `pos` — the
+    * (epoch, pos) coordinates of the RESUMABLE CURSOR a trainer
+    * checkpoints ([[resumeAt]] is the restart contract).
+    *
+    * Scale shape: [[globalRowNumber]]'s rank — range repartition on the
+    * hash + per-partition windows + broadcast offsets, no global sort, no
+    * single-partition window. The rank is a pure function of the total
+    * order (ord_hash, key), so positions are independent of partitioning
+    * and identical on every recomputation — which is exactly what makes
+    * the cursor resumable. */
+  def epochOrder(df: DataFrame, key: Column, epoch: Int,
+      seed: Int = 11): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val h = PortableHash.md5Long(
+      concat(key.cast("string"), lit(s"#$epoch")), seed)
+    globalRowNumber(
+        df.withColumn("epoch", lit(epoch)).withColumn("ord_hash", h),
+        Seq(col("ord_hash"), key.cast("string")), out = "pos")
+      .withColumn("pos", col("pos") - 1)
+  }
+
+  /** [[epochOrder]] for a training RUN: the union of the per-epoch
+    * streams, one independent deterministic permutation of the same
+    * multiset per epoch. Each epoch ranks independently (its own range
+    * exchange) — there is no cross-epoch barrier, and at 100 TB epochs
+    * are materialized one at a time anyway (the union form exists for
+    * audits and the resume pin). */
+  def epochStream(df: DataFrame, key: Column, epochs: Seq[Int],
+      seed: Int = 11): DataFrame = {
+    require(epochs.nonEmpty, "epochStream needs at least one epoch")
+    epochs.map(e => epochOrder(df, key, e, seed)).reduce(_.unionByName(_))
+  }
+
+  /** The resume contract over an [[epochStream]]: everything at or after
+    * the checkpointed (epoch, pos) cursor — the strict-total-order suffix
+    * `epoch > e OR (epoch = e AND pos >= p)`. Because [[epochOrder]]'s
+    * positions are recomputation-stable, resuming from a FRESH
+    * re-derivation of the stream equals the uninterrupted run's suffix
+    * bit for bit (the StreamStaticSpec kill-and-resume discipline applied
+    * to batch order; q283 pins it cross-engine). */
+  def resumeAt(stream: DataFrame, epoch: Int, pos: Long): DataFrame =
+    stream.filter(col("epoch") > epoch ||
+      (col("epoch") === epoch && col("pos") >= pos))
+
   /** Square-root temperature mixture — the classic α=0.5 source-rebalancing
     * rule (multilingual square-root sampling: upweight small sources,
     * temper dominant ones) as a composition of budget derivation +

@@ -418,6 +418,47 @@ object SamplingQueries {
         .orderBy("shard")
     }),
 
+    // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
+    // stream order = rank of md5(doc_id + "#e") — an independent
+    // deterministic permutation of the SAME multiset per epoch. The row
+    // per epoch pins (a) multiset invariance (multiset_xor constant
+    // across epochs), (b) that consecutive epochs' orders genuinely
+    // differ (n_moved replayed exactly), and (c) the resume contract:
+    // resume_xor/n_resumed are computed on a FRESH re-derivation of the
+    // stream filtered at cursor (epoch 1, pos 100) — recomputation
+    // stability makes them equal the oracle's uninterrupted suffix
+    "q283_epoch_reshuffle" -> ((s, d) => {
+      def docsDf = t(s, d, "documents").select(col("doc_id"))
+      def oh(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        PortableHash.md5Long(concat_ws("@", col("doc_id"), c), 5)
+      val stream = Sampling.epochStream(docsDf, col("doc_id"),
+        Seq(0, 1, 2), seed = 11)
+      val tagged = stream
+        .withColumn("__kh",
+          PortableHash.md5Long(col("doc_id").cast("string"), 5))
+        .withColumn("__oh", oh(col("pos")))
+      val perEpoch = tagged.groupBy("epoch")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(__kh)").as("multiset_xor"),
+          expr("bit_xor(__oh)").as("order_xor"))
+      val prev = stream.select((col("epoch") + 1).as("epoch"),
+        col("doc_id"), col("pos").as("__prev"))
+      val moved = stream.join(prev, Seq("epoch", "doc_id"), "left")
+        .groupBy("epoch")
+        .agg(sum(when(col("pos") =!= col("__prev"), 1L).otherwise(0L))
+          .as("n_moved"))
+      val resumed = Sampling.resumeAt(
+          Sampling.epochStream(docsDf, col("doc_id"), Seq(1, 2), seed = 11),
+          epoch = 1, pos = 100L)
+        .withColumn("__oh", oh(col("pos")))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_resumed"),
+          expr("bit_xor(__oh)").as("resume_xor"))
+      perEpoch.join(moved, Seq("epoch"))
+        .join(resumed, Seq("epoch"), "left")
+        .orderBy("epoch")
+    }),
+
     // context-length DECISION table: the q97 FFD packing swept over three
     // candidate bin capacities, one all-integer report row per ctx —
     // bins, utilization on the exact permille grid, padding waste,
@@ -1172,6 +1213,46 @@ object SamplingQueries {
     // Spark side guards sequence(1,0) explicitly), then the identical
     // shard/pos hash window over the copy key; every row's placement
     // pinned by the XOR fold over (ckey, shard, pos)
+    // identical epoch-derived order hash, per-epoch rank windows, the
+    // identical prev-epoch join for n_moved, and the identical cursor
+    // filter (epoch 1, pos 100) — the oracle computes the suffix from
+    // its single uninterrupted order table, pinning resume ≡ suffix
+    "q283_epoch_reshuffle" -> {
+      val ordSql = PortableHash.md5LongSql(
+        "(d.doc_id::VARCHAR || '#' || e.epoch::VARCHAR)", 11)
+      val khSql = PortableHash.md5LongSql("doc_id::VARCHAR", 5)
+      val ohSql = PortableHash.md5LongSql(
+        "(doc_id::VARCHAR || '@' || pos::VARCHAR)", 5)
+      s"""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+         s AS (SELECT e.epoch, d.doc_id, ($ordSql) AS ord
+           FROM documents d, e),
+         r AS (SELECT epoch, doc_id, ord,
+             row_number() OVER (PARTITION BY epoch
+               ORDER BY ord, doc_id::VARCHAR) - 1 AS pos
+           FROM s),
+         h AS (SELECT epoch, doc_id, pos,
+             ($khSql) AS kh, ($ohSql) AS oh
+           FROM r),
+         pe AS (SELECT epoch, count(*) AS n_rows,
+             bit_xor(kh) AS multiset_xor, bit_xor(oh) AS order_xor
+           FROM h GROUP BY 1),
+         mv AS (SELECT a.epoch,
+             CAST(coalesce(sum(CASE WHEN a.pos <> b.pos THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS n_moved
+           FROM r a LEFT JOIN r b
+             ON b.epoch = a.epoch - 1 AND b.doc_id = a.doc_id
+           GROUP BY 1),
+         rs AS (SELECT epoch, count(*) AS n_resumed,
+             bit_xor(oh) AS resume_xor
+           FROM h WHERE epoch > 1 OR (epoch = 1 AND pos >= 100)
+           GROUP BY 1)
+         SELECT CAST(pe.epoch AS INTEGER) AS epoch, pe.n_rows,
+           pe.multiset_xor, pe.order_xor, mv.n_moved, rs.n_resumed,
+           rs.resume_xor
+         FROM pe JOIN mv USING (epoch) LEFT JOIN rs USING (epoch)
+         ORDER BY epoch"""
+    },
+
     "q273_mixture_stream" -> {
       val (shardSql, posSql) = Sampling.trainingShardsSql("ckey", 8, 7)
       s"""WITH c AS (SELECT doc_id, lang,

@@ -196,6 +196,44 @@ class OpsSpecR16 extends AnyFunSuite {
       s0 >= 0 && e0 <= 16 && s0 < e0 })
   }
 
+  test("epochOrder/resumeAt: each epoch is a dense permutation of the " +
+    "same multiset, epochs provably differ, and resuming from a FRESH " +
+    "re-derivation at an (epoch, pos) cursor equals the uninterrupted " +
+    "suffix bit for bit") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    def docs = (1L to 40L).toDF("id")
+    val stream = Sampling.epochStream(docs, col("id"), Seq(0, 1), seed = 3)
+      .select("epoch", "id", "pos")
+    val byEpoch = stream.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // dense 0..n-1 positions over the identical key multiset, per epoch
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until 40L))
+      assert(rows.map(_._2).sorted.toSeq === (1L to 40L))
+    }
+    // the two epochs' orders genuinely differ
+    val pos0 = byEpoch(0).map(r => r._2 -> r._3).toMap
+    val pos1 = byEpoch(1).map(r => r._2 -> r._3).toMap
+    assert((1L to 40L).count(k => pos0(k) != pos1(k)) > 0)
+    // resume: fresh derivation + cursor filter == uninterrupted suffix
+    val full = stream.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val suffix = full.filter { case (e, _, p) => e > 0 || p >= 17L }
+    val resumed = Sampling.resumeAt(
+        Sampling.epochStream(docs, col("id"), Seq(0, 1), seed = 3),
+        epoch = 0, pos = 17L)
+      .select("epoch", "id", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed === suffix)
+    // a different seed is a different permutation family
+    val other = Sampling.epochOrder(docs, col("id"), 0, seed = 4)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert((1L to 40L).count(k => pos0(k) != other(k)) > 0)
+  }
+
   test("sftMaskSpans degenerates to sftMaskWindows when every example " +
     "has ONE span [resp_start, n_tok)") {
     import spark.implicits._

@@ -118,6 +118,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p282.contains("CartesianProduct") &&
       !p282.contains("BroadcastNestedLoopJoin"),
       s"interleaved packing joins are equi joins on doc/media_id:\n$p282")
+    // q283: every per-epoch rank runs the globalRowNumber shape — any
+    // WindowExec in the final plan must partition (by the physical
+    // partition id), never a global ORDER BY row_number
+    val p283q = SparkEntry.queries("q283_epoch_reshuffle")(spark, sf)
+    val globalWins = p283q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWins.isEmpty,
+      "q283 must never plan a single-partition (global) WindowExec")
   }
 
   test("space-saving sketch aggregates map-side: one exchange, partial " +
