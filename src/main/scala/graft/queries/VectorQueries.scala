@@ -940,6 +940,40 @@ object VectorQueries {
         .orderBy("source", "topic")
     }),
 
+    // STREAMING topic-drift monitor, batch-pinned form (one code path —
+    // StreamStaticSpec pins stream ≡ batch with the drift planted
+    // mid-stream): arrivals = topic-assigned embedding rows one second
+    // apart, 5-minute tumbling windows, diffed against the frozen
+    // snapshot's shares. src7 vectors from t >= 300 s collapse onto
+    // topic 2 — later windows show the drift, earlier ones don't; every
+    // vocabulary topic emits per (window, group) incl. zero rows, all on
+    // the exact permille grid
+    "q284_drift_stream_monitor" -> ((s, d) => {
+      import graft.streaming.DriftStream
+      val docsrc = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val e = emb(s, d)
+      val base = 1767225600000L // 2026-01-01 00:00:00 UTC
+      def assigned(vecs: DataFrame) =
+        Sim.assignCentroids(vecs, col("vec_id"), col("embedding"),
+            TopicCentroids)
+          .join(docsrc, "id")
+      val snapShares = DriftStream.refShares(
+        assigned(e).select(col("source").as("g"), col("topic")),
+        col("g"), col("topic"))
+      val planted = e.join(docsrc, e("vec_id") === docsrc("id"))
+        .select(col("vec_id"),
+          when(col("source") === "src7" && col("vec_id") >= 300,
+            typedlit(TopicCentroids(2)._2)).otherwise(col("embedding"))
+            .as("embedding"))
+      val arrivals = assigned(planted)
+        .select(col("source").as("g"), col("topic"),
+          timestamp_millis(lit(base) + col("id") * lit(1000L)).as("ts"))
+      DriftStream.shareMonitor(arrivals, col("ts"), col("g"), col("topic"),
+          0L until 4L, snapShares, "5 minutes", "10 minutes")
+        .orderBy("win_ms", "g", "topic")
+    }),
+
     // does the q268 walk actually BUY coherence? Whole docs packed into
     // 256-token bins two ways — walk order vs id order — and every
     // within-bin pair's cosine summed on the micro grid per source. The
@@ -1711,6 +1745,63 @@ object VectorQueries {
          FROM s1 FULL OUTER JOIN s2
            ON s1.g = s2.g AND s1.topic = s2.topic
          ORDER BY source, topic""",
+
+    // identical centroid lattice + argmax tie rule, identical plant
+    // (src7, vec_id >= 300 → centroid 2), windows as exact epoch-ms
+    // integer division, the 4-topic grid cross-joined so zero rows
+    // appear, shares/deltas on the identical half-up permille grid
+    "q284_drift_stream_monitor" -> {
+      val hud = (n: String, t: String) =>
+        graft.ops.ExactRound.halfUpDivSql(n, t)
+      s"""WITH cents AS (SELECT t AS cid,
+             list_transform(generate_series(1, 64),
+               i -> CAST(CASE WHEN (i - 1) // 16 = t THEN 1.0 ELSE -0.25 END
+                 AS FLOAT)) AS cvec
+           FROM (SELECT unnest(generate_series(0, 3)) AS t)),
+         ds AS (SELECT doc_id AS id, source FROM documents),
+         a0 AS (SELECT e.vec_id AS id, c.cid,
+             ${Sim.cosineSql("e.embedding", "c.cvec")} AS cos
+           FROM embeddings e, cents c),
+         r0 AS (SELECT id, cid, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, cid) AS rk FROM a0),
+         g0 AS (SELECT d.source AS g, r.cid AS topic
+           FROM r0 r JOIN ds d ON d.id = r.id WHERE r.rk = 1),
+         p0 AS (SELECT g, topic, count(*) AS n FROM g0 GROUP BY 1, 2),
+         t0 AS (SELECT g, count(*) AS tt FROM g0 GROUP BY 1),
+         ref AS (SELECT p.g, p.topic, ${hud("p.n * 1000", "t.tt")} AS refp
+           FROM p0 p JOIN t0 t ON p.g = t.g),
+         eb AS (SELECT e.vec_id AS id, d.source,
+             CASE WHEN d.source = 'src7' AND e.vec_id >= 300
+               THEN (SELECT cvec FROM cents WHERE cid = 2)
+               ELSE e.embedding END AS embedding
+           FROM embeddings e JOIN ds d ON d.id = e.vec_id),
+         a1 AS (SELECT eb.id, eb.source, c.cid,
+             ${Sim.cosineSql("eb.embedding", "c.cvec")} AS cos
+           FROM eb, cents c),
+         r1 AS (SELECT id, source, cid, row_number() OVER (PARTITION BY id
+             ORDER BY cos DESC, cid) AS rk FROM a1),
+         arr AS (SELECT source AS g, cid AS topic,
+             ((1767225600000 + id * 1000) // 300000) * 300000 AS win_ms
+           FROM r1 WHERE rk = 1),
+         tot AS (SELECT win_ms, g, count(*) AS tt FROM arr GROUP BY 1, 2),
+         cnt AS (SELECT win_ms, g, topic, count(*) AS n
+           FROM arr GROUP BY 1, 2, 3),
+         tp AS (SELECT unnest(generate_series(0, 3)) AS topic),
+         grid AS (SELECT t.win_ms, t.g, tp.topic, t.tt,
+             coalesce(c.n, 0) AS n
+           FROM tot t CROSS JOIN tp
+           LEFT JOIN cnt c ON c.win_ms = t.win_ms AND c.g = t.g
+             AND c.topic = tp.topic)
+         SELECT CAST(grid.win_ms AS BIGINT) AS win_ms, grid.g,
+           CAST(grid.topic AS BIGINT) AS topic, CAST(grid.n AS BIGINT) AS n,
+           CAST(${hud("grid.n * 1000", "grid.tt")} AS BIGINT)
+             AS share_permille,
+           CAST(coalesce(ref.refp, 0) AS BIGINT) AS ref_permille,
+           CAST((${hud("grid.n * 1000", "grid.tt")})
+             - coalesce(ref.refp, 0) AS BIGINT) AS delta_permille
+         FROM grid LEFT JOIN ref ON ref.g = grid.g AND ref.topic = grid.topic
+         ORDER BY win_ms, grid.g, grid.topic"""
+    },
 
     // both packings replayed (walk order via the shared recursive CTE, id
     // order as a plain window), every within-bin pair's cosine summed on

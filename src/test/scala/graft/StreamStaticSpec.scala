@@ -9,6 +9,78 @@ import graft.streaming.EventsStream
 class StreamStaticSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("streaming topic-drift monitor: complete mode equals the batch " +
+    "twin row for row with the drift planted MID-STREAM; append emits " +
+    "only watermark-closed windows, each matching batch; zero rows " +
+    "appear for vanished topics") {
+    import graft.streaming.DriftStream
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    // three one-minute windows, 12 arrivals each, groups g0/g1, topics
+    // rotate 0/1/2 — except window 2, where EVERY g0 arrival drifts onto
+    // topic 3 (a topic the reference has never seen)
+    val arrivals = spark.range(36).select(
+      concat(lit("g"), pmod(col("id"), lit(2))).as("g"),
+      when(expr("id DIV 12") === 2 && pmod(col("id"), lit(2)) === 0,
+        lit(3L)).otherwise(pmod(col("id"), lit(3)).cast("long"))
+        .as("topic"),
+      timestamp_millis(lit(base) + expr("id DIV 12") * 60000L +
+        pmod(col("id"), lit(12)) * 1000L).as("ts"))
+    val ref = DriftStream.refShares(
+      spark.range(36).select(
+        concat(lit("g"), pmod(col("id"), lit(2))).as("g"),
+        pmod(col("id"), lit(3)).cast("long").as("topic")),
+      col("g"), col("topic"))
+    def monitor(df: org.apache.spark.sql.DataFrame) =
+      DriftStream.shareMonitor(df, col("ts"), col("g"), col("topic"),
+        0L until 4L, ref, "1 minute", "5 seconds")
+    val want = monitor(arrivals).collect().map(_.toSeq.toList)
+      .sortBy(_.toString)
+    assert(want.length === 3 * 2 * 4, "3 windows × 2 groups × 4 topics")
+    // the planted drift is visible: window 2's g0 share of topic 3 is
+    // 1000 permille against a 0 reference, and its old topics show
+    // vanished-zero rows
+    val w2g0 = monitor(arrivals)
+      .filter(col("win_ms") === base + 120000L && col("g") === "g0")
+      .orderBy("topic").collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getLong(6)))
+    assert(w2g0.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(w2g0.last === ((3L, 1000L, 1000L)))
+    assert(w2g0.take(3).forall(_._2 == 0L),
+      "vanished topics must still emit zero-share rows")
+    val dir = Files.createTempDirectory("graft-drift-stream")
+    Seq(0, 1, 2).foreach { k =>
+      arrivals.filter(expr("unix_millis(ts)") >= base + k * 60000L &&
+          expr("unix_millis(ts)") < base + (k + 1) * 60000L)
+        .coalesce(1).write.parquet(dir.resolve(s"f$k").toString)
+    }
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Seq(0, 1, 2).foreach { k =>
+      val part = Files.list(dir.resolve(s"f$k")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), srcDir.resolve(s"x$k.parquet"))
+      Files.setLastModifiedTime(srcDir.resolve(s"x$k.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000 + k * 10000))
+    }
+    def stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val complete = EventsStream.runToCompletion(monitor(stream),
+        "drift_complete", OutputMode.Complete())
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(complete === want,
+      "complete mode must equal the batch twin row for row")
+    val appended = EventsStream.runToCompletion(monitor(stream),
+        "drift_append", OutputMode.Append())
+      .collect().map(_.toSeq.toList)
+    val wantSet = want.toSet
+    assert(appended.nonEmpty && appended.length < want.length,
+      s"append must emit only closed windows, got ${appended.length}")
+    assert(appended.forall(wantSet.contains),
+      "every append-mode emission must match the batch twin")
+  }
+
   test("stream-static join enriches events against a dimension") {
     val dir = Files.createTempDirectory("graft-ss")
     Files.copy(Paths.get(s"$sf/events.parquet"),
