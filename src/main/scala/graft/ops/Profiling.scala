@@ -249,11 +249,16 @@ object Profiling {
         col("n_null").as(s"n_null_$tag"),
         col("min_num").as(s"min_$tag"), col("max_num").as(s"max_$tag"),
         col("mean_num").as(s"mean_$tag"))
-    def nullRate(tag: String) =
-      col(s"n_null_$tag") / col(s"n_rows_$tag")
+    // null-rate delta as ONE exact signed rational — round(nb/rb − na/ra)
+    // rounds an IEEE difference of two integer quotients whose exact
+    // half-ties flip across engines (the q169 class; the r16 census
+    // widening caught this live). nb·ra − na·rb over rb·ra is the same
+    // value with integer-exact numerator and denominator.
     side(before, "a").join(side(after, "b"), "column")
       .select(col("column"), col("n_rows_a"), col("n_rows_b"),
-        round(nullRate("b") - nullRate("a"), 6).as("null_rate_delta"),
+        ExactRound.ratioRoundedSigned(
+          "n_null_b * n_rows_a - n_null_a * n_rows_b",
+          "n_rows_b * n_rows_a", 6).as("null_rate_delta"),
         round(col("mean_b") - col("mean_a"), 4).as("mean_delta"),
         (col("min_b") < col("min_a")).as("min_breach"),
         (col("max_b") > col("max_a")).as("max_breach"))

@@ -824,11 +824,15 @@ object MiscQueries {
          FROM st GROUP BY 1 ORDER BY 1""",
 
     // the deltas replay profile's own arithmetic: per-side rounded means
-    // re-rounded on subtraction, exact-integer null rates, double compares
+    // re-rounded on subtraction, the null-rate delta as the identical
+    // exact signed rational (r16 — round over a DIFFERENCE of integer
+    // quotients is the q169 half-tie class), double compares
     "q139_profile_diff" -> {
       def one(nm: String) =
         s"""SELECT '$nm' AS "column", a.n AS n_rows_a, b.n AS n_rows_b,
-           round(b.null_$nm / b.n - a.null_$nm / a.n, 6) AS null_rate_delta,
+           ${graft.ops.ExactRound.ratioRoundedSignedSql(
+          s"b.null_$nm * a.n - a.null_$nm * b.n", "b.n * a.n", 6)}
+             AS null_rate_delta,
            round(b.mean_$nm - a.mean_$nm, 4) AS mean_delta,
            b.min_$nm < a.min_$nm AS min_breach,
            b.max_$nm > a.max_$nm AS max_breach

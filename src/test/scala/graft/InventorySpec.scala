@@ -44,9 +44,14 @@ class InventorySpec extends AnyFunSuite {
     * to the micro grid, integer-sum, halfUpDiv — never avg the double).
     * r15 also flags `Sum` over a DOUBLE tainted child — summing IEEE
     * quotients is order-dependent across engines even unrounded.
-    * Remaining blind spot: taint through NON-literal arithmetic
-    * (`q * some_double_col`) — the dual-SF oracle gate stays the
-    * backstop there. */
+    * r16 widens to TWO-TAINTED-CHILDREN arithmetic: a product/sum/
+    * difference of two tainted quotients (ratio-of-ratios) and a Divide
+    * with EITHER side tainted keep the taint — this caught q139's
+    * round(nb/rb − na/ra, 6) live (null-rate delta, shipping since r5;
+    * migrated to ratioRoundedSigned on the exact cross-multiplied
+    * rational). Remaining blind spot: taint through a MULTIPLY by a
+    * non-literal, non-tainted double column (`q * some_double_col`) —
+    * the dual-SF oracle gate stays the backstop there. */
   private def roundedRationalOffenders(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -72,13 +77,23 @@ class InventorySpec extends AnyFunSuite {
       // foldable + the other tainted → still the q169 class
       case m: Multiply =>
         (m.left.foldable && taintedExpr(m.right)) ||
-          (m.right.foldable && taintedExpr(m.left))
+          (m.right.foldable && taintedExpr(m.left)) ||
+          // r16: BOTH children tainted — a product of two IEEE quotients
+          // (ratio-of-ratios class) carries both quotients' engine-
+          // dependent low bits
+          (taintedExpr(m.left) && taintedExpr(m.right))
+      case dv: Divide =>
+        // r16: quotient OF tainted operands (either side) — dividing by or
+        // into an IEEE integer-quotient is the ratio-of-ratios class
+        taintedExpr(dv.left) || taintedExpr(dv.right)
       case ad: Add =>
         (ad.left.foldable && taintedExpr(ad.right)) ||
-          (ad.right.foldable && taintedExpr(ad.left))
+          (ad.right.foldable && taintedExpr(ad.left)) ||
+          (taintedExpr(ad.left) && taintedExpr(ad.right))
       case su: Subtract =>
         (su.left.foldable && taintedExpr(su.right)) ||
-          (su.right.foldable && taintedExpr(su.left))
+          (su.right.foldable && taintedExpr(su.left)) ||
+          (taintedExpr(su.left) && taintedExpr(su.right))
       case _ => false
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -189,6 +204,47 @@ class InventorySpec extends AnyFunSuite {
     // sum of exact-integer (non-quotient) columns stays unflagged
     val sumFine = base.agg(sqlSum(col("a")).as("s"))
     assert(roundedRationalOffenders(sumFine.queryExecution.analyzed).isEmpty)
+  }
+
+  test("the census walker catches TWO-TAINTED-CHILDREN arithmetic — the " +
+    "r16 widening (ratio-of-ratios, quotient differences, divides with " +
+    "a tainted side) — without flagging genuinely-double combinations") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = Seq((1L, 3L, 2L, 7L)).toDF("a", "b", "c", "d")
+    def q1 = col("a") / col("b")
+    def q2 = col("c") / col("d")
+    // the q139 shape: round over a DIFFERENCE of two integer quotients
+    val diff = base.withColumn("r1", q1).withColumn("r2", q2)
+      .withColumn("rr", round(col("r1") - col("r2"), 6))
+    assert(roundedRationalOffenders(diff.queryExecution.analyzed).nonEmpty,
+      "round(quotient - quotient) must be flagged")
+    // ratio-of-ratios: product and quotient of two tainted children
+    val prod = base.withColumn("rr", round(q1 * q2, 6))
+    assert(roundedRationalOffenders(prod.queryExecution.analyzed).nonEmpty,
+      "round(quotient * quotient) must be flagged")
+    val ratio = base.withColumn("r1", q1).withColumn("r2", q2)
+      .withColumn("rr", round(col("r1") / col("r2"), 6))
+    assert(roundedRationalOffenders(ratio.queryExecution.analyzed).nonEmpty,
+      "round(quotient / quotient) must be flagged")
+    // divide with ONE tainted side keeps the taint too
+    val half = base.withColumn("x", col("a") * lit(0.5))
+      .withColumn("rr", round(q1 / col("x"), 6))
+    assert(roundedRationalOffenders(half.queryExecution.analyzed).nonEmpty,
+      "round(quotient / double) must be flagged — division never washes")
+    // genuinely-double arithmetic stays unflagged
+    val fine = base
+      .withColumn("r1", col("a") * lit(0.5) / col("b"))
+      .withColumn("r2", col("c") * lit(0.5) / col("d"))
+      .withColumn("rr", round(col("r1") - col("r2"), 6))
+    assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty,
+      "differences of genuinely-double ratios are not the class")
+    // and a RAW threshold compare over tainted children is engine-safe —
+    // only round/avg/sum sites fire, so no offender without them
+    val cmp = base.withColumn("ok", (q1 - q2) >= lit(0.5))
+    assert(roundedRationalOffenders(cmp.queryExecution.analyzed).isEmpty,
+      "raw quotient compares must stay unflagged")
   }
 
   test("query names are unique across the contributing modules") {
