@@ -418,6 +418,42 @@ object SamplingQueries {
         .orderBy("shard")
     }),
 
+    // the MULTI-EPOCH assembly capstone: q273's recipe → copies stream
+    // composed through the r16 per-epoch reshuffle — every (doc, copy)
+    // lands a FIXED shard (hash of the copy key, epoch-invariant data
+    // locality) while its read order is an independent deterministic
+    // permutation per epoch (epochStream over the copy key). The per-
+    // (epoch, shard) census pins both halves: multiset_xor is constant
+    // ACROSS epochs for each shard (same copies every epoch), while
+    // placement_xor differs (the reshuffle provably moved them)
+    "q285_multiepoch_stream" -> ((s, d) => {
+      val wmap = Seq("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 2L,
+        "zh" -> 1L)
+      val ex = Sampling.epochExpansion(
+        t(s, d, "documents")
+          .withColumn("__ntok", TA.tokenCount(col("text")).cast("long")),
+        col("doc_id"), col("__ntok"), col("lang"), wmap,
+        totalBudget = 300000L)
+      val copies = Sampling.expandCopies(
+        ex.select(col("doc_id"), col("lang"), col("__ntok"),
+          col("n_copies")), col("n_copies"))
+        .withColumn("ckey",
+          concat(col("doc_id"), lit("#"), col("copy")))
+      Sampling.epochStream(copies, col("ckey"), Seq(0, 1), seed = 11)
+        .withColumn("shard",
+          pmod(PortableHash.md5Long(col("ckey"), 7), lit(8L)).cast("int"))
+        .withColumn("__mk", PortableHash.md5Long(col("ckey"), 5))
+        .withColumn("__pk", PortableHash.md5Long(
+          concat_ws("|", col("ckey"), col("epoch"), col("pos")), 99))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("__ntok").cast("long").as("stream_tokens"),
+          expr("bit_xor(__mk)").as("multiset_xor"),
+          expr("bit_xor(__pk)").as("placement_xor"))
+        .orderBy("epoch", "shard")
+    }),
+
     // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
     // stream order = rank of md5(doc_id + "#e") — an independent
     // deterministic permutation of the SAME multiset per epoch. The row
@@ -1213,6 +1249,58 @@ object SamplingQueries {
     // Spark side guards sequence(1,0) explicitly), then the identical
     // shard/pos hash window over the copy key; every row's placement
     // pinned by the XOR fold over (ckey, shard, pos)
+    // q273's expansion CTEs verbatim, then the identical epoch-derived
+    // order hash ranked per epoch, the identical fixed-shard hash, and
+    // the identical XOR folds — multiset per (epoch, shard) constant
+    // across epochs, placement not
+    "q285_multiepoch_stream" -> {
+      val ordSql = PortableHash.md5LongSql(
+        "(ckey || '#' || e.epoch::VARCHAR)", 11)
+      s"""WITH c AS (SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         tot AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS T
+           FROM c GROUP BY 1),
+         pl AS (SELECT lang, T,
+             CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+               WHEN 'fr' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END AS w
+           FROM tot),
+         pl3 AS (SELECT lang, T, CAST(w * 300000 // 12 AS BIGINT) AS tgt,
+             CAST(CASE WHEN T = 0 THEN 0
+               ELSE (w * 300000 // 12) // T END AS BIGINT) AS fe
+           FROM pl),
+         pl4 AS (SELECT lang, T, tgt, fe, tgt - fe * T AS rem FROM pl3),
+         cm AS (SELECT doc_id, lang, ntok,
+             ${Sampling.budgetCumSql("doc_id", "ntok", "lang")} AS cum
+           FROM c),
+         mk AS (SELECT m.doc_id, m.lang, m.ntok,
+             p.fe + CASE WHEN m.cum <= p.rem THEN 1 ELSE 0 END AS nc
+           FROM cm m JOIN pl4 p USING (lang)),
+         cp AS (SELECT m.doc_id, m.ntok,
+             m.doc_id || '#' || cc.copy AS ckey
+           FROM mk m, LATERAL (SELECT unnest(generate_series(1, m.nc))
+             AS copy) cc),
+         es AS (SELECT e.epoch, cp.*, ($ordSql) AS ord
+           FROM cp, (SELECT unnest([0, 1]) AS epoch) e),
+         r AS (SELECT epoch, doc_id, ntok, ckey,
+             row_number() OVER (PARTITION BY epoch
+               ORDER BY ord, ckey) - 1 AS pos
+           FROM es),
+         hx AS (SELECT epoch, doc_id, ntok,
+             CAST((${PortableHash.md5LongSql("ckey", 7)}) % 8 AS INTEGER)
+               AS shard,
+             (${PortableHash.md5LongSql("ckey", 5)}) AS mk,
+             (${PortableHash.md5LongSql(
+        "(ckey || '|' || epoch::VARCHAR || '|' || pos::VARCHAR)", 99)}) AS pk
+           FROM r)
+         SELECT CAST(epoch AS INTEGER) AS epoch, shard, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS stream_tokens,
+           CAST(bit_xor(mk) AS BIGINT) AS multiset_xor,
+           CAST(bit_xor(pk) AS BIGINT) AS placement_xor
+         FROM hx GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     // identical epoch-derived order hash, per-epoch rank windows, the
     // identical prev-epoch join for n_moved, and the identical cursor
     // filter (epoch 1, pos 100) — the oracle computes the suffix from

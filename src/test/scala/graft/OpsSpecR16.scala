@@ -234,6 +234,51 @@ class OpsSpecR16 extends AnyFunSuite {
     assert((1L to 40L).count(k => pos0(k) != other(k)) > 0)
   }
 
+  test("sftMaskSpans conservation laws over a deterministic corpus: " +
+    "segments tile every non-final window exactly, per-example segment " +
+    "tokens sum to n_tok, and clipped mask tokens sum to the span total") {
+    import spark.implicits._
+    // 60 examples, sizes/turns from id arithmetic (no randomness — the
+    // repo's reproducibility contract), 3 groups, ctx = 32
+    val rows = (1L to 60L).map { i =>
+      val n = 1L + (i * 7) % 50
+      val nt = 2 * (1 + (i % 3)) // 2/4/6 alternating turns
+      val spans = (0L until nt).filter(_ % 2 == 1)
+        .map(t => (t * n / nt, (t + 1) * n / nt))
+      (s"g${i % 3}", i, n, spans)
+    }
+    val ex = spansDf(rows)
+    val out = graft.ops.Chunking.sftMaskSpans(ex, col("g"), ctx = 32,
+        Seq(col("doc_id")))
+      .select(col("g"), col("doc_id"), col("win"),
+        col("seg_start"), col("seg_end"),
+        aggregate(col("mask_spans"), lit(0L),
+          (a, y) => a + y("me").cast("long") - y("ms").cast("long"))
+          .as("mask_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getLong(5)))
+    // (1) per-example segment tokens conserve n_tok
+    val segByDoc = out.groupBy(_._2)
+      .map { case (d, rs) => d -> rs.map(r => (r._5 - r._4).toLong).sum }
+    rows.foreach { case (_, i, n, _) => assert(segByDoc(i) === n,
+      s"doc $i: segments must sum to n_tok=$n") }
+    // (2) clipped mask tokens conserve the span total
+    val maskByDoc = out.groupBy(_._2)
+      .map { case (d, rs) => d -> rs.map(_._6).sum }
+    rows.foreach { case (_, i, _, spans) =>
+      assert(maskByDoc(i) === spans.map(s => s._2 - s._1).sum,
+        s"doc $i: clipped masks must sum to the span total") }
+    // (3) every non-final window of each group is tiled exactly to ctx
+    out.groupBy(r => (r._1, r._3)).foreach { case ((g, win), rs) =>
+      val lastWin = out.filter(_._1 == g).map(_._3).max
+      val covered = rs.map(r => (r._5 - r._4).toLong).sum
+      if (win < lastWin)
+        assert(covered === 32L, s"($g, window $win) must tile to ctx")
+      else assert(covered <= 32L)
+    }
+  }
+
   test("sftMaskSpans degenerates to sftMaskWindows when every example " +
     "has ONE span [resp_start, n_tok)") {
     import spark.implicits._

@@ -121,13 +121,15 @@ class PlanSpec extends AnyFunSuite {
     // q283: every per-epoch rank runs the globalRowNumber shape — any
     // WindowExec in the final plan must partition (by the physical
     // partition id), never a global ORDER BY row_number
-    val p283q = SparkEntry.queries("q283_epoch_reshuffle")(spark, sf)
-    val globalWins = p283q.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
+    Seq("q283_epoch_reshuffle", "q285_multiepoch_stream").foreach { q =>
+      val pq = SparkEntry.queries(q)(spark, sf)
+      val globalWins = pq.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWins.isEmpty,
+        s"$q must never plan a single-partition (global) WindowExec")
     }
-    assert(globalWins.isEmpty,
-      "q283 must never plan a single-partition (global) WindowExec")
   }
 
   test("space-saving sketch aggregates map-side: one exchange, partial " +
