@@ -454,6 +454,59 @@ object SamplingQueries {
         .orderBy("epoch", "shard")
     }),
 
+    // pairwise-preference TOURNAMENT ranking (reward-modeling prep between
+    // raw judgments and a per-prompt candidate order): 4 candidates per
+    // prompt (q270's grouping), all 6 unordered pairs judged by 3 judges —
+    // judge 2 deterministically flips every pair with (a+b) % 7 = 0 (noise
+    // the per-pair MAJORITY absorbs: 2 honest votes still win 2-1), and
+    // every 6th prompt plants a Condorcet CYCLE among its first three
+    // candidates (0>1, 1>2, 2>0, ALL judges) so Copeland scoring provably
+    // diverges from naive win counts and the deterministic tie-break
+    // (copeland DESC, j_wins DESC, cand ASC) decides. The per-(cyc, rnk)
+    // census pins every ranking decision via the membership checksum
+    "q286_preference_rank" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val cands = t(s, d, "documents").select(
+        expr("doc_id DIV 4").as("prompt_id"), col("doc_id").as("src"),
+        array_join(slice(toks, half + 1, size(toks) - half), " ").as("resp"))
+      val scored = cands.select(col("prompt_id"), col("src"),
+        size(array_distinct(split(col("resp"), " "))).cast("long").as("r"))
+      val pairs = scored.select(col("prompt_id"), col("src").as("ca"),
+          col("r").as("ra"))
+        .join(scored.select(col("prompt_id").as("__pb"),
+          col("src").as("cb"), col("r").as("rb")),
+          col("prompt_id") === col("__pb") && col("ca") < col("cb"))
+      val m4 = (c: org.apache.spark.sql.Column) => pmod(c, lit(4))
+      val judged = pairs
+        .withColumn("judge", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("__base", when(col("ra") > col("rb"), col("ca"))
+          .when(col("rb") > col("ra"), col("cb")).otherwise(col("ca")))
+        .withColumn("__cw",
+          when(m4(col("ca")) === 0 && m4(col("cb")) === 1, col("ca"))
+            .when(m4(col("ca")) === 1 && m4(col("cb")) === 2, col("ca"))
+            .when(m4(col("ca")) === 0 && m4(col("cb")) === 2, col("cb")))
+        .withColumn("winner",
+          when(pmod(col("prompt_id"), lit(6)) === 0 && col("__cw").isNotNull,
+            col("__cw"))
+            .otherwise(when(
+              col("judge") === 2 && pmod(col("ca") + col("cb"), lit(7)) === 0,
+              col("ca") + col("cb") - col("__base")).otherwise(col("__base"))))
+      graft.ops.Preference.rankCandidates(judged, col("prompt_id"),
+          col("ca"), col("cb"), col("winner"))
+        .withColumn("cyc", (pmod(col("prompt"), lit(6)) === 0).cast("int"))
+        .withColumn("__h", PortableHash.md5Long(
+          concat_ws(":", col("prompt"), col("cand")), 77))
+        .groupBy("cyc", "rnk")
+        .agg(count(lit(1)).as("n"),
+          sum("copeland").as("sum_cope"),
+          min("copeland").as("min_cope"), max("copeland").as("max_cope"),
+          sum("j_wins").as("sum_jwins"),
+          sum("win_permille").as("sum_win_pm"),
+          expr("bit_xor(__h)").as("rank_checksum"))
+        .orderBy("cyc", "rnk")
+    }),
+
     // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
     // stream order = rank of md5(doc_id + "#e") — an independent
     // deterministic permutation of the SAME multiset per epoch. The row
@@ -1299,6 +1352,78 @@ object SamplingQueries {
            CAST(bit_xor(mk) AS BIGINT) AS multiset_xor,
            CAST(bit_xor(pk) AS BIGINT) AS placement_xor
          FROM hx GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // identical pairing (src < src within doc_id // 4 groups), identical
+    // 3-judge verdict CASE (cycle override, judge-2 flip, reward compare
+    // with tie -> lower id), majority/Copeland/tie-break replayed verbatim
+    "q286_preference_rank" -> {
+      val hSql = PortableHash.md5LongSql(
+        "(prompt::VARCHAR || ':' || cand::VARCHAR)", 77)
+      s"""WITH b AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents),
+         c AS (SELECT doc_id, len(ts) // 2 AS k, len(ts) AS n, ts FROM b),
+         h AS (SELECT doc_id // 4 AS prompt_id, doc_id AS src,
+             coalesce(array_to_string(ts[k+1:n], ' '), '') AS resp FROM c),
+         sc AS (SELECT prompt_id, src,
+             CAST(len(list_distinct(str_split(resp, ' '))) AS BIGINT) AS r
+           FROM h),
+         p AS (SELECT a.prompt_id, a.src AS ca, b.src AS cb,
+             a.r AS ra, b.r AS rb
+           FROM sc a JOIN sc b
+             ON a.prompt_id = b.prompt_id AND a.src < b.src),
+         j AS (SELECT p.*, judge
+           FROM p, (SELECT unnest([0, 1, 2]) AS judge)),
+         w AS (SELECT prompt_id, ca, cb,
+             CASE
+               WHEN prompt_id % 6 = 0 AND ca % 4 = 0 AND cb % 4 = 1 THEN ca
+               WHEN prompt_id % 6 = 0 AND ca % 4 = 1 AND cb % 4 = 2 THEN ca
+               WHEN prompt_id % 6 = 0 AND ca % 4 = 0 AND cb % 4 = 2 THEN cb
+               WHEN judge = 2 AND (ca + cb) % 7 = 0 THEN ca + cb -
+                 (CASE WHEN ra > rb THEN ca WHEN rb > ra THEN cb ELSE ca END)
+               ELSE
+                 (CASE WHEN ra > rb THEN ca WHEN rb > ra THEN cb ELSE ca END)
+             END AS winner
+           FROM j),
+         pm AS (SELECT prompt_id, ca AS lo, cb AS hi,
+             CAST(sum(CASE WHEN winner = ca THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_lo,
+             CAST(sum(CASE WHEN winner = cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_hi
+           FROM w GROUP BY 1, 2, 3),
+         pmm AS (SELECT *, CASE WHEN wins_lo > wins_hi THEN lo
+             WHEN wins_hi > wins_lo THEN hi END AS maj FROM pm),
+         sides AS (
+           SELECT prompt_id, lo AS cand,
+             CASE WHEN maj = lo THEN 1 ELSE 0 END AS won,
+             CASE WHEN maj = hi THEN 1 ELSE 0 END AS lost,
+             wins_lo AS jw, wins_lo + wins_hi AS jn FROM pmm
+           UNION ALL
+           SELECT prompt_id, hi,
+             CASE WHEN maj = hi THEN 1 ELSE 0 END,
+             CASE WHEN maj = lo THEN 1 ELSE 0 END,
+             wins_hi, wins_lo + wins_hi FROM pmm),
+         sc2 AS (SELECT prompt_id AS prompt, cand,
+             CAST(sum(won) - sum(lost) AS BIGINT) AS copeland,
+             CAST(sum(jw) AS BIGINT) AS j_wins,
+             CAST(sum(jn) AS BIGINT) AS n_j
+           FROM sides GROUP BY 1, 2),
+         rk AS (SELECT *,
+             ${graft.ops.ExactRound.halfUpDivSql("j_wins * 1000", "n_j")}
+               AS win_pm,
+             CAST(row_number() OVER (PARTITION BY prompt
+               ORDER BY copeland DESC, j_wins DESC, cand) AS INTEGER) AS rnk,
+             ($hSql) AS hh
+           FROM sc2)
+         SELECT CAST(CASE WHEN prompt % 6 = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS cyc,
+           rnk, count(*) AS n,
+           CAST(sum(copeland) AS BIGINT) AS sum_cope,
+           min(copeland) AS min_cope, max(copeland) AS max_cope,
+           CAST(sum(j_wins) AS BIGINT) AS sum_jwins,
+           CAST(sum(win_pm) AS BIGINT) AS sum_win_pm,
+           CAST(bit_xor(hh) AS BIGINT) AS rank_checksum
+         FROM rk GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     // identical epoch-derived order hash, per-epoch rank windows, the

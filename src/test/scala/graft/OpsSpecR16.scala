@@ -299,4 +299,66 @@ class OpsSpecR16 extends AnyFunSuite {
       .orderBy("doc_id", "win").collect().toSeq
     assert(single === multi)
   }
+
+  // ---- Preference: pairwise-judgment tournament ranking -------------------
+
+  private def judgeDf(rows: Seq[(Long, Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("p", "a", "b", "w")
+  }
+
+  private def ranks(j: org.apache.spark.sql.DataFrame) =
+    graft.ops.Preference.rankCandidates(j, col("p"), col("a"), col("b"),
+        col("w"))
+      .orderBy("prompt", "rnk")
+      .select("prompt", "cand", "copeland", "j_wins", "n_judgments",
+        "win_permille", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+
+  test("Preference: per-pair MAJORITY absorbs a single noisy judge — " +
+    "2-1 still elects the honest winner; an exact 1-1 tie yields NO " +
+    "Copeland edge for either side") {
+    val got = ranks(judgeDf(Seq(
+      // prompt 0: pair (1,2) judged 3x, one flipped vote → majority 1
+      (0L, 1L, 2L, 1L), (0L, 2L, 1L, 1L), (0L, 1L, 2L, 2L),
+      // prompt 1: pair (1,2) judged 2x, split → tie, copeland 0 both;
+      // raw j_wins breaks the rank (1 and 2 equal → cand ASC decides)
+      (1L, 1L, 2L, 1L), (1L, 1L, 2L, 2L))))
+    assert(got === Seq(
+      (0L, 1L, 1L, 2L, 3L, 667L, 1), (0L, 2L, -1L, 1L, 3L, 333L, 2),
+      (1L, 1L, 0L, 1L, 2L, 500L, 1), (1L, 2L, 0L, 1L, 2L, 500L, 2)))
+  }
+
+  test("Preference: a Condorcet 3-cycle leaves all copeland 0 (1 win, " +
+    "1 loss each) and the deterministic tie-break ranks by raw judgment " +
+    "wins then id — NEVER by naive transitivity") {
+    // 10>20, 20>30, 30>10; pair (10,20) judged twice (both 10) so 10
+    // leads raw wins; the rest once each
+    val got = ranks(judgeDf(Seq(
+      (7L, 10L, 20L, 10L), (7L, 20L, 10L, 10L),
+      (7L, 20L, 30L, 20L), (7L, 30L, 10L, 30L))))
+    assert(got.map(t => (t._2, t._3, t._7)) ===
+      Seq((10L, 0L, 1), (20L, 0L, 2), (30L, 0L, 3)))
+    // 10: 2 raw wins; 20 and 30: 1 each → 20 before 30 by cand ASC
+    assert(got.map(_._4) === Seq(2L, 1L, 1L))
+  }
+
+  test("Preference: pair orientation is normalized — (a=5,b=3) and " +
+    "(a=3,b=5) aggregate into ONE (lo,hi) pair") {
+    val got = ranks(judgeDf(Seq(
+      (0L, 5L, 3L, 5L), (0L, 3L, 5L, 5L), (0L, 3L, 5L, 3L))))
+    // one pair, majority 5 (2-1)
+    assert(got === Seq(
+      (0L, 5L, 1L, 2L, 3L, 667L, 1), (0L, 3L, -1L, 1L, 3L, 333L, 2)))
+  }
+
+  test("Preference: a judgment whose winner is NEITHER side raises " +
+    "loudly, never silently drops") {
+    val ex = intercept[Exception] {
+      ranks(judgeDf(Seq((0L, 1L, 2L, 9L))))
+    }
+    assert(ex.getMessage.contains("winner outside"))
+  }
 }
