@@ -242,6 +242,61 @@ object Curation {
       }
       .reduce(_ unionByName _)
 
+  /** Quality-filter THRESHOLD decision table — [[funnel]]'s sibling for
+    * PICKING the knob instead of auditing a fixed one: for each candidate
+    * threshold, what survives a `score >= thr` gate (documents, weight —
+    * typically tokens — and their permille shares of the full corpus, plus
+    * the survivors' mean score). The table a curation team reads before
+    * committing a quality floor, exactly as [[Chunking.packEfficiency]] is
+    * read before committing a context length.
+    *
+    * All-integer output: feed an integer score (e.g.
+    * [[TextAnalysis.typeTokenRatioMicro]] on the 1e-6 grid) and integer
+    * weight; shares and the mean land on the half-up grid via
+    * [[ExactRound]], so every cell replays bit-exactly cross-engine.
+    *
+    * Scale shape: ONE corpus pass — each row is assigned its HIGHEST
+    * passed threshold (a fused CASE, zero shuffle), one partial-aggregable
+    * groupBy collapses the corpus to ≤ |thresholds|+1 bucket rows, and the
+    * per-threshold suffix sums come from a tiny thresholds×buckets
+    * broadcast join — the corpus is never re-scanned per candidate (the
+    * decision table costs the same as one filter census, however many
+    * thresholds are swept). Null scores (e.g. null text) count toward the
+    * corpus totals but never toward a survivor row. */
+  def thresholdSweep(df: DataFrame, score: Column, weight: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      s"thresholds must be strictly ascending, got $thresholds")
+    // highest threshold passed; the foldLeft nests so the LAST (highest)
+    // candidate is tested first and lower ones fall through
+    val bucket = thresholds.foldLeft(lit(null).cast("long")) { (acc, t) =>
+      when(score >= t, lit(t)).otherwise(acc)
+    }
+    val perBucket = df
+      .select(bucket.as("__b"), score.cast("long").as("__s"),
+        weight.cast("long").as("__w"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__n"), sum("__w").as("__wt"),
+        sum("__s").as("__ss"))
+    val tot = perBucket.agg(sum("__n").as("__tn"), sum("__wt").as("__tw"))
+    val thrDf = df.sparkSession.range(1)
+      .select(explode(typedLit(thresholds)).as("thr"))
+    thrDf.join(broadcast(perBucket), col("__b") >= col("thr"), "left")
+      .groupBy("thr")
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_docs"),
+        coalesce(sum("__wt"), lit(0L)).as("n_weight"),
+        coalesce(sum("__ss"), lit(0L)).as("__sscore"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("n_docs"), col("n_weight"),
+        ExactRound.halfUpDivCol(col("n_docs") * 1000L, col("__tn"))
+          .as("docs_permille"),
+        ExactRound.halfUpDivCol(col("n_weight") * 1000L, col("__tw"))
+          .as("weight_permille"),
+        ExactRound.halfUpDivCol(col("__sscore"), col("n_docs"))
+          .as("mean_score"))
+  }
+
   /** [[curateChunks]] over an APPEND-MODE STREAM — continuous curation of
     * arriving documents. Every stage composes on a stream as-is: quality
     * filter and stratified sampling are stateless row predicates, split is

@@ -1942,6 +1942,22 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"),
           min("i").as("min_i"), max("j").as("max_j"))
         .orderBy("hamming")
+    }),
+
+    // quality-floor DECISION table (Curation.thresholdSweep): for each
+    // candidate type-token-ratio floor on the exact 1e-6 grid, what
+    // survives — docs, tokens, permille shares of the corpus, survivor
+    // mean score. ONE corpus pass (highest-passed-threshold bucketing +
+    // a tiny broadcast suffix join), never a re-scan per candidate —
+    // the knob-picking sibling of q91's funnel and q279's ctx sweep
+    "q287_threshold_sweep" -> ((s, d) => {
+      graft.ops.Curation.thresholdSweep(t(s, d, "documents"),
+          TA.typeTokenRatioMicro(col("text")),
+          TA.tokenCount(col("text")).cast("long"),
+          Seq(300000L, 500000L, 700000L, 900000L))
+        .withColumnRenamed("n_weight", "n_tokens")
+        .withColumnRenamed("weight_permille", "tokens_permille")
+        .orderBy("thr")
     })
   )
 
@@ -3785,7 +3801,29 @@ object TextQueries {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
          SELECT hamming, count(*) AS n_pairs, min(i) AS min_i, max(j) AS max_j
-         FROM p GROUP BY 1 ORDER BY 1"""
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    // identical TTR-micro score, highest-passed-threshold semantics
+    // replayed as a plain per-threshold >= join, identical half-up
+    // permille/mean arithmetic
+    "q287_threshold_sweep" ->
+      s"""WITH sc AS (SELECT ${TA.typeTokenRatioMicroSql("text")} AS s,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS w FROM documents),
+         tot AS (SELECT count(*) AS tn, CAST(sum(w) AS BIGINT) AS tw
+           FROM sc),
+         th AS (SELECT CAST(unnest([300000, 500000, 700000, 900000])
+           AS BIGINT) AS thr),
+         f AS (SELECT thr, CAST(count(sc.s) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(sc.w), 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(sc.s), 0) AS BIGINT) AS ss
+           FROM th LEFT JOIN sc ON sc.s >= thr GROUP BY 1)
+         SELECT thr, n_docs, n_tokens,
+           ${ExactRound.halfUpDivSql("n_docs * 1000", "tn")}
+             AS docs_permille,
+           ${ExactRound.halfUpDivSql("n_tokens * 1000", "tw")}
+             AS tokens_permille,
+           ${ExactRound.halfUpDivSql("ss", "n_docs")} AS mean_score
+         FROM f, tot ORDER BY thr"""
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the

@@ -361,4 +361,40 @@ class OpsSpecR16 extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("winner outside"))
   }
+
+  // ---- Curation.thresholdSweep: the quality-floor decision table ----------
+
+  test("thresholdSweep: hand-computed decision rows — survivors are " +
+    "score >= thr, null scores count toward totals only, an " +
+    "above-everything threshold reports 0 docs and NULL mean") {
+    import spark.implicits._
+    // scores 10, 20, 30, null; weights 1, 2, 3, 4 → totals: 4 docs, 10 wt
+    val df = Seq((Some(10L), 1L), (Some(20L), 2L), (Some(30L), 3L),
+      (None: Option[Long], 4L)).toDF("s", "w")
+    val got = graft.ops.Curation.thresholdSweep(df, col("s"), col("w"),
+        Seq(15L, 30L, 99L))
+      .orderBy("thr")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(got === Seq(
+      // thr 15: docs {20, 30} → 2 docs, wt 5, 500‰ docs, 500‰ wt, mean 25
+      (15L, 2L, 5L, 500L, 500L, 25L),
+      // thr 30: {30} → 1 doc, wt 3, 250‰, 300‰, mean 30
+      (30L, 1L, 3L, 250L, 300L, 30L),
+      // thr 99: nothing survives → zeros and NULL mean
+      (99L, 0L, 0L, 0L, 0L, -1L)))
+  }
+
+  test("thresholdSweep: thresholds must be strictly ascending — " +
+    "unsorted or duplicated candidates raise at build time") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("s", "w")
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.thresholdSweep(df, col("s"), col("w"), Seq(5L, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.thresholdSweep(df, col("s"), col("w"), Seq(2L, 2L))
+    }
+  }
 }
