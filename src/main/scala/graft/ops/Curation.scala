@@ -255,14 +255,17 @@ object Curation {
     * weight; shares and the mean land on the half-up grid via
     * [[ExactRound]], so every cell replays bit-exactly cross-engine.
     *
-    * Scale shape: ONE corpus pass — each row is assigned its HIGHEST
-    * passed threshold (a fused CASE, zero shuffle), one partial-aggregable
-    * groupBy collapses the corpus to ≤ |thresholds|+1 bucket rows, and the
-    * per-threshold suffix sums come from a tiny thresholds×buckets
-    * broadcast join — the corpus is never re-scanned per candidate (the
+    * Scale shape: ONE corpus pass by construction — each row is assigned
+    * its HIGHEST passed threshold (a fused CASE, zero shuffle), one
+    * partial-aggregable groupBy collapses the corpus to ≤ |thresholds|+1
+    * bucket rows (zero rows unioned in for swept-but-empty buckets), and
+    * both the per-threshold suffix sums and the corpus totals are windows
+    * over that TINY frame — a single-partition window over |thresholds|+1
+    * rows, never a second corpus scan or a per-candidate re-scan (the
     * decision table costs the same as one filter census, however many
-    * thresholds are swept). Null scores (e.g. null text) count toward the
-    * corpus totals but never toward a survivor row. */
+    * thresholds are swept; PlanSpec pins the single scan). Null scores
+    * (e.g. null text) count toward the corpus totals but never toward a
+    * survivor row. */
   def thresholdSweep(df: DataFrame, score: Column, weight: Column,
       thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
@@ -273,21 +276,39 @@ object Curation {
     val bucket = thresholds.foldLeft(lit(null).cast("long")) { (acc, t) =>
       when(score >= t, lit(t)).otherwise(acc)
     }
+    val zeros = df.sparkSession.range(1)
+      .select(explode(typedLit(thresholds)).as("__b"),
+        lit(0L).as("__n"), lit(0L).as("__wt"), lit(0L).as("__ss"))
     val perBucket = df
       .select(bucket.as("__b"), score.cast("long").as("__s"),
         weight.cast("long").as("__w"))
       .groupBy("__b")
       .agg(count(lit(1)).as("__n"), sum("__w").as("__wt"),
         sum("__s").as("__ss"))
-    val tot = perBucket.agg(sum("__n").as("__tn"), sum("__wt").as("__tw"))
-    val thrDf = df.sparkSession.range(1)
-      .select(explode(typedLit(thresholds)).as("thr"))
-    thrDf.join(broadcast(perBucket), col("__b") >= col("thr"), "left")
-      .groupBy("thr")
-      .agg(coalesce(sum("__n"), lit(0L)).as("n_docs"),
-        coalesce(sum("__wt"), lit(0L)).as("n_weight"),
-        coalesce(sum("__ss"), lit(0L)).as("__sscore"))
-      .crossJoin(broadcast(tot))
+      .unionByName(zeros)
+      .groupBy("__b")
+      .agg(sum("__n").as("__n"), sum("__wt").as("__wt"),
+        sum("__ss").as("__ss"))
+    // survivors at thr t = Σ buckets ≥ t (desc suffix window, the null
+    // below-all bucket ordered last); totals = the whole-frame window —
+    // both over the ≤ |thresholds|+1-row frame, so the single partition
+    // is a constant, not a scale hazard
+    val suffix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val whole = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc_nulls_last)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perBucket
+      .select(col("__b").as("thr"),
+        sum("__n").over(suffix).as("n_docs"),
+        sum("__wt").over(suffix).as("n_weight"),
+        sum("__ss").over(suffix).as("__sscore"),
+        sum("__n").over(whole).as("__tn"),
+        sum("__wt").over(whole).as("__tw"))
+      .filter(col("thr").isNotNull)
       .select(col("thr"), col("n_docs"), col("n_weight"),
         ExactRound.halfUpDivCol(col("n_docs") * 1000L, col("__tn"))
           .as("docs_permille"),

@@ -558,6 +558,89 @@ object Dedup {
     earlier.unionByName(keptLater)
   }
 
+  /** One admission STEP of the evolving-index gate ([[admitWaves]] and
+    * [[graft.streaming.TextStream.evolvingGate]] share it — batch ≡ stream
+    * from one code path): admit `batch` against (a) its own wave-mates and
+    * (b) the accumulated ADMITTED-signature `index`.
+    *
+    * Within the wave the rule is ANY-SMALLER-ID-KILLS: a doc dies iff some
+    * smaller-id wave-mate band-collides and agrees on ≥ ⌈t·k⌉ MinHash
+    * components. For exact duplicates (identical signatures) this is
+    * exactly [[dedupExact]]'s min-id survivor; for near-dup CHAINS it is
+    * deliberately CONSERVATIVE — a doc whose killer itself died still dies
+    * (batch-expressible as one self-join, no sequential scan, no connected
+    * components; the survivor set is the collision graph's LOCAL minima,
+    * which never keeps two mutually-similar docs). Against the index only
+    * ADMITTED docs kill — the index holds admitted signatures only (the
+    * corpus-dedup contract), so a rejected arrival never suppresses a
+    * later one across waves. Null-text rows carry no signature and always
+    * survive (feed tokenizable documents — the [[dedupAgainstCorpus]]
+    * caveat).
+    *
+    * Scale shape: both kill passes are LSH-banded equi joins
+    * ([[lshBands]]), so the quadratic term is bounded by band-bucket
+    * occupancy, never by wave or corpus size. */
+  def admitStep(batch: DataFrame, id: Column, text: Column,
+      index: DataFrame, n: Int, k: Int, bands: Int,
+      minEstJaccard: Double): DataFrame = {
+    val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
+    val sig = minhashSignaturesRowwise(batch, id, text, n, k)
+    val bnd = lshBands(sig, k, bands)
+    val agree = (0 until k)
+      .map(j => when(col(s"ai.s$j") === col(s"ci.s$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dropped = bnd.as("a")
+      .join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") > col("b.doc"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+      .join(sig.as("ai"), col("i") === col("ai.doc"))
+      .join(sig.as("ci"), col("j") === col("ci.doc"))
+      .filter(agree >= minAgree)
+      .select("i").distinct()
+    val surv = batch.join(dropped, id === col("i"), "left_anti")
+    dedupAgainstCorpus(surv, id, text, index, n, k, bands, minEstJaccard)
+  }
+
+  /** EVOLVING-index admission over ORDERED arrival waves — the batch twin
+    * of [[graft.streaming.TextStream.evolvingGate]] and the composition a
+    * backfill replay runs: arrivals grouped into waves (release snapshots
+    * / microbatches — a CONTRACT-BOUNDED handful, never data-sized; the
+    * valve raises), each wave admitted by [[admitStep]] against the index
+    * as of the PREVIOUS wave, and every admitted doc's signature joins the
+    * index before the next wave — so a near-duplicate arriving ten waves
+    * after its original dies, which [[graft.streaming.TextStream.corpusGate]]
+    * (frozen index, exact-signature state only) documents as its non-goal.
+    *
+    * Each wave's survivors persist at creation (the index for wave w+1
+    * references them; without it the fold re-derives every earlier wave
+    * per reference — the dupClusters lineage lesson). Release via
+    * `catalog.clearCache` or session end; at production each increment is
+    * WRITTEN per wave instead (the streaming form's parquet increments).
+    *
+    * `corpusIndex` seeds the index (`doc, s0..s{k-1}`; pass an empty frame
+    * for a cold start). Returns admitted rows with original columns. */
+  def admitWaves(arrivals: DataFrame, id: Column, text: Column,
+      wave: Column, corpusIndex: DataFrame, n: Int, k: Int, bands: Int,
+      minEstJaccard: Double, maxWaves: Int = 64): DataFrame = {
+    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
+      .orderBy("__w").collect().map(_.getLong(0)).toSeq
+    require(waves.nonEmpty, "admitWaves: no arrival waves")
+    require(waves.size <= maxWaves,
+      s"admitWaves: ${waves.size} waves exceed the $maxWaves valve — " +
+        "waves are release snapshots or microbatch replays, never data-sized")
+    val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    val (_, parts) = waves.foldLeft((corpusIndex, Seq.empty[DataFrame])) {
+      case ((idx, acc), w) =>
+        val adm = admitStep(tagged.filter(col("__w") === w), id, text, idx,
+            n, k, bands, minEstJaccard)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (idx.unionByName(minhashSignaturesRowwise(adm, id, text, n, k)),
+          acc :+ adm)
+    }
+    parts.reduce(_.unionByName(_)).drop("__w")
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -1958,6 +1958,57 @@ object TextQueries {
         .withColumnRenamed("n_weight", "n_tokens")
         .withColumnRenamed("weight_permille", "tokens_permille")
         .orderBy("thr")
+    }),
+
+    // EVOLVING-index admission (Dedup.admitWaves — the batch twin of
+    // TextStream.evolvingGate): three arrival waves against a frozen seed
+    // corpus, where every admitted doc's signature joins the index before
+    // the next wave. Plants exercise each kill path: exact_plant = exact
+    // copy in its source's OWN wave (min-id rule), near_plant = wave-0
+    // text + ' zq' arriving at wave 2 (dies only because wave-0 admissions
+    // ENTERED the index — corpusGate's documented non-goal), corpus_plant
+    // = seed-corpus copy (frozen-index kill). The per-(wave, category)
+    // census pins every admission via the membership checksum
+    "q288_evolving_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusIdx = Dedup.minhashSignaturesRowwise(
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"),
+        n = 3, k = 16)
+      val organic = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3L)).as("wave"),
+          lit("organic").as("category"))
+      val exactP = organic.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("wave"), lit("exact_plant").as("category"))
+      val nearP = organic
+        .filter(col("wave") === 0 && pmod(col("doc_id"), lit(7)) === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"), lit(2L).as("wave"),
+          lit("near_plant").as("category"))
+      val corpusP = docs
+        .filter(col("doc_id") % 5 === 0 && pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3L)).as("wave"),
+          lit("corpus_plant").as("category"))
+      val arrivals = organic.unionByName(exactP).unionByName(nearP)
+        .unionByName(corpusP)
+      val admitted = Dedup.admitWaves(arrivals, col("doc_id"), col("text"),
+        col("wave"), corpusIdx, n = 3, k = 16, bands = 4,
+        minEstJaccard = 0.5)
+      arrivals
+        .select(col("doc_id"), col("wave").cast("int").as("wave"),
+          col("category"))
+        .join(admitted.select(col("doc_id"), lit(1L).as("__a")),
+          Seq("doc_id"), "left")
+        .withColumn("__h",
+          PortableHash.md5Long(col("doc_id").cast("string"), 99))
+        .groupBy("wave", "category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__a"), lit(0L))).as("n_admitted"),
+          coalesce(expr("bit_xor(CASE WHEN __a IS NOT NULL THEN __h END)"),
+            lit(0L)).as("admitted_checksum"))
+        .orderBy("wave", "category")
     })
   )
 
@@ -3823,7 +3874,76 @@ object TextQueries {
            ${ExactRound.halfUpDivSql("n_tokens * 1000", "tw")}
              AS tokens_permille,
            ${ExactRound.halfUpDivSql("ss", "n_docs")} AS mean_score
-         FROM f, tot ORDER BY thr"""
+         FROM f, tot ORDER BY thr""",
+
+    // identical plant construction and wave assignment; the three waves
+    // unrolled as idx/drop/adm CTE triples — within-wave kills join
+    // smaller-id wave-mates (dead or alive), cross-wave kills join the
+    // ADMITTED index only, exactly admitStep's two passes
+    "q288_evolving_admission" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val bandsSel = (0 until 4).map { b =>
+        val key = (b * 4 until b * 4 + 4).map(j => s"s$j")
+          .mkString(" || ',' || ")
+        s"SELECT doc, $b band, $key bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until 16)
+        .map(j => s"CASE WHEN ai.s$j = ci.s$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val hid = PortableHash.md5LongSql("doc_id::VARCHAR", 99)
+      val waveCtes = (0 to 2).map { w =>
+        val idxDef =
+          if (w == 0) "SELECT doc_id AS doc FROM seedrel"
+          else s"SELECT doc FROM idx${w - 1} UNION ALL " +
+            s"SELECT doc FROM adm${w - 1}"
+        s"""idx$w AS ($idxDef),
+           |drop$w AS (SELECT DISTINCT a.doc FROM bands a
+           |  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           |  JOIN sig ai ON ai.doc = a.doc JOIN sig ci ON ci.doc = b.doc
+           |  WHERE a.doc IN (SELECT doc_id FROM rel WHERE wave = $w)
+           |    AND (b.doc IN (SELECT doc FROM idx$w)
+           |      OR (b.doc IN (SELECT doc_id FROM rel WHERE wave = $w)
+           |        AND b.doc < a.doc))
+           |    AND $agree >= 8),
+           |adm$w AS (SELECT doc_id AS doc FROM rel WHERE wave = $w
+           |  AND doc_id NOT IN (SELECT doc FROM drop$w))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rel AS (
+         |  SELECT doc_id, text, doc_id % 3 AS wave, 'organic' AS category
+         |    FROM documents WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, doc_id % 3, 'exact_plant'
+         |    FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' zq', 2, 'near_plant'
+         |    FROM documents
+         |    WHERE doc_id % 5 <> 0 AND doc_id % 3 = 0 AND doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text, doc_id % 3, 'corpus_plant'
+         |    FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 3),
+         |seedrel AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |allr AS (SELECT doc_id, text FROM rel
+         |  UNION ALL SELECT doc_id, text FROM seedrel),
+         |sh AS (SELECT doc_id, $sh3 s FROM allr),
+         |e AS (SELECT doc_id AS doc, unnest(s) sg FROM sh),
+         |hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM e),
+         |sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         |bands AS ($bandsSel),
+         |$waveCtes,
+         |admAll AS (SELECT doc FROM adm0 UNION ALL SELECT doc FROM adm1
+         |  UNION ALL SELECT doc FROM adm2)
+         |SELECT CAST(wave AS INTEGER) AS wave, category,
+         |  count(*) AS n_in,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc FROM admAll)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(bit_xor(CASE WHEN doc_id IN
+         |    (SELECT doc FROM admAll) THEN $hid END), 0) AS BIGINT)
+         |    AS admitted_checksum
+         |FROM rel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 
   /** One oracle, three formulations: the conditional-min aggregation, the

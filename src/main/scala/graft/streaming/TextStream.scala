@@ -92,4 +92,80 @@ object TextStream {
     }
     admitted.drop("__sig", "__asig")
   }
+
+  /** EVOLVING-index admission gate — closes [[corpusGate]]'s documented
+    * non-goal: a NEAR-duplicate arriving microbatches after its original.
+    * corpusGate's cross-batch state is exact-signature only; here every
+    * admitted document's MinHash signature joins the index itself, so
+    * later near-dup arrivals die against everything admitted so far, not
+    * just the frozen release.
+    *
+    * Mechanics (`foreachBatch` — the packing precedent from
+    * [[graft.ops.Curation.curateStream]]'s scaladoc: index evolution is a
+    * read-your-own-writes loop no stateless stream operator expresses):
+    * the index directory accumulates one parquet increment per microbatch
+    * (`inc=<batchId>`) next to any SEED increments the caller wrote
+    * (non-numeric suffixes, e.g. `inc=seed`). Each trigger
+    *
+    *  1. reads every increment with id STRICTLY below its own batchId —
+    *     a REPLAYED batch never sees its own earlier partial write, so
+    *     restart is idempotent (exactly-once by construction: both writes
+    *     below are mode-overwrite under batchId-derived paths);
+    *  2. admits via [[graft.ops.Dedup.admitStep]] — ONE code path with
+    *     the batch twin [[graft.ops.Dedup.admitWaves]], so the twins
+    *     cannot drift;
+    *  3. writes admitted rows to `admittedDir/batch=<batchId>` and their
+    *     signatures to the new increment.
+    *
+    * Publishing the index to OTHER pipelines still goes through the
+    * atomic manifest barrier ([[graft.core.Ingest]]); the gate's own
+    * read-back needs only the listing because increments are immutable
+    * once their batch commits. State size: k longs per ADMITTED doc, on
+    * disk, never in executor memory — the 100 TB mode by default.
+    * Arrivals must expose `doc_id` and `text` (the [[corpusGate]]
+    * contract). */
+  def evolvingGate(arrivals: DataFrame, indexDir: String,
+      admittedDir: String, checkpointDir: String, n: Int, k: Int,
+      bands: Int, minEstJaccard: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(arrivals.isStreaming, "evolvingGate expects a streaming frame")
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      val idx = readIndexBelow(spark, indexDir, k, batchId)
+      val adm = Dedup.admitStep(batch, col("doc_id"), col("text"), idx,
+          n, k, bands, minEstJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adm.write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
+      Dedup.minhashSignaturesRowwise(adm, col("doc_id"), col("text"), n, k)
+        .write.mode("overwrite").parquet(s"$indexDir/inc=$batchId")
+      adm.unpersist(false)
+      ()
+    }
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** Every index increment a trigger may read: seeds (non-numeric tags)
+    * plus numeric increments STRICTLY below `batchId`. Hadoop FS, not
+    * java.io — the directory lives on HDFS/object store at production. */
+  private def readIndexBelow(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs =
+      if (!fs.exists(path)) Seq.empty[String]
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+        .filter { s =>
+          val tag = s.getPath.getName.stripPrefix("inc=")
+          tag.toLongOption.forall(_ < batchId)
+        }
+        .map(_.getPath.toString).sorted
+    if (incs.isEmpty)
+      spark.range(0).select(
+        (col("id").as("doc") +: (0 until k).map(j => col("id").as(s"s$j"))): _*)
+    else spark.read.parquet(incs: _*)
+  }
 }

@@ -397,4 +397,81 @@ class OpsSpecR16 extends AnyFunSuite {
       graft.ops.Curation.thresholdSweep(df, col("s"), col("w"), Seq(2L, 2L))
     }
   }
+
+  // ---- Dedup.admitWaves: evolving-index admission semantics ---------------
+
+  private val admitN = 1
+  private val admitK = 16
+  private val admitBands = 16
+  private val admitJ = 0.25 // minAgree = 4 of 16
+
+  private def emptyIdx = spark.range(0).select(
+    (col("id").as("doc") +: (0 until admitK).map(j =>
+      col("id").as(s"s$j"))): _*)
+
+  private def admitFixture() = {
+    import spark.implicits._
+    val ta = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tb = ((1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"b$i"))
+      .mkString(" ")
+    val tc = (1 to 10).map(i => s"b$i").mkString(" ")
+    (ta, tb, tc)
+  }
+
+  private def agreeOf(x: String, y: String): Int = {
+    import spark.implicits._
+    val sig = graft.ops.Dedup.minhashSignaturesRowwise(
+        Seq((1L, x), (2L, y)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), admitN, admitK)
+      .orderBy("doc").collect()
+    (0 until admitK).count(j => sig(0).getLong(j + 1) == sig(1).getLong(j + 1))
+  }
+
+  test("admitWaves: within a wave ANY smaller-id near-dup kills — even a " +
+    "killer that itself died (A~B, B~C, A!~C: only A survives); the SAME " +
+    "chain split across waves admits C, because only ADMITTED docs enter " +
+    "the index") {
+    import spark.implicits._
+    val (ta, tb, tc) = admitFixture()
+    // the fixture's collision structure must actually hold for the
+    // planted jaccards (0.5 / 0.5 / 0.0) at minAgree 4 — checked, not
+    // assumed (signature agreement is deterministic but not hand-derivable)
+    assert(agreeOf(ta, tb) >= 4 && agreeOf(tb, tc) >= 4 &&
+      agreeOf(ta, tc) < 4, "fixture collision preconditions")
+    def run(waves: Seq[(Long, String, Long)]) =
+      graft.ops.Dedup.admitWaves(
+          waves.toDF("doc_id", "text", "w"),
+          col("doc_id"), col("text"), col("w"), emptyIdx,
+          admitN, admitK, admitBands, admitJ)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // one wave: B dies to A; C dies to B although B is already dead
+    assert(run(Seq((1L, ta, 0L), (2L, tb, 0L), (3L, tc, 0L))) === Seq(1L))
+    // C arrives a wave later: the index holds only A (admitted), and
+    // A !~ C, so C is admitted — rejected docs never suppress later ones
+    assert(run(Seq((1L, ta, 0L), (2L, tb, 0L), (3L, tc, 1L))) ===
+      Seq(1L, 3L))
+  }
+
+  test("admitWaves: a seed corpus index kills near-dup arrivals; " +
+    "null-text rows always survive; the wave valve raises loudly") {
+    import spark.implicits._
+    val (ta, tb, _) = admitFixture()
+    val seed = graft.ops.Dedup.minhashSignaturesRowwise(
+      Seq((100L, ta)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), admitN, admitK)
+    val arr = Seq((1L, Some(tb), 0L), (2L, None: Option[String], 0L))
+      .toDF("doc_id", "text", "w")
+    val got = graft.ops.Dedup.admitWaves(arr, col("doc_id"), col("text"),
+        col("w"), seed, admitN, admitK, admitBands, admitJ)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(2L),
+      "B near-dups the seed corpus and dies; the null-text row survives")
+    val three = Seq((1L, ta, 0L), (2L, tb, 1L), (3L, ta, 2L))
+      .toDF("doc_id", "text", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.admitWaves(three, col("doc_id"), col("text"),
+        col("w"), seed, admitN, admitK, admitBands, admitJ, maxWaves = 2)
+    }
+    assert(ex.getMessage.contains("valve"))
+  }
 }

@@ -516,4 +516,33 @@ class PlanSpec extends AnyFunSuite {
       s"the underlying k-NN rank must two-phase:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("r16 late additions keep their scale shapes: one rank window + " +
+    "hash-only pair join (q286), single corpus scan under the threshold " +
+    "sweep (q287), banded hash joins only in wave admission (q288)") {
+    // q286: the candidate pairing is an equi join on prompt_id (the
+    // ca < cb residual rides along), and the tournament needs exactly
+    // one rank window — partitions bounded by the sampler's n
+    val p286 = plan("q286_preference_rank")
+    assert(!p286.contains("CartesianProduct") &&
+      !p286.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay an equi join:\n$p286")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p286).length <= 1,
+      s"one rank window only:\n$p286")
+    // q287: the decision table must cost ONE corpus pass — the bucket
+    // aggregation's exchange is computed once and REUSED by the totals
+    // branch, never a second documents scan per branch/threshold
+    val p287 = plan("q287_threshold_sweep")
+    val scans287 = "Scan parquet".r.findAllIn(p287).length
+    assert(scans287 <= 1 || p287.contains("ReusedExchange"),
+      s"the sweep may scan the corpus once:\n$p287")
+    // q288: every kill pass is an LSH-banded EQUI join (the smaller-id /
+    // agree conditions ride as residuals) — no nested loop anywhere in
+    // the three-wave fold
+    val p288 = plan("q288_evolving_admission")
+    assert(!p288.contains("CartesianProduct") &&
+      !p288.contains("BroadcastNestedLoopJoin"),
+      s"wave admission must stay hash-joined:\n$p288")
+    assert(p288.contains("LeftAnti"), p288)
+  }
 }

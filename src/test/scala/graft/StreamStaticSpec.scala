@@ -980,4 +980,70 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq,
       "stream and batch must admit the identical document set")
   }
+
+  test("evolving-index gate: stream admits the identical doc set as the " +
+    "admitWaves batch twin with NEAR-dups split across microbatches, and " +
+    "a post-restart arrival still dies against a batch-0 admission") {
+    import graft.streaming.TextStream
+    import graft.ops.Dedup
+    import spark.implicits._
+    def text(i: Int) = (1 to 24).map(t => s"w${i}t$t").mkString(" ")
+    // batch 0: four fresh docs; batch 1: near-dup of doc 1 (+' zq') and a
+    // fresh doc; batch 2: exact dup of batch-1's FRESH doc and a fresh doc
+    val b0 = Seq((1L, text(1)), (2L, text(2)), (3L, text(3)), (4L, text(4)))
+    val b1 = Seq((5L, text(1) + " zq"), (6L, text(6)))
+    val b2 = Seq((7L, text(6)), (8L, text(8)))
+    val waved = (b0.map(r => (r._1, r._2, 0L)) ++
+      b1.map(r => (r._1, r._2, 1L)) ++ b2.map(r => (r._1, r._2, 2L)))
+      .toDF("doc_id", "text", "w")
+    val emptyIdx = spark.range(0).select(
+      (col("id").as("doc") +: (0 until 16).map(j =>
+        col("id").as(s"s$j"))): _*)
+    val want = Dedup.admitWaves(waved, col("doc_id"), col("text"),
+        col("w"), emptyIdx, n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want === Seq(1L, 2L, 3L, 4L, 6L, 8L),
+      "batch twin: near-dup 5 and exact dup 7 must die")
+    val dir = Files.createTempDirectory("graft-evolving-gate")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, String)], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(b0, "a", 90000); ship(b1, "b", 60000); ship(b2, "c", 30000)
+    val idxDir = dir.resolve("idx").toString
+    val admDir = dir.resolve("adm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def runGate(): Unit = {
+      val stream = spark.readStream
+        .schema(waved.drop("w").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = TextStream.evolvingGate(stream, idxDir, admDir, ckpt,
+        n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      q.processAllAvailable(); q.stop()
+    }
+    runGate()
+    val got = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "stream must admit exactly the batch twin's set")
+    // restart with the same checkpoint: a near-dup of doc 2 (admitted in
+    // batch 0) arrives — the on-disk index must still kill it, and the
+    // earlier batches must not reprocess
+    ship(Seq((9L, text(2) + " zq"), (10L, text(10))), "d", 0)
+    runGate()
+    val after = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === (want :+ 10L),
+      "post-restart: 9 dies against the persisted index, 10 admits")
+  }
 }
