@@ -1046,4 +1046,67 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(after === (want :+ 10L),
       "post-restart: 9 dies against the persisted index, 10 admits")
   }
+
+  test("streaming packer: bins across microbatch boundaries equal " +
+    "packOrdered, the same code path on a static frame is bit-equal, " +
+    "and a seq regression across triggers fails loudly") {
+    import graft.streaming.{PackIn, PackStream}
+    import graft.ops.Chunking
+    import spark.implicits._
+    // ctx=10; group A: five 4-token chunks → bins 0,0,0,1,1 with the
+    // 8→12 straddle CROSSING a microbatch boundary; group B: 7+7 tokens
+    // → bins 0,0 (7/10=0... second starts at 7 → bin 0) then 14/10 → 1
+    val rows = Seq(
+      PackIn("A", 1L, 1L, 4L), PackIn("A", 1L, 2L, 4L),
+      PackIn("A", 2L, 3L, 4L), PackIn("A", 2L, 4L, 4L),
+      PackIn("A", 3L, 5L, 4L),
+      PackIn("B", 7L, 1L, 7L), PackIn("B", 8L, 2L, 7L),
+      PackIn("B", 9L, 3L, 7L))
+    val want = Chunking.packOrdered(
+        rows.toDF("grp", "doc", "seq", "n_tok"), col("grp"), 10,
+        Seq(col("seq")))
+      .select("grp", "doc", "seq", "n_tok", "bin")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val static = PackStream.packStream(rows.toDS(), 10).toDF()
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(static.toSeq === want.toSeq,
+      "static-frame packStream must equal packOrdered bit for bit")
+    // stream the same rows in three files (batch = seq ranges 1-2, 3-4, 5)
+    val dir = Files.createTempDirectory("graft-pack-stream")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rs: Seq[PackIn], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rs.toDS().coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(rows.filter(_.seq <= 2), "a", 90000)
+    ship(rows.filter(r => r.seq == 3 || r.seq == 4), "b", 60000)
+    ship(rows.filter(_.seq >= 5).filter(_.grp == "A"), "c", 30000)
+    def packed() = PackStream.packStream(
+      spark.readStream.schema(rows.toDS().schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString).as[PackIn], 10)
+    val got = EventsStream.runToCompletion(packed().toDF(),
+        "pack_stream", OutputMode.Append())
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(got.toSeq === want.toSeq,
+      "stream bins across trigger boundaries must equal the batch packer")
+    // a later trigger delivering seq 4 again (at/below the cursor) must
+    // fail the query loudly — never silently repack shipped windows
+    ship(Seq(PackIn("A", 9L, 4L, 4L)), "d", 0)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = packed().writeStream.format("noop")
+        .option("checkpointLocation", dir.resolve("ck2").toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(ex.getMessage.contains("out-of-order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+  }
 }
