@@ -165,6 +165,71 @@ object Similarity {
       .select(col("anchor"), col("id"), col("cos"), col("rk"))
   }
 
+  /** Margin-based CROSS-CORPUS nearest-neighbor mining — the bitext-mining
+    * score (Artetxe & Schwenk 2019's ratio margin, the LASER/CCMatrix
+    * recipe): for every source vector, its best target neighbor scored by
+    * cos(x, y) normalized by the MEAN of both sides' k-NN cosines, so a
+    * pair only scores high when x and y are closer to each other than to
+    * their respective neighborhoods — raw-cosine thresholds can't separate
+    * a translation pair from a dense region, the margin can. Emits one row
+    * per source vector's best target: `(sid, tid, cos_micro,
+    * margin_permille, mutual)` with `mutual` = x is ALSO y's best source
+    * (the high-precision filter a parallel-corpus builder keeps).
+    *
+    * Exactness: every pair cosine is quantized to the 1e-6 integer grid at
+    * birth (`round(cos·1e6)` — the q274 discipline; the cosine itself is
+    * bit-identical cross-engine by [[cosine]]'s fixed fold order), and the
+    * margin is the exact integer permille
+    * `halfUp(2000·cm·ks·kt / (Σnn_src·kt + Σnn_tgt·ks))` — signed via the
+    * [[ExactRound.ratioRoundedSigned]] mirror, NULL (dropped) on a
+    * nonpositive neighborhood sum. No float ratio crosses the engine
+    * boundary.
+    *
+    * Scale shape: the BRUTE baseline — one src×tgt cosine pass whose
+    * per-side top-k ranks two-phase under InferWindowGroupLimit (map-side
+    * partial top-k below each exchange — reducers see k·nMapTasks rows
+    * per key, never the pair table; the [[hardNegatives]] mechanism). At
+    * 100 TB compose the bucketed path instead: [[assignCentroids]] both
+    * sides and mine within centroid pairs, or probe an
+    * [[ivfWritePartitioned]] index — the q48-brute / q57-IVF contract. */
+  def marginMine(src: DataFrame, srcId: Column, srcVec: Column,
+      tgt: DataFrame, tgtId: Column, tgtVec: Column, k: Int,
+      minMarginPermille: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val a = src.select(srcId.as("sid"), srcVec.as("__sv"))
+    val b = tgt.select(tgtId.as("tid"), tgtVec.as("__tv"))
+    val crossed = a.crossJoin(b)
+    val pairs = crossed.select(col("sid"), col("tid"),
+      round(cosineNative(crossed, col("__sv"), col("__tv")) * lit(1e6))
+        .cast("long").as("cm"))
+    val ws = Window.partitionBy("sid").orderBy(col("cm").desc, col("tid"))
+    val wt = Window.partitionBy("tid").orderBy(col("cm").desc, col("sid"))
+    val rs = pairs.withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= k)
+    val rt = pairs.withColumn("__r", row_number().over(wt))
+      .filter(col("__r") <= k)
+    val sumS = rs.groupBy("sid")
+      .agg(sum("cm").as("__ss"), count(lit(1)).as("__ks"))
+    val sumT = rt.groupBy("tid")
+      .agg(sum("cm").as("__st"), count(lit(1)).as("__kt"))
+    val bestS = rs.filter(col("__r") === 1)
+      .select(col("sid"), col("tid"), col("cm"))
+    val bestT = rt.filter(col("__r") === 1)
+      .select(col("tid").as("__bt"), col("sid").as("__bs"))
+    val num = col("cm") * lit(2000L) * col("__ks") * col("__kt")
+    val den = col("__ss") * col("__kt") + col("__st") * col("__ks")
+    val margin = when(den <= 0L, lit(null).cast("long"))
+      .otherwise(when(num >= 0L, ExactRound.halfUpDivCol(num, den))
+        .otherwise(-ExactRound.halfUpDivCol(-num, den)))
+    bestS.join(sumS, "sid").join(sumT, "tid")
+      .join(bestT, col("tid") === col("__bt"), "left")
+      .select(col("sid"), col("tid"), col("cm").as("cos_micro"),
+        margin.as("margin_permille"),
+        coalesce(col("__bs") === col("sid"), lit(false)).as("mutual"))
+      .filter(col("margin_permille") >= minMarginPermille)
+  }
+
   /** Serving-scale hard-negative mining — the IVF-bounded variant the
     * [[hardNegatives]] scaladoc promises: mine from an index written by
     * [[ivfWritePartitioned]] so the scan covers only the anchors' probed

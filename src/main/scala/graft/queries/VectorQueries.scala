@@ -1018,6 +1018,37 @@ object VectorQueries {
       coherence(bins(Seq(col("pos"))), "sem")
         .join(coherence(bins(Seq(col("doc"))), "id"), "source")
         .orderBy("source")
+    }),
+
+    // margin-based cross-corpus mining (Sim.marginMine — the bitext
+    // recipe): sides = vec_id parity; every 10th even vector is COPIED
+    // into the target side (+9000001), so planted pairs score cos_micro
+    // 1e6 with a margin far above the organic neighborhood ratio and
+    // come back MUTUAL. All arithmetic integer after the per-pair 1e-6
+    // quantization; the census pins every mined pair's bucket +
+    // membership checksum (organic borderline pairs land wherever BOTH
+    // engines put them — the grid, not the threshold, is the contract)
+    "q289_margin_mining" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"), col("embedding"))
+      val withPlants = base.unionByName(
+        base.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 2)
+          .select((col("vec_id") + 9000001L).as("vec_id"), col("embedding")))
+      val srcSide = withPlants.filter(col("vec_id") % 2 === 0)
+      val tgtSide = withPlants.filter(col("vec_id") % 2 === 1)
+      Sim.marginMine(srcSide, col("vec_id"), col("embedding"),
+          tgtSide, col("vec_id"), col("embedding"), k = 4)
+        .withColumn("planted", (col("tid") >= 9000001L).cast("int"))
+        .withColumn("high", (col("margin_permille") >= 1300L).cast("int"))
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          concat_ws(":", col("sid"), col("tid")), 31))
+        .groupBy("planted", "high", "mutual")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("cos_micro").as("sum_cos_micro"),
+          sum("margin_permille").as("sum_margin"),
+          min("margin_permille").as("min_margin"),
+          max("margin_permille").as("max_margin"),
+          expr("bit_xor(__h)").as("pair_checksum"))
+        .orderBy("planted", "high", "mutual")
     })
   )
 
@@ -1842,6 +1873,59 @@ object VectorQueries {
            GROUP BY 1)
          SELECT source, n_pairs_sem, cos_micro_sem, n_pairs_id, cos_micro_id
          FROM psem JOIN pid USING (source)
-         ORDER BY source"""
+         ORDER BY source""",
+
+    // identical plant arithmetic, identical per-pair 1e-6 quantization,
+    // identical two-sided top-4 windows and the signed integer-permille
+    // margin — the threshold is replayed on the shared grid
+    "q289_margin_mining" -> {
+      val hSql = graft.functions.PortableHash.md5LongSql(
+        "(sid::VARCHAR || ':' || tid::VARCHAR)", 31)
+      def hud(num: String, den: String) =
+        graft.ops.ExactRound.halfUpDivSql(num, den)
+      val num = "(cm * 2000 * ks * kt)"
+      val den = "(ss * kt + st * ks)"
+      s"""WITH pl AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 9000001, embedding FROM embeddings
+           WHERE vec_id % 2 = 0 AND vec_id % 10 = 2),
+         s AS (SELECT vec_id AS sid, embedding AS sv FROM pl
+           WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tid, embedding AS tv FROM pl
+           WHERE vec_id % 2 = 1),
+         p AS (SELECT sid, tid,
+             CAST(round((${Sim.cosineSql("sv", "tv")}) * 1e6) AS BIGINT)
+               AS cm
+           FROM s, t),
+         rs AS (SELECT *, row_number() OVER (PARTITION BY sid
+             ORDER BY cm DESC, tid) AS r FROM p),
+         rt AS (SELECT *, row_number() OVER (PARTITION BY tid
+             ORDER BY cm DESC, sid) AS r FROM p),
+         sms AS (SELECT sid, CAST(sum(cm) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS ks FROM rs WHERE r <= 4
+           GROUP BY 1),
+         smt AS (SELECT tid, CAST(sum(cm) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS kt FROM rt WHERE r <= 4
+           GROUP BY 1),
+         bs AS (SELECT sid, tid, cm FROM rs WHERE r = 1),
+         bt AS (SELECT tid, sid AS bsid FROM rt WHERE r = 1),
+         m AS (SELECT bs.sid, bs.tid, bs.cm,
+             CASE WHEN $den <= 0 THEN NULL
+               WHEN $num >= 0 THEN ${hud(num, den)}
+               ELSE -${hud(s"-$num", den)} END AS mpm,
+             coalesce(bt.bsid = bs.sid, false) AS mutual
+           FROM bs JOIN sms USING (sid) JOIN smt USING (tid)
+           LEFT JOIN bt USING (tid)),
+         f AS (SELECT *, CASE WHEN tid >= 9000001 THEN 1 ELSE 0 END
+               AS planted,
+             CASE WHEN mpm >= 1300 THEN 1 ELSE 0 END AS high,
+             ($hSql) AS hh
+           FROM m WHERE mpm >= 0)
+         SELECT planted, high, mutual, count(*) AS n_pairs,
+           CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+           CAST(sum(mpm) AS BIGINT) AS sum_margin,
+           min(mpm) AS min_margin, max(mpm) AS max_margin,
+           CAST(bit_xor(hh) AS BIGINT) AS pair_checksum
+         FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    }
   )
 }

@@ -474,4 +474,58 @@ class OpsSpecR16 extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("valve"))
   }
+
+  // ---- Similarity.marginMine: ratio-margin cross-corpus mining ------------
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("marginMine: hand-computed margins on orthogonal plants — an exact " +
+    "copy scores 2000 permille mutual, an orphan scores 0 with the " +
+    "cm-desc/tid-asc tie-break, and a nonpositive neighborhood drops") {
+    val src = vecDf(Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)), (20L, Seq(0f, 1f, 0f, 0f))))
+    val tgt = vecDf(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (3L, Seq(0f, 0f, 1f, 0f))))
+    val got = graft.ops.Similarity.marginMine(src, col("id"), col("v"),
+        tgt, col("id"), col("v"), k = 2)
+      .orderBy("sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // x10 ↔ y1 exact copy: cm 1e6; ss = 1e6+0, st = 1e6+0, ks = kt = 2 →
+    // margin = 2000·1e6·4 / (1e6·2 + 1e6·2) = 2000; mutual.
+    // x20: all cosines 0 → best = lowest tid (1); margin 0, not mutual
+    assert(got.toSeq === Seq(
+      (10L, 1L, 1000000L, 2000L, true),
+      (20L, 1L, 0L, 0L, false)))
+    // antipodal 1-vs-1: den = −2e6 ≤ 0 → margin NULL → dropped even at
+    // minMarginPermille = Long.MinValue
+    val dropped = graft.ops.Similarity.marginMine(
+      vecDf(Seq((1L, Seq(1f, 0f)))), col("id"), col("v"),
+      vecDf(Seq((2L, Seq(-1f, 0f)))), col("id"), col("v"),
+      k = 1, minMarginPermille = Long.MinValue)
+    assert(dropped.count() === 0L)
+  }
+
+  test("marginMine: a negative best cosine takes the SIGNED half-up " +
+    "mirror, never floor-truncation") {
+    // src x1=(1,0) anchors tgt y's neighborhood at +1e6; src x2=(−1,1)
+    // has cos(x2,y) = −1/√2 → cm −707107; den = −707107 + 1e6 > 0
+    val src = vecDf(Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 1f))))
+    val tgt = vecDf(Seq((9L, Seq(1f, 0f))))
+    val got = graft.ops.Similarity.marginMine(src, col("id"), col("v"),
+        tgt, col("id"), col("v"), k = 1,
+        minMarginPermille = Long.MinValue)
+      .orderBy("sid").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val cm = -707107L
+    val den = BigInt(cm) + BigInt(1000000L)
+    val num = BigInt(-cm) * 2000
+    val mirrored = -((2 * num + den) / (2 * den)).toLong
+    assert(got.toSeq === Seq((1L, 1000000L, 1000L), (2L, cm, mirrored)))
+    assert(mirrored < 0 && mirrored != (2 * -num + den) / (2 * den),
+      "the mirror must round away from zero, not floor")
+  }
 }
