@@ -641,6 +641,75 @@ object Dedup {
     parts.reduce(_.unionByName(_)).drop("__w")
   }
 
+  /** [[admitStep]]'s EMBEDDING twin — one admission step of the evolving
+    * vector gate ([[admitWavesEmbed]] and
+    * [[graft.streaming.EmbedStream.evolvingGate]] share it): admit
+    * `batch` (`id`, `vec`) against its own wave-mates and the accumulated
+    * ADMITTED-vector `index` (`bucket`, `vec` — sign-LSH bucket plus the
+    * vector itself, which the cosine verify needs; built by
+    * [[embedIndexOf]] at admission time). Same semantics as the text
+    * form: within the wave any SMALLER-id same-bucket neighbor with
+    * native cosine ≥ `minCosine` kills (dead or alive — the conservative
+    * local-minima rule); across waves only admitted vectors kill. The
+    * cosine threshold is a single-comparison float gate (engine-safe by
+    * the repo's one-division rule), the buckets bound both joins exactly
+    * as in [[dedupByEmbedding]]. */
+  def admitStepEmbed(batch: DataFrame, id: Column, vec: Column,
+      index: DataFrame, bits: Int, minCosine: Double): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val b = batch.select(id.as("__i"), vec.as("__v"),
+      graft.ops.Similarity.signBucket(vec, bits).as("__bk"))
+    val within = b.as("a").join(b.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__i") > col("b.__i"))
+      .filter(graft.ops.Similarity.cosineNative(batch,
+        col("a.__v"), col("b.__v")) >= minCosine)
+      .select(col("a.__i").as("__dead")).distinct()
+    val surv = batch.join(within, id === col("__dead"), "left_anti")
+    val sb = surv.select(id.as("__i"), vec.as("__v"),
+      graft.ops.Similarity.signBucket(vec, bits).as("__bk"))
+    val deadIdx = sb.as("a")
+      .join(index.select(col("bucket").as("__rbk"), col("vec").as("__rv")),
+        col("a.__bk") === col("__rbk"))
+      .filter(graft.ops.Similarity.cosineNative(surv,
+        col("a.__v"), col("__rv")) >= minCosine)
+      .select(col("a.__i").as("__dead")).distinct()
+    surv.join(deadIdx, id === col("__dead"), "left_anti")
+  }
+
+  /** The evolving embedding index's row shape: `(bucket, vec)` of every
+    * admitted vector — what [[admitStepEmbed]] consumes and each
+    * wave/microbatch appends. */
+  def embedIndexOf(df: DataFrame, vec: Column, bits: Int): DataFrame =
+    df.select(graft.ops.Similarity.signBucket(vec, bits).as("bucket"),
+      vec.as("vec"))
+
+  /** [[admitWaves]]'s EMBEDDING twin: evolving-index vector admission
+    * over ordered arrival waves — closes
+    * [[graft.streaming.EmbedStream.gate]]'s documented non-goal (near-dup
+    * detection WITHIN the arrival stream) the same way the text form
+    * closes corpusGate's: every admitted vector joins the index before
+    * the next wave. Same wave valve, same per-wave persistence, same
+    * survivors-kill-across / any-smaller-kills-within semantics. */
+  def admitWavesEmbed(arrivals: DataFrame, id: Column, vec: Column,
+      wave: Column, refIndex: DataFrame, bits: Int, minCosine: Double,
+      maxWaves: Int = 64): DataFrame = {
+    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
+      .orderBy("__w").collect().map(_.getLong(0)).toSeq
+    require(waves.nonEmpty, "admitWavesEmbed: no arrival waves")
+    require(waves.size <= maxWaves,
+      s"admitWavesEmbed: ${waves.size} waves exceed the $maxWaves valve — " +
+        "waves are release snapshots or microbatch replays, never data-sized")
+    val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    val (_, parts) = waves.foldLeft((refIndex, Seq.empty[DataFrame])) {
+      case ((idx, acc), w) =>
+        val adm = admitStepEmbed(tagged.filter(col("__w") === w), id, vec,
+            idx, bits, minCosine)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (idx.unionByName(embedIndexOf(adm, vec, bits)), acc :+ adm)
+    }
+    parts.reduce(_.unionByName(_)).drop("__w")
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -1049,6 +1049,55 @@ object VectorQueries {
           max("margin_permille").as("max_margin"),
           expr("bit_xor(__h)").as("pair_checksum"))
         .orderBy("planted", "high", "mutual")
+    }),
+
+    // EVOLVING-index vector admission (Dedup.admitWavesEmbed — the
+    // embedding twin of q288, the batch twin of EmbedStream.evolvingGate):
+    // three arrival waves against a frozen seed index, admitted vectors'
+    // (bucket, vec) rows joining the index between waves. exact_plant =
+    // same vector in its source's own wave (min-id); near_plant = the
+    // wave-0 vector SCALED ×2 arriving at wave 2 (same sign bucket, cosine
+    // exactly cos(v,v) — dies ONLY via the evolved index, the q269
+    // positive-scaling trick); ref_plant = seed copy (frozen-index kill)
+    "q290_embed_evolving" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"), col("embedding"))
+      val seedIdx = graft.ops.Dedup.embedIndexOf(
+        base.filter(col("vec_id") % 5 === 0), col("embedding"), bits = 4)
+      val organic = base.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(3L)).as("wave"),
+          lit("organic").as("category"))
+      val exactP = organic.filter(pmod(col("vec_id"), lit(7)) === 2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("wave"), lit("exact_plant").as("category"))
+      val nearP = organic
+        .filter(col("wave") === 0 && pmod(col("vec_id"), lit(7)) === 1)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          lit(2L).as("wave"), lit("near_plant").as("category"))
+      val refP = base
+        .filter(col("vec_id") % 5 === 0 && pmod(col("vec_id"), lit(7)) === 3)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(3L)).as("wave"),
+          lit("ref_plant").as("category"))
+      val arrivals = organic.unionByName(exactP).unionByName(nearP)
+        .unionByName(refP)
+      val admitted = graft.ops.Dedup.admitWavesEmbed(arrivals,
+        col("vec_id"), col("embedding"), col("wave"), seedIdx,
+        bits = 4, minCosine = 0.95)
+      arrivals
+        .select(col("vec_id"), col("wave").cast("int").as("wave"),
+          col("category"))
+        .join(admitted.select(col("vec_id"), lit(1L).as("__a")),
+          Seq("vec_id"), "left")
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          col("vec_id").cast("string"), 83))
+        .groupBy("wave", "category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__a"), lit(0L))).as("n_admitted"),
+          coalesce(expr("bit_xor(CASE WHEN __a IS NOT NULL THEN __h END)"),
+            lit(0L)).as("admitted_checksum"))
+        .orderBy("wave", "category")
     })
   )
 
@@ -1926,6 +1975,63 @@ object VectorQueries {
            min(mpm) AS min_margin, max(mpm) AS max_margin,
            CAST(bit_xor(hh) AS BIGINT) AS pair_checksum
          FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+
+    // identical plant arithmetic (×2 scaling is exact in both engines,
+    // sign buckets unchanged), identical bucket-equi + cosine ≥ 0.95
+    // kill rule, three waves unrolled with admitted-only index evolution
+    "q290_embed_evolving" -> {
+      val hid = graft.functions.PortableHash.md5LongSql(
+        "vec_id::VARCHAR", 83)
+      val cosAB = Sim.cosineSql("a.v", "c.v")
+      val waveCtes = (0 to 2).map { w =>
+        val idxDef =
+          if (w == 0) "SELECT vec_id AS id FROM seedrel"
+          else s"SELECT id FROM idx${w - 1} UNION ALL " +
+            s"SELECT id FROM adm${w - 1}"
+        s"""idx$w AS ($idxDef),
+           |drop$w AS (SELECT DISTINCT a.id FROM b a
+           |  JOIN b c ON a.bk = c.bk AND a.id <> c.id
+           |  WHERE a.id IN (SELECT vec_id FROM rel WHERE wave = $w)
+           |    AND (c.id IN (SELECT id FROM idx$w)
+           |      OR (c.id IN (SELECT vec_id FROM rel WHERE wave = $w)
+           |        AND c.id < a.id))
+           |    AND ($cosAB) >= 0.95),
+           |adm$w AS (SELECT vec_id AS id FROM rel WHERE wave = $w
+           |  AND vec_id NOT IN (SELECT id FROM drop$w))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rel AS (
+         |  SELECT vec_id, embedding AS v, vec_id % 3 AS wave,
+         |      'organic' AS category
+         |    FROM embeddings WHERE vec_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, vec_id % 3, 'exact_plant'
+         |    FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 7 = 2
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(embedding, x -> x * 2),
+         |      2, 'near_plant'
+         |    FROM embeddings
+         |    WHERE vec_id % 5 <> 0 AND vec_id % 3 = 0 AND vec_id % 7 = 1
+         |  UNION ALL
+         |  SELECT vec_id + 3000000, embedding, vec_id % 3, 'ref_plant'
+         |    FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 7 = 3),
+         |seedrel AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id % 5 = 0),
+         |allv AS (SELECT vec_id AS id, v FROM rel
+         |  UNION ALL SELECT vec_id, v FROM seedrel),
+         |b AS (SELECT id, v, ${Sim.signBucketSql("v", 4)} AS bk FROM allv),
+         |$waveCtes,
+         |admAll AS (SELECT id FROM adm0 UNION ALL SELECT id FROM adm1
+         |  UNION ALL SELECT id FROM adm2)
+         |SELECT CAST(wave AS INTEGER) AS wave, category,
+         |  count(*) AS n_in,
+         |  CAST(sum(CASE WHEN vec_id IN (SELECT id FROM admAll)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(bit_xor(CASE WHEN vec_id IN
+         |    (SELECT id FROM admAll) THEN $hid END), 0) AS BIGINT)
+         |    AS admitted_checksum
+         |FROM rel GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin
     }
   )
 }

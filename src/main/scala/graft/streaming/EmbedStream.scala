@@ -45,6 +45,65 @@ import graft.ops.{Similarity => Sim}
   * the reference density exactly as in [[Sim.bucketedPairs]]. */
 object EmbedStream {
 
+  /** EVOLVING-index vector admission — closes [[gate]]'s documented
+    * non-goal (near-dup detection WITHIN the arrival stream) exactly as
+    * [[TextStream.evolvingGate]] closes corpusGate's: every admitted
+    * vector's `(bucket, vec)` row joins the index itself, so a scaled or
+    * perturbed copy arriving microbatches later dies against everything
+    * admitted so far, not just the frozen reference. Same mechanics —
+    * one `foreachBatch` per trigger reading every parquet increment
+    * STRICTLY below its own batchId (replay-idempotent, exactly-once;
+    * seed increments carry non-numeric tags), admitting via
+    * [[graft.ops.Dedup.admitStepEmbed]] (ONE code path with the batch
+    * twin [[graft.ops.Dedup.admitWavesEmbed]]), writing admitted rows to
+    * `admittedDir/batch=<id>` and their index rows to the new increment.
+    * State = one (bucket, vec) row per admitted vector, on disk. The
+    * arrivals must expose `vec_id` and `embedding` (the [[gate]]
+    * contract). */
+  def evolvingGate(arrivals: DataFrame, indexDir: String,
+      admittedDir: String, checkpointDir: String, bits: Int,
+      minCosine: Double): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(arrivals.isStreaming, "evolvingGate expects a streaming frame")
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      val idx = readIndexBelow(spark, indexDir, batchId)
+      val adm = graft.ops.Dedup.admitStepEmbed(batch, col("vec_id"),
+          col("embedding"), idx, bits, minCosine)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adm.write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
+      graft.ops.Dedup.embedIndexOf(adm, col("embedding"), bits)
+        .write.mode("overwrite").parquet(s"$indexDir/inc=$batchId")
+      adm.unpersist(false)
+      ()
+    }
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
+  /** Committed increments visible to `batchId` (the
+    * [[TextStream]] rule): seeds plus numeric increments strictly below
+    * it; empty-schema frame on a cold start. */
+  private def readIndexBelow(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs =
+      if (!fs.exists(path)) Seq.empty[String]
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+        .filter { s =>
+          val tag = s.getPath.getName.stripPrefix("inc=")
+          tag.toLongOption.forall(_ < batchId)
+        }
+        .map(_.getPath.toString).sorted
+    if (incs.isEmpty)
+      spark.range(0).select(col("id").as("bucket"),
+        array().cast("array<float>").as("vec"))
+    else spark.read.parquet(incs: _*)
+  }
+
   /** Admit `arrivals` (`vec_id`, `embedding`) against the frozen
     * `reference` (an `embedding` column). Returns the admitted rows. */
   def gate(arrivals: DataFrame, reference: DataFrame, bits: Int,

@@ -1047,6 +1047,75 @@ class StreamStaticSpec extends AnyFunSuite {
       "post-restart: 9 dies against the persisted index, 10 admits")
   }
 
+  test("embedding evolving gate: stream admits the identical vector set " +
+    "as the admitWavesEmbed batch twin with a SCALED copy split across " +
+    "microbatches, and a post-restart scaled copy still dies") {
+    import graft.streaming.EmbedStream
+    import graft.ops.Dedup
+    import spark.implicits._
+    // deterministic well-separated directions: vector i is +1 on block
+    // i%4 of 16 dims, −0.25 elsewhere (the q271 lattice) + a small
+    // id-dependent nudge so ids in the same block stay < 0.95 apart
+    def vec(i: Int): Seq[Float] = (0 until 16).map { dim =>
+      val base = if (dim / 4 == i % 4) 1.0f else -0.25f
+      if (dim == (i * 3) % 16) base + 2.0f else base
+    }
+    val b0 = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))
+    val b1 = Seq((5L, vec(1).map(_ * 2)), (6L, vec(6)))   // 5 = scaled 1
+    val b2 = Seq((7L, vec(6).map(_ * 4)), (8L, vec(8)))   // 7 = scaled 6
+    val waved = (b0.map(r => (r._1, r._2, 0L)) ++
+      b1.map(r => (r._1, r._2, 1L)) ++ b2.map(r => (r._1, r._2, 2L)))
+      .toDF("vec_id", "embedding", "w")
+    val emptyIdx = spark.range(0).select(col("id").as("bucket"),
+      array().cast("array<float>").as("vec"))
+    val want = Dedup.admitWavesEmbed(waved, col("vec_id"),
+        col("embedding"), col("w"), emptyIdx, bits = 4, minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want === Seq(1L, 2L, 3L, 6L, 8L),
+      "batch twin: both scaled copies must die, everything else admits")
+    val dir = Files.createTempDirectory("graft-embed-evolving")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, Seq[Float])], name: String,
+        ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write
+        .parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(b0, "a", 90000); ship(b1, "b", 60000); ship(b2, "c", 30000)
+    val idxDir = dir.resolve("idx").toString
+    val admDir = dir.resolve("adm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def runGate(): Unit = {
+      val stream = spark.readStream
+        .schema(waved.drop("w").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = EmbedStream.evolvingGate(stream, idxDir, admDir, ckpt,
+        bits = 4, minCosine = 0.95)
+      q.processAllAvailable(); q.stop()
+    }
+    runGate()
+    val got = spark.read.parquet(admDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "stream must admit exactly the batch twin's set")
+    // restart: a ×8 copy of vector 2 (admitted in batch 0) arrives — the
+    // persisted index must kill it, vector 10 is novel and admits
+    ship(Seq((9L, vec(2).map(_ * 8)), (10L, vec(10))), "d", 0)
+    runGate()
+    val after = spark.read.parquet(admDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === (want :+ 10L),
+      "post-restart: the scaled copy dies against the persisted index")
+  }
+
   test("streaming packer: bins across microbatch boundaries equal " +
     "packOrdered, the same code path on a static frame is bit-equal, " +
     "and a seq regression across triggers fails loudly") {
