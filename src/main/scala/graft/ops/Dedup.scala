@@ -583,13 +583,31 @@ object Dedup {
   def admitStep(batch: DataFrame, id: Column, text: Column,
       index: DataFrame, n: Int, k: Int, bands: Int,
       minEstJaccard: Double): DataFrame = {
-    val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
+    // signatures persist at creation: the step's plan references them
+    // SIX times (band self-join sides, two verify sides, the index
+    // candidate join, the increment) — recomputing the MinHash per
+    // reference was measured at >100 cpu-s per wave at sf0.1 before this
+    // (the dupClusters materialize-once lesson). k+1 longs per doc;
+    // Verify/Bench purge between queries, evolvingGate unpersists per
+    // trigger.
     val sig = minhashSignaturesRowwise(batch, id, text, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    admitWithSig(batch, id, sig, index, k, bands,
+      math.ceil(minEstJaccard * k - 1e-9).toInt)
+  }
+
+  /** [[admitStep]]'s core over a PRE-MATERIALIZED signature frame —
+    * callers that also need the signatures (the wave fold's index
+    * increment, the streaming gate's parquet increment) persist `sig`
+    * once and share it here. */
+  private[graft] def admitWithSig(batch: DataFrame, id: Column,
+      sig: DataFrame, index: DataFrame, k: Int, bands: Int,
+      minAgree: Int): DataFrame = {
     val bnd = lshBands(sig, k, bands)
     val agree = (0 until k)
       .map(j => when(col(s"ai.s$j") === col(s"ci.s$j"), 1).otherwise(0))
       .reduce(_ + _)
-    val dropped = bnd.as("a")
+    val droppedWithin = bnd.as("a")
       .join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc") > col("b.doc"))
@@ -598,8 +616,18 @@ object Dedup {
       .join(sig.as("ci"), col("j") === col("ci.doc"))
       .filter(agree >= minAgree)
       .select("i").distinct()
-    val surv = batch.join(dropped, id === col("i"), "left_anti")
-    dedupAgainstCorpus(surv, id, text, index, n, k, bands, minEstJaccard)
+    val survSig = sig.join(droppedWithin, col("doc") === col("i"),
+      "left_anti")
+    val droppedIdx = lshBands(survSig, k, bands).as("a")
+      .join(lshBands(index, k, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j")).distinct()
+      .join(survSig.as("ai"), col("i") === col("ai.doc"))
+      .join(index.as("ci"), col("j") === col("ci.doc"))
+      .filter(agree >= minAgree)
+      .select("i").distinct()
+    batch.join(droppedWithin.unionByName(droppedIdx).distinct(),
+      id === col("i"), "left_anti")
   }
 
   /** EVOLVING-index admission over ORDERED arrival waves — the batch twin
@@ -630,13 +658,21 @@ object Dedup {
       s"admitWaves: ${waves.size} waves exceed the $maxWaves valve — " +
         "waves are release snapshots or microbatch replays, never data-sized")
     val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
     val (_, parts) = waves.foldLeft((corpusIndex, Seq.empty[DataFrame])) {
       case ((idx, acc), w) =>
-        val adm = admitStep(tagged.filter(col("__w") === w), id, text, idx,
-            n, k, bands, minEstJaccard)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (idx.unionByName(minhashSignaturesRowwise(adm, id, text, n, k)),
-          acc :+ adm)
+        val batch = tagged.filter(col("__w") === w)
+        val sig = minhashSignaturesRowwise(batch, id, text, n, k)
+          .persist(lvl)
+        val adm = admitWithSig(batch, id, sig, idx, k, bands, minAgree)
+          .persist(lvl)
+        // index increment DERIVED from the persisted signatures (one
+        // semi join), never a MinHash recompute of the admitted text
+        val inc = sig.join(adm.select(id.as("__adm")),
+            col("doc") === col("__adm"), "left_semi")
+          .persist(lvl)
+        (idx.unionByName(inc), acc :+ adm)
     }
     parts.reduce(_.unionByName(_)).drop("__w")
   }

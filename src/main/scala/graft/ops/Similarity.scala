@@ -230,6 +230,52 @@ object Similarity {
       .filter(col("margin_permille") >= minMarginPermille)
   }
 
+  /** Retrieval-quality EVALUATION table — the metrics every ANN/BM25/RRF
+    * stack is tuned against, computed exactly: for each query, the top-k
+    * retrieved list is scored against a gold `truth` set, emitting
+    * `(qid, n_truth, hits, recall_permille, precision_permille,
+    * first_hit_rank, rr_micro)` — recall@k and precision@k on the half-up
+    * permille grid, reciprocal rank as `halfUp(10^6 / first_hit_rank)`
+    * (NULL when nothing hits), so a suite-level MRR is
+    * `halfUpDiv(sum(rr_micro), n_queries)` — integer end to end, no float
+    * mean of reciprocals crosses the engine boundary.
+    *
+    * `retrieved` must carry (`qid`, `id`, `rk`) with `rk` a 1-based dense
+    * rank per query (what [[bruteForceTopK]]-style rankers emit); rows
+    * with `rk > k` are ignored, so callers can pass a deeper list and
+    * sweep k. `truth` carries (`qid`, `id`) gold pairs. Queries with an
+    * EMPTY truth set report NULL recall (0/0 — unknowable, not perfect),
+    * distinct from 0 (retrieved all misses).
+    *
+    * Scale shape: one hash join of the rank-bounded retrieved list
+    * against the gold pairs on (qid, id) + one partial-aggregable groupBy
+    * per side; nothing scales beyond |retrieved| + |truth|. */
+  def retrievalEval(retrieved: DataFrame, rQid: Column, rId: Column,
+      rk: Column, truth: DataFrame, tQid: Column, tId: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = retrieved.select(rQid.as("qid"), rId.as("__id"),
+        rk.cast("long").as("__rk"))
+      .filter(col("__rk") <= k)
+    val t = truth.select(tQid.as("qid"), tId.as("__id"))
+    val nTruth = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+    val hits = r.join(t, Seq("qid", "__id"))
+    val perQ = r.groupBy("qid").agg(count(lit(1)).as("__nret"))
+      .join(hits.groupBy("qid").agg(count(lit(1)).as("hits"),
+        min("__rk").as("first_hit_rank")), Seq("qid"), "left")
+      .join(nTruth, Seq("qid"), "left")
+    perQ.select(col("qid"),
+      coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+      coalesce(col("hits"), lit(0L)).as("hits"),
+      ExactRound.halfUpDivCol(coalesce(col("hits"), lit(0L)) * 1000L,
+        coalesce(col("n_truth"), lit(0L))).as("recall_permille"),
+      ExactRound.halfUpDivCol(coalesce(col("hits"), lit(0L)) * 1000L,
+        lit(k.toLong)).as("precision_permille"),
+      col("first_hit_rank"),
+      ExactRound.halfUpDivCol(lit(1000000L), col("first_hit_rank"))
+        .as("rr_micro"))
+  }
+
   /** Serving-scale hard-negative mining — the IVF-bounded variant the
     * [[hardNegatives]] scaladoc promises: mine from an index written by
     * [[ivfWritePartitioned]] so the scan covers only the anchors' probed

@@ -1098,6 +1098,32 @@ object VectorQueries {
           coalesce(expr("bit_xor(CASE WHEN __a IS NOT NULL THEN __h END)"),
             lit(0L)).as("admitted_checksum"))
         .orderBy("wave", "category")
+    }),
+
+    // retrieval-quality EVALUATION table (Sim.retrievalEval): the q150
+    // 3-query brute top-10 scored against label-matched gold sets —
+    // recall@10 / precision@10 on the half-up permille grid and the
+    // reciprocal rank as an exact 1e6 integer, so the suite MRR is an
+    // integer mean. Organic values, no plants — the grid IS the contract
+    "q291_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val queries = emb(s, d).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qv"),
+          col("label").as("__ql"))
+      val corpus = emb(s, d).filter(col("vec_id") >= 3)
+      val crossed = corpus.crossJoin(broadcast(queries))
+      val retrieved = crossed
+        .select(col("qid"), col("vec_id").as("id"),
+          Sim.cosineNative(crossed, col("embedding"), col("__qv"))
+            .as("__cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("__cos").desc, col("id"))))
+        .filter(col("rk") <= 10)
+      val truth = corpus.join(broadcast(queries), col("label") === col("__ql"))
+        .select(col("qid"), col("vec_id").as("id"))
+      Sim.retrievalEval(retrieved, col("qid"), col("id"), col("rk"),
+          truth, col("qid"), col("id"), k = 10)
+        .orderBy("qid")
     })
   )
 
@@ -2032,6 +2058,41 @@ object VectorQueries {
          |    AS admitted_checksum
          |FROM rel GROUP BY 1, 2 ORDER BY 1, 2"""
         .stripMargin
-    }
+    },
+
+    // identical 3-query brute top-10 (cos DESC, id tie-break), identical
+    // label-matched gold sets and half-up permille/1e6 grids
+    "q291_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT vec_id AS id, embedding AS v, label
+           FROM embeddings WHERE vec_id >= 3),
+         p AS (SELECT qid, id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY (${Sim.cosineSql("v", "qv")}) DESC, id) AS rk
+           FROM c, q),
+         r AS (SELECT qid, id, CAST(rk AS BIGINT) AS rk FROM p
+           WHERE rk <= 10),
+         t AS (SELECT q.qid, c.id FROM q JOIN c ON c.label = q.ql),
+         nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth
+           FROM t GROUP BY 1),
+         h AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS hits,
+             min(r.rk) AS first_hit_rank
+           FROM r JOIN t ON r.qid = t.qid AND r.id = t.id GROUP BY 1),
+         f AS (SELECT q.qid,
+             coalesce(nt.n_truth, 0) AS n_truth,
+             coalesce(h.hits, 0) AS hits,
+             h.first_hit_rank
+           FROM q LEFT JOIN nt USING (qid) LEFT JOIN h USING (qid))
+         SELECT qid, n_truth, hits,
+           ${graft.ops.ExactRound.halfUpDivSql("hits * 1000", "n_truth")}
+             AS recall_permille,
+           ${graft.ops.ExactRound.halfUpDivSql("hits * 1000", "10")}
+             AS precision_permille,
+           first_hit_rank,
+           (CASE WHEN first_hit_rank IS NULL THEN NULL ELSE
+             ${graft.ops.ExactRound.halfUpDivSql("1000000",
+               "first_hit_rank")} END) AS rr_micro
+         FROM f ORDER BY qid"""
   )
 }

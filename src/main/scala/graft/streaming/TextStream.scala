@@ -129,16 +129,24 @@ object TextStream {
       bands: Int, minEstJaccard: Double)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(arrivals.isStreaming, "evolvingGate expects a streaming frame")
+    val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val spark = batch.sparkSession
       val idx = readIndexBelow(spark, indexDir, k, batchId)
-      val adm = Dedup.admitStep(batch, col("doc_id"), col("text"), idx,
-          n, k, bands, minEstJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // signatures computed ONCE per trigger, shared by the admission
+      // joins and the increment (the admitStep materialize-once rule);
+      // released before the trigger returns — no state accrues in memory
+      val sig = Dedup.minhashSignaturesRowwise(batch, col("doc_id"),
+        col("text"), n, k).persist(lvl)
+      val adm = Dedup.admitWithSig(batch, col("doc_id"), sig, idx, k,
+        bands, minAgree).persist(lvl)
       adm.write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
-      Dedup.minhashSignaturesRowwise(adm, col("doc_id"), col("text"), n, k)
+      sig.join(adm.select(col("doc_id").as("__adm")),
+          col("doc") === col("__adm"), "left_semi")
         .write.mode("overwrite").parquet(s"$indexDir/inc=$batchId")
       adm.unpersist(false)
+      sig.unpersist(false)
       ()
     }
     arrivals.writeStream

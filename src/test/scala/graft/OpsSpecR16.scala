@@ -528,4 +528,37 @@ class OpsSpecR16 extends AnyFunSuite {
     assert(mirrored < 0 && mirrored != (2 * -num + den) / (2 * den),
       "the mirror must round away from zero, not floor")
   }
+
+  // ---- Similarity.retrievalEval: exact recall/precision/MRR ---------------
+
+  test("retrievalEval: hand-computed metrics — rows beyond k are ignored, " +
+    "an empty truth set reports NULL recall (not 0), a no-hit query " +
+    "reports NULL reciprocal rank") {
+    import spark.implicits._
+    // q1: truth {10, 20, 30}; retrieved ranks 1→10(hit) 2→99 3→20(hit),
+    // rank 4→30 is BEYOND k=3 and must not count
+    // q2: truth {50}; retrieved all misses
+    // q3: truth EMPTY; retrieved something
+    val retrieved = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 20L, 3L), (1L, 30L, 4L),
+      (2L, 7L, 1L), (2L, 8L, 2L),
+      (3L, 5L, 1L)).toDF("qid", "id", "rk")
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 50L))
+      .toDF("qid", "id")
+    val got = graft.ops.Similarity.retrievalEval(retrieved, col("qid"),
+        col("id"), col("rk"), truth, col("qid"), col("id"), k = 3)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))
+    assert(got.toSeq === Seq(
+      // 2 of 3 truths found → recall 667‰, precision 2/3 of k=3 → 667‰,
+      // first hit at rank 1 → rr 1e6
+      (1L, 3L, 2L, 667L, 667L, 1L, 1000000L),
+      // all misses: recall 0, rr NULL
+      (2L, 1L, 0L, 0L, 0L, -1L, -1L),
+      // empty truth: recall NULL (0/0 unknowable), not 0
+      (3L, 0L, 0L, -1L, 0L, -1L, -1L)))
+  }
 }
