@@ -389,6 +389,52 @@ object Chunking {
     }.reduce(_.unionByName(_))
   }
 
+  /** Padding-waste DECISION table for fixed-row inference batching —
+    * [[packEfficiency]]'s serving-side sibling: a batch of R sequences
+    * pads every row to the batch MAX, so batch cost is `R·max(n_tok)` and
+    * the waste is `R·max − Σ n_tok`. Length-sorted ("sortish") batching
+    * is the standard mitigation; this table REPORTS the exact win instead
+    * of asserting it: one row per (group, policy) with batches, padded
+    * vs real tokens, and waste on the half-up permille grid — the numbers
+    * a serving team sizes R (and justifies the sort) from. Policies:
+    * `arrival` batches in `id` order, `sorted` batches in
+    * (n_tok DESC, id) order — both deterministic total orders, so every
+    * cell replays cross-engine.
+    *
+    * All-integer arithmetic. Scale shape: one rank window per (group,
+    * policy) — pack groups run in parallel, no global sort (the
+    * [[pack]] contract) — plus two partial-aggregable groupBys; the last
+    * short batch of each group is counted at its true cost, never
+    * padded up to R rows. */
+  def padWasteReport(docs: DataFrame, group: Column, id: Column,
+      nTok: Column, rowsPerBatch: Int): DataFrame = {
+    require(rowsPerBatch >= 1,
+      s"rowsPerBatch must be >= 1, got $rowsPerBatch")
+    val base = docs.select(group.as("grp"), id.as("__id"),
+      nTok.cast("long").as("__n"))
+    def policy(name: String, order: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(order: _*)
+      base
+        .withColumn("__b", (row_number().over(w) - 1)
+          .cast("long") / lit(rowsPerBatch.toLong))
+        .withColumn("__b", floor(col("__b")))
+        .groupBy("grp", "__b")
+        .agg(count(lit(1)).as("__rows"), max("__n").as("__mx"),
+          sum("__n").as("__real"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__rows") * col("__mx")).as("padded_tokens"),
+          sum("__real").as("real_tokens"))
+        .select(col("grp"), lit(name).as("policy"), col("n_batches"),
+          col("padded_tokens"), col("real_tokens"),
+          ExactRound.halfUpDivCol(
+            (col("padded_tokens") - col("real_tokens")) * 1000L,
+            col("padded_tokens")).as("waste_permille"))
+    }
+    policy("arrival", Seq(col("__id")))
+      .unionByName(policy("sorted", Seq(col("__n").desc, col("__id"))))
+  }
+
   /** T5-style span corruption, the DETERMINISTIC variant — per-document
     * masking statistics for denoising-pretraining target generation
     * (Raffel et al. 2020 §3.1.4). Token slot `i` opens a corruption span

@@ -507,6 +507,18 @@ object SamplingQueries {
         .orderBy("cyc", "rnk")
     }),
 
+    // padding-waste DECISION table for fixed-row inference batching
+    // (Chunking.padWasteReport): per (source, policy) the exact padded vs
+    // real token cost of R=8 batches under arrival order vs length-sorted
+    // order — the serving-side sibling of q279's ctx sweep; every cell
+    // integer arithmetic on the half-up permille grid
+    "q292_pad_waste" -> ((s, d) => {
+      Chunking.padWasteReport(t(s, d, "documents"), col("source"),
+          col("doc_id"), TA.tokenCount(col("text")).cast("long"),
+          rowsPerBatch = 8)
+        .orderBy("grp", "policy")
+    }),
+
     // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
     // stream order = rank of md5(doc_id + "#e") — an independent
     // deterministic permutation of the SAME multiset per epoch. The row
@@ -1424,6 +1436,32 @@ object SamplingQueries {
            CAST(sum(win_pm) AS BIGINT) AS sum_win_pm,
            CAST(bit_xor(hh) AS BIGINT) AS rank_checksum
          FROM rk GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // identical rank-window batching under both policies (arrival = id
+    // order, sorted = n DESC NULLS LAST like Spark's desc), identical
+    // rows×max padded cost and half-up permille waste
+    "q292_pad_waste" -> {
+      def pol(name: String, order: String) =
+        s"""SELECT grp, '$name' AS policy,
+           |  CAST(count(*) AS BIGINT) AS n_batches,
+           |  CAST(sum(r * mx) AS BIGINT) AS padded_tokens,
+           |  CAST(sum(rl) AS BIGINT) AS real_tokens,
+           |  ${graft.ops.ExactRound.halfUpDivSql(
+                "(sum(r * mx) - sum(rl)) * 1000", "sum(r * mx)")}
+           |    AS waste_permille
+           |FROM (SELECT grp, b, CAST(count(*) AS BIGINT) AS r,
+           |    max(n) AS mx, sum(n) AS rl
+           |  FROM (SELECT grp,
+           |      (row_number() OVER (PARTITION BY grp ORDER BY $order)
+           |        - 1) // 8 AS b, n
+           |    FROM d) GROUP BY 1, 2)
+           |GROUP BY 1""".stripMargin
+      s"""WITH d AS (SELECT source AS grp, doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n FROM documents)
+         SELECT * FROM (${pol("arrival", "doc_id")}
+           UNION ALL ${pol("sorted", "n DESC NULLS LAST, doc_id")})
+         ORDER BY grp, policy"""
     },
 
     // identical epoch-derived order hash, per-epoch rank windows, the

@@ -561,4 +561,25 @@ class OpsSpecR16 extends AnyFunSuite {
       // empty truth: recall NULL (0/0 unknowable), not 0
       (3L, 0L, 0L, -1L, 0L, -1L, -1L)))
   }
+
+  // ---- Chunking.padWasteReport: fixed-row batching waste ------------------
+
+  test("padWasteReport: hand-computed arrival vs sorted waste — sorting " +
+    "co-locates long rows so padded cost drops; the trailing short batch " +
+    "costs its true rows, never R") {
+    import spark.implicits._
+    // one group, R=2, lengths by id order: 10, 2, 9, 1, 8
+    // arrival: [10,2] pad 20, [9,1] pad 18, [8] pad 8 → padded 46, real 30
+    // sorted (desc): [10,9] 20, [8,2] 16, [1] 1 → padded 37, real 30
+    val df = Seq((1L, 10L), (2L, 2L), (3L, 9L), (4L, 1L), (5L, 8L))
+      .toDF("id", "n").withColumn("g", lit("s"))
+    val got = Chunking.padWasteReport(df, col("g"), col("id"), col("n"),
+        rowsPerBatch = 2)
+      .orderBy("policy").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("arrival", 3L, 46L, 30L, 348L), // 16/46 → 347.8 → 348‰
+      ("sorted", 3L, 37L, 30L, 189L))) // 7/37 → 189.2 → 189‰
+  }
 }

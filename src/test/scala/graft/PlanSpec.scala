@@ -538,11 +538,21 @@ class PlanSpec extends AnyFunSuite {
       s"the sweep may scan the corpus once:\n$p287")
     // q288: every kill pass is an LSH-banded EQUI join (the smaller-id /
     // agree conditions ride as residuals) — no nested loop anywhere in
-    // the three-wave fold
+    // the three-wave fold; the per-wave signature frames must be CACHED
+    // (the materialize-once rule — recomputing the MinHash per plan
+    // reference measured >100 cpu-s/wave)
     val p288 = plan("q288_evolving_admission")
     assert(!p288.contains("CartesianProduct") &&
       !p288.contains("BroadcastNestedLoopJoin"),
       s"wave admission must stay hash-joined:\n$p288")
     assert(p288.contains("LeftAnti"), p288)
+    assert(p288.contains("InMemoryTableScan"),
+      s"wave signatures must come from the persisted frame:\n$p288")
+    // q290: the embedding twin keeps the same shape — sign-bucket equi
+    // joins only (id/cosine conditions as residuals/filters)
+    val p290 = plan("q290_embed_evolving")
+    assert(!p290.contains("CartesianProduct") &&
+      !p290.contains("BroadcastNestedLoopJoin"),
+      s"vector admission must stay hash-joined:\n$p290")
   }
 }
