@@ -1045,6 +1045,18 @@ class StreamStaticSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(after === (want :+ 10L),
       "post-restart: 9 dies against the persisted index, 10 admits")
+    // compaction: merge the four committed increments into one seed and
+    // verify admissions continue unchanged — a near-dup of doc 3 still
+    // dies against the COMPACTED index, a novel doc still admits
+    assert(TextStream.compactIndex(spark, idxDir, upToBatchId = 4) === 4)
+    assert(TextStream.compactIndex(spark, idxDir, upToBatchId = 4) === 0,
+      "recompaction must be a no-op (crash-recovery is re-running it)")
+    ship(Seq((11L, text(3) + " zq"), (12L, text(12))), "e", 0)
+    runGate()
+    val compacted = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(compacted === (want ++ Seq(10L, 12L)),
+      "post-compaction: 11 dies against the compacted index, 12 admits")
   }
 
   test("embedding evolving gate: stream admits the identical vector set " +
