@@ -640,11 +640,13 @@ object Dedup {
     * after its original dies, which [[graft.streaming.TextStream.corpusGate]]
     * (frozen index, exact-signature state only) documents as its non-goal.
     *
-    * Each wave's survivors persist at creation (the index for wave w+1
-    * references them; without it the fold re-derives every earlier wave
-    * per reference — the dupClusters lineage lesson). Release via
-    * `catalog.clearCache` or session end; at production each increment is
-    * WRITTEN per wave instead (the streaming form's parquet increments).
+    * Each wave's survivors and index increment are EAGERLY
+    * localCheckpoint-ed (the dupClusters iteration hygiene): the index
+    * for wave w+1 references them, and a lazy fold nests every earlier
+    * wave's admission tree in the next wave's plan — blocks release via
+    * the session's persistent-RDD sweep or session end; at production
+    * each increment is WRITTEN per wave instead (the streaming form's
+    * parquet increments).
     *
     * `corpusIndex` seeds the index (`doc, s0..s{k-1}`; pass an empty frame
     * for a cold start). Returns admitted rows with original columns. */
@@ -660,18 +662,27 @@ object Dedup {
     val tagged = arrivals.withColumn("__w", wave.cast("long"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
+    // each wave's survivors and index increment are EAGERLY
+    // localCheckpoint-ed: a lazy fold would nest every earlier wave's
+    // full admission tree inside the next wave's plan several times over
+    // — analyzer/cache-canonicalization time exploded to >200 DRIVER
+    // cpu-s at sf0.1 before this (the dupClusters lazy-chaining trap;
+    // persist alone does not truncate the LOGICAL plan). Lineage
+    // truncation trades executor-loss recovery for bounded plans,
+    // exactly dupClusters' documented mode.
     val (_, parts) = waves.foldLeft((corpusIndex, Seq.empty[DataFrame])) {
       case ((idx, acc), w) =>
         val batch = tagged.filter(col("__w") === w)
         val sig = minhashSignaturesRowwise(batch, id, text, n, k)
           .persist(lvl)
         val adm = admitWithSig(batch, id, sig, idx, k, bands, minAgree)
-          .persist(lvl)
+          .localCheckpoint(true)
         // index increment DERIVED from the persisted signatures (one
         // semi join), never a MinHash recompute of the admitted text
         val inc = sig.join(adm.select(id.as("__adm")),
             col("doc") === col("__adm"), "left_semi")
-          .persist(lvl)
+          .localCheckpoint(true)
+        sig.unpersist(false)
         (idx.unionByName(inc), acc :+ adm)
     }
     parts.reduce(_.unionByName(_)).drop("__w")
@@ -736,11 +747,13 @@ object Dedup {
       s"admitWavesEmbed: ${waves.size} waves exceed the $maxWaves valve — " +
         "waves are release snapshots or microbatch replays, never data-sized")
     val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    // eager lineage truncation per wave — the admitWaves plan-blowup
+    // note applies verbatim
     val (_, parts) = waves.foldLeft((refIndex, Seq.empty[DataFrame])) {
       case ((idx, acc), w) =>
         val adm = admitStepEmbed(tagged.filter(col("__w") === w), id, vec,
             idx, bits, minCosine)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         (idx.unionByName(embedIndexOf(adm, vec, bits)), acc :+ adm)
     }
     parts.reduce(_.unionByName(_)).drop("__w")

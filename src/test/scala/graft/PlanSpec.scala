@@ -536,23 +536,39 @@ class PlanSpec extends AnyFunSuite {
     val scans287 = "Scan parquet".r.findAllIn(p287).length
     assert(scans287 <= 1 || p287.contains("ReusedExchange"),
       s"the sweep may scan the corpus once:\n$p287")
-    // q288: every kill pass is an LSH-banded EQUI join (the smaller-id /
-    // agree conditions ride as residuals) — no nested loop anywhere in
-    // the three-wave fold; the per-wave signature frames must be CACHED
-    // (the materialize-once rule — recomputing the MinHash per plan
-    // reference measured >100 cpu-s/wave)
+    // q288/q290: the wave folds EAGERLY localCheckpoint each admission
+    // (the dupClusters lineage rule), so the census plan must read
+    // lineage-truncated RDDs, never re-derive earlier waves lazily
     val p288 = plan("q288_evolving_admission")
-    assert(!p288.contains("CartesianProduct") &&
-      !p288.contains("BroadcastNestedLoopJoin"),
-      s"wave admission must stay hash-joined:\n$p288")
-    assert(p288.contains("LeftAnti"), p288)
-    assert(p288.contains("InMemoryTableScan"),
-      s"wave signatures must come from the persisted frame:\n$p288")
-    // q290: the embedding twin keeps the same shape — sign-bucket equi
-    // joins only (id/cosine conditions as residuals/filters)
-    val p290 = plan("q290_embed_evolving")
-    assert(!p290.contains("CartesianProduct") &&
-      !p290.contains("BroadcastNestedLoopJoin"),
-      s"vector admission must stay hash-joined:\n$p290")
+    assert(p288.contains("Scan ExistingRDD"),
+      s"per-wave admissions must be lineage-truncated (localCheckpoint), " +
+        s"never lazily re-derived:\n$p288")
+    // the admission STEP itself (shared by both folds and both streaming
+    // gates): every kill pass an LSH-banded/bucketed EQUI join — the
+    // smaller-id / agree / cosine conditions ride as residuals, no
+    // nested loop, and the anti joins stay anti
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.ops.Dedup.minhashSignaturesRowwise(
+      docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 3, 16)
+    val pStep = graft.ops.Dedup.admitStep(
+        docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"),
+        idx, 3, 16, 4, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!pStep.contains("CartesianProduct") &&
+      !pStep.contains("BroadcastNestedLoopJoin"),
+      s"admission kill passes must stay hash-joined:\n$pStep")
+    assert(pStep.contains("LeftAnti"), pStep)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val eIdx = graft.ops.Dedup.embedIndexOf(
+      emb.filter(col("vec_id") % 2 === 0), col("embedding"), 4)
+    val pStepE = graft.ops.Dedup.admitStepEmbed(
+        emb.filter(col("vec_id") % 2 =!= 0), col("vec_id"),
+        col("embedding"), eIdx, 4, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!pStepE.contains("CartesianProduct") &&
+      !pStepE.contains("BroadcastNestedLoopJoin"),
+      s"vector admission must stay hash-joined:\n$pStepE")
   }
 }
