@@ -185,13 +185,18 @@ object Similarity {
     * nonpositive neighborhood sum. No float ratio crosses the engine
     * boundary.
     *
-    * Scale shape: the BRUTE baseline — one src×tgt cosine pass whose
-    * per-side top-k ranks two-phase under InferWindowGroupLimit (map-side
-    * partial top-k below each exchange — reducers see k·nMapTasks rows
-    * per key, never the pair table; the [[hardNegatives]] mechanism). At
-    * 100 TB compose the bucketed path instead: [[assignCentroids]] both
-    * sides and mine within centroid pairs, or probe an
-    * [[ivfWritePartitioned]] index — the q48-brute / q57-IVF contract. */
+    * Scale shape: this is the PER-SHARD-PAIR KERNEL, deliberately brute —
+    * chunked global mining (the CCMatrix recipe) partitions both corpora
+    * into bounded shards and runs one kernel per (src-shard, tgt-shard)
+    * pair, embarrassingly parallel with CONSTANT per-kernel cost; inside
+    * the kernel the per-side top-k ranks two-phase under
+    * InferWindowGroupLimit (map-side partial top-k below each exchange —
+    * reducers see k·nMapTasks rows per key, never the pair table; the
+    * [[hardNegatives]] mechanism). Never feed it unbounded sides: at 10×
+    * data the kernel itself is 100× (measured 9 → 1090 cpu-s sf0.1 →
+    * sf1.0 unsharded) — shard first, or probe an
+    * [[ivfWritePartitioned]] index / [[assignCentroids]] buckets to
+    * bound candidates (the q48-brute / q57-IVF contract). */
   def marginMine(src: DataFrame, srcId: Column, srcVec: Column,
       tgt: DataFrame, tgtId: Column, tgtVec: Column, k: Int,
       minMarginPermille: Long = 0L): DataFrame = {

@@ -1027,9 +1027,15 @@ object VectorQueries {
     // come back MUTUAL. All arithmetic integer after the per-pair 1e-6
     // quantization; the census pins every mined pair's bucket +
     // membership checksum (organic borderline pairs land wherever BOTH
-    // engines put them — the grid, not the threshold, is the contract)
+    // engines put them — the grid, not the threshold, is the contract).
+    // The vec_id < 1000 slice is the SHARD-PAIR contract (marginMine's
+    // scaladoc): one bounded kernel invocation — global mining is the
+    // parallel cross product of such kernels, so the benchmark row must
+    // measure the kernel, not an unsharded quadratic (the q279
+    // fixed-slice discipline; covers the whole table at the driver SFs)
     "q289_margin_mining" -> ((s, d) => {
       val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000)
       val withPlants = base.unionByName(
         base.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 2)
           .select((col("vec_id") + 9000001L).as("vec_id"), col("embedding")))
@@ -1960,8 +1966,10 @@ object VectorQueries {
         graft.ops.ExactRound.halfUpDivSql(num, den)
       val num = "(cm * 2000 * ks * kt)"
       val den = "(ss * kt + st * ks)"
-      s"""WITH pl AS (SELECT vec_id, embedding FROM embeddings
-           UNION ALL SELECT vec_id + 9000001, embedding FROM embeddings
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 1000),
+         pl AS (SELECT vec_id, embedding FROM base
+           UNION ALL SELECT vec_id + 9000001, embedding FROM base
            WHERE vec_id % 2 = 0 AND vec_id % 10 = 2),
          s AS (SELECT vec_id AS sid, embedding AS sv FROM pl
            WHERE vec_id % 2 = 0),
