@@ -675,17 +675,21 @@ object Dedup {
         val batch = tagged.filter(col("__w") === w)
         val sig = minhashSignaturesRowwise(batch, id, text, n, k)
           .persist(lvl)
-        val adm = admitWithSig(batch, id, sig, idx, k, bands, minAgree)
+        // only IDs are checkpointed per wave (admitted text re-attaches
+        // by one semi join at the end — serializing full rows per wave
+        // doubled the checkpoint bytes for nothing)
+        val admIds = admitWithSig(batch.select(id.as("__id")),
+            col("__id"), sig, idx, k, bands, minAgree)
           .localCheckpoint(true)
         // index increment DERIVED from the persisted signatures (one
         // semi join), never a MinHash recompute of the admitted text
-        val inc = sig.join(adm.select(id.as("__adm")),
-            col("doc") === col("__adm"), "left_semi")
+        val inc = sig.join(admIds, col("doc") === col("__id"), "left_semi")
           .localCheckpoint(true)
         sig.unpersist(false)
-        (idx.unionByName(inc), acc :+ adm)
+        (idx.unionByName(inc), acc :+ admIds)
     }
-    parts.reduce(_.unionByName(_)).drop("__w")
+    val allIds = parts.reduce(_.unionByName(_))
+    arrivals.join(allIds, id === col("__id"), "left_semi")
   }
 
   /** [[admitStep]]'s EMBEDDING twin — one admission step of the evolving
