@@ -58,7 +58,10 @@ def main(p01, p10):
         "tools/merge_scaling_r16b.py under the same ScaleCpu harness - "
         "three subset runs per side (per-query warmup execution, light "
         "ballast queries first for JIT warmth), per-query MIN per side; "
-        "q288 rows are post-rewrite (materialize-once signatures)")
+        "q288 rows are post-rewrite (materialize-once signatures, id-only "
+        "checkpoints); q289 measures the bounded shard-pair kernel "
+        "(the marginMine contract - unsharded sides are quadratic by "
+        "construction, measured 9 -> 1090 cpu-s)")
     json.dump(out, open("SCALING_r16.json", "w"), indent=1)
     for q in TARGETS:
         print(q, qs[q])
