@@ -36,6 +36,18 @@ object Preference {
     * neither side raises loudly (corrupt upstream join — never silently
     * dropped, the [[Sampling.expandCopies]] valve discipline). */
   def pairMajority(judgments: DataFrame, prompt: Column, a: Column,
+      b: Column, winner: Column): DataFrame =
+    pairCounts(judgments, prompt, a, b, winner)
+      .withColumn("maj",
+        when(col("wins_lo") > col("wins_hi"), col("lo"))
+          .when(col("wins_hi") > col("wins_lo"), col("hi")))
+
+  /** The ADDITIVE half of [[pairMajority]]: per-(prompt, normalized pair)
+    * raw win counts, no majority derivation — counts from disjoint
+    * judgment batches SUM to the full-corpus counts, which is what makes
+    * the tournament incrementally maintainable (the streaming gate's
+    * increments are exactly this shape). */
+  def pairCounts(judgments: DataFrame, prompt: Column, a: Column,
       b: Column, winner: Column): DataFrame = {
     val lo = least(a, b)
     val hi = greatest(a, b)
@@ -48,9 +60,6 @@ object Preference {
       .groupBy("prompt", "lo", "hi")
       .agg(sum("__wlo").as("wins_lo"),
         (count(lit(1)) - sum("__wlo")).as("wins_hi"))
-      .withColumn("maj",
-        when(col("wins_lo") > col("wins_hi"), col("lo"))
-          .when(col("wins_hi") > col("wins_lo"), col("hi")))
   }
 
   /** Per-(prompt, candidate) tournament table: Copeland score over the
@@ -61,8 +70,21 @@ object Preference {
     * Copeland 0 against each other) rank by raw wins, then by id, never by
     * partition luck. */
   def rankCandidates(judgments: DataFrame, prompt: Column, a: Column,
-      b: Column, winner: Column): DataFrame = {
-    val pm = pairMajority(judgments, prompt, a, b, winner)
+      b: Column, winner: Column): DataFrame =
+    rankFromPairCounts(pairMajority(judgments, prompt, a, b, winner))
+
+  /** [[rankCandidates]] from PRE-AGGREGATED pair counts — the entry point
+    * for incremental/streaming aggregation ([[
+    * graft.streaming.PreferenceStream.evolvingRank]]): per-pair win
+    * counts are ADDITIVE across arrival batches, so a continuously
+    * maintained counts table re-ranks without ever replaying raw
+    * judgments. Input must expose `prompt, lo, hi, wins_lo, wins_hi`
+    * (normalized pairs, lo < hi); the majority column is derived here so
+    * callers only ever merge integer counts. */
+  def rankFromPairCounts(counts: DataFrame): DataFrame = {
+    val pm = counts.withColumn("maj",
+      when(col("wins_lo") > col("wins_hi"), col("lo"))
+        .when(col("wins_hi") > col("wins_lo"), col("hi")))
     val side = (cand: Column, self: Column, other: Column, jw: Column) =>
       struct(cand.as("cand"),
         when(col("maj") === self, 1L).otherwise(0L).as("won"),

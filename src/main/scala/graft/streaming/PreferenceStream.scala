@@ -104,6 +104,57 @@ object PreferenceStream {
       Seq("win", "prompt_id"))
   }
 
+  /** CONTINUOUS preference-tournament aggregation — the streaming twin of
+    * [[graft.ops.Preference.rankCandidates]] (q286), for a live judgment
+    * feed (human/AI preference labels trickle in; the reward-model data
+    * card wants the CURRENT ranking, not a nightly batch): per-pair win
+    * counts are ADDITIVE across arrival batches, so each trigger writes
+    * its batch's [[graft.ops.Preference.pairCounts]] as one parquet
+    * increment (`inc=<batchId>`, mode-overwrite — replay-idempotent, the
+    * [[TextStream.evolvingGate]] exactly-once rule), sums every committed
+    * increment at or below itself, and publishes the full re-ranked
+    * tournament ([[graft.ops.Preference.rankFromPairCounts]] — the ONE
+    * code path with the batch op, so the twins cannot drift) to
+    * `rankDir/batch=<batchId>`. A reader always consumes the highest
+    * committed batch directory — each is a complete, consistent snapshot.
+    *
+    * Scale shape: increments are (prompt, pair)-sized integer counts
+    * (bounded by prompts × n², never judgment volume); the per-trigger
+    * re-rank costs one groupBy + one bounded-partition rank window over
+    * the summed counts — at a judgment volume where a full re-rank per
+    * trigger hurts, partition `rankDir` by prompt-hash and re-rank only
+    * prompts present in the trigger's increment (counts of untouched
+    * prompts are unchanged by construction). Judgments must expose
+    * `prompt, a, b, winner`. */
+  def evolvingRank(judgments: DataFrame, stateDir: String,
+      rankDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(judgments.isStreaming, "evolvingRank expects a streaming frame")
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val spark = batch.sparkSession
+      graft.ops.Preference.pairCounts(batch, col("prompt"), col("a"),
+          col("b"), col("winner"))
+        .write.mode("overwrite").parquet(s"$stateDir/inc=$batchId")
+      val path = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val incs = fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+        .filter(_.getPath.getName.stripPrefix("inc=").toLongOption
+          .forall(_ <= batchId))
+        .map(_.getPath.toString).sorted
+      val total = spark.read.parquet(incs: _*)
+        .groupBy("prompt", "lo", "hi")
+        .agg(sum("wins_lo").as("wins_lo"), sum("wins_hi").as("wins_hi"))
+      graft.ops.Preference.rankFromPairCounts(total)
+        .write.mode("overwrite").parquet(s"$rankDir/batch=$batchId")
+      ()
+    }
+    judgments.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Shared scoring projections (stateless, batch ≡ stream by
     * construction). */
   private def scoreCands(cands: DataFrame): DataFrame = cands

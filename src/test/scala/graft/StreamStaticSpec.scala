@@ -1128,6 +1128,76 @@ class StreamStaticSpec extends AnyFunSuite {
       "post-restart: the scaled copy dies against the persisted index")
   }
 
+  test("evolving preference rank: the summed-increment tournament equals " +
+    "batch rankCandidates with a pair's MAJORITY flipping only once all " +
+    "microbatches are counted; each trigger publishes a consistent " +
+    "snapshot; restart resumes idempotently") {
+    import graft.streaming.PreferenceStream
+    import graft.ops.Preference
+    import spark.implicits._
+    // prompt 0, pair (1,2): batch A says 2 wins twice; batch B says 1
+    // wins three times → A-only majority is 2, FULL majority is 1.
+    // prompt 0, pair (1,3): one vote for 3 in A (never revisited)
+    val bA = Seq((0L, 1L, 2L, 2L), (0L, 2L, 1L, 2L), (0L, 1L, 3L, 3L))
+    val bB = Seq((0L, 1L, 2L, 1L), (0L, 1L, 2L, 1L), (0L, 2L, 1L, 1L))
+    val all = (bA ++ bB).toDF("prompt", "a", "b", "winner")
+    val want = Preference.rankCandidates(all, col("prompt"), col("a"),
+        col("b"), col("winner"))
+      .orderBy("rnk").select("cand", "copeland", "j_wins", "rnk")
+      .collect().map(_.toSeq.toList)
+    val dir = Files.createTempDirectory("graft-evolving-rank")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, Long, Long, Long)], name: String,
+        ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("prompt", "a", "b", "winner").coalesce(1).write
+        .parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(bA, "a", 60000); ship(bB, "b", 30000)
+    val stateDir = dir.resolve("state").toString
+    val rankDir = dir.resolve("ranks").toString
+    def runRank(): Unit = {
+      val stream = spark.readStream
+        .schema(all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = PreferenceStream.evolvingRank(stream, stateDir, rankDir,
+        dir.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+    }
+    runRank()
+    def snap(b: Int) = spark.read.parquet(s"$rankDir/batch=$b")
+      .orderBy("rnk").select("cand", "copeland", "j_wins", "rnk")
+      .collect().map(_.toSeq.toList)
+    // the A-only snapshot ranks 2 first (its 2-0 majority + the (1,3)
+    // vote leaves 1 at copeland −2)
+    assert(snap(0).head.head === 2L,
+      "batch-0 snapshot must rank the early leader first")
+    assert(snap(1).toSeq === want.toSeq,
+      "the final snapshot must equal batch rankCandidates on all judgments")
+    // restart with a third batch: pair (1,3) gets two votes for 1 →
+    // majority flips to 1; the resumed stream must fold it into the
+    // PERSISTED counts, not restart from zero
+    val bC = Seq((0L, 1L, 3L, 1L), (0L, 3L, 1L, 1L))
+    ship(bC, "c", 0)
+    runRank()
+    val wantC = Preference.rankCandidates(
+        (bA ++ bB ++ bC).toDF("prompt", "a", "b", "winner"),
+        col("prompt"), col("a"), col("b"), col("winner"))
+      .orderBy("rnk").select("cand", "copeland", "j_wins", "rnk")
+      .collect().map(_.toSeq.toList)
+    assert(snap(2).toSeq === wantC.toSeq,
+      "post-restart snapshot must fold new judgments into persisted counts")
+  }
+
   test("streaming packer: bins across microbatch boundaries equal " +
     "packOrdered, the same code path on a static frame is bit-equal, " +
     "and a seq regression across triggers fails loudly") {
