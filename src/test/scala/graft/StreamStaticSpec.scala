@@ -1128,6 +1128,68 @@ class StreamStaticSpec extends AnyFunSuite {
       "post-restart: the scaled copy dies against the persisted index")
   }
 
+  test("live pipeline composition: evolvingGate's admitted output FEEDS " +
+    "packStream as a second stream — dedup + packing run end-to-end on " +
+    "microbatches with bins equal to the batch packer over the admitted " +
+    "survivor set") {
+    import graft.streaming.{PackIn, PackStream, TextStream}
+    import graft.ops.{Chunking, Dedup}
+    import spark.implicits._
+    def text(i: Int) = (1 to (10 + i)).map(t => s"p${i}w$t").mkString(" ")
+    // batch 0: docs 1-3; batch 1: doc 4 = near-dup of 1 (rejected) + doc 5
+    val b0 = Seq((1L, text(1)), (2L, text(2)), (3L, text(3)))
+    val b1 = Seq((4L, text(1) + " zq"), (5L, text(5)))
+    val dir = Files.createTempDirectory("graft-live-pipeline")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, String)], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(b0, "a", 60000); ship(b1, "b", 30000)
+    val admDir = dir.resolve("adm").toString
+    // stage 1: the admission gate (its parquet output IS a streamable dir)
+    val gate = TextStream.evolvingGate(
+      spark.readStream.schema(b0.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString),
+      dir.resolve("idx").toString, admDir, dir.resolve("ck1").toString,
+      n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+    gate.processAllAvailable(); gate.stop()
+    // stage 2: pack the admitted feed — doc_id is the arrival/pack order
+    val packed = PackStream.packStream(
+      spark.readStream
+        .schema(spark.read.parquet(admDir).schema)
+        .parquet(s"$admDir/batch=*")
+        .select(lit("s").as("grp"), col("doc_id").as("doc"),
+          col("doc_id").as("seq"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .as[PackIn], ctx = 16)
+    val got = EventsStream.runToCompletion(packed.toDF(),
+        "live_pack", OutputMode.Append())
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    // batch twin: packOrdered over exactly the admitted survivor set
+    val admitted = spark.read.parquet(admDir)
+      .select(lit("s").as("grp"), col("doc_id").as("doc"),
+        col("doc_id").as("seq"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val want = Chunking.packOrdered(admitted, col("grp"), 16,
+        Seq(col("seq")))
+      .select("grp", "doc", "seq", "n_tok", "bin")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(spark.read.parquet(admDir).count() === 4,
+      "the near-dup must be rejected before packing ever sees it")
+    assert(got.toSeq === want.toSeq,
+      "the composed live pipeline must pack exactly the admitted set " +
+        "with batch-identical bins")
+  }
+
   test("evolving preference rank: the summed-increment tournament equals " +
     "batch rankCandidates with a pair's MAJORITY flipping only once all " +
     "microbatches are counted; each trigger publishes a consistent " +
