@@ -435,6 +435,56 @@ object Chunking {
       .unionByName(policy("sorted", Seq(col("__n").desc, col("__id"))))
   }
 
+  /** PREFIX-CACHE savings report — the serving-side planner for
+    * prefix-sharing inference (vLLM-class KV-cache reuse): prompts that
+    * share a token prefix re-use its KV cache, and the scheduler that
+    * maximizes reuse serves prompts in LEXICOGRAPHIC order, where each
+    * prompt's cacheable prefix is exactly its token-boundary longest
+    * common prefix (LCP) with the sorted PREDECESSOR (sorted order makes
+    * the predecessor the best-sharing earlier prompt — the classic
+    * suffix-array LCP property). One row per `group`: prompts, total
+    * prompt tokens, tokens served from cache under that schedule, and
+    * the savings on the half-up permille grid — the number a serving
+    * team sizes its KV-cache (and justifies the schedule) from.
+    *
+    * Exactness: token-boundary LCP via first-mismatch index (an
+    * element-wise compare over `sequence(1, min(n_a, n_b))` — no scan
+    * state, replays verbatim in any engine), all-integer aggregation.
+    * Scale shape: ONE rank window per group (lexicographic sort =
+    * range-partitionable, no global sort) + lag + a per-row array
+    * compare bounded by the shorter prompt; one partial-aggregable
+    * groupBy. Identical prompts save their FULL length (the dedup win
+    * rides along); the group's first prompt saves 0. */
+  def prefixCacheReport(prompts: DataFrame, group: Column,
+      prompt: Column): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("__p"))
+    val base = prompts.select(group.as("grp"), prompt.as("__p"))
+      .withColumn("__toks", split(col("__p"), " "))
+      .withColumn("__prev", lag(col("__toks"), 1).over(w))
+    // first-mismatch index over the shared range; no mismatch → the
+    // shorter prompt is a full prefix of the longer
+    val m = least(size(col("__toks")), size(col("__prev")))
+    // m >= 1 guard: sequence(1, 0) infers step -1 and emits [1, 0] — the
+    // documented expandCopies descending-range trap
+    val mismatches = when(m >= 1, filter(
+      sequence(lit(1), m),
+      i => !(element_at(col("__toks"), i) <=> element_at(col("__prev"), i))))
+      .otherwise(array().cast("array<int>"))
+    // try_element_at: an identical-prefix pair has NO mismatch (empty
+    // array) — ANSI element_at would raise, NULL falls through to m
+    val lcp = when(col("__prev").isNull, lit(0))
+      .otherwise(coalesce(try_element_at(mismatches, lit(1)) - 1, m))
+    base
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__saved", lcp.cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_prompts"),
+        sum("__n").as("total_tokens"),
+        sum("__saved").as("cached_tokens"),
+        ExactRound.halfUpDivCol(sum("__saved") * 1000L, sum("__n"))
+          .as("savings_permille"))
+  }
+
   /** T5-style span corruption, the DETERMINISTIC variant — per-document
     * masking statistics for denoising-pretraining target generation
     * (Raffel et al. 2020 §3.1.4). Token slot `i` opens a corruption span

@@ -519,6 +519,28 @@ object SamplingQueries {
         .orderBy("grp", "policy")
     }),
 
+    // PREFIX-CACHE savings table (Chunking.prefixCacheReport): the q256
+    // prompt table (with its every-7th planted template duplicates —
+    // guaranteed full-prefix hits) scheduled lexicographically per
+    // source; cached tokens = token-boundary LCP with the sorted
+    // predecessor, the KV-reuse a prefix-caching server gets from that
+    // schedule. All-integer, half-up permille savings
+    "q293_prefix_cache" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val prompts = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("source"), expr("doc_id DIV 2").as("pair_id"),
+          array_join(slice(toks, lit(1), half), " ").as("__fh"))
+        .select(col("source"),
+          when(pmod(col("pair_id"), lit(7)) === 0,
+            lit("write a short story about data")).otherwise(col("__fh"))
+            .as("prompt"))
+      Chunking.prefixCacheReport(prompts, col("source"), col("prompt"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    }),
+
     // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
     // stream order = rank of md5(doc_id + "#e") — an independent
     // deterministic permutation of the SAME multiset per epoch. The row
@@ -1436,6 +1458,37 @@ object SamplingQueries {
            CAST(sum(win_pm) AS BIGINT) AS sum_win_pm,
            CAST(bit_xor(hh) AS BIGINT) AS rank_checksum
          FROM rk GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // identical prompt construction, identical lexicographic lag window
+    // per source, identical first-mismatch LCP and half-up permille
+    "q293_prefix_cache" -> {
+      val lcp = """CASE WHEN pv IS NULL THEN 0 ELSE
+        coalesce((list_filter(generate_series(1,
+            least(len(tk), len(pv))),
+          i -> tk[i] IS DISTINCT FROM pv[i]))[1] - 1,
+          least(len(tk), len(pv))) END"""
+      s"""WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS ts
+           FROM documents WHERE doc_id % 2 = 0),
+         pr AS (SELECT source,
+             CASE WHEN (doc_id // 2) % 7 = 0
+               THEN 'write a short story about data'
+               ELSE coalesce(array_to_string(ts[1:len(ts) // 2], ' '), '')
+               END AS p
+           FROM b),
+         t AS (SELECT source, str_split(p, ' ') AS tk,
+             lag(str_split(p, ' ')) OVER (PARTITION BY source
+               ORDER BY p) AS pv
+           FROM pr),
+         l AS (SELECT source, CAST(len(tk) AS BIGINT) AS n,
+             CAST(($lcp) AS BIGINT) AS sv
+           FROM t)
+         SELECT source, count(*) AS n_prompts,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(sv) AS BIGINT) AS cached_tokens,
+           ${graft.ops.ExactRound.halfUpDivSql("sum(sv) * 1000", "sum(n)")}
+             AS savings_permille
+         FROM l GROUP BY 1 ORDER BY 1"""
     },
 
     // identical rank-window batching under both policies (arrival = id

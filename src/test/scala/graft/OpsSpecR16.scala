@@ -582,4 +582,26 @@ class OpsSpecR16 extends AnyFunSuite {
       ("arrival", 3L, 46L, 30L, 348L), // 16/46 → 347.8 → 348‰
       ("sorted", 3L, 37L, 30L, 189L))) // 7/37 → 189.2 → 189‰
   }
+
+  // ---- Chunking.prefixCacheReport: KV prefix-sharing savings --------------
+
+  test("prefixCacheReport: hand-computed lexicographic LCP savings — an " +
+    "identical prompt saves its FULL length, a partial prefix saves the " +
+    "shared tokens, the first prompt saves 0, groups are independent") {
+    import spark.implicits._
+    // group g sorted lexicographically: "a b c", "a b c", "a b d e", "x y"
+    // saves: 0 (first), 3 (identical), 2 (shares "a b"), 0 (no prefix)
+    // → total 12 tokens, cached 5, 417‰
+    val df = Seq(
+      ("g", "a b d e"), ("g", "x y"), ("g", "a b c"), ("g", "a b c"),
+      ("h", "a b c")).toDF("grp", "p")
+    val got = Chunking.prefixCacheReport(df, col("grp"), col("p"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("g", 4L, 12L, 5L, 417L), // 5/12 → 416.7 → 417‰
+      // h's single prompt shares nothing with g — groups are independent
+      ("h", 1L, 3L, 0L, 0L)))
+  }
 }
