@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Second-half r16 SCALING update: SCALING_r16.json rows carried VERBATIM
-for everything already measured; the seven late-r16 queries (q286-q292) take
+for everything already measured; the late-r16 queries (q286-q293) take
 per-side MIN across all provided ScaleCpu artifacts (three subset runs per
 side with per-query warmup executions, the established min-merge
 discipline; q288's rows are post-rewrite — the materialize-once signature
@@ -16,6 +16,7 @@ TARGETS = [
     "q286_preference_rank", "q287_threshold_sweep",
     "q288_evolving_admission", "q289_margin_mining",
     "q290_embed_evolving", "q291_retrieval_eval", "q292_pad_waste",
+    "q293_prefix_cache",
 ]
 
 
@@ -54,7 +55,7 @@ def main(p01, p10):
     out["suite_cpu_sf10"] = round(suite10, 1)
     out["suite_factor"] = round(suite10 / suite01, 2)
     out["method"] = (base["method"] +
-        "; the seven late-r16 queries (q286-q292) measured by "
+        "; the late-r16 queries (q286-q293) measured by "
         "tools/merge_scaling_r16b.py under the same ScaleCpu harness - "
         "three subset runs per side (per-query warmup execution, light "
         "ballast queries first for JIT warmth), per-query MIN per side; "
