@@ -570,5 +570,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pStepE.contains("CartesianProduct") &&
       !pStepE.contains("BroadcastNestedLoopJoin"),
       s"vector admission must stay hash-joined:\n$pStepE")
+    // q292/q293: the serving-side decision tables are rank/lag windows
+    // partitioned by group — one per policy for the pad sweep, exactly
+    // one for the prefix-cache lag; never a join, never a cartesian
+    val p292 = plan("q292_pad_waste")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p292).length <= 2,
+      s"one rank window per batching policy:\n$p292")
+    assert(!p292.contains("CartesianProduct") && !p292.contains("Join"),
+      s"the pad-waste table is windows + aggs, no joins:\n$p292")
+    val p293 = plan("q293_prefix_cache")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p293).length <= 1,
+      s"one lexicographic lag window:\n$p293")
+    assert(!p293.contains("CartesianProduct") && !p293.contains("Join"),
+      s"the prefix-cache table is one window + one agg, no joins:\n$p293")
   }
 }
