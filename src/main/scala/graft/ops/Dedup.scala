@@ -583,17 +583,23 @@ object Dedup {
   def admitStep(batch: DataFrame, id: Column, text: Column,
       index: DataFrame, n: Int, k: Int, bands: Int,
       minEstJaccard: Double): DataFrame = {
-    // signatures persist at creation: the step's plan references them
-    // SIX times (band self-join sides, two verify sides, the index
-    // candidate join, the increment) — recomputing the MinHash per
-    // reference was measured at >100 cpu-s per wave at sf0.1 before this
-    // (the dupClusters materialize-once lesson). k+1 longs per doc;
-    // Verify/Bench purge between queries, evolvingGate unpersists per
-    // trigger.
+    // signatures persist only for the DURATION of this call: the kill
+    // passes reference them six times (band self-join sides, two verify
+    // sides, the index candidate join — recomputing the MinHash per
+    // reference was measured at >100 cpu-s per wave at sf0.1; the
+    // dupClusters materialize-once lesson), so the dead-id list is
+    // computed EAGERLY under the persisted signatures and the storage is
+    // released before returning — a long-lived batch session calling
+    // admitStep repeatedly accumulates nothing (r16 ADVICE; the
+    // streaming gate and the wave fold manage their own persistence via
+    // [[admitWithSig]]). The returned plan is one anti hash join against
+    // the lineage-truncated dead-id list.
     val sig = minhashSignaturesRowwise(batch, id, text, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    admitWithSig(batch, id, sig, index, k, bands,
-      math.ceil(minEstJaccard * k - 1e-9).toInt)
+    val dead = deadIdsWithSig(sig, index, k, bands,
+      math.ceil(minEstJaccard * k - 1e-9).toInt).localCheckpoint(true)
+    sig.unpersist(false)
+    batch.join(dead, id === col("i"), "left_anti")
   }
 
   /** [[admitStep]]'s core over a PRE-MATERIALIZED signature frame —
@@ -602,7 +608,15 @@ object Dedup {
     * once and share it here. */
   private[graft] def admitWithSig(batch: DataFrame, id: Column,
       sig: DataFrame, index: DataFrame, k: Int, bands: Int,
-      minAgree: Int): DataFrame = {
+      minAgree: Int): DataFrame =
+    batch.join(deadIdsWithSig(sig, index, k, bands, minAgree),
+      id === col("i"), "left_anti")
+
+  /** The ids KILLED by one admission step (within-wave any-smaller-id +
+    * against-index), over a pre-materialized signature frame — the two
+    * LSH-banded kill passes shared by [[admitStep]] / [[admitWithSig]]. */
+  private[graft] def deadIdsWithSig(sig: DataFrame, index: DataFrame,
+      k: Int, bands: Int, minAgree: Int): DataFrame = {
     val bnd = lshBands(sig, k, bands)
     val agree = (0 until k)
       .map(j => when(col(s"ai.s$j") === col(s"ci.s$j"), 1).otherwise(0))
@@ -626,8 +640,7 @@ object Dedup {
       .join(index.as("ci"), col("j") === col("ci.doc"))
       .filter(agree >= minAgree)
       .select("i").distinct()
-    batch.join(droppedWithin.unionByName(droppedIdx).distinct(),
-      id === col("i"), "left_anti")
+    droppedWithin.unionByName(droppedIdx).distinct()
   }
 
   /** EVOLVING-index admission over ORDERED arrival waves — the batch twin

@@ -194,20 +194,46 @@ object Similarity {
     * reducers see k·nMapTasks rows per key, never the pair table; the
     * [[hardNegatives]] mechanism). Never feed it unbounded sides: at 10×
     * data the kernel itself is 100× (measured 9 → 1090 cpu-s sf0.1 →
-    * sf1.0 unsharded) — shard first, or probe an
-    * [[ivfWritePartitioned]] index / [[assignCentroids]] buckets to
-    * bound candidates (the q48-brute / q57-IVF contract). */
+    * sf1.0 unsharded) — shard first, or bound candidates with
+    * [[marginMineFromCentroids]] / [[marginMineFromIndex]] (the
+    * q48-brute / q57-IVF contract). The `maxPairs` VALVE enforces the
+    * shard contract at runtime (the maxWaves discipline — a scaladoc
+    * alone guarded this until r17): both sides are counted before the
+    * cross join and a kernel bigger than `maxPairs` raises a typed
+    * error instead of silently burning a quadratic; raise it explicitly
+    * for a deliberately larger kernel. */
   def marginMine(src: DataFrame, srcId: Column, srcVec: Column,
       tgt: DataFrame, tgtId: Column, tgtVec: Column, k: Int,
-      minMarginPermille: Long = 0L): DataFrame = {
+      minMarginPermille: Long = 0L, maxPairs: Long = 64000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
+    require(maxPairs >= 1L, s"maxPairs must be >= 1, got $maxPairs")
     val a = src.select(srcId.as("sid"), srcVec.as("__sv"))
     val b = tgt.select(tgtId.as("tid"), tgtVec.as("__tv"))
+    val nS = a.count()
+    val nT = b.count()
+    if (nT > 0L && nS > maxPairs / nT)
+      throw new graft.core.BadCallException(
+        s"marginMine: $nS x $nT sides form ${"%,d".format(nS * nT)} " +
+          s"candidate pairs, over the $maxPairs-pair kernel valve — this " +
+          "is the PER-SHARD-PAIR kernel (measured 100x cpu at 10x data " +
+          "unsharded); shard both sides first, mine via " +
+          "marginMineFromCentroids/marginMineFromIndex, or raise maxPairs " +
+          "for a deliberately larger kernel")
     val crossed = a.crossJoin(b)
     val pairs = crossed.select(col("sid"), col("tid"),
       round(cosineNative(crossed, col("__sv"), col("__tv")) * lit(1e6))
         .cast("long").as("cm"))
+    marginFromPairs(pairs, k, minMarginPermille)
+  }
+
+  /** The margin-scoring TAIL shared by [[marginMine]] and the two
+    * index-bounded miners: per-side top-k neighborhoods, exact integer
+    * permille margin, mutual-best flag — over whatever candidate pair
+    * frame (`sid`, `tid`, `cm`) the caller bounded. One (sid, tid) row
+    * per candidate pair is the input contract. */
+  private def marginFromPairs(pairs: DataFrame, k: Int,
+      minMarginPermille: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ws = Window.partitionBy("sid").orderBy(col("cm").desc, col("tid"))
     val wt = Window.partitionBy("tid").orderBy(col("cm").desc, col("sid"))
     val rs = pairs.withColumn("__r", row_number().over(ws))
@@ -235,6 +261,117 @@ object Similarity {
       .filter(col("margin_permille") >= minMarginPermille)
   }
 
+  /** Top-`nProbe` centroid ids for a vector, as one codegen'd projection
+    * over centroid LITERALS (no join, no shuffle): sort (−cos, cid)
+    * structs, slice nProbe, extract cids — ties break to the LOWEST cid
+    * (the [[assignCentroids]] total order, which a DuckDB rank window
+    * `ORDER BY cos DESC, cid` replays verbatim). */
+  private def probeExpr(df: DataFrame, cents: Seq[(Long, Array[Float])],
+      vec: Column, nProbe: Int): Column =
+    transform(slice(sort_array(array(cents.toIndexedSeq.map {
+      case (cid, cv) =>
+        struct((-cosineNative(df, vec, typedlit(cv))).as("nc"),
+          lit(cid).as("cid")) }: _*)), 1, nProbe),
+      s => s.getField("cid"))
+
+  /** INDEX-BOUNDED margin mining over explicit centroid buckets — the
+    * form that replaces [[marginMine]]'s shard loop with ONE distributed
+    * pass at corpus scale (the CCMatrix recipe's coarse quantizer):
+    * every target vector lives in its nearest-centroid bucket
+    * ([[assignCentroids]]'s argmax, ties to the lowest cid), every
+    * source vector probes its `nProbe` nearest buckets, and candidate
+    * pairs are exactly the (src, tgt) sharing a probed bucket — an EQUI
+    * join on the centroid id, never a cross join. The margin arithmetic
+    * ([[marginFromPairs]]) is unchanged; neighborhoods are computed over
+    * the CANDIDATE set, so margins carry the standard IVF approximation
+    * contract: a true neighbor in an unprobed bucket is missed, and
+    * recall vs the brute kernel tracks the probe fraction (q294 pins the
+    * planted mutual pairs land identically in both forms).
+    *
+    * Scale shape: probe assignment is a per-row projection over centroid
+    * literals (centroid tables are driver-sized by the [[kmeansCentroids]]
+    * contract); the candidate join hashes on the centroid id with
+    * src exploded ×nProbe; the per-side top-k two-phases under
+    * InferWindowGroupLimit exactly as in the brute kernel. Candidate
+    * volume is Σ_buckets |src probes to b| × |tgt in b| — bounded by
+    * bucket occupancy, never |src|×|tgt|. */
+  def marginMineFromCentroids(src: DataFrame, srcId: Column,
+      srcVec: Column, tgt: DataFrame, tgtId: Column, tgtVec: Column,
+      cents: Seq[(Long, Array[Float])], nProbe: Int, k: Int,
+      minMarginPermille: Long = 0L): DataFrame = {
+    require(cents.nonEmpty, "marginMineFromCentroids needs >= 1 centroid")
+    require(nProbe >= 1 && nProbe <= cents.size,
+      s"nProbe must be in [1, ${cents.size}], got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = src.select(srcId.as("sid"), srcVec.as("__sv"))
+    val probed = a.withColumn("__cid",
+      explode(probeExpr(a, cents, col("__sv"), nProbe)))
+    val b = tgt.select(tgtId.as("tid"), tgtVec.as("__tv"))
+    val assigned = b.withColumn("__tcid",
+      element_at(probeExpr(b, cents, col("__tv"), 1), 1))
+    // one row per (sid, tid): tgt has exactly one bucket and src's
+    // probes are distinct cids, so the equi join cannot duplicate a pair
+    val joined = probed.join(assigned, col("__cid") === col("__tcid"))
+    val pairs = joined.select(col("sid"), col("tid"),
+      round(cosineNative(joined, col("__sv"), col("__tv")) * lit(1e6))
+        .cast("long").as("cm"))
+    marginFromPairs(pairs, k, minMarginPermille)
+  }
+
+  /** SERVING-SCALE margin mining against a persisted
+    * [[ivfWritePartitioned]] index — [[marginMineFromCentroids]] with the
+    * target side already bucketed ON DISK: the source corpus probes the
+    * index's centroids (a projection over the driver-sized centroid
+    * sidecar), the scan filters to the UNION of all probed lists — a
+    * literal `cluster IN (...)` over the hive layout, so PARTITION
+    * PRUNING opens only those lists' files (PlanSpec-pinned) — and
+    * candidates hash-join on the cluster id. At 100 TB the unprobed
+    * lists' bytes are never read; mining cost tracks
+    * `nProbe/nCentroids × index`, the [[hardNegativesFromIndex]]
+    * economics, with the margin arithmetic unchanged.
+    *
+    * Unlike [[hardNegativesFromIndex]]'s anchor batch, the SOURCE side
+    * here is data-sized — nothing collects but the centroid sidecar and
+    * the distinct probed-cluster set (≤ nCentroids longs, needed as
+    * literals for the pruning filter). Quantized indexes are detected by
+    * schema and scored via [[dequant]]; the index's stored `cluster`
+    * column IS the target assignment ([[ivfWritePartitioned]]'s argmax —
+    * its exact-tie rule differs from the probe's lowest-cid order only
+    * on exact cosine ties between centroids). Returns the [[marginMine]]
+    * shape. */
+  def marginMineFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, src: DataFrame, srcId: Column, srcVec: Column,
+      nProbe: Int, k: Int, minMarginPermille: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cents = spark.read.parquet(s"$path.centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, s"marginMineFromIndex: no centroids at $path.centroids")
+    ivfReadManifest(spark, path).foreach { m =>
+      val nc = m.path("nCentroids").asInt()
+      if (nProbe > nc) throw new graft.core.BadCallException(
+        s"nProbe=$nProbe exceeds the index's $nc inverted lists")
+    }
+    val a = src.select(srcId.as("sid"), srcVec.as("__sv"))
+    val probed = a.withColumn("__cid",
+      explode(probeExpr(a, cents, col("__sv"), nProbe)))
+    // the distinct probed clusters (≤ nCentroids — driver-sized) become
+    // the LITERAL pruning filter; without literals the hive layout
+    // cannot prune at plan time
+    val clusters = probed.select("__cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val table = spark.read.parquet(path)
+    val cand = table.filter(col("cluster").isin(clusters: _*))
+      .join(probed, col("cluster") === col("__cid"))
+    val cos =
+      if (table.columns.contains("qvec"))
+        cosine(dequant(col("qvec"), col("qscale")), asDouble(col("__sv")))
+      else cosineNative(table, col("v"), col("__sv"))
+    val pairs = cand.select(col("sid"), col("id").as("tid"),
+      round(cos * lit(1e6)).cast("long").as("cm"))
+    marginFromPairs(pairs, k, minMarginPermille)
+  }
+
   /** Retrieval-quality EVALUATION table — the metrics every ANN/BM25/RRF
     * stack is tuned against, computed exactly: for each query, the top-k
     * retrieved list is scored against a gold `truth` set, emitting
@@ -250,7 +387,13 @@ object Similarity {
     * with `rk > k` are ignored, so callers can pass a deeper list and
     * sweep k. `truth` carries (`qid`, `id`) gold pairs. Queries with an
     * EMPTY truth set report NULL recall (0/0 — unknowable, not perfect),
-    * distinct from 0 (retrieved all misses).
+    * distinct from 0 (retrieved all misses). The per-query frame seeds
+    * from the UNION of qids in `retrieved` and `truth`: a query whose
+    * ranker returned NOTHING within rank k (possible with IVF/pruned
+    * rankers on empty probe sets) still emits its `hits = 0` /
+    * NULL-rank row — dropping it would silently inflate the suite MRR
+    * `halfUpDiv(sum(rr_micro), n_queries)` by exactly the
+    * worst-performing queries.
     *
     * Scale shape: one hash join of the rank-bounded retrieved list
     * against the gold pairs on (qid, id) + one partial-aggregable groupBy
@@ -265,7 +408,7 @@ object Similarity {
     val t = truth.select(tQid.as("qid"), tId.as("__id"))
     val nTruth = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
     val hits = r.join(t, Seq("qid", "__id"))
-    val perQ = r.groupBy("qid").agg(count(lit(1)).as("__nret"))
+    val perQ = r.select("qid").unionByName(t.select("qid")).distinct()
       .join(hits.groupBy("qid").agg(count(lit(1)).as("hits"),
         min("__rk").as("first_hit_rank")), Seq("qid"), "left")
       .join(nTruth, Seq("qid"), "left")

@@ -1971,7 +1971,17 @@ object TextAnalysis {
     * a rewritten-in-place corpus is rescanned, not served stale. Bounded
     * at 16 entries with remove-then-unpersist eviction (each removal is
     * atomic, so a concurrently inserted entry is never left persisted but
-    * unreachable). 100 TB analogue: checkpoint the count tables once and
+    * unreachable).
+    *
+    * Persistence is DEFERRED to the SECOND access (r16→r17): persisting
+    * at creation made the FIRST consumer pay the columnar cache-build
+    * (q169 +35 % cpu in purge-between-queries harnesses — reuse that can
+    * never arrive, the two-harness discrepancy the r16 verdict flagged).
+    * The first access returns the raw lazy plans (exactly the pre-memo
+    * r15 shape); a memo HIT persists before returning, so the second
+    * consumer and everything after it shares one materialization —
+    * isolation sessions pay nothing, no-purge sessions keep the GramProbe
+    * win. 100 TB analogue: checkpoint the count tables once and
     * share them across every downstream scorer. */
   private val gramCache =
     new java.util.concurrent.ConcurrentHashMap[Any, Map[Int, DataFrame]]()
@@ -1992,10 +2002,18 @@ object TextAnalysis {
       ref.select(refText).queryExecution.analyzed.canonicalized,
       SessionMemo.fileFingerprint(ref), order, derive)
     if (gramCache.size > 16) clearGramCache()
-    gramCache.computeIfAbsent(key, _ =>
-      buildNgramCountTables(ref, refText, order, derive).map { case (m, t) =>
-        m -> t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+    var created = false
+    val tables = gramCache.computeIfAbsent(key, _ => {
+      created = true
+      buildNgramCountTables(ref, refText, order, derive)
+    })
+    // memo HIT = a second consumer exists: persist now (idempotent on
+    // later hits — same storage level re-persists as a no-op), so only
+    // sessions that actually reuse pay the cache build
+    if (!created) tables.values.foreach { t =>
+      t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); ()
+    }
+    tables
   }
 
   /** The `order` corpus n-gram count tables (columns `w1..wm`, `__c`) —

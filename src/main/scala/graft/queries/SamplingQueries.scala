@@ -467,9 +467,13 @@ object SamplingQueries {
     "q286_preference_rank" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val half = (size(toks) / lit(2)).cast("int")
+      // null text coalesces to '' ON BOTH ENGINES (the oracle already
+      // does) — parity must not depend on the fixture never growing a
+      // null-text row (r16 ADVICE)
       val cands = t(s, d, "documents").select(
         expr("doc_id DIV 4").as("prompt_id"), col("doc_id").as("src"),
-        array_join(slice(toks, half + 1, size(toks) - half), " ").as("resp"))
+        coalesce(array_join(slice(toks, half + 1, size(toks) - half), " "),
+          lit("")).as("resp"))
       val scored = cands.select(col("prompt_id"), col("src"),
         size(array_distinct(split(col("resp"), " "))).cast("long").as("r"))
       val pairs = scored.select(col("prompt_id"), col("src").as("ca"),
@@ -530,8 +534,10 @@ object SamplingQueries {
       val half = (size(toks) / lit(2)).cast("int")
       val prompts = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(2)) === 0)
+        // null-text coalesce matches the oracle's (r16 ADVICE parity rule)
         .select(col("source"), expr("doc_id DIV 2").as("pair_id"),
-          array_join(slice(toks, lit(1), half), " ").as("__fh"))
+          coalesce(array_join(slice(toks, lit(1), half), " "), lit(""))
+            .as("__fh"))
         .select(col("source"),
           when(pmod(col("pair_id"), lit(7)) === 0,
             lit("write a short story about data")).otherwise(col("__fh"))

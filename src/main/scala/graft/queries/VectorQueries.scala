@@ -1110,13 +1110,18 @@ object VectorQueries {
     // 3-query brute top-10 scored against label-matched gold sets —
     // recall@10 / precision@10 on the half-up permille grid and the
     // reciprocal rank as an exact 1e6 integer, so the suite MRR is an
-    // integer mean. Organic values, no plants — the grid IS the contract
+    // integer mean. qid 3 is the EMPTY-RETRIEVAL plant (in truth, zero
+    // retrieved rows — an IVF ranker on an empty probe set): the eval
+    // seeds from retrieved ∪ truth, so it must emit the hits=0 /
+    // NULL-rank row instead of silently inflating the suite MRR (the
+    // r16 ADVICE contract). Otherwise organic values — the grid IS the
+    // contract
     "q291_retrieval_eval" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val queries = emb(s, d).filter(col("vec_id") < 3)
+      val queries = emb(s, d).filter(col("vec_id") < 4)
         .select(col("vec_id").as("qid"), col("embedding").as("__qv"),
           col("label").as("__ql"))
-      val corpus = emb(s, d).filter(col("vec_id") >= 3)
+      val corpus = emb(s, d).filter(col("vec_id") >= 4)
       val crossed = corpus.crossJoin(broadcast(queries))
       val retrieved = crossed
         .select(col("qid"), col("vec_id").as("id"),
@@ -1124,12 +1129,61 @@ object VectorQueries {
             .as("__cos"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("__cos").desc, col("id"))))
-        .filter(col("rk") <= 10)
+        .filter(col("rk") <= 10 && col("qid") < 3)
       val truth = corpus.join(broadcast(queries), col("label") === col("__ql"))
         .select(col("qid"), col("vec_id").as("id"))
       Sim.retrievalEval(retrieved, col("qid"), col("id"), col("rk"),
           truth, col("qid"), col("id"), k = 10)
         .orderBy("qid")
+    }),
+
+    // INDEX-BOUNDED margin mining (Sim.marginMineFromCentroids) vs the
+    // brute shard-pair kernel (Sim.marginMine) on IDENTICAL sides — the
+    // q289 fixture verbatim (planted identical copies at +9000001 score
+    // cos_micro exactly 1e6 and must come back MUTUAL in BOTH forms):
+    // candidates come from the 4-centroid planted lattice with nProbe=2,
+    // so the planted pairs (identical vectors → identical probe sets)
+    // land in both miners while organic best-targets may differ (the
+    // IVF approximation contract — margins recompute over the candidate
+    // set). The full-outer diff table pins both pair sets, both margin
+    // grids, and the planted rows all landing in found='both'
+    "q294_margin_index" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000)
+      val withPlants = base.unionByName(
+        base.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 2)
+          .select((col("vec_id") + 9000001L).as("vec_id"), col("embedding")))
+      val srcSide = withPlants.filter(col("vec_id") % 2 === 0)
+      val tgtSide = withPlants.filter(col("vec_id") % 2 === 1)
+      val idx = Sim.marginMineFromCentroids(srcSide, col("vec_id"),
+        col("embedding"), tgtSide, col("vec_id"), col("embedding"),
+        TopicCentroids, nProbe = 2, k = 4)
+      val br = Sim.marginMine(srcSide, col("vec_id"), col("embedding"),
+        tgtSide, col("vec_id"), col("embedding"), k = 4)
+      idx.select(col("sid"), col("tid"), col("cos_micro").as("cm_idx"),
+          col("margin_permille").as("m_idx"), col("mutual").as("mut_idx"))
+        .join(br.select(col("sid"), col("tid"),
+            col("cos_micro").as("cm_br"),
+            col("margin_permille").as("m_br"), col("mutual").as("mut_br")),
+          Seq("sid", "tid"), "full_outer")
+        .withColumn("planted", (col("tid") >= 9000001L).cast("int"))
+        .withColumn("found",
+          when(col("cm_idx").isNotNull && col("cm_br").isNotNull, "both")
+            .when(col("cm_idx").isNotNull, "idx_only")
+            .otherwise("brute_only"))
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          concat_ws(":", col("sid"), col("tid")), 37))
+        .groupBy("planted", "found")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(coalesce(col("mut_idx"), lit(false)) &&
+            coalesce(col("mut_br"), lit(false)), 1L).otherwise(0L))
+            .as("n_mutual_both"),
+          sum(coalesce(col("cm_idx"), lit(0L))).as("sum_cos_idx"),
+          sum(coalesce(col("m_idx"), lit(0L))).as("sum_margin_idx"),
+          sum(coalesce(col("cm_br"), lit(0L))).as("sum_cos_brute"),
+          sum(coalesce(col("m_br"), lit(0L))).as("sum_margin_brute"),
+          expr("bit_xor(__h)").as("pair_checksum"))
+        .orderBy("planted", "found")
     })
   )
 
@@ -2068,30 +2122,34 @@ object VectorQueries {
         .stripMargin
     },
 
-    // identical 3-query brute top-10 (cos DESC, id tie-break), identical
-    // label-matched gold sets and half-up permille/1e6 grids
+    // identical 4-query brute top-10 (cos DESC, id tie-break; qid 3's
+    // retrieved rows removed — the empty-retrieval plant), identical
+    // label-matched gold sets and half-up permille/1e6 grids; the
+    // per-query seed is the retrieved ∪ truth qid set on both engines
     "q291_retrieval_eval" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
-           FROM embeddings WHERE vec_id < 3),
+           FROM embeddings WHERE vec_id < 4),
          c AS (SELECT vec_id AS id, embedding AS v, label
-           FROM embeddings WHERE vec_id >= 3),
+           FROM embeddings WHERE vec_id >= 4),
          p AS (SELECT qid, id,
              row_number() OVER (PARTITION BY qid
                ORDER BY (${Sim.cosineSql("v", "qv")}) DESC, id) AS rk
            FROM c, q),
          r AS (SELECT qid, id, CAST(rk AS BIGINT) AS rk FROM p
-           WHERE rk <= 10),
+           WHERE rk <= 10 AND qid < 3),
          t AS (SELECT q.qid, c.id FROM q JOIN c ON c.label = q.ql),
          nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth
            FROM t GROUP BY 1),
          h AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS hits,
              min(r.rk) AS first_hit_rank
            FROM r JOIN t ON r.qid = t.qid AND r.id = t.id GROUP BY 1),
-         f AS (SELECT q.qid,
+         qs AS (SELECT DISTINCT qid FROM (SELECT qid FROM r
+           UNION ALL SELECT qid FROM t)),
+         f AS (SELECT qs.qid,
              coalesce(nt.n_truth, 0) AS n_truth,
              coalesce(h.hits, 0) AS hits,
              h.first_hit_rank
-           FROM q LEFT JOIN nt USING (qid) LEFT JOIN h USING (qid))
+           FROM qs LEFT JOIN nt USING (qid) LEFT JOIN h USING (qid))
          SELECT qid, n_truth, hits,
            ${graft.ops.ExactRound.halfUpDivSql("hits * 1000", "n_truth")}
              AS recall_permille,
@@ -2101,6 +2159,97 @@ object VectorQueries {
            (CASE WHEN first_hit_rank IS NULL THEN NULL ELSE
              ${graft.ops.ExactRound.halfUpDivSql("1000000",
                "first_hit_rank")} END) AS rr_micro
-         FROM f ORDER BY qid"""
+         FROM f ORDER BY qid""",
+
+    // the centroid-bounded miner replayed as rank windows over the
+    // regenerated lattice (probes = top-2 per sid, assignment = rk 1
+    // per tid, both under the identical (cos DESC, cid) total order),
+    // the brute kernel as the q289 cross replay, the margin tail
+    // applied VERBATIM to both candidate frames, diffed FULL OUTER
+    "q294_margin_index" -> {
+      val hSql = graft.functions.PortableHash.md5LongSql(
+        "(sid::VARCHAR || ':' || tid::VARCHAR)", 37)
+      def hud(num: String, den: String) =
+        graft.ops.ExactRound.halfUpDivSql(num, den)
+      val num = "(cm * 2000 * ks * kt)"
+      val den = "(ss * kt + st * ks)"
+      def marginChain(p: String, pairs: String) =
+        s"""${p}rs AS (SELECT *, row_number() OVER (PARTITION BY sid
+               ORDER BY cm DESC, tid) AS r FROM $pairs),
+           ${p}rt AS (SELECT *, row_number() OVER (PARTITION BY tid
+               ORDER BY cm DESC, sid) AS r FROM $pairs),
+           ${p}sms AS (SELECT sid, CAST(sum(cm) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS ks FROM ${p}rs WHERE r <= 4
+             GROUP BY 1),
+           ${p}smt AS (SELECT tid, CAST(sum(cm) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS kt FROM ${p}rt WHERE r <= 4
+             GROUP BY 1),
+           ${p}bs AS (SELECT sid, tid, cm FROM ${p}rs WHERE r = 1),
+           ${p}bt AS (SELECT tid, sid AS bsid FROM ${p}rt WHERE r = 1),
+           ${p}m AS (SELECT bs.sid, bs.tid, bs.cm,
+               CASE WHEN $den <= 0 THEN NULL
+                 WHEN $num >= 0 THEN ${hud(num, den)}
+                 ELSE -${hud(s"-$num", den)} END AS mpm,
+               coalesce(bt.bsid = bs.sid, false) AS mutual
+             FROM ${p}bs bs JOIN ${p}sms USING (sid)
+               JOIN ${p}smt USING (tid)
+             LEFT JOIN ${p}bt bt USING (tid)),
+           ${p}f AS (SELECT * FROM ${p}m WHERE mpm >= 0)"""
+      s"""WITH cents AS (SELECT t AS cid,
+             list_transform(generate_series(1, 64),
+               i -> CAST(CASE WHEN (i - 1) // 16 = t THEN 1.0 ELSE -0.25 END
+                 AS FLOAT)) AS cvec
+           FROM (SELECT unnest(generate_series(0, 3)) AS t)),
+         base AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 1000),
+         pl AS (SELECT vec_id, embedding FROM base
+           UNION ALL SELECT vec_id + 9000001, embedding FROM base
+           WHERE vec_id % 2 = 0 AND vec_id % 10 = 2),
+         s AS (SELECT vec_id AS sid, embedding AS sv FROM pl
+           WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tid, embedding AS tv FROM pl
+           WHERE vec_id % 2 = 1),
+         spr AS (SELECT sid, cid, row_number() OVER (PARTITION BY sid
+             ORDER BY ccos DESC, cid) AS pr
+           FROM (SELECT s.sid, c.cid,
+             (${Sim.cosineSql("s.sv", "c.cvec")}) AS ccos FROM s, cents c)),
+         sp AS (SELECT sid, cid FROM spr WHERE pr <= 2),
+         tpr AS (SELECT tid, cid, row_number() OVER (PARTITION BY tid
+             ORDER BY ccos DESC, cid) AS pr
+           FROM (SELECT t.tid, c.cid,
+             (${Sim.cosineSql("t.tv", "c.cvec")}) AS ccos FROM t, cents c)),
+         ta AS (SELECT tid, cid FROM tpr WHERE pr = 1),
+         ixp AS (SELECT sp.sid, ta.tid,
+             CAST(round((${Sim.cosineSql("s.sv", "t.tv")}) * 1e6) AS BIGINT)
+               AS cm
+           FROM sp JOIN ta ON sp.cid = ta.cid
+           JOIN s ON s.sid = sp.sid JOIN t ON t.tid = ta.tid),
+         brp AS (SELECT sid, tid,
+             CAST(round((${Sim.cosineSql("sv", "tv")}) * 1e6) AS BIGINT)
+               AS cm
+           FROM s, t),
+         ${marginChain("ix", "ixp")},
+         ${marginChain("br", "brp")},
+         j AS (SELECT coalesce(i.sid, b.sid) AS sid,
+             coalesce(i.tid, b.tid) AS tid,
+             i.cm AS cm_idx, i.mpm AS m_idx, i.mutual AS mut_idx,
+             b.cm AS cm_br, b.mpm AS m_br, b.mutual AS mut_br
+           FROM ixf i FULL OUTER JOIN brf b
+             ON i.sid = b.sid AND i.tid = b.tid)
+         SELECT CASE WHEN tid >= 9000001 THEN 1 ELSE 0 END AS planted,
+           CASE WHEN cm_idx IS NOT NULL AND cm_br IS NOT NULL THEN 'both'
+             WHEN cm_idx IS NOT NULL THEN 'idx_only'
+             ELSE 'brute_only' END AS found,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN coalesce(mut_idx, false)
+               AND coalesce(mut_br, false) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mutual_both,
+           CAST(sum(coalesce(cm_idx, 0)) AS BIGINT) AS sum_cos_idx,
+           CAST(sum(coalesce(m_idx, 0)) AS BIGINT) AS sum_margin_idx,
+           CAST(sum(coalesce(cm_br, 0)) AS BIGINT) AS sum_cos_brute,
+           CAST(sum(coalesce(m_br, 0)) AS BIGINT) AS sum_margin_brute,
+           CAST(bit_xor($hSql) AS BIGINT) AS pair_checksum
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+    }
   )
 }

@@ -82,6 +82,17 @@ object EmbedStream {
       .start()
   }
 
+  /** COMPACT this gate's index increments — the `inc=` layout is shared
+    * with the text gate, so this is [[TextStream.compactIndex]] verbatim
+    * (duplicate (bucket, vec) rows kill identically; crash safety via
+    * the same [[IncrementStore]] transaction). The r16 verdict's gap:
+    * without this, a long-running embed gate reads one directory per
+    * trigger forever. Same contract: `upToBatchId` ≤ last COMMITTED
+    * batch, nondecreasing across calls. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long): Int =
+    TextStream.compactIndex(spark, indexDir, upToBatchId)
+
   /** Committed increments visible to `batchId` (the
     * [[TextStream]] rule): seeds plus numeric increments strictly below
     * it; empty-schema frame on a cold start. */

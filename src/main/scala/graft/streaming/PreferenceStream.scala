@@ -155,6 +155,26 @@ object PreferenceStream {
       .start()
   }
 
+  /** COMPACT the tournament's pair-count increments: every increment
+    * strictly below `upToBatchId` (numeric batch increments and prior
+    * compact seeds alike) SUM-merges into one `inc=compact-<upTo>` seed
+    * — counts are ADDITIVE, so the merge is the same groupBy the trigger
+    * already runs, and a reader sums compact seeds + surviving numerics
+    * to exactly the same totals. Unlike the kill-evidence indexes,
+    * duplicated count rows would DOUBLE-count — crash safety therefore
+    * rides entirely on [[IncrementStore]]'s transaction (tmp write →
+    * manifest commit → delete + rename with roll-forward recovery): at
+    * every crash point either the originals or the compacted seed are
+    * readable, never both. Same contract as the gates: `upToBatchId` ≤
+    * last COMMITTED batch (a replayed batch's id is above that, so its
+    * fresh increment never overlaps a seed), nondecreasing across calls,
+    * run between triggers. Returns the number of increments folded. */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, upToBatchId: Long): Int =
+    IncrementStore.compact(spark, stateDir, upToBatchId,
+      df => df.groupBy("prompt", "lo", "hi")
+        .agg(sum("wins_lo").as("wins_lo"), sum("wins_hi").as("wins_hi")))
+
   /** Shared scoring projections (stateless, batch ≡ stream by
     * construction). */
   private def scoreCands(cands: DataFrame): DataFrame = cands

@@ -157,38 +157,27 @@ object TextStream {
 
   /** COMPACT an evolving-gate index directory ([[evolvingGate]] here or
     * [[EmbedStream.evolvingGate]] — the layout is shared): merge every
-    * NUMERIC increment strictly below `upToBatchId` into one seed
-    * increment (`inc=compact-<upToBatchId>`), then delete the merged
-    * originals — a long-running gate accumulates one directory per
-    * trigger and the per-trigger listing/open cost eventually dominates
-    * the index read itself.
+    * increment strictly below `upToBatchId` — numeric batch increments
+    * AND prior `compact-<M>` seeds with M < upToBatchId, so successive
+    * compactions collapse to ONE seed instead of accumulating an
+    * immortal directory per invocation (the r16 ADVICE finding) — into
+    * `inc=compact-<upToBatchId>`, then delete the merged originals — a
+    * long-running gate accumulates one directory per trigger and the
+    * per-trigger listing/open cost eventually dominates the index read
+    * itself.
     *
-    * Crash-safe WITHOUT coordination because index rows are pure KILL
-    * EVIDENCE: a row present twice (compact written but originals not yet
-    * deleted when the compactor died) kills exactly the same arrivals as
-    * once — admissions are bit-identical under duplication, so recovery
-    * is simply "run compaction again". Compact only up to the
-    * checkpoint's last COMMITTED batch (those increments are immutable by
-    * the gate's own contract). Returns the number of increments merged. */
+    * Crash-safe via [[IncrementStore]]'s filesystem transaction (tmp
+    * write → source manifest commit point → delete + rename, with
+    * roll-forward/roll-back recovery on the next call) — stronger than
+    * the kill-evidence duplication argument alone, and the SAME protocol
+    * serves the additive counts store where duplication is NOT harmless
+    * ([[PreferenceStream.compactCounts]]). Compact only up to the
+    * checkpoint's last COMMITTED batch (those increments are immutable
+    * by the gate's own contract), with `upToBatchId` nondecreasing
+    * across calls. Returns the number of increments merged. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, upToBatchId: Long): Int = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0
-    val old = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
-      .filter { s =>
-        val tag = s.getPath.getName.stripPrefix("inc=")
-        tag.toLongOption.exists(_ < upToBatchId)
-      }
-      .map(_.getPath)
-    if (old.isEmpty) return 0
-    spark.read.parquet(old.map(_.toString): _*)
-      .write.mode("overwrite")
-      .parquet(s"$indexDir/inc=compact-$upToBatchId")
-    old.foreach(p => fs.delete(p, true))
-    old.size
-  }
+      indexDir: String, upToBatchId: Long): Int =
+    IncrementStore.compact(spark, indexDir, upToBatchId, identity)
 
   /** Every index increment a trigger may read: seeds (non-numeric tags)
     * plus numeric increments STRICTLY below `batchId`. Hadoop FS, not

@@ -552,14 +552,33 @@ class PlanSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"))
     val idx = graft.ops.Dedup.minhashSignaturesRowwise(
       docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), 3, 16)
+    // the kill passes (pinned on admitWithSig, the shared core): every
+    // pass an LSH-banded EQUI join, anti joins stay anti
+    val stepSig = graft.ops.Dedup.minhashSignaturesRowwise(
+      docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"), 3, 16)
+    val pCore = graft.ops.Dedup.admitWithSig(
+        docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), stepSig,
+        idx, 16, 4, 8)
+      .queryExecution.executedPlan.toString
+    assert(!pCore.contains("CartesianProduct") &&
+      !pCore.contains("BroadcastNestedLoopJoin"),
+      s"admission kill passes must stay hash-joined:\n$pCore")
+    assert(pCore.contains("LeftAnti"), pCore)
+    // the public BATCH entry materializes eagerly and RELEASES its
+    // signature storage before returning (r16 ADVICE — no cached-block
+    // accumulation in long-lived sessions); the returned plan is one
+    // anti hash join against the lineage-truncated dead-id list
+    spark.catalog.clearCache()
     val pStep = graft.ops.Dedup.admitStep(
         docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"),
         idx, 3, 16, 4, 0.5)
       .queryExecution.executedPlan.toString
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "admitStep must unpersist its signature frame before returning")
     assert(!pStep.contains("CartesianProduct") &&
-      !pStep.contains("BroadcastNestedLoopJoin"),
-      s"admission kill passes must stay hash-joined:\n$pStep")
-    assert(pStep.contains("LeftAnti"), pStep)
+      !pStep.contains("BroadcastNestedLoopJoin"), pStep)
+    assert(pStep.contains("LeftAnti") && pStep.contains("ExistingRDD"),
+      s"admitStep must return one anti join over checkpointed dead ids:\n$pStep")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val eIdx = graft.ops.Dedup.embedIndexOf(
       emb.filter(col("vec_id") % 2 === 0), col("embedding"), 4)
@@ -583,5 +602,37 @@ class PlanSpec extends AnyFunSuite {
       s"one lexicographic lag window:\n$p293")
     assert(!p293.contains("CartesianProduct") && !p293.contains("Join"),
       s"the prefix-cache table is one window + one agg, no joins:\n$p293")
+  }
+
+  test("index-bounded margin mining: the centroid form is an EQUI join " +
+    "(no cartesian anywhere), the ivf form partition-prunes to the " +
+    "probed lists (q294)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 400)
+    val srcS = emb.filter(col("vec_id") % 2 === 0)
+    val tgtS = emb.filter(col("vec_id") % 2 =!= 0)
+    val lattice: Seq[(Long, Array[Float])] = (0 until 4).map(t =>
+      (t.toLong, Array.tabulate(64)(i => if (i / 16 == t) 1.0f else -0.25f)))
+    val pC = graft.ops.Similarity.marginMineFromCentroids(srcS,
+        col("vec_id"), col("embedding"), tgtS, col("vec_id"),
+        col("embedding"), lattice, 2, 4)
+      .queryExecution.executedPlan.toString
+    assert(!pC.contains("CartesianProduct") &&
+      !pC.contains("BroadcastNestedLoopJoin"),
+      s"centroid-bounded mining must candidate via an equi join:\n$pC")
+    val dir = java.nio.file.Files.createTempDirectory("mmIdx").toString
+    graft.ops.Similarity.ivfWritePartitioned(tgtS, col("vec_id"),
+      col("embedding"), 4, s"$dir/idx")
+    val pI = graft.ops.Similarity.marginMineFromIndex(spark, s"$dir/idx",
+        srcS, col("vec_id"), col("embedding"), 2, 4)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(pI).isDefined,
+      s"the probe set must prune index partitions:\n$pI")
+    assert(!"DataFilters: \\[[^\\]]*cluster".r.findFirstIn(pI).isDefined,
+      s"the cluster probe must not degrade to a data filter:\n$pI")
+    assert(!pI.contains("CartesianProduct") &&
+      !pI.contains("BroadcastNestedLoopJoin"),
+      s"index mining must candidate via an equi join:\n$pI")
   }
 }

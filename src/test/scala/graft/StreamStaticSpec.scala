@@ -1057,6 +1057,20 @@ class StreamStaticSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(compacted === (want ++ Seq(10L, 12L)),
       "post-compaction: 11 dies against the compacted index, 12 admits")
+    // a SECOND compaction folds the PRIOR compact seed too (r16 ADVICE:
+    // repeated compaction must not accumulate one immortal compact-*
+    // directory per invocation): compact-4 + inc=4 collapse to ONE seed
+    assert(TextStream.compactIndex(spark, idxDir, upToBatchId = 5) === 2)
+    val tags = new java.io.File(idxDir).listFiles
+      .map(_.getName).filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tags === Seq("inc=compact-5"),
+      s"successive compactions must collapse to a single seed, got $tags")
+    ship(Seq((13L, text(4) + " zq"), (14L, text(14))), "f", 0)
+    runGate()
+    val again = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === (want ++ Seq(10L, 12L, 14L)),
+      "post-recompaction: 13 dies against the single-seed index, 14 admits")
   }
 
   test("embedding evolving gate: stream admits the identical vector set " +
@@ -1126,6 +1140,16 @@ class StreamStaticSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(after === (want :+ 10L),
       "post-restart: the scaled copy dies against the persisted index")
+    // compaction via the EMBED-side entry (shared inc= layout): the four
+    // committed increments fold to one seed and the gate keeps killing
+    assert(EmbedStream.compactIndex(spark, idxDir, upToBatchId = 4) === 4)
+    ship(Seq((11L, vec(3).map(_ * 16)), (12L, vec(12))), "e", 0)
+    runGate()
+    val comp = spark.read.parquet(admDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(comp === (want ++ Seq(10L, 12L)),
+      "post-compaction: the ×16 copy dies against the compacted index, " +
+        "the novel vector admits")
   }
 
   test("live pipeline composition: evolvingGate's admitted output FEEDS " +
@@ -1258,6 +1282,83 @@ class StreamStaticSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toList)
     assert(snap(2).toSeq === wantC.toSeq,
       "post-restart snapshot must fold new judgments into persisted counts")
+    // compact the three committed count increments into one SUM-merged
+    // seed; the next trigger's snapshot must still equal the batch twin
+    // over everything — additive counts survive compaction exactly
+    assert(PreferenceStream.compactCounts(spark, stateDir,
+      upToBatchId = 3) === 3)
+    val bD = Seq((0L, 2L, 3L, 2L))
+    ship(bD, "d", 0)
+    runRank()
+    val wantD = Preference.rankCandidates(
+        (bA ++ bB ++ bC ++ bD).toDF("prompt", "a", "b", "winner"),
+        col("prompt"), col("a"), col("b"), col("winner"))
+      .orderBy("rnk").select("cand", "copeland", "j_wins", "rnk")
+      .collect().map(_.toSeq.toList)
+    assert(snap(3).toSeq === wantD.toSeq,
+      "post-compaction snapshot must sum the seed + the fresh increment")
+  }
+
+  test("increment-store compaction transaction on the ADDITIVE counts " +
+    "store: a manifest-less tmp rolls BACK (sources intact), a " +
+    "manifested tmp rolls FORWARD without double counting, and a later " +
+    "compaction folds the prior seed by SUM") {
+    import graft.streaming.PreferenceStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-inc-store")
+    val sd = dir.resolve("state").toString
+    def counts(rows: Seq[(Long, Long, Long, Long, Long)]) =
+      rows.toDF("prompt", "lo", "hi", "wins_lo", "wins_hi")
+    counts(Seq((0L, 1L, 2L, 1L, 0L))).write.parquet(s"$sd/inc=0")
+    counts(Seq((0L, 1L, 2L, 0L, 2L))).write.parquet(s"$sd/inc=1")
+    def total(): (Long, Long) = {
+      val incs = new java.io.File(sd).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("inc="))
+        .map(_.toString).sorted
+      val r = spark.read.parquet(incs.toIndexedSeq: _*)
+        .groupBy("prompt", "lo", "hi")
+        .agg(sum("wins_lo").as("l"), sum("wins_hi").as("h"))
+        .collect()
+      assert(r.length === 1)
+      (r(0).getLong(3), r(0).getLong(4))
+    }
+    assert(total() === ((1L, 2L)))
+    // CRASH SIM 1 — died mid-write: tmp data, NO manifest. The next
+    // compaction must roll it back and fold the intact sources fresh
+    counts(Seq((0L, 1L, 2L, 99L, 99L)))
+      .write.parquet(s"$sd/_compact-2.tmp")
+    assert(PreferenceStream.compactCounts(spark, sd, upToBatchId = 2) === 2)
+    assert(total() === ((1L, 2L)),
+      "rollback: the junk tmp must never contaminate the store")
+    val tags1 = new java.io.File(sd).listFiles.map(_.getName)
+      .filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tags1 === Seq("inc=compact-2"))
+    // CRASH SIM 2 — died after the manifest COMMIT POINT but before the
+    // deletes: tmp holds the full merge, sources are STILL PRESENT. A
+    // naive reader of both would double count; recovery must delete the
+    // listed sources and publish the tmp exactly once
+    counts(Seq((0L, 1L, 2L, 2L, 0L))).write.parquet(s"$sd/inc=2")
+    counts(Seq((0L, 1L, 2L, 3L, 2L)))   // = compact-2 + inc=2 merged
+      .write.parquet(s"$sd/_compact-3.tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$sd/_compact-3.tmp/_sources.txt"),
+      "inc=compact-2\ninc=2".getBytes("UTF-8"))
+    assert(PreferenceStream.compactCounts(spark, sd, upToBatchId = 3) === 0,
+      "after roll-forward nothing is left to fold")
+    assert(total() === ((3L, 2L)),
+      "roll-forward must not double count the committed transaction")
+    val tags2 = new java.io.File(sd).listFiles.map(_.getName)
+      .filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tags2 === Seq("inc=compact-3"))
+    // ordinary path: a later compaction folds the prior seed + two new
+    // increments by SUM through the real merge
+    counts(Seq((0L, 1L, 2L, 0L, 1L))).write.parquet(s"$sd/inc=3")
+    counts(Seq((0L, 1L, 2L, 4L, 0L))).write.parquet(s"$sd/inc=4")
+    assert(PreferenceStream.compactCounts(spark, sd, upToBatchId = 5) === 3)
+    assert(total() === ((7L, 3L)))
+    val tags3 = new java.io.File(sd).listFiles.map(_.getName)
+      .filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tags3 === Seq("inc=compact-5"))
   }
 
   test("streaming packer: bins across microbatch boundaries equal " +

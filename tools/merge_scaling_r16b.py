@@ -54,7 +54,13 @@ def main(p01, p10):
     out["suite_cpu_sf01"] = round(suite01, 1)
     out["suite_cpu_sf10"] = round(suite10, 1)
     out["suite_factor"] = round(suite10 / suite01, 2)
-    out["method"] = (base["method"] +
+    # idempotent: re-running the merge must not re-append the provenance
+    # sentence (the committed artifact once accumulated it three times)
+    note_marker = "the late-r16 queries (q286-q293) measured by"
+    base_method = base["method"]
+    if note_marker in base_method:
+        base_method = base_method[:base_method.index("; " + note_marker)]
+    out["method"] = (base_method +
         "; the late-r16 queries (q286-q293) measured by "
         "tools/merge_scaling_r16b.py under the same ScaleCpu harness - "
         "three subset runs per side (per-query warmup execution, light "
