@@ -31,7 +31,9 @@ object GramProbe {
         .write.format("noop").mode("overwrite").save()
     // JIT/IO warm: one throwaway pass of both, purged
     purge(); run("q169_lm_quality_5gram"); purge(); run("q175_lm_5gram_pruned")
-    def pair(label: String, purgeBetween: Boolean): Unit = {
+    def pair(label: String, purgeBetween: Boolean,
+        memoMode: String): Unit = {
+      spark.conf.set("spark.graft.gramMemo", memoMode)
       purge()
       val w0 = System.nanoTime(); val c0 = cpuSeconds()
       run("q169_lm_quality_5gram")
@@ -40,11 +42,17 @@ object GramProbe {
       val wall = (System.nanoTime() - w0) / 1e9
       val cpu = cpuSeconds() - c0
       println(f"[gramprobe] $label%-22s wall=$wall%7.2fs cpu=$cpu%7.2fs")
+      spark.conf.unset("spark.graft.gramMemo")
     }
-    pair("purged (isolation)", purgeBetween = true)
-    pair("shared (memo reuse)", purgeBetween = false)
-    pair("purged (isolation)", purgeBetween = true)
-    pair("shared (memo reuse)", purgeBetween = false)
+    // isolation = the Bench/ScaleCpu/Verify shape: default deferred memo,
+    // storage purged between queries — must cost exactly the pre-memo
+    // plans. shared = the production multi-scorer shape: the session
+    // opts into spark.graft.gramMemo=eager and q175 reuses q169's
+    // persisted tables.
+    pair("purged (isolation)", purgeBetween = true, memoMode = "deferred")
+    pair("shared (memo eager)", purgeBetween = false, memoMode = "eager")
+    pair("purged (isolation)", purgeBetween = true, memoMode = "deferred")
+    pair("shared (memo eager)", purgeBetween = false, memoMode = "eager")
     spark.stop()
   }
 }
