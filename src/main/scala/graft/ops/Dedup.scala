@@ -695,17 +695,24 @@ object Dedup {
         val batch = tagged.filter(col("__w") === w)
         val sig = minhashSignaturesRowwise(batch, id, text, n, k)
           .persist(lvl)
-        // only IDs are checkpointed per wave (admitted text re-attaches
-        // by one semi join at the end — serializing full rows per wave
-        // doubled the checkpoint bytes for nothing)
-        val admIds = admitWithSig(batch.select(id.as("__id")),
-            col("__id"), sig, idx, k, bands, minAgree)
-          .localCheckpoint(true)
-        // index increment DERIVED from the persisted signatures (one
-        // semi join), never a MinHash recompute of the admitted text
-        val inc = sig.join(admIds, col("doc") === col("__id"), "left_semi")
+        // ONE eager checkpoint job per wave (r16 ran two — the fixed
+        // per-wave overhead the r16 verdict flagged as ~1/3 of q288's
+        // cost): the checkpointed frame carries BOTH outputs — the
+        // surviving ids (anti join against the dead-id list; null-text
+        // rows survive with NULL signature columns through the left
+        // join) and, on rows that carry one, the signature that joins
+        // the index for the next wave. Only ids + k longs per admitted
+        // doc serialize — admitted text still re-attaches by one semi
+        // join at the end.
+        val dead = deadIdsWithSig(sig, idx, k, bands, minAgree)
+        val chk = batch.select(id.as("__id"))
+          .join(dead, col("__id") === col("i"), "left_anti")
+          .join(sig, col("__id") === col("doc"), "left")
           .localCheckpoint(true)
         sig.unpersist(false)
+        val admIds = chk.select("__id")
+        val inc = chk.filter(col("doc").isNotNull)
+          .select(("doc" +: (0 until k).map(j => s"s$j")).map(col): _*)
         (idx.unionByName(inc), acc :+ admIds)
     }
     val allIds = parts.reduce(_.unionByName(_))
