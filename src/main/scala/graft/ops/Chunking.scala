@@ -666,4 +666,46 @@ object Chunking {
            n_tokens - n_masked + n_spans AS input_len,
            n_masked + n_spans AS target_len FROM __sc_agg)"""
   }
+
+  /** TAKEDOWN / REBUILD audit over a packed corpus — the
+    * right-to-be-forgotten bill: a removal request (licensing takedown,
+    * PII deletion, opt-out list) does not just delete source documents,
+    * it DIRTIES every packed training window that contains one, and at
+    * 100 TB the operational question is "how many shards must repack and
+    * how many tokens must re-serialize", not "which docs go". Given pack
+    * assignments (`group`, `bin`, per-row token count — [[packFFD]] /
+    * [[packOrdered]] output, or any shard layout keyed the same way) and
+    * a per-row `removed` flag (the takedown list joined upstream —
+    * typically a broadcast semi join against a driver-sized request
+    * list), emits one row per group:
+    * `(grp, n_bins, n_dirty_bins, n_rows, n_rows_to_repack,
+    * n_removed_rows, n_tokens, tokens_to_repack, repack_permille)` —
+    * a bin is dirty iff it holds ≥ 1 removed row; every surviving row of
+    * a dirty bin repacks (its window's token stream changes), clean bins
+    * are untouched — exactly the blast-radius a release manager budgets.
+    *
+    * All-integer on the half-up permille grid. Scale shape: two
+    * partial-aggregable groupBys ((grp, bin) then grp) — no window, no
+    * join, nothing beyond the pack table's own size. */
+  def takedownAudit(packed: DataFrame, group: Column, bin: Column,
+      nTok: Column, removed: Column): DataFrame = {
+    val base = packed.select(group.as("grp"), bin.as("bin"),
+      nTok.cast("long").as("__nt"), removed.cast("boolean").as("__rm"))
+    val perBin = base.groupBy("grp", "bin").agg(
+      count(lit(1)).as("__rows"), sum("__nt").as("__tok"),
+      sum(when(col("__rm"), 1L).otherwise(0L)).as("__nrm"))
+    perBin.groupBy("grp").agg(
+      count(lit(1)).as("n_bins"),
+      sum(when(col("__nrm") > 0L, 1L).otherwise(0L)).as("n_dirty_bins"),
+      sum("__rows").as("n_rows"),
+      sum(when(col("__nrm") > 0L, col("__rows") - col("__nrm"))
+        .otherwise(0L)).as("n_rows_to_repack"),
+      sum("__nrm").as("n_removed_rows"),
+      sum("__tok").as("n_tokens"),
+      sum(when(col("__nrm") > 0L, col("__tok")).otherwise(0L))
+        .as("tokens_to_repack"),
+      ExactRound.halfUpDivCol(
+        sum(when(col("__nrm") > 0L, col("__tok")).otherwise(0L)) * 1000L,
+        sum("__tok")).as("repack_permille"))
+  }
 }

@@ -1372,6 +1372,39 @@ object Dedup {
     df.join(losers, id === col("__loser"), "left_anti")
   }
 
+  /** SOFT dedup — duplicate-aware DOWNWEIGHTING instead of dropping
+    * (the SoftDeDup policy: reweight repeated content, don't delete it):
+    * every member of a transitive near-dup cluster keeps sampling weight
+    * 1/|cluster|, so repeated CONTENT carries exactly one document's
+    * worth of expected training mass while no individual copy (with its
+    * own metadata, formatting, surrounding context) is lost — the policy
+    * axis hard dedup (q79 min-id, q121 keep-best) cannot express. Emits
+    * the input rows plus `(cluster, n_cluster, w_micro)`: `cluster` =
+    * the transitive cluster's canonical min id (a singleton is its own
+    * cluster), `n_cluster` its size, `w_micro` the exact half-up
+    * `1e6 / n_cluster` integer weight a weighted sampler
+    * ([[graft.ops.Sampling]]'s A-ES machinery, q131) consumes directly.
+    * Per cluster the weights sum to 1e6 up to the rounding grid — the
+    * one-document-of-mass invariant q297 pins per source.
+    *
+    * Scale shape: [[dupClusters]] over the PAIR table (pair-connected
+    * docs only, tiny next to the corpus) + one count per cluster, then
+    * one left join back on id — the corpus never shuffles; cluster
+    * metadata is duplicate-fraction-sized. */
+  def softDedupWeights(df: DataFrame, id: Column, pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = dupClusters(pairs, maxIter, checkpointDir)
+    val sized = clusters.join(
+      clusters.groupBy("cluster").agg(count(lit(1)).as("__n")), "cluster")
+    df.join(sized, id === col("node"), "left")
+      .withColumn("n_cluster", coalesce(col("__n"), lit(1L)))
+      .withColumn("cluster", coalesce(col("cluster"), id))
+      .withColumn("w_micro",
+        ExactRound.halfUpDivCol(lit(1000000L), col("n_cluster")))
+      .drop("node", "__n")
+  }
+
   /** SimHash as a pure per-row projection — the
     * [[graft.functions.SimHash64]] native expression. Bit-equal to
     * [[simhash]] (OpsSpec) with no token explode, no shuffle: the map-stage

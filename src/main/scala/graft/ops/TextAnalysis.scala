@@ -1937,6 +1937,40 @@ object TextAnalysis {
     stupidBackoff(docs, id, text, ref, refText, order = 3, alpha = alpha)
       .withColumnRenamed("n_ngrams", "n_trigrams")
 
+  /** MOORE–LEWIS contrastive data selection (Moore & Lewis 2010, the
+    * cross-entropy-difference filter CCNet/fastText-era pipelines use to
+    * pull target-domain text out of a general crawl): per document,
+    * in-domain cross-entropy MINUS general-domain cross-entropy under
+    * the SAME [[stupidBackoff]] ladder — a NEGATIVE difference means the
+    * in-domain LM is less surprised than the general LM, i.e. the doc
+    * reads more like the target domain than like average crawl text, and
+    * the absolute in-domain entropy (which q169's plain filter ranks by)
+    * stops punishing rare-but-on-domain documents.
+    *
+    * Exactness: both entropies are the established integer micro-nat
+    * per-doc means, so `ml_micro` is an exact BIGINT difference — no
+    * float subtraction crosses the engine boundary; a doc too short to
+    * carry an order-n slot scores NULL in BOTH LMs (identical slot
+    * grids) and NULL ml. Scale shape: two ladder passes over the same
+    * document slots (2·(2·order−1) hash joins against two count-table
+    * sets — the general-LM tables are typically the corpus-wide tables
+    * q169 already built, shared via the session memo) + one id join. */
+  def mooreLewis(docs: DataFrame, id: Column, text: Column,
+      inRef: DataFrame, inRefText: Column,
+      genRef: DataFrame, genRefText: Column,
+      order: Int = 3, alpha: Double = 0.4, minCount: Long = 1L,
+      deriveCounts: Boolean = false): DataFrame = {
+    val inS = stupidBackoff(docs, id, text, inRef, inRefText, order,
+        alpha, minCount, deriveCounts)
+      .select(col("id"), col("n_ngrams"),
+        col("xent_micro").as("xent_in_micro"))
+    val genS = stupidBackoff(docs, id, text, genRef, genRefText, order,
+        alpha, minCount, deriveCounts)
+      .select(col("id").as("__gid"), col("xent_micro").as("xent_gen_micro"))
+    inS.join(genS, col("id") === col("__gid")).drop("__gid")
+      .withColumn("ml_micro", col("xent_in_micro") - col("xent_gen_micro"))
+  }
+
   /** One row per n-gram slot, columns `w1..wn` (plus `cols` carried through).
     * Shared slot constructor for the backoff-LM family. */
   private def gramSlots(df: DataFrame, cols: Seq[Column], t: Column,

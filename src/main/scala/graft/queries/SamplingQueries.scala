@@ -626,6 +626,22 @@ object SamplingQueries {
         .orderBy("grp", "bin", "doc", "chunk_idx")
     }),
 
+    // TAKEDOWN / REBUILD audit (Chunking.takedownAudit): the q251 FFD
+    // pack with a planted removal list (doc % 7 = 3 — the
+    // right-to-be-forgotten requests), per-group blast radius: bins
+    // dirtied by >= 1 removed chunk, surviving rows and tokens that must
+    // repack, all on the half-up permille grid
+    "q296_takedown_audit" -> ((s, d) => {
+      val chunks = Chunking.chunk(
+        t(s, d, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      val packed = Chunking.packFFD(chunks, pmod(col("doc"), lit(3)),
+        ctx = 128)
+      Chunking.takedownAudit(packed, col("grp"), col("bin"), col("n_tok"),
+          pmod(col("doc"), lit(7)) === 3)
+        .orderBy("grp")
+    }),
+
     // quality-phased curriculum schedule: phase 0 = clean docs, then
     // repetitive, then short (train on the cleanest slice first — the
     // curriculum canon); within a phase the order is a deterministic
@@ -1695,6 +1711,30 @@ object SamplingQueries {
          SELECT * FROM (${rep(64)} UNION ALL ${rep(128)} UNION ALL ${rep(256)})
          ORDER BY ctx"""
     },
+
+    // the same FFD replay; dirty = any chunk of a removed doc in the
+    // bin, per-group rollup on the identical half-up permille grid
+    "q296_takedown_audit" ->
+      s"""$FfdCte,
+         pb AS (SELECT grp, bin, count(*) AS rws,
+             CAST(sum(n_tok) AS BIGINT) AS tok,
+             CAST(sum(CASE WHEN doc % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nrm
+           FROM ffd GROUP BY 1, 2)
+         SELECT grp, count(*) AS n_bins,
+           CAST(sum(CASE WHEN nrm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dirty_bins,
+           CAST(sum(rws) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN nrm > 0 THEN rws - nrm ELSE 0 END) AS BIGINT)
+             AS n_rows_to_repack,
+           CAST(sum(nrm) AS BIGINT) AS n_removed_rows,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN nrm > 0 THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_to_repack,
+           ${graft.ops.ExactRound.halfUpDivSql(
+          "sum(CASE WHEN nrm > 0 THEN tok ELSE 0 END) * 1000", "sum(tok)")}
+             AS repack_permille
+         FROM pb GROUP BY 1 ORDER BY 1""",
 
     // the same FFD replay, plus the within-bin running token sum in
     // insertion (rn) order — FFD's own order restricted to the bin

@@ -211,6 +211,43 @@ object TextQueries {
          CROSS JOIN tot GROUP BY 1)"""
   }
 
+  /** Trigram stupid-backoff scoring CTE chain against a PARAMETERIZED
+    * reference relation, CTE names suffixed `_p` — the q157 ladder with
+    * the count tables decoupled from the scored side (the shared
+    * `toks`/`dp` CTEs), so q295 replays two LMs in one statement. The xm
+    * rounding is the exact q157 form (half-up of the negated micro-nat
+    * sum over the slot count). */
+  private def triXentCoreSql(p: String, refFrom: String): String =
+    s"""rt_$p AS (SELECT str_split(text, ' ') AS ts FROM ($refFrom)),
+       uni_$p AS (SELECT ts[x.i] AS w1, count(*) AS c1
+         FROM rt_$p, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) x
+         GROUP BY 1),
+       bi_$p AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, count(*) AS c2
+         FROM rt_$p, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) x
+         WHERE len(ts) >= 2 GROUP BY 1, 2),
+       tri_$p AS (SELECT ts[x.i] AS w1, ts[x.i+1] AS w2, ts[x.i+2] AS w3,
+           count(*) AS c3
+         FROM rt_$p, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+         WHERE len(ts) >= 3 GROUP BY 1, 2, 3),
+       tot_$p AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v
+         FROM uni_$p),
+       sc_$p AS (SELECT dp.doc_id, count(*) AS nt,
+           CAST((2 * (-sum(CAST(round(1e6 * CASE
+             WHEN coalesce(t3.c3, 0) > 0
+               THEN ln(t3.c3::DOUBLE) - ln(b12.c2::DOUBLE)
+             WHEN coalesce(b23.c2, 0) > 0
+               THEN ln(0.4) + ln(b23.c2::DOUBLE) - ln(u2.c1::DOUBLE)
+             ELSE 2 * ln(0.4) + ln(coalesce(u3.c1, 0)::DOUBLE + 1.0)
+               - ln(tot.n + tot.v) END) AS BIGINT))) + count(*))
+             // (2 * count(*)) AS BIGINT) AS xm
+         FROM dp
+         LEFT JOIN tri_$p t3 USING (w1, w2, w3)
+         LEFT JOIN bi_$p b12 ON dp.w1 = b12.w1 AND dp.w2 = b12.w2
+         LEFT JOIN bi_$p b23 ON dp.w2 = b23.w1 AND dp.w3 = b23.w2
+         LEFT JOIN uni_$p u2 ON dp.w2 = u2.w1
+         LEFT JOIN uni_$p u3 ON dp.w3 = u3.w1
+         CROSS JOIN tot_$p tot GROUP BY 1)"""
+
   private def fiveGramLadderSql(minCount: Int): String =
     s"""WITH ${ladderXentCore("documents", "text", minCount)},
        b AS (SELECT t.doc_id,
@@ -1511,6 +1548,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // MOORE-LEWIS contrastive selection (TA.mooreLewis): in-domain
+    // (src1+src2 documents) trigram cross-entropy MINUS general-corpus
+    // cross-entropy, both on the exact micro-nat grid so the difference
+    // is an exact BIGINT — negative = reads more like the target domain;
+    // per-source census of the kept set (the in-domain sources must keep
+    // a clear majority of their own docs — that's the planted signal:
+    // their text IS the in-domain distribution) + membership checksum
+    "q295_moore_lewis" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val inRef = docs.filter(col("source").isin("src1", "src2"))
+      val ml = TA.mooreLewis(docs, col("doc_id"), col("text"),
+        inRef, col("text"), docs, col("text"), order = 3)
+      docs.select(col("doc_id"), col("source"))
+        .join(ml, col("doc_id") === col("id"), "left")
+        .withColumn("keep", col("ml_micro") < 0L)
+        .withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 41))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("ml_micro")).as("n_scored"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum("ml_micro").as("sum_ml"),
+          min("ml_micro").as("min_ml"),
+          max("ml_micro").as("max_ml"),
+          coalesce(expr("bit_xor(CASE WHEN keep THEN __h END)"), lit(0L))
+            .as("keep_checksum"))
+        .orderBy("source")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -1679,6 +1745,33 @@ object TextQueries {
         col("text"), n = 3, minJaccard = 0.9)
       Dedup.dupClusters(pairs)
         .orderBy("node")
+    }),
+
+    // SOFT dedup (Dedup.softDedupWeights): the q74 transitive clusters
+    // reweighted instead of dropped — every cluster member keeps exact
+    // half-up weight 1e6/|cluster|, singletons weight 1e6. Per-source
+    // census pins the one-document-of-mass invariant (sum_w over a
+    // cluster = 1e6 ± the rounding grid) plus the downweighted member
+    // set by checksum
+    "q297_soft_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.9)
+      Dedup.softDedupWeights(docs.select(col("doc_id"), col("source")),
+          col("doc_id"), pairs)
+        .withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 53))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_cluster") > 1L, 1L).otherwise(0L))
+            .as("n_downweighted"),
+          max("n_cluster").as("max_cluster"),
+          sum("w_micro").as("sum_w_micro"),
+          min("w_micro").as("min_w_micro"),
+          coalesce(expr(
+            "bit_xor(CASE WHEN n_cluster > 1 THEN __h END)"), lit(0L))
+            .as("dw_checksum"))
+        .orderBy("source")
     }),
 
     // the TypedImperativeAggregate sketch path: full 16-hash signature
@@ -2818,6 +2911,37 @@ object TextQueries {
     // unigram floor and tercile assignment
     "q169_lm_quality_5gram" -> fiveGramLadderSql(minCount = 1),
 
+    // two trigram ladders in one statement (in-domain = src1+src2,
+    // general = everything) over SHARED document slots; ml = exact
+    // BIGINT xm difference; keep rule and checksum replayed on the grid
+    "q295_moore_lewis" -> {
+      val hSql = PortableHash.md5LongSql("doc_id::VARCHAR", 41)
+      s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2,
+             ts[x.i+2] AS w3
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3),
+         ${triXentCoreSql("ind",
+          "SELECT text FROM documents WHERE source IN ('src1', 'src2')")},
+         ${triXentCoreSql("gen", "SELECT text FROM documents")},
+         ml AS (SELECT d.doc_id, d.source, si.xm - sg.xm AS ml
+           FROM documents d
+           LEFT JOIN sc_ind si USING (doc_id)
+           LEFT JOIN sc_gen sg USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN ml IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(sum(CASE WHEN ml < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(sum(ml) AS BIGINT) AS sum_ml,
+           CAST(min(ml) AS BIGINT) AS min_ml,
+           CAST(max(ml) AS BIGINT) AS max_ml,
+           CAST(coalesce(bit_xor(CASE WHEN ml < 0 THEN $hSql END), 0)
+             AS BIGINT) AS keep_checksum
+         FROM ml GROUP BY 1 ORDER BY 1"""
+    },
+
     // identical ladder with the identical KenLM-style HAVING prune on
     // every order >= 2 table (unigram floor untouched)
     "q175_lm_5gram_pruned" -> fiveGramLadderSql(minCount = 2),
@@ -3254,6 +3378,38 @@ object TextQueries {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS node, least(a, min(b)) AS cluster
          FROM reach GROUP BY a ORDER BY node""",
+
+    // identical reach closure; weights as the identical half-up
+    // 1e6/|cluster| grid, singletons filled with weight 1e6
+    "q297_soft_dedup" -> {
+      val hSql = PortableHash.md5LongSql("doc_id::VARCHAR", 53)
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+         sz AS (SELECT cluster, count(*) AS n FROM cc GROUP BY 1),
+         w AS (SELECT d.doc_id, d.source,
+             coalesce(sz.n, 1) AS n_cluster,
+             ${graft.ops.ExactRound.halfUpDivSql("1000000",
+            "coalesce(sz.n, 1)")} AS w_micro
+           FROM documents d
+           LEFT JOIN cc ON d.doc_id = cc.node
+           LEFT JOIN sz ON cc.cluster = sz.cluster)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_cluster > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_downweighted,
+           CAST(max(n_cluster) AS BIGINT) AS max_cluster,
+           CAST(sum(w_micro) AS BIGINT) AS sum_w_micro,
+           CAST(min(w_micro) AS BIGINT) AS min_w_micro,
+           CAST(coalesce(bit_xor(CASE WHEN n_cluster > 1
+             THEN $hSql END), 0) AS BIGINT) AS dw_checksum
+         FROM w GROUP BY 1 ORDER BY 1"""
+    },
 
     "q79_dedup_survivors" ->
       s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

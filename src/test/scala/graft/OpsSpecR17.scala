@@ -87,6 +87,63 @@ class OpsSpecR17 extends AnyFunSuite {
       "no hit → NULL first_hit_rank and rr_micro")
   }
 
+  test("mooreLewis: ml_micro is the exact integer entropy difference — " +
+    "identical references give ml = 0 on every scored doc, and a doc too " +
+    "short for an order-n slot scores NULL in both LMs") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a b c a b c"), (2L, "c b a"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mooreLewis(docs, col("doc_id"), col("text"),
+        docs, col("text"), docs, col("text"), order = 3)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(4) === 0L && out(1).getLong(4) === 0L,
+      "same in/gen reference must difference to exactly zero")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3) && out(2).isNullAt(4),
+      "a 2-token doc has no trigram slot in EITHER ladder → NULL ml")
+  }
+
+  test("takedownAudit: hand-computed blast radius — a bin is dirty iff " +
+    "it holds a removed row, survivors of dirty bins repack, clean bins " +
+    "are untouched, permille on the half-up grid") {
+    import spark.implicits._
+    import graft.ops.Chunking
+    // group g: bin 0 = rows (1 clean, 2 REMOVED, 3 clean), bin 1 = row 4
+    // clean → 1 dirty bin, 2 surviving rows to repack, 30 of 70 tokens.
+    // group h: bin 0 all clean → zero blast radius
+    val packed = Seq(
+      ("g", 0L, 1L, 10L, false), ("g", 0L, 2L, 15L, true),
+      ("g", 0L, 3L, 5L, false), ("g", 1L, 4L, 40L, false),
+      ("h", 0L, 5L, 20L, false))
+      .toDF("grp", "bin", "doc", "n_tok", "rm")
+    val out = Chunking.takedownAudit(packed, col("grp"), col("bin"),
+        col("n_tok"), col("rm"))
+      .orderBy("grp").collect()
+    assert(out(0).toSeq === Seq("g", 2L, 1L, 4L, 2L, 1L, 70L, 30L, 429L))
+    assert(out(1).toSeq === Seq("h", 1L, 0L, 1L, 0L, 0L, 20L, 0L, 0L))
+  }
+
+  test("softDedupWeights: cluster members weigh exactly " +
+    "halfUp(1e6/|cluster|), singletons weigh 1e6, and each cluster " +
+    "carries one document of mass up to the rounding grid") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docs = (1L to 5L).toDF("doc_id")
+    // pairs chain 1-2-3 into one cluster; 4 and 5 stay singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val out = Dedup.softDedupWeights(docs, col("doc_id"), pairs)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster", "n_cluster", "w_micro").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 1L, 1L, 4L, 5L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 3L, 3L, 1L, 1L))
+    assert(out.map(_.getLong(3)).toSeq ===
+      Seq(333333L, 333333L, 333333L, 1000000L, 1000000L))
+    val clusterMass = out.filter(_.getLong(1) === 1L).map(_.getLong(3)).sum
+    assert(math.abs(clusterMass - 1000000L) <= 3L,
+      "a cluster's weights must sum to one document of mass (grid-close)")
+  }
+
   test("gram memo defers persistence to the SECOND consumer: an " +
     "isolation session (one consumer, purge between queries) never pays " +
     "the cache build; a reusing session persists on the first HIT") {
