@@ -20,6 +20,7 @@ object QTime {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      graft.ops.TextAnalysis.clearGramCache()
     }
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

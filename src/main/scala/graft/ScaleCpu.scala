@@ -44,6 +44,9 @@ object ScaleCpu {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // memo-map reset: purged re-runs are fresh sessions, never hits
+      // (the Bench.purgeStorage rule)
+      graft.ops.TextAnalysis.clearGramCache()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.filterNot(done.contains).foreach { n =>

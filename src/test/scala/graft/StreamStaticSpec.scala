@@ -1361,6 +1361,69 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(tags3 === Seq("inc=compact-5"))
   }
 
+  test("takedown stream: each trigger's published bill equals the batch " +
+    "audit over ALL requests so far (duplicate requests change nothing), " +
+    "restart folds into persisted requests, and compacting the request " +
+    "store leaves the bill unchanged") {
+    import graft.streaming.{TakedownStream, TextStream}
+    import graft.ops.Chunking
+    import spark.implicits._
+    val packed = Seq(
+      ("g", 0L, 1L, 10L), ("g", 0L, 2L, 15L), ("g", 0L, 3L, 5L),
+      ("g", 1L, 4L, 40L), ("h", 0L, 5L, 20L), ("h", 1L, 6L, 25L))
+      .toDF("grp", "bin", "doc", "n_tok")
+    def batchBill(ids: Seq[Long]) = Chunking.takedownAudit(
+        packed.withColumn("rm", col("doc").isin(ids: _*)),
+        col("grp"), col("bin"), col("n_tok"), col("rm"))
+      .orderBy("grp").collect().map(_.toSeq.toList).toSeq
+    val dir = Files.createTempDirectory("graft-takedown-stream")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(ids: Seq[Long], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      ids.toDF("doc").coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    val stateDir = dir.resolve("state").toString
+    val billDir = dir.resolve("bill").toString
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(1L).toDF("doc").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = TakedownStream.takedownStream(stream, packed, col("grp"),
+        col("bin"), col("doc"), col("n_tok"), stateDir, billDir,
+        dir.resolve("ckpt").toString)
+      q.processAllAvailable(); q.stop()
+    }
+    def bill(b: Int) = spark.read.parquet(s"$billDir/batch=$b")
+      .orderBy("grp").collect().map(_.toSeq.toList).toSeq
+    ship(Seq(2L), "a", 60000)
+    ship(Seq(2L, 5L), "b", 30000) // doc 2 again — set semantics
+    runStream()
+    assert(bill(0) === batchBill(Seq(2L)),
+      "first trigger bills only its own requests")
+    assert(bill(1) === batchBill(Seq(2L, 5L)),
+      "second trigger bills the cumulative set; the duplicate is a no-op")
+    ship(Seq(4L), "c", 0)
+    runStream()
+    assert(bill(2) === batchBill(Seq(2L, 4L, 5L)),
+      "post-restart: persisted requests fold into the bill")
+    // the request store shares the inc= layout — compact it with the
+    // gate compactor (identity merge; request ids are set evidence)
+    assert(TextStream.compactIndex(spark, stateDir, upToBatchId = 3) === 3)
+    ship(Seq(6L), "d", 0)
+    runStream()
+    assert(bill(3) === batchBill(Seq(2L, 4L, 5L, 6L)),
+      "post-compaction: the bill is unchanged by the folded store")
+  }
+
   test("streaming packer: bins across microbatch boundaries equal " +
     "packOrdered, the same code path on a static frame is bit-equal, " +
     "and a seq regression across triggers fails loudly") {
