@@ -117,6 +117,16 @@ object ExactRound {
   def ratioRoundedCol(num: Column, den: Column, k: Int): Column =
     gridMicroCol(num, den, k).cast("double") / lit(pow10(k)).cast("double")
 
+  /** JVM scalar twin of [[halfUpDivCol]] for the per-row streaming
+    * scorers (requires num ≥ 0, den > 0 and 2·num inside int64 — the
+    * micro-nat sum contract; the Column/SQL twins stage through
+    * DECIMAL(38,0)/HUGEINT for corpus-sized numerators instead). */
+  def halfUpDivJvm(num: Long, den: Long): Long = {
+    require(num >= 0L && den > 0L,
+      s"halfUpDivJvm requires num >= 0 and den > 0, got $num / $den")
+    (2L * num + den) / (2L * den)
+  }
+
   /** Column-native [[halfUpDiv]] — DECIMAL(38,0)-staged like the string
     * twin (the kmvIntersection guard: num is a product of counts). */
   def halfUpDivCol(num: Column, den: Column): Column = {

@@ -2212,6 +2212,103 @@ object TextAnalysis {
         col("cross_entropy"), col("xent_micro"))
   }
 
+  /** A stupid-backoff LM packaged for SERVING — the KenLM analogy: count
+    * tables pruned small enough to broadcast and score per row in
+    * process, the fit-offline / score-online split [[NbModel]]
+    * established. `tables(m-1)` maps the space-joined m-gram to its
+    * count; totals are the unpruned unigram sums the add-1 floor needs. */
+  final case class LmModel(order: Int, alpha: Double,
+      tables: IndexedSeq[Map[String, Long]], nTotal: Double, vocab: Double)
+
+  /** Fit a SERVING [[LmModel]] from a reference corpus — the offline
+    * half of the CCNet-at-ingest quality gate
+    * ([[graft.streaming.LmStream]] is the online half): the [[stupidBackoff]]
+    * count tables, KenLM-pruned at `minCount` on every order ≥ 2
+    * (unigram floor untouched — its N/V are the true corpus totals),
+    * collected and returned as plain maps. The `maxEntries` VALVE
+    * raises BEFORE any collect when the pruned tables are not
+    * serving-sized — an unpruned web-scale model must stay distributed
+    * (q169's shape), never broadcast; raise `minCount`, not the valve.
+    * Scoring against this model is bit-identical to
+    * [[stupidBackoff]](…, minCount, …) by construction
+    * ([[lmScoreTextJvm]] replays the same CASE ladder, the same ln call
+    * order, the same half-up micro-nat quantization — StreamStaticSpec
+    * pins per-doc equality). */
+  def lmFit(ref: DataFrame, refText: Column, order: Int = 5,
+      alpha: Double = 0.4, minCount: Long = 2L,
+      maxEntries: Long = 2000000L): LmModel = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val cnt = ngramCountTables(ref, refText, order, derive = false)
+      .map { case (m, t) =>
+        m -> (if (m >= 2 && minCount > 1L) t.filter(col("__c") >= minCount)
+              else t)
+      }
+    val total = (1 to order).map(m => cnt(m).count()).sum
+    if (total > maxEntries)
+      throw new graft.core.BadCallException(
+        s"lmFit: pruned model holds $total n-gram entries, over the " +
+          s"$maxEntries-entry serving valve — a broadcast LM must be " +
+          "KenLM-pruned to serving size (raise minCount); an unpruned " +
+          "corpus LM stays distributed via stupidBackoff")
+    val tables = (1 to order).map { m =>
+      cnt(m).collect().map(r =>
+        (0 until m).map(r.getString).mkString(" ") -> r.getLong(m)).toMap
+    }
+    LmModel(order, alpha, tables,
+      tables.head.values.sum.toDouble, tables.head.size.toDouble)
+  }
+
+  /** Per-row JVM twin of [[stupidBackoff]] over a served [[LmModel]]:
+    * returns `(n_ngrams, xent_micro)` for one document — the identical
+    * backoff CASE, the identical `(offset + ln num) − ln den`
+    * evaluation order, the identical `BigDecimal.valueOf(…).setScale(0,
+    * HALF_UP)` micro-nat quantization Spark's `round` applies to
+    * doubles, and the identical half-up integer mean — so per-row
+    * streaming scores cannot diverge from the distributed aggregation
+    * (the [[nbPredictTextJvm]] discipline). */
+  def lmScoreTextJvm(text: String, m: LmModel): (Long, Option[Long]) = {
+    if (text == null) return (0L, None)
+    val toks = text.split(" ", -1)
+    val n = m.order
+    if (toks.length < n) return (0L, None)
+    val lnA = math.log(m.alpha)
+    var slots = 0L
+    var s = 0L
+    var i = 0
+    while (i <= toks.length - n) {
+      var lp = 0.0
+      var matched = false
+      var l = n
+      while (!matched && l >= 2) {
+        val numKey = toks.slice(i + n - l, i + n).mkString(" ")
+        m.tables(l - 1).get(numKey) match {
+          case Some(num) if num > 0L =>
+            // a surviving numerator's prefix survives the same-threshold
+            // denominator table (the stupidBackoff no-ln(0) argument)
+            val den = m.tables(l - 2)(
+              toks.slice(i + n - l, i + n - 1).mkString(" "))
+            lp = ((n - l) * lnA + math.log(num.toDouble)) -
+              math.log(den.toDouble)
+            matched = true
+          case _ => l -= 1
+        }
+      }
+      if (!matched) {
+        val f = m.tables.head.getOrElse(toks(i + n - 1), 0L)
+        lp = ((n - 1) * lnA + math.log(f.toDouble + 1.0)) -
+          math.log(m.nTotal + m.vocab)
+      }
+      val lpu = java.math.BigDecimal.valueOf(1e6 * lp)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      s -= lpu
+      slots += 1L
+      i += 1
+    }
+    (slots, Some(ExactRound.halfUpDivJvm(s, slots)))
+  }
+
   /** Simple quality class from length + repetitiveness, one codegen'd CASE. */
   /** Format-mix tag — code / prose / table from deterministic char-class
     * signals on the 10⁶ integer grid (q266; format is a first-class

@@ -538,6 +538,68 @@ class StreamStaticSpec extends AnyFunSuite {
       "every append-mode emission must match the batch twin")
   }
 
+  test("streaming LM quality scoring: the served pruned model's per-row " +
+    "JVM twin ≡ batch stupidBackoff at the same minCount, stateless " +
+    "across microbatch splits; entropy-ceiling admission keeps the " +
+    "batch-derived set; the serving valve raises on an unpruned model") {
+    import graft.streaming.LmStream
+    import graft.ops.{TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val m = TA.lmFit(docs, col("text"), order = 3, minCount = 2L)
+    val want = TA.stupidBackoff(docs, col("doc_id"), col("text"),
+        docs, col("text"), order = 3, minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val dir = Files.createTempDirectory("graft-lm-stream")
+    docs.coalesce(1).write.parquet(dir.resolve("a").toString)
+    val aFile = Files.list(dir.resolve("a")).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("x.parquet"))
+    Files.copy(Paths.get(aFile), srcDir.resolve("y.parquet"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val got = EventsStream.runToCompletion(
+        LmStream.scoreDocs(stream, col("doc_id"), col("text"), m).toDF(),
+        "lm_stream", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.length === 2 * want.size, "both microbatches must score")
+    got.foreach { case (id, nt, xm) =>
+      assert(want(id) === ((nt, xm)),
+        s"doc $id: stream ($nt, $xm) != batch ${want(id)}")
+    }
+    // admission at a batch-derived ceiling (the calibrated-constant
+    // deployment shape) keeps exactly the batch-filtered member set
+    val scoredXents = want.values.flatMap(_._2).toSeq.sorted
+    val ceil = scoredXents(scoredXents.size / 2)
+    val admitted = EventsStream.runToCompletion(
+        LmStream.admit(spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "*.parquet").parquet(srcDir.toString),
+          col("doc_id"), col("text"), m, maxXentMicro = ceil).toDF(),
+        "lm_admit", OutputMode.Append())
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val wantAdmitted = want.filter(_._2._2.exists(_ <= ceil)).keySet
+    assert(admitted === wantAdmitted)
+    // the serving valve: an effectively unpruned corpus model must not
+    // collect to the driver
+    val e = intercept[Exception] {
+      TA.lmFit(docs, col("text"), order = 3, minCount = 1L,
+        maxEntries = 10L)
+    }
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(e).contains("serving valve"), chain(e))
+  }
+
   test("streaming NB classification: per-row JVM twin ≡ batch predictions, " +
     "stateless across microbatch splits; class-gated admission") {
     import graft.streaming.NbStream
