@@ -604,6 +604,26 @@ class PlanSpec extends AnyFunSuite {
       s"the prefix-cache table is one window + one agg, no joins:\n$p293")
   }
 
+  test("r17 additions keep their scale shapes: contrastive selection is " +
+    "window-free (q295), the takedown audit is two partial aggs with no " +
+    "join or window, soft-dedup weighting never goes cartesian (q297)") {
+    import org.apache.spark.sql.functions.col
+    val p295 = plan("q295_moore_lewis")
+    assert(!p295.contains("Window"),
+      s"the double ladder is joins + partial aggs, never a window:\n$p295")
+    assert(!p295.contains("CartesianProduct"), p295)
+    import spark.implicits._
+    val packed = Seq(("g", 0L, 1L, 10L, false))
+      .toDF("grp", "bin", "doc", "n_tok", "rm")
+    val pAudit = graft.ops.Chunking.takedownAudit(packed, col("grp"),
+        col("bin"), col("n_tok"), col("rm"))
+      .queryExecution.executedPlan.toString
+    assert(!pAudit.contains("Join") && !pAudit.contains("Window"),
+      s"the rebuild bill is two partial-aggregable groupBys:\n$pAudit")
+    val p297 = plan("q297_soft_dedup")
+    assert(!p297.contains("CartesianProduct"), p297)
+  }
+
   test("index-bounded margin mining: the centroid form is an EQUI join " +
     "(no cartesian anywhere), the ivf form partition-prunes to the " +
     "probed lists (q294)") {
