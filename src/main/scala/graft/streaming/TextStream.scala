@@ -179,6 +179,38 @@ object TextStream {
       indexDir: String, upToBatchId: Long): Int =
     IncrementStore.compact(spark, indexDir, upToBatchId, identity)
 
+  /** FORGET documents from the evolving index — the right-to-be-forgotten
+    * EXECUTED on the dedup store itself, the third leg of the governance
+    * stack next to the audit ([[graft.ops.Chunking.takedownAudit]], q296)
+    * and the live bill ([[TakedownStream]]): a removal request must also
+    * erase the document's SIGNATURES, because kill evidence derived from
+    * removed content is itself derived content — and while it stays, the
+    * gate keeps suppressing future arrivals "because they resemble
+    * something we were ordered to delete". Implemented as one
+    * [[IncrementStore]] compaction whose merge FILTERS the removed doc
+    * ids — the same tmp → manifest → delete → rename transaction, so a
+    * crash leaves either the old increments or the filtered seed, never
+    * a half-forgotten store.
+    *
+    * Call with the gate STOPPED and `upToBatchId` = last committed batch
+    * + 1, so every numeric increment folds through the filter (a seed
+    * written by an earlier compaction folds too); `ids` is the takedown
+    * list — legal-process-sized, a driver literal by contract (the
+    * hardNegatives anchor rule). Semantics after the forget: a NEW
+    * near-duplicate of a forgotten document ADMITS — by design; within
+    * its original wave the historical admission decisions are not (and
+    * cannot be) replayed. The EMBEDDING index ([[EmbedStream]]) cannot
+    * forget by id — its rows are (bucket, vec) with no id column, the
+    * documented trade of its single-comparison kill rule; rebuild it
+    * from the admitted store when a vector-side takedown lands. Returns
+    * the number of increments rewritten. */
+  def forgetDocs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int = {
+    require(ids.nonEmpty, "forgetDocs: empty takedown list")
+    IncrementStore.compact(spark, indexDir, upToBatchId,
+      df => df.filter(!col("doc").isin(ids: _*)))
+  }
+
   /** Every index increment a trigger may read: seeds (non-numeric tags)
     * plus numeric increments STRICTLY below `batchId`. Hadoop FS, not
     * java.io — the directory lives on HDFS/object store at production. */

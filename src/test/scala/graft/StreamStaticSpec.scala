@@ -1133,6 +1133,22 @@ class StreamStaticSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again === (want ++ Seq(10L, 12L, 14L)),
       "post-recompaction: 13 dies against the single-seed index, 14 admits")
+    // FORGET doc 4 (right-to-be-forgotten executed on the index): its
+    // signatures leave the store through the same transaction, so a NEW
+    // near-dup of 4 now ADMITS — while a near-dup of the un-forgotten
+    // doc 2 still dies. The filtered fold collapses to one seed
+    assert(TextStream.forgetDocs(spark, idxDir, upToBatchId = 6,
+      ids = Seq(4L)) === 2)
+    val tagsF = new java.io.File(idxDir).listFiles
+      .map(_.getName).filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tagsF === Seq("inc=compact-6"), tagsF.toString)
+    ship(Seq((15L, text(4) + " zz"), (16L, text(2) + " zz")), "g", 0)
+    runGate()
+    val forgotten = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(forgotten === (want ++ Seq(10L, 12L, 14L, 15L)),
+      "post-forget: 15 (near-dup of forgotten 4) admits, 16 (near-dup " +
+        "of retained 2) still dies")
   }
 
   test("embedding evolving gate: stream admits the identical vector set " +
