@@ -754,12 +754,17 @@ object Dedup {
     surv.join(deadIdx, id === col("__dead"), "left_anti")
   }
 
-  /** The evolving embedding index's row shape: `(bucket, vec)` of every
-    * admitted vector — what [[admitStepEmbed]] consumes and each
-    * wave/microbatch appends. */
-  def embedIndexOf(df: DataFrame, vec: Column, bits: Int): DataFrame =
+  /** The evolving embedding index's row shape: `(bucket, vec, doc)` of
+    * every admitted vector — what [[admitStepEmbed]] consumes (it reads
+    * only `bucket`/`vec`; kill semantics never touch the id) and each
+    * wave/microbatch appends. `doc` exists for GOVERNANCE, not
+    * admission: [[graft.streaming.EmbedStream.forgetDocs]] filters index
+    * rows by it, the right-to-be-forgotten the r17 verdict flagged as
+    * impossible on the old (bucket, vec) layout without a full rebuild. */
+  def embedIndexOf(df: DataFrame, id: Column, vec: Column,
+      bits: Int): DataFrame =
     df.select(graft.ops.Similarity.signBucket(vec, bits).as("bucket"),
-      vec.as("vec"))
+      vec.as("vec"), id.cast("long").as("doc"))
 
   /** [[admitWaves]]'s EMBEDDING twin: evolving-index vector admission
     * over ordered arrival waves — closes
@@ -778,14 +783,21 @@ object Dedup {
       s"admitWavesEmbed: ${waves.size} waves exceed the $maxWaves valve — " +
         "waves are release snapshots or microbatch replays, never data-sized")
     val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    // a pre-r18 seed index carries no doc column (the old (bucket, vec)
+    // layout) — normalize so the per-wave unions line up; admission
+    // never reads the id, so a null-doc seed admits identically (it
+    // just cannot be forgotten by id, the documented migration trade)
+    val seed =
+      if (refIndex.columns.contains("doc")) refIndex
+      else refIndex.withColumn("doc", lit(null).cast("long"))
     // eager lineage truncation per wave — the admitWaves plan-blowup
     // note applies verbatim
-    val (_, parts) = waves.foldLeft((refIndex, Seq.empty[DataFrame])) {
+    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
       case ((idx, acc), w) =>
         val adm = admitStepEmbed(tagged.filter(col("__w") === w), id, vec,
             idx, bits, minCosine)
           .localCheckpoint(true)
-        (idx.unionByName(embedIndexOf(adm, vec, bits)), acc :+ adm)
+        (idx.unionByName(embedIndexOf(adm, id, vec, bits)), acc :+ adm)
     }
     parts.reduce(_.unionByName(_)).drop("__w")
   }

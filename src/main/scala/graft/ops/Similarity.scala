@@ -201,20 +201,27 @@ object Similarity {
     * alone guarded this until r17): both sides are counted before the
     * cross join and a kernel bigger than `maxPairs` raises a typed
     * error instead of silently burning a quadratic; raise it explicitly
-    * for a deliberately larger kernel. */
+    * for a deliberately larger kernel. The two valve `count()` jobs are
+    * real actions — in the documented shard-loop usage that is
+    * 2·nShards extra jobs over sides the loop usually already sized
+    * (r17 verdict), so a caller that KNOWS both cardinalities passes
+    * them via `knownCounts` and the valve checks arithmetic only; the
+    * counts are trusted verbatim (a lying caller un-valves itself, the
+    * raise-maxPairs escape hatch with fewer letters). */
   def marginMine(src: DataFrame, srcId: Column, srcVec: Column,
       tgt: DataFrame, tgtId: Column, tgtVec: Column, k: Int,
-      minMarginPermille: Long = 0L, maxPairs: Long = 64000000L): DataFrame = {
+      minMarginPermille: Long = 0L, maxPairs: Long = 64000000L,
+      knownCounts: Option[(Long, Long)] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxPairs >= 1L, s"maxPairs must be >= 1, got $maxPairs")
     val a = src.select(srcId.as("sid"), srcVec.as("__sv"))
     val b = tgt.select(tgtId.as("tid"), tgtVec.as("__tv"))
-    val nS = a.count()
-    val nT = b.count()
+    val (nS, nT) = knownCounts.getOrElse((a.count(), b.count()))
     if (nT > 0L && nS > maxPairs / nT)
       throw new graft.core.BadCallException(
-        s"marginMine: $nS x $nT sides form ${"%,d".format(nS * nT)} " +
-          s"candidate pairs, over the $maxPairs-pair kernel valve — this " +
+        s"marginMine: $nS x $nT sides form " +
+          s"${BigInt(nS) * BigInt(nT)} candidate pairs, over the " +
+          s"$maxPairs-pair kernel valve — this " +
           "is the PER-SHARD-PAIR kernel (measured 100x cpu at 10x data " +
           "unsharded); shard both sides first, mine via " +
           "marginMineFromCentroids/marginMineFromIndex, or raise maxPairs " +

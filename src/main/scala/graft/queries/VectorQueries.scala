@@ -1068,7 +1068,8 @@ object VectorQueries {
     "q290_embed_evolving" -> ((s, d) => {
       val base = emb(s, d).select(col("vec_id"), col("embedding"))
       val seedIdx = graft.ops.Dedup.embedIndexOf(
-        base.filter(col("vec_id") % 5 === 0), col("embedding"), bits = 4)
+        base.filter(col("vec_id") % 5 === 0), col("vec_id"),
+        col("embedding"), bits = 4)
       val organic = base.filter(col("vec_id") % 5 =!= 0)
         .select(col("vec_id"), col("embedding"),
           pmod(col("vec_id"), lit(3L)).as("wave"),

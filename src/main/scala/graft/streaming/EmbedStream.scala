@@ -57,7 +57,8 @@ object EmbedStream {
     * [[graft.ops.Dedup.admitStepEmbed]] (ONE code path with the batch
     * twin [[graft.ops.Dedup.admitWavesEmbed]]), writing admitted rows to
     * `admittedDir/batch=<id>` and their index rows to the new increment.
-    * State = one (bucket, vec) row per admitted vector, on disk. The
+    * State = one (bucket, vec, doc) row per admitted vector, on disk —
+    * the id rides along for [[forgetDocs]], never for admission. The
     * arrivals must expose `vec_id` and `embedding` (the [[gate]]
     * contract). */
   def evolvingGate(arrivals: DataFrame, indexDir: String,
@@ -71,7 +72,7 @@ object EmbedStream {
           col("embedding"), idx, bits, minCosine)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       adm.write.mode("overwrite").parquet(s"$admittedDir/batch=$batchId")
-      graft.ops.Dedup.embedIndexOf(adm, col("embedding"), bits)
+      graft.ops.Dedup.embedIndexOf(adm, col("vec_id"), col("embedding"), bits)
         .write.mode("overwrite").parquet(s"$indexDir/inc=$batchId")
       adm.unpersist(false)
       ()
@@ -93,11 +94,55 @@ object EmbedStream {
       indexDir: String, upToBatchId: Long): Int =
     TextStream.compactIndex(spark, indexDir, upToBatchId)
 
+  /** FORGET vectors from the evolving embedding index by document id —
+    * [[TextStream.forgetDocs]]'s twin, closing the r17 verdict's top
+    * gap (the governance stack's one hole: a vector-side takedown used
+    * to mean a full index rebuild, because the index rows carried no
+    * id). One exhaustive [[IncrementStore]] compaction (`foldAll` —
+    * raises instead of silently under-forgetting, the r17 ADVICE rule)
+    * whose merge filters the removed `doc` ids; the index rows are
+    * derived content and go with the document. A store still holding
+    * PRE-r18 increments (the old `(bucket, vec)` layout, no `doc`
+    * column) cannot be filtered by id — the call raises with the
+    * migration path (rebuild the index from the admitted store via
+    * [[graft.ops.Dedup.embedIndexOf]], which stamps ids) rather than
+    * returning rows it cannot attribute. Same call contract as the text
+    * twin: gate STOPPED, `upToBatchId` = last committed batch + 1. */
+  def forgetDocs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int = {
+    require(ids.nonEmpty, "forgetDocs: empty takedown list")
+    // pre-scan EVERY increment's own schema (a multi-dir parquet read
+    // samples ONE file's schema — a mixed old/new store could silently
+    // drop `doc` and filter nothing); sources stay intact on the raise
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldLayout =
+      if (!fs.exists(path)) Seq.empty[String]
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+        .filter(s => !spark.read.parquet(s.getPath.toString)
+          .columns.contains("doc"))
+        .map(_.getPath.getName)
+    if (oldLayout.nonEmpty)
+      throw new graft.core.BadCallException(
+        s"EmbedStream.forgetDocs: increments ${oldLayout.mkString(", ")} " +
+          "hold the pre-r18 (bucket, vec) layout with no doc column — " +
+          "ids cannot be attributed; rebuild the index from the admitted " +
+          "store (Dedup.embedIndexOf stamps doc) and re-run the forget")
+    IncrementStore.compact(spark, indexDir, upToBatchId,
+      df => df.filter(!col("doc").isin(ids: _*)), foldAll = true)
+  }
+
   /** Committed increments visible to `batchId` (the
     * [[TextStream]] rule): seeds plus numeric increments strictly below
-    * it; empty-schema frame on a cold start. */
+    * it; empty-schema frame on a cold start. Crash recovery runs first
+    * (r17 ADVICE — the [[TextStream.readIndexBelow]] rationale). A
+    * pre-r18 seed without the `doc` column is normalized with nulls so
+    * unions against new increments line up (admission never reads the
+    * id). */
   private def readIndexBelow(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batchId: Long): DataFrame = {
+    IncrementStore.recoverStore(spark, indexDir)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incs =
@@ -111,8 +156,13 @@ object EmbedStream {
         .map(_.getPath.toString).sorted
     if (incs.isEmpty)
       spark.range(0).select(col("id").as("bucket"),
-        array().cast("array<float>").as("vec"))
-    else spark.read.parquet(incs: _*)
+        array().cast("array<float>").as("vec"),
+        col("id").as("doc"))
+    else {
+      val read = spark.read.parquet(incs: _*)
+      if (read.columns.contains("doc")) read
+      else read.withColumn("doc", lit(null).cast("long"))
+    }
   }
 
   /** Admit `arrivals` (`vec_id`, `embedding`) against the frozen

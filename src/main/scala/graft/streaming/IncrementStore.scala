@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Shared TRANSACTIONAL compaction for the parquet increment stores the
   * streaming layer accumulates (`inc=<batchId>` directories next to
   * non-numeric seeds — [[TextStream.evolvingGate]]'s MinHash index,
-  * [[EmbedStream.evolvingGate]]'s (bucket, vec) index,
+  * [[EmbedStream.evolvingGate]]'s (bucket, vec, doc) index,
   * [[PreferenceStream.evolvingRank]]'s additive pair counts): merge every
   * increment STRICTLY below `upToBatchId` — numeric batch increments AND
   * prior `compact-<M>` seeds with M < upToBatchId (so successive
@@ -25,12 +25,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     uncommitted write whose sources are all intact;
   *  3. the sources are deleted, and the tmp RENAMES to its `inc=` tag.
   *
-  * [[recover]] runs first on every call: a manifest-less tmp rolls BACK
+  * [[recover]] runs first on every call AND from every increment-READING
+  * path ([[recoverStore]] — the gates' `readIndexBelow` listings and the
+  * snapshot readers call it, closing the r17 ADVICE window where a
+  * compactor crash between source deletion and the rename left a
+  * RESTARTED gate admitting against a partial index until an operator
+  * happened to re-run compaction): a manifest-less tmp rolls BACK
   * (delete — its sources never moved); a manifested tmp rolls FORWARD
   * (delete any listed source still present, publish the rename). So a
   * crash anywhere leaves either the old increments or the compacted seed
   * readable — never both (no double count), never neither beyond the
-  * repairable delete-vs-rename window the next call closes.
+  * delete-vs-rename window the NEXT LISTING closes.
   *
   * Call with `upToBatchId` ≤ the checkpoint's last COMMITTED batch + 1
   * and monotonically nondecreasing across calls (the gates' own
@@ -41,27 +46,64 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 private[streaming] object IncrementStore {
 
   /** An increment FOLDED by a compaction up to `upTo`: a numeric batch
-    * id strictly below it, or a prior compact seed strictly below it. */
-  private def foldable(tag: String, upTo: Long): Boolean =
-    tag.toLongOption.exists(_ < upTo) ||
+    * id strictly below it, or a prior compact seed strictly below it.
+    * Under `foldAll` (the FORGET mode) EVERY increment folds — including
+    * caller-written seeds with arbitrary tags and a compact seed AT the
+    * fold point itself, which the r17 ADVICE found the strict-`<` rule
+    * silently skipping (a forget right after a maintenance compaction at
+    * the same `upTo` found zero foldable sources and returned 0 while
+    * the removed docs' rows stayed live). */
+  private def foldable(tag: String, upTo: Long, foldAll: Boolean): Boolean =
+    foldAll ||
+      tag.toLongOption.exists(_ < upTo) ||
       (tag.startsWith("compact-") &&
         tag.stripPrefix("compact-").toLongOption.exists(_ < upTo))
 
   /** Compact `dir` up to `upToBatchId`, merging with `merge` (identity
-    * for kill-evidence indexes, a sum-groupBy for additive counts).
+    * for kill-evidence indexes, a sum-groupBy for additive counts, a
+    * removed-id filter for the forget path). With `foldAll` every
+    * increment MUST fold — the call RAISES if any increment would
+    * survive (a numeric batch ≥ `upToBatchId`, i.e. the gate is still
+    * writing or `upTo` is stale, or a compact seed ABOVE it, i.e. a
+    * monotonicity violation): a forget that leaves any directory
+    * unfolded has silently retained the rows it was ordered to erase.
     * Returns the number of increments folded (0 = nothing to do). */
   def compact(spark: SparkSession, dir: String, upToBatchId: Long,
-      merge: DataFrame => DataFrame): Int = {
+      merge: DataFrame => DataFrame, foldAll: Boolean = false): Int = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     recover(fs, root)
-    val sources = fs.listStatus(root).toSeq
+    val all = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
-      .filter(s => foldable(s.getPath.getName.stripPrefix("inc="),
-        upToBatchId))
       .map(_.getPath)
+    if (foldAll) {
+      val unfoldable = all.map(_.getName.stripPrefix("inc=")).filter { tag =>
+        tag.toLongOption.exists(_ >= upToBatchId) ||
+          (tag.startsWith("compact-") && tag.stripPrefix("compact-")
+            .toLongOption.exists(_ > upToBatchId))
+      }
+      if (unfoldable.nonEmpty)
+        throw new graft.core.BadCallException(
+          s"foldAll compaction up to $upToBatchId would leave " +
+            s"${unfoldable.mkString(", ")} unfolded — stop the gate and " +
+            "pass upToBatchId = last committed batch + 1 (a forget that " +
+            "skips an increment silently retains the rows it must erase)")
+    }
+    val sources = all.filter(p =>
+      foldable(p.getName.stripPrefix("inc="), upToBatchId, foldAll))
     if (sources.isEmpty) return 0
+    val sourceNames = sources.map(_.getName).toSet
+    val target = new Path(root, s"inc=compact-$upToBatchId")
+    // fail fast BEFORE any write, with every source intact (r17 ADVICE —
+    // the old post-delete require could strand a manifested tmp whose
+    // roll-forward renames onto an existing directory, nesting it
+    // invisibly on HDFS). The target may pre-exist only when it is
+    // itself among the folded sources (the foldAll forget-at-the-fold-
+    // point case): it is deleted before the rename.
+    require(!fs.exists(target) || sourceNames.contains(target.getName),
+      s"compaction target $target already exists — upToBatchId must be " +
+        "monotonically nondecreasing across calls")
     val tmp = new Path(root, s"_compact-$upToBatchId.tmp")
     // any tmp surviving recover() is uncommitted leftover — roll back
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -70,13 +112,25 @@ private[streaming] object IncrementStore {
     val mf = fs.create(new Path(tmp, "_sources.txt"), true)
     try mf.write(sources.map(_.getName).mkString("\n").getBytes("UTF-8"))
     finally mf.close()
-    sources.foreach(p => fs.delete(p, true))
-    val target = new Path(root, s"inc=compact-$upToBatchId")
-    require(!fs.exists(target),
-      s"compaction target $target already exists — upToBatchId must be " +
-        "monotonically nondecreasing across calls")
-    fs.rename(tmp, target)
+    sources.foreach(p => require(fs.delete(p, true),
+      s"failed to delete folded source $p — aborting before the rename " +
+        "(a surviving source next to the published seed double-counts)"))
+    require(fs.rename(tmp, target),
+      s"rename $tmp -> $target failed — the manifested tmp is intact; " +
+        "the next listing's recover() rolls it forward")
     sources.size
+  }
+
+  /** Run crash recovery on a store from an increment-READING path — the
+    * gates' per-trigger listings and the snapshot readers call this so a
+    * compactor that died between source deletion and the rename never
+    * leaves a restarted reader on a partial index (r17 ADVICE: recovery
+    * that only runs inside the next `compact()` call is recovery that
+    * may never run). Idempotent, no-op on a healthy or absent store. */
+  def recoverStore(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) recover(fs, root)
   }
 
   /** Finish (roll forward) or undo (roll back) an interrupted
@@ -98,11 +152,14 @@ private[streaming] object IncrementStore {
             finally in.close()
           names.foreach { n =>
             val p = new Path(root, n)
-            if (fs.exists(p)) { fs.delete(p, true); () }
+            if (fs.exists(p)) require(fs.delete(p, true),
+              s"recover: failed to delete folded source $p")
           }
           val tag = tmp.getName.stripPrefix("_compact-")
             .stripSuffix(".tmp")
-          fs.rename(tmp, new Path(root, s"inc=compact-$tag"))
+          require(fs.rename(tmp, new Path(root, s"inc=compact-$tag")),
+            s"recover: rename $tmp failed — sources are deleted, the " +
+              "manifested tmp remains the only copy; do not remove it")
           ()
         }
       }

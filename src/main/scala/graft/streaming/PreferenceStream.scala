@@ -135,6 +135,10 @@ object PreferenceStream {
       graft.ops.Preference.pairCounts(batch, col("prompt"), col("a"),
           col("b"), col("winner"))
         .write.mode("overwrite").parquet(s"$stateDir/inc=$batchId")
+      // roll a crashed compaction forward BEFORE the listing (r17
+      // ADVICE): a snapshot summed over deleted-but-unrenamed sources
+      // would silently UNDERCOUNT until an operator re-ran compaction
+      IncrementStore.recoverStore(spark, stateDir)
       val path = new org.apache.hadoop.fs.Path(stateDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val incs = fs.listStatus(path).toSeq

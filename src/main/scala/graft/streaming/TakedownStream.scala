@@ -42,6 +42,10 @@ object TakedownStream {
       val spark = batch.sparkSession
       batch.select(col("doc").cast("long").as("doc"))
         .write.mode("overwrite").parquet(s"$stateDir/inc=$batchId")
+      // roll a crashed compaction forward BEFORE the listing (r17
+      // ADVICE): a bill computed over deleted-but-unrenamed sources
+      // would silently drop committed takedown requests
+      IncrementStore.recoverStore(spark, stateDir)
       val path = new org.apache.hadoop.fs.Path(stateDir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val incs = fs.listStatus(path).toSeq

@@ -193,29 +193,37 @@ object TextStream {
     * a half-forgotten store.
     *
     * Call with the gate STOPPED and `upToBatchId` = last committed batch
-    * + 1, so every numeric increment folds through the filter (a seed
-    * written by an earlier compaction folds too); `ids` is the takedown
-    * list — legal-process-sized, a driver literal by contract (the
-    * hardNegatives anchor rule). Semantics after the forget: a NEW
-    * near-duplicate of a forgotten document ADMITS — by design; within
-    * its original wave the historical admission decisions are not (and
-    * cannot be) replayed. The EMBEDDING index ([[EmbedStream]]) cannot
-    * forget by id — its rows are (bucket, vec) with no id column, the
-    * documented trade of its single-comparison kill rule; rebuild it
-    * from the admitted store when a vector-side takedown lands. Returns
+    * + 1; `ids` is the takedown list — legal-process-sized, a driver
+    * literal by contract (the hardNegatives anchor rule). The fold is
+    * EXHAUSTIVE (`foldAll`): every increment passes through the filter —
+    * numeric batches, caller-written seeds with arbitrary tags, and a
+    * compact seed sitting exactly AT the fold point (the r17 ADVICE
+    * hole: the maintenance rule's strict `<` silently skipped
+    * `compact-<upTo>`, returning 0 while the forgotten docs' signatures
+    * stayed live) — and the call RAISES if any increment would survive
+    * unfolded instead of quietly under-forgetting. Semantics after the
+    * forget: a NEW near-duplicate of a forgotten document ADMITS — by
+    * design; within its original wave the historical admission decisions
+    * are not (and cannot be) replayed. [[EmbedStream.forgetDocs]] is the
+    * embedding index's twin (its rows carry `doc` since r18). Returns
     * the number of increments rewritten. */
   def forgetDocs(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int = {
     require(ids.nonEmpty, "forgetDocs: empty takedown list")
     IncrementStore.compact(spark, indexDir, upToBatchId,
-      df => df.filter(!col("doc").isin(ids: _*)))
+      df => df.filter(!col("doc").isin(ids: _*)), foldAll = true)
   }
 
   /** Every index increment a trigger may read: seeds (non-numeric tags)
     * plus numeric increments STRICTLY below `batchId`. Hadoop FS, not
-    * java.io — the directory lives on HDFS/object store at production. */
+    * java.io — the directory lives on HDFS/object store at production.
+    * Recovery runs FIRST (r17 ADVICE): a compactor that died between
+    * source deletion and the rename must not leave this restarted gate
+    * admitting against a partial index — the manifested tmp rolls
+    * forward before the listing. */
   private def readIndexBelow(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, k: Int, batchId: Long): DataFrame = {
+    IncrementStore.recoverStore(spark, indexDir)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val incs =

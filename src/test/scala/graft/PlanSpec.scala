@@ -581,7 +581,7 @@ class PlanSpec extends AnyFunSuite {
       s"admitStep must return one anti join over checkpointed dead ids:\n$pStep")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val eIdx = graft.ops.Dedup.embedIndexOf(
-      emb.filter(col("vec_id") % 2 === 0), col("embedding"), 4)
+      emb.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), 4)
     val pStepE = graft.ops.Dedup.admitStepEmbed(
         emb.filter(col("vec_id") % 2 =!= 0), col("vec_id"),
         col("embedding"), eIdx, 4, 0.95)

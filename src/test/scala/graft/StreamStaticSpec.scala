@@ -1149,6 +1149,25 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(forgotten === (want ++ Seq(10L, 12L, 14L, 15L)),
       "post-forget: 15 (near-dup of forgotten 4) admits, 16 (near-dup " +
         "of retained 2) still dies")
+    // r17 ADVICE (high): forget RIGHT AFTER a maintenance compaction at
+    // the same fold point — the newest seed is compact-<upTo>, which the
+    // strict-'<' maintenance rule skipped, silently retaining the
+    // forgotten signatures. The exhaustive forget fold must rewrite it.
+    assert(TextStream.compactIndex(spark, idxDir, upToBatchId = 7) === 2)
+    assert(TextStream.forgetDocs(spark, idxDir, upToBatchId = 7,
+      ids = Seq(2L)) === 1,
+      "forget at the fold point must rewrite the compact-<upTo> seed, " +
+        "not silently no-op")
+    val tagsG = new java.io.File(idxDir).listFiles
+      .map(_.getName).filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tagsG === Seq("inc=compact-7"), tagsG.toString)
+    ship(Seq((17L, text(2) + " zy")), "h", 0)
+    runGate()
+    val fold = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fold === (want ++ Seq(10L, 12L, 14L, 15L, 17L)),
+      "post-fold-point-forget: a near-dup of the now-forgotten doc 2 " +
+        "must admit")
   }
 
   test("embedding evolving gate: stream admits the identical vector set " +
@@ -1228,6 +1247,87 @@ class StreamStaticSpec extends AnyFunSuite {
     assert(comp === (want ++ Seq(10L, 12L)),
       "post-compaction: the ×16 copy dies against the compacted index, " +
         "the novel vector admits")
+    // FORGET vector 3 by doc id (the r17 verdict's top gap — the index
+    // rows carry `doc` since r18, so the vector-side right-to-be-
+    // forgotten no longer means a full rebuild): a NEW scaled copy of
+    // the forgotten vector ADMITS, a scaled copy of retained vector 2
+    // still dies, and the filtered fold collapses to one seed
+    assert(EmbedStream.forgetDocs(spark, idxDir, upToBatchId = 5,
+      ids = Seq(3L)) === 2)
+    val tagsF = new java.io.File(idxDir).listFiles
+      .map(_.getName).filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tagsF === Seq("inc=compact-5"), tagsF.toString)
+    ship(Seq((13L, vec(3).map(_ * 32)), (14L, vec(2).map(_ * 32))), "f", 0)
+    runGate()
+    val forgot = spark.read.parquet(admDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(forgot === (want ++ Seq(10L, 12L, 13L)),
+      "post-forget: 13 (copy of forgotten 3) admits, 14 (copy of " +
+        "retained 2) still dies")
+  }
+
+  test("gate-READ recovery (r17 ADVICE): a compactor crash between " +
+    "source deletion and the rename is rolled forward by the RESTARTED " +
+    "gate's own listing — no compact() call — and admissions match the " +
+    "uncrashed run") {
+    import graft.streaming.TextStream
+    import spark.implicits._
+    def text(i: Int) = (1 to 24).map(t => s"gr${i}t$t").mkString(" ")
+    val dir = Files.createTempDirectory("graft-gate-read-recover")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, String)], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    val idxDir = dir.resolve("idx").toString
+    val admDir = dir.resolve("adm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def runGate(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((0L, "")).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = TextStream.evolvingGate(stream, idxDir, admDir, ckpt,
+        n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+      q.processAllAvailable(); q.stop()
+    }
+    ship(Seq((1L, text(1)), (2L, text(2))), "a", 60000)
+    ship(Seq((3L, text(3))), "b", 30000)
+    runGate()
+    // CRASH SIM — compactor died AFTER deleting its sources, BEFORE the
+    // rename: the manifested tmp holds the only copy of the index while
+    // the store lists zero committed increments. Pre-fix, a restarted
+    // gate read that empty listing and ADMITTED near-dups of everything.
+    val hfs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$idxDir/inc=0", s"$idxDir/inc=1")
+      .write.parquet(s"$idxDir/_compact-2.tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idxDir/_compact-2.tmp/_sources.txt"),
+      "inc=0\ninc=1".getBytes("UTF-8"))
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/inc=0"), true))
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/inc=1"), true))
+    // restart the gate WITHOUT any compact call: its own listing must
+    // roll the transaction forward, so the near-dup of doc 1 still dies
+    ship(Seq((4L, text(1) + " zq"), (5L, text(5))), "c", 0)
+    runGate()
+    val got = spark.read.parquet(admDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 5L),
+      "the restarted gate must admit against the ROLLED-FORWARD index — " +
+        "4 (near-dup of 1) dies, 5 admits")
+    val tags = new java.io.File(idxDir).listFiles
+      .map(_.getName).filter(_.startsWith("inc=")).sorted.toSeq
+    assert(tags === Seq("inc=2", "inc=compact-2"),
+      s"the gate listing must have published the seed, got $tags")
   }
 
   test("live pipeline composition: evolvingGate's admitted output FEEDS " +
