@@ -547,6 +547,32 @@ object SamplingQueries {
         .orderBy("source")
     }),
 
+    // PREFIX-CACHE serving SCHEDULE (Chunking.prefixCacheSchedule — the
+    // r17 verdict's "emit the schedule itself" gap): q293's prompt table
+    // served per source in lexicographic order, one row per prompt with
+    // its serve position and cached/computed token split; conservation
+    // cached + computed = n_tokens holds per row by construction and the
+    // oracle replays every cell
+    "q298_prefix_schedule" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val half = (size(toks) / lit(2)).cast("int")
+      val prompts = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("source"), expr("doc_id DIV 2").as("pair_id"),
+          coalesce(array_join(slice(toks, lit(1), half), " "), lit(""))
+            .as("__fh"))
+        .select(col("source"),
+          when(pmod(col("pair_id"), lit(7)) === 0,
+            lit("write a short story about data")).otherwise(col("__fh"))
+            .as("prompt"))
+      Chunking.prefixCacheSchedule(prompts, col("source"), col("prompt"))
+        .withColumnRenamed("grp", "source")
+        .select(col("source"), col("serve_order"),
+          md5(col("prompt")).as("prompt_fp"), col("n_tokens"),
+          col("cached_tokens"), col("computed_tokens"))
+        .orderBy("source", "serve_order")
+    }),
+
     // deterministic PER-EPOCH reshuffle + resumable cursor: epoch e's
     // stream order = rank of md5(doc_id + "#e") — an independent
     // deterministic permutation of the SAME multiset per epoch. The row
@@ -640,6 +666,25 @@ object SamplingQueries {
       Chunking.takedownAudit(packed, col("grp"), col("bin"), col("n_tok"),
           pmod(col("doc"), lit(7)) === 3)
         .orderBy("grp")
+    }),
+
+    // TAKEDOWN repack EXECUTOR (Chunking.repackDirty — q296 priced the
+    // blast radius, this rebuilds it): the same pack and removal plant;
+    // clean bins return bit-identical under their original ids, removed
+    // rows are gone, dirty-bin survivors re-pack by the same FFD rule
+    // into fresh ids offset past max(original bin) per group — the
+    // oracle replays BOTH recursions (original + repack) cell for cell
+    "q299_takedown_repack" -> ((s, d) => {
+      val chunks = Chunking.chunk(
+        t(s, d, "documents").filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      val packed = Chunking.packFFD(chunks, pmod(col("doc"), lit(3)),
+        ctx = 128)
+      Chunking.repackDirty(packed, col("grp"), col("bin"),
+          pmod(col("doc"), lit(7)) === 3, ctx = 128)
+        .select(col("grp"), col("bin"), col("doc"), col("chunk_idx"),
+          col("n_tok"), col("repacked"))
+        .orderBy("grp", "bin", "doc", "chunk_idx")
     }),
 
     // quality-phased curriculum schedule: phase 0 = clean docs, then
@@ -1513,6 +1558,36 @@ object SamplingQueries {
          FROM l GROUP BY 1 ORDER BY 1"""
     },
 
+    // identical prompt construction and lag window as q293, plus the
+    // serve-order rank; cached/computed per prompt, conservation exact
+    "q298_prefix_schedule" -> {
+      val lcp = """CASE WHEN pv IS NULL THEN 0 ELSE
+        coalesce((list_filter(generate_series(1,
+            least(len(tk), len(pv))),
+          i -> tk[i] IS DISTINCT FROM pv[i]))[1] - 1,
+          least(len(tk), len(pv))) END"""
+      s"""WITH b AS (SELECT doc_id, source, str_split(text, ' ') AS ts
+           FROM documents WHERE doc_id % 2 = 0),
+         pr AS (SELECT source,
+             CASE WHEN (doc_id // 2) % 7 = 0
+               THEN 'write a short story about data'
+               ELSE coalesce(array_to_string(ts[1:len(ts) // 2], ' '), '')
+               END AS p
+           FROM b),
+         t AS (SELECT source, p, str_split(p, ' ') AS tk,
+             row_number() OVER (PARTITION BY source ORDER BY p)
+               AS serve_order,
+             lag(str_split(p, ' ')) OVER (PARTITION BY source
+               ORDER BY p) AS pv
+           FROM pr)
+         SELECT source, CAST(serve_order AS BIGINT) AS serve_order,
+           md5(p) AS prompt_fp,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(($lcp) AS BIGINT) AS cached_tokens,
+           CAST(len(tk) - ($lcp) AS BIGINT) AS computed_tokens
+         FROM t ORDER BY source, serve_order"""
+    },
+
     // identical rank-window batching under both policies (arrival = id
     // order, sorted = n DESC NULLS LAST like Spark's desc), identical
     // rows×max padded cost and half-up permille waste
@@ -1735,6 +1810,55 @@ object SamplingQueries {
           "sum(CASE WHEN nrm > 0 THEN tok ELSE 0 END) * 1000", "sum(tok)")}
              AS repack_permille
          FROM pb GROUP BY 1 ORDER BY 1""",
+
+    // the same FFD replay, then the SECOND recursion over dirty-bin
+    // survivors (identical first-fit rule, fresh ids offset past the
+    // original max bin per group) — clean rows pass through untouched
+    "q299_takedown_repack" -> {
+      val recur2 = """ordered2 AS (
+           SELECT grp, doc, chunk_idx, n_tok,
+                  row_number() OVER (PARTITION BY grp
+                    ORDER BY n_tok DESC, doc, chunk_idx) rn
+           FROM surv
+         ), ffd2 AS (
+           SELECT grp, rn, doc, chunk_idx, n_tok,
+                  CAST(0 AS BIGINT) AS bin, [128 - n_tok] AS loads
+           FROM ordered2 WHERE rn = 1
+           UNION ALL
+           SELECT o.grp, o.rn, o.doc, o.chunk_idx, o.n_tok,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN len(f.loads)
+                       ELSE list_position(list_transform(f.loads, b -> b >= o.n_tok), true) - 1 END,
+                  CASE WHEN list_position(list_transform(f.loads, b -> b >= o.n_tok), true) = 0
+                       THEN list_append(f.loads, 128 - o.n_tok)
+                       ELSE list_transform(f.loads, (b, i) ->
+                         CASE WHEN i = list_position(list_transform(f.loads, x -> x >= o.n_tok), true)
+                              THEN b - o.n_tok ELSE b END) END
+           FROM ffd2 f JOIN ordered2 o ON o.grp = f.grp AND o.rn = f.rn + 1
+         )"""
+      s"""$FfdCte,
+         rm AS (SELECT grp, bin, doc, chunk_idx, n_tok,
+             (doc % 7 = 3) AS is_rm FROM ffd),
+         dirty AS (SELECT DISTINCT grp, bin FROM rm WHERE is_rm),
+         surv AS (SELECT r.grp, r.doc, r.chunk_idx, r.n_tok
+           FROM rm r JOIN dirty d ON r.grp = d.grp AND r.bin = d.bin
+           WHERE NOT r.is_rm),
+         off AS (SELECT grp, max(bin) + 1 AS o FROM ffd GROUP BY grp),
+         $recur2
+         SELECT grp, CAST(bin AS BIGINT) AS bin, CAST(doc AS BIGINT) AS doc,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_tok AS INT) AS n_tok, repacked
+         FROM (
+           SELECT r.grp, r.bin, r.doc, r.chunk_idx, r.n_tok,
+             false AS repacked
+           FROM rm r LEFT JOIN dirty d ON r.grp = d.grp AND r.bin = d.bin
+           WHERE d.grp IS NULL
+           UNION ALL
+           SELECT f2.grp, off.o + f2.bin, f2.doc, f2.chunk_idx, f2.n_tok,
+             true AS repacked
+           FROM ffd2 f2 JOIN off ON f2.grp = off.grp
+         ) ORDER BY grp, bin, doc, chunk_idx"""
+    },
 
     // the same FFD replay, plus the within-bin running token sum in
     // insertion (rn) order — FFD's own order restricted to the bin
