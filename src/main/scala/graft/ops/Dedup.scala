@@ -802,6 +802,96 @@ object Dedup {
     parts.reduce(_.unionByName(_)).drop("__w")
   }
 
+  /** [[admitStep]]'s PERCEPTUAL-HASH twin — one admission step of the
+    * evolving MEDIA gate ([[admitWavesMedia]] and
+    * [[graft.streaming.MediaStream.evolvingGate]] share it; closes the
+    * r16/r17 verdict gap: a near-dup image/video/audio arriving waves
+    * later only died against a FROZEN corpus,
+    * [[graft.ops.Curation.dedupByMediaHash]]'s form): admit `batch`
+    * (`doc`, `kind`, `phash` — [[graft.ops.Multimodal.perceptualHashes]]
+    * rows) against its own wave-mates and the accumulated ADMITTED-hash
+    * `index` (same shape). Same semantics as the text/embedding forms:
+    * within the wave any SMALLER-id same-kind row within Hamming
+    * `maxHamming` kills (dead or alive — the conservative local-minima
+    * rule); across waves only admitted rows kill. Candidates come from
+    * the Manku pigeonhole bands ([[hammingPairs]]' blocking — two hashes
+    * within the budget must agree on ≥ 1 of maxHamming+1 bands), with
+    * `kind` IN the band key: the three hash spaces are unrelated, a
+    * video hash must never compete with an audio hash even on a 64-bit
+    * collision (the [[graft.ops.Curation.dedupByMediaHash]] rule). The
+    * exact `bit_count(xor)` verifies every candidate — blocking is
+    * lossless, never a heuristic. */
+  def admitStepMedia(batch: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"need 0 <= maxHamming < 64, got $maxHamming")
+    val nBands = maxHamming + 1
+    def bandOf(sim: Column, j: Int): Column = {
+      val lo = j * 64 / nBands
+      val hi = (j + 1) * 64 / nBands
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(sim, lo).bitwiseAND(lit(mask))
+    }
+    def banded(df: DataFrame): DataFrame = {
+      val bandCols = (0 until nBands).map(j =>
+        struct(lit(j).as("band"), bandOf(col("phash"), j).as("bval")))
+      df.select(col("doc"), col("kind"), col("phash"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc"), col("kind"), col("phash"),
+          col("bk.band").as("band"), col("bk.bval").as("bval"))
+    }
+    val b = batch.select(col("doc"), col("kind"), col("phash"))
+    val bb = banded(b)
+    val ham = bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+    val withinDead = bb.as("a")
+      .join(bb.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") && col("a.doc") > col("b.doc"))
+      .filter(ham <= maxHamming)
+      .select(col("a.doc").as("__dead")).distinct()
+    val surv = b.join(withinDead, col("doc") === col("__dead"), "left_anti")
+    val idxDead = banded(surv).as("a")
+      .join(banded(index.select(col("doc"), col("kind"), col("phash")))
+          .as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval"))
+      .filter(ham <= maxHamming)
+      .select(col("a.doc").as("__dead")).distinct()
+    surv.join(idxDead, col("doc") === col("__dead"), "left_anti")
+  }
+
+  /** [[admitWaves]]' MEDIA twin: evolving-index perceptual-hash
+    * admission over ordered arrival waves — the batch twin of
+    * [[graft.streaming.MediaStream.evolvingGate]] and the q288/q290
+    * discipline on [[graft.ops.Multimodal.perceptualHashes]] rows. Same
+    * wave valve, same eager per-wave lineage truncation, same
+    * survivors-kill-across / any-smaller-kills-within semantics.
+    * `hashes` must expose `doc`, `kind`, `phash`; `refIndex` seeds the
+    * index (same shape; empty frame = cold start). Returns the admitted
+    * hash rows (doc, kind, phash). */
+  def admitWavesMedia(hashes: DataFrame, wave: Column,
+      refIndex: DataFrame, maxHamming: Int, maxWaves: Int = 64)
+      : DataFrame = {
+    val waves = hashes.select(wave.cast("long").as("__w")).distinct()
+      .orderBy("__w").collect().map(_.getLong(0)).toSeq
+    require(waves.nonEmpty, "admitWavesMedia: no arrival waves")
+    require(waves.size <= maxWaves,
+      s"admitWavesMedia: ${waves.size} waves exceed the $maxWaves valve — " +
+        "waves are release snapshots or microbatch replays, never data-sized")
+    val tagged = hashes.withColumn("__w", wave.cast("long"))
+    val seed = refIndex.select(col("doc"), col("kind"), col("phash"))
+    // eager lineage truncation per wave — the admitWaves plan-blowup
+    // note applies verbatim
+    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
+      case ((idx, acc), w) =>
+        val adm = admitStepMedia(
+            tagged.filter(col("__w") === w).drop("__w"), idx, maxHamming)
+          .localCheckpoint(true)
+        (idx.unionByName(adm), acc :+ adm)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
   /** LSH banding: (doc, band, key) where key concatenates the band's
     * signature rows; docs sharing any (band, key) are candidates. */
   def lshBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {

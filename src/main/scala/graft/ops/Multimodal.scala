@@ -381,6 +381,45 @@ object Multimodal {
   def syntheticGradientPng(w: Int, h: Int, lo: Int, step: Int): Array[Byte] =
     encodePng(gradientImage(w, h, lo, step))
 
+  /** Deterministic image whose [[dHash64]] is EXACTLY `bits` — the
+    * generalized anchor fixture (solid = 0L and full gradient = -1L are
+    * its two extremes): at 9×8 every dHash grid cell is one pixel, so
+    * bit (y·8+x) is pinned by making pixel (x+1, y) strictly brighter
+    * (bit set) or strictly darker (bit clear) than pixel (x, y), walking
+    * gray values ±2 from 128 (range [112, 144], luma of gray v is
+    * exactly v under the integer ITU-R 601 weights). Lets an oracle
+    * replay a whole perceptual-near-dup pipeline as doc-id arithmetic:
+    * plant hashes at chosen Hamming distances and the REAL
+    * decode→hash path lands on them bit for bit. */
+  def bitPatternImage(bits: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v += (if (((bits >> (y * 8 + x)) & 1L) == 1L) 2 else -2)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** [[bitPatternImage]] as an encoded PNG (lossless — the decoded hash
+    * is exactly `bits`). */
+  def syntheticBitPng(bits: Long): Array[Byte] =
+    encodePng(bitPatternImage(bits))
+
+  /** [[bitPatternImage]] as a one-frame lossless BI_RGB AVI — the VIDEO
+    * twin: its first-frame dHash ([[perceptualHashes]]' video key) is
+    * exactly `bits`. */
+  def syntheticBitAvi(bits: Long): Array[Byte] =
+    encodeAviRgb(Seq(bitPatternImage(bits)))
+
   /** First-frame perceptual hash per video: demux → decode frame 0 →
     * [[dHash64]]. The cheap video near-dup key — container re-muxes and
     * lossless re-encodes preserve frame content, so they land on the same

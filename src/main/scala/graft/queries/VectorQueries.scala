@@ -1107,6 +1107,70 @@ object VectorQueries {
         .orderBy("wave", "category")
     }),
 
+    // EVOLVING-index MEDIA admission (Dedup.admitWavesMedia — q288/q290's
+    // discipline on perceptual hashes, through the REAL codec path): every
+    // payload is a bitPatternImage fixture whose decoded dHash is EXACTLY
+    // a chosen doc-id function — spread(id) maps each of 14 id bits onto a
+    // 4-bit group, so distinct organics sit >= 4 bits apart and the
+    // planted distances are exact. maxHamming = 1: exact_plant (same-wave
+    // copy, Hamming 0) dies within-wave; near_plant (1 bit off a wave-0
+    // admission, arriving wave 2) dies ONLY via the evolved index;
+    // miss_plant (2 bits off) admits - the threshold boundary; kind_plant
+    // (a VIDEO whose first-frame hash EQUALS an admitted image hash)
+    // admits - hash spaces never compare across kinds
+    "q300_media_evolving" -> ((s, d) => {
+      import s.implicits._
+      def spread(n: Long): Long =
+        (0 until 14).map(i =>
+          if (((n >> i) & 1L) == 1L) 0xFL << (4 * i) else 0L).sum
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val organic = ids.map(id => (id, "image",
+        Multimodal.syntheticBitPng(spread(id % 16384)), id % 3, "organic"))
+      val exactP = ids.filter((id: Long) => id % 7 == 2)
+        .map(id => (id + 10000000L, "image",
+          Multimodal.syntheticBitPng(spread(id % 16384)), id % 3,
+          "exact_plant"))
+      val nearP = ids.filter((id: Long) => id % 3 == 0 && id % 7 == 1)
+        .map(id => (id + 20000000L, "image",
+          Multimodal.syntheticBitPng(spread(id % 16384) ^ 2L), 2L,
+          "near_plant"))
+      val missP = ids.filter((id: Long) => id % 3 == 0 && id % 7 == 3)
+        .map(id => (id + 30000000L, "image",
+          Multimodal.syntheticBitPng(spread(id % 16384) ^ 17L), 2L,
+          "miss_plant"))
+      val kindP = ids.filter((id: Long) => id % 3 == 0 && id % 7 == 4)
+        .map(id => (id + 40000000L, "video",
+          Multimodal.syntheticBitAvi(spread(id % 16384)), 1L,
+          "kind_plant"))
+      val rel = organic.union(exactP).union(nearP).union(missP)
+        .union(kindP).toDF("mid", "kind", "payload", "wave", "category")
+      val hashes = Multimodal.perceptualHashes(
+          rel.select(col("mid").as("media_id"), col("kind"),
+            col("payload"), lit("synth").as("meta_source"))
+            .as[Multimodal.MediaRecord])
+        .toDF()
+        .select(col("media_id").as("doc"), col("kind"), col("phash"))
+      val hashedWaves = hashes
+        .join(rel.select(col("mid"), col("wave")), col("doc") === col("mid"))
+        .drop("mid")
+      val emptyIdx = s.range(0).select(col("id").as("doc"),
+        lit("").as("kind"), col("id").as("phash"))
+      val admitted = graft.ops.Dedup.admitWavesMedia(hashedWaves,
+        col("wave"), emptyIdx, maxHamming = 1)
+      rel.select(col("mid"), col("wave").cast("int").as("wave"),
+          col("category"))
+        .join(admitted.select(col("doc").as("mid"), lit(1L).as("__a")),
+          Seq("mid"), "left")
+        .withColumn("__h", graft.functions.PortableHash.md5Long(
+          col("mid").cast("string"), 83))
+        .groupBy("wave", "category")
+        .agg(count(lit(1)).as("n_in"),
+          sum(coalesce(col("__a"), lit(0L))).as("n_admitted"),
+          coalesce(expr("bit_xor(CASE WHEN __a IS NOT NULL THEN __h END)"),
+            lit(0L)).as("admitted_checksum"))
+        .orderBy("wave", "category")
+    }),
+
     // retrieval-quality EVALUATION table (Sim.retrievalEval): the q150
     // 3-query brute top-10 scored against label-matched gold sets —
     // recall@10 / precision@10 on the half-up permille grid and the
@@ -2121,6 +2185,58 @@ object VectorQueries {
          |    AS admitted_checksum
          |FROM rel GROUP BY 1, 2 ORDER BY 1, 2"""
         .stripMargin
+    },
+
+    // the identical bit-spread hash arithmetic (the fixture pins the
+    // REAL decode->dHash path to exactly these values), identical staged
+    // per-wave admission replay with kind-separated exact Hamming
+    "q300_media_evolving" -> {
+      val hid = graft.functions.PortableHash.md5LongSql("mid::VARCHAR", 83)
+      val waveCtes = (0 to 2).map { w =>
+        val idxDef =
+          if (w == 0) "SELECT mid FROM rel WHERE 1 = 0"
+          else s"SELECT mid FROM idx${w - 1} UNION ALL " +
+            s"SELECT mid FROM adm${w - 1}"
+        s"""idx$w AS ($idxDef),
+           |drop$w AS (SELECT DISTINCT a.mid FROM rel a JOIN rel c
+           |  ON a.kind = c.kind AND a.mid <> c.mid
+           |    AND bit_count(xor(a.h, c.h)) <= 1
+           |  WHERE a.wave = $w
+           |    AND (c.mid IN (SELECT mid FROM idx$w)
+           |      OR (c.wave = $w AND c.mid < a.mid))),
+           |adm$w AS (SELECT mid FROM rel WHERE wave = $w
+           |  AND mid NOT IN (SELECT mid FROM drop$w))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sp AS (SELECT doc_id AS id,
+         |    CAST(list_sum(list_transform(generate_series(0, 13),
+         |      i -> CASE WHEN (((doc_id % 16384) >> i) & 1) = 1
+         |        THEN (CAST(15 AS BIGINT) << (4 * i))
+         |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+         |  FROM documents),
+         |rel AS (
+         |  SELECT id AS mid, 'image' AS kind, h, id % 3 AS wave,
+         |      'organic' AS category FROM sp
+         |  UNION ALL SELECT id + 10000000, 'image', h, id % 3,
+         |      'exact_plant' FROM sp WHERE id % 7 = 2
+         |  UNION ALL SELECT id + 20000000, 'image',
+         |      xor(h, CAST(2 AS BIGINT)), 2, 'near_plant'
+         |    FROM sp WHERE id % 3 = 0 AND id % 7 = 1
+         |  UNION ALL SELECT id + 30000000, 'image',
+         |      xor(h, CAST(17 AS BIGINT)), 2, 'miss_plant'
+         |    FROM sp WHERE id % 3 = 0 AND id % 7 = 3
+         |  UNION ALL SELECT id + 40000000, 'video', h, 1, 'kind_plant'
+         |    FROM sp WHERE id % 3 = 0 AND id % 7 = 4),
+         |$waveCtes,
+         |admAll AS (SELECT mid FROM adm0 UNION ALL SELECT mid FROM adm1
+         |  UNION ALL SELECT mid FROM adm2)
+         |SELECT CAST(wave AS INTEGER) AS wave, category,
+         |  count(*) AS n_in,
+         |  CAST(sum(CASE WHEN mid IN (SELECT mid FROM admAll)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(bit_xor(CASE WHEN mid IN
+         |    (SELECT mid FROM admAll) THEN $hid END), 0) AS BIGINT)
+         |    AS admitted_checksum
+         |FROM rel GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     // identical 4-query brute top-10 (cos DESC, id tie-break; qid 3's

@@ -589,6 +589,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pStepE.contains("CartesianProduct") &&
       !pStepE.contains("BroadcastNestedLoopJoin"),
       s"vector admission must stay hash-joined:\n$pStepE")
+    // the media twin: pigeonhole-banded candidates are (kind, band,
+    // bval) EQUI joins with the exact bit_count(xor) verify as a
+    // post-join filter — never a cartesian over the hash tables
+    val mHashes = emb.select(col("vec_id").as("doc"),
+      lit("image").as("kind"), col("vec_id").as("phash"))
+    val pStepM = graft.ops.Dedup.admitStepMedia(
+        mHashes.filter(col("doc") % 2 =!= 0),
+        mHashes.filter(col("doc") % 2 === 0), maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!pStepM.contains("CartesianProduct") &&
+      !pStepM.contains("BroadcastNestedLoopJoin"),
+      s"media admission must stay hash-joined on the band keys:\n$pStepM")
     // q292/q293: the serving-side decision tables are rank/lag windows
     // partitioned by group — one per policy for the pad sweep, exactly
     // one for the prefix-cache lag; never a join, never a cartesian

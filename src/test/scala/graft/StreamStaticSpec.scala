@@ -1266,6 +1266,116 @@ class StreamStaticSpec extends AnyFunSuite {
         "retained 2) still dies")
   }
 
+  test("media evolving gate: stream admits the identical media set as " +
+    "the admitWavesMedia batch twin through the REAL codec path — a " +
+    "near-dup image arriving batches later dies against the evolved " +
+    "index, a hash-equal VIDEO admits (kind separation), an undecodable " +
+    "payload passes through; compaction and forget-by-id run on the " +
+    "shared store") {
+    import graft.streaming.MediaStream
+    import graft.ops.{Dedup, Multimodal}
+    import spark.implicits._
+    def spread(n: Long): Long =
+      (0 until 14).map(i =>
+        if (((n >> i) & 1L) == 1L) 0xFL << (4 * i) else 0L).sum
+    def png(h: Long) = Multimodal.syntheticBitPng(h)
+    // batch 0: images 1-4; batch 1: near-dup of 1 (1 bit off), fresh 6,
+    // corrupt payload 7 (no hash — pass-through); batch 2: video 8 with
+    // image 2's exact hash (admits — kinds never compare), exact copy
+    // of 6 (dies)
+    val b0 = (1L to 4L).map(i => (i, "image", png(spread(i)), "s"))
+    val b1 = Seq((5L, "image", png(spread(1L) ^ 2L), "s"),
+      (6L, "image", png(spread(6L)), "s"),
+      (7L, "image", Array[Byte](1, 2, 3), "s"))
+    val b2 = Seq((8L, "video", Multimodal.syntheticBitAvi(spread(2L)), "s"),
+      (9L, "image", png(spread(6L)), "s"))
+    val allRows = (b0.map(r => (r, 0L)) ++ b1.map(r => (r, 1L)) ++
+      b2.map(r => (r, 2L)))
+    val hashRows = allRows.flatMap { case ((id, kind, payload, _), w) =>
+      val rec = Multimodal.MediaRecord(id, kind, payload, "s")
+      // decode through the REAL codec path, same as the gate does
+      kind match {
+        case "image" => Multimodal.decodeImage(payload)
+          .map(img => (id, kind, Multimodal.dHash64(img), w)).toSeq
+        case _ => Seq((rec.media_id, kind,
+          Multimodal.dHash64(Multimodal.demuxAvi(payload)
+            .flatMap(_.decodeFrame(0)).get), w))
+      }
+    }.toDF("doc", "kind", "phash", "w")
+    val emptyIdx = spark.range(0).select(col("id").as("doc"),
+      lit("").as("kind"), col("id").as("phash"))
+    val want = Dedup.admitWavesMedia(hashRows, col("w"), emptyIdx,
+        maxHamming = 1)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(want === Seq(1L, 2L, 3L, 4L, 6L, 8L),
+      "batch twin: near-dup 5 and exact copy 9 die, video 8 admits")
+    val dir = Files.createTempDirectory("graft-media-evolving")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, String, Array[Byte], String)], name: String,
+        ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("media_id", "kind", "payload", "meta_source").coalesce(1)
+        .write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(b0, "a", 90000); ship(b1, "b", 60000); ship(b2, "c", 30000)
+    val idxDir = dir.resolve("idx").toString
+    val admDir = dir.resolve("adm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def runGate(): Unit = {
+      val stream = spark.readStream
+        .schema(b1.toDF("media_id", "kind", "payload", "meta_source").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = MediaStream.evolvingGate(stream, idxDir, admDir, ckpt,
+        maxHamming = 1)
+      q.processAllAvailable(); q.stop()
+    }
+    runGate()
+    val got = spark.read.parquet(admDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (want :+ 7L).sorted,
+      "stream must admit the batch twin's set PLUS the undecodable " +
+        "pass-through row 7 (the gate must not destroy what it cannot " +
+        "judge)")
+    // the pass-through row left no index evidence
+    val idxDocs = spark.read.parquet(s"$idxDir/inc=0", s"$idxDir/inc=1",
+        s"$idxDir/inc=2")
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idxDocs === Seq(1L, 2L, 3L, 4L, 6L, 8L),
+      "index rows = hash-admitted only, never the unhashed pass-through")
+    // restart: a near-dup of image 3 dies against the persisted index
+    ship(Seq((10L, "image", png(spread(3L) ^ 2L), "s"),
+      (11L, "image", png(spread(11L)), "s")), "d", 0)
+    runGate()
+    val after = spark.read.parquet(admDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === ((want :+ 7L) :+ 11L).sorted,
+      "post-restart: 10 dies against the persisted index, 11 admits")
+    // compaction folds the four committed increments into one seed
+    assert(MediaStream.compactIndex(spark, idxDir, upToBatchId = 4) === 4)
+    // FORGET image 2 — a near-dup of 2 now admits, the hash-equal video
+    // 8 is UNAFFECTED (its own row, its own kind), a near-dup of
+    // retained 3 still dies
+    assert(MediaStream.forgetDocs(spark, idxDir, upToBatchId = 5,
+      ids = Seq(2L)) === 1)
+    ship(Seq((12L, "image", png(spread(2L) ^ 2L), "s"),
+      (13L, "image", png(spread(3L) ^ 2L), "s")), "e", 0)
+    runGate()
+    val forgot = spark.read.parquet(admDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(forgot === (((want :+ 7L) :+ 11L) :+ 12L).sorted,
+      "post-forget: 12 (near-dup of forgotten 2) admits, 13 (near-dup " +
+        "of retained 3) still dies")
+  }
+
   test("gate-READ recovery (r17 ADVICE): a compactor crash between " +
     "source deletion and the rename is rolled forward by the RESTARTED " +
     "gate's own listing — no compact() call — and admissions match the " +
