@@ -42,7 +42,9 @@ object Curation {
       dsirSeed: Int = 7,
       dsirMinWeightU: Long = 0L,
       gopherGate: Boolean = false,
-      gopherMinWords: Int = 50)
+      gopherMinWords: Int = 50,
+      mlMaxMicro: Long = 0L,
+      mlOrder: Int = 3)
 
   /** Runs the full pipeline; returns one row per packed chunk:
     * `doc, chunk_idx, chunk, n_tok, split, bin`.
@@ -52,8 +54,11 @@ object Curation {
   def curate(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
       media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
-      dsirTarget: Option[DataFrame] = None): DataFrame = {
-    val chunks = curateChunks(docs, id, text, lang, cfg, media, dsirTarget)
+      dsirTarget: Option[DataFrame] = None,
+      mlRefs: Option[(DataFrame, Column, DataFrame, Column)] = None)
+      : DataFrame = {
+    val chunks =
+      curateChunks(docs, id, text, lang, cfg, media, dsirTarget, mlRefs)
     if (cfg.ffdPack)
       Chunking.packFFD(chunks, col("split"), cfg.ctx)
         .withColumnRenamed("grp", "split")
@@ -155,7 +160,9 @@ object Curation {
   private def docStages(docs: DataFrame, id: Column, text: Column,
       lang: Column, cfg: Config,
       media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]],
-      dsirTarget: Option[DataFrame]): Seq[(String, DataFrame)] = {
+      dsirTarget: Option[DataFrame],
+      mlRefs: Option[(DataFrame, Column, DataFrame, Column)] = None)
+      : Seq[(String, DataFrame)] = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val input = Seq("input" -> docs)
     val mediaStage = media.map(m =>
@@ -186,11 +193,30 @@ object Curation {
         .drop("n_grams", "dsir_weight_u")
     }
     val selected = dsirStage.map(_._2).getOrElse(gated)
+    // optional MOORE-LEWIS contrastive selection stage (the q295 filter
+    // composed into the funnel — r17 verdict #8): keep documents whose
+    // in-domain-minus-general cross-entropy difference sits under
+    // `mlMaxMicro` micro-nats (0 = "reads more like the target domain
+    // than like average crawl text"). A doc too short to carry an
+    // order-n slot scores NULL in BOTH LMs and is DROPPED — a
+    // domain-selection gate keeps only what it can judge (the CCNet
+    // discipline; the length floor upstream should make this rare).
+    // Runs after DSIR (both are selection; ML is the sharper, costlier
+    // filter) and before rebalance/dedup, the select-then-clean order.
+    val mlStage = mlRefs.map { case (inRef, inTxt, genRef, genTxt) =>
+      "moore_lewis" -> selected.join(
+        TextAnalysis.mooreLewis(selected, id, text, inRef, inTxt,
+            genRef, genTxt, order = cfg.mlOrder)
+          .filter(col("ml_micro") < cfg.mlMaxMicro)
+          .select(col("id").as("__mlk")),
+        id === col("__mlk"), "left_semi")
+    }
+    val mlSelected = mlStage.map(_._2).getOrElse(selected)
     val rebalStage =
       if (cfg.langFracs.isEmpty) None
-      else Some("rebalance" -> Sampling.stratifiedSample(selected, id, lang,
-        cfg.langFracs, cfg.sampleSeed))
-    val rebalanced = rebalStage.map(_._2).getOrElse(selected)
+      else Some("rebalance" -> Sampling.stratifiedSample(mlSelected, id,
+        lang, cfg.langFracs, cfg.sampleSeed))
+    val rebalanced = rebalStage.map(_._2).getOrElse(mlSelected)
     val exact = Dedup.dedupExact(rebalanced,
       TextAnalysis.fingerprint(text), id)
     val fuzzy = Dedup.dedupExact(exact,
@@ -198,15 +224,18 @@ object Curation {
         lit(cfg.shingleN), lit(cfg.sigK)),
       id)
     input ++ mediaStage ++ Seq("quality" -> quality) ++ gopherStage ++
-      dsirStage ++ rebalStage ++
+      dsirStage ++ mlStage ++ rebalStage ++
       Seq("exact_dedup" -> exact, "fuzzy_dedup" -> fuzzy)
   }
 
   def curateChunks(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
       media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
-      dsirTarget: Option[DataFrame] = None): DataFrame = {
-    val fuzzy = docStages(docs, id, text, lang, cfg, media, dsirTarget).last._2
+      dsirTarget: Option[DataFrame] = None,
+      mlRefs: Option[(DataFrame, Column, DataFrame, Column)] = None)
+      : DataFrame = {
+    val fuzzy =
+      docStages(docs, id, text, lang, cfg, media, dsirTarget, mlRefs).last._2
     // split is a pure hash of the id, so it is RE-DERIVED on the chunk
     // output (whose `doc` IS the id) instead of joined back — a join here
     // would re-evaluate the whole quality→sample→dedup lineage a second
@@ -233,8 +262,10 @@ object Curation {
   def funnel(docs: DataFrame, id: Column, text: Column, lang: Column,
       cfg: Config = Config(),
       media: Option[org.apache.spark.sql.Dataset[Multimodal.MediaRecord]] = None,
-      dsirTarget: Option[DataFrame] = None): DataFrame =
-    docStages(docs, id, text, lang, cfg, media, dsirTarget).zipWithIndex
+      dsirTarget: Option[DataFrame] = None,
+      mlRefs: Option[(DataFrame, Column, DataFrame, Column)] = None)
+      : DataFrame =
+    docStages(docs, id, text, lang, cfg, media, dsirTarget, mlRefs).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(i).as("stage_idx"), lit(name).as("stage"),

@@ -1577,6 +1577,21 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // MOORE-LEWIS composed into the curation FUNNEL (r17 verdict #8 —
+    // q295 standalone becomes a Curation.Config selection stage next to
+    // quality/dedup): per-stage survivor counts with the contrastive
+    // filter between quality and exact dedup; built from the pipeline's
+    // OWN stage chain, so the oracle re-deriving each stage pins the
+    // composition against the code
+    "q301_ml_curate_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val inRef = docs.filter(col("source").isin("src1", "src2"))
+      graft.ops.Curation.funnel(docs, col("doc_id"), col("text"),
+          col("lang"), graft.ops.Curation.Config(),
+          mlRefs = Some((inRef, col("text"), docs, col("text"))))
+        .orderBy("stage_idx")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -2945,6 +2960,49 @@ object TextQueries {
     // identical ladder with the identical KenLM-style HAVING prune on
     // every order >= 2 table (unigram floor untouched)
     "q175_lm_5gram_pruned" -> fiveGramLadderSql(minCount = 2),
+
+    // the q189 funnel stages with the q295 double ladder between quality
+    // and exact dedup: ML scores over the QUALITY SURVIVORS (the stage's
+    // own input), refs unchanged from q295 (in-domain = src1+src2,
+    // general = all documents); unscored (slotless) docs drop at the
+    // ML stage — the gate keeps only what it can judge
+    "q301_ml_curate_funnel" -> {
+      val mins = (0 until 16)
+        .map(j => s"min(${PortableHash.derivedHashSql("h", j)}) s$j")
+        .mkString(", ")
+      val sigCols = (0 until 16).map(j => s"s$j").mkString(", ")
+      s"""WITH q0 AS (SELECT * FROM documents
+           WHERE ${TA.qualityClassSql("text")} = 'ok'),
+         toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM q0),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2,
+             ts[x.i+2] AS w3
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3),
+         ${triXentCoreSql("ind",
+          "SELECT text FROM documents WHERE source IN ('src1', 'src2')")},
+         ${triXentCoreSql("gen", "SELECT text FROM documents")},
+         mlq AS (SELECT q0.* FROM q0
+           JOIN sc_ind si USING (doc_id)
+           JOIN sc_gen sg USING (doc_id)
+           WHERE si.xm - sg.xm < 0),
+         e1 AS (SELECT * FROM mlq
+           QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+             ORDER BY doc_id) = 1),
+         sh AS (SELECT doc_id, ${graft.ops.Dedup.shinglesSql("text", 3)} sgs
+           FROM e1),
+         ex AS (SELECT doc_id AS doc, unnest(sgs) sg FROM sh),
+         hashed AS (SELECT doc, ${PortableHash.baseHashSql("sg")} h FROM ex),
+         sig AS (SELECT doc, $mins FROM hashed GROUP BY doc),
+         e2 AS (SELECT e1.* FROM e1 JOIN sig ON doc_id = sig.doc
+           QUALIFY row_number() OVER (PARTITION BY $sigCols ORDER BY doc_id) = 1)
+         SELECT CAST(0 AS INTEGER) AS stage_idx, 'input' AS stage,
+           (SELECT count(*) FROM documents) AS n_docs
+         UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q0)
+         UNION ALL SELECT 2, 'moore_lewis', (SELECT count(*) FROM mlq)
+         UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM e1)
+         UNION ALL SELECT 4, 'fuzzy_dedup', (SELECT count(*) FROM e2)
+         ORDER BY stage_idx"""
+    },
 
     // identical plant, identical per-char counting
 

@@ -593,7 +593,8 @@ class PlanSpec extends AnyFunSuite {
     // bval) EQUI joins with the exact bit_count(xor) verify as a
     // post-join filter — never a cartesian over the hash tables
     val mHashes = emb.select(col("vec_id").as("doc"),
-      lit("image").as("kind"), col("vec_id").as("phash"))
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      col("vec_id").as("phash"))
     val pStepM = graft.ops.Dedup.admitStepMedia(
         mHashes.filter(col("doc") % 2 =!= 0),
         mHashes.filter(col("doc") % 2 === 0), maxHamming = 3)
