@@ -2431,13 +2431,23 @@ object TextAnalysis {
     // NB "__N" would collide with "__n" under Spark's case-insensitive
     // resolution — hence "__nn"
     val tot = gc.agg(sum("__c").as("__nn"))
-    val p = col("__c").cast("double") / col("__n").cast("double")
-    val q = col("__ct").cast("double") / col("__nn").cast("double")
+    // both ratios quantize to the micro grid as EXACT integers FIRST
+    // (ExactRound — the mean-of-ratios discipline; the r18 census
+    // widening caught the previous form multiplying a raw int/int
+    // quotient into the transcendental), then one deterministic
+    // double product per term: 1e6·p·(ln p − ln q) ≈ pµ·(ln pµ − ln qµ)
+    // since the 1e6 factors cancel inside the log difference. A ratio
+    // that quantizes to 0 contributes 0 (sub-micro tail terms).
+    val pm = ExactRound.gridMicroCol(col("__c"), col("__n"), 6)
+    val qm = ExactRound.gridMicroCol(col("__ct"), col("__nn"), 6)
     gc.join(tc, "__t")
       .join(broadcast(gn), "grp")
       .crossJoin(broadcast(tot))
       .withColumn("__u",
-        round(lit(1e6) * p * (log(p) - log(q))).cast("long"))
+        when(pm <= 0L || qm <= 0L, lit(0L)).otherwise(
+          round(pm.cast("double") *
+            (log(pm.cast("double")) - log(qm.cast("double"))))
+            .cast("long")))
       .groupBy("grp")
       .agg(sum("__c").cast("long").as("n_tokens"),
         count(lit(1)).as("n_distinct"), sum("__u").as("kl_u"))
@@ -2453,13 +2463,16 @@ object TextAnalysis {
        __tc AS (SELECT t, sum(c) AS ct FROM __gc GROUP BY 1),
        __gn AS (SELECT grp, sum(c) AS n FROM __gc GROUP BY 1),
        __tot AS (SELECT sum(c) AS nn FROM __gc),
-       kl AS (SELECT __gc.grp,
-           CAST(sum(__gc.c) AS BIGINT) AS n_tokens,
+       kl AS (SELECT grp,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
-           CAST(sum(CAST(round(1e6 * (__gc.c::DOUBLE / __gn.n::DOUBLE)
-             * (ln(__gc.c::DOUBLE / __gn.n::DOUBLE)
-               - ln(__tc.ct::DOUBLE / __tot.nn::DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_u
-         FROM __gc JOIN __tc USING (t) JOIN __gn USING (grp), __tot
+           CAST(sum(CASE WHEN pm <= 0 OR qm <= 0 THEN 0
+             ELSE CAST(round(pm::DOUBLE * (ln(pm::DOUBLE) - ln(qm::DOUBLE)))
+               AS BIGINT) END) AS BIGINT) AS kl_u
+         FROM (SELECT __gc.grp, __gc.c,
+             ${ExactRound.gridMicroSql("__gc.c", "__gn.n", 6)} AS pm,
+             ${ExactRound.gridMicroSql("__tc.ct", "__tot.nn", 6)} AS qm
+           FROM __gc JOIN __tc USING (t) JOIN __gn USING (grp), __tot)
          GROUP BY 1)""".stripMargin
 
   /** Per-group top-k heavy hitters over a string column via the

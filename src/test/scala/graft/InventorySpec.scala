@@ -49,9 +49,15 @@ class InventorySpec extends AnyFunSuite {
     * with EITHER side tainted keep the taint — this caught q139's
     * round(nb/rb − na/ra, 6) live (null-rate delta, shipping since r5;
     * migrated to ratioRoundedSigned on the exact cross-multiplied
-    * rational). Remaining blind spot: taint through a MULTIPLY by a
-    * non-literal, non-tainted double column (`q * some_double_col`) —
-    * the dual-SF oracle gate stays the backstop there. */
+    * rational). r18 closes the r17-documented blind spot: a MULTIPLY
+    * with EITHER side tainted keeps the taint regardless of the other
+    * operand — literal (r15), second quotient (r16), or an arbitrary
+    * non-literal double column (`q * some_double_col`): scaling by any
+    * factor preserves the quotient's engine-dependent low bits, exactly
+    * as Divide already treated it. Remaining blind spot: taint through
+    * a non-foldable ADD/SUBTRACT with an untainted double side (the
+    * absorbing-magnitude case is rarer and additive noise usually
+    * dominates the tie) — the dual-SF oracle gate stays the backstop. */
   private def roundedRationalOffenders(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -76,12 +82,11 @@ class InventorySpec extends AnyFunSuite {
       // literal arithmetic does not wash the quotient: either operand
       // foldable + the other tainted → still the q169 class
       case m: Multiply =>
-        (m.left.foldable && taintedExpr(m.right)) ||
-          (m.right.foldable && taintedExpr(m.left)) ||
-          // r16: BOTH children tainted — a product of two IEEE quotients
-          // (ratio-of-ratios class) carries both quotients' engine-
-          // dependent low bits
-          (taintedExpr(m.left) && taintedExpr(m.right))
+        // r18: multiplication never washes — either side tainted keeps
+        // the taint whatever the other operand is (literal, second
+        // quotient, or an untainted double column), the same rule
+        // Divide received in r16
+        taintedExpr(m.left) || taintedExpr(m.right)
       case dv: Divide =>
         // r16: quotient OF tainted operands (either side) — dividing by or
         // into an IEEE integer-quotient is the ratio-of-ratios class
@@ -245,6 +250,34 @@ class InventorySpec extends AnyFunSuite {
     val cmp = base.withColumn("ok", (q1 - q2) >= lit(0.5))
     assert(roundedRationalOffenders(cmp.queryExecution.analyzed).isEmpty,
       "raw quotient compares must stay unflagged")
+  }
+
+  test("the census walker catches a quotient scaled by an UNTAINTED " +
+    "non-literal double column — the r17-documented blind spot, closed " +
+    "in r18 — without flagging products of genuinely-double ratios") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = Seq((1L, 3L, 0.5)).toDF("a", "b", "w")
+    // the documented escape: round(q * w) where w is a double COLUMN
+    // (not foldable, not tainted) — scaling preserves the quotient's
+    // engine-dependent low bits
+    val colEscape = base
+      .withColumn("r", col("a") / col("b"))
+      .withColumn("rr", round(col("r") * col("w"), 6))
+    assert(roundedRationalOffenders(colEscape.queryExecution.analyzed).nonEmpty,
+      "round(quotient * double_column) must be flagged")
+    // and the mirror orientation
+    val colEscape2 = base
+      .withColumn("rr", round(col("w") * (col("a") / col("b")), 6))
+    assert(roundedRationalOffenders(colEscape2.queryExecution.analyzed).nonEmpty,
+      "round(double_column * quotient) must be flagged")
+    // a product of two genuinely-double ratios stays unflagged
+    val fine = base
+      .withColumn("r1", col("a") * lit(0.5) / col("b"))
+      .withColumn("rr", round(col("r1") * col("w"), 6))
+    assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty,
+      "products without an exact-integer quotient are not the class")
   }
 
   test("query names are unique across the contributing modules") {
