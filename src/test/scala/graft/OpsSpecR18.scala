@@ -100,6 +100,97 @@ class OpsSpecR18 extends AnyFunSuite {
       "the seed's doc 2 must be gone, docs 1 and 3 retained")
   }
 
+  test("repackDirty: clean bins come back BIT-IDENTICAL under their " +
+    "original ids, removed rows drop, dirty-bin survivors re-pack into " +
+    "fresh ids past max(original bin), and tokens conserve exactly") {
+    import graft.ops.Chunking
+    import spark.implicits._
+    // group g: bins are driven by FFD at ctx=10 over hand-sized chunks
+    val chunks = Seq(
+      (1L, 0, "a", 6), (2L, 0, "b", 6), (3L, 0, "c", 4), (4L, 0, "d", 4),
+      (5L, 0, "e", 3), (6L, 0, "f", 2)).toDF("doc", "chunk_idx", "chunk", "n_tok")
+      .withColumn("g", lit("g"))
+    val packed = Chunking.packFFD(chunks, col("g"), ctx = 10)
+    val orig = packed.collect().map(r =>
+      (r.getLong(0), r.getLong(5))).toMap // doc -> bin
+    // remove doc 2: its bin is dirty, every other bin must be untouched
+    val out = Chunking.repackDirty(packed, col("grp"), col("bin"),
+      col("doc") === 2L, ctx = 10)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(5),
+      r.getBoolean(6))) // (doc, bin, repacked)
+    assert(!rows.exists(_._1 == 2L), "removed row must be gone")
+    val dirtyBin = orig(2L)
+    val cleanOut = rows.filter(!_._3)
+    assert(cleanOut.forall { case (d, b, _) =>
+      orig(d) == b && orig(d) != dirtyBin },
+      "clean rows keep their original bins, none from the dirty bin")
+    val maxOrig = orig.values.max
+    val repackedOut = rows.filter(_._3)
+    assert(repackedOut.nonEmpty &&
+      repackedOut.forall { case (d, b, _) =>
+        orig(d) == dirtyBin && b > maxOrig },
+      s"dirty-bin survivors get fresh ids past $maxOrig: " +
+        repackedOut.mkString(", "))
+    // token conservation: out = in - removed
+    val inTok = packed.agg(sum("n_tok")).collect()(0).getLong(0)
+    val outTok = out.agg(sum("n_tok")).collect()(0).getLong(0)
+    val rmTok = packed.filter(col("doc") === 2L)
+      .agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(outTok === inTok - rmTok, "token conservation")
+    // every new bin still respects ctx
+    val binLoads = out.groupBy("grp", "bin").agg(sum("n_tok").as("t"))
+      .collect().map(_.getLong(2))
+    assert(binLoads.forall(_ <= 10), "no repacked bin may exceed ctx")
+  }
+
+  test("prefixCacheSchedule: per-row conservation cached + computed = " +
+    "tokens, group sums equal prefixCacheReport's totals (shared core), " +
+    "first prompt of each group serves fully computed") {
+    import graft.ops.Chunking
+    import spark.implicits._
+    val prompts = Seq(
+      ("a", "x y z"), ("a", "x y z w"), ("a", "x q"), ("a", "x y z"),
+      ("b", "hello"), ("b", "hello world")).toDF("g", "p")
+    val sched = Chunking.prefixCacheSchedule(prompts, col("g"), col("p"))
+    val rows = sched.collect()
+    assert(rows.forall(r => r.getLong(4) + r.getLong(5) === r.getLong(3)),
+      "cached + computed = n_tokens on every row")
+    val first = sched.filter(col("serve_order") === 1L).collect()
+    assert(first.forall(r => r.getLong(4) === 0L),
+      "the group's first prompt saves nothing")
+    // exact-duplicate prompt ('x y z' twice in group a) is a full hit
+    assert(rows.exists(r => r.getString(0) == "a" &&
+      r.getString(2) == "x y z" && r.getLong(4) === 3L),
+      "an identical prompt must cache its full length")
+    val fromSched = sched.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"),
+        org.apache.spark.sql.functions.sum("cached_tokens").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromReport = Chunking.prefixCacheReport(prompts, col("g"), col("p"))
+      .select("grp", "total_tokens", "cached_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromSched === fromReport,
+      "schedule column sums must equal the report's group totals")
+  }
+
+  test("admitStepMedia: kind separation — identical 64-bit hashes in " +
+    "different kinds never kill each other; within a kind the smaller " +
+    "id wins at Hamming <= maxHamming") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "image", 100L), (2L, "image", 101L),  // Hamming(100,101)=1
+      (3L, "audio", 100L),                       // image 1's hash, audio
+      (4L, "video", 100L)                        // and video
+    ).toDF("doc", "kind", "phash")
+    val empty = spark.range(0).select(col("id").as("doc"),
+      lit("").as("kind"), col("id").as("phash"))
+    val got = Dedup.admitStepMedia(batch, empty, maxHamming = 1)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 3L, 4L),
+      "2 dies to 1 within-kind; 3 and 4 admit despite the identical hash")
+  }
+
   test("EmbedStream.forgetDocs raises on a pre-r18 (bucket, vec) store " +
     "with the rebuild migration path, sources intact") {
     import graft.streaming.EmbedStream
