@@ -637,6 +637,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p297.contains("CartesianProduct"), p297)
   }
 
+  test("r18 additions keep their scale shapes: the prefix-cache schedule " +
+    "is the report's ONE window re-used (no join), the takedown repack " +
+    "candidates via equi joins only, the composed ML funnel and the " +
+    "media admission never go cartesian") {
+    val p298 = plan("q298_prefix_schedule")
+    // rank + lag may land as two physical Window nodes, but they share
+    // ONE (grp)-hash exchange — the sort/shuffle is paid once
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p298).length <= 2,
+      s"only the lag + rank windows:\n$p298")
+    assert("Exchange hashpartitioning".r.findAllIn(p298).length <= 1,
+      s"lag and rank must share one per-group exchange:\n$p298")
+    assert(!p298.contains("CartesianProduct") && !p298.contains("Join"),
+      s"the schedule is windows over the prompt table, no joins:\n$p298")
+    val p299 = plan("q299_takedown_repack")
+    assert(!p299.contains("CartesianProduct") &&
+      !p299.contains("BroadcastNestedLoopJoin"),
+      s"dirty-bin flagging and offsets are equi joins:\n$p299")
+    // the ML ladder broadcast-crosses its ONE-ROW totals frame (N, V) —
+    // that lands as BroadcastNestedLoopJoin by construction (the q295
+    // shape); only a true cartesian over data-sized sides is banned
+    val p301 = plan("q301_ml_curate_funnel")
+    assert(!p301.contains("CartesianProduct"),
+      s"the composed funnel stays hash-joined through the ML stage:\n$p301")
+    val p300 = plan("q300_media_evolving")
+    assert(!p300.contains("CartesianProduct") &&
+      !p300.contains("BroadcastNestedLoopJoin"),
+      s"staged media admission candidates via banded equi joins:\n$p300")
+  }
+
   test("index-bounded margin mining: the centroid form is an EQUI join " +
     "(no cartesian anywhere), the ivf form partition-prunes to the " +
     "probed lists (q294)") {
