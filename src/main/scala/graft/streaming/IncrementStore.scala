@@ -134,33 +134,54 @@ private[streaming] object IncrementStore {
   }
 
   /** Finish (roll forward) or undo (roll back) an interrupted
-    * compaction transaction — see the object scaladoc's protocol. */
-  private def recover(fs: FileSystem, root: Path): Unit =
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("_compact-") &&
-        s.getPath.getName.endsWith(".tmp"))
-      .foreach { s =>
-        val tmp = s.getPath
-        val manifest = new Path(tmp, "_sources.txt")
-        if (!fs.exists(manifest)) { fs.delete(tmp, true); () }
-        else {
-          val in = fs.open(manifest)
-          val names =
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .getLines().toList.filter(_.nonEmpty)
-            finally in.close()
-          names.foreach { n =>
-            val p = new Path(root, n)
-            if (fs.exists(p)) require(fs.delete(p, true),
-              s"recover: failed to delete folded source $p")
-          }
-          val tag = tmp.getName.stripPrefix("_compact-")
-            .stripSuffix(".tmp")
-          require(fs.rename(tmp, new Path(root, s"inc=compact-$tag")),
-            s"recover: rename $tmp failed — sources are deleted, the " +
-              "manifested tmp remains the only copy; do not remove it")
-          ()
+    * transaction — see the object scaladoc's protocol. Two tmp
+    * families share it: `_compact-<N>.tmp` (a compaction — target is
+    * `inc=compact-<N>`, manifest `_sources.txt` lists the folded
+    * directories) and `_rw-<name>.tmp` (an IN-PLACE rewrite from
+    * [[Erasure.forgetRows]] — target is the original `<name>`, manifest
+    * `_source.txt` names it). */
+  private def recover(fs: FileSystem, root: Path): Unit = {
+    val tmps = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".tmp"))
+      .map(_.getPath)
+    tmps.filter(_.getName.startsWith("_compact-")).foreach { tmp =>
+      val manifest = new Path(tmp, "_sources.txt")
+      if (!fs.exists(manifest)) { fs.delete(tmp, true); () }
+      else {
+        val in = fs.open(manifest)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList.filter(_.nonEmpty)
+          finally in.close()
+        names.foreach { n =>
+          val p = new Path(root, n)
+          if (fs.exists(p)) require(fs.delete(p, true),
+            s"recover: failed to delete folded source $p")
         }
+        val tag = tmp.getName.stripPrefix("_compact-")
+          .stripSuffix(".tmp")
+        require(fs.rename(tmp, new Path(root, s"inc=compact-$tag")),
+          s"recover: rename $tmp failed — sources are deleted, the " +
+            "manifested tmp remains the only copy; do not remove it")
+        ()
       }
+    }
+    tmps.filter(_.getName.startsWith("_rw-")).foreach { tmp =>
+      val manifest = new Path(tmp, "_source.txt")
+      if (!fs.exists(manifest)) { fs.delete(tmp, true); () }
+      else {
+        val in = fs.open(manifest)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val target = new Path(root, name)
+        if (fs.exists(target)) require(fs.delete(target, true),
+          s"recover: failed to delete rewrite source $target")
+        require(fs.rename(tmp, target),
+          s"recover: rename $tmp -> $target failed — the manifested " +
+            "tmp remains the only copy; do not remove it")
+        ()
+      }
+    }
+  }
 }

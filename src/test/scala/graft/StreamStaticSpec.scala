@@ -1376,6 +1376,77 @@ class StreamStaticSpec extends AnyFunSuite {
         "of retained 3) still dies")
   }
 
+  test("takedown EXECUTION completes the loop: Erasure.forgetRows " +
+    "rewrites only the admitted batch dirs that hold a removed doc " +
+    "(in-place transaction), forgetDocs erases the index, and the " +
+    "erasureAudit certificate reads zero residual across both stores — " +
+    "including after a crash between delete and rename") {
+    import graft.streaming.{Erasure, TextStream}
+    import spark.implicits._
+    def text(i: Int) = (1 to 24).map(t => s"er${i}t$t").mkString(" ")
+    val dir = Files.createTempDirectory("graft-erasure")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(Long, String)], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    val idxDir = dir.resolve("idx").toString
+    val admDir = dir.resolve("adm").toString
+    val ckpt = dir.resolve("ckpt").toString
+    ship(Seq((1L, text(1)), (2L, text(2))), "a", 60000)
+    ship(Seq((3L, text(3)), (4L, text(4))), "b", 30000)
+    val stream = spark.readStream
+      .schema(Seq((0L, "")).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+    val q = TextStream.evolvingGate(stream, idxDir, admDir, ckpt,
+      n = 3, k = 16, bands = 4, minEstJaccard = 0.5)
+    q.processAllAvailable(); q.stop()
+    val stores = Seq(("admitted", admDir, "doc_id"), ("index", idxDir, "doc"))
+    // pre-erasure: doc 3 is live in both stores
+    val before = Erasure.erasureAudit(spark, Seq(3L), stores)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(before("admitted") === ((4L, 1L)) &&
+      before("index") === ((4L, 1L)), before.toString)
+    // execute: index forget + admitted rewrite — only batch 1 (docs 3,4)
+    // holds the removed doc, batch 0 must keep its bytes untouched
+    assert(TextStream.forgetDocs(spark, idxDir, upToBatchId = 2,
+      ids = Seq(3L)) === 2)
+    assert(Erasure.forgetRows(spark, admDir, "doc_id", Seq(3L)) === 1,
+      "exactly one admitted batch dir holds doc 3")
+    val after = Erasure.erasureAudit(spark, Seq(3L), stores)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after === Map("admitted" -> ((3L, 0L)), "index" -> ((3L, 0L))),
+      s"the certificate must read zero residual: $after")
+    // CRASH SIM — the rewrite died after deleting batch=0, before the
+    // rename: the manifested tmp is the only copy. The next audit's
+    // per-store recovery must publish it and count the survivors.
+    val hfs = new org.apache.hadoop.fs.Path(admDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$admDir/batch=0")
+      .filter(col("doc_id") =!= 1L)
+      .write.parquet(s"$admDir/_rw-batch=0.tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$admDir/_rw-batch=0.tmp/_source.txt"),
+      "batch=0".getBytes("UTF-8"))
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$admDir/batch=0"), true))
+    val healed = Erasure.erasureAudit(spark, Seq(1L), stores)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(healed("admitted") === ((2L, 0L)),
+      s"recovery must publish the manifested rewrite before counting: $healed")
+    assert(new java.io.File(admDir).listFiles.map(_.getName).sorted.toSeq
+      === Seq("batch=0", "batch=1"),
+      "the tmp must be gone and both batch dirs published")
+  }
+
   test("gate-READ recovery (r17 ADVICE): a compactor crash between " +
     "source deletion and the rename is rolled forward by the RESTARTED " +
     "gate's own listing — no compact() call — and admissions match the " +
