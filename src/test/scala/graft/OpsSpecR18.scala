@@ -191,6 +191,42 @@ class OpsSpecR18 extends AnyFunSuite {
       "2 dies to 1 within-kind; 3 and 4 admit despite the identical hash")
   }
 
+  test("Erasure.forgetRows composes with the IVF serving index: a " +
+    "vector takedown rewrites only the dirty cluster= partitions in " +
+    "place — no retrain, no rebuild — and probes never return the " +
+    "forgotten id again") {
+    import graft.streaming.Erasure
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-forget").toString
+    Sim.ivfWritePartitioned(emb, col("vec_id"), col("embedding"), 4,
+      s"$dir/idx")
+    val q = emb.filter(col("vec_id") === 7)
+    val top = Sim.ivfTopKPartitioned(spark, s"$dir/idx", q,
+        col("embedding"), nProbe = 4, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head === 7L, "self-query must return itself first")
+    val nBefore = spark.read.parquet(s"$dir/idx").count()
+    assert(Erasure.forgetRows(spark, s"$dir/idx", "id", Seq(7L),
+      prefix = "cluster=") === 1,
+      "exactly the one dirty inverted list rewrites")
+    assert(spark.read.parquet(s"$dir/idx").count() === nBefore - 1)
+    val after = Sim.ivfTopKPartitioned(spark, s"$dir/idx", q,
+        col("embedding"), nProbe = 4, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(7L) && after.size === 3,
+      s"the forgotten vector must never serve again: $after")
+    assert(after === top.filterNot(_ == 7L) :+ after.last,
+      "surviving neighbours keep their relative order")
+    // the trained sidecars are untouched — no retrain happened
+    assert(spark.read.parquet(s"$dir/idx.centroids").count() === 4L)
+    // and the certificate over the index reads zero residual
+    val cert = Erasure.erasureAudit(spark, Seq(7L),
+        Seq(("ivf", s"$dir/idx", "id")))
+      .collect()(0)
+    assert(cert.getLong(1) === nBefore - 1 && cert.getLong(2) === 0L)
+  }
+
   test("EmbedStream.forgetDocs raises on a pre-r18 (bucket, vec) store " +
     "with the rebuild migration path, sources intact") {
     import graft.streaming.EmbedStream
