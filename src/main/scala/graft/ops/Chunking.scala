@@ -479,33 +479,40 @@ object Chunking {
     * exactly this table's column sums, pinned by the shared
     * [[prefixCacheRows]] core so schedule and report cannot drift.
     *
-    * Deterministic: `serve_order` is a rank over the prompt string
-    * itself; identical prompts (full-cache hits) tie, and their rows are
-    * identical in every other column, so the OUTPUT is order-free even
-    * where the rank tie-break is not. Scale shape: the report's one
-    * window per group, re-used twice (lag + row_number over the same
-    * sort) — no extra exchange, no join; emit straight to the serving
-    * manifest store. */
+    * Deterministic: `serve_order` is a row_number computed in the SAME
+    * window instance as the lag (one sort, one pass — the r18 ADVICE
+    * pin: a second window over the lag output only paired rank with
+    * cached_tokens correctly because its sort happened to be elided;
+    * identical-prompt ties could re-pair under a plan change, and the
+    * FIRST duplicate's cached_tokens is the LCP with the preceding
+    * distinct prompt, not its full length, so tied rows are NOT
+    * interchangeable). Within a duplicate-prompt tie the (rank, lag)
+    * pairing is now structural: both come from the same window frame.
+    * The output SET is still deterministic — rank assignment among
+    * identical prompts permutes only identical (n, saved) pairs beyond
+    * the first, and the first holds the smallest rank in any tie order.
+    * Scale shape: the report's one window per group — no extra
+    * exchange, no join; emit straight to the serving manifest store. */
   def prefixCacheSchedule(prompts: DataFrame, group: Column,
       prompt: Column): DataFrame =
     prefixCacheRows(prompts, group, prompt)
       .select(col("grp"),
-        row_number().over(
-          Window.partitionBy("grp").orderBy(col("__p")))
-          .cast("long").as("serve_order"),
+        col("__ord").as("serve_order"),
         col("__p").as("prompt"),
         col("__n").as("n_tokens"),
         col("__saved").as("cached_tokens"),
         (col("__n") - col("__saved")).as("computed_tokens"))
 
   /** Shared per-prompt LCP core of [[prefixCacheReport]] /
-    * [[prefixCacheSchedule]]: `(grp, __p, __n, __saved)` under the
-    * lexicographic-per-group schedule. */
+    * [[prefixCacheSchedule]]: `(grp, __p, __ord, __n, __saved)` under
+    * the lexicographic-per-group schedule, rank and lag from ONE window
+    * instance so their pairing cannot drift. */
   private def prefixCacheRows(prompts: DataFrame, group: Column,
       prompt: Column): DataFrame = {
     val w = Window.partitionBy("grp").orderBy(col("__p"))
     val base = prompts.select(group.as("grp"), prompt.as("__p"))
       .withColumn("__toks", split(col("__p"), " "))
+      .withColumn("__ord", row_number().over(w).cast("long"))
       .withColumn("__prev", lag(col("__toks"), 1).over(w))
     // first-mismatch index over the shared range; no mismatch → the
     // shorter prompt is a full prefix of the longer

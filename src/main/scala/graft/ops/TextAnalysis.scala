@@ -2436,17 +2436,23 @@ object TextAnalysis {
     // widening caught the previous form multiplying a raw int/int
     // quotient into the transcendental), then one deterministic
     // double product per term: 1e6·p·(ln p − ln q) ≈ pµ·(ln pµ − ln qµ)
-    // since the 1e6 factors cancel inside the log difference. A ratio
-    // that quantizes to 0 contributes 0 (sub-micro tail terms).
+    // since the 1e6 factors cancel inside the log difference. A GROUP
+    // ratio that quantizes to 0 contributes 0 (sub-micro tail terms of
+    // P, which true KL also weights to ~0) — but a CORPUS ratio that
+    // quantizes to 0 under a large pm must NOT zero the term (the r18
+    // ADVICE finding: a token common in a small group yet globally
+    // rarer than 0.5e-6 has an unboundedly LARGE true contribution
+    // p·(ln p − ln q), not a tail term); qm clamps to the grid floor
+    // of 1 instead, the divergence a micro-grid measurement can attest.
     val pm = ExactRound.gridMicroCol(col("__c"), col("__n"), 6)
     val qm = ExactRound.gridMicroCol(col("__ct"), col("__nn"), 6)
     gc.join(tc, "__t")
       .join(broadcast(gn), "grp")
       .crossJoin(broadcast(tot))
       .withColumn("__u",
-        when(pm <= 0L || qm <= 0L, lit(0L)).otherwise(
+        when(pm <= 0L, lit(0L)).otherwise(
           round(pm.cast("double") *
-            (log(pm.cast("double")) - log(qm.cast("double"))))
+            (log(pm.cast("double")) - log(greatest(qm, lit(1L)).cast("double"))))
             .cast("long")))
       .groupBy("grp")
       .agg(sum("__c").cast("long").as("n_tokens"),
@@ -2466,8 +2472,9 @@ object TextAnalysis {
        kl AS (SELECT grp,
            CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
-           CAST(sum(CASE WHEN pm <= 0 OR qm <= 0 THEN 0
-             ELSE CAST(round(pm::DOUBLE * (ln(pm::DOUBLE) - ln(qm::DOUBLE)))
+           CAST(sum(CASE WHEN pm <= 0 THEN 0
+             ELSE CAST(round(pm::DOUBLE *
+               (ln(pm::DOUBLE) - ln(greatest(qm, 1)::DOUBLE)))
                AS BIGINT) END) AS BIGINT) AS kl_u
          FROM (SELECT __gc.grp, __gc.c,
              ${ExactRound.gridMicroSql("__gc.c", "__gn.n", 6)} AS pm,

@@ -111,6 +111,10 @@ object EmbedStream {
   def forgetDocs(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int = {
     require(ids.nonEmpty, "forgetDocs: empty takedown list")
+    // recovery FIRST (r18 ADVICE): a seed published by a crashed
+    // compactor's roll-forward must be part of what the layout scan
+    // checks, not invisible until the compact() call recovers it
+    IncrementStore.recoverStore(spark, indexDir)
     // pre-scan EVERY increment's own schema (a multi-dir parquet read
     // samples ONE file's schema — a mixed old/new store could silently
     // drop `doc` and filter nothing); sources stay intact on the raise
@@ -129,8 +133,12 @@ object EmbedStream {
           "hold the pre-r18 (bucket, vec) layout with no doc column — " +
           "ids cannot be attributed; rebuild the index from the admitted " +
           "store (Dedup.embedIndexOf stamps doc) and re-run the forget")
-    IncrementStore.compact(spark, indexDir, upToBatchId,
-      df => df.filter(!col("doc").isin(ids: _*)), foldAll = true)
+    // the shared body ALSO raises on null-doc ROWS — the laundering the
+    // schema scan cannot see (a compaction that merged an old id-less
+    // increment into a doc-carrying seed reads its rows as doc=NULL
+    // with a passing schema; r18 ADVICE)
+    IncrementStore.forgetDocIncrements(spark, indexDir, upToBatchId, ids,
+      "EmbedStream.forgetDocs")
   }
 
   /** Committed increments visible to `batchId` (the

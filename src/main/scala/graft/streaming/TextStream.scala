@@ -205,14 +205,15 @@ object TextStream {
     * forget: a NEW near-duplicate of a forgotten document ADMITS — by
     * design; within its original wave the historical admission decisions
     * are not (and cannot be) replayed. [[EmbedStream.forgetDocs]] is the
-    * embedding index's twin (its rows carry `doc` since r18). Returns
-    * the number of increments rewritten. */
+    * embedding index's twin (its rows carry `doc` since r18). A store
+    * holding NULL-doc rows (unattributable evidence) RAISES — see
+    * [[IncrementStore.forgetDocIncrements]], the shared body all three
+    * gate kinds delegate to. Returns the number of increments
+    * rewritten. */
   def forgetDocs(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int = {
-    require(ids.nonEmpty, "forgetDocs: empty takedown list")
-    IncrementStore.compact(spark, indexDir, upToBatchId,
-      df => df.filter(!col("doc").isin(ids: _*)), foldAll = true)
-  }
+      indexDir: String, upToBatchId: Long, ids: Seq[Long]): Int =
+    IncrementStore.forgetDocIncrements(spark, indexDir, upToBatchId, ids,
+      "TextStream.forgetDocs")
 
   /** Every index increment a trigger may read: seeds (non-numeric tags)
     * plus numeric increments STRICTLY below `batchId`. Hadoop FS, not
