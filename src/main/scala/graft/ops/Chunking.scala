@@ -503,6 +503,31 @@ object Chunking {
         col("__saved").as("cached_tokens"),
         (col("__n") - col("__saved")).as("computed_tokens"))
 
+  /** PUBLISH a [[prefixCacheSchedule]] frame as the serving artifact —
+    * through the [[graft.core.Ingest.atomicPublish]] manifest barrier
+    * (the epochPlanSave / bpeSave discipline; r18 verdict #7): a serving
+    * team LOADS files, and a torn or half-visible schedule mis-prices
+    * every KV-cache decision until the next flip. Readers via
+    * [[prefixCacheScheduleLoad]] see exactly one complete version; the
+    * old version survives for audit until vacuumed. Unlike the
+    * driver-sized tokenizer/epoch artifacts this table is PROMPT-count
+    * sized, so it keeps its partitioning (no coalesce(1)). Returns the
+    * published version id. */
+  def prefixCacheScheduleSave(schedule: DataFrame, tableDir: String): String = {
+    val expect = Seq("grp", "serve_order", "prompt", "n_tokens",
+      "cached_tokens", "computed_tokens")
+    require(schedule.columns.toSeq == expect,
+      s"prefixCacheScheduleSave expects the prefixCacheSchedule shape " +
+        s"$expect, got ${schedule.columns.toSeq}")
+    graft.core.Ingest.atomicPublish(schedule, tableDir)
+  }
+
+  /** Load the current published schedule version — the serving side of
+    * [[prefixCacheScheduleSave]]. */
+  def prefixCacheScheduleLoad(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    graft.core.Ingest.readPublished(spark, tableDir)
+
   /** Shared per-prompt LCP core of [[prefixCacheReport]] /
     * [[prefixCacheSchedule]]: `(grp, __p, __ord, __n, __saved)` under
     * the lexicographic-per-group schedule, rank and lag from ONE window

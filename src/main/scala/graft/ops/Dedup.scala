@@ -673,50 +673,64 @@ object Dedup {
   def admitWaves(arrivals: DataFrame, id: Column, text: Column,
       wave: Column, corpusIndex: DataFrame, n: Int, k: Int, bands: Int,
       minEstJaccard: Double, maxWaves: Int = 64): DataFrame = {
-    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
-      .orderBy("__w").collect().map(_.getLong(0)).toSeq
-    require(waves.nonEmpty, "admitWaves: no arrival waves")
-    require(waves.size <= maxWaves,
-      s"admitWaves: ${waves.size} waves exceed the $maxWaves valve — " +
-        "waves are release snapshots or microbatch replays, never data-sized")
-    val tagged = arrivals.withColumn("__w", wave.cast("long"))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val minAgree = math.ceil(minEstJaccard * k - 1e-9).toInt
-    // each wave's survivors and index increment are EAGERLY
-    // localCheckpoint-ed: a lazy fold would nest every earlier wave's
-    // full admission tree inside the next wave's plan several times over
-    // — analyzer/cache-canonicalization time exploded to >200 DRIVER
-    // cpu-s at sf0.1 before this (the dupClusters lazy-chaining trap;
-    // persist alone does not truncate the LOGICAL plan). Lineage
-    // truncation trades executor-loss recovery for bounded plans,
-    // exactly dupClusters' documented mode.
-    val (_, parts) = waves.foldLeft((corpusIndex, Seq.empty[DataFrame])) {
-      case ((idx, acc), w) =>
-        val batch = tagged.filter(col("__w") === w)
-        val sig = minhashSignaturesRowwise(batch, id, text, n, k)
-          .persist(lvl)
-        // ONE eager checkpoint job per wave (r16 ran two — the fixed
-        // per-wave overhead the r16 verdict flagged as ~1/3 of q288's
-        // cost): the checkpointed frame carries BOTH outputs — the
-        // surviving ids (anti join against the dead-id list; null-text
-        // rows survive with NULL signature columns through the left
-        // join) and, on rows that carry one, the signature that joins
-        // the index for the next wave. Only ids + k longs per admitted
-        // doc serialize — admitted text still re-attaches by one semi
-        // join at the end.
-        val dead = deadIdsWithSig(sig, idx, k, bands, minAgree)
-        val chk = batch.select(id.as("__id"))
-          .join(dead, col("__id") === col("i"), "left_anti")
-          .join(sig, col("__id") === col("doc"), "left")
-          .localCheckpoint(true)
-        sig.unpersist(false)
-        val admIds = chk.select("__id")
-        val inc = chk.filter(col("doc").isNotNull)
-          .select(("doc" +: (0 until k).map(j => s"s$j")).map(col): _*)
-        (idx.unionByName(inc), acc :+ admIds)
+    val parts = foldWaves(arrivals, wave, maxWaves, "admitWaves",
+        corpusIndex) { (idx, batch) =>
+      val sig = minhashSignaturesRowwise(batch, id, text, n, k)
+        .persist(lvl)
+      // ONE eager checkpoint job per wave (r16 ran two — the fixed
+      // per-wave overhead the r16 verdict flagged as ~1/3 of q288's
+      // cost): the checkpointed frame carries BOTH outputs — the
+      // surviving ids (anti join against the dead-id list; null-text
+      // rows survive with NULL signature columns through the left
+      // join) and, on rows that carry one, the signature that joins
+      // the index for the next wave. Only ids + k longs per admitted
+      // doc serialize — admitted text still re-attaches by one semi
+      // join at the end.
+      val dead = deadIdsWithSig(sig, idx, k, bands, minAgree)
+      val chk = batch.select(id.as("__id"))
+        .join(dead, col("__id") === col("i"), "left_anti")
+        .join(sig, col("__id") === col("doc"), "left")
+        .localCheckpoint(true)
+      sig.unpersist(false)
+      val inc = chk.filter(col("doc").isNotNull)
+        .select(("doc" +: (0 until k).map(j => s"s$j")).map(col): _*)
+      (idx.unionByName(inc), chk.select("__id"))
     }
     val allIds = parts.reduce(_.unionByName(_))
     arrivals.join(allIds, id === col("__id"), "left_semi")
+  }
+
+  /** The shared WAVE-FOLD skeleton of the three evolving-admission batch
+    * drivers ([[admitWaves]] / [[admitWavesEmbed]] / [[admitWavesMedia]]
+    * — the r18 verdict's unification ask: one place for the wave valve,
+    * the ordered wave listing, and the fold, so the next admission kind
+    * or a checkpoint-policy fix lands ONCE): `step(index, batch)` admits
+    * one wave against the running index and returns the grown index and
+    * the wave's admitted part; each step is responsible for its own
+    * EAGER lineage truncation (localCheckpoint — the dupClusters
+    * lazy-chaining trap: a lazy fold nests every earlier wave's
+    * admission tree inside the next wave's plan, >200 driver cpu-s at
+    * sf0.1 before eager truncation; persist alone does not truncate the
+    * LOGICAL plan). The batch handed to `step` carries a `__w` wave tag
+    * column — steps that forward original columns drop it. */
+  private def foldWaves(arrivals: DataFrame, wave: Column, maxWaves: Int,
+      caller: String, seed: DataFrame)(
+      step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): Seq[DataFrame] = {
+    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
+      .orderBy("__w").collect().map(_.getLong(0)).toSeq
+    require(waves.nonEmpty, s"$caller: no arrival waves")
+    require(waves.size <= maxWaves,
+      s"$caller: ${waves.size} waves exceed the $maxWaves valve — " +
+        "waves are release snapshots or microbatch replays, never data-sized")
+    val tagged = arrivals.withColumn("__w", wave.cast("long"))
+    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
+      case ((idx, acc), w) =>
+        val (grown, part) = step(idx, tagged.filter(col("__w") === w))
+        (grown, acc :+ part)
+    }
+    parts
   }
 
   /** [[admitStep]]'s EMBEDDING twin — one admission step of the evolving
@@ -776,13 +790,6 @@ object Dedup {
   def admitWavesEmbed(arrivals: DataFrame, id: Column, vec: Column,
       wave: Column, refIndex: DataFrame, bits: Int, minCosine: Double,
       maxWaves: Int = 64): DataFrame = {
-    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
-      .orderBy("__w").collect().map(_.getLong(0)).toSeq
-    require(waves.nonEmpty, "admitWavesEmbed: no arrival waves")
-    require(waves.size <= maxWaves,
-      s"admitWavesEmbed: ${waves.size} waves exceed the $maxWaves valve — " +
-        "waves are release snapshots or microbatch replays, never data-sized")
-    val tagged = arrivals.withColumn("__w", wave.cast("long"))
     // a pre-r18 seed index carries no doc column (the old (bucket, vec)
     // layout) — normalize so the per-wave unions line up; admission
     // never reads the id, so a null-doc seed admits identically (it
@@ -790,14 +797,11 @@ object Dedup {
     val seed =
       if (refIndex.columns.contains("doc")) refIndex
       else refIndex.withColumn("doc", lit(null).cast("long"))
-    // eager lineage truncation per wave — the admitWaves plan-blowup
-    // note applies verbatim
-    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
-      case ((idx, acc), w) =>
-        val adm = admitStepEmbed(tagged.filter(col("__w") === w), id, vec,
-            idx, bits, minCosine)
-          .localCheckpoint(true)
-        (idx.unionByName(embedIndexOf(adm, id, vec, bits)), acc :+ adm)
+    val parts = foldWaves(arrivals, wave, maxWaves, "admitWavesEmbed",
+        seed) { (idx, batch) =>
+      val adm = admitStepEmbed(batch, id, vec, idx, bits, minCosine)
+        .localCheckpoint(true)
+      (idx.unionByName(embedIndexOf(adm, id, vec, bits)), adm)
     }
     parts.reduce(_.unionByName(_)).drop("__w")
   }
@@ -872,22 +876,12 @@ object Dedup {
   def admitWavesMedia(hashes: DataFrame, wave: Column,
       refIndex: DataFrame, maxHamming: Int, maxWaves: Int = 64)
       : DataFrame = {
-    val waves = hashes.select(wave.cast("long").as("__w")).distinct()
-      .orderBy("__w").collect().map(_.getLong(0)).toSeq
-    require(waves.nonEmpty, "admitWavesMedia: no arrival waves")
-    require(waves.size <= maxWaves,
-      s"admitWavesMedia: ${waves.size} waves exceed the $maxWaves valve — " +
-        "waves are release snapshots or microbatch replays, never data-sized")
-    val tagged = hashes.withColumn("__w", wave.cast("long"))
     val seed = refIndex.select(col("doc"), col("kind"), col("phash"))
-    // eager lineage truncation per wave — the admitWaves plan-blowup
-    // note applies verbatim
-    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
-      case ((idx, acc), w) =>
-        val adm = admitStepMedia(
-            tagged.filter(col("__w") === w).drop("__w"), idx, maxHamming)
-          .localCheckpoint(true)
-        (idx.unionByName(adm), acc :+ adm)
+    val parts = foldWaves(hashes, wave, maxWaves, "admitWavesMedia",
+        seed) { (idx, batch) =>
+      val adm = admitStepMedia(batch.drop("__w"), idx, maxHamming)
+        .localCheckpoint(true)
+      (idx.unionByName(adm), adm)
     }
     parts.reduce(_.unionByName(_))
   }

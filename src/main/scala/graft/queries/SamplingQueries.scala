@@ -687,6 +687,48 @@ object SamplingQueries {
         .orderBy("grp", "bin", "doc", "chunk_idx")
     }),
 
+    // TAKEDOWN output ERASURE (streaming.Erasure.forgetRows +
+    // erasureAudit — the r18 verdict's ask: the loop's batch surface
+    // under the DuckDB oracle, not only spec pins): an admitted store
+    // of 4 `batch=` directories (batch = doc_id % 4) built from
+    // documents, removal list doc_id % 37 = 0. forgetRows rewrites
+    // ONLY the dirty directories in place (count pinned as a column);
+    // survivors are read BACK FROM THE REWRITTEN STORE and pinned per
+    // batch (count + order-free XOR membership checksum + a re-derived
+    // per-batch residual), and the audit certificate's totals ride
+    // along as replayable scalars. The file transaction itself (crash
+    // sims, bit-identical clean dirs) stays in StreamStaticSpec /
+    // OpsSpecR19 where it belongs.
+    "q302_erasure_forget" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-erase302-${d.hashCode.toHexString}/adm"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // in-place op: fresh store per run
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      (0 until 4).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$b")
+      }
+      val removed = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val nRewritten =
+        graft.streaming.Erasure.forgetRows(s, dir, "doc_id", removed)
+      val cert = graft.streaming.Erasure.erasureAudit(s, removed,
+        Seq(("adm", dir, "doc_id"))).collect()(0)
+      s.read.option("recursiveFileLookup", "true").parquet(dir)
+        .withColumn("__h",
+          PortableHash.md5Long(col("doc_id").cast("string"), 99))
+        .groupBy(pmod(col("doc_id"), lit(4)).as("batch"))
+        .agg(count(lit(1)).as("n_kept"),
+          coalesce(expr("bit_xor(__h)"), lit(0L)).as("kept_checksum"),
+          sum(when(pmod(col("doc_id"), lit(37)) === 0, 1L).otherwise(0L))
+            .as("n_residual"))
+        .withColumn("n_rewritten", lit(nRewritten.toLong))
+        .withColumn("audit_rows", lit(cert.getLong(1)))
+        .withColumn("audit_residual", lit(cert.getLong(2)))
+        .orderBy("batch")
+    }),
+
     // quality-phased curriculum schedule: phase 0 = clean docs, then
     // repetitive, then short (train on the cleanest slice first — the
     // curriculum canon); within a phase the order is a deterministic
@@ -1858,6 +1900,31 @@ object SamplingQueries {
              true AS repacked
            FROM ffd2 f2 JOIN off ON f2.grp = off.grp
          ) ORDER BY grp, bin, doc, chunk_idx"""
+    },
+
+    // the erasure semantics replayed row for row: survivors = documents
+    // not on the removal list, per-batch membership via the same
+    // order-free XOR checksum; the rewrite count = number of distinct
+    // batches holding a removed id; the audit totals re-derive from the
+    // survivor set (residual 0 by the same predicate the store was
+    // filtered with)
+    "q302_erasure_forget" -> {
+      val hid = PortableHash.md5LongSql("doc_id::VARCHAR", 99)
+      s"""WITH kept AS (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0),
+         g AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
+             count(*) AS n_kept,
+             bit_xor($hid) AS kept_checksum,
+             CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_residual
+           FROM kept GROUP BY 1)
+         SELECT batch, n_kept, kept_checksum, n_residual,
+           (SELECT CAST(count(DISTINCT doc_id % 4) AS BIGINT)
+              FROM documents WHERE doc_id % 37 = 0) AS n_rewritten,
+           (SELECT count(*) FROM kept) AS audit_rows,
+           (SELECT CAST(coalesce(sum(CASE WHEN doc_id % 37 = 0
+                THEN 1 ELSE 0 END), 0) AS BIGINT) FROM kept)
+             AS audit_residual
+         FROM g ORDER BY batch"""
     },
 
     // the same FFD replay, plus the within-bin running token sum in

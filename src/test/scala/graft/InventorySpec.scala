@@ -54,10 +54,16 @@ class InventorySpec extends AnyFunSuite {
     * operand — literal (r15), second quotient (r16), or an arbitrary
     * non-literal double column (`q * some_double_col`): scaling by any
     * factor preserves the quotient's engine-dependent low bits, exactly
-    * as Divide already treated it. Remaining blind spot: taint through
-    * a non-foldable ADD/SUBTRACT with an untainted double side (the
-    * absorbing-magnitude case is rarer and additive noise usually
-    * dominates the tie) — the dual-SF oracle gate stays the backstop. */
+    * as Divide already treated it. r19 closes the last documented
+    * arithmetic blind spot: ADD/SUBTRACT with EITHER side tainted keeps
+    * the taint whatever the other operand is — including an untainted
+    * non-literal double column — completing the rule set: NO arithmetic
+    * node washes a tainted operand (an addend large enough to absorb
+    * the quotient's low bits cannot be proven at plan time, so the
+    * walker stays conservative). The four binary arithmetic forms now
+    * share one discipline; what remains outside it is non-arithmetic
+    * laundering (e.g. a quotient round-tripped through a string), which
+    * no query does and the dual-SF oracle gate backstops. */
   private def roundedRationalOffenders(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -92,13 +98,16 @@ class InventorySpec extends AnyFunSuite {
         // into an IEEE integer-quotient is the ratio-of-ratios class
         taintedExpr(dv.left) || taintedExpr(dv.right)
       case ad: Add =>
-        (ad.left.foldable && taintedExpr(ad.right)) ||
-          (ad.right.foldable && taintedExpr(ad.left)) ||
-          (taintedExpr(ad.left) && taintedExpr(ad.right))
+        // r19: addition never washes either — EITHER side tainted keeps
+        // the taint regardless of the other operand (literal r15, second
+        // quotient r16, and now an arbitrary untainted double column):
+        // adding any finite value preserves which side of a half-tie the
+        // quotient's engine-dependent low bits land on unless the
+        // addend's magnitude absorbs them, which cannot be proven at
+        // plan time — the r17/r18-documented final blind spot
+        taintedExpr(ad.left) || taintedExpr(ad.right)
       case su: Subtract =>
-        (su.left.foldable && taintedExpr(su.right)) ||
-          (su.right.foldable && taintedExpr(su.left)) ||
-          (taintedExpr(su.left) && taintedExpr(su.right))
+        taintedExpr(su.left) || taintedExpr(su.right)
       case _ => false
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -278,6 +287,38 @@ class InventorySpec extends AnyFunSuite {
       .withColumn("rr", round(col("r1") * col("w"), 6))
     assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty,
       "products without an exact-integer quotient are not the class")
+  }
+
+  test("the census walker catches a quotient SHIFTED by an untainted " +
+    "non-literal double column — the r19 widening (ADD/SUBTRACT join " +
+    "MULTIPLY/DIVIDE under 'no arithmetic washes') — without flagging " +
+    "sums of genuinely-double ratios") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round}
+    val base = Seq((1L, 3L, 0.5)).toDF("a", "b", "w")
+    // the r17/r18-documented escape: round(q + w) with w a double COLUMN
+    val addEscape = base
+      .withColumn("r", col("a") / col("b"))
+      .withColumn("rr", round(col("r") + col("w"), 6))
+    assert(roundedRationalOffenders(addEscape.queryExecution.analyzed).nonEmpty,
+      "round(quotient + double_column) must be flagged")
+    // both subtraction orientations
+    val subEscape = base
+      .withColumn("rr", round(col("w") - (col("a") / col("b")), 6))
+    assert(roundedRationalOffenders(subEscape.queryExecution.analyzed).nonEmpty,
+      "round(double_column - quotient) must be flagged")
+    val subEscape2 = base
+      .withColumn("r", col("a") / col("b"))
+      .withColumn("rr", round(col("r") - col("w"), 6))
+    assert(roundedRationalOffenders(subEscape2.queryExecution.analyzed).nonEmpty,
+      "round(quotient - double_column) must be flagged")
+    // a sum of genuinely-double ratios is not the class
+    val fine = base
+      .withColumn("r1", col("a") * lit(0.5) / col("b"))
+      .withColumn("rr", round(col("r1") + col("w"), 6))
+    assert(roundedRationalOffenders(fine.queryExecution.analyzed).isEmpty,
+      "sums without an exact-integer quotient are not the class")
   }
 
   test("query names are unique across the contributing modules") {

@@ -408,6 +408,39 @@ class ServiceSpec extends AnyFunSuite {
     assert(loaded2 === merges2 && loaded2.length > loaded.length)
   }
 
+  test("prefix-cache schedule publishes through the atomic manifest and " +
+    "reloads bit-equal; a re-publish flips readers to the new version " +
+    "whole (r18 verdict #7 — serving teams consume FILES)") {
+    import spark.implicits._
+    import graft.ops.Chunking
+    val dir = Files.createTempDirectory("graft-sched").toString + "/sched"
+    val prompts = Seq(("g", "a b c"), ("g", "a b d"), ("g", "a b c"),
+      ("h", "x y")).toDF("grp", "p")
+    val sched = Chunking.prefixCacheSchedule(prompts, col("grp"), col("p"))
+    Chunking.prefixCacheScheduleSave(sched, dir)
+    val cold = Chunking.prefixCacheScheduleLoad(spark, dir)
+    val key = Seq("grp", "serve_order")
+    assert(cold.orderBy(key.map(col): _*).collect().toSeq ===
+      sched.orderBy(key.map(col): _*).collect().toSeq,
+      "cold reload must be bit-equal to the published schedule")
+    // conservation survives the round-trip per row
+    cold.collect().foreach(r =>
+      assert(r.getLong(3) === r.getLong(4) + r.getLong(5)))
+    // new prompt set, re-publish: readers see the NEW version whole
+    val prompts2 = prompts.union(Seq(("g", "a b c e")).toDF("grp", "p"))
+    val sched2 = Chunking.prefixCacheSchedule(prompts2, col("grp"), col("p"))
+    Chunking.prefixCacheScheduleSave(sched2, dir)
+    val cold2 = Chunking.prefixCacheScheduleLoad(spark, dir)
+    assert(cold2.count() === 5 &&
+      cold2.orderBy(key.map(col): _*).collect().toSeq ===
+        sched2.orderBy(key.map(col): _*).collect().toSeq)
+    // the wrong shape is rejected before anything publishes
+    intercept[IllegalArgumentException] {
+      Chunking.prefixCacheScheduleSave(prompts, dir)
+    }
+    ()
+  }
+
   test("arrow result round-trips every wire type including nulls") {
     val df = spark.sql(
       """SELECT * FROM VALUES
