@@ -729,6 +729,71 @@ object SamplingQueries {
         .orderBy("batch")
     }),
 
+    // GOVERNANCE composite certificate (streaming.Governance.execute —
+    // the r18 verdict's top ask, here under the DuckDB oracle): ONE
+    // registry holding all six store kinds — text MinHash index (even
+    // docs, 2 increments), embed index (every vector), media index
+    // (docs % 5 = 0, synthetic phash — forget semantics read only the
+    // id), a 3-batch admitted store, the q296 FFD pack published
+    // through the manifest, and an External store already erased by
+    // its owner — executed against removal list doc_id % 41 = 0. The
+    // certificate's n_rows column is re-derived per store from the
+    // source tables (survivor counts), n_residual from the same
+    // predicate (0 by construction after a loop that RAISES otherwise)
+    "q303_governance_certificate" -> ((s, d) => {
+      import graft.streaming.{Governance => G}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-gov303-${d.hashCode.toHexString}"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true) // in-place ops: fresh stores per run
+      val docs = t(s, d, "documents")
+      val removed = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      // text index: signatures of even docs across two increments
+      val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      Dedup.minhashSignaturesRowwise(
+          evens.filter(pmod(col("doc_id"), lit(4)) === 0),
+          col("doc_id"), col("text"), n = 3, k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=0")
+      Dedup.minhashSignaturesRowwise(
+          evens.filter(pmod(col("doc_id"), lit(4)) === 2),
+          col("doc_id"), col("text"), n = 3, k = 16)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=1")
+      // embed index: every vector, (bucket, vec, doc)
+      Dedup.embedIndexOf(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), bits = 8)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/eidx/inc=0")
+      // media index: synthetic deterministic phash (never compared here;
+      // xxhash64 — a multiply by a large constant overflows ANSI Long on
+      // the scaled-SF doc_id offsets)
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("doc"), lit("image").as("kind"),
+          xxhash64(col("doc_id")).as("phash"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/midx/inc=0")
+      // admitted outputs: 3 batches over all docs
+      (0 until 3).foreach { b =>
+        docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/adm/batch=$b")
+      }
+      // pack: the q296 FFD fixture, atomically published
+      val chunks = Chunking.chunk(docs.filter(col("doc_id") < 60),
+        col("doc_id"), col("text"), width = 32, stride = 32)
+      graft.core.Ingest.atomicPublish(
+        Chunking.packFFD(chunks, pmod(col("doc"), lit(3)), ctx = 128),
+        s"$root/pack")
+      // External store: erased out-of-band (already clean)
+      docs.select("doc_id").filter(pmod(col("doc_id"), lit(41)) =!= 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/ext/part=0")
+      G.execute(s, removed, Seq(
+          G.Registry.TextIndex("text_index", s"$root/tidx", upToBatchId = 2),
+          G.Registry.EmbedIndex("embed_index", s"$root/eidx", upToBatchId = 1),
+          G.Registry.MediaIndex("media_index", s"$root/midx", upToBatchId = 1),
+          G.Registry.Admitted("admitted", s"$root/adm", "doc_id"),
+          G.Registry.Pack("pack", s"$root/pack", ctx = 128),
+          G.Registry.External("partner_store", s"$root/ext", "doc_id")))
+        .orderBy("store")
+    }),
+
     // quality-phased curriculum schedule: phase 0 = clean docs, then
     // repetitive, then short (train on the cleanest slice first — the
     // curriculum canon); within a phase the order is a deterministic
@@ -1926,6 +1991,55 @@ object SamplingQueries {
              AS audit_residual
          FROM g ORDER BY batch"""
     },
+
+    // each store's survivor count re-derived from the source tables;
+    // the residual column re-applies the removal predicate to each
+    // survivor set (0 everywhere — the certificate the orchestrator
+    // would have REFUSED to file otherwise). The pack row counts chunks
+    // of surviving docs (repack drops removed rows, moves survivors —
+    // never duplicates or merges), so no FFD recursion is needed for a
+    // COUNT certificate (q299 pins the repack cell for cell).
+    "q303_governance_certificate" ->
+      s"""WITH rm AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+         surv AS (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0),
+         res AS (SELECT CAST(coalesce(sum(CASE WHEN doc_id % 41 = 0
+               THEN 1 ELSE 0 END), 0) AS BIGINT) r FROM surv),
+         chunkcnt AS (SELECT
+             CAST(coalesce(sum(len(generate_series(1,
+               greatest(len(str_split(text, ' ')), 1), 32))), 0) AS BIGINT) n,
+             CAST(coalesce(sum(CASE WHEN doc_id % 41 = 0
+               THEN len(generate_series(1,
+                 greatest(len(str_split(text, ' ')), 1), 32))
+               ELSE 0 END), 0) AS BIGINT) r
+           FROM documents WHERE doc_id < 60 AND doc_id % 41 <> 0)
+         SELECT store, n_rows, n_residual FROM (
+           SELECT 'text_index' AS store,
+             (SELECT count(*) FROM surv WHERE doc_id % 2 = 0) AS n_rows,
+             (SELECT CAST(coalesce(sum(CASE WHEN doc_id % 41 = 0 THEN 1
+                ELSE 0 END), 0) AS BIGINT) FROM surv WHERE doc_id % 2 = 0)
+               AS n_residual
+           UNION ALL
+           SELECT 'embed_index',
+             (SELECT count(*) FROM embeddings
+                WHERE vec_id NOT IN (SELECT doc_id FROM rm)),
+             (SELECT count(*) FROM embeddings
+                WHERE vec_id NOT IN (SELECT doc_id FROM rm)
+                  AND vec_id IN (SELECT doc_id FROM rm))
+           UNION ALL
+           SELECT 'media_index',
+             (SELECT count(*) FROM surv WHERE doc_id % 5 = 0),
+             (SELECT CAST(coalesce(sum(CASE WHEN doc_id % 41 = 0 THEN 1
+                ELSE 0 END), 0) AS BIGINT) FROM surv WHERE doc_id % 5 = 0)
+           UNION ALL
+           SELECT 'admitted', (SELECT count(*) FROM surv),
+             (SELECT r FROM res)
+           UNION ALL
+           SELECT 'pack', (SELECT n FROM chunkcnt),
+             (SELECT r FROM chunkcnt)
+           UNION ALL
+           SELECT 'partner_store', (SELECT count(*) FROM surv),
+             (SELECT r FROM res)
+         ) ORDER BY store""",
 
     // the same FFD replay, plus the within-bin running token sum in
     // insertion (rn) order — FFD's own order restricted to the bin

@@ -123,7 +123,10 @@ object Erasure {
     * transaction per directory. NULL-id rows are kept and never mark a
     * directory dirty. Returns the number of directories rewritten. Run
     * with the owning gate STOPPED (the store is maintenance-owned, the
-    * compaction contract). */
+    * compaction contract). The store's schema is uniform by that same
+    * contract (one gate writes every batch); a store with NO `idCol`
+    * anywhere raises, and each dirty directory's own read re-checks the
+    * column before its rewrite. */
   def forgetRows(spark: SparkSession, root: String, idCol: String,
       ids: Seq[Long], prefix: String = "batch="): Int = {
     require(ids.nonEmpty, "forgetRows: empty takedown list")
