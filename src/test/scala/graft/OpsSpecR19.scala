@@ -246,6 +246,44 @@ class OpsSpecR19 extends AnyFunSuite {
     }
   }
 
+  test("Governance.execute is IDEMPOTENT — the crash-recovery story: an " +
+    "operator who re-runs the whole loop after an interruption gets the " +
+    "same certificate, zero admitted-store rewrites, and byte-identical " +
+    "admitted directories (only the pack table gains a new version — the " +
+    "manifest flip is the unit of publish)") {
+    import graft.streaming.{Erasure, Governance => G}
+    import spark.implicits._
+    val root = tmp("graft-r19-gov-idem")
+    def tsig(doc: Long) = Seq(doc).toDF("doc")
+      .select((col("doc") +: (0 until 4).map(j =>
+        (col("doc") * 31 + j).as(s"s$j"))): _*)
+    tsig(1L).union(tsig(2L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/tidx/inc=0")
+    Seq(1L, 2L, 3L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/adm/batch=0")
+    Seq(4L, 5L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/adm/batch=1")
+    val registry = Seq(
+      G.Registry.TextIndex("tidx", s"$root/tidx", upToBatchId = 1),
+      G.Registry.Admitted("adm", s"$root/adm", "doc_id"))
+    val first = G.execute(spark, Seq(1L), registry).collect().toSeq
+    val bytesAfterFirst = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/adm")
+      .orderBy("doc_id").collect().toSeq
+    // second run: forgetRows finds no dirty dir, the index fold re-folds
+    // the compact seed at the fold point (same content), certificate
+    // identical
+    val second = G.execute(spark, Seq(1L), registry).collect().toSeq
+    assert(first.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      second.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val bytesAfterSecond = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$root/adm")
+      .orderBy("doc_id").collect().toSeq
+    assert(bytesAfterFirst === bytesAfterSecond)
+    // and the second run touched zero admitted dirs (no dirty dir exists)
+    assert(Erasure.forgetRows(spark, s"$root/adm", "doc_id", Seq(1L)) === 0)
+  }
+
   test("Governance: a registered store the loop cannot erase (an " +
     "External store whose owner did NOT erase it) FAILS the composite " +
     "audit loudly — and a store left OFF the registry is exactly what " +
