@@ -142,6 +142,43 @@ object Governance {
     certFrame(spark, cert)
   }
 
+  /** [[execute]] driven by the [[TakedownStream]] REQUEST STORE itself —
+    * the removal ids come from the same `inc=` increments the live bill
+    * was computed over, so the erased set and the billed set cannot
+    * diverge through an operator-copied id list (the last manual step
+    * the orchestrator left open). Recovery runs on the request store
+    * first (a crashed request-store compaction must not silently drop
+    * committed requests from the erase — the same rule the bill
+    * follows). The request ledger itself is deliberately NOT a
+    * registered store: the REQUESTS are legal evidence of the takedown,
+    * only derived content is erased. Takedown lists are
+    * legal-process-sized by contract; `maxIds` is the loud valve
+    * against pointing this at a data-sized table by mistake. */
+  def executeFromRequests(spark: SparkSession, requestStateDir: String,
+      stores: Seq[Store], maxIds: Int = 1000000): DataFrame = {
+    IncrementStore.recoverStore(spark, requestStateDir)
+    val path = new org.apache.hadoop.fs.Path(requestStateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs =
+      if (!fs.exists(path)) Seq.empty[String]
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc="))
+        .map(_.getPath.toString).sorted
+    require(incs.nonEmpty,
+      s"Governance.executeFromRequests: no request increments under " +
+        s"$requestStateDir — nothing to erase (takedown requests arrive " +
+        "via TakedownStream or as caller-written inc= seeds)")
+    val ids = spark.read.parquet(incs: _*)
+      .select(col("doc").cast("long")).filter(col("doc").isNotNull)
+      .distinct()
+      .limit(maxIds + 1).collect().map(_.getLong(0)).toSeq.sorted
+    require(ids.size <= maxIds,
+      s"Governance.executeFromRequests: over $maxIds distinct request " +
+        s"ids under $requestStateDir — that is corpus-shaped, not a " +
+        "takedown list; wrong directory?")
+    execute(spark, ids, stores)
+  }
+
   /** The composite certificate WITHOUT the erase phase — what a
     * data-protection officer re-runs later to confirm erasure still
     * holds (e.g. after a restore-from-backup incident), and the

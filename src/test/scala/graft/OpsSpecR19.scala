@@ -115,6 +115,21 @@ class OpsSpecR19 extends AnyFunSuite {
       certSmall.getLong(2) === 0L && certBig.getLong(2) === 0L)
   }
 
+  test("the >threshold takedown membership runs as a BROADCAST join " +
+    "(hinted, never a shuffle): the id frame is takedown-sized by " +
+    "contract and must not trigger a sort-merge exchange of the store") {
+    import graft.streaming.Erasure
+    import spark.implicits._
+    val df = spark.range(0, 100).select(col("id").as("doc_id"))
+    val bigList = (0L until 1500L).toSeq
+    val plan = Erasure.residualOf("s", df, col("doc_id"), bigList)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast membership join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the takedown list must never shuffle the store:\n$plan")
+  }
+
   test("forgetDocs raises on NULL-doc index rows — the r18 ADVICE " +
     "laundering window (compaction merges a pre-r18 id-less increment " +
     "into a doc-carrying seed as doc=NULL; a bare !isin filter would " +
@@ -282,6 +297,44 @@ class OpsSpecR19 extends AnyFunSuite {
     assert(bytesAfterFirst === bytesAfterSecond)
     // and the second run touched zero admitted dirs (no dirty dir exists)
     assert(Erasure.forgetRows(spark, s"$root/adm", "doc_id", Seq(1L)) === 0)
+  }
+
+  test("Governance.executeFromRequests: the erase runs from the SAME " +
+    "request store the TakedownStream bill was computed over — ids " +
+    "never hand-copied; duplicate/overlapping request increments " +
+    "collapse to one distinct set, and the empty-store / data-sized " +
+    "valves raise loudly") {
+    import graft.streaming.{Governance => G}
+    import spark.implicits._
+    val root = tmp("graft-r19-gov-req")
+    Seq(1L, 2L, 3L, 4L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/adm/batch=0")
+    // request increments as TakedownStream writes them: doc 1 arrives
+    // twice across triggers (a duplicated request is a no-op)
+    Seq(1L).toDF("doc").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/req/inc=0")
+    Seq(1L, 3L).toDF("doc").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/req/inc=1")
+    val registry = Seq(
+      G.Registry.Admitted("adm", s"$root/adm", "doc_id"))
+    val cert = G.executeFromRequests(spark, s"$root/req", registry)
+      .collect()
+    assert(cert.length === 1 && cert(0).getLong(2) === 0L)
+    assert(spark.read.parquet(s"$root/adm/batch=0")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L, 4L),
+      "docs 1 and 3 (the distinct request set) erased, 2 and 4 retained")
+    // empty request store: loud, never a silent no-op "success"
+    val e1 = intercept[IllegalArgumentException] {
+      G.executeFromRequests(spark, s"$root/empty", registry)
+    }
+    assert(msgChain(e1).contains("no request increments"), msgChain(e1))
+    // a data-sized "request" table is a mis-pointed directory
+    spark.range(0, 50).select(col("id").as("doc")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/big/inc=0")
+    val e2 = intercept[IllegalArgumentException] {
+      G.executeFromRequests(spark, s"$root/big", registry, maxIds = 10)
+    }
+    assert(msgChain(e2).contains("corpus-shaped"), msgChain(e2))
   }
 
   test("Governance: a registered store the loop cannot erase (an " +
