@@ -68,10 +68,16 @@ object Governance {
       * schema: doc, chunk_idx, chunk, n_tok + the `groupCol`/`binCol`
       * keys): dirty bins repack by [[graft.ops.Chunking.repackDirty]]
       * (clean bins bit-identical, fresh bin ids) and the result
-      * republishes as a new atomic version — readers flip in one
-      * rename, the old version stays for audit until vacuumed. The
-      * audit reads THROUGH the manifest (current version only). The
-      * row-id column is `doc` — the packFFD schema contract. */
+      * republishes as a new atomic version — and then the superseded
+      * versions are VACUUMED immediately ([[graft.core.Ingest.vacuum]]
+      * at zero grace — a takedown is not executed while an old version
+      * still holds the removed rows; the store is maintenance-owned
+      * with no in-flight readers, the same contract every erase phase
+      * runs under). The audit therefore reads the table RECURSIVELY —
+      * every byte on disk, not just the manifest's current view — so a
+      * pack an operator repacked by hand but forgot to vacuum FAILS
+      * the composite audit loudly. The row-id column is `doc` — the
+      * packFFD schema contract. */
     final case class Pack(name: String, tableDir: String, ctx: Int,
       groupCol: String = "grp", binCol: String = "bin") extends Store
 
@@ -116,6 +122,11 @@ object Governance {
         .withColumnRenamed("bin", p.binCol)
         .drop("repacked")
       graft.core.Ingest.atomicPublish(repacked, p.tableDir)
+      // zero grace: the superseded version still holds the removed
+      // rows, and this loop's contract is that they are GONE — the
+      // store is maintenance-owned (no in-flight readers), exactly the
+      // condition under which immediate reclamation is safe
+      graft.core.Ingest.vacuum(spark, p.tableDir, graceMs = 0L)
       ()
     }
     stores.foreach {
@@ -189,17 +200,20 @@ object Governance {
     certFrame(spark, audit(spark, removedIds, stores))
 
   /** One collected certificate row per store: dir-shaped stores audit
-    * recursively via [[Erasure.erasureAudit]] (recovery first);
-    * manifest-published pack tables audit through their pointer —
-    * CURRENT version only, because superseded versions legitimately
-    * still hold the removed rows until vacuumed. */
+    * recursively via [[Erasure.erasureAudit]] (recovery first); pack
+    * tables audit RECURSIVELY over every version on disk — the erase
+    * phase vacuums superseded versions at zero grace, so any residual
+    * here means an old version still holds removed rows (an
+    * un-vacuumed hand repack) and the certificate must fail loudly,
+    * not read a clean current view over dirty bytes. */
   private def audit(spark: SparkSession, removedIds: Seq[Long],
       stores: Seq[Store]): Seq[Row] =
     stores.map { st =>
       val one = st match {
         case p: Pack =>
           Erasure.residualOf(p.name,
-            graft.core.Ingest.readPublished(spark, p.tableDir),
+            spark.read.option("recursiveFileLookup", "true")
+              .parquet(p.tableDir),
             col("doc"), removedIds)
         case t: TextIndex =>
           Erasure.erasureAudit(spark, removedIds, Seq((t.name, t.dir, "doc")))

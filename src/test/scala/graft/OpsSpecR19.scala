@@ -246,6 +246,12 @@ class OpsSpecR19 extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/tidx/inc=compact-2").count() === 3)
     assert(spark.read.parquet(s"$root/adm/batch=0").collect()
       .map(_.getLong(0)).toSeq === Seq(2L))
+    // the superseded pack version (which still held doc 1) is VACUUMED:
+    // exactly one version dir remains on disk, so the recursive audit's
+    // zero residual covers every byte, not just the manifest's view
+    assert(new java.io.File(s"$root/pack/data").listFiles
+      .count(_.isDirectory) === 1,
+      "the erase phase must vacuum the superseded pack version")
     // pack: doc 1's bin repacked (fresh id past the original max), the
     // clean bins bit-identical
     val newPack = graft.core.Ingest.readPublished(spark, s"$root/pack")
@@ -373,5 +379,27 @@ class OpsSpecR19 extends AnyFunSuite {
     val full = G.auditOnly(spark, Seq(1L), Seq(a1, a2)).collect()
     assert(full.find(_.getString(0) == "adm2").get.getLong(2) === 1L,
       "the skipped store's residual is visible the moment it is registered")
+    // an UN-VACUUMED hand repack: the operator republished a clean
+    // current version but the superseded one still holds removed rows —
+    // the recursive pack audit sees the dirty bytes the manifest hides,
+    // and execute() heals it (repack no-op + vacuum) to a zero
+    // certificate over ONE remaining version
+    import graft.ops.Chunking
+    val rootC = tmp("graft-r19-gov-unvac")
+    val chunksC = Seq((1L, 0, "a", 4), (2L, 0, "b", 4))
+      .toDF("doc", "chunk_idx", "chunk", "n_tok").withColumn("g", lit("g"))
+    val packC = Chunking.packFFD(chunksC, col("g"), ctx = 8)
+    graft.core.Ingest.atomicPublish(packC, s"$rootC/pack")
+    graft.core.Ingest.atomicPublish(packC.filter(col("doc") =!= 1L),
+      s"$rootC/pack") // hand repack, NO vacuum
+    val packReg = Seq(G.Registry.Pack("pack", s"$rootC/pack", ctx = 8))
+    val dirtyBytes = G.auditOnly(spark, Seq(1L), packReg).collect()(0)
+    assert(dirtyBytes.getLong(2) === 1L,
+      "the superseded version's removed rows must show as residual")
+    val healed = G.execute(spark, Seq(1L), packReg).collect()(0)
+    assert(healed.getLong(2) === 0L)
+    assert(new java.io.File(s"$rootC/pack/data").listFiles
+      .count(_.isDirectory) === 1,
+      "execute must vacuum down to one clean version")
   }
 }
