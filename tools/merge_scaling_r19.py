@@ -28,8 +28,11 @@ NOTE = ("; the r19 queries (q302/q303 new - the erasure-execution and "
         "single-window rank+lag pairing, q288/q290/q300 under the "
         "unified foldWaves skeleton - identical plans, re-measured "
         "anyway) measured by tools/merge_scaling_r19.py progress-seeded "
-        "subset ScaleCpu runs - three runs per side, per-query warmup "
-        "execution, per-query MIN")
+        "subset ScaleCpu runs - three-plus runs per side, per-query "
+        "warmup execution, per-query MIN; q303 rows are from the FINAL "
+        "r19 binary (vacuum-wired pack phase + recursive audit), two "
+        "cold single-query runs per side - LIKE contexts, the honest "
+        "factor basis")
 
 
 def load(paths):
