@@ -905,4 +905,196 @@ object Sampling {
        dsir_w AS (SELECT t.id, coalesce(w.n_grams, 0) AS n_grams,
            coalesce(w.wu, 0) AS wu
          FROM __toks t LEFT JOIN __w w ON t.id = w.id)""".stripMargin
+
+  // ------------------------------------------------- mixture OPTIMIZERS
+
+  /** DoReMi domain-weight optimization (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    * recreated as a data-engine pass. DoReMi's signal is per-example
+    * EXCESS LOSS — how much worse an undertrained proxy model does than a
+    * trained reference model — averaged per domain; domains with the most
+    * headroom get upweighted by an exponentiated-gradient (multiplicative
+    * weights) loop with uniform smoothing, and the TRAINING weights are
+    * the average of the iterates. The engine recreation maps the model
+    * pair onto the established stupid-backoff LM ladder
+    * ([[TextAnalysis.mooreLewis]]): proxy = an LM counted on a small
+    * slice of the corpus (the undertrained model), reference = an LM
+    * counted on the full corpus, so per-doc excess
+    * `max(0, xent_proxy − xent_ref)` is an exact BIGINT micro-nat
+    * difference (DoReMi's `max(0, ·)` clamp, eq. 2 step 2).
+    *
+    * Exactness: λ_domain is token-weighted mean excess on the micro grid
+    * ([[ExactRound.halfUpDiv]]); the ONLY float op is one
+    * `round(1e6·exp(min(η·λ, 20)))` per domain (the per-step EG factor,
+    * quantized once — cross-engine exp ULP noise is ~1e-10 of the
+    * rounding grid); the T-step loop itself is EXACT integer arithmetic:
+    * multiply by the factor, renormalize to the 1e6 grid by
+    * largest-remainder (ties broken by domain order), then mix
+    * `(100−c)%·α + c%·uniform` and re-grid the same way — so Σα = 1e6 at
+    * every step in BOTH engines and the DuckDB twin replays bit-for-bit
+    * (a list-state recursive CTE, the FFD discipline).
+    *
+    * Scale shape: the corpus cost is the two LM ladders (the q295
+    * Moore–Lewis pass — count tables are Zipf-bounded, joins are the
+    * established hash-join ladder); the optimizer then runs on ONE
+    * `n_domains`-row aggregate, collected under the `maxDomains` valve
+    * (driver-sized by construction — a corpus has tens of domains, the
+    * codebook-sidecar contract). Returns one row per domain:
+    * `(domain, n_docs, n_slots, lambda_micro, e_micro, w_last_micro,
+    * w_avg_micro)`; weights sum to exactly 1e6, `w_avg_micro` (the
+    * iterate average — DoReMi's published output) is the training weight.
+    */
+  def doremiWeights(docs: DataFrame, id: Column, text: Column,
+      domain: Column,
+      proxyRef: DataFrame, proxyText: Column,
+      refRef: DataFrame, refText: Column,
+      iters: Int = 10, etaPct: Long = 100, smoothPct: Long = 20,
+      order: Int = 3, maxDomains: Int = 4096): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be 1..64, got $iters")
+    require(etaPct >= 1 && etaPct <= 100000L,
+      s"etaPct must be 1..100000, got $etaPct")
+    require(smoothPct >= 0 && smoothPct <= 100,
+      s"smoothPct must be 0..100, got $smoothPct")
+    val Scale = 1000000L
+    val ml = TextAnalysis.mooreLewis(docs, id, text, proxyRef, proxyText,
+      refRef, refText, order)
+    val perDom = docs
+      .select(domain.cast("string").as("domain"), id.as("__did"))
+      .join(ml, col("__did") === col("id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("ml_micro").isNotNull, col("n_ngrams"))),
+          lit(0L)).as("n_slots"),
+        coalesce(sum(when(col("ml_micro").isNotNull,
+            greatest(col("ml_micro"), lit(0L)) * col("n_ngrams"))),
+          lit(0L)).as("__num"))
+      .withColumn("lambda_micro",
+        when(col("n_slots") > 0L, ExactRound.halfUpDiv("__num", "n_slots"))
+          .otherwise(lit(0L)))
+    // n_domains rows by construction — the collect is the valved sidecar
+    // pattern (DSIR score table / IVF centroids), never corpus-sized.
+    // Eager localCheckpoint (the admitWaves discipline): the two-ladder
+    // corpus pass runs ONCE; both the driver collect and the output join
+    // read the materialized rows instead of re-deriving the lineage.
+    val perDomM = perDom.localCheckpoint(true)
+    val rows = perDomM.select(col("domain"), col("lambda_micro"))
+      .orderBy("domain").collect()
+    require(rows.nonEmpty, "doremiWeights: no domains")
+    require(rows.length <= maxDomains,
+      s"doremiWeights: ${rows.length} domains exceeds maxDomains=" +
+        s"$maxDomains — the weight vector is a driver-sized sidecar; " +
+        "coarsen the domain column or raise the valve deliberately")
+    val n = rows.length
+    val lam = rows.map(_.getLong(1))
+    // the one float op, mirrored verbatim in SQL:
+    //   CAST(round(1e6 * exp(least((eta*lambda)::DOUBLE/1e8, 20.0))) ...)
+    val es = lam.map(l => BigInt(Math.round(
+      1e6 * Math.exp(Math.min((etaPct * l).toDouble / 1e8, 20.0)))))
+    def ranksOf(rem: Array[BigInt]): Array[Int] =
+      Array.tabulate(n)(i => (0 until n).count(j =>
+        rem(j) > rem(i) || (rem(j) == rem(i) && j < i)))
+    // largest-remainder re-grid of vals/div onto the 1e6 simplex: floor
+    // quotients, then +1 to the largest remainders (tie → domain order)
+    def regrid(vals: Array[BigInt], div: BigInt): Array[BigInt] = {
+      val base = vals.map(_ / div)
+      val rk = ranksOf(vals.map(_ % div))
+      val left = (BigInt(Scale) - base.sum).toInt
+      Array.tabulate(n)(i => base(i) + (if (rk(i) < left) 1 else 0))
+    }
+    val u = Array.tabulate(n)(i =>
+      BigInt(Scale / n + (if (i < Scale % n) 1 else 0)))
+    var alpha = u.clone()
+    val acc = Array.fill(n)(BigInt(0))
+    for (_ <- 1 to iters) {
+      val s = Array.tabulate(n)(i => alpha(i) * es(i))
+      val norm = regrid(s.map(_ * Scale), s.sum)
+      alpha = regrid(Array.tabulate(n)(i =>
+        (100 - smoothPct) * norm(i) + smoothPct * u(i)), BigInt(100))
+      for (i <- 0 until n) acc(i) += alpha(i)
+    }
+    val wAvg = regrid(acc, BigInt(iters))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = rows.indices.map(i => (rows(i).getString(0), es(i).toLong,
+        alpha(i).toLong, wAvg(i).toLong))
+      .toDF("domain", "e_micro", "w_last_micro", "w_avg_micro")
+    perDomM.drop("__num").join(broadcast(wDf), Seq("domain"))
+  }
+
+  /** Data-constrained repetition allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeated epochs of the
+    * same tokens are worth progressively less — returns decay roughly
+    * geometrically with epoch count). Given per-domain unique-token
+    * counts and a total training budget, allocate epochs per domain by
+    * GREEDY MARGINAL UTILITY (water-filling): the e-th epoch of domain i
+    * is one candidate chunk of `U_i` tokens with utility
+    * `U_i · d(e)` where `d(1)=1e6` and `d(e) = ⌊d(e−1)·decayMicro/1e6⌋`
+    * (the exact-integer geometric decay table); sort ALL chunks by
+    * utility and take the budget prefix, splitting the boundary chunk.
+    * Because utility decays within a domain, the greedy prefix IS the
+    * optimal allocation of a budget across concave per-domain returns.
+    *
+    * Scale shape: ONE corpus aggregation (per-domain token sums); the
+    * chunk grid is `n_domains × maxEpochs` rows — bounded by
+    * construction, so its single-partition ranking window is a sidecar
+    * sort, never a corpus sort (the [[epochPlan]] contract). All
+    * arithmetic is exact integers (utility ranks through DECIMAL(38,0)
+    * products so a 100 TB domain cannot overflow the sort key); output
+    * `effective_micro` is the micro-token effective-data integral
+    * Σ chunk_tokens·d(e). Complements [[epochExpansion]]: that op takes
+    * the weights as given; this op SOLVES for them under decay.
+    *
+    * Returns one row per domain: `(domain, tokens, full_epochs,
+    * partial_tokens, alloc_tokens, effective_micro)` with
+    * Σ alloc_tokens = min(budget, maxEpochs·Σ tokens) exactly. */
+  def repetitionAllocate(df: DataFrame, cost: Column, group: Column,
+      budgetPct: Long = 150, maxEpochs: Int = 8,
+      decayMicro: Long = 840000L): DataFrame = {
+    require(budgetPct >= 1, s"budgetPct must be >= 1, got $budgetPct")
+    require(maxEpochs >= 1 && maxEpochs <= 64,
+      s"maxEpochs must be 1..64, got $maxEpochs")
+    require(decayMicro >= 1 && decayMicro <= 1000000L,
+      s"decayMicro must be 1..1e6, got $decayMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decayDf = Iterator.iterate(1000000L)(d => d * decayMicro / 1000000L)
+      .take(maxEpochs).zipWithIndex
+      .map { case (dm, e) => (e + 1, dm) }.toSeq
+      .toDF("epoch", "d_micro")
+    val domTok = df.groupBy(group.cast("string").as("domain"))
+      .agg(sum(cost.cast("long")).as("tokens"))
+    // ranking window over the n_domains × maxEpochs chunk grid only —
+    // the budget total rides the SAME grid (each domain's tokens appear
+    // once per epoch; summing the epoch-1 row over the full frame is
+    // Σ U_i), so the corpus is scanned exactly once
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window
+      .orderBy(col("__util").desc, col("domain").asc, col("epoch").asc)
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    domTok.crossJoin(broadcast(decayDf))
+      .withColumn("__util",
+        col("tokens").cast("decimal(30,0)") * col("d_micro").cast("decimal(8,0)"))
+      .withColumn("__tot",
+        sum(when(col("epoch") === 1, col("tokens"))).over(wAll))
+      .withColumn("__budget",
+        expr(s"CAST(__tot * $budgetPct DIV 100 AS BIGINT)"))
+      .withColumn("__cum", sum("tokens").over(wCum))
+      .withColumn("__full", col("__cum") <= col("__budget"))
+      .withColumn("__part",
+        when(!col("__full") && (col("__cum") - col("tokens")) < col("__budget"),
+          least(col("tokens"), col("__budget") - (col("__cum") - col("tokens"))))
+          .otherwise(lit(0L)))
+      .groupBy("domain")
+      .agg(max("tokens").as("tokens"),
+        sum(when(col("__full"), 1L).otherwise(0L)).as("full_epochs"),
+        max("__part").as("partial_tokens"),
+        sum(when(col("__full"), col("tokens") * col("d_micro"))
+          .otherwise(col("__part") * col("d_micro"))).as("effective_micro"))
+      .withColumn("alloc_tokens",
+        col("full_epochs") * col("tokens") + col("partial_tokens"))
+      .select(col("domain"), col("tokens"), col("full_epochs"),
+        col("partial_tokens"), col("alloc_tokens"), col("effective_micro"))
+  }
 }

@@ -358,6 +358,19 @@ object SamplingQueries {
         .orderBy("lang")
     }),
 
+    // data-constrained repetition allocation (Sampling.repetitionAllocate,
+    // Muennighoff et al. 2023): per-source unique-token counts, a 150 %
+    // budget, and the exact-integer geometric decay table; the greedy
+    // utility-prefix allocation (sort ALL domain×epoch chunks by
+    // U·d(e) DESC, split the boundary chunk) solves for epochs per
+    // domain — q250/q272 take weights as GIVEN, this op derives them
+    "q305_repetition_alloc" -> ((s, d) => {
+      Sampling.repetitionAllocate(t(s, d, "documents"),
+          TA.tokenCount(col("text")), col("source"),
+          budgetPct = 150, maxEpochs = 8, decayMicro = 840000L)
+        .orderBy("domain")
+    }),
+
     // epoch/repeat EXPANSION — q250's recipe composed into the per-doc
     // training-stream multiplicity: full epochs replay the whole group,
     // the partial epoch takes the deterministic hash-priority prefix of
@@ -2351,6 +2364,40 @@ object SamplingQueries {
              AS rem_tok,
            CAST(target_tok * 1000 // tokens AS BIGINT) AS repeat_milli
          FROM t ORDER BY lang""",
+
+    // identical integer decay recurrence (8-step recursive CTE), the
+    // identical DECIMAL utility sort key, one budget-prefix window over
+    // the domain×epoch chunk grid, boundary chunk split with least()
+    "q305_repetition_alloc" ->
+      """WITH RECURSIVE dec(epoch, d_micro) AS (
+           SELECT 1, CAST(1000000 AS BIGINT)
+           UNION ALL SELECT epoch + 1, (d_micro * 840000) // 1000000
+           FROM dec WHERE epoch < 8),
+         dt AS (SELECT source AS domain,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST((sum(tokens) * 150) // 100 AS BIGINT)
+             AS budget FROM dt),
+         ch AS (SELECT domain, tokens, epoch, d_micro,
+             tokens::DECIMAL(30,0) * d_micro::DECIMAL(8,0) AS util
+           FROM dt CROSS JOIN dec),
+         cc AS (SELECT *, sum(tokens) OVER (ORDER BY util DESC, domain,
+             epoch ROWS UNBOUNDED PRECEDING) AS cum FROM ch),
+         fl AS (SELECT domain, tokens, epoch, d_micro,
+             cum <= budget AS is_full,
+             CASE WHEN cum > budget AND cum - tokens < budget
+               THEN least(tokens, budget - (cum - tokens))
+               ELSE 0 END AS part
+           FROM cc CROSS JOIN tot)
+         SELECT domain, max(tokens) AS tokens,
+           CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT)
+             AS full_epochs,
+           CAST(max(part) AS BIGINT) AS partial_tokens,
+           CAST(sum(CASE WHEN is_full THEN 1 ELSE 0 END) * max(tokens)
+             + max(part) AS BIGINT) AS alloc_tokens,
+           CAST(sum(CASE WHEN is_full THEN tokens * d_micro
+             ELSE part * d_micro END) AS BIGINT) AS effective_micro
+         FROM fl GROUP BY 1 ORDER BY 1""",
 
     "q92_zorder" -> {
       val z = Layout.zValueSql("a", "b")

@@ -1592,6 +1592,23 @@ object TextQueries {
         .orderBy("stage_idx")
     }),
 
+    // DoReMi domain-weight optimization (Sampling.doremiWeights): proxy
+    // LM = quarter-slice trigram ladder (the undertrained model),
+    // reference LM = full-corpus ladder; per-source excess loss
+    // max(0, xent_proxy − xent_ref) token-weighted onto the micro grid,
+    // then 10 exponentiated-gradient steps with largest-remainder
+    // re-gridding and 20 % uniform smoothing — every iterate sums to
+    // exactly 1e6, and the oracle replays the whole loop as a list-state
+    // recursive CTE (the FFD discipline), not just the final vector
+    "q304_doremi_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val proxyRef = docs.filter(col("doc_id") % 4 === 0)
+      graft.ops.Sampling.doremiWeights(docs, col("doc_id"), col("text"),
+          col("source"), proxyRef, col("text"), docs, col("text"),
+          iters = 10, etaPct = 100, smoothPct = 20, order = 3)
+        .orderBy("domain")
+    }),
+
     // character entropy: the gibberish/binary-junk quality signal —
     // planted low-entropy (one repeated char) and high-entropy (full
     // alphabet cycle) rows pin both tails through the same arithmetic
@@ -3002,6 +3019,108 @@ object TextQueries {
          UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM e1)
          UNION ALL SELECT 4, 'fuzzy_dedup', (SELECT count(*) FROM e2)
          ORDER BY stage_idx"""
+    },
+
+    // the two ladders (proxy = quarter slice, reference = everything)
+    // replayed like q295, the per-domain excess aggregate on the
+    // half-up micro grid, THEN the whole exponentiated-gradient loop as
+    // a list-state recursive CTE: exact HUGEINT multiply → largest-
+    // remainder re-grid (rank by remainder desc, domain order asc) →
+    // 80/20 uniform smoothing re-grid — every iterate, not just the
+    // final weights, is pinned by construction
+    "q304_doremi_mixture" -> {
+      val n = "c.n"
+      def rankOf(rem: String): String =
+        s"""list_transform(range(1, $n + 1), i ->
+           len(list_filter(range(1, $n + 1), j ->
+             $rem[j] > $rem[i] OR ($rem[j] = $rem[i] AND j < i))))"""
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, str_split(text, ' ') AS ts
+           FROM documents),
+         dp AS (SELECT doc_id, ts[x.i] AS w1, ts[x.i+1] AS w2,
+             ts[x.i+2] AS w3
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) x
+           WHERE len(ts) >= 3),
+         ${triXentCoreSql("px",
+          "SELECT text FROM documents WHERE doc_id % 4 = 0")},
+         ${triXentCoreSql("gen", "SELECT text FROM documents")},
+         dom AS (SELECT d.source AS domain, count(*) AS n_docs,
+             CAST(coalesce(sum(CASE WHEN sp.xm IS NOT NULL
+               THEN sp.nt END), 0) AS BIGINT) AS n_slots,
+             coalesce(sum(CASE WHEN sp.xm IS NOT NULL
+               THEN greatest(sp.xm - sg.xm, 0) * sp.nt END), 0) AS num
+           FROM documents d
+           LEFT JOIN sc_px sp USING (doc_id)
+           LEFT JOIN sc_gen sg USING (doc_id)
+           GROUP BY 1),
+         dml AS (SELECT domain, n_docs, n_slots,
+             CASE WHEN n_slots > 0
+               THEN ${ExactRound.halfUpDivSql("num", "n_slots")}
+               ELSE 0 END AS lambda_micro
+           FROM dom),
+         cons AS (SELECT list(domain ORDER BY domain) AS doms,
+             list(CAST(round(1e6 * exp(least(
+                 (100 * lambda_micro)::DOUBLE / 1e8, 20.0))) AS HUGEINT)
+               ORDER BY domain) AS es,
+             count(*)::INTEGER AS n
+           FROM dml),
+         useed AS (SELECT n, es, doms,
+             list_transform(range(1, n + 1), i ->
+               (1000000 // n + CASE WHEN i <= 1000000 % n THEN 1 ELSE 0 END)::HUGEINT) AS u,
+             list_transform(range(1, n + 1), i -> 0::HUGEINT) AS zs
+           FROM cons),
+         eg AS (
+           SELECT 0 AS t, u AS alpha, zs AS acc FROM useed
+           UNION ALL
+           SELECT e.t + 1, z5.alpha2,
+             list_transform(e.acc, (a, i) -> a + z5.alpha2[i])
+           FROM eg e
+           CROSS JOIN useed c
+           CROSS JOIN LATERAL (SELECT
+             list_transform(e.alpha, (a, i) -> a * c.es[i]) AS s) z1
+           CROSS JOIN LATERAL (SELECT list_sum(z1.s) AS ssum) z1b
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z1.s, x -> (x * 1000000) // z1b.ssum) AS b1,
+             list_transform(z1.s, x -> (x * 1000000) % z1b.ssum) AS r1) z2
+           CROSS JOIN LATERAL (SELECT
+             1000000 - list_sum(z2.b1) AS l1,
+             ${rankOf("z2.r1")} AS k1) z2b
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z2.b1, (b, i) ->
+               b + CASE WHEN z2b.k1[i] < z2b.l1 THEN 1 ELSE 0 END) AS norm) z3
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z3.norm, (x, i) -> 80 * x + 20 * c.u[i]) AS v) z4
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z4.v, x -> x // 100) AS b2,
+             list_transform(z4.v, x -> x % 100) AS r2) z4b
+           CROSS JOIN LATERAL (SELECT
+             1000000 - list_sum(z4b.b2) AS l2,
+             ${rankOf("z4b.r2")} AS k2) z4c
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z4b.b2, (b, i) ->
+               b + CASE WHEN z4c.k2[i] < z4c.l2 THEN 1 ELSE 0 END) AS alpha2) z5
+           WHERE e.t < 10),
+         fin AS (SELECT f.alpha AS w_last, z7.w_avg
+           FROM eg f
+           CROSS JOIN useed c
+           CROSS JOIN LATERAL (SELECT
+             list_transform(f.acc, x -> x // 10) AS b3,
+             list_transform(f.acc, x -> x % 10) AS r3) z6
+           CROSS JOIN LATERAL (SELECT
+             1000000 - list_sum(z6.b3) AS l3,
+             ${rankOf("z6.r3")} AS k3) z6b
+           CROSS JOIN LATERAL (SELECT
+             list_transform(z6.b3, (b, i) ->
+               b + CASE WHEN z6b.k3[i] < z6b.l3 THEN 1 ELSE 0 END) AS w_avg) z7
+           WHERE f.t = 10)
+         SELECT m.domain, m.n_docs, m.n_slots,
+           CAST(m.lambda_micro AS BIGINT) AS lambda_micro,
+           CAST(c.es[x.i] AS BIGINT) AS e_micro,
+           CAST(f.w_last[x.i] AS BIGINT) AS w_last_micro,
+           CAST(f.w_avg[x.i] AS BIGINT) AS w_avg_micro
+         FROM fin f CROSS JOIN cons c
+         CROSS JOIN LATERAL (SELECT unnest(range(1, c.n + 1)) AS i) x
+         JOIN dml m ON m.domain = c.doms[x.i]
+         ORDER BY domain"""
     },
 
     // identical plant, identical per-char counting
