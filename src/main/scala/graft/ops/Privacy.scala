@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Differentially-private release of corpus statistics — the natural next
+  * step of the governance stack (takedown → erasure → certificate →
+  * privacy-preserving RELEASE): a data-protection officer who can prove
+  * deletion still needs per-group counts (docs per source, events per
+  * type, prompts per template) published OUTSIDE the trust boundary, and
+  * raw counts leak membership.
+  *
+  * Mechanism: the two-sided geometric (discrete Laplace) mechanism of
+  * Ghosh–Roughgarden–Sundararajan 2009 — the integer-valued ε-DP
+  * mechanism (utility-optimal for counts; the 2020 US Census TopDown
+  * discipline), with the two standard deployment layers on top:
+  *
+  *  - '''contribution bounding''': one unit (user, author) contributes at
+  *    most once per group (distinct) and to at most `maxGroupsPerUnit`
+  *    groups — the surviving groups picked by deterministic hash priority
+  *    (the [[Sampling.budgetPerGroup]] prefix discipline), never "first
+  *    seen" (order-dependent). Add/remove of one unit then moves at most
+  *    L counts by 1 each, so per-count noise at scale ε/L yields ε
+  *    user-level DP by composition.
+  *  - '''τ-thresholding''' (partition selection): groups are released
+  *    only while the NOISY count clears `tau` — releasing the group SET
+  *    from the data itself is what leaks presence; thresholding bounds
+  *    that leak by δ ≤ L·α^(τ−1)/(1+α) (one unit's new group holds true
+  *    count 1 and survives only if 1+Z ≥ τ), the (ε,δ) accounting of the
+  *    big DP SQL engines. [[suppressionDeltaMicro]] computes the bound.
+  *
+  * Exactness discipline: the ONE float op is `a = round(1e6·exp(−ε/L))`
+  * (the per-step geometric ratio quantized to the micro grid — the
+  * doremiWeights rule); everything after is exact integers. Noise is
+  * drawn by inverse CDF over the 60-bit [[PortableHash.md5Long]] uniform:
+  * the threshold table `m_k` is DEFINED by the integer floor recurrence
+  * `m_0 = ⌊2^60·a/1e6⌋, m_{k+1} = ⌊m_k·a/1e6⌋`, and
+  * `G = #{k : u < m_k}` is geometric(1−α) under that realized CDF, so
+  * `Z = G₁ − G₂` is the two-sided geometric — both engines replay the
+  * recurrence and the count bit-for-bit (the ε of the REALIZED pmf
+  * differs from ideal only by the per-step floor, < 2⁻⁶⁰ per entry — the
+  * standard snap-to-grid caveat of production DP libraries, which also
+  * sample on a fixed-point grid).
+  *
+  * Determinism vs privacy: `seed` makes the draw a pure function of
+  * (group, seed) — the reproducibility/testing hook (the splitColumn
+  * contract, and what lets the DuckDB oracle replay the mechanism).
+  * Production callers MUST pass a fresh secret seed per release and
+  * never reuse it: the DP guarantee is over the seed draw (md5 as PRF),
+  * and republishing under a reused seed spends no new budget but adds no
+  * new protection either.
+  *
+  * Scale shape: one distinct (shuffle on unit+group), one per-unit
+  * window (key cardinality = #units — full parallelism), one group
+  * aggregation; the noise table is a driver-built array literal
+  * (≤ `maxNoiseTable` entries, valved) evaluated per GROUP row — groups
+  * are aggregate-sized, and the filter/size combinator stays inside
+  * whole-stage codegen. No corpus-sized join anywhere.
+  */
+object Privacy {
+
+  /** 60-bit uniform space of [[PortableHash.md5Long]]. */
+  private val M: BigInt = BigInt(1) << 60
+  private val S = 1000000L
+
+  /** Micro-grid geometric ratio `a = round(1e6·exp(−ε/L))` — the one
+    * float op, shared by op, SQL twin and the δ helper. */
+  def alphaMicro(epsilonMilli: Long, maxGroupsPerUnit: Int): Long =
+    Math.round(1e6 * Math.exp(
+      -epsilonMilli.toDouble / (1000.0 * maxGroupsPerUnit)))
+
+  /** Threshold table of the realized geometric CDF:
+    * `m_k = ⌊…⌊2^60·a/1e6⌋·a/1e6…⌋` (k+1 floors), down to 0. */
+  private def noiseTable(a: Long, maxLen: Int): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var m = M * a / S
+    while (m > 0 && buf.length <= maxLen) {
+      buf += m.toLong
+      m = m * a / S
+    }
+    require(buf.length <= maxLen,
+      s"dpGroupCounts: noise table exceeds maxNoiseTable=$maxLen — " +
+        "epsilonMilli/maxGroupsPerUnit is too small for the 60-bit " +
+        "uniform grid; raise maxNoiseTable deliberately (the table is a " +
+        "plan literal) or relax the budget")
+    buf.toArray
+  }
+
+  /** ε-DP noisy per-group unit counts, τ-thresholded.
+    *
+    * Returns `(group, noisy_count)` — and nothing else: the true count
+    * must not ride along (releasing it would void the guarantee).
+    *
+    * @param unit             privacy-unit column (user id, author id)
+    * @param group            the partition key being counted
+    * @param epsilonMilli     ε in milli-units (1000 = ε 1.0) — the TOTAL
+    *                         user-level budget; per-count noise runs at
+    *                         ε/maxGroupsPerUnit
+    * @param maxGroupsPerUnit contribution bound L (hash-priority keep)
+    * @param tau              suppress rows whose noisy count < tau
+    *                         (0 = no suppression — only valid when the
+    *                         group SET is public knowledge)
+    */
+  def dpGroupCounts(df: DataFrame, unit: Column, group: Column,
+      epsilonMilli: Long = 1000L, maxGroupsPerUnit: Int = 4,
+      tau: Long = 0L, seed: Int = 42,
+      maxNoiseTable: Int = 8192): DataFrame = {
+    require(epsilonMilli >= 1, s"epsilonMilli must be >= 1, got $epsilonMilli")
+    require(maxGroupsPerUnit >= 1 && maxGroupsPerUnit <= 1024,
+      s"maxGroupsPerUnit must be 1..1024, got $maxGroupsPerUnit")
+    require(tau >= 0, s"tau must be >= 0, got $tau")
+    val a = alphaMicro(epsilonMilli, maxGroupsPerUnit)
+    val table = noiseTable(a, maxNoiseTable)
+    val pairs = df.select(unit.as("__u"), group.as("group")).distinct()
+    val pr = PortableHash.md5Long(
+      concat(col("__u").cast("string"), lit("|"),
+        col("group").cast("string")), seed)
+    val bounded = pairs
+      .withColumn("__rk", row_number().over(Window.partitionBy("__u")
+        .orderBy(pr, col("group").cast("string"))))
+      .filter(col("__rk") <= maxGroupsPerUnit)
+    val counts = bounded.groupBy("group").agg(count(lit(1)).as("__n"))
+    def u(salt: String): Column = PortableHash.md5Long(
+      concat(col("group").cast("string"), lit(salt)), seed)
+    val noisy =
+      if (table.isEmpty) counts.withColumn("noisy_count", col("__n"))
+      else {
+        // G(u) = #{k : u < m_k}: the table is a plan-literal array, the
+        // count a fused filter+size — per-row bounded work, no join
+        val ms = lit(table)
+        def g(uc: Column): Column =
+          size(filter(ms, m => m > uc)).cast("long")
+        counts.withColumn("noisy_count",
+          col("__n") + g(u("|n1")) - g(u("|n2")))
+      }
+    val kept =
+      if (tau > 0) noisy.filter(col("noisy_count") >= tau) else noisy
+    kept.select(col("group"), col("noisy_count"))
+  }
+
+  /** DuckDB twin of [[dpGroupCounts]] over table `tbl` with unit column
+    * `unitCol` and group column `groupCol` — replays the hash-priority
+    * bounding, the floor-recurrence threshold table and both geometric
+    * draws exactly (exp re-evaluated IN the oracle engine; micro-grid
+    * rounding absorbs cross-engine libm ULP, the doremi rule). */
+  def dpGroupCountsSql(tbl: String, unitCol: String, groupCol: String,
+      epsilonMilli: Long = 1000L, maxGroupsPerUnit: Int = 4,
+      tau: Long = 0L, seed: Int = 42): String = {
+    val prSql = PortableHash.md5LongSql(
+      "un::VARCHAR || '|' || grp::VARCHAR", seed)
+    def uSql(salt: String): String =
+      PortableHash.md5LongSql(s"""grp::VARCHAR || '$salt'""", seed)
+    val eps = s"$epsilonMilli.0 / (1000.0 * $maxGroupsPerUnit)"
+    s"""WITH RECURSIVE a AS (
+       |   SELECT CAST(round(1e6 * exp(-($eps))) AS HUGEINT) AS a),
+       | nt(m) AS (
+       |   SELECT (1152921504606846976::HUGEINT * a) // 1000000 FROM a
+       |   UNION ALL SELECT (m * a) // 1000000 FROM nt, a WHERE m > 0),
+       | ms AS (SELECT coalesce(list(m) FILTER (WHERE m > 0), []) AS ms
+       |   FROM nt),
+       | pairs AS (SELECT DISTINCT $unitCol AS un, $groupCol AS grp
+       |   FROM $tbl),
+       | bnd AS (SELECT un, grp, row_number() OVER (PARTITION BY un
+       |     ORDER BY $prSql, grp::VARCHAR) AS rk
+       |   FROM pairs),
+       | cnt AS (SELECT grp, count(*) AS n FROM bnd
+       |   WHERE rk <= $maxGroupsPerUnit GROUP BY 1),
+       | nz AS (SELECT grp, n
+       |     + len(list_filter(ms, m -> m > ${uSql("|n1")}))
+       |     - len(list_filter(ms, m -> m > ${uSql("|n2")})) AS noisy_count
+       |   FROM cnt CROSS JOIN ms)
+       | SELECT grp AS "group", CAST(noisy_count AS BIGINT) AS noisy_count
+       | FROM nz WHERE noisy_count >= $tau""".stripMargin
+  }
+
+  /** Upper bound, on the micro grid, of the τ-thresholding δ:
+    * `δ ≤ L·α^(τ−1)/(1+α)` with `α = a/1e6` exact-rational (one unit's
+    * unreleased-group survival odds across its ≤ L groups). Returns
+    * δ·1e6 half-up; τ ≤ 1 returns 1e6·L capped (no suppression → the
+    * group set itself is released — only sound for public group sets). */
+  def suppressionDeltaMicro(epsilonMilli: Long, maxGroupsPerUnit: Int,
+      tau: Long): Long = {
+    val a = alphaMicro(epsilonMilli, maxGroupsPerUnit)
+    val l = BigInt(maxGroupsPerUnit)
+    if (tau <= 1) return (l * S).min(S).toLong
+    // L·(a/S)^(τ-1) / (1 + a/S) = L·a^(τ-1)·S / (S^(τ-1)·(S+a))
+    val t = (tau - 1).toInt
+    val num = l * BigInt(a).pow(t) * S * S
+    val den = BigInt(S).pow(t) * (S + a)
+    // BigInt half-up (positive operands): ⌊(2·num + den) / (2·den)⌋
+    (((num * 2 + den) / (den * 2)).min(BigInt(S))).toLong
+  }
+}

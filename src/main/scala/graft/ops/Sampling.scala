@@ -70,6 +70,38 @@ object Sampling {
       test: Double = 0.1, seed: Int = 42): Column =
     splitColumn(key, Seq("train", "val", "test"), Seq(train, valW, test), seed)
 
+  /** Leakage-safe split: assign train/val/test by DUP-CLUSTER, not by
+    * document. Splitting on the doc id alone puts near-duplicates of a
+    * training doc into the eval split — the classic eval-contamination
+    * channel (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" §6 measures exactly this leak), and
+    * decontamination filters can't catch it because the "benchmark" here
+    * is your own held-out split. The fix is structural: hash the
+    * cluster representative, so every member of a connected near-dup
+    * cluster lands in the SAME split by construction (soft-dedup
+    * pipelines that KEEP downweighted duplicates need this; hard-dedup
+    * pipelines that drop all but one member get it for free).
+    *
+    * `clusters` is a `(node, cluster)` frame — [[Dedup.dupClusters]]'s
+    * output shape (min-id representative); docs absent from it are
+    * singletons and split on their own id. Scale shape: one hash join
+    * corpus × cluster table (plain shuffle join — the cluster table is
+    * pair-derived and can be corpus-sized, the WalkProbe discipline; a
+    * dedup run that found few dups broadcasts under AQE automatically),
+    * then the stateless [[splitColumn]] hash — no window, no extra
+    * shuffle. */
+  def splitByCluster(df: DataFrame, id: Column, clusters: DataFrame,
+      names: Seq[String] = Seq("train", "val", "test"),
+      weights: Seq[Double] = Seq(0.8, 0.1, 0.1),
+      seed: Int = 42): DataFrame = {
+    val cc = clusters.select(col("node").as("__sbc_node"),
+      col("cluster").as("__sbc_cluster"))
+    df.join(cc, id === col("__sbc_node"), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("__sbc_cluster"), id), names, weights, seed))
+      .drop("__sbc_node", "__sbc_cluster")
+  }
+
   /** Deterministic global training shuffle: assign every row a shard and an
     * in-shard position, both pure functions of `(id, seed)` — the "shuffle
     * the corpus before training" step done the reproducible way (re-runs,

@@ -354,10 +354,33 @@ object EventsQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("score").desc, col("user_id"))
         .limit(10)
+    }),
+
+    // ε-DP noisy release (Privacy.dpGroupCounts): per-event-type DISTINCT
+    // USER counts under a total user-level budget ε = 0.6 — contribution
+    // bounding ACTIVE (every user emits more than L = 2 event types; the
+    // hash-priority keep decides which two count), per-count noise =
+    // two-sided geometric at ε/L via the 60-bit inverse-CDF floor
+    // recurrence, τ = 3 thresholding replayed (a no-op at these counts —
+    // the spec pins the suppressing branch on planted sparse groups)
+    "q306_dp_release" -> ((s, d) => {
+      graft.ops.Privacy.dpGroupCounts(events(s, d),
+          col("user_id"), col("event_type"),
+          epsilonMilli = 600L, maxGroupsPerUnit = 2, tau = 3L, seed = 42)
+        .orderBy("group")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // identical mechanism replay: exp re-evaluated in DuckDB (micro-grid
+    // rounding absorbs libm ULP), HUGEINT floor recurrence, identical
+    // md5-uniform draws and hash-priority bounding
+    "q306_dp_release" ->
+      s"""SELECT * FROM (${graft.ops.Privacy.dpGroupCountsSql("events",
+            "user_id", "event_type", epsilonMilli = 600L,
+            maxGroupsPerUnit = 2, tau = 3L, seed = 42)})
+         ORDER BY "group"""",
 
     "q31_json_extract" ->
       """SELECT event_type, count(*) AS n,

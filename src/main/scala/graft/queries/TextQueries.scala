@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Dedup, ExactRound, Similarity => Sim, TextAnalysis => TA}
+import graft.ops.{Dedup, ExactRound, Sampling, Similarity => Sim, TextAnalysis => TA}
 import QueryUtil._
 
 /** Training-data text operators over the `documents` table: exact/fuzzy
@@ -1806,6 +1806,40 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // leakage-safe split (Sampling.splitByCluster): train/val/test hashed
+    // on the q74 CLUSTER REPRESENTATIVE, so a near-duplicate of a
+    // training doc can never land in eval (the Lee et al. 2022 §6
+    // contamination channel — decontamination filters can't see your own
+    // held-out split). Census per split + the structural invariant
+    // n_straddle = 0 (clusters spanning >1 split) pinned as a column; the
+    // second cc join is the straddle AUDIT instrumentation, not op cost
+    "q307_cluster_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.9)
+      val cc = Dedup.dupClusters(pairs)
+      val j = Sampling.splitByCluster(docs.select(col("doc_id")),
+          col("doc_id"), cc)
+        .join(cc.select(col("node"), col("cluster")),
+          col("doc_id") === col("node"), "left")
+        .withColumn("__h", PortableHash.md5Long(
+          col("doc_id").cast("string"), 61))
+      val strad = j
+        .groupBy(coalesce(col("cluster"), col("doc_id")).as("rep"))
+        .agg(countDistinct("split").as("__ns"))
+        .agg(coalesce(sum(when(col("__ns") > 1, 1L)), lit(0L))
+          .as("n_straddle"))
+      j.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          coalesce(expr(
+            "bit_xor(CASE WHEN cluster IS NOT NULL THEN __h END)"),
+            lit(0L)).as("dup_checksum"))
+        .crossJoin(strad)
+        .orderBy("split")
+    }),
+
     // the TypedImperativeAggregate sketch path: full 16-hash signature
     // matrix, pinned value-by-value against the oracle's affine-min CTE
     "q66_minhash_sketch" -> ((s, d) => {
@@ -3586,6 +3620,39 @@ object TextQueries {
            CAST(coalesce(bit_xor(CASE WHEN n_cluster > 1
              THEN $hSql END), 0) AS BIGINT) AS dw_checksum
          FROM w GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical reach closure; split = the identical hash-threshold CASE
+    // over the cluster representative; straddle census over (rep, split)
+    "q307_cluster_split" -> {
+      val splitCase = Sampling.splitSql("coalesce(cc.cluster, d.doc_id)",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), 42)
+      val hSql = PortableHash.md5LongSql("doc_id::VARCHAR", 61)
+      s"""${jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         hi AS (SELECT i, j FROM pairs WHERE jaccard >= 0.9),
+         edges AS (SELECT i a, j b FROM hi UNION SELECT j, i FROM hi),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS node, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+         sp AS (SELECT d.doc_id, cc.node IS NOT NULL AS is_dup,
+             coalesce(cc.cluster, d.doc_id) AS rep,
+             $splitCase AS split
+           FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+         st AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 END), 0)
+             AS BIGINT) AS n_straddle
+           FROM (SELECT rep, count(DISTINCT split) AS ns
+             FROM sp GROUP BY 1))
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(coalesce(bit_xor(CASE WHEN is_dup THEN $hSql END), 0)
+             AS BIGINT) AS dup_checksum,
+           st.n_straddle
+         FROM sp CROSS JOIN st
+         GROUP BY split, st.n_straddle ORDER BY split"""
     },
 
     "q79_dedup_survivors" ->

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Privacy, Sampling}
+
+/** Round-19 addendum specs: the DP release mechanism (q306) and the
+  * leakage-safe cluster split (q307). */
+class OpsSpecR19c extends AnyFunSuite {
+  import SparkTestSession._
+
+  // units u0..u9, unit ui belongs to groups g0..g{i} (unit u9 in 10
+  // groups — exercises the L bound); every (unit, group) row duplicated
+  // to exercise the per-group distinct
+  private def memberships = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until 10
+      g <- 0 to i
+      _ <- 0 until 2
+    } yield (s"u$i", s"g$g")
+    rows.toDF("u", "g")
+  }
+
+  test("dpGroupCounts: a huge epsilon yields an empty noise table and " +
+    "EXACT bounded counts; tau then suppresses exactly") {
+    val out = Privacy.dpGroupCounts(memberships, col("u"), col("g"),
+      epsilonMilli = 100000000L, maxGroupsPerUnit = 1024, tau = 0L)
+      .orderBy("group").collect()
+    // L >= groups-per-unit -> bounding is a no-op; distinct collapses the
+    // duplicated rows, so group g_k holds units u_k..u_9 = 10-k members
+    assert(out.map(r => r.getString(0) -> r.getAs[Long]("noisy_count"))
+      .toSeq === (0 until 10).map(k => s"g$k" -> (10L - k)))
+    val sup = Privacy.dpGroupCounts(memberships, col("u"), col("g"),
+      epsilonMilli = 100000000L, maxGroupsPerUnit = 1024, tau = 4L)
+      .orderBy("group").collect()
+    assert(sup.map(_.getString(0)).toSeq ===
+      (0 to 6).map(k => s"g$k"), "groups with count < 4 must vanish")
+  }
+
+  test("dpGroupCounts: contribution bounding keeps exactly " +
+    "maxGroupsPerUnit groups per unit (hash priority, not first-seen)") {
+    val out = Privacy.dpGroupCounts(memberships, col("u"), col("g"),
+      epsilonMilli = 100000000L, maxGroupsPerUnit = 3, tau = 0L)
+      .agg(sum("noisy_count")).collect()(0).getLong(0)
+    // unit ui contributes min(i+1, 3) groups; zero noise at this epsilon
+    assert(out === (0 until 10).map(i => math.min(i + 1, 3)).sum)
+  }
+
+  test("dpGroupCounts: deterministic under a seed, different under " +
+    "another, and the noise is genuinely nonzero at a tight budget") {
+    def run(seed: Int) = Privacy.dpGroupCounts(memberships, col("u"),
+      col("g"), epsilonMilli = 600L, maxGroupsPerUnit = 2, tau = 0L,
+      seed = seed).orderBy("group").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("noisy_count"))).toSeq
+    val a = run(1)
+    assert(a === run(1), "same seed must replay bit-for-bit")
+    assert(a !== run(2), "a fresh seed must draw fresh noise")
+    val exact = Privacy.dpGroupCounts(memberships, col("u"), col("g"),
+      epsilonMilli = 100000000L, maxGroupsPerUnit = 2, tau = 0L, seed = 1)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_count"))).toSeq
+    assert(a !== exact, "epsilon 0.6 noise must perturb some count")
+  }
+
+  test("dpGroupCounts: the noise-table valve raises on a budget too " +
+    "small for the 60-bit grid") {
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpGroupCounts(memberships, col("u"), col("g"),
+        epsilonMilli = 1L, maxGroupsPerUnit = 1024)
+    }
+    assert(e.getMessage.contains("maxNoiseTable"))
+  }
+
+  test("suppressionDeltaMicro: exact value at tau=3 (alpha^2/(1+alpha) " +
+    "on the micro grid), monotone decreasing in tau, capped at tau<=1") {
+    val a = Privacy.alphaMicro(1000L, 1) // e^-1 -> 367879
+    assert(a === 367879L)
+    val S = BigInt(1000000)
+    val expect = // half-up of a^2/(S+a), independently derived
+      ((BigInt(a) * BigInt(a) * 2 + (S + BigInt(a))) /
+        ((S + BigInt(a)) * 2)).toLong
+    assert(Privacy.suppressionDeltaMicro(1000L, 1, 3L) === expect)
+    val ds = (1L to 12L).map(Privacy.suppressionDeltaMicro(1000L, 1, _))
+    assert(ds === ds.sorted.reverse, "delta must fall as tau rises")
+    assert(Privacy.suppressionDeltaMicro(1000L, 1, 1L) === 1000000L)
+  }
+
+  test("splitByCluster: every member of a cluster lands in ONE split, " +
+    "singletons split on their own id, empty clusters = splitColumn") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("id")
+    // clusters of 4: rep 4k over nodes 4k..4k+3, for k < 50 (docs >= 200
+    // stay singletons)
+    val cc = (0L until 200L).map(n => (n, n / 4 * 4)).toDF("node", "cluster")
+    val out = Sampling.splitByCluster(docs, col("id"), cc, seed = 7)
+    val straddle = out.join(cc, col("id") === col("node"), "left")
+      .groupBy(coalesce(col("cluster"), col("id")))
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddle === 0L, "no cluster may span two splits")
+    val bySingle = out.filter(col("id") >= 200)
+      .withColumn("own", Sampling.splitColumn(col("id"),
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), 7))
+    assert(bySingle.filter(col("split") =!= col("own")).count() === 0L)
+    // all three splits non-empty at these sizes and the member count is
+    // conserved
+    assert(out.count() === 400L)
+    assert(out.select("split").distinct().count() === 3L)
+    val empty = spark.emptyDataFrame
+      .withColumn("node", lit(0L)).withColumn("cluster", lit(0L))
+    val plain = Sampling.splitByCluster(docs, col("id"), empty, seed = 7)
+      .withColumn("own", Sampling.splitColumn(col("id"),
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1), 7))
+    assert(plain.filter(col("split") =!= col("own")).count() === 0L)
+  }
+}
