@@ -176,6 +176,122 @@ object Privacy {
        | FROM nz WHERE noisy_count >= $tau""".stripMargin
   }
 
+  /** ε-DP noisy per-group SUMS — the other half of a telemetry release
+    * (counts say how many, sums/means say how much). The mechanism is
+    * the same two-sided geometric, with the sum-specific layer on top:
+    * each unit's per-group total is quantized to the integer grid
+    * (`valueUnits = round(value·unitScale)` — multiplication, never
+    * division, the cross-engine round discipline) and CLAMPED to
+    * `[0, clipUnits]` — add/remove of one unit then moves ≤ L group sums
+    * by ≤ clipUnits units each, so per-sum noise runs the geometric at
+    * `α = exp(−ε/(L·clipUnits))` (discrete Laplace of sensitivity
+    * clipUnits·L across the release). Clipping bias is the caller's
+    * knob, as in every production DP-SQL engine: clipUnits too low
+    * biases the sum down, too high wastes budget — both engines replay
+    * whatever is chosen.
+    *
+    * Output `(group, noisy_sum_units)` on the unit grid (caller divides
+    * by unitScale outside the trust boundary if display units are
+    * wanted). The noise table here is typically LONGER than the counts
+    * table (length ≈ 41.6·L·clipUnits/ε) — past `litMaxTable` entries
+    * the threshold count switches from the plan-literal filter+size to a
+    * broadcast-join conditional sum (same integers, spec-pinned equal;
+    * the antiJoinWithBloom regime-switch discipline). */
+  def dpGroupSums(df: DataFrame, unit: Column, group: Column,
+      value: Column, unitScale: Long = 1L, clipUnits: Long = 100L,
+      epsilonMilli: Long = 1000L, maxGroupsPerUnit: Int = 2,
+      tau: Long = 0L, seed: Int = 42, maxNoiseTable: Int = 32768,
+      litMaxTable: Int = 2048): DataFrame = {
+    require(epsilonMilli >= 1, s"epsilonMilli must be >= 1, got $epsilonMilli")
+    require(maxGroupsPerUnit >= 1 && maxGroupsPerUnit <= 1024,
+      s"maxGroupsPerUnit must be 1..1024, got $maxGroupsPerUnit")
+    require(unitScale >= 1, s"unitScale must be >= 1, got $unitScale")
+    require(clipUnits >= 1, s"clipUnits must be >= 1, got $clipUnits")
+    val a = Math.round(1e6 * Math.exp(-epsilonMilli.toDouble /
+      (1000.0 * maxGroupsPerUnit * clipUnits)))
+    val table = noiseTable(a, maxNoiseTable)
+    val perUG = df
+      .select(unit.as("__u"), group.as("group"),
+        round(value * unitScale).cast("long").as("__v"))
+      .groupBy("__u", "group")
+      .agg(least(greatest(coalesce(sum("__v"), lit(0L)), lit(0L)),
+        lit(clipUnits)).as("__c"))
+    val pr = PortableHash.md5Long(
+      concat(col("__u").cast("string"), lit("|"),
+        col("group").cast("string")), seed)
+    val bounded = perUG
+      .withColumn("__rk", row_number().over(Window.partitionBy("__u")
+        .orderBy(pr, col("group").cast("string"))))
+      .filter(col("__rk") <= maxGroupsPerUnit)
+    val sums = bounded.groupBy("group").agg(sum("__c").as("__n"))
+    def u(salt: String): Column = PortableHash.md5Long(
+      concat(col("group").cast("string"), lit(salt)), seed)
+    val noisy =
+      if (table.isEmpty) sums.withColumn("noisy_sum_units", col("__n"))
+      else if (table.length <= litMaxTable) {
+        val ms = lit(table)
+        def g(uc: Column): Column =
+          size(filter(ms, m => m > uc)).cast("long")
+        sums.withColumn("noisy_sum_units",
+          col("__n") + g(u("|n1")) - g(u("|n2")))
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val ms = table.toSeq.toDF("__m")
+        sums
+          .withColumn("__u1", u("|n1")).withColumn("__u2", u("|n2"))
+          .crossJoin(broadcast(ms))
+          .groupBy("group", "__n", "__u1", "__u2")
+          .agg(sum(when(col("__m") > col("__u1"), 1L).otherwise(0L))
+              .as("__g1"),
+            sum(when(col("__m") > col("__u2"), 1L).otherwise(0L))
+              .as("__g2"))
+          .withColumn("noisy_sum_units",
+            col("__n") + col("__g1") - col("__g2"))
+      }
+    val kept =
+      if (tau > 0) noisy.filter(col("noisy_sum_units") >= tau) else noisy
+    kept.select(col("group"), col("noisy_sum_units"))
+  }
+
+  /** DuckDB twin of [[dpGroupSums]] (`valueExpr` is the raw value SQL
+    * expression over `tbl`'s columns). The list-filter draw is
+    * regime-free — one SQL shape replays both the literal and the
+    * broadcast-join Spark paths. */
+  def dpGroupSumsSql(tbl: String, unitCol: String, groupCol: String,
+      valueExpr: String, unitScale: Long = 1L, clipUnits: Long = 100L,
+      epsilonMilli: Long = 1000L, maxGroupsPerUnit: Int = 2,
+      tau: Long = 0L, seed: Int = 42): String = {
+    val prSql = PortableHash.md5LongSql(
+      "un::VARCHAR || '|' || grp::VARCHAR", seed)
+    def uSql(salt: String): String =
+      PortableHash.md5LongSql(s"""grp::VARCHAR || '$salt'""", seed)
+    val eps =
+      s"$epsilonMilli.0 / (1000.0 * $maxGroupsPerUnit * $clipUnits)"
+    s"""WITH RECURSIVE a AS (
+       |   SELECT CAST(round(1e6 * exp(-($eps))) AS HUGEINT) AS a),
+       | nt(m) AS (
+       |   SELECT (1152921504606846976::HUGEINT * a) // 1000000 FROM a
+       |   UNION ALL SELECT (m * a) // 1000000 FROM nt, a WHERE m > 0),
+       | ms AS (SELECT coalesce(list(m) FILTER (WHERE m > 0), []) AS ms
+       |   FROM nt),
+       | pug AS (SELECT $unitCol AS un, $groupCol AS grp,
+       |     least(greatest(coalesce(sum(CAST(round(($valueExpr)
+       |       * $unitScale) AS BIGINT)), 0), 0), $clipUnits) AS c
+       |   FROM $tbl GROUP BY 1, 2),
+       | bnd AS (SELECT un, grp, c, row_number() OVER (PARTITION BY un
+       |     ORDER BY $prSql, grp::VARCHAR) AS rk
+       |   FROM pug),
+       | cnt AS (SELECT grp, sum(c) AS n FROM bnd
+       |   WHERE rk <= $maxGroupsPerUnit GROUP BY 1),
+       | nz AS (SELECT grp, n
+       |     + len(list_filter(ms, m -> m > ${uSql("|n1")}))
+       |     - len(list_filter(ms, m -> m > ${uSql("|n2")})) AS noisy
+       |   FROM cnt CROSS JOIN ms)
+       | SELECT grp AS "group", CAST(noisy AS BIGINT) AS noisy_sum_units
+       | FROM nz WHERE noisy >= $tau""".stripMargin
+  }
+
   /** Upper bound, on the micro grid, of the τ-thresholding δ:
     * `δ ≤ L·α^(τ−1)/(1+α)` with `α = a/1e6` exact-rational (one unit's
     * unreleased-group survival odds across its ≤ L groups). Returns

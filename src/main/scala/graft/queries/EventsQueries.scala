@@ -368,6 +368,21 @@ object EventsQueries {
           col("user_id"), col("event_type"),
           epsilonMilli = 600L, maxGroupsPerUnit = 2, tau = 3L, seed = 42)
         .orderBy("group")
+    }),
+
+    // ε-DP noisy SUMS (Privacy.dpGroupSums): per-event-type total value
+    // on the half-unit grid (unitScale 2 — multiply-then-round, never
+    // divide), each user's per-type total CLAMPED to 40 units before the
+    // group sum (the clipping layer counts cannot need), noise at
+    // α = exp(−ε/(L·clip)) — the 3327-entry table exceeds litMaxTable,
+    // so this query runs the BROADCAST-join draw regime (the literal
+    // regime is q306; the spec pins both regimes integer-equal)
+    "q308_dp_sums" -> ((s, d) => {
+      graft.ops.Privacy.dpGroupSums(events(s, d),
+          col("user_id"), col("event_type"), col("value"),
+          unitScale = 2L, clipUnits = 40L, epsilonMilli = 1000L,
+          maxGroupsPerUnit = 2, tau = 0L, seed = 42)
+        .orderBy("group")
     })
   )
 
@@ -380,6 +395,15 @@ object EventsQueries {
       s"""SELECT * FROM (${graft.ops.Privacy.dpGroupCountsSql("events",
             "user_id", "event_type", epsilonMilli = 600L,
             maxGroupsPerUnit = 2, tau = 3L, seed = 42)})
+         ORDER BY "group"""",
+
+    // identical quantize-clip-bound-sum ladder; the list-filter draw is
+    // regime-free, replaying Spark's broadcast-join path here
+    "q308_dp_sums" ->
+      s"""SELECT * FROM (${graft.ops.Privacy.dpGroupSumsSql("events",
+            "user_id", "event_type", "value", unitScale = 2L,
+            clipUnits = 40L, epsilonMilli = 1000L, maxGroupsPerUnit = 2,
+            tau = 0L, seed = 42)})
          ORDER BY "group"""",
 
     "q31_json_extract" ->

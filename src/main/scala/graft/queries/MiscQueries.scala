@@ -12,6 +12,17 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // pass@k eval aggregation (Evaluation.passAtK, Chen et al. 2021):
+    // task = source, verdict = doc_id % 3 = 0 — the unbiased estimator
+    // in the paper's product form as a k-step integer fold on the nano
+    // grid (the fold IS the cross-engine spec); sf0.001 puts n ≈ k at
+    // the pass@10 boundary, sf0.01 exercises the deep fold
+    "q309_pass_at_k" -> ((s, d) => {
+      graft.ops.Evaluation.passAtK(t(s, d, "documents"),
+          col("source"), col("doc_id") % 3 === 0, ks = Seq(1, 10))
+        .orderBy("task")
+    }),
+
     // Zipf-slope vocabulary profile: OLS slope of ln(count) vs ln(rank)
     // over the top-100 tokens — the one-number sanity check that a corpus
     // (or a dedup/curation output) still looks like natural language
@@ -563,6 +574,13 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the identical k-step integer fold (// floors = DIV truncates on
+    // these non-negative intermediates), identical NULL rule at n < k
+    "q309_pass_at_k" ->
+      s"""SELECT * FROM (${graft.ops.Evaluation.passAtKSql("documents",
+            "source", "doc_id % 3 = 0", ks = Seq(1, 10))})
+         ORDER BY task""",
 
     // identical heap top-100, identical per-term 1e-6 quantization,
     // identical integer-ratio slope

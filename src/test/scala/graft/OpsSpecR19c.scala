@@ -87,6 +87,102 @@ class OpsSpecR19c extends AnyFunSuite {
     assert(Privacy.suppressionDeltaMicro(1000L, 1, 1L) === 1000000L)
   }
 
+  test("dpGroupSums: huge epsilon -> exact quantize-clip-sum ladder " +
+    "(negative totals clamp at 0, oversized totals clamp at clipUnits)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u0", "A", 2.6), ("u0", "A", 2.6), ("u0", "A", 2.6), // 15 -> clip 10
+      ("u0", "B", -4.0),                                    // -8 -> 0
+      ("u1", "A", 0.3),                                     // 1
+      ("u2", "B", 100.0)                                    // 200 -> clip 10
+    ).toDF("u", "g", "v")
+    val out = Privacy.dpGroupSums(rows, col("u"), col("g"), col("v"),
+      unitScale = 2L, clipUnits = 10L, epsilonMilli = 100000000L,
+      maxGroupsPerUnit = 4).orderBy("group").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("noisy_sum_units")).toSeq
+    assert(out === Seq("A" -> 11L, "B" -> 10L))
+  }
+
+  test("dpGroupSums: L = 1 caps a unit's total release at one clipped " +
+    "group, whichever the hash priority keeps") {
+    import spark.implicits._
+    val rows = Seq(("u0", "A", 50.0), ("u0", "B", 50.0), ("u0", "C", 50.0))
+      .toDF("u", "g", "v")
+    val out = Privacy.dpGroupSums(rows, col("u"), col("g"), col("v"),
+      unitScale = 1L, clipUnits = 10L, epsilonMilli = 100000000L,
+      maxGroupsPerUnit = 1)
+      .agg(sum("noisy_sum_units")).collect()(0).getLong(0)
+    assert(out === 10L)
+  }
+
+  test("dpGroupSums: the literal and broadcast-join draw regimes " +
+    "produce identical integers (the regime switch is litMaxTable only)") {
+    def run(litMax: Int) = Privacy.dpGroupSums(memberships
+        .withColumn("v", length(col("g")).cast("double")),
+      col("u"), col("g"), col("v"), unitScale = 2L, clipUnits = 40L,
+      epsilonMilli = 1000L, maxGroupsPerUnit = 2, litMaxTable = litMax)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_sum_units"))).toSeq
+    val lit = run(10000)   // 3327-entry table stays a plan literal
+    val bc = run(0)        // same table through the broadcast join
+    assert(lit === bc)
+    val exact = Privacy.dpGroupSums(memberships
+        .withColumn("v", length(col("g")).cast("double")),
+      col("u"), col("g"), col("v"), unitScale = 2L, clipUnits = 40L,
+      epsilonMilli = 100000000L, maxGroupsPerUnit = 2)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_sum_units"))).toSeq
+    assert(lit !== exact, "the tight budget must actually perturb")
+  }
+
+  test("passAtK: hand-pinned estimator values — n<k NULL, n-c<k exact 1, " +
+    "c=0 exact 0, pass@1 = c/n, and the deep fold matches its own " +
+    "recurrence run in plain Scala") {
+    import spark.implicits._
+    import graft.ops.Evaluation
+    val rows =
+      (0 until 10).map(i => ("t1", i.toLong)) ++   // n=10, c=3
+      (0 until 5).map(i => ("t2", i.toLong)) ++    // n=5 (NULL at k=10), c=5
+      (0 until 100).map(i => ("t3", i.toLong + 100)) // n=100, c varies
+    val df = rows.toDF("task", "id")
+    val out = Evaluation.passAtK(df, col("task"),
+      col("id") < lit(3L) || (col("task") === "t2") ||
+        (col("task") === "t3" && col("id") % 10 === 0),
+      ks = Seq(1, 10)).orderBy("task").collect()
+    val t1 = out(0); val t2 = out(1); val t3 = out(2)
+    assert(t1.getAs[Long]("pass_at_1_micro") === 300000L) // c/n = 3/10
+    assert(t1.getAs[Long]("pass_at_10_micro") === 1000000L) // n-c=7 < 10
+    assert(t2.getAs[Long]("pass_at_1_micro") === 1000000L) // c = n
+    assert(t2.isNullAt(t2.fieldIndex("pass_at_10_micro"))) // n=5 < 10
+    // t3: n=100, c=10 (ids 100..199, multiples of 10); replicate the
+    // documented fold independently in plain Scala
+    def fold(n: Long, c: Long, k: Int): Long = {
+      var r = 1000000000L
+      for (i <- 0 until k) r = r * (n - c - i) / (n - i)
+      1000000L - (2 * r + 1000) / 2000
+    }
+    assert(t3.getAs[Long]("c") === 10L)
+    assert(t3.getAs[Long]("pass_at_1_micro") === 100000L)
+    assert(t3.getAs[Long]("pass_at_10_micro") === fold(100, 10, 10))
+    // c = 0 -> every factor ratio is 1 -> pass exactly 0
+    val zero = Evaluation.passAtK(df.filter(col("task") === "t1"),
+      col("task"), lit(false), ks = Seq(1, 10)).collect()(0)
+    assert(zero.getAs[Long]("pass_at_1_micro") === 0L)
+    assert(zero.getAs[Long]("pass_at_10_micro") === 0L)
+  }
+
+  test("passAtK: the maxSamples valve raises in-plan instead of " +
+    "overflowing the nano-grid fold") {
+    import spark.implicits._
+    import graft.ops.Evaluation
+    val df = (0 until 10).map(i => ("t", i)).toDF("task", "id")
+    val e = intercept[Exception] {
+      Evaluation.passAtK(df, col("task"), col("id") < 3,
+        ks = Seq(1), maxSamples = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxSamples"))
+  }
+
   test("splitByCluster: every member of a cluster lands in ONE split, " +
     "singletons split on their own id, empty clusters = splitColumn") {
     import spark.implicits._
