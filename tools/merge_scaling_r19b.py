@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
 """r19 SCALING update, part 2: SCALING_r19 rows carried VERBATIM for
-unchanged queries; the five late-r19 queries (q304 DoReMi mixture, q305
+unchanged queries; the six late-r19 queries (q304 DoReMi mixture, q305
 repetition allocation, q306 DP release, q307 leakage-safe cluster split,
-q308 DP sums) take per-side MIN across the provided ScaleCpu artifacts
-(progress-seeded subset runs with per-query warmup executions, the
-established min-merge discipline).
+q308 DP sums, q309 pass@k) take per-side MIN across the provided
+ScaleCpu artifacts (progress-seeded subset runs with per-query warmup
+executions, the established min-merge discipline).
 
 Usage: python3 tools/merge_scaling_r19b.py sf01a.json,sf01b.json,... \
            sf10a.json,sf10b.json,...
@@ -16,15 +16,19 @@ import sys
 
 TARGETS = [
     "q304_doremi_mixture", "q305_repetition_alloc", "q306_dp_release",
-    "q307_cluster_split", "q308_dp_sums",
+    "q307_cluster_split", "q308_dp_sums", "q309_pass_at_k",
 ]
 
-NOTE = ("; the five late-r19 queries (q304 DoReMi mixture, q305 "
+NOTE = ("; the six late-r19 queries (q304 DoReMi mixture, q305 "
         "repetition allocation, q306 DP release, q307 leakage-safe "
-        "cluster split, q308 DP sums) measured by "
+        "cluster split, q308 DP sums, q309 pass@k) measured by "
         "tools/merge_scaling_r19b.py progress-seeded subset ScaleCpu "
         "runs - three runs per side, per-query warmup execution, "
-        "per-query MIN, like contexts on both sides")
+        "per-query MIN, like contexts on both sides; two q306/q307 "
+        "sf1.0 artifacts that had incidentally measured q308 "
+        "ballast-warmed (the binary grew the query between subset runs) "
+        "were excluded from q308's min - they had no like-context "
+        "sf0.1 counterpart (the r17 dupClusters lesson)")
 
 
 def load(paths):
@@ -58,7 +62,7 @@ def main(p01, p10):
             if b[q]["wall"] > 0 else None,
         }
     out["queries"] = qs
-    method = base["method"].split("; the five late-r19 queries")[0]
+    method = base["method"].split("; the six late-r19 queries")[0]
     out["method"] = method + NOTE
     factors = [v["cpu_factor"] for v in qs.values()
                if isinstance(v, dict) and v.get("cpu_factor")]
