@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
-import graft.ops.{Chunking, Curation, Dedup, ExactRound, Layout, Sampling, TextAnalysis => TA}
+import graft.ops.{Chunking, Curation, Dedup, ExactRound, Layout, Preference, Sampling, TextAnalysis => TA}
 import QueryUtil._
 
 /** Deterministic sampling/splitting over the `documents` table — the
@@ -268,6 +268,28 @@ object SamplingQueries {
             .otherwise(col("resp")))
       graft.streaming.PreferenceStream.bestOfN(cands)
         .orderBy("prompt_id")
+    }),
+
+    // global Bradley-Terry leaderboard (Preference.bradleyTerry): 8
+    // "models" (doc_id % 8) with PLANTED BT strengths m+1 — each doc is
+    // one game between ma = doc_id % 8 and mb = (doc_id DIV 8) % 8,
+    // winner drawn by the seeded md5 uniform mod (sa+sb) against sa, so
+    // the data IS a Bradley-Terry sample the MM fit must recover; the
+    // oracle replays the pair-count table, every HUGEINT MM iterate and
+    // every largest-remainder re-grid (list-state recursive CTE)
+    "q310_bt_leaderboard" -> ((s, d) => {
+      val g = t(s, d, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("ma"),
+          pmod(expr("doc_id DIV 8"), lit(8)).as("mb"))
+        .filter(col("ma") =!= col("mb"))
+        .withColumn("__h", pmod(PortableHash.md5Long(
+            col("doc_id").cast("string"), 91),
+          col("ma") + col("mb") + lit(2)))
+        .withColumn("winner",
+          when(col("__h") < col("ma") + 1, col("ma")).otherwise(col("mb")))
+      Preference.bradleyTerry(g, col("ma"), col("mb"), col("winner"),
+          iters = 15)
+        .orderBy("model")
     }),
 
     // leakage audit of the q256 PROMPTS against the eval splits (q167's
@@ -1676,6 +1698,23 @@ object SamplingQueries {
            ${graft.ops.ExactRound.halfUpDivSql("sum(sv) * 1000", "sum(n)")}
              AS savings_permille
          FROM l GROUP BY 1 ORDER BY 1"""
+    },
+
+    // identical seeded-uniform winner draw, identical pair-count table,
+    // then the whole MM loop as a list-state recursive CTE: HUGEINT
+    // per-pair terms, per-model raws, largest-remainder re-grid — every
+    // iterate sums to exactly 1e6 in both engines
+    "q310_bt_leaderboard" -> {
+      val h = PortableHash.md5LongSql("doc_id::VARCHAR", 91)
+      val games =
+        s"""SELECT ga, gb,
+             CASE WHEN h < ga + 1 THEN ga ELSE gb END AS winner
+           FROM (SELECT doc_id % 8 AS ga, (doc_id // 8) % 8 AS gb,
+               ($h) % (doc_id % 8 + (doc_id // 8) % 8 + 2) AS h
+             FROM documents
+             WHERE doc_id % 8 <> (doc_id // 8) % 8)"""
+      s"""SELECT * FROM (${Preference.bradleyTerrySql(games, iters = 15)})
+         ORDER BY model"""
     },
 
     // identical prompt construction and lag window as q293, plus the

@@ -183,6 +183,56 @@ class OpsSpecR19c extends AnyFunSuite {
     assert(e.getMessage.contains("maxSamples"))
   }
 
+  test("bradleyTerry: the two-model closed form is an exact fixed point " +
+    "(3:1 wins -> 750000/250000 on the first iterate and every one after)") {
+    import spark.implicits._
+    import graft.ops.Preference
+    val games = (Seq.fill(24)(("A", "B", "A")) ++
+      Seq.fill(8)(("A", "B", "B"))).toDF("a", "b", "w")
+    val out = Preference.bradleyTerry(games, col("a"), col("b"), col("w"),
+      iters = 20).orderBy("model").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("wins"),
+      r.getAs[Long]("games"), r.getAs[Long]("strength_micro"))).toSeq ===
+      Seq(("A", 24L, 32L, 750000L), ("B", 8L, 32L, 250000L)))
+  }
+
+  test("bradleyTerry: a planted strength ladder is recovered monotone, " +
+    "and strengths sum to exactly 1e6") {
+    import spark.implicits._
+    import graft.ops.Preference
+    // round-robin: model i beats model j exactly 4*(i+1) times and loses
+    // 4*(j+1) times -> BT MLE strengths proportional to i+1
+    val rows = for {
+      i <- 0 until 4; j <- 0 until 4 if i != j
+      r <- 0 until 4 * (i + 1)
+    } yield (s"m$i", s"m$j", s"m$i")
+    val out = Preference.bradleyTerry(rows.toDF("a", "b", "w"),
+      col("a"), col("b"), col("w"), iters = 50).orderBy("model").collect()
+    val st = out.map(_.getAs[Long]("strength_micro"))
+    assert(st.sum === 1000000L)
+    assert(st.toSeq === st.sorted.toSeq,
+      "strengths must rise with the planted ladder")
+    assert(st.last > 2 * st.head,
+      "the ladder's spread must be material, not a re-grid artifact")
+  }
+
+  test("bradleyTerry: the maxModels valve and the self-game guard raise") {
+    import spark.implicits._
+    import graft.ops.Preference
+    val games = Seq(("A", "B", "A"), ("B", "C", "B"), ("A", "C", "C"))
+      .toDF("a", "b", "w")
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(games, col("a"), col("b"), col("w"),
+        maxModels = 2)
+    }
+    assert(e.getMessage.contains("maxModels"))
+    val selfG = Seq(("A", "A", "A")).toDF("a", "b", "w")
+    val e2 = intercept[Exception] {
+      Preference.bradleyTerry(selfG, col("a"), col("b"), col("w"))
+    }
+    assert(e2.getMessage.contains("self-game"))
+  }
+
   test("splitByCluster: every member of a cluster lands in ONE split, " +
     "singletons split on their own id, empty clusters = splitColumn") {
     import spark.implicits._
