@@ -666,6 +666,37 @@ class PlanSpec extends AnyFunSuite {
       s"staged media admission candidates via banded equi joins:\n$p300")
   }
 
+  test("r19 late additions keep their scale shapes: the DP count draw is " +
+    "join-free, the DP sum draw broadcasts its valved table, pass@k is " +
+    "join- and window-free, and the mixture/leaderboard ops never go " +
+    "cartesian") {
+    val p306 = plan("q306_dp_release")
+    assert(!p306.contains("Join") && !p306.contains("CartesianProduct"),
+      s"the literal-table noise draw must not join at all:\n$p306")
+    val p308 = plan("q308_dp_sums")
+    assert(!p308.contains("CartesianProduct") &&
+      !p308.contains("SortMergeJoin"),
+      s"the big-table draw is a BROADCAST nested loop, never a shuffle " +
+        s"join or true cartesian:\n$p308")
+    val p309 = plan("q309_pass_at_k")
+    assert(!p309.contains("Join") && !p309.contains("Window"),
+      s"pass@k is one partial-aggregable groupBy + per-row folds:\n$p309")
+    // q304/q305/q310 broadcast their driver-sized sidecars (decay table,
+    // weight vector, strengths) — BroadcastNestedLoopJoin/BroadcastHash
+    // by construction; only a data-sized cartesian is banned
+    val p304 = plan("q304_doremi_mixture")
+    assert(!p304.contains("CartesianProduct"), p304)
+    val p305 = plan("q305_repetition_alloc")
+    assert(!p305.contains("CartesianProduct"), p305)
+    val p310 = plan("q310_bt_leaderboard")
+    assert(!p310.contains("CartesianProduct") &&
+      !p310.contains("SortMergeJoin"),
+      s"the strengths sidecar must broadcast-join back:\n$p310")
+    val p307 = plan("q307_cluster_split")
+    assert(!p307.contains("CartesianProduct"),
+      s"cluster split + straddle audit stay hash/broadcast joined:\n$p307")
+  }
+
   test("index-bounded margin mining: the centroid form is an EQUI join " +
     "(no cartesian anywhere), the ivf form partition-prunes to the " +
     "probed lists (q294)") {

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """r19 SCALING update, part 2: SCALING_r19 rows carried VERBATIM for
-unchanged queries; the six late-r19 queries (q304 DoReMi mixture, q305
+unchanged queries; the seven late-r19 queries (q304 DoReMi mixture, q305
 repetition allocation, q306 DP release, q307 leakage-safe cluster split,
-q308 DP sums, q309 pass@k) take per-side MIN across the provided
+q308 DP sums, q309 pass@k, q310 BT leaderboard) take per-side MIN across the provided
 ScaleCpu artifacts (progress-seeded subset runs with per-query warmup
 executions, the established min-merge discipline).
 
@@ -17,11 +17,13 @@ import sys
 TARGETS = [
     "q304_doremi_mixture", "q305_repetition_alloc", "q306_dp_release",
     "q307_cluster_split", "q308_dp_sums", "q309_pass_at_k",
+    "q310_bt_leaderboard",
 ]
 
-NOTE = ("; the six late-r19 queries (q304 DoReMi mixture, q305 "
+NOTE = ("; the seven late-r19 queries (q304 DoReMi mixture, q305 "
         "repetition allocation, q306 DP release, q307 leakage-safe "
-        "cluster split, q308 DP sums, q309 pass@k) measured by "
+        "cluster split, q308 DP sums, q309 pass@k, q310 BT leaderboard) "
+        "measured by "
         "tools/merge_scaling_r19b.py progress-seeded subset ScaleCpu "
         "runs - three runs per side, per-query warmup execution, "
         "per-query MIN, like contexts on both sides; two q306/q307 "
@@ -62,7 +64,8 @@ def main(p01, p10):
             if b[q]["wall"] > 0 else None,
         }
     out["queries"] = qs
-    method = base["method"].split("; the six late-r19 queries")[0]
+    method = (base["method"].split("; the six late-r19 queries")[0]
+              .split("; the seven late-r19 queries")[0])
     out["method"] = method + NOTE
     factors = [v["cpu_factor"] for v in qs.values()
                if isinstance(v, dict) and v.get("cpu_factor")]
