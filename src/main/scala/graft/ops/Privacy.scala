@@ -292,6 +292,113 @@ object Privacy {
        | FROM nz WHERE noisy >= $tau""".stripMargin
   }
 
+  /** ε-DP histogram over a PUBLIC integer bucket domain — the release
+    * shape [[dpGroupCounts]] cannot provide: when the group set is known
+    * in advance (value buckets, ages, dates), a correct DP histogram
+    * must emit a noisy count for EVERY bucket of the public domain,
+    * including empty ones — releasing only non-empty buckets leaks
+    * which buckets were occupied (that's exactly the presence signal
+    * dpGroupCounts pays τ-thresholding + δ to suppress; with a public
+    * domain the spine is free and no δ is spent). Downstream quantile /
+    * CDF extraction is then pure post-processing (DP's closure under
+    * post-processing — no extra budget), e.g. the first bucket whose
+    * clamped cumulative sum crosses q·total.
+    *
+    * `bucket` must already be integer-valued (the caller quantizes —
+    * multiply-then-round, the dpGroupSums discipline); rows outside
+    * `[lo, hi]` CLAMP to the edge buckets (standard practice: the edge
+    * buckets absorb outliers, keeping sensitivity 1 — dropping them
+    * would silently underreport). One unit counts once per bucket and
+    * in at most `maxGroupsPerUnit` buckets, as in dpGroupCounts.
+    *
+    * Scale shape: the spine is `spark.range(lo, hi+1)` (valved at
+    * `maxBuckets`) left-joined to the aggregated counts — spine-sized
+    * work, never corpus-sized; the noise draw is the same plan-literal
+    * filter+size as dpGroupCounts. Returns one row per bucket in
+    * [lo, hi]: `(bucket, noisy_count)`. */
+  def dpHistogram(df: DataFrame, unit: Column, bucket: Column,
+      lo: Long, hi: Long, epsilonMilli: Long = 1000L,
+      maxGroupsPerUnit: Int = 4, seed: Int = 42,
+      maxBuckets: Long = 100000L, maxNoiseTable: Int = 8192): DataFrame = {
+    require(epsilonMilli >= 1, s"epsilonMilli must be >= 1, got $epsilonMilli")
+    require(maxGroupsPerUnit >= 1 && maxGroupsPerUnit <= 1024,
+      s"maxGroupsPerUnit must be 1..1024, got $maxGroupsPerUnit")
+    require(lo <= hi, s"need lo <= hi, got $lo > $hi")
+    require(lo > Long.MinValue / 2 && hi < Long.MaxValue / 2,
+      s"spine bounds must sit inside +/-2^62 (overflow headroom), " +
+        s"got [$lo, $hi]")
+    require(hi - lo + 1 <= maxBuckets,
+      s"dpHistogram: ${hi - lo + 1} buckets exceeds maxBuckets=" +
+        s"$maxBuckets — a released histogram is a driver-consumable " +
+        "artifact; coarsen the bucket grid or raise the valve")
+    val a = alphaMicro(epsilonMilli, maxGroupsPerUnit)
+    val table = noiseTable(a, maxNoiseTable)
+    val pairs = df.select(unit.as("__u"),
+        least(greatest(bucket.cast("long"), lit(lo)), lit(hi))
+          .as("bucket"))
+      .distinct()
+    val pr = PortableHash.md5Long(
+      concat(col("__u").cast("string"), lit("|"),
+        col("bucket").cast("string")), seed)
+    val bounded = pairs
+      .withColumn("__rk", row_number().over(Window.partitionBy("__u")
+        .orderBy(pr, col("bucket"))))
+      .filter(col("__rk") <= maxGroupsPerUnit)
+    val counts = bounded.groupBy("bucket").agg(count(lit(1)).as("__n"))
+    val spark = df.sparkSession
+    val spine = spark.range(lo, hi + 1).toDF("bucket")
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    def u(salt: String): Column = PortableHash.md5Long(
+      concat(col("bucket").cast("string"), lit(salt)), seed)
+    val noisy =
+      if (table.isEmpty) full.withColumn("noisy_count", col("__n"))
+      else {
+        val ms = lit(table)
+        def g(uc: Column): Column =
+          size(filter(ms, m => m > uc)).cast("long")
+        full.withColumn("noisy_count",
+          col("__n") + g(u("|n1")) - g(u("|n2")))
+      }
+    noisy.select(col("bucket"), col("noisy_count"))
+  }
+
+  /** DuckDB twin of [[dpHistogram]] (`bucketExpr` integer-valued SQL
+    * over `tbl`'s columns; clamping to [lo, hi] applied here too). */
+  def dpHistogramSql(tbl: String, unitCol: String, bucketExpr: String,
+      lo: Long, hi: Long, epsilonMilli: Long = 1000L,
+      maxGroupsPerUnit: Int = 4, seed: Int = 42): String = {
+    val prSql = PortableHash.md5LongSql(
+      "un::VARCHAR || '|' || bucket::VARCHAR", seed)
+    def uSql(salt: String): String =
+      PortableHash.md5LongSql(s"""bucket::VARCHAR || '$salt'""", seed)
+    val eps = s"$epsilonMilli.0 / (1000.0 * $maxGroupsPerUnit)"
+    s"""WITH RECURSIVE a AS (
+       |   SELECT CAST(round(1e6 * exp(-($eps))) AS HUGEINT) AS a),
+       | nt(m) AS (
+       |   SELECT (1152921504606846976::HUGEINT * a) // 1000000 FROM a
+       |   UNION ALL SELECT (m * a) // 1000000 FROM nt, a WHERE m > 0),
+       | ms AS (SELECT coalesce(list(m) FILTER (WHERE m > 0), []) AS ms
+       |   FROM nt),
+       | pairs AS (SELECT DISTINCT $unitCol AS un,
+       |     least(greatest(CAST($bucketExpr AS BIGINT), $lo), $hi)
+       |       AS bucket
+       |   FROM $tbl),
+       | bnd AS (SELECT un, bucket, row_number() OVER (PARTITION BY un
+       |     ORDER BY $prSql, bucket) AS rk
+       |   FROM pairs),
+       | cnt AS (SELECT bucket, count(*) AS n FROM bnd
+       |   WHERE rk <= $maxGroupsPerUnit GROUP BY 1),
+       | sp AS (SELECT unnest(generate_series($lo, $hi)) AS bucket),
+       | fl AS (SELECT sp.bucket, coalesce(cnt.n, 0) AS n
+       |   FROM sp LEFT JOIN cnt USING (bucket))
+       | SELECT bucket, CAST(n
+       |   + len(list_filter(ms, m -> m > ${uSql("|n1")}))
+       |   - len(list_filter(ms, m -> m > ${uSql("|n2")})) AS BIGINT)
+       |     AS noisy_count
+       | FROM fl CROSS JOIN ms""".stripMargin
+  }
+
   /** Upper bound, on the micro grid, of the τ-thresholding δ:
     * `δ ≤ L·α^(τ−1)/(1+α)` with `α = a/1e6` exact-rational (one unit's
     * unreleased-group survival odds across its ≤ L groups). Returns

@@ -383,6 +383,36 @@ object EventsQueries {
           unitScale = 2L, clipUnits = 40L, epsilonMilli = 1000L,
           maxGroupsPerUnit = 2, tau = 0L, seed = 42)
         .orderBy("group")
+    }),
+
+    // ε-DP histogram over a PUBLIC bucket domain (Privacy.dpHistogram):
+    // per-user value buckets round(value) clamped to [0, 10] — every
+    // spine bucket gets a noisy count (empty ones too: occupancy is the
+    // presence signal dpGroupCounts pays δ to suppress; a public domain
+    // releases it for free), then quantile EXTRACTION as pure
+    // post-processing: clamped cumulative counts, p50/p90 = first
+    // bucket crossing the quantile line (spine-sized window — 11 rows,
+    // never corpus rows)
+    "q311_dp_histogram" -> ((s, d) => {
+      val h = graft.ops.Privacy.dpHistogram(events(s, d),
+        col("user_id"), round(col("value")).cast("long"), lo = 0L,
+        hi = 10L, epsilonMilli = 2000L, maxGroupsPerUnit = 4, seed = 42)
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.withColumn("__pos", greatest(col("noisy_count"), lit(0L)))
+        .withColumn("cum", sum("__pos").over(wCum))
+        .withColumn("__tot", sum("__pos").over(wAll))
+        .withColumn("p50_bucket",
+          min(when(col("cum") * 2 >= col("__tot"), col("bucket")))
+            .over(wAll))
+        .withColumn("p90_bucket",
+          min(when(col("cum") * 10 >= col("__tot") * 9, col("bucket")))
+            .over(wAll))
+        .select(col("bucket"), col("noisy_count"), col("cum"),
+          col("p50_bucket"), col("p90_bucket"))
+        .orderBy("bucket")
     })
   )
 
@@ -396,6 +426,26 @@ object EventsQueries {
             "user_id", "event_type", epsilonMilli = 600L,
             maxGroupsPerUnit = 2, tau = 3L, seed = 42)})
          ORDER BY "group"""",
+
+    // identical spine join + noise draw; quantiles replayed as the same
+    // clamped-cumulative windows over the 11-row spine
+    "q311_dp_histogram" ->
+      s"""WITH h AS (${graft.ops.Privacy.dpHistogramSql("events",
+            "user_id", "round(value)", lo = 0L, hi = 10L,
+            epsilonMilli = 2000L, maxGroupsPerUnit = 4, seed = 42)}),
+         c AS (SELECT bucket, noisy_count,
+             greatest(noisy_count, 0) AS pos FROM h),
+         w AS (SELECT bucket, noisy_count,
+             sum(pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(pos) OVER () AS tot
+           FROM c)
+         SELECT bucket, noisy_count, CAST(cum AS BIGINT) AS cum,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN bucket END) OVER ()
+             AS BIGINT) AS p50_bucket,
+           CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END)
+             OVER () AS BIGINT) AS p90_bucket
+         FROM w ORDER BY bucket""",
 
     // identical quantize-clip-bound-sum ladder; the list-filter draw is
     // regime-free, replaying Spark's broadcast-join path here

@@ -183,6 +183,27 @@ class OpsSpecR19c extends AnyFunSuite {
     assert(e.getMessage.contains("maxSamples"))
   }
 
+  test("dpHistogram: every PUBLIC spine bucket emits a row (empty ones " +
+    "included), out-of-range values clamp to the edge buckets, and a " +
+    "huge epsilon reproduces exact counts") {
+    import spark.implicits._
+    val rows = Seq(("u0", -5L), ("u1", 2L), ("u2", 2L), ("u3", 99L))
+      .toDF("u", "v")
+    val out = Privacy.dpHistogram(rows, col("u"), col("v"), lo = 0L,
+      hi = 4L, epsilonMilli = 100000000L, maxGroupsPerUnit = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("noisy_count")))
+    // -5 clamps into bucket 0, 99 into bucket 4; buckets 1 and 3 exist
+    // WITH zero counts — the public-domain contract
+    assert(out.toSeq ===
+      Seq(0L -> 1L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+    val e = intercept[IllegalArgumentException] {
+      Privacy.dpHistogram(rows, col("u"), col("v"), lo = 0L,
+        hi = 10000000L)
+    }
+    assert(e.getMessage.contains("maxBuckets"))
+  }
+
   test("bradleyTerry: the two-model closed form is an exact fixed point " +
     "(3:1 wins -> 750000/250000 on the first iterate and every one after)") {
     import spark.implicits._
