@@ -1957,4 +1957,84 @@ class StreamStaticSpec extends AnyFunSuite {
       s"copy of the FORGOTTEN doc admits, copy of the retained doc " +
         s"dies: $admitted")
   }
+
+  test("continuous DP release: each trigger's snapshot equals the batch " +
+    "dpGroupCounts over the increment union (one code path), pair " +
+    "recurrence across microbatches is a set no-op, restart resumes " +
+    "from the persisted store, and compaction preserves the set") {
+    import graft.streaming.PrivacyStream
+    import graft.ops.Privacy
+    import spark.implicits._
+    val bA = Seq(("u0", "g0"), ("u1", "g0"), ("u0", "g1"))
+    val bB = Seq(("u0", "g0"), ("u2", "g0"), ("u1", "g1")) // u0/g0 AGAIN
+    val dir = Files.createTempDirectory("graft-dp-release")
+    val srcDir = Files.createDirectory(dir.resolve("src"))
+    def ship(rows: Seq[(String, String)], name: String, ageMs: Long): Unit = {
+      val staged = dir.resolve(s"stage-$name")
+      rows.toDF("un", "grp").coalesce(1).write.parquet(staged.toString)
+      val part = Files.list(staged).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val tgt = srcDir.resolve(s"$name.parquet")
+      Files.copy(Paths.get(part), tgt)
+      Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+    }
+    ship(bA, "a", 60000); ship(bB, "b", 30000)
+    val stateDir = dir.resolve("state").toString
+    val relDir = dir.resolve("releases").toString
+    val HugeEps = 100000000L
+    def runRelease(): Unit = {
+      val stream = spark.readStream
+        .schema(bA.toDF("un", "grp").schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+      val q = PrivacyStream.evolvingRelease(stream, col("un"), col("grp"),
+        stateDir, relDir, dir.resolve("ckpt").toString,
+        epsilonMilli = HugeEps, maxGroupsPerUnit = 1024)
+      q.processAllAvailable(); q.stop()
+    }
+    runRelease()
+    def snap(b: Int) = spark.read.parquet(s"$relDir/batch=$b")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_count"))).toSeq
+    assert(snap(0) === Seq("g0" -> 2L, "g1" -> 1L),
+      "the batch-0 snapshot covers only the first increment")
+    assert(snap(1) === Seq("g0" -> 3L, "g1" -> 2L),
+      "u0/g0 recurring in batch B must NOT double-count — membership " +
+        "is a set")
+    // restart with a third batch: the resumed stream folds it into the
+    // persisted pair store, not a fresh one
+    ship(Seq(("u3", "g1")), "c", 0)
+    runRelease()
+    assert(snap(2) === Seq("g0" -> 3L, "g1" -> 3L))
+    // compact the three set increments; the next snapshot still equals
+    // the batch twin over everything
+    assert(PrivacyStream.compactPairs(spark, stateDir, upToBatchId = 3) === 3)
+    ship(Seq(("u3", "g0")), "d", 0)
+    runRelease()
+    assert(snap(3) === Seq("g0" -> 4L, "g1" -> 3L))
+    // seed derivation pin: a TIGHT-budget release must equal the batch
+    // op run on the union with seed + batchId — the one-code-path rule
+    val relDir2 = dir.resolve("releases2").toString
+    val stream2 = spark.readStream.schema(bA.toDF("un", "grp").schema)
+      .parquet(srcDir.toString)
+    val q2 = PrivacyStream.evolvingRelease(stream2, col("un"), col("grp"),
+      dir.resolve("state2").toString, relDir2,
+      dir.resolve("ckpt2").toString, epsilonMilli = 600L,
+      maxGroupsPerUnit = 2, seed = 7)
+    q2.processAllAvailable(); q2.stop()
+    val tight = spark.read.parquet(s"$relDir2/batch=0")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_count"))).toSeq
+    val wantTight = Privacy.dpGroupCounts(
+        (bA ++ bB ++ Seq(("u3", "g1"), ("u3", "g0"))).toDF("un", "grp"),
+        col("un"), col("grp"), epsilonMilli = 600L, maxGroupsPerUnit = 2,
+        seed = 7)
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("noisy_count"))).toSeq
+    assert(tight === wantTight,
+      "release seed must derive as seed + batchId (batch 0 -> seed)")
+  }
 }

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """r19 SCALING update, part 2: SCALING_r19 rows carried VERBATIM for
-unchanged queries; the seven late-r19 queries (q304 DoReMi mixture, q305
+unchanged queries; the eight late-r19 queries (q304 DoReMi mixture, q305
 repetition allocation, q306 DP release, q307 leakage-safe cluster split,
-q308 DP sums, q309 pass@k, q310 BT leaderboard) take per-side MIN across the provided
+q308 DP sums, q309 pass@k, q310 BT leaderboard, q311 DP histogram) take per-side MIN across the provided
 ScaleCpu artifacts (progress-seeded subset runs with per-query warmup
 executions, the established min-merge discipline).
 
@@ -17,12 +17,13 @@ import sys
 TARGETS = [
     "q304_doremi_mixture", "q305_repetition_alloc", "q306_dp_release",
     "q307_cluster_split", "q308_dp_sums", "q309_pass_at_k",
-    "q310_bt_leaderboard",
+    "q310_bt_leaderboard", "q311_dp_histogram",
 ]
 
-NOTE = ("; the seven late-r19 queries (q304 DoReMi mixture, q305 "
+NOTE = ("; the eight late-r19 queries (q304 DoReMi mixture, q305 "
         "repetition allocation, q306 DP release, q307 leakage-safe "
-        "cluster split, q308 DP sums, q309 pass@k, q310 BT leaderboard) "
+        "cluster split, q308 DP sums, q309 pass@k, q310 BT leaderboard, "
+        "q311 DP histogram) "
         "measured by "
         "tools/merge_scaling_r19b.py progress-seeded subset ScaleCpu "
         "runs - three runs per side, per-query warmup execution, "
@@ -65,7 +66,8 @@ def main(p01, p10):
         }
     out["queries"] = qs
     method = (base["method"].split("; the six late-r19 queries")[0]
-              .split("; the seven late-r19 queries")[0])
+              .split("; the seven late-r19 queries")[0]
+              .split("; the eight late-r19 queries")[0])
     out["method"] = method + NOTE
     factors = [v["cpu_factor"] for v in qs.values()
                if isinstance(v, dict) and v.get("cpu_factor")]
