@@ -718,14 +718,31 @@ object Dedup {
   private def foldWaves(arrivals: DataFrame, wave: Column, maxWaves: Int,
       caller: String, seed: DataFrame)(
       step: (DataFrame, DataFrame) => (DataFrame, DataFrame)): Seq[DataFrame] = {
-    val waves = arrivals.select(wave.cast("long").as("__w")).distinct()
+    // r19 (optimization round): materialize the two frames the fold
+    // re-reads, ONCE each, before the per-wave loop.
+    //  - `tagged` (the wave-keyed arrivals) is re-evaluated by the wave
+    //    listing below AND by every per-wave `filter(__w = w)` — for the
+    //    media gate that re-ran the FULL codec decode once per wave
+    //    (q300's arrival plan is a Dataset.map the optimizer cannot prune
+    //    through), 4 decodes of the whole corpus for a 3-wave replay;
+    //  - `seed` is referenced by every wave's kill joins (twice per wave
+    //    in the text form: banding side + verify side) and was a raw lazy
+    //    plan — q288 recomputed the seed-corpus MinHash ~6× per call.
+    // One eager localCheckpoint each replaces those re-evaluations with
+    // block-manager reads; blocks release on session purge/end exactly
+    // like the per-wave increments. 100 TB analogue: waves arrive as
+    // ALREADY-materialized parquet microbatches and the index is a stored
+    // table — the batch replay should price them the same way.
+    val tagged = arrivals.withColumn("__w", wave.cast("long"))
+      .localCheckpoint(true)
+    val waves = tagged.select(col("__w")).distinct()
       .orderBy("__w").collect().map(_.getLong(0)).toSeq
     require(waves.nonEmpty, s"$caller: no arrival waves")
     require(waves.size <= maxWaves,
       s"$caller: ${waves.size} waves exceed the $maxWaves valve — " +
         "waves are release snapshots or microbatch replays, never data-sized")
-    val tagged = arrivals.withColumn("__w", wave.cast("long"))
-    val (_, parts) = waves.foldLeft((seed, Seq.empty[DataFrame])) {
+    val seedChk = seed.localCheckpoint(true)
+    val (_, parts) = waves.foldLeft((seedChk, Seq.empty[DataFrame])) {
       case ((idx, acc), w) =>
         val (grown, part) = step(idx, tagged.filter(col("__w") === w))
         (grown, acc :+ part)

@@ -740,9 +740,17 @@ object SamplingQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true) // in-place op: fresh store per run
       val docs = t(s, d, "documents").select(col("doc_id"))
-      (0 until 4).foreach { b =>
-        docs.filter(pmod(col("doc_id"), lit(4)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$b")
+      // r19 (optimization round): four independent single-file fixture
+      // writes to disjoint batch dirs — concurrent submission (guide
+      // §2.6) instead of four serial driver actions; contents unchanged
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        (0 until 4).map { b => Future {
+          docs.filter(pmod(col("doc_id"), lit(4)) === b)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$b")
+        } }.foreach(Await.result(_, Duration.Inf))
       }
       val removed = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
         .collect().map(_.getLong(0)).toSeq.sorted
@@ -784,41 +792,57 @@ object SamplingQueries {
       val docs = t(s, d, "documents")
       val removed = docs.filter(pmod(col("doc_id"), lit(41)) === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-      // text index: signatures of even docs across two increments
+      // r19 (optimization round): the eight store-fixture builds are
+      // independent single-file writes to disjoint directories that ran
+      // as serial driver actions — the wall cost of this query was the
+      // idle gaps between ~10 tiny jobs, not compute (3.9 s wall at
+      // 5.6 cpu-s on 32 cores). Submit them concurrently (guide §2.6)
+      // and await all before the orchestrator runs; contents unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val evens = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      Dedup.minhashSignaturesRowwise(
-          evens.filter(pmod(col("doc_id"), lit(4)) === 0),
-          col("doc_id"), col("text"), n = 3, k = 16)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=0")
-      Dedup.minhashSignaturesRowwise(
-          evens.filter(pmod(col("doc_id"), lit(4)) === 2),
-          col("doc_id"), col("text"), n = 3, k = 16)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=1")
-      // embed index: every vector, (bucket, vec, doc)
-      Dedup.embedIndexOf(t(s, d, "embeddings"), col("vec_id"),
-          col("embedding"), bits = 8)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/eidx/inc=0")
-      // media index: synthetic deterministic phash (never compared here;
-      // xxhash64 — a multiply by a large constant overflows ANSI Long on
-      // the scaled-SF doc_id offsets)
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select(col("doc_id").as("doc"), lit("image").as("kind"),
-          xxhash64(col("doc_id")).as("phash"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/midx/inc=0")
-      // admitted outputs: 3 batches over all docs
-      (0 until 3).foreach { b =>
-        docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/adm/batch=$b")
-      }
-      // pack: the q296 FFD fixture, atomically published
-      val chunks = Chunking.chunk(docs.filter(col("doc_id") < 60),
-        col("doc_id"), col("text"), width = 32, stride = 32)
-      graft.core.Ingest.atomicPublish(
-        Chunking.packFFD(chunks, pmod(col("doc"), lit(3)), ctx = 128),
-        s"$root/pack")
-      // External store: erased out-of-band (already clean)
-      docs.select("doc_id").filter(pmod(col("doc_id"), lit(41)) =!= 0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/ext/part=0")
+      val builds = Seq[() => Unit](
+        // text index: signatures of even docs across two increments
+        () => Dedup.minhashSignaturesRowwise(
+            evens.filter(pmod(col("doc_id"), lit(4)) === 0),
+            col("doc_id"), col("text"), n = 3, k = 16)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=0"),
+        () => Dedup.minhashSignaturesRowwise(
+            evens.filter(pmod(col("doc_id"), lit(4)) === 2),
+            col("doc_id"), col("text"), n = 3, k = 16)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/tidx/inc=1"),
+        // embed index: every vector, (bucket, vec, doc)
+        () => Dedup.embedIndexOf(t(s, d, "embeddings"), col("vec_id"),
+            col("embedding"), bits = 8)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/eidx/inc=0"),
+        // media index: synthetic deterministic phash (never compared
+        // here; xxhash64 — a multiply by a large constant overflows ANSI
+        // Long on the scaled-SF doc_id offsets)
+        () => docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id").as("doc"), lit("image").as("kind"),
+            xxhash64(col("doc_id")).as("phash"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/midx/inc=0"),
+        // admitted outputs: 3 batches over all docs
+        () => docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/adm/batch=0"),
+        () => docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === 1)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/adm/batch=1"),
+        () => docs.select("doc_id").filter(pmod(col("doc_id"), lit(3)) === 2)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/adm/batch=2"),
+        // pack: the q296 FFD fixture, atomically published
+        () => {
+          val chunks = Chunking.chunk(docs.filter(col("doc_id") < 60),
+            col("doc_id"), col("text"), width = 32, stride = 32)
+          graft.core.Ingest.atomicPublish(
+            Chunking.packFFD(chunks, pmod(col("doc"), lit(3)), ctx = 128),
+            s"$root/pack")
+          ()
+        },
+        // External store: erased out-of-band (already clean)
+        () => docs.select("doc_id").filter(pmod(col("doc_id"), lit(41)) =!= 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/ext/part=0"))
+      builds.map(b => Future(b())).foreach(Await.result(_, Duration.Inf))
       G.execute(s, removed, Seq(
           G.Registry.TextIndex("text_index", s"$root/tidx", upToBatchId = 2),
           G.Registry.EmbedIndex("embed_index", s"$root/eidx", upToBatchId = 1),

@@ -938,13 +938,22 @@ object TextQueries {
       // same ~3.6 s q169 pays on this corpus size). The 100 TB analogue is
       // checkpointing the deduped corpus before the statistics passes —
       // CCNet's own layout.
+      // r19 (optimization round): cache() → eager localCheckpoint. cache
+      // cuts EXECUTION but leaves the full paragraph-dedup lineage inside
+      // every consumer's LOGICAL plan — with ~8 references (nbFit's two
+      // collects, nbPredict, the 5 count tables, the slot stream) the
+      // optimizer re-traversed a ~250 KB plan per reference and codegen'd
+      // against it (the suite's largest plan). The checkpoint truncates
+      // lineage to an in-memory scan: same materialize-once semantics,
+      // driver-side planning drops with it (guide §3.3: very wide plans —
+      // materialize the intermediate to truncate).
       val withLang = deduped
         .join(planted.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
           when(pmod(col("doc_id"), lit(7)) =!= 1,
             concat(col("rb"), lit(" lm_"), col("lang")))
             .otherwise(col("rb")).as("mtext"))
-        .cache()
+        .localCheckpoint(true)
       val model = TA.nbFit(withLang.filter(pmod(col("doc_id"), lit(5)) =!= 0),
         col("lang"), col("mtext"), nBuckets = 64, seed = 11)
       val pred = TA.nbPredict(withLang, col("doc_id"), col("mtext"), model)

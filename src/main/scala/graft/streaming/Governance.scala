@@ -207,8 +207,19 @@ object Governance {
     * un-vacuumed hand repack) and the certificate must fail loudly,
     * not read a clean current view over dirty bytes. */
   private def audit(spark: SparkSession, removedIds: Seq[Long],
-      stores: Seq[Store]): Seq[Row] =
-    stores.map { st =>
+      stores: Seq[Store]): Seq[Row] = {
+    // r19 (optimization round): the per-store audits are independent
+    // READ-ONLY actions on disjoint directories, but ran as one serial
+    // Spark job per store — on a 6-store registry the driver sat idle
+    // between 6 tiny jobs (guide §2.6: overlap independent jobs so the
+    // next job's tasks back-fill the current one's tail). Submit them
+    // concurrently and await in registry order; the certificate row
+    // order is unchanged by construction. The ERASE phases above stay
+    // sequential — they are file transactions with a fixed phase order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = stores.map { st => Future {
       val one = st match {
         case p: Pack =>
           Erasure.residualOf(p.name,
@@ -229,7 +240,9 @@ object Governance {
             Seq((x.name, x.dir, x.idCol)))
       }
       one.head()
-    }
+    } }
+    futures.map(Await.result(_, Duration.Inf))
+  }
 
   /** The collected certificate back as a frame (registry order pinned —
     * no recompute between the verify and what the caller files). */
