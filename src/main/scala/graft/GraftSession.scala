@@ -42,7 +42,25 @@ object GraftSession {
       // memory-constrained deployments.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("GRAFT_CODEGEN_CACHE_ENTRIES", "8192"))
+      // Generated class names embed the codegen stage id by default; AQE
+      // materializes broadcast stages from racing futures, so the same
+      // operator can get a different stage id (→ different class name →
+      // different source → codegen-cache MISS) on every run. Dropping the
+      // id from the name makes re-runs byte-identical: StageProbe
+      // measured q169's repeat runs at 10-12 Janino compiles → 0 with
+      // this set. Class names are a debugging aid only.
+      .config("spark.sql.codegen.useIdInClassName", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }
+    // r19 (optimization round): generic env passthrough so a deployment
+    // (or a perf experiment) can override any spark conf without a
+    // rebuild — "k=v;k=v" pairs, applied AFTER extraConf. Scale-dependent
+    // settings stay parameterised per the optimization-round contract.
+    sys.env.get("GRAFT_SPARK_EXTRA_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val i = kv.indexOf('=')
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -52,18 +52,29 @@ object StageProbe {
       purge()
       rows.clear()
       collecting = true
+      val cg = org.apache.spark.metrics.source.CodegenMetrics
+      val gc0 = gcMs(); val cgt0 = cg.METRIC_COMPILATION_TIME.getCount
+      val cgn0 = cg.METRIC_SOURCE_CODE_SIZE.getCount
+      val jit0 = java.lang.management.ManagementFactory
+        .getCompilationMXBean.getTotalCompilationTime
       val c0 = cpu()
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
       val dcpu = cpu() - c0
+      val dgc = (gcMs() - gc0) / 1e3
+      val dcgt = cg.METRIC_COMPILATION_TIME.getCount - cgt0
+      val dcgn = cg.METRIC_SOURCE_CODE_SIZE.getCount - cgn0
       collecting = false
       // give the listener bus a moment to drain
       Thread.sleep(500)
       val sorted = rows.sortBy(-_.runMs)
       println(f"%nSTAGEPROBE $name  wall=$wall%.2f s  proc-cpu=$dcpu%.2f s  " +
         f"stages=${rows.length}  sum-stage-run=${rows.map(_.runMs).sum / 1e3}%.2f s  " +
-        f"sum-stage-cpu=${rows.map(_.cpuNs).sum / 1e9}%.2f s")
+        f"sum-stage-cpu=${rows.map(_.cpuNs).sum / 1e9}%.2f s  " +
+        f"gc=$dgc%.2f s  janino-compiles=$dcgn (histo-count=$dcgt)  " +
+        f"jit=${(java.lang.management.ManagementFactory.getCompilationMXBean
+          .getTotalCompilationTime - jit0) / 1e3}%.2f s")
       println("  runS cpuS tasks  shufRead(MB/rows)  shufWrite(MB/rows)  input(MB)  stage")
       sorted.take(25).foreach { r =>
         println(f"  ${r.runMs / 1e3}%5.2f ${r.cpuNs / 1e9}%5.2f ${r.tasks}%5d  " +
@@ -72,6 +83,12 @@ object StageProbe {
       }
     }
     spark.stop()
+  }
+
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
   }
 
   private def cpu(): Double =

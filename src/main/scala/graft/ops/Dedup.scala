@@ -1635,10 +1635,19 @@ object Dedup {
     val slots = df.select(id.as("id"),
       posexplode(split(text, java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val canon = slots.groupBy(col("para"))
-      .agg(min(struct(col("id"), col("pos"))).as("__c"))
-    val kept = slots.join(canon, Seq("para"))
+    // r19 (optimization round): per-paragraph canonical slot via ONE
+    // window min instead of groupBy(para) + a join back on the paragraph
+    // STRING key — the join was a sort-merge over full paragraph text on
+    // BOTH sides (two sorts of long-string keys + re-shuffling the slot
+    // stream twice); the window shuffles and sorts the slot stream once
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange). Identical semantics: keep a slot iff it IS the
+    // (id, pos)-minimal occurrence of its paragraph.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("para"))
+    val kept = slots
+      .withColumn("__c", min(struct(col("id"), col("pos"))).over(w))
       .filter(struct(col("id"), col("pos")) === col("__c"))
+      .drop("__c")
     kept.groupBy("id")
       .agg(
         array_join(transform(array_sort(

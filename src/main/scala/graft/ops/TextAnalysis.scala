@@ -2162,11 +2162,25 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("__v"))
     val slots = gramSlots(docs, Seq(id.as("id")), text, order)
     val lnA = math.log(alpha)
-    // join cnt(m) against slot positions (from..from+m-1), count as `as`
+    // join cnt(m) against slot positions (from..from+m-1), count as `as`.
+    // r19 (optimization round): the join key is the SPACE-JOINED gram
+    // string, not m separate token columns — tokens are split on the
+    // single-space regex so they cannot contain ' ', making concat_ws
+    // injective per arity (both sides non-null by construction: slots
+    // and count tables come from the same bounded element_at window).
+    // Why: the count-table exchanges then carry (1 string + 1 long) rows
+    // instead of m token columns (≈half the shuffle bytes at order 5 —
+    // guide §2.3), the sort/hash key is ONE comparison instead of m
+    // (the SMJ sorts on long-string tuples dominated q185's ladder
+    // stages), and the slimmer build side lets AQE's size-based
+    // SMJ→broadcast conversion fire where the fat rows stayed over the
+    // threshold.
     def joined(df: DataFrame, m: Int, from: Int, as: String): DataFrame = {
-      val renamed = cnt(m).select((1 to m).map(j =>
-        col(s"w$j").as(s"w${from + j - 1}")) :+ col("__c").as(as): _*)
-      df.join(renamed, (0 until m).map(j => s"w${from + j}"), "left")
+      val tbl = cnt(m).select(
+        concat_ws(" ", (1 to m).map(j => col(s"w$j")): _*).as(s"__g_$as"),
+        col("__c").as(as))
+      val key = concat_ws(" ", (from until from + m).map(j => col(s"w$j")): _*)
+      df.join(tbl, key === col(s"__g_$as"), "left").drop(s"__g_$as")
     }
     // level L (order down to 2): numerator cnt(L) at (order-L+1..order),
     // denominator cnt(L-1) at (order-L+1..order-1); floor cnt(1) at order
