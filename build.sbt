@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON; sbt's "[success] Total time..." footer printed after the
+// program's summary line broke that parse two rounds running (BENCH_r18/r19
+// `parsed: null`). Cosmetic logging only — no task behavior changes.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, lint can't see it
+// Forked `run` output goes through sbt's logger by default, which prefixes
+// every stdout line with "[info] " (and stderr with "[error] ") — the same
+// parse-breaker. StdoutOutput passes the forked JVM's stdout/stderr through
+// verbatim, so the bench's final JSON line reaches the driver bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -308,7 +308,8 @@ object Bench {
     val sustained = sustainedLoad(canaryAll.min, canaryMedian)
     val contaminated =
       suspect.nonEmpty || allQuarantined.nonEmpty || sustained
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2.wall)},""" +
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2.wall)},""" +
       s""""queries_cpu":${jmap(_._2.cpu)},"cpu_total":$totalCpu,""" +
       s""""canary":{"min":${r3(canaryAll.min)},"median":${r3(canaryMedian)},"max_drift":${r3(canaryAll.max / canaryMedian)},"samples":${canaryAll.length},""" +
       s""""preprobe_sec":${preProbe.result().map(r3).mkString("[", ",", "]")},"preprobe_waits":$waits,""" +
@@ -316,7 +317,7 @@ object Bench {
       s""""floor_sec":$QuietFloorSec,"sustained_load":$sustained},""" +
       s""""passes":${passes.length},"contaminated":$contaminated,""" +
       s""""suspect":$suspectJson,"timing":"noop-write full materialization (r5 and earlier: count())",""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
     // Second, SUB-1.5 KB summary line: the driver's output capture keeps
     // only the final ~2,000 chars, and the full per-query line above has
     // outgrown that three rounds running (8.7 KB at 240 queries → the
@@ -337,20 +338,15 @@ object Bench {
       s""""floor_sec":$QuietFloorSec,"sustained_load":$sustained,"preprobe_waits":$waits,"quarantined_segments":$quarantinedSegments},""" +
       s""""contaminated":$contaminated,"n_suspect":${suspect.length},"suspect":$suspectCapped,""" +
       s""""top10_wall":${jmapOf(top10, _.wall)},"top10_cpu":${jmapOf(top10, _.cpu)},"sf":"$sfDir"}"""
-    println(summary)
-    // Belt and suspenders against the driver's tail-capture parsing
-    // (BENCH_r11 `parsed: null`: the line survived the tail but wore
-    // sbt's "[info] " prefix and was followed by "[success] ..."): the
-    // identical JSON lands in BENCH_SUMMARY.json at the repo root, and
-    // goes out once more over stderr — which sbt passes through
-    // UNPREFIXED — as this process's very last words.
+    // Belt and suspenders against the driver's tail-capture parsing: the
+    // identical JSON lands in BENCH_SUMMARY.json at the repo root.
     // Path resolution (r13 / ADVICE): the JVM working directory is the
     // launcher's choice, not ours — honor GRAFT_BENCH_SUMMARY_PATH when
     // set, else walk up from cwd to the nearest directory holding
     // build.sbt (the repo root) so `sbt runMain` from a subproject or a
     // wrapper script still lands the artifact where the driver reads it.
     // A failed write is WARNED on stderr, never fatal (the same JSON
-    // already went to stdout and goes to stderr below).
+    // still goes to stdout below).
     val summaryPath = sys.env.get("GRAFT_BENCH_SUMMARY_PATH")
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
@@ -362,8 +358,19 @@ object Bench {
     try java.nio.file.Files.writeString(summaryPath, summary + "\n")
     catch { case t: Throwable => System.err.println(
       s"[bench] WARN could not write $summaryPath: ${t.getMessage}") }
+    // r20 (BENCH_r18/r19 `parsed: null` fix): the JSON must be the LAST
+    // stdout the run produces, with nothing after it. Previously the
+    // summary went out a second time on stderr as the process's final
+    // words — but sbt prefixes forked stderr with "[error] ", and that
+    // duplicate plus sbt's "[success] Total time..." footer filled the
+    // driver's ~2 KB tail capture, pushing the one parseable line out of
+    // the window. Now: stop Spark FIRST (so its shutdown logging on
+    // stderr cannot land after the JSON), print the full per-query line,
+    // then the sub-1.5 KB summary as the true last stdout line; the sbt
+    // footer itself is suppressed via `showSuccess := false` in build.sbt.
     spark.stop()
-    System.err.println(summary)
-    System.err.flush()
+    println(fullLine)
+    println(summary)
+    System.out.flush()
   }
 }

@@ -18,6 +18,31 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Confs the DuckDB-oracle parity depends on: an environment override of
+    * any of these would make Verify/Bench results diverge with no code
+    * change and no trace, so the GRAFT_SPARK_EXTRA_CONF passthrough
+    * rejects them (spec-pinned). Perf confs (shuffle, AQE sizing, codegen,
+    * memory) pass through — those are what the knob exists for. */
+  private[graft] val ProtectedConfs: Set[String] = Set(
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.legacy.timeParserPolicy",
+    "spark.sql.parquet.datetimeRebaseModeInRead",
+    "spark.sql.parquet.int96RebaseModeInRead",
+    "spark.master")
+
+  /** Parses "k=v;k=v" into (applied, rejected) per [[ProtectedConfs]]. */
+  private[graft] def partitionExtraConf(s: String)
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val pairs = s.split(";").map(_.trim).filter(_.contains("=")).toSeq
+      .map { kv =>
+        val i = kv.indexOf('=')
+        (kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val (rejected, applied) = pairs.partition(p => ProtectedConfs(p._1))
+    (applied, rejected)
+  }
+
   def create(
       appName: String = "graft",
       cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
@@ -55,10 +80,19 @@ object GraftSession {
     // (or a perf experiment) can override any spark conf without a
     // rebuild — "k=v;k=v" pairs, applied AFTER extraConf. Scale-dependent
     // settings stay parameterised per the optimization-round contract.
+    // r20 (ADVICE/VERDICT): the passthrough is GUARDED — a stale or
+    // inherited env var must never silently flip a conf the DuckDB-oracle
+    // parity depends on (ANSI mode, session timezone, rebase policies),
+    // and every pair it DOES apply is logged loudly at session creation
+    // so a diverging Verify/Bench run carries its own explanation.
     sys.env.get("GRAFT_SPARK_EXTRA_CONF").foreach { s =>
-      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val i = kv.indexOf('=')
-        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      val (applied, rejected) = partitionExtraConf(s)
+      rejected.foreach { case (k, v) => System.err.println(
+        s"[graft-session] REJECTED env conf override $k=$v " +
+          "(correctness-critical; set it in code, not GRAFT_SPARK_EXTRA_CONF)") }
+      applied.foreach { case (k, v) =>
+        System.err.println(s"[graft-session] env conf override: $k=$v")
+        b.config(k, v)
       }
     }
     val spark = b.getOrCreate()

@@ -22,20 +22,26 @@ object StageProbe {
     val sfDir = args.head
     val names = args.drop(1).toSeq
     val spark = GraftSession.create("graft-stageprobe")
+    // `collecting` is written on the main thread and read on the
+    // listener-bus thread; `rows` is appended on the bus thread and read
+    // on main (after the drain sleep) — @volatile + a lock keep warmup
+    // stages out of the measured set and appends visible (ADVICE r19).
     val rows = mutable.ArrayBuffer.empty[StageRow]
-    var collecting = false
+    @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collecting) {
           val si = e.stageInfo
           val m = si.taskMetrics
-          rows += StageRow(si.stageId, si.name.takeWhile(_ != '\n'),
-            si.numTasks, m.executorRunTime, m.executorCpuTime,
-            m.shuffleReadMetrics.totalBytesRead,
-            m.shuffleReadMetrics.recordsRead,
-            m.shuffleWriteMetrics.bytesWritten,
-            m.shuffleWriteMetrics.recordsWritten,
-            m.inputMetrics.bytesRead, m.outputMetrics.recordsWritten)
+          rows.synchronized {
+            rows += StageRow(si.stageId, si.name.takeWhile(_ != '\n'),
+              si.numTasks, m.executorRunTime, m.executorCpuTime,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleReadMetrics.recordsRead,
+              m.shuffleWriteMetrics.bytesWritten,
+              m.shuffleWriteMetrics.recordsWritten,
+              m.inputMetrics.bytesRead, m.outputMetrics.recordsWritten)
+          }
         }
     })
     def purge(): Unit = {

@@ -747,6 +747,14 @@ object Dedup {
         val (grown, part) = step(idx, tagged.filter(col("__w") === w))
         (grown, acc :+ part)
     }
+    // r20 (ADVICE): release the fold-scoped inputs once the fold is done —
+    // every step's returned part is its OWN eager checkpoint, so the
+    // tagged-arrivals and seed blocks are dead weight from here on; in a
+    // long-lived session without the harness's between-query purge,
+    // repeated evolving-gate calls would otherwise accumulate them in the
+    // block manager for the session's lifetime.
+    releaseCheckpoint(tagged)
+    releaseCheckpoint(seedChk)
     parts
   }
 
@@ -1624,30 +1632,31 @@ object Dedup {
     * paragraph content — never a per-paragraph rank, so a header
     * repeated 10⁶× ships one struct per map task, not 10⁶ rows to one
     * reducer; the join back is by the same content key; the ordered
-    * rebuild is the shared sort-structs aggregation. Join/agg key is the
-    * paragraph STRING — at 100 TB substitute `md5(para)` as the shuffle
-    * key (64-char cap vs unbounded paragraph bytes) and carry `para`
-    * only on the slot side. Documents whose every paragraph loses
+    * rebuild is the shared sort-structs aggregation. Join/agg key is
+    * `md5(para)` (fixed 32-char cap vs unbounded paragraph bytes as the
+    * shuffle/sort key) and `para` itself rides only on the slot side.
+    * Documents whose every paragraph loses
     * elsewhere come back as empty text, not missing.
     * Returns (id, n_paras, n_kept, text). */
   def dedupParagraphsKeepFirst(df: DataFrame, id: Column, text: Column,
       sep: String = "\n"): DataFrame = {
+    // Canonical slot via the partial-aggregable min-struct AGGREGATE +
+    // join-back (the r19 window rewrite is reverted: Window.partitionBy
+    // materializes a hot paragraph's every occurrence on ONE reducer with
+    // no map-side combine — the exact skew this operator exists to
+    // survive). The shuffle/join key is md5(para) per the scaladoc: a
+    // fixed 32-char key instead of unbounded paragraph bytes on both
+    // sides of the agg and the join; `para` itself rides only on the
+    // slot side.
     val slots = df.select(id.as("id"),
       posexplode(split(text, java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    // r19 (optimization round): per-paragraph canonical slot via ONE
-    // window min instead of groupBy(para) + a join back on the paragraph
-    // STRING key — the join was a sort-merge over full paragraph text on
-    // BOTH sides (two sorts of long-string keys + re-shuffling the slot
-    // stream twice); the window shuffles and sorts the slot stream once
-    // (guide §2.4: two operations keyed the same way share one
-    // exchange). Identical semantics: keep a slot iff it IS the
-    // (id, pos)-minimal occurrence of its paragraph.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("para"))
-    val kept = slots
-      .withColumn("__c", min(struct(col("id"), col("pos"))).over(w))
+      .withColumn("__k", md5(col("para")))
+    val canon = slots.groupBy(col("__k"))
+      .agg(min(struct(col("id"), col("pos"))).as("__c"))
+    val kept = slots.join(canon, Seq("__k"))
       .filter(struct(col("id"), col("pos")) === col("__c"))
-      .drop("__c")
+      .drop("__k", "__c")
     kept.groupBy("id")
       .agg(
         array_join(transform(array_sort(

@@ -681,13 +681,23 @@ object Sampling {
       s"nBuckets must be in [1, 2^22], got $nBuckets")
     val B = nBuckets.toLong
     def bucket(g: Column) = pmod(PortableHash.md5Long(g, seed), lit(B))
-    def bucketCounts(df: DataFrame, t: Column): Map[Long, Long] =
+    // r20 (guide §2.6): the target and raw bucket-count passes are
+    // independent aggregations that ran as TWO sequential collect
+    // round-trips; a side-tagged union folds them into ONE job (one
+    // driver action, and the two scans' tasks back-fill each other's
+    // tails). Counts are bit-identical — the tag only partitions the
+    // grouping, it never mixes the two streams' counts.
+    def sideGrams(df: DataFrame, t: Column, side: Int): DataFrame =
       df.select(explode(dsirGrams(t)).as("__g"))
-        .groupBy(bucket(col("__g")).as("__b"))
-        .agg(count(lit(1)).as("__c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tc = bucketCounts(target, targetText)
-    val rc = bucketCounts(raw, text)
+        .select(lit(side).as("__side"), bucket(col("__g")).as("__b"))
+    val bothCounts = sideGrams(target, targetText, 0)
+      .unionByName(sideGrams(raw, text, 1))
+      .groupBy("__side", "__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val tc = bothCounts.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val rc = bothCounts.filter(_.getInt(0) == 1)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
     val nt = tc.valuesIterator.sum.toDouble + B
     val nr = rc.valuesIterator.sum.toDouble + B
     rc.map { case (b, cr) =>

@@ -344,13 +344,21 @@ object MiscQueries {
       val winProbs = (1 until nB).map(_.toDouble / nB)
         .flatMap(p => Seq(p - 0.02, p, p + 0.02))
       val arr = winProbs.map(p => s"${p}D").mkString(", ")
-      // coalesce before the exact-percentile agg: its partial buffer is a
-      // value→count map over ~100k distinct prices, and serializing 32 of
-      // them dominates the query (measured 3.9 s; 4 partials ≈ 1 s). The
-      // exact twin is test-scale-only by design (q132's scaladoc) — the
-      // shipped approx path never builds these buffers.
-      li.select(col("l_extendedprice")).coalesce(4).agg(expr(
-          s"percentile(cast(l_extendedprice as double), array($arr))").as("w"))
+      // r20 (guide §2.3 "aggregate before you shuffle"): the exact
+      // percentile used to run over RAW rows coalesced to 4 partitions —
+      // each partial buffer a value→count map over ~100k distinct prices,
+      // 4-way parallelism (wall 5.1 s / cpu 10.4 at sf0.1). Collapse to
+      // the distinct (value, count) table FIRST with a fully partial-
+      // aggregable groupBy (map-side combine on all 32 cores), then feed
+      // percentile its FREQUENCY form — identical math (a weighted
+      // percentile over (v, n) IS the percentile of v repeated n times;
+      // same sorted-map interpolation), ~100k rows into the final agg
+      // instead of the corpus. The exact twin stays test-scale-only by
+      // design (q132's scaladoc) — the shipped approx path (equiDepthBounds)
+      // never builds these buffers.
+      li.select(col("l_extendedprice").cast("double").as("__v"))
+        .groupBy("__v").agg(count(lit(1)).as("__f"))
+        .agg(expr(s"percentile(__v, array($arr), __f)").as("w"))
         .select(posexplode(typedlit(bounds)).as(Seq("i0", "ab")), col("w"))
         .select((col("i0") + 1).cast("int").as("i"),
           round(element_at(col("w"), col("i0") * 3 + 2), 4).as("exact_q"),

@@ -193,11 +193,16 @@ object Erasure {
     * per store first, so a crashed rewrite is published before it is
     * audited. */
   def erasureAudit(spark: SparkSession, ids: Seq[Long],
-      stores: Seq[(String, String, String)]): DataFrame = {
+      stores: Seq[(String, String, String)],
+      recover: Boolean = true): DataFrame = {
     require(ids.nonEmpty, "erasureAudit: empty takedown list")
     require(stores.nonEmpty, "erasureAudit: no stores to audit")
     stores.map { case (name, path, idCol) =>
-      IncrementStore.recoverStore(spark, path)
+      // `recover = false` is for callers that already ran recoverStore
+      // serially over the whole registry (Governance.audit): recovery
+      // MUTATES the store dir (deletes folded sources, renames .tmp), so
+      // it must never run concurrently from fan-out futures.
+      if (recover) IncrementStore.recoverStore(spark, path)
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasData = fs.exists(p) && fs.listStatus(p).nonEmpty

@@ -216,9 +216,22 @@ object Governance {
     // concurrently and await in registry order; the certificate row
     // order is unchanged by construction. The ERASE phases above stay
     // sequential — they are file transactions with a fixed phase order.
+    // r20 (ADVICE): store RECOVERY is not read-only — recoverStore
+    // deletes folded sources and renames .tmp dirs — so it runs
+    // SERIALLY over the whole registry first (a registry with duplicate
+    // or overlapping dirs must never race two recoveries); only the
+    // genuinely read-only residual scans fan out as Futures.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    stores.foreach {
+      case _: Pack => () // pack tables are plain parquet, nothing to recover
+      case t: TextIndex  => IncrementStore.recoverStore(spark, t.dir)
+      case e: EmbedIndex => IncrementStore.recoverStore(spark, e.dir)
+      case m: MediaIndex => IncrementStore.recoverStore(spark, m.dir)
+      case a: Admitted   => IncrementStore.recoverStore(spark, a.dir)
+      case x: External   => IncrementStore.recoverStore(spark, x.dir)
+    }
     val futures = stores.map { st => Future {
       val one = st match {
         case p: Pack =>
@@ -227,17 +240,20 @@ object Governance {
               .parquet(p.tableDir),
             col("doc"), removedIds)
         case t: TextIndex =>
-          Erasure.erasureAudit(spark, removedIds, Seq((t.name, t.dir, "doc")))
+          Erasure.erasureAudit(spark, removedIds, Seq((t.name, t.dir, "doc")),
+            recover = false)
         case e: EmbedIndex =>
-          Erasure.erasureAudit(spark, removedIds, Seq((e.name, e.dir, "doc")))
+          Erasure.erasureAudit(spark, removedIds, Seq((e.name, e.dir, "doc")),
+            recover = false)
         case m: MediaIndex =>
-          Erasure.erasureAudit(spark, removedIds, Seq((m.name, m.dir, "doc")))
+          Erasure.erasureAudit(spark, removedIds, Seq((m.name, m.dir, "doc")),
+            recover = false)
         case a: Admitted =>
           Erasure.erasureAudit(spark, removedIds,
-            Seq((a.name, a.dir, a.idCol)))
+            Seq((a.name, a.dir, a.idCol)), recover = false)
         case x: External =>
           Erasure.erasureAudit(spark, removedIds,
-            Seq((x.name, x.dir, x.idCol)))
+            Seq((x.name, x.dir, x.idCol)), recover = false)
       }
       one.head()
     } }
