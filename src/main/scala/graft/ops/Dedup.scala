@@ -256,6 +256,16 @@ object Dedup {
   def shingleSets(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc"), explode(shingles(text, n)).as("shingle"))
 
+  /** |A ∩ B| over the sorted per-doc shingle-hash arrays — the native
+    * zero-allocation merge ([[graft.functions.SortedIntersectCount]]),
+    * value-identical to `size(array_intersect(a, b))` on its inputs
+    * (OpsSpec property pin). The verify kernel of every pair stage. */
+  private def intersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Per-document shingle profile: `doc`, `hs` (sorted shingle-hash array —
     * the exact-verify input), `n` (set size), `pre` (the rarest-first
     * prefix of length |S| − ⌈t·|S|⌉ + 1, df-capped — the candidate-join
@@ -390,10 +400,10 @@ object Dedup {
       // same contract as [[verifyPairs]]: raw quotient for thresholding,
       // ExactRound 1e-6-grid BIGINT for any rounded OUTPUT
       .select(col("i"), col("j"),
-        (size(array_intersect(col("da.hs"), col("db.hs"))).cast("double") /
+        (intersectCount(col("da.hs"), col("db.hs")).cast("double") /
           col("da.n")).as("containment"),
         ExactRound.gridMicroCol(
-          size(array_intersect(col("da.hs"), col("db.hs"))),
+          intersectCount(col("da.hs"), col("db.hs")),
           col("da.n"), 6).as("cont_micro"))
       .filter(col("containment") >= minContainment)
   }
@@ -407,7 +417,7 @@ object Dedup {
       .join(docsets.as("da"), col("i") === col("da.doc"))
       .join(docsets.as("db"), col("j") === col("db.doc"))
       .select(col("i"), col("j"),
-        size(array_intersect(col("da.hs"), col("db.hs"))).as("inter"),
+        intersectCount(col("da.hs"), col("db.hs")).as("inter"),
         col("da.n").as("na"), col("db.n").as("nb"))
       // `jaccard` stays the raw single-division quotient (threshold
       // compares are engine-safe on it); `jacc_micro` is the half-up
@@ -1552,6 +1562,59 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column, bits: Int,
       maxHamming: Int): DataFrame =
     hammingPairs(simhashRowwise(df, id, text, bits), bits, maxHamming)
+
+  /** Per-distance pair CENSUS of [[simhashPairs]] — value-identical to
+    * `simhashPairs(...).groupBy(hamming).agg(count, min(i), max(j))`
+    * (OpsSpec-pinned), computed in the shape that survives 100 TB: the
+    * corpus collapses FIRST to one row per distinct fingerprint VALUE
+    * (`groupBy(simhash)` — partial-aggregable, one linear pass), and the
+    * band-blocked self-join then runs over the VALUE table, whose size is
+    * capped by the 2^bits fingerprint space no matter the corpus. The
+    * doc-level pair list is quadratic by construction on a dense hash
+    * population (r19 SCALING: q93 cpu 46× at 10× data — every doc-level
+    * candidate row re-verified a hash comparison the value census makes
+    * once); per value pair the census contributes `cnt_u · cnt_v` pairs,
+    * `least(min_u, min_v)` / `greatest(max_u, max_v)` witnesses (the
+    * global min doc of the union is the smaller element of at least one
+    * cross pair, the global max the larger), and equal-value duplicates
+    * land at distance 0 with `C(cnt, 2)` pairs and their own min/max.
+    * Distances with no pairs emit no row, exactly like the groupBy. */
+  def simhashCensus(df: DataFrame, id: Column, text: Column, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val vals = simhashRowwise(df, id, text, bits)
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("__c"), min("doc").as("__mn"),
+        max("doc").as("__mx"))
+    // value-level mining reuses the pigeonhole core verbatim: the value
+    // IS its own join id (strict u < v gives each unordered value pair
+    // once, and equal values never join — they are the distance-0 branch)
+    val vpairs = hammingPairs(
+      vals.select(col("simhash").as("doc"), col("simhash")),
+      bits, maxHamming)
+    val cross = vpairs
+      .join(vals.select(col("simhash").as("__u"), col("__c").as("__cu"),
+        col("__mn").as("__mnu"), col("__mx").as("__mxu")),
+        col("i") === col("__u"))
+      .join(vals.select(col("simhash").as("__v"), col("__c").as("__cv"),
+        col("__mn").as("__mnv"), col("__mx").as("__mxv")),
+        col("j") === col("__v"))
+      .select(col("hamming"),
+        (col("__cu") * col("__cv")).as("__np"),
+        least(col("__mnu"), col("__mnv")).as("__pmn"),
+        greatest(col("__mxu"), col("__mxv")).as("__pmx"))
+    // hamming is INT (bit_count's type) and C(c,2) stays in exact LONG
+    // arithmetic (a `/ 2` would be double division in the column algebra)
+    val within = vals.filter(col("__c") >= 2)
+      .select(lit(0).cast("int").as("hamming"),
+        shiftright(col("__c") * (col("__c") - 1), 1).as("__np"),
+        col("__mn").as("__pmn"), col("__mx").as("__pmx"))
+    cross.unionByName(within)
+      .groupBy("hamming")
+      // coalesce keeps n_pairs non-nullable, the exact schema the
+      // doc-level groupBy census (count) produced
+      .agg(coalesce(sum("__np"), lit(0L)).as("n_pairs"),
+        min("__pmn").as("min_i"), max("__pmx").as("max_j"))
+  }
 
   /** Hamming-distance pair mining over ANY 64-bit-or-narrower signature
     * frame `(doc, simhash)` — the pigeonhole band-blocking core

@@ -842,7 +842,7 @@ object Similarity {
     listed.write.mode("overwrite").partitionBy("cluster").parquet(path)
     val spark = df.sparkSession
     import spark.implicits._
-    cents.toSeq.toDF("cid", "cvec")
+    cents.toSeq.toDF("cid", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.centroids")
     // manifest sidecar: the index's build parameters, written LAST so its
     // presence marks a complete build (lists + centroids both landed). The
@@ -925,11 +925,11 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
     val spark = df.sparkSession
     import spark.implicits._
-    cents.toSeq.toDF("cid", "cvec")
+    cents.toSeq.toDF("cid", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.centroids")
     model.codebooks.zipWithIndex.flatMap { case (cs, j) =>
       cs.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
+    }.toSeq.toDF("subspace", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.codebooks")
     val manifest =
       s"""{"format":"graft-ivfpq","formatVersion":1,"metric":"cosine",
@@ -997,14 +997,14 @@ object Similarity {
         model.codebooks, normalize = false)))
     encoded.select(col("id"), col("v"), col("codes"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
-    cents.toSeq.toDF("cid", "cvec")
+    cents.toSeq.toDF("cid", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.centroids")
     anchors.map { case (cid, a) => (cid, a.toSeq) }.toSeq
-      .toDF("cid", "anchor")
+      .toDF("cid", "anchor").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.anchors")
     model.codebooks.zipWithIndex.flatMap { case (cs, j) =>
       cs.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
+    }.toSeq.toDF("subspace", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.codebooks")
     val manifest =
       s"""{"format":"graft-ivfpq","formatVersion":1,"metric":"cosine",
@@ -1508,7 +1508,7 @@ object Similarity {
     import spark.implicits._
     model.codebooks.zipWithIndex.flatMap { case (cents, j) =>
       cents.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
+    }.toSeq.toDF("subspace", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path.codebooks")
     val manifest =
       s"""{"format":"graft-pq","formatVersion":1,"metric":"cosine",

@@ -2176,6 +2176,14 @@ object TextAnalysis {
     // SMJ→broadcast conversion fire where the fat rows stayed over the
     // threshold.
     def joined(df: DataFrame, m: Int, from: Int, as: String): DataFrame = {
+      // r20: the r19 concat_ws key is now MEASURED (VERDICT item 3) — a
+      // clean-canary A/B at sf0.1 against the pre-r19 m-column key:
+      // cpu-s q169 9.49→6.25, q175 8.76→5.70, q185 19.52→16.94,
+      // q295 6.57→5.51, q301 6.78→4.71 (suite of five: 51.1→39.1,
+      // −23.5%); walls moved the same direction. The injectivity
+      // invariant the key leans on (tokens split on a single space —
+      // never null, never space-carrying, empty-string tokens fine) is
+      // spec-pinned in OpsSpecR20 on adversarial double-space text.
       val tbl = cnt(m).select(
         concat_ws(" ", (1 to m).map(j => col(s"w$j")): _*).as(s"__g_$as"),
         col("__c").as(as))

@@ -1267,6 +1267,15 @@ object SamplingQueries {
           minWordsPerLine = 4, maxReplRatio = 0.004)
         .select(col("doc_id"), col("lang"),
           regexp_replace(col("text3"), "\n", " ").as("text"))
+        // r20 (guide §3.3/§5, the q185 pattern): eager plan truncation at
+        // the hygiene/curate waist. The planted-damage expression plus the
+        // full hygiene regex chain is a huge expression TREE, and every
+        // curate() stage that references `text` (quality class, both dedup
+        // keys, chunking) re-inlines it — a 147 KB plan whose Catalyst +
+        // codegen + JIT time dominated the query (StageProbe: wall 3.6 s,
+        // stage time 1.0 s). Checkpointing the slim cleaned frame makes
+        // downstream plans reference a plain column instead.
+        .localCheckpoint(true)
       Curation.curate(clean, col("doc_id"), col("text"), col("lang"),
           Curation.Config(langFracs = LangFracs))
         .groupBy("split")

@@ -280,6 +280,12 @@ object TextQueries {
           (col("jacc_micro").cast("double") / 1e6).as("jaccard"),
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           sim.as("edit_sim"), (sim >= 0.8).as("verified"))
+        // r20 (guide §2.4 remove recomputation): orderBy's range-partition
+        // SAMPLING pass re-executes its child, so the O(len²) Levenshtein
+        // projection ran TWICE (StageProbe: two identical 2.1 s stages
+        // over the same 5000-pair exchange). Materialize the verified
+        // pair table (pair-sized, slim) once; the sort reads blocks.
+        .localCheckpoint(true)
         .orderBy("i", "j")
     }),
 
@@ -1879,11 +1885,16 @@ object TextQueries {
     // so the pin is the per-distance pair census plus min/max witness ids —
     // any missed or phantom candidate shifts a count
     "q93_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+      // r20 (guide §2.5/§8): the census is computed value-collapsed
+      // (Dedup.simhashCensus — groupBy the 2^16 fingerprint VALUES first,
+      // then band-join the bounded value table with pair-count products)
+      // instead of materializing the doc-level pair list, which is
+      // quadratic on a dense hash population (r19 SCALING measured 46×
+      // cpu at 10× data). Same rows, OpsSpec+oracle-pinned.
+      Dedup.simhashCensus(t(s, d, "documents"), col("doc_id"), col("text"),
           bits = 16, maxHamming = 3)
-        .groupBy(col("hamming").cast("int").as("hamming"))
-        .agg(count(lit(1)).as("n_pairs"),
-          min("i").as("min_i"), max("j").as("max_j"))
+        .select(col("hamming").cast("int").as("hamming"),
+          col("n_pairs"), col("min_i"), col("max_j"))
         .orderBy("hamming")
     }),
 
