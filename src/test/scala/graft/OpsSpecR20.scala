@@ -83,6 +83,25 @@ class OpsSpecR20 extends AnyFunSuite {
     graft.ops.TextAnalysis.clearGramCache()
   }
 
+  test("klPerGroup clamps a zero-quantized CORPUS ratio to the grid floor " +
+    "instead of zeroing the term (r18 ADVICE; VERDICT r19 #9): a token " +
+    "common in a small group but globally rarer than 0.5e-6 must " +
+    "contribute a large positive divergence") {
+    import spark.implicits._
+    // corpus of ~2.2M tokens so the lone 'raretok' quantizes to qm = 0
+    // (1e6 * 1/2200004 rounds to 0); in the small group its pm = 250000.
+    // With the greatest(qm, 1) clamp the term is pm * ln(pm) ≈ 3.1e6
+    // micro-nats; a zeroing implementation would report kl_u ≈ tiny.
+    val big = ("x " * 2199999) + "x"
+    val small = "raretok x x x"
+    val df = Seq(("big", big), ("small", small)).toDF("g", "text")
+    val rows = graft.ops.TextAnalysis.klPerGroup(df, col("g"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows("small") >= 2000000L,
+      s"small-group kl_u = ${rows("small")} — the rare-token term was " +
+        "zeroed instead of clamped to the micro-grid floor")
+  }
+
   test("simhashCensus == simhashPairs groupBy census — value-collapsed " +
     "formulation is row-identical (duplicated hashes, dense value space)") {
     import spark.implicits._
